@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local simulator of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check.py /tmp/vout /root/testdata/sf0.01
+Loads each <name>/ parquet result written by graft.Verify, runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the same fixture tables,
+sorts columns by name and rows by value, and diffs.
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    return sorted(cols), sorted(out, key=repr)
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchall()
+            gcols = [d[0] for d in con.description]
+            want = con.execute(sql).fetchall()
+            wcols = [d[0] for d in con.description]
+            gc, gr = canon(got, gcols)
+            wc, wr = canon(want, wcols)
+            if gc != wc:
+                print(f"FAIL {name}: columns {gc} != {wc}")
+                n_fail += 1
+            elif gr != wr:
+                n_fail += 1
+                print(f"FAIL {name}: {len(gr)} vs {len(wr)} rows")
+                for a, b in list(zip(gr, wr))[:200]:
+                    if a != b:
+                        print(f"  spark: {a}\n  duck : {b}")
+                        break
+                if len(gr) != len(wr):
+                    print(f"  spark-only sample: {[r for r in gr[:5] if r not in set(wr[:1000])][:2]}")
+            else:
+                n_pass += 1
+                print(f"PASS {name} ({len(gr)} rows)")
+        except Exception as e:
+            n_fail += 1
+            print(f"ERROR {name}: {e}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
