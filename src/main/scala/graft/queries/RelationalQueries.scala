@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import Oracle._
+
+/** The classic engine-operator catalog the reference lacks entirely
+  * (SURVEY.md §2.5): joins of every flavor, aggregation, windows, sorts/
+  * top-k, set ops, grouping sets, pivot/unpivot, the scalar function
+  * library, and the SQL front-end. All plain Catalyst plans — broadcast
+  * hints on dimension joins, decimal-exact double sums for oracle parity.
+  *
+  * Scale notes (100 TB design): dimension sides (`nation`, `customer`
+  * slices) are broadcast so the big fact scan never shuffles for them;
+  * aggregations are partial+final (map-side combine) by construction;
+  * window queries partition by high-cardinality keys. */
+object RelationalQueries {
+
+  /** Star join: revenue by nation, dims broadcast, filter pushed to scan. */
+  def qJoinStar(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val qJoinStarSql: String =
+    s"""SELECT n_name, ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name""".stripMargin
+
+  /** Semi + anti joins (EXISTS / NOT EXISTS), tagged and unioned. */
+  def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders").select(col("o_custkey"))
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey").as("custkey"), lit("has_orders").as("tag"))
+    val noOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("custkey"), lit("no_orders").as("tag"))
+    withOrders.unionAll(noOrders)
+  }
+
+  val qSemiAntiSql: String =
+    """SELECT c_custkey AS custkey, 'has_orders' AS tag FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT c_custkey AS custkey, 'no_orders' AS tag FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** Left-outer join + aggregate: per-customer order count including zeros. */
+  def qOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey").as("custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spent"))
+  }
+
+  val qOuterJoinSql: String =
+    s"""SELECT c_custkey AS custkey, count(o_orderkey) AS n_orders,
+       |${sqlSum("COALESCE(o_totalprice, 0.0)")} AS total_spent
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey""".stripMargin
+
+  /** Window functions: row_number / running sum / lag over a total order. */
+  def qWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "lineitem").select(
+      col("l_suppkey").as("suppkey"),
+      col("l_orderkey").as("okey"),
+      col("l_linenumber").as("lnum"),
+      row_number().over(w).as("rn"),
+      sum(col("l_quantity").cast(DecimalType(27, 7))).over(wr).cast(DoubleType)
+        .as("running_qty"),
+      lag(col("l_quantity"), 1).over(w).as("prev_qty"))
+  }
+
+  val qWindowSql: String =
+    """SELECT l_suppkey AS suppkey, l_orderkey AS okey, l_linenumber AS lnum,
+      |row_number() OVER w AS rn,
+      |CAST(sum(CAST(l_quantity AS DECIMAL(27,7))) OVER
+      |  (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+      |lag(l_quantity, 1) OVER w AS prev_qty
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin
+
+  /** Top-k with deterministic tiebreak: highest-revenue customers. */
+  def qTopK(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("custkey").asc)
+      .limit(10)
+  }
+
+  val qTopKSql: String =
+    s"""SELECT o_custkey AS custkey,
+       |${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_custkey
+       |ORDER BY revenue DESC, custkey ASC LIMIT 10""".stripMargin
+
+  /** Set operations: union distinct / intersect / except, tagged. */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+    val rich = c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey"))
+    auto.union(rich).distinct().select(col("c_custkey").as("custkey"), lit("union").as("op"))
+      .unionAll(auto.intersect(rich).select(col("c_custkey").as("custkey"), lit("intersect").as("op")))
+      .unionAll(auto.except(rich).select(col("c_custkey").as("custkey"), lit("except").as("op")))
+  }
+
+  val qSetOpsSql: String =
+    """WITH auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+      |rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+      |SELECT c_custkey AS custkey, 'union' AS op FROM (SELECT * FROM auto UNION SELECT * FROM rich)
+      |UNION ALL
+      |SELECT c_custkey AS custkey, 'intersect' AS op FROM (SELECT * FROM auto INTERSECT SELECT * FROM rich)
+      |UNION ALL
+      |SELECT c_custkey AS custkey, 'except' AS op FROM (SELECT * FROM auto EXCEPT SELECT * FROM rich)""".stripMargin
+
+  /** DISTINCT + exact distinct-count aggregation. */
+  def qDistinct(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"))
+  }
+
+  val qDistinctSql: String =
+    """SELECT l_returnflag AS returnflag,
+      |count(DISTINCT l_suppkey) AS n_supp,
+      |count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** ROLLUP — subtotal + grand-total rows (NULL group keys). */
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .rollup(col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+  }
+
+  val qRollupSql: String =
+    s"""SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+       |count(*) AS n, ${sqlSum("l_quantity")} AS qty
+       |FROM lineitem GROUP BY ROLLUP (1, 2)""".stripMargin
+
+  /** CUBE over order status × priority. */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders")
+      .cube(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+  }
+
+  val qCubeSql: String =
+    s"""SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       |count(*) AS n, ${sqlSum("o_totalprice")} AS total
+       |FROM orders GROUP BY CUBE (1, 2)""".stripMargin
+
+  /** Scalar function library: strings, dates, math — all codegen'd built-ins. */
+  def qScalarLib(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").select(
+      col("o_orderkey").as("okey"),
+      upper(col("o_orderpriority")).as("up"),
+      lower(col("o_orderstatus")).as("lo"),
+      substring(col("o_orderpriority"), 1, 1).as("pfx"),
+      length(col("o_orderpriority")).as("len"),
+      concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("cat"),
+      regexp_replace(col("o_orderpriority"), "[0-9]-", "").as("cleaned"),
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      abs(col("o_totalprice") - lit(100000.0)).as("dist"),
+      floor(col("o_totalprice")).as("fl"),
+      ceil(col("o_totalprice")).as("ce"),
+      sqrt(col("o_totalprice")).as("rt"),
+      (col("o_orderkey") % 7).as("m7"))
+  }
+
+  val qScalarLibSql: String =
+    """SELECT o_orderkey AS okey,
+      |upper(o_orderpriority) AS up, lower(o_orderstatus) AS lo,
+      |substring(o_orderpriority, 1, 1) AS pfx, length(o_orderpriority) AS len,
+      |concat_ws('|', o_orderstatus, o_orderpriority) AS cat,
+      |regexp_replace(o_orderpriority, '[0-9]-', '') AS cleaned,
+      |year(o_orderdate) AS yr, month(o_orderdate) AS mo, day(o_orderdate) AS dom,
+      |date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
+      |abs(o_totalprice - 100000.0) AS dist,
+      |CAST(floor(o_totalprice) AS BIGINT) AS fl, CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+      |sqrt(o_totalprice) AS rt,
+      |o_orderkey % 7 AS m7
+      |FROM orders""".stripMargin
+
+  /** PIVOT: order counts by status per priority. */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("priority"), coalesce(col("F"), lit(0L)).as("f"),
+        coalesce(col("O"), lit(0L)).as("o"), coalesce(col("P"), lit(0L)).as("p"))
+  }
+
+  val qPivotSql: String =
+    """SELECT o_orderpriority AS priority,
+      |count(*) FILTER (o_orderstatus = 'F') AS f,
+      |count(*) FILTER (o_orderstatus = 'O') AS o,
+      |count(*) FILTER (o_orderstatus = 'P') AS p
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** UNPIVOT/melt: lineitem measures to long form. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .select(col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
+        col("measure"), col("val"))
+  }
+
+  val qUnpivotSql: String =
+    """SELECT l_orderkey AS okey, l_linenumber AS lnum, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""".stripMargin
+
+  /** The SQL front-end (free via spark.sql): TPC-H Q3 shape over temp views. */
+  def qSql(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "customer").createOrReplaceTempView("v_customer")
+    Tables(s, dir, "orders").createOrReplaceTempView("v_orders")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    s.sql(
+      s"""SELECT l_orderkey AS okey,
+         |CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,7))) AS DOUBLE) AS revenue,
+         |o_orderdate AS odate
+         |FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+         |JOIN v_lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-03-15'
+         |  AND l_shipdate > TIMESTAMP '1997-03-15'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, okey ASC LIMIT 20""".stripMargin)
+  }
+
+  val qSqlSql: String =
+    s"""SELECT l_orderkey AS okey,
+       |${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |o_orderdate AS odate
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1997-03-15'
+       |  AND l_shipdate > TIMESTAMP '1997-03-15'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, okey ASC LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_star"  -> (qJoinStar _),
+    "q_semi_anti"  -> (qSemiAnti _),
+    "q_outer_join" -> (qOuterJoin _),
+    "q_window"     -> (qWindow _),
+    "q_topk"       -> (qTopK _),
+    "q_set_ops"    -> (qSetOps _),
+    "q_distinct"   -> (qDistinct _),
+    "q_rollup"     -> (qRollup _),
+    "q_cube"       -> (qCube _),
+    "q_scalar_lib" -> (qScalarLib _),
+    "q_pivot"      -> (qPivot _),
+    "q_unpivot"    -> (qUnpivot _),
+    "q_sql"        -> (qSql _))
+
+  val oracle: Map[String, String] = Map(
+    "q_join_star"  -> qJoinStarSql,
+    "q_semi_anti"  -> qSemiAntiSql,
+    "q_outer_join" -> qOuterJoinSql,
+    "q_window"     -> qWindowSql,
+    "q_topk"       -> qTopKSql,
+    "q_set_ops"    -> qSetOpsSql,
+    "q_distinct"   -> qDistinctSql,
+    "q_rollup"     -> qRollupSql,
+    "q_cube"       -> qCubeSql,
+    "q_scalar_lib" -> qScalarLibSql,
+    "q_pivot"      -> qPivotSql,
+    "q_unpivot"    -> qUnpivotSql,
+    "q_sql"        -> qSqlSql)
+}
