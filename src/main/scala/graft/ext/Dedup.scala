@@ -1,0 +1,191 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for web-scale corpora: exact, MinHash+LSH,
+  * SimHash, and exact n-gram Jaccard. Everything is expressed as
+  * shuffles-on-narrow-keys + column expressions:
+  *
+  *  - exact dedup shuffles once on the text hash (not the full text);
+  *  - MinHash/LSH candidate generation shuffles once on (band, bandHash) —
+  *    the standard way to keep near-dup detection out of O(n²) at 100 TB;
+  *  - hot LSH buckets are capped (`maxBucket`) so one degenerate bucket
+  *    cannot quadratically blow up a task — the documented recall tradeoff;
+  *  - exact-verification joins happen only on the candidate pairs.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: one representative (min id) per distinct text.
+    * Group keys are (hash, text) so the shuffle sorts/compares 8-byte
+    * hashes first instead of full documents. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("__h"), col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col(textCol), col("n_copies"))
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word n-gram shingles (distinct) of the lower-cased text. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = TextAnalysis.tokens(text)
+    val grams = transform(
+      sequence(lit(0), greatest(size(t) - n, lit(0))),
+      i => concat_ws(" ", slice(t, i + lit(1), lit(n))))
+    array_distinct(grams)
+  }
+
+  /** Exact Jaccard similarity of two string arrays (already distinct). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    inter / (size(a) + size(b) - inter).cast(DoubleType)
+  }
+
+  // -------------------------------------------------------------- MinHash
+
+  val MinHashPrime: Long = 4294967311L // first prime > 2^32
+
+  /** Deterministic universal-hash parameters for the k permutations. */
+  private def perms(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** k-wide MinHash signature of a shingle array.
+    * Base hash is xxhash64 truncated to 32 bits; permutation i is
+    * (a_i*h + b_i) mod p over that base — all fits in long arithmetic. */
+  def minhashSignature(sh: Column, k: Int = 64, seed: Long = 42L): Column = {
+    val base = transform(sh, s => pmod(xxhash64(s), lit(4294967296L)))
+    val sig = perms(k, seed).map { case (a, b) =>
+      coalesce(
+        array_min(transform(base, h => pmod(h * a + b, lit(MinHashPrime)))),
+        lit(MinHashPrime)) // empty doc → sentinel signature
+    }
+    array(sig: _*)
+  }
+
+  /** Estimated Jaccard from two equal-width signatures. */
+  def minhashEstimate(sigA: Column, sigB: Column, k: Int): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
+      .cast(DoubleType) / k
+
+  /** MinHash + LSH candidate pairs with estimated Jaccard ≥ `minEstimate`.
+    *
+    * Pipeline: signature → `bands` band hashes → explode → self-join on
+    * (band, bandHash) → distinct pairs → estimate filter. One shuffle for
+    * the band join, one for pair distinct. `maxBucket` drops degenerate
+    * buckets (boilerplate shingles) to bound worst-case pair blowup.
+    *
+    * Output: (id_a, id_b, est_jaccard) with id_a < id_b. */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+                   minEstimate: Double = 0.5, seed: Long = 42L,
+                   maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), shingleN), k, seed).as("sig"))
+
+    val banded = sig.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(lit("band"), b, slice(col("sig"), b * rows + lit(1), lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+
+    // Cap pathological buckets: count per (band,bhash), keep small ones.
+    val bucketCounts = banded.groupBy("band", "bhash").count()
+      .filter(col("count") <= maxBucket && col("count") >= 2)
+    val small = banded.join(bucketCounts.select("band", "bhash"), Seq("band", "bhash"))
+
+    val a = small.select(col("band"), col("bhash"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = small.select(col("band"), col("bhash"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val pairs = a.join(b, Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    pairs.select(col("id_a"), col("id_b"),
+        minhashEstimate(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstimate)
+  }
+
+  /** LSH candidates verified with *exact* shingle Jaccard — the scalable
+    * exact pipeline: O(n) LSH prefilter, exact check only on candidates. */
+  def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                   threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
+    val cand = minhashPairs(df, textCol, idCol, minEstimate = threshold * 0.5,
+      shingleN = shingleN)
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact blocked n-gram Jaccard pairs — the oracle-checkable small-scale
+    * variant: pairs only inside a blocking key (e.g. language), exact
+    * similarity, no approximation. */
+  def blockedJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                          blockCol: String, threshold: Double,
+                          shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** The 64 bit masks 1L<<i as a literal array — zip_with against it avoids
+    * non-literal shift amounts (Spark's shift functions take Int only). */
+  private val bitMasks: Column = {
+    import org.apache.spark.sql.functions.typedLit
+    typedLit((0 until 64).map(i => 1L << i))
+  }
+
+  /** 64-bit SimHash of the token stream: per-token 64-bit hash votes ±1 on
+    * each bit; the sign of each bit-sum forms the fingerprint. Pure column
+    * expressions (64-wide zip_with fold). */
+  def simhash(text: Column): Column = {
+    val t = TextAnalysis.tokens(text)
+    val votes = aggregate(
+      t,
+      array_repeat(lit(0L), 64),
+      (acc, tok) => {
+        val h = xxhash64(tok)
+        zip_with(acc, bitMasks,
+          (a, m) => a + when(h.bitwiseAND(m) === m, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(votes, bitMasks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 64 bits into 4×16-bit chunks
+    * (guarantees recall for hamming ≤ 3), join per chunk, verify hamming.
+    * Same one-shuffle LSH shape as MinHash. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val banded = fp.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("fp"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (ARRAY<FLOAT>).
+  *
+  * Two paths, as a large-scale pipeline needs both:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus; one scan of the corpus, no corpus shuffle
+  *    except the final per-query top-k. The baseline and the verifier.
+  *  - [[lshTopK]]: random-hyperplane LSH — bucket corpus and queries by
+  *    sign-bit signatures over L tables, search only colliding buckets.
+  *    The 100 TB path: candidate generation is an equi-join on (table,
+  *    bucket), cost proportional to collisions, not |corpus|×|queries|.
+  *
+  * All arithmetic in double (floats widened first) with left-to-right
+  * accumulation so results are reproducible and oracle-comparable. */
+object Similarity {
+
+  /** Dot product of two numeric arrays, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (query ≠ candidate), ties broken by candidate id.
+    * `queries` is expected to be small — it is broadcast; the corpus is
+    * scanned once. Output: (query_id, rank, cand_id, sim). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("sim"))
+  }
+
+  /** Deterministic random hyperplanes: `tables` tables × `bits` planes of
+    * dimension `dim`, fixed seed. Materialized as plan-time literals. */
+  private[ext] def hyperplanes(dim: Int, bits: Int, tables: Int,
+                               seed: Long): Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Sign-bit bucket id of a vector under one table's planes. */
+  private def bucketId(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = dot(vec, typedLit(p.toSeq))
+      when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate cosine top-k via random-hyperplane LSH.
+    *
+    * Recall/cost dial: more `tables` → higher recall, more candidates;
+    * more `bits` → smaller buckets. Exact cosine is computed only on
+    * bucket collisions; output shape matches [[bruteForceTopK]] (a query
+    * colliding with < k candidates returns fewer rows — by design). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              bits: Int = 8, tables: Int = 8, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(dim, bits, tables, seed)
+    def withBuckets(df: DataFrame, id: String, v: String): DataFrame = {
+      val buckets = array(planes.zipWithIndex.map { case (tp, t) =>
+        struct(lit(t).as("tbl"), bucketId(col(v), tp).as("bucket"))
+      }: _*)
+      df.select(col(id), col(v), explode(buckets).as("tb"))
+        .select(col(id), col(v), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    }
+    val c = withBuckets(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
+      "cand_id", "cv")
+    val q = broadcast(withBuckets(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv"))
+    val cand = c.join(q, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "cand_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    cand.select(col("query_id"), col("cand_id"), cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("sim"))
+  }
+
+  /** Embedding-space near-duplicate pairs: cosine ≥ threshold, found via
+    * LSH collisions (any shared bucket), verified exactly. */
+  def embeddingNearDupPairs(df: DataFrame, threshold: Double, dim: Int,
+                            bits: Int = 8, tables: Int = 8, seed: Long = 42L,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(dim, bits, tables, seed)
+    val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(array(planes.zipWithIndex.map { case (tp, t) =>
+          struct(lit(t).as("tbl"), bucketId(col(vecCol), tp).as("bucket"))
+        }: _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = withB.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withB.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

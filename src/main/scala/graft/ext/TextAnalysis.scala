@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization + token counting, quality scoring, n-gram language ID, and
+  * document fingerprinting. All pure Column expressions (no udfs) — they
+  * stay inside whole-stage codegen and scale linearly with the scan; at
+  * 100 TB these run as a single map stage over the documents table, no
+  * shuffle at all. */
+object TextAnalysis {
+
+  val FingerprintMod: Long = 1000000007L
+
+  /** Whitespace tokens of the lower-cased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: alphanumeric runs and single non-space symbols
+    * counted separately — the cheap proxy for subword token counts
+    * (pattern kept RE2/Java-compatible for oracle parity). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"))
+
+  /** Punctuation ratio over characters. */
+  def punctRatio(text: Column): Column =
+    regexp_count(lower(text), lit("[^a-z0-9\\s]")).cast(DoubleType) /
+      greatest(length(text), lit(1)).cast(DoubleType)
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "on", "as",
+      "with", "a", "an", "at", "by", "from", "or", "be", "are")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(filter(t, x => x.isInCollection(EnStopwords))).cast(DoubleType) /
+      greatest(size(t), lit(1)).cast(DoubleType)
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast(DoubleType) /
+      greatest(size(t), lit(1)).cast(DoubleType)
+  }
+
+  /** Heuristic document quality in [0,1]: rewards a sane length band,
+    * mid-range mean token length, some stopwords, low punctuation noise.
+    * Weights are fixed and documented — determinism matters more than the
+    * exact recipe. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast(DoubleType)
+    val lenOk = when(nTok >= 5 && nTok <= 5000, lit(1.0)).otherwise(lit(0.0))
+    val mtl = meanTokenLen(text)
+    val mtlOk = when(mtl >= 2.0 && mtl <= 12.0, lit(1.0)).otherwise(lit(0.0))
+    val sw = stopwordRatio(text)
+    val swOk = when(sw >= 0.01 && sw <= 0.6, lit(1.0)).otherwise(lit(0.0))
+    val punct = punctRatio(text)
+    lit(0.3) * lenOk + lit(0.2) * mtlOk + lit(0.3) * swOk +
+      lit(0.2) * (lit(1.0) - least(punct * 5.0, lit(1.0)))
+  }
+
+  /** Marker-word profiles for the n-gram/stopword language-ID heuristic.
+    * Kept alphabetical by language code: ties resolve to the first
+    * strictly-greater score, i.e. the alphabetically-first language wins. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "von"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "on"),
+    "es" -> Seq("el", "los", "las", "y", "un", "una", "es", "que", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "est", "dans", "pour", "pas", "sur"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "就", "不", "人"))
+
+  /** Language ID: count marker-word hits per language, take the argmax
+    * (ties → alphabetically-first). "und" (undetermined) when nothing hits. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    def score(markers: Seq[String]): Column =
+      size(filter(t, x => x.isInCollection(markers)))
+    val best = LangMarkers.foldLeft(struct(lit(0).as("s"), lit("und").as("l"))) {
+      case (acc, (lang, markers)) =>
+        val sc = score(markers)
+        when(sc > acc.getField("s"),
+          struct(sc.as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    best.getField("l")
+  }
+
+  /** Polynomial rolling-hash fingerprint over the normalized character
+    * stream: h := (h*31 + codepoint) mod 1e9+7. Order-sensitive (unlike a
+    * bag-of-words hash) and expressible in plain SQL for the oracle. */
+  def fingerprint(text: Column): Column = {
+    val chars = split(lower(trim(text)), "")
+    aggregate(chars, lit(0L),
+      (h, c) => (h * 31L + ascii(c)) % FingerprintMod)
+  }
+}

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** Driver-checked queries for the north-star training-data operators:
+  * text analysis, dedup (exact / exact-Jaccard / MinHash / SimHash),
+  * and embedding similarity search. Approximate (hash-based) operators
+  * have no DuckDB oracle — they get rows-only checks here and exact
+  * recall assertions in ExtSpec. */
+object ExtQueries {
+
+  // ------------------------------------------------------------ text
+
+  def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextAnalysis.meanTokenLen(col("text")).as("mean_token_len"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+  }
+
+  private val swList = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+
+  val qTextStatsSql: String =
+    s"""WITH t AS (SELECT doc_id, text,
+       |  string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |m AS (SELECT doc_id, text, toks,
+       |  len(toks) AS n_tokens,
+       |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_bpe,
+       |  len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))::DOUBLE
+       |    / greatest(length(text), 1) AS punct_ratio,
+       |  len(list_filter(toks, x -> x IN ($swList)))::DOUBLE
+       |    / greatest(len(toks), 1) AS stopword_ratio,
+       |  list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+       |    / greatest(len(toks), 1) AS mean_token_len
+       |FROM t)
+       |SELECT doc_id, n_tokens, n_bpe, punct_ratio, stopword_ratio, mean_token_len,
+       |  0.3 * (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+       |  + 0.2 * (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+       |  + 0.3 * (CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.0 END)
+       |  + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)) AS quality
+       |FROM m""".stripMargin
+
+  def qLangFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+  }
+
+  private val langScoreSql: String = TextAnalysis.LangMarkers.map { case (l, ms) =>
+    val lst = ms.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, x -> x IN ($lst))) AS s_$l"
+  }.mkString(",\n  ")
+
+  val qLangFingerprintSql: String =
+    s"""WITH t AS (SELECT doc_id, lower(trim(text)) AS s,
+       |  string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |sc AS (SELECT doc_id, s, $langScoreSql FROM t),
+       |mx AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM sc)
+       |SELECT doc_id,
+       |  CASE WHEN m = 0 THEN 'und'
+       |       WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en'
+       |       WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr'
+       |       ELSE 'zh' END AS lang_pred,
+       |  list_reduce(
+       |    list_prepend(0::BIGINT,
+       |      list_transform(range(1, length(s) + 1), i -> ascii(s[i])::BIGINT)),
+       |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
+       |FROM mx""".stripMargin
+
+  // ----------------------------------------------------------- dedup
+
+  /** Exact dedup over documents augmented with planted duplicates
+    * (ids shifted by 10000) so the operator has real work at every sf. */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    Dedup.exact(d.unionAll(planted), "text", "doc_id")
+  }
+
+  val qDedupExactSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50)
+      |SELECT min(doc_id) AS keep_id, text, count(*) AS n_copies
+      |FROM aug GROUP BY text""".stripMargin
+
+  /** Exact blocked word-trigram Jaccard near-dup pairs (threshold 0.5),
+    * blocked by language — fully oracle-checkable. */
+  def qDedupJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.blockedJaccardPairs(Tables(s, dir, "documents"),
+      "text", "doc_id", "lang", threshold = 0.5)
+
+  val qDedupJaccardSql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |  string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |sh AS (SELECT doc_id, lang,
+      |  list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+      |    i -> array_to_string(w[i+1:i+3], ' '))) AS t FROM t)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  len(list_intersect(a.t, b.t))::DOUBLE
+      |    / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS jaccard
+      |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.t, b.t))::DOUBLE
+      |    / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.5""".stripMargin
+
+  /** MinHash+LSH candidate pairs (est. Jaccard ≥ 0.5) — approximate,
+    * rows-only check; recall asserted against exact pairs in ExtSpec. */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables(s, dir, "documents"), "text", "doc_id",
+      minEstimate = 0.5)
+
+  /** SimHash near-dup pairs (hamming ≤ 6 of 64 bits) — rows-only. */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables(s, dir, "documents"), "text", "doc_id",
+      maxHamming = 6)
+
+  /** LSH-prefiltered, exactly-verified near-dup pairs — rows-only
+    * (prefilter recall < 1 by construction). */
+  def qNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(Tables(s, dir, "documents"), "text", "doc_id",
+      threshold = 0.7)
+
+  // ------------------------------------------------------ similarity
+
+  /** Exact cosine top-5 neighbors for the first 10 vectors. */
+  def qSimTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+  }
+
+  val qSimTopKSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS cand_id,
+      |    list_sum(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2]))
+      |      / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+      |         * sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS sim
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      |ranked AS (SELECT query_id, cand_id, sim,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
+      |FROM scored)
+      |SELECT query_id, rank, cand_id, sim FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** LSH-bucketed approximate top-k — rows-only; recall vs brute force
+    * asserted in ExtSpec. */
+  def qSimLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, dim = 64,
+      bits = 4, tables = 16)
+  }
+
+  /** Embedding near-duplicate pairs via LSH + exact verify — rows-only. */
+  def qEmbNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(Tables(s, dir, "embeddings"),
+      threshold = 0.4, dim = 64, bits = 4, tables = 8)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats"       -> (qTextStats _),
+    "q_lang_fingerprint" -> (qLangFingerprint _),
+    "q_dedup_exact"      -> (qDedupExact _),
+    "q_dedup_jaccard"    -> (qDedupJaccard _),
+    "q_dedup_minhash"    -> (qDedupMinhash _),
+    "q_dedup_simhash"    -> (qDedupSimhash _),
+    "q_near_dup"         -> (qNearDup _),
+    "q_sim_topk"         -> (qSimTopK _),
+    "q_sim_lsh"          -> (qSimLsh _),
+    "q_emb_near_dup"     -> (qEmbNearDup _))
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats"       -> qTextStatsSql,
+    "q_lang_fingerprint" -> qLangFingerprintSql,
+    "q_dedup_exact"      -> qDedupExactSql,
+    "q_dedup_jaccard"    -> qDedupJaccardSql,
+    "q_sim_topk"         -> qSimTopKSql)
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** Extension-operator tests: exact semantics on literals, and recall of the
+  * approximate (LSH) operators against their exact counterparts on the
+  * sf0.001 fixtures. */
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("exact dedup keeps min id and counts copies") {
+    val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa")).toDF("id", "text")
+    val r = Dedup.exact(df, "text", "id").orderBy("keep_id")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, "aa", 3L), (2L, "bb", 1L)))
+  }
+
+  test("shingles + jaccard: identical texts 1.0, disjoint 0.0") {
+    val df = Seq(("a b c d", "a b c d", "x y z w")).toDF("s1", "s2", "s3")
+    val r = df.select(
+      Dedup.jaccard(Dedup.shingles(col("s1")), Dedup.shingles(col("s2"))),
+      Dedup.jaccard(Dedup.shingles(col("s1")), Dedup.shingles(col("s3"))))
+      .collect().head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("minhash estimate approximates true jaccard on fixture near-dups") {
+    val docs = Tables(spark, dir, "documents")
+    val exact = Dedup.blockedJaccardPairs(
+        docs.withColumn("blk", lit(1)), "text", "doc_id", "blk", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val cand = Dedup.minhashPairs(docs, "text", "doc_id", minEstimate = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // High-similarity pairs (j >= 0.8) are essentially guaranteed by 16x4
+    // banding: allow at most one miss.
+    assert((exact -- cand).size <= 1,
+      s"minhash missed ${(exact -- cand).size} of ${exact.size} exact pairs")
+  }
+
+  test("nearDupPairs verified jaccard matches exact computation") {
+    val docs = Tables(spark, dir, "documents")
+    val exact = Dedup.blockedJaccardPairs(
+        docs.withColumn("blk", lit(1)), "text", "doc_id", "blk", threshold = 0.7)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val got = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.7)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, j) =>
+      assert(exact.get((a, b)).contains(j), s"pair ($a,$b) jaccard $j not exact")
+    }
+    // LSH prefilter recall on true pairs
+    assert(got.length >= (exact.size * 0.9).toInt)
+  }
+
+  test("simhash: identical texts identical fingerprints; hamming sane") {
+    val df = Seq(
+      ("the quick brown fox jumps over the lazy dog", "the quick brown fox jumps over the lazy dog"),
+      ("the quick brown fox jumps over the lazy dog", "a completely different sentence with other words entirely"))
+      .toDF("a", "b")
+    val r = df.select(Dedup.hamming64(Dedup.simhash(col("a")), Dedup.simhash(col("b"))))
+      .collect().map(_.getInt(0).toLong)
+    assert(r(0) == 0L)
+    assert(r(1) > 10L, s"different texts should differ in many bits, got ${r(1)}")
+  }
+
+  test("cosine: orthogonal 0, identical 1") {
+    val df = Seq((Seq(1f, 0f), Seq(0f, 1f), Seq(2f, 0f))).toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c"))).collect().head
+    assert(math.abs(r.getDouble(0)) < 1e-12 && math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK is exact and ordered; lshTopK recalls a decent share") {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(e, q, k = 5)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(bf.length == 50)
+    bf.groupBy(_._1).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_._2).map(_._4)
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y }, "ranks ordered by sim")
+    }
+    val lsh = Similarity.lshTopK(e, q, k = 5, dim = 64, bits = 4, tables = 16)
+      .as[(Long, Int, Long, Double)].collect()
+    val bfSet = bf.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val lshSet = lsh.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recall = bfSet.keys.toSeq.map(k =>
+      lshSet.getOrElse(k, Set.empty).intersect(bfSet(k)).size.toDouble / 5).sum / bfSet.size
+    assert(recall >= 0.6, s"LSH recall too low: $recall")
+  }
+
+  test("text analysis basics") {
+    val df = Seq("The cat and the dog!", "").toDF("t")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("t")),
+      TextAnalysis.stopwordRatio(col("t")),
+      TextAnalysis.langId(col("t")),
+      TextAnalysis.fingerprint(col("t"))).collect()
+    assert(r(0).getInt(0) == 5)
+    assert(math.abs(r(0).getDouble(1) - 0.6) < 1e-12) // the, and, the / 5
+    assert(r(0).getString(2) == "en")
+    // fingerprint deterministic + distinct from empty
+    assert(r(0).getLong(3) != r(1).getLong(3))
+  }
+
+  test("langId picks marker-majority language with alphabetical tiebreak") {
+    val df = Seq(
+      "der hund und die katze ist hier",
+      "le chat est dans la maison pour une",
+      "xyzzy plugh").toDF("t")
+    val r = df.select(TextAnalysis.langId(col("t"))).collect().map(_.getString(0))
+    assert(r.toSeq == Seq("de", "fr", "und"))
+  }
+}
