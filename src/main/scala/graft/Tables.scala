@@ -18,8 +18,10 @@ object Tables {
     val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try {
+      // integer div, NOT `/`: float division of epoch-nanos (~1.7e18) loses
+      // precision beyond double's 53-bit mantissa and corrupts microseconds
       spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
       case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.Multimodal
+import graft.streaming.{Sessionize, Windows}
+import Oracle._
+
+/** Driver-checked queries for event-time windowing (tumbling / sliding /
+  * session — identical plans run under Structured Streaming, see
+  * StreamSpec) and for the multimodal-column plumbing. */
+object StreamQueries {
+
+  private def aggs = Seq(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+
+  def qTumbling(s: SparkSession, dir: String): DataFrame =
+    Windows.tumbling(Tables.events(s, dir), "ts", "5 minutes",
+      Seq("event_type"), aggs)
+
+  val qTumblingSql: String =
+    s"""SELECT time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP) AS w_start,
+       |time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP) + INTERVAL 5 MINUTE AS w_end,
+       |event_type, count(*) AS n, ${sqlSum("value")} AS total
+       |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  def qSliding(s: SparkSession, dir: String): DataFrame =
+    Windows.sliding(Tables.events(s, dir), "ts", "10 minutes", "5 minutes",
+      Seq("event_type"), aggs)
+
+  val qSlidingSql: String =
+    s"""SELECT time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP)
+       |  - (off.k * INTERVAL 5 MINUTE) AS w_start,
+       |time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP)
+       |  - (off.k * INTERVAL 5 MINUTE) + INTERVAL 10 MINUTE AS w_end,
+       |event_type, count(*) AS n, ${sqlSum("value")} AS total
+       |FROM events CROSS JOIN (VALUES (0), (1)) AS off(k)
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Windows.session(Tables.events(s, dir), "ts", "10 minutes",
+      Seq("user_id"), aggs)
+
+  val qSessionWindowSql: String =
+    s"""WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+       |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS p FROM e),
+       |f AS (SELECT *, CASE WHEN p IS NULL OR ts - p >= INTERVAL 10 MINUTE
+       |                     THEN 1 ELSE 0 END AS brk FROM l),
+       |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |        ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+       |SELECT min(ts) AS s_start, max(ts) + INTERVAL 10 MINUTE AS s_end,
+       |user_id, count(*) AS n, ${sqlSum("value")} AS total
+       |FROM g GROUP BY user_id, sid""".stripMargin
+
+  /** Custom keyed state (flatMapGroupsWithState) sessionization — batch
+    * twin; the streaming path is exercised in StreamSpec. */
+  def qSessionizeCustom(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value")).as[Sessionize.Event]
+    Sessionize.sessionsBatch(ev, gapMs = 10 * 60 * 1000)
+      .select(col("user_id"), col("s_start"), col("s_end"), col("n"))
+  }
+
+  val qSessionizeCustomSql: String =
+    """WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+      |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS p FROM e),
+      |f AS (SELECT *, CASE WHEN p IS NULL OR ts - p >= INTERVAL 10 MINUTE
+      |                     THEN 1 ELSE 0 END AS brk FROM l),
+      |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |        ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+      |SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 10 MINUTE AS s_end,
+      |count(*) AS n
+      |FROM g GROUP BY user_id, sid""".stripMargin
+
+  // ------------------------------------------------------- multimodal
+
+  def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(Multimodal.mediaTable(Tables(s, dir, "documents")))
+
+  /** Oracle exploits the fixture texts being pure ASCII: byte stream ==
+    * codepoint stream. */
+  val qMultimodalDecodeSql: String =
+    """WITH codes AS (SELECT doc_id, text,
+      |  list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs
+      |FROM documents)
+      |SELECT doc_id,
+      |  list_extract(['png', 'jpeg', 'webp'], (doc_id % 3 + 1)::INT) AS format,
+      |  length(text)::BIGINT AS n_bytes,
+      |  list_sum(cs)::DOUBLE / length(text) AS mean_byte,
+      |  list_min(cs)::INT AS min_byte,
+      |  list_max(cs)::INT AS max_byte
+      |FROM codes""".stripMargin
+
+  def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(Multimodal.mediaTable(Tables(s, dir, "documents")),
+      everyMs = 7000)
+
+  val qMultimodalFramesSql: String =
+    """SELECT doc_id, f.frame_ms,
+      |floor(f.frame_ms::DOUBLE / ((doc_id % 60) * 1000) * 100.0)::INT AS pct
+      |FROM documents
+      |CROSS JOIN UNNEST(range(0, (doc_id % 60) * 1000, 7000)) AS f(frame_ms)
+      |WHERE (doc_id % 60) * 1000 > 0""".stripMargin
+
+  def qMultimodalResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resize(Multimodal.mediaTable(Tables(s, dir, "documents")), 64, 64)
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.width").as("w"), col("meta.height").as("h"),
+        octet_length(col("media")).as("n_bytes"))
+
+  val qMultimodalResizeSql: String =
+    """WITH m AS (SELECT doc_id,
+      |  list_extract(['png', 'jpeg', 'webp'], (doc_id % 3 + 1)::INT) AS format,
+      |  32 + (doc_id % 8) * 16 AS w0, 32 + (doc_id % 5) * 16 AS h0,
+      |  length(text) AS len0 FROM documents),
+      |sc AS (SELECT *, least(64.0 / w0, 64.0 / h0, 1.0) AS scale FROM m)
+      |SELECT doc_id, format,
+      |  floor(w0 * scale)::INT AS w, floor(h0 * scale)::INT AS h,
+      |  greatest(floor(len0 * scale)::INT, 1) AS n_bytes
+      |FROM sc""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_tumbling"   -> (qTumbling _),
+    "q_window_sliding"    -> (qSliding _),
+    "q_window_session"    -> (qSessionWindow _),
+    "q_sessionize_custom" -> (qSessionizeCustom _),
+    "q_multimodal_decode" -> (qMultimodalDecode _),
+    "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_multimodal_resize" -> (qMultimodalResize _))
+
+  val oracle: Map[String, String] = Map(
+    "q_window_tumbling"   -> qTumblingSql,
+    "q_window_sliding"    -> qSlidingSql,
+    "q_window_session"    -> qSessionWindowSql,
+    "q_sessionize_custom" -> qSessionizeCustomSql,
+    "q_multimodal_decode" -> qMultimodalDecodeSql,
+    "q_multimodal_frames" -> qMultimodalFramesSql,
+    "q_multimodal_resize" -> qMultimodalResizeSql)
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.time.Instant
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state via `flatMapGroupsWithState` — the engine's
+  * demonstration of arbitrary keyed state beyond built-in windows
+  * (SURVEY.md §2.5 streaming row). Semantically equivalent to
+  * `session_window` with gap `gapMs`, but hand-managed: the pattern users
+  * extend for custom session payloads (e.g. event-type paths, funnels).
+  *
+  * All arithmetic is in epoch-microseconds (Spark timestamp precision);
+  * folding on milliseconds would silently truncate session boundaries.
+  *
+  * State per key is one open session (start, last, n, total) — O(keys)
+  * state, evicted by event-time timeout at `lastTs + gap` once the
+  * watermark passes it. */
+object Sessionize {
+
+  case class Event(user_id: Long, ts: Instant, value: Double)
+  /** start/last in epoch-micros. */
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  case class Session(user_id: Long, s_start: Instant, s_end: Instant,
+                     n: Long, total: Double)
+
+  private def micros(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000
+  private def instant(us: Long): Instant =
+    Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+
+  /** Fold sorted events of one user into gap-separated sessions. */
+  private def fold(userId: Long, evs: Iterator[Event], gapUs: Long,
+                   open: Option[SessionState]): (Seq[Session], Option[SessionState]) = {
+    val sorted = evs.toSeq.sortBy(e => micros(e.ts))
+    var state = open
+    val out = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      val t = micros(e.ts)
+      state match {
+        // strict <: matches session_window's half-open [ts, ts+gap) merge
+        case Some(s) if t - s.last < gapUs =>
+          state = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+        case Some(s) =>
+          out += Session(userId, instant(s.start), instant(s.last + gapUs),
+            s.n, s.total)
+          state = Some(SessionState(t, t, 1, e.value))
+        case None =>
+          state = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    (out.result(), state)
+  }
+
+  /** Streaming sessionization with event-time timeout. On timeout the open
+    * session is emitted and the state cleared. */
+  def sessions(events: Dataset[Event], gapMs: Long)
+              (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    val gapUs = gapMs * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, instant(s.start),
+              instant(s.last + gapUs), s.n, s.total))
+          } else {
+            val (closed, open) = fold(userId, evs, gapUs, state.getOption)
+            open match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp((s.last + gapUs) / 1000L)
+              case None => state.remove()
+            }
+            closed.iterator
+          }
+        })
+  }
+
+  /** Batch twin used for correctness comparison: same fold, all sessions
+    * closed at end-of-input. */
+  def sessionsBatch(events: Dataset[Event], gapMs: Long)
+                   (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    val gapUs = gapMs * 1000L
+    events.groupByKey(_.user_id).flatMapGroups { (userId, evs) =>
+      val (closed, open) = fold(userId, evs, gapUs, None)
+      (closed ++ open.map(s => Session(userId, instant(s.start),
+        instant(s.last + gapUs), s.n, s.total))).iterator
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Sessionize, Windows}
+
+/** Proves the windowing plans run identically under Structured Streaming:
+  * events parquet driven through readStream + memory sink, compared to the
+  * batch result the DuckDB oracle already validates. */
+class StreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  /** readStream twin of Tables.events (nanos-as-long + micro conversion).
+    * FileStreamSource wants a directory, so the fixture file is staged into
+    * a temp dir once. */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_events").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    d
+  }
+
+  private def eventStream() = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("tumbling window agg: streaming (complete mode) == batch") {
+    val agg = Seq(count(lit(1)).as("n"))
+    val stream = Windows.tumblingStream(eventStream(), "ts", "5 minutes",
+      Seq("event_type"), watermark = "1 minute", agg)
+    val q = stream.writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling_out")
+        .select("w_start", "event_type", "n")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      val want = Windows.tumbling(Tables.events(spark, dir), "ts", "5 minutes",
+          Seq("event_type"), agg)
+        .select("w_start", "event_type", "n")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("custom-state sessionization: streaming closed sessions ⊂ batch; " +
+       "open tails account for the rest") {
+    implicit val sp = spark
+    val gapMs = 10 * 60 * 1000L
+    val evStream = eventStream()
+      .withWatermark("ts", "1 minute")
+      .select(col("user_id"), col("ts"), col("value")).as[Sessionize.Event]
+    val q = Sessionize.sessions(evStream, gapMs)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .select("user_id", "s_start", "n")
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("value")).as[Sessionize.Event]
+      val batch = Sessionize.sessionsBatch(ev, gapMs)
+        .select("user_id", "s_start", "n")
+        .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+      // Streaming emits sessions closed by a gap within the data; each
+      // user's final (still-open) session is only emitted on timeout.
+      assert(got.subsetOf(batch), "streaming emitted a session batch doesn't have")
+      val users = batch.map(_._1)
+      assert(batch.size - got.size <= users.size)
+      assert(got.nonEmpty, "no sessions closed within the fixture window")
+    } finally q.stop()
+  }
+
+  test("session_window batch == custom sessionize batch (same fold)") {
+    implicit val sp = spark
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value")).as[Sessionize.Event]
+    val custom = Sessionize.sessionsBatch(ev, 10 * 60 * 1000)
+      .select("user_id", "s_start", "s_end", "n")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    val builtin = Windows.session(Tables.events(spark, dir), "ts", "10 minutes",
+        Seq("user_id"))
+      .select(col("user_id"), col("s_start"), col("s_end"), col("n"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    assert(custom == builtin)
+  }
+}
