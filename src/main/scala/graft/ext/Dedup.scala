@@ -55,17 +55,25 @@ object Dedup {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** k-wide MinHash signature of a shingle array.
-    * Base hash is xxhash64 truncated to 32 bits; permutation i is
-    * (a_i*h + b_i) mod p over that base — all fits in long arithmetic. */
+  /** 32-bit base hashes of the shingles (xxhash64 truncated). */
+  def baseHashes(sh: Column): Column =
+    transform(sh, s => pmod(xxhash64(s), lit(4294967296L)))
+
+  /** k-wide MinHash signature over base hashes.
+    *
+    * Single `aggregate` pass: fold every base hash into a k-wide running
+    * minimum via one zip_with against the literal (a_i, b_i) table.
+    * Writing this as k independent `array_min(transform(...))` expressions
+    * instead re-embeds the shingle pipeline k times — Spark's interpreted
+    * higher-order-function path has no common-subexpression elimination,
+    * which measured ~64x slower. Empty docs keep the sentinel signature. */
   def minhashSignature(sh: Column, k: Int = 64, seed: Long = 42L): Column = {
-    val base = transform(sh, s => pmod(xxhash64(s), lit(4294967296L)))
-    val sig = perms(k, seed).map { case (a, b) =>
-      coalesce(
-        array_min(transform(base, h => pmod(h * a + b, lit(MinHashPrime)))),
-        lit(MinHashPrime)) // empty doc → sentinel signature
-    }
-    array(sig: _*)
+    val ab = typedLit(perms(k, seed))
+    aggregate(
+      baseHashes(sh),
+      array_repeat(lit(MinHashPrime), k),
+      (acc, h) => zip_with(acc, ab, (cur, p) =>
+        least(cur, pmod(h * p.getField("_1") + p.getField("_2"), lit(MinHashPrime)))))
   }
 
   /** Estimated Jaccard from two equal-width signatures. */
@@ -84,11 +92,16 @@ object Dedup {
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 64, bands: Int = 16, shingleN: Int = 3,
                    minEstimate: Double = 0.5, seed: Long = 42L,
-                   maxBucket: Int = 1000): DataFrame = {
+                   maxBucket: Int = 200): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
+    // The repartition is a deliberate materialization point: every branch
+    // below (bucket counting, both join sides) consumes the same shuffle
+    // via ReuseExchange, so the signature is computed once per doc instead
+    // of once per branch.
     val sig = df.select(col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), shingleN), k, seed).as("sig"))
+        minhashSignature(shingles(col(textCol), shingleN), k, seed).as("sig"))
+      .repartition(col("id"))
 
     val banded = sig.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -102,14 +115,15 @@ object Dedup {
 
     val a = small.select(col("band"), col("bhash"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = small.select(col("band"), col("bhash"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = a.join(b, Seq("band", "bhash"))
+    // Estimate + filter before the pair dedup: duplicates of a pair carry
+    // identical signatures, and shuffling (id, id, est) triples beats
+    // shuffling two k-wide signatures per candidate.
+    a.join(b, Seq("band", "bhash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-
-    pairs.select(col("id_a"), col("id_b"),
+      .select(col("id_a"), col("id_b"),
         minhashEstimate(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstimate)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** LSH candidates verified with *exact* shingle Jaccard — the scalable
@@ -119,24 +133,74 @@ object Dedup {
     val cand = minhashPairs(df, textCol, idCol, minEstimate = threshold * 0.5,
       shingleN = shingleN)
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .repartition(col("id")) // shared by both verify joins via ReuseExchange
     cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType).as("ni"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType).as("ns"))
+      .select(col("id_a"), col("id_b"),
+        (col("ni") / (col("ns") - col("ni"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Exact blocked n-gram Jaccard pairs — the oracle-checkable small-scale
+  /** Exact blocked n-gram Jaccard pairs — the oracle-checkable exact
     * variant: pairs only inside a blocking key (e.g. language), exact
-    * similarity, no approximation. */
+    * similarity, no approximation.
+    *
+    * The self-join is salted (`salts`-way): blocking keys are few and
+    * coarse, so without salting one task owns the biggest block's entire
+    * O(block²) pair loop — the classic join-skew fix, and the same dial
+    * you'd turn at 100 TB. The intersect size is projected once and the
+    * Jaccard derived from sizes, because an expression referenced twice is
+    * *evaluated* twice in the interpreted HOF path. */
   def blockedJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                           blockCol: String, threshold: Double,
-                          shingleN: Int = 3): DataFrame = {
+                          shingleN: Int = 3, salts: Int = 16): DataFrame = {
     val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
-    val a = sh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    val a = sh.select(col("blk"), pmod(xxhash64(col("id")), lit(salts)).as("salt"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("blk"), explode(sequence(lit(0), lit(salts - 1))).as("salt"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk", "salt")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType).as("ni"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType).as("ns"))
+      .select(col("id_a"), col("id_b"),
+        (col("ni") / (col("ns") - col("ni"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard pairs via *prefix filtering* (PPJoin-style set-similarity
+    * join) — lossless for the threshold, and the algorithm you'd run at
+    * 100 TB instead of the O(block²) loop: two sets with Jaccard ≥ t must
+    * share at least one element among the first `|s| - ceil(t*|s|) + 1`
+    * elements under a global order. Candidate generation is an equi-join on
+    * (block, prefix-shingle); the exact check runs only on candidates.
+    * Returns exactly [[blockedJaccardPairs]]'s rows. */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                         blockCol: String, threshold: Double,
+                         shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        array_sort(shingles(col(textCol), shingleN)).as("sh"))
+      .repartition(col("id")) // one shingle pass shared by all four consumers
+    val prefLen = (size(col("sh")) -
+      ceil(lit(threshold) * size(col("sh"))).cast("int") + lit(1))
+    val pref = sh.select(col("blk"), col("id"),
+      explode(slice(col("sh"), lit(1), prefLen)).as("p"))
+    val cand = pref.select(col("blk"), col("p"), col("id").as("id_a"))
+      .join(pref.select(col("blk"), col("p"), col("id").as("id_b")), Seq("blk", "p"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType).as("ni"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType).as("ns"))
+      .select(col("id_a"), col("id_b"),
+        (col("ni") / (col("ns") - col("ni"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -176,6 +240,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+      .repartition(col("id")) // fingerprint computed once, reused by both sides
     val banded = fp.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("fp"), b * 16).bitwiseAND(0xFFFFL)): _*)))

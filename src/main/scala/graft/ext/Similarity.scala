@@ -20,16 +20,27 @@ import org.apache.spark.sql.types._
   * accumulation so results are reproducible and oracle-comparable. */
 object Similarity {
 
-  /** Dot product of two numeric arrays, accumulated in double. */
+  /** Dot product — custom codegen'd expression (the HOF formulation runs
+    * interpreted; see graft.functions.VectorExpressions). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dotProduct(a, b)
 
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0),
       (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass cosine, codegen'd; bit-identical to
+    * dot/(norm*norm) with left-to-right double accumulation. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosineSim(a, b)
+
+  /** The interpreted higher-order-function twin, kept for cross-checking
+    * the custom expression in tests. */
+  def cosineHof(a: Column, b: Column): Column = {
+    val d = aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+    d / (norm(a) * norm(b))
+  }
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (query ≠ candidate), ties broken by candidate id.
@@ -86,13 +97,14 @@ object Similarity {
     val q = broadcast(withBuckets(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "query_id", "qv"))
-    val cand = c.join(q, Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), col("qv"), col("cv"))
-      .dropDuplicates("query_id", "cand_id")
+    // Score before dedup: cosine is codegen-cheap, and shuffling
+    // (query, cand, sim) triples is ~50x narrower than shuffling vectors.
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
-    cand.select(col("query_id"), col("cand_id"), cosine(col("qv"), col("cv")).as("sim"))
+    c.join(q, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("cv")).as("sim"))
+      .dropDuplicates("query_id", "cand_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"), col("sim"))
@@ -112,9 +124,12 @@ object Similarity {
       .select(col("id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val a = withB.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = withB.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    // Score + threshold-filter before the pair dedup: the codegen'd cosine
+    // is cheaper than shuffling both vectors per candidate pair, and
+    // duplicates of a passing pair all carry the identical sim.
     a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("sim"))
       .filter(col("sim") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 }

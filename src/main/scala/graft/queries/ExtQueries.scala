@@ -97,10 +97,12 @@ object ExtQueries {
       |SELECT min(doc_id) AS keep_id, text, count(*) AS n_copies
       |FROM aug GROUP BY text""".stripMargin
 
-  /** Exact blocked word-trigram Jaccard near-dup pairs (threshold 0.5),
-    * blocked by language — fully oracle-checkable. */
+  /** Exact word-trigram Jaccard near-dup pairs (threshold 0.5) via the
+    * prefix-filtered set-similarity join, blocked by language — lossless,
+    * fully oracle-checkable (the oracle runs the plain quadratic loop and
+    * must produce identical rows). */
   def qDedupJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.blockedJaccardPairs(Tables(s, dir, "documents"),
+    Dedup.prefixJaccardPairs(Tables(s, dir, "documents"),
       "text", "doc_id", "lang", threshold = 0.5)
 
   val qDedupJaccardSql: String =

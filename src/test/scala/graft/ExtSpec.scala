@@ -59,6 +59,15 @@ class ExtSpec extends AnyFunSuite {
     assert(got.length >= (exact.size * 0.9).toInt)
   }
 
+  test("prefix-filtered jaccard join == quadratic blocked join") {
+    val docs = Tables(spark, dir, "documents")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val quad = toSet(Dedup.blockedJaccardPairs(docs, "text", "doc_id", "lang", 0.5))
+    val pref = toSet(Dedup.prefixJaccardPairs(docs, "text", "doc_id", "lang", 0.5))
+    assert(quad.nonEmpty && pref == quad)
+  }
+
   test("simhash: identical texts identical fingerprints; hamming sane") {
     val df = Seq(
       ("the quick brown fox jumps over the lazy dog", "the quick brown fox jumps over the lazy dog"),
@@ -68,6 +77,18 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(_.getInt(0).toLong)
     assert(r(0) == 0L)
     assert(r(1) > 10L, s"different texts should differ in many bits, got ${r(1)}")
+  }
+
+  test("codegen cosine == interpreted HOF cosine, bit-exact on fixtures") {
+    val e = Tables(spark, dir, "embeddings")
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib") && col("ib") < 40)
+    val diff = pairs.select(
+      Similarity.cosine(col("va"), col("vb")).as("fast"),
+      Similarity.cosineHof(col("va"), col("vb")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0L)
   }
 
   test("cosine: orthogonal 0, identical 1") {
