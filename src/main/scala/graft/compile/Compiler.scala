@@ -324,7 +324,7 @@ object Compiler {
   private def asNullable(dt: DataType): DataType = dt
   private def fail(msg: String): Nothing = throw new PlanException(msg)
 
-  private def opName(t: Transform): String = t match {
+  def opName(t: Transform): String = t match {
     case Chain(ts) if ts.nonEmpty => ts.map(opName).mkString("|")
     case other                    => other.getClass.getSimpleName.stripSuffix("$")
   }

@@ -19,6 +19,19 @@ import graft.model.PipelineSpec
   */
 object Wrangle {
 
+  /** Runtime error handling (reference §1.3, pipeline.py:128-148):
+    *  - [[FailFast]]: Spark 4's default ANSI mode already raises on bad
+    *    casts / invalid access, matching the reference's re-raise; plan-time
+    *    errors carry `failed @ Model.field: Op` provenance.
+    *  - [[Permissive]]: each field is wrapped in a runtime guard — a failing
+    *    field yields NULL and appends `(model, field, op)` to an `_errors`
+    *    array column, the reference's provenance triple per row. */
+  sealed trait ErrorMode
+  case object FailFast extends ErrorMode
+  case object Permissive extends ErrorMode
+
+  val ErrorsCol = "_errors"
+
   /** The whole input row as the "datapoint" fed to every field AST.
     * Catalyst's SimplifyExtractValueOps collapses
     * `struct(a,b,c).getField("a")` back to `a`, so column pruning and
@@ -26,15 +39,40 @@ object Wrangle {
   def rowCol(df: DataFrame): TypedCol =
     TypedCol(struct(df.columns.map(col).toSeq: _*), df.schema)
 
+  /** Wrap a column so runtime evaluation errors yield NULL instead of
+    * failing the job. The inner `struct` distinguishes "legitimately NULL"
+    * (struct(null) — not null) from "threw" (TryEval → null struct). */
+  private def tryField(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.TryEval(
+        GraftColumnBridge.expression(struct(c.as("v")))))
+  }
+
   /** `pipeline.create_multiple(Model, data)` — one nested projection.
-    * Output columns = the model's declared fields, in spec order. */
-  def wrangle(df: DataFrame, spec: PipelineSpec, model: String): DataFrame = {
+    * Output columns = the model's declared fields, in spec order; in
+    * [[Permissive]] mode a trailing `_errors` column carries the
+    * per-row provenance of failed fields. */
+  def wrangle(df: DataFrame, spec: PipelineSpec, model: String,
+              mode: ErrorMode = FailFast): DataFrame = {
     val ctx = Compiler.Ctx(spec, stack = List(model))
     val in = rowCol(df)
-    val cols = spec(model).fields.map { f =>
-      Compiler.compileField(model, f.name, f.t, in, ctx).col.as(f.name)
+    val compiled = spec(model).fields.map { f =>
+      (f, Compiler.compileField(model, f.name, f.t, in, ctx).col)
     }
-    df.select(cols: _*)
+    mode match {
+      case FailFast =>
+        df.select(compiled.map { case (f, c) => c.as(f.name) }: _*)
+      case Permissive =>
+        val guarded = compiled.map { case (f, c) => (f, tryField(c)) }
+        val values = guarded.map { case (f, g) => g.getField("v").as(f.name) }
+        val errs = array_compact(array(guarded.map { case (f, g) =>
+          when(g.isNull, struct(
+            lit(model).as("model"), lit(f.name).as("field"),
+            lit(Compiler.opName(f.t)).as("op")))
+        }: _*)).as(ErrorsCol)
+        df.select(values :+ errs: _*)
+    }
   }
 
   /** `pipeline.get_or_create(_multiple)` (pipeline.py:53-104) as one join.

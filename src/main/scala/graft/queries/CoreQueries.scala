@@ -174,7 +174,33 @@ object CoreQueries {
       |LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 <> 0) d
       |ON b.c_custkey = d.c_custkey""".stripMargin
 
+  /** Permissive error mode (reference §1.3): a row-dependent cast failure
+    * yields NULL plus the (model, field, op) provenance triple in the
+    * `_errors` column, instead of failing the job. */
+  def qPermissive(s: SparkSession, dir: String): DataFrame = {
+    val shaped = Tables.events(s, dir).select(
+      col("event_id"),
+      when(col("event_id") % 3 === 0, lit("xx")).otherwise(lit("12")).as("s"),
+      col("value"))
+    val spec = PipelineSpec(
+      Model("Ev")(
+        "id" -> Get("event_id"),
+        "n"  -> (Get("s") | CastTo(LongType)),
+        "v"  -> Get("value")))
+    Wrangle.wrangle(shaped, spec, "Ev", Wrangle.Permissive)
+  }
+
+  val qPermissiveSql: String =
+    """SELECT event_id AS id,
+      |CASE WHEN event_id % 3 = 0 THEN NULL ELSE 12 END AS n,
+      |value AS v,
+      |CASE WHEN event_id % 3 = 0
+      |     THEN [{'model': 'Ev', 'field': 'n', 'op': 'Get|CastTo'}]
+      |     ELSE [] END AS "_errors"
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_permissive"    -> (qPermissive _),
     "q1_agg"          -> (q1 _),
     "q_scalar"        -> (qScalar _),
     "q_get_json"      -> (qGetJson _),
@@ -183,6 +209,7 @@ object CoreQueries {
     "q_get_or_create" -> (qGetOrCreate _))
 
   val oracle: Map[String, String] = Map(
+    "q_permissive"    -> qPermissiveSql,
     "q1_agg"          -> q1Sql,
     "q_scalar"        -> qScalarSql,
     "q_get_json"      -> qGetJsonSql,

@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.exec.Wrangle
+
+/** Scan/sink layer (SURVEY.md §2.5 rows 1-2 — absent from the reference,
+  * which receives and emits in-memory Python objects; an engine needs both).
+  *
+  * Scale conventions baked in:
+  *  - writes are *partitioned* by the query's natural pruning key (date,
+  *    tenant, lang...) so downstream scans prune directories for free;
+  *  - `sortWithinPartitions` orders rows inside files so parquet row-group
+  *    min/max statistics actually skip IO on range predicates;
+  *  - dimension tables can be *bucketed* on their join key: two tables
+  *    bucketed the same way join with zero shuffle (verified in IOSpec);
+  *  - the upsert is the set-oriented left-anti/coalesce pattern from
+  *    graft.exec.Wrangle, i.e. MERGE INTO expressed as joins. */
+object IO {
+
+  /** Schema-enforced parquet read: fails fast on drift instead of
+    * silently inferring. */
+  def readTable(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(path)
+
+  /** Partitioned, optionally sorted parquet sink. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       sortCols: Seq[String] = Nil,
+                       mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val sorted =
+      if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
+    sorted.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+  }
+
+  /** Bucketed managed table: `n` buckets on `bucketCols`, sorted within
+    * buckets. Joins between tables bucketed identically on the join key
+    * skip the shuffle entirely. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    n: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(n, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
+  /** MERGE INTO as joins: existing rows keep their record unless a matching
+    * update arrives (update wins); unmatched updates are appended. Returns
+    * the new dimension content — write it back with your sink of choice. */
+  def upsert(existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val kept = existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
+    kept.unionByName(updates)
+  }
+
+  /** Insert-only-new (the reference's get-or-create miss path): rows of
+    * `incoming` whose key is absent from `existing`. */
+  def insertNew(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    Wrangle.newRecords(incoming, existing, keys)
+
+  /** Streaming parquet sink with checkpointing — the unbounded twin of
+    * [[writePartitioned]]. Caller starts/stops the returned query. */
+  def writeStreamPartitioned(df: DataFrame, path: String, checkpoint: String,
+                             partitionCols: Seq[String]) =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(partitionCols: _*)
+}

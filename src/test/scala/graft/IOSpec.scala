@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.IO
+
+class IOSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  test("partitioned write prunes directories and round-trips") {
+    val dir = Files.createTempDirectory("graft_io").toString
+    val df = Tables(spark, "/root/testdata/sf0.001", "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+    IO.writePartitioned(df, s"$dir/orders", Seq("yr"), sortCols = Seq("o_orderkey"))
+    assert(new java.io.File(s"$dir/orders").listFiles().exists(_.getName.startsWith("yr=")))
+    val back = spark.read.parquet(s"$dir/orders").filter(col("yr") === 1996)
+    val expected = df.filter(col("yr") === 1996).count()
+    assert(back.count() == expected && expected > 0)
+    // partition pruning visible in the plan
+    val scan = back.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters"))
+  }
+
+  test("identically bucketed tables join with zero shuffle") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // a crashed prior run can leave the managed location behind without a
+    // catalog entry; clear it or CTAS refuses
+    Seq("b_orders", "b_customer").foreach { t =>
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+    }
+    val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+    val c = Tables(spark, "/root/testdata/sf0.001", "customer")
+    IO.writeBucketed(o.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "b_orders", Seq("o_custkey"), 4)
+    IO.writeBucketed(c.select(col("c_custkey").as("o_custkey"), col("c_name")),
+      "b_customer", Seq("o_custkey"), 4)
+    // force a non-broadcast join so the bucketed co-location is what
+    // eliminates the shuffle (broadcast would mask it on tiny fixtures)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan should be bucketed:\n$plan")
+      assert(joined.count() == o.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("upsert: updates win, new keys appended, untouched rows survive") {
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val updates = Seq((2L, "B2"), (3L, "c")).toDF("k", "v")
+    val r = IO.upsert(existing, updates, Seq("k")).as[(Long, String)].collect().toSet
+    assert(r == Set((1L, "a"), (2L, "B2"), (3L, "c")))
+    val ins = IO.insertNew(existing, updates, Seq("k")).as[(Long, String)].collect().toSet
+    assert(ins == Set((3L, "c")))
+  }
+}

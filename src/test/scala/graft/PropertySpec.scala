@@ -1,0 +1,87 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import org.apache.spark.sql.functions._
+
+import graft.dsl._
+import graft.exec.Wrangle
+import graft.model.{Model, PipelineSpec}
+
+/** Property-based invariants (SURVEY.md §5.2). Each property materializes
+  * its generated cases as one literal DataFrame and runs one Spark job. */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  val smallInts: Gen[List[Int]] = Gen.listOfN(6, Gen.choose(-50, 50))
+
+  property("chain is associative: (a|b)|c == a|(b|c)") =
+    forAll(smallInts) { xs =>
+      val df = Seq((xs, 0)).toDF("arr", "z")
+      val a = FilterT(Cmp(">", -10)); val b = MapT(Fn("negate")); val c = Flatten(0)
+      def run(t: Transform) =
+        Wrangle.wrangle(df, PipelineSpec(Model("M")("r" -> (Get("arr") | t))), "M")
+          .collect().head.getSeq[Int](0)
+      run((a | b) | c) == run(a | (b | c))
+    }
+
+  property("flatten undoes nesting") =
+    forAll(smallInts) { xs =>
+      val df = Seq(Tuple1(xs)).toDF("arr")
+      val nested = df.select(array(col("arr"), col("arr")).as("n"))
+      val spec = PipelineSpec(Model("M")("r" -> (Get("n") | Flatten())))
+      Wrangle.wrangle(nested, spec, "M").collect().head.getSeq[Int](0) == (xs ++ xs)
+    }
+
+  property("gather projects exactly the asked keys") =
+    forAll(Gen.listOfN(5, Gen.zip(Gen.identifier.map(_.take(8)), Gen.choose(0, 9)))) { m0 =>
+      val m = m0.distinctBy(_._1)
+      m.isEmpty || {
+        val keys = m.map(_._1).take(2)
+        val df = Seq(Tuple1(m.toMap)).toDF("m")
+        val spec = PipelineSpec(Model("M")("r" -> (Get("m") | Gather(keys))))
+        val got = Wrangle.wrangle(df, spec, "M").collect().head.getMap[String, Int](0)
+        val want = m.toMap
+        got.keySet == keys.toSet && keys.forall(k => got(k) == want(k))
+      }
+    }
+
+  property("getOrCreate partitions incoming into hits and misses") =
+    forAll(Gen.listOfN(8, Gen.choose(0L, 20L)), Gen.listOfN(8, Gen.choose(0L, 20L))) {
+      (inc0, dim0) =>
+        val inc = inc0.distinct; val dim = dim0.distinct
+        inc.nonEmpty && dim.nonEmpty ==> {
+          val incoming = inc.map(k => (k, s"new-$k")).toDF("k", "name")
+          val dimDf = dim.map(k => (k, s"old-$k")).toDF("k", "name")
+          val r = Wrangle.getOrCreate(incoming, dimDf, Seq("k"))
+            .as[(Long, String, Boolean)].collect()
+          val created = r.filter(_._3).map(_._1).toSet
+          val matched = r.filter(!_._3).map(_._1).toSet
+          r.length == inc.size &&
+            (created intersect matched).isEmpty &&
+            (created union matched) == inc.toSet &&
+            matched.forall(dim.contains) &&
+            created.forall(k => !dim.contains(k)) &&
+            r.forall { case (k, n, c) => if (c) n == s"new-$k" else n == s"old-$k" }
+        }
+    }
+
+  property("truthiness default: falsy inputs take the fallback") =
+    forAll(Gen.oneOf(Gen.const(None), Gen.some(Gen.choose(-5.0, 5.0).sample.getOrElse(0.0)))) { v =>
+      val df = Seq(Tuple1(v)).toDF("x")
+      val spec = PipelineSpec(Model("M")("r" -> (Get("x") | Default(99.0))))
+      val got = Wrangle.wrangle(df, spec, "M").collect().head.getDouble(0)
+      v match {
+        case None               => got == 99.0
+        case Some(0.0)          => got == 99.0
+        case Some(d)            => got == d
+      }
+    }
+
+}
