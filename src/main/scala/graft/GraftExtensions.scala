@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, DotProduct, JaccardSimilarity, MinHashSignature, SimHash64}
+
+/** SQL-surface registration of the engine's custom Catalyst expressions —
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.GraftExtensions` on a cluster) makes them
+  * callable from plain SQL:
+  *
+  * {{{
+  * SELECT cosine_sim(a.embedding, b.embedding) FROM ...
+  * SELECT minhash_sig(shingles), simhash64(tokens), jaccard_sim(x, y) ...
+  * }}} */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftExtensions {
+  private def two(f: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a, b) => f(a, b)
+    case other => throw new IllegalArgumentException(
+      s"expected 2 arguments, got ${other.size}")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim"  -> two(CosineSimilarity(_, _)),
+    "dot_product" -> two(DotProduct(_, _)),
+    "jaccard_sim" -> two(JaccardSimilarity(_, _)),
+    "minhash_sig" -> { case Seq(a) => MinHashSignature(a, 64, 42L) },
+    "simhash64"   -> { case Seq(a) => SimHash64(a) })
+
+  /** Register on an already-built session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, name, builder)
+    }
+}

