@@ -283,7 +283,48 @@ object RelationalQueries {
        |GROUP BY l_orderkey, o_orderdate
        |ORDER BY revenue DESC, okey ASC LIMIT 20""".stripMargin
 
+  /** As-of (point-in-time) join: each purchase matched to the user's most
+    * recent prior view — the union+window single-shuffle algorithm
+    * (graft.exec.Joins.asOf); oracle is DuckDB's native ASOF LEFT JOIN. */
+  def qAsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("amount"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.exec.Joins.asOf(p, v, Seq("user_id"), "ts", "ts")
+  }
+
+  val qAsOfJoinSql: String =
+    """WITH p AS (SELECT user_id, ts::TIMESTAMP AS ts, value AS amount
+      |           FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events
+      |      WHERE event_type = 'view')
+      |SELECT p.user_id, p.ts, p.amount, v.ts AS r_ts, v.value AS r_value
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin
+
+  /** Range (interval) join via bucketization: customers against overlapping
+    * account-balance bands derived from nation. */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    val bands = Tables(s, dir, "nation").select(
+      col("n_nationkey").as("band_id"),
+      (col("n_nationkey") * 400.0 - 1000.0).as("lo"),
+      (col("n_nationkey") * 400.0 - 200.0).as("hi"))
+    graft.exec.Joins.range(c, "c_acctbal", bands, "lo", "hi", bucketWidth = 800.0)
+      .select(col("c_custkey").as("custkey"), col("c_acctbal").as("acctbal"),
+        col("band_id"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT c_custkey AS custkey, c_acctbal AS acctbal, n_nationkey AS band_id
+      |FROM customer JOIN nation
+      |ON c_acctbal >= n_nationkey * 400.0 - 1000.0
+      |AND c_acctbal < n_nationkey * 400.0 - 200.0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join"  -> (qAsOfJoin _),
+    "q_range_join" -> (qRangeJoin _),
     "q_join_star"  -> (qJoinStar _),
     "q_semi_anti"  -> (qSemiAnti _),
     "q_outer_join" -> (qOuterJoin _),
@@ -299,6 +340,8 @@ object RelationalQueries {
     "q_sql"        -> (qSql _))
 
   val oracle: Map[String, String] = Map(
+    "q_asof_join"  -> qAsOfJoinSql,
+    "q_range_join" -> qRangeJoinSql,
     "q_join_star"  -> qJoinStarSql,
     "q_semi_anti"  -> qSemiAntiSql,
     "q_outer_join" -> qOuterJoinSql,

@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.Joins
+
+class JoinsSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOf: backward match, equal-ts match, no-match null, tolerance") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (2L, ts("2024-01-01 10:00:00"), 200.0)).toDF("k", "ts", "px")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 09:59:00"), 99.5),
+      (1L, ts("2024-01-01 10:05:00"), 100.5), // equal ts: must match
+      (3L, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "ts", "bid")
+
+    val r = Joins.asOf(trades, quotes, Seq("k"), "ts", "ts")
+      .orderBy("k", "ts")
+      .select("k", "px", "r_bid").as[(Long, Double, Option[Double])].collect()
+    assert(r.toSeq == Seq(
+      (1L, 100.0, Some(99.5)),
+      (1L, 101.0, Some(100.5)),
+      (2L, 200.0, None)))
+
+    val tol = Joins.asOf(trades, quotes, Seq("k"), "ts", "ts",
+        tolerance = Some("2 minutes"))
+      .orderBy("k", "ts")
+      .select("k", "r_bid").as[(Long, Option[Double])].collect()
+    // first trade is 1 min after its quote (within), second exactly at its
+    // quote (within), key 2 unmatched
+    assert(tol.toSeq == Seq((1L, Some(99.5)), (1L, Some(100.5)), (2L, None)))
+  }
+
+  test("range join == plain inequality join") {
+    val left = (0 until 200).map(i => (i.toLong, i * 7.3 - 100)).toDF("id", "v")
+    val right = (0 until 20).map(i => (i.toLong, i * 53.0 - 80, i * 53.0 + 40.0))
+      .toDF("rid", "lo", "hi")
+    val got = Joins.range(left, "v", right, "lo", "hi", bucketWidth = 60.0)
+      .select("id", "rid").as[(Long, Long)].collect().toSet
+    val want = left.join(right, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("id", "rid").as[(Long, Long)].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+}
