@@ -322,7 +322,25 @@ object RelationalQueries {
       |ON c_acctbal >= n_nationkey * 400.0 - 1000.0
       |AND c_acctbal < n_nationkey * 400.0 - 200.0""".stripMargin
 
+  /** Exact interpolated percentiles (ordered-set aggregate) — identical
+    * linear-interpolation semantics in both engines. */
+  def qPercentile(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT l_returnflag AS returnflag,
+        |percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
+        |percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95_price
+        |FROM v_lineitem GROUP BY 1""".stripMargin)
+  }
+
+  val qPercentileSql: String =
+    """SELECT l_returnflag AS returnflag,
+      |percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
+      |percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95_price
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentile" -> (qPercentile _),
     "q_asof_join"  -> (qAsOfJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_join_star"  -> (qJoinStar _),
@@ -340,6 +358,7 @@ object RelationalQueries {
     "q_sql"        -> (qSql _))
 
   val oracle: Map[String, String] = Map(
+    "q_percentile" -> qPercentileSql,
     "q_asof_join"  -> qAsOfJoinSql,
     "q_range_join" -> qRangeJoinSql,
     "q_join_star"  -> qJoinStarSql,
