@@ -111,6 +111,14 @@ object Wrangle {
       .select(projected :+ (!hit).as(createdCol): _*)
   }
 
+  /** Typed materialization (SURVEY §1.1: models ≡ case classes): wrangle
+    * then bind the projection to `T`'s encoder — field names must match the
+    * spec's field names. The Dataset stays lazy like the reference's
+    * generator (pipeline.py:43-51). */
+  def wrangleAs[T: org.apache.spark.sql.Encoder](df: DataFrame, spec: PipelineSpec,
+                                                 model: String): org.apache.spark.sql.Dataset[T] =
+    wrangle(df, spec, model).as[T]
+
   /** The "insert the misses" half of an upsert: records not present in the
     * dim (left-anti join) — the set-oriented shape a sink-side MERGE wants. */
   def newRecords(incoming: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =

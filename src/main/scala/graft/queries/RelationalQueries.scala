@@ -91,18 +91,27 @@ object RelationalQueries {
       col("l_orderkey").as("okey"),
       col("l_linenumber").as("lnum"),
       row_number().over(w).as("rn"),
+      dense_rank().over(Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_returnflag"))).as("drk"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("prk"),
       sum(col("l_quantity").cast(DecimalType(27, 7))).over(wr).cast(DoubleType)
         .as("running_qty"),
-      lag(col("l_quantity"), 1).over(w).as("prev_qty"))
+      lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+      lead(col("l_quantity"), 1).over(w).as("next_qty"))
   }
 
   val qWindowSql: String =
     """SELECT l_suppkey AS suppkey, l_orderkey AS okey, l_linenumber AS lnum,
       |row_number() OVER w AS rn,
+      |dense_rank() OVER (PARTITION BY l_suppkey ORDER BY l_returnflag) AS drk,
+      |ntile(4) OVER w AS quartile,
+      |percent_rank() OVER w AS prk,
       |CAST(sum(CAST(l_quantity AS DECIMAL(27,7))) OVER
       |  (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
-      |lag(l_quantity, 1) OVER w AS prev_qty
+      |lag(l_quantity, 1) OVER w AS prev_qty,
+      |lead(l_quantity, 1) OVER w AS next_qty
       |FROM lineitem
       |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin
 
@@ -339,7 +348,40 @@ object RelationalQueries {
       |percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95_price
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** HAVING + uncorrelated scalar subquery: nations whose revenue exceeds
+    * the all-nation average. */
+  def qHaving(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    Tables(s, dir, "orders").createOrReplaceTempView("v_orders")
+    Tables(s, dir, "customer").createOrReplaceTempView("v_customer")
+    Tables(s, dir, "nation").createOrReplaceTempView("v_nation")
+    s.sql(
+      """WITH rev AS (
+        |  SELECT n_name,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,7))) AS DOUBLE) AS revenue
+        |  FROM v_lineitem JOIN v_orders ON l_orderkey = o_orderkey
+        |  JOIN v_customer ON o_custkey = c_custkey
+        |  JOIN v_nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, revenue FROM rev
+        |GROUP BY n_name, revenue
+        |HAVING revenue > (SELECT CAST(sum(CAST(r2.revenue AS DECIMAL(27,7))) AS DOUBLE) / count(*) FROM rev r2)""".stripMargin)
+  }
+
+  val qHavingSql: String =
+    """WITH rev AS (
+      |  SELECT n_name,
+      |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,7))) AS DOUBLE) AS revenue
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name)
+      |SELECT n_name, revenue FROM rev
+      |GROUP BY n_name, revenue
+      |HAVING revenue > (SELECT CAST(sum(CAST(r2.revenue AS DECIMAL(27,7))) AS DOUBLE) / count(*) FROM rev r2)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_having"     -> (qHaving _),
     "q_percentile" -> (qPercentile _),
     "q_asof_join"  -> (qAsOfJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -358,6 +400,7 @@ object RelationalQueries {
     "q_sql"        -> (qSql _))
 
   val oracle: Map[String, String] = Map(
+    "q_having"     -> qHavingSql,
     "q_percentile" -> qPercentileSql,
     "q_asof_join"  -> qAsOfJoinSql,
     "q_range_join" -> qRangeJoinSql,

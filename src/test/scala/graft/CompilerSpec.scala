@@ -19,6 +19,8 @@ object SparkTest {
     .getOrCreate()
 }
 
+case class Rec(name: String, twice: Long)
+
 class CompilerSpec extends AnyFunSuite {
   lazy val spark = SparkTest.spark
   import spark.implicits._
@@ -135,6 +137,15 @@ class CompilerSpec extends AnyFunSuite {
       Model("M")("ps" -> (Get("pts") | CreateMultiple("P"))))
     val r = Wrangle.wrangle(df, spec, "M").collect().head
     assert(r.getSeq[org.apache.spark.sql.Row](0).map(_.getInt(0)) == Seq(-1, -2))
+  }
+
+  test("wrangleAs binds the projection to a typed Dataset[T]") {
+    val df = Seq(("a", 1), ("b", 2)).toDF("name", "num")
+    val spec = PipelineSpec(Model("Rec")(
+      "name" -> Get("name"),
+      "twice" -> (Get("num") | CastTo(LongType) | Fn("negate"))))
+    val ds: org.apache.spark.sql.Dataset[Rec] = Wrangle.wrangleAs[Rec](df, spec, "Rec")
+    assert(ds.collect().toSet == Set(Rec("a", -1L), Rec("b", -2L)))
   }
 
   test("getOrCreate: hits keep dim record, misses keep built, created flag") {

@@ -85,6 +85,44 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late data in append-mode windowed aggregation") {
+    import java.sql.Timestamp
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_late").toString
+    def writeBatch(name: String, rows: Seq[(Timestamp, String, Double)]): Unit =
+      rows.toDF("ts", "k", "value").repartition(1).write.parquet(s"$dir2/$name")
+    def t(s: String) = Timestamp.valueOf(s)
+
+    writeBatch("b1", Seq(
+      (t("2024-01-01 10:00:10"), "a", 1.0),
+      (t("2024-01-01 10:01:00"), "a", 1.0),
+      (t("2024-01-01 10:20:00"), "a", 1.0))) // advances watermark to 10:19
+
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("k", StringType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(s"$dir2/*")
+    val agg = graft.streaming.Windows.tumblingStream(
+      stream, "ts", "5 minutes", Seq("k"), watermark = "1 minute")
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // late event into the already-finalized 10:00 window + a fresh event
+      writeBatch("b2", Seq(
+        (t("2024-01-01 10:02:00"), "a", 99.0), // LATE: watermark is 10:19
+        (t("2024-01-01 10:40:00"), "a", 1.0)))
+      q.processAllAvailable()
+      writeBatch("b3", Seq((t("2024-01-01 11:00:00"), "a", 1.0))) // flush
+      q.processAllAvailable()
+      val rows = spark.table("late_out")
+        .select("w_start", "n").as[(java.sql.Timestamp, Long)].collect().toMap
+      assert(rows(t("2024-01-01 10:00:00")) == 2L,
+        "late event must NOT be counted into the closed 10:00 window")
+      assert(rows(t("2024-01-01 10:20:00")) == 1L)
+      assert(!rows.contains(t("2024-01-01 11:00:00")), "open window not emitted yet")
+    } finally q.stop()
+  }
+
   test("session_window batch == custom sessionize batch (same fold)") {
     implicit val sp = spark
     val ev = Tables.events(spark, dir)
