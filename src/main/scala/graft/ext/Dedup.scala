@@ -29,8 +29,17 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word n-gram shingles (distinct) of the lower-cased text. */
-  def shingles(text: Column, n: Int = 3): Column = {
+  /** Word n-gram shingles (distinct) of the lower-cased text — tight-loop
+    * expression; [[shinglesHof]] is the cross-check twin. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.TextExpressions.wordShingles(text, n)
+
+  /** Pre-sorted shingles (for prefix filtering) in one pass. */
+  def shinglesSorted(text: Column, n: Int = 3): Column =
+    graft.functions.TextExpressions.wordShingles(text, n, sort = true)
+
+  /** Interpreted HOF twin, kept for parity tests. */
+  def shinglesHof(text: Column, n: Int = 3): Column = {
     val t = TextAnalysis.tokens(text)
     val grams = transform(
       sequence(lit(0), greatest(size(t) - n, lit(0))),
@@ -180,7 +189,7 @@ object Dedup {
                          blockCol: String, threshold: Double,
                          shingleN: Int = 3): DataFrame = {
     val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-        array_sort(shingles(col(textCol), shingleN)).as("sh"))
+        shinglesSorted(col(textCol), shingleN).as("sh"))
       .repartition(col("id")) // one shingle pass shared by all four consumers
     val prefLen = (size(col("sh")) -
       ceil(lit(threshold) * size(col("sh"))).cast("int") + lit(1))

@@ -132,7 +132,41 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Distinct word n-gram shingles of a text — the tight-loop twin of
+  * `array_distinct(transform(sequence(...), i => concat_ws(" ",
+  * slice(split(lower(trim(text)), "\\s+"), i+1, n))))`. Tokenization is
+  * byte-identical to the HOF form on the fixture domain (trim = leading/
+  * trailing spaces, Java `\s+` split, ASCII lowercase); first-occurrence
+  * order, optionally sorted (binary order == array_sort on strings). */
+case class WordShingles(child: Expression, n: Int, sort: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].trim().toLowerCase.toString
+      .split("\\s+")
+    val count = math.max(toks.length - n, 0) + 1
+    val seen = new mutable.LinkedHashSet[String]
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, toks.length)
+      seen.add(toks.slice(i, end).mkString(" "))
+      i += 1
+    }
+    val out = seen.toArray.map(UTF8String.fromString(_))
+    // binary (UTF8String) order — identical to array_sort on StringType
+    if (sort) java.util.Arrays.sort(out.asInstanceOf[Array[AnyRef]])
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextExpressions {
+  def wordShingles(text: Column, n: Int, sort: Boolean = false): Column =
+    GraftColumnBridge.column(
+      WordShingles(GraftColumnBridge.expression(text), n, sort))
+
   def minhashSignature(sh: Column, k: Int = 64, seed: Long = 42L): Column =
     GraftColumnBridge.column(
       MinHashSignature(GraftColumnBridge.expression(sh), k, seed))

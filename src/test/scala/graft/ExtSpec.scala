@@ -83,6 +83,16 @@ class ExtSpec extends AnyFunSuite {
     val docs = Tables(spark, dir, "documents").limit(100)
     val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"),
       col("text"))
+    val shDiff = docs.select(
+      Dedup.shingles(col("text")).as("fast"),
+      Dedup.shinglesHof(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(shDiff == 0L)
+    val sortDiff = docs.select(
+      Dedup.shinglesSorted(col("text")).as("fast"),
+      array_sort(Dedup.shinglesHof(col("text"))).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(sortDiff == 0L)
     val sigDiff = sh.select(
       Dedup.minhashSignature(col("sh")).as("fast"),
       Dedup.minhashSignatureHof(col("sh")).as("slow"))
