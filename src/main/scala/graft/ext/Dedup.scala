@@ -207,6 +207,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Resolve near-dup pairs into duplicate clusters: connected components
+    * by iterative min-label propagation (each id adopts the smallest label
+    * among itself and its neighbors until fixpoint). Label propagation is
+    * joins-only — the standard large-graph CC shape; iterations are
+    * bounded by the graph diameter, here capped at `maxIter` (near-dup
+    * components are tiny star/chain clusters in practice).
+    *
+    * Output: (id, cluster) for every id in `ids`, cluster = min id of its
+    * component (singletons map to themselves). */
+  def clusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+      .repartition(col("u"))
+    var labels = ids.select(col("id"), col("id").as("cluster"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "v2"), col("v") === col("v2"))
+        .groupBy(col("u").as("id"))
+        .agg(min(col("cluster")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint() // truncate the growing iterative lineage
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-duplicate removal: LSH+verified pairs → clusters →
+    * keep only each cluster's min-id representative. */
+  def dedupNear(df: DataFrame, textCol: String, idCol: String,
+                threshold: Double = 0.8): DataFrame = {
+    val pairs = nearDupPairs(df, textCol, idCol, threshold)
+    val cl = clusters(df.select(col(idCol).as("id")), pairs)
+    df.join(cl.filter(col("id") === col("cluster")).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** The 64 bit masks 1L<<i as a literal array — zip_with against it avoids

@@ -137,6 +137,14 @@ object ExtQueries {
 
   // ------------------------------------------------------ similarity
 
+  /** Full near-duplicate removal: LSH-verified pairs → connected
+    * components → keep each cluster's min-id representative. Rows-only
+    * (LSH prefilter); cluster assignment is union-find-verified in
+    * ExtSpec. */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupNear(Tables(s, dir, "documents"), "text", "doc_id",
+      threshold = 0.8).select(col("doc_id"))
+
   /** Exact cosine top-5 neighbors for the first 10 vectors. */
   def qSimTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
@@ -178,6 +186,7 @@ object ExtQueries {
     "q_dedup_minhash"    -> (qDedupMinhash _),
     "q_dedup_simhash"    -> (qDedupSimhash _),
     "q_near_dup"         -> (qNearDup _),
+    "q_dedup_clusters"   -> (qDedupClusters _),
     "q_sim_topk"         -> (qSimTopK _),
     "q_sim_lsh"          -> (qSimLsh _),
     "q_emb_near_dup"     -> (qEmbNearDup _))

@@ -59,6 +59,30 @@ class ExtSpec extends AnyFunSuite {
     assert(got.length >= (exact.size * 0.9).toInt)
   }
 
+  test("clusters: connected components match union-find; dedupNear keeps reps") {
+    // chain 1-2-3, pair 5-6, singleton 9
+    val ids = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(ids, pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+
+    val docs = Tables(spark, dir, "documents")
+    val kept = Dedup.dedupNear(docs, "text", "doc_id", threshold = 0.8)
+    val pairsReal = Dedup.nearDupPairs(docs, "text", "doc_id", 0.8)
+      .as[(Long, Long, Double)].collect()
+    // union-find ground truth on the collected pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairsReal.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val allIds = docs.select("doc_id").as[Long].collect()
+    val expectKept = allIds.filter(i => find(i) == i).toSet
+    assert(kept.select("doc_id").as[Long].collect().toSet == expectKept)
+    assert(expectKept.size < allIds.length, "fixture near-dups should be removed")
+  }
+
   test("prefix-filtered jaccard join == quadratic blocked join") {
     val docs = Tables(spark, dir, "documents")
     def toSet(df: org.apache.spark.sql.DataFrame) =
