@@ -89,6 +89,29 @@ object TextAnalysis {
     best.getField("l")
   }
 
+  /** Benchmark-contamination check: how many of each document's word
+    * n-gram shingles appear in the benchmark corpus's shingle set.
+    * The benchmark shingle set is built once and broadcast; the document
+    * side is one explode + semi-match + count — no quadratic pass.
+    * Output: every `idCol` of `docs` with `n_overlap` and a `contaminated`
+    * flag at `minOverlap`. */
+  def contamination(docs: org.apache.spark.sql.DataFrame,
+                    bench: org.apache.spark.sql.DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int = 3, minOverlap: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val benchShingles = bench
+      .select(explode(Dedup.shingles(col(textCol), n)).as("sh")).distinct()
+    val hits = docs
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("sh"))
+      .join(broadcast(benchShingles), Seq("sh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
   /** Polynomial rolling-hash fingerprint over the normalized character
     * stream: h := (h*31 + codepoint) mod 1e9+7. Order-sensitive (unlike a
     * bag-of-words hash) and expressible in plain SQL for the oracle. */

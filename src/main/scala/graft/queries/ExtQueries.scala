@@ -78,6 +78,60 @@ object ExtQueries {
        |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
        |FROM mx""".stripMargin
 
+  /** Training-data filter stage: keep documents passing the quality gate
+    * and a minimum length — the shape of a corpus-cleaning step. */
+  def qQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    d.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("quality") >= 0.9 && col("n_tokens") >= 50)
+  }
+
+  val qQualityFilterSql: String =
+    s"""WITH t AS (SELECT doc_id, text,
+       |  string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |m AS (SELECT doc_id, len(toks) AS n_tokens,
+       |  len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))::DOUBLE
+       |    / greatest(length(text), 1) AS punct_ratio,
+       |  len(list_filter(toks, x -> x IN ($swList)))::DOUBLE
+       |    / greatest(len(toks), 1) AS stopword_ratio,
+       |  list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+       |    / greatest(len(toks), 1) AS mean_token_len
+       |FROM t),
+       |q AS (SELECT doc_id, n_tokens,
+       |  0.3 * (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+       |  + 0.2 * (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+       |  + 0.3 * (CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.0 END)
+       |  + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)) AS quality
+       |FROM m)
+       |SELECT doc_id, quality, n_tokens FROM q
+       |WHERE quality >= 0.9 AND n_tokens >= 50""".stripMargin
+
+  /** Benchmark contamination: documents sharing ≥5 word-trigram shingles
+    * with the "benchmark" slice (doc_id % 10 = 0). */
+  def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    TextAnalysis.contamination(
+      d.filter(col("doc_id") % 10 =!= 0),
+      d.filter(col("doc_id") % 10 === 0),
+      "text", "doc_id", n = 3, minOverlap = 5)
+  }
+
+  val qContaminationSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      |           FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+      |    i -> array_to_string(w[i+1:i+3], ' '))) AS t FROM t),
+      |bench AS (SELECT DISTINCT unnest(t) AS s FROM sh WHERE doc_id % 10 = 0),
+      |docs AS (SELECT doc_id, t FROM sh WHERE doc_id % 10 <> 0),
+      |ex AS (SELECT doc_id, unnest(t) AS s FROM docs),
+      |hits AS (SELECT doc_id, count(*) AS n FROM ex JOIN bench USING (s) GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(h.n, 0) AS n_overlap,
+      |  COALESCE(h.n, 0) >= 5 AS contaminated
+      |FROM docs d LEFT JOIN hits h USING (doc_id)""".stripMargin
+
   // ----------------------------------------------------------- dedup
 
   /** Exact dedup over documents augmented with planted duplicates
@@ -181,6 +235,8 @@ object ExtQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"       -> (qTextStats _),
     "q_lang_fingerprint" -> (qLangFingerprint _),
+    "q_quality_filter"   -> (qQualityFilter _),
+    "q_contamination"    -> (qContamination _),
     "q_dedup_exact"      -> (qDedupExact _),
     "q_dedup_jaccard"    -> (qDedupJaccard _),
     "q_dedup_minhash"    -> (qDedupMinhash _),
@@ -194,6 +250,8 @@ object ExtQueries {
   val oracle: Map[String, String] = Map(
     "q_text_stats"       -> qTextStatsSql,
     "q_lang_fingerprint" -> qLangFingerprintSql,
+    "q_quality_filter"   -> qQualityFilterSql,
+    "q_contamination"    -> qContaminationSql,
     "q_dedup_exact"      -> qDedupExactSql,
     "q_dedup_jaccard"    -> qDedupJaccardSql,
     "q_sim_topk"         -> qSimTopKSql)
