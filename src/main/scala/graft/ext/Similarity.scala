@@ -45,19 +45,49 @@ object Similarity {
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (query ≠ candidate), ties broken by candidate id.
     * `queries` is expected to be small — it is broadcast; the corpus is
-    * scanned once. Output: (query_id, rank, cand_id, sim). */
+    * scanned once. Top-k uses the bounded [[graft.functions.TopKAggregator]]
+    * so only ≤ k rows per query per partition reach the shuffle (the window
+    * formulation, kept as [[bruteForceTopKWindow]], shuffles every scored
+    * candidate). Output: (query_id, rank, cand_id, sim). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
-    val scored = c.join(q, col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        cosine(col("qv"), col("cv")).as("sim"))
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    topKPerKey(scoreAll(corpus, queries, idCol, vecCol), k)
+
+  /** Window-formulation twin (full shuffle + sort), for cross-checking. */
+  def bruteForceTopKWindow(corpus: DataFrame, queries: DataFrame, k: Int,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scoreAll(corpus, queries, idCol, vecCol)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"), col("sim"))
+  }
+
+  private def scoreAll(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    c.join(q, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+  }
+
+  /** Bounded top-k of (query_id, cand_id, sim) rows per query_id —
+    * map-side partial aggregation, then explode with ranks. */
+  def topKPerKey(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val agg = new graft.functions.TopKAggregator(k).toColumn
+    scored.select(col("query_id"), col("cand_id"), col("sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("top"))
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((sim, cid), i) => (qid, i + 1, cid, sim) }
+      }
+      .toDF("query_id", "rank", "cand_id", "sim")
   }
 
   /** Deterministic random hyperplanes: `tables` tables × `bits` planes of

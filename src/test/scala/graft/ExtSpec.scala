@@ -169,6 +169,10 @@ class ExtSpec extends AnyFunSuite {
     val q = e.filter(col("vec_id") < 10)
     val bf = Similarity.bruteForceTopK(e, q, k = 5)
       .as[(Long, Int, Long, Double)].collect()
+    // bounded-aggregator formulation must equal the window formulation
+    val bfWin = Similarity.bruteForceTopKWindow(e, q, k = 5)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(bf.toSet == bfWin.toSet)
     assert(bf.length == 50)
     bf.groupBy(_._1).foreach { case (_, rows) =>
       val sims = rows.sortBy(_._2).map(_._4)
