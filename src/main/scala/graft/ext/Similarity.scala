@@ -128,16 +128,14 @@ object Similarity {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "query_id", "qv"))
     // Score before dedup: cosine is codegen-cheap, and shuffling
-    // (query, cand, sim) triples is ~50x narrower than shuffling vectors.
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cand_id").asc)
-    c.join(q, Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("cv")).as("sim"))
-      .dropDuplicates("query_id", "cand_id")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("cand_id"), col("sim"))
+    // (query, cand, sim) triples is ~50x narrower than shuffling vectors;
+    // then the bounded aggregator caps shuffle rows at keys*k.
+    topKPerKey(
+      c.join(q, Seq("tbl", "bucket"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"), cosine(col("qv"), col("cv")).as("sim"))
+        .dropDuplicates("query_id", "cand_id"),
+      k)
   }
 
   /** Embedding-space near-duplicate pairs: cosine ≥ threshold, found via
