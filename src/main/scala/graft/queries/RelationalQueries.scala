@@ -208,7 +208,13 @@ object RelationalQueries {
       floor(col("o_totalprice")).as("fl"),
       ceil(col("o_totalprice")).as("ce"),
       sqrt(col("o_totalprice")).as("rt"),
-      (col("o_orderkey") % 7).as("m7"))
+      (col("o_orderkey") % 7).as("m7"),
+      md5(col("o_orderpriority").cast(BinaryType)).as("h_md5"),
+      sha2(col("o_orderstatus").cast(BinaryType), 256).as("h_sha"),
+      base64(col("o_orderstatus").cast(BinaryType)).as("b64"),
+      reverse(col("o_orderpriority")).as("rev"),
+      lpad(col("o_orderkey").cast(StringType), 12, "0").as("padded"),
+      split_part(col("o_orderpriority"), lit("-"), lit(2)).as("prio_word"))
   }
 
   val qScalarLibSql: String =
@@ -222,7 +228,13 @@ object RelationalQueries {
       |abs(o_totalprice - 100000.0) AS dist,
       |CAST(floor(o_totalprice) AS BIGINT) AS fl, CAST(ceil(o_totalprice) AS BIGINT) AS ce,
       |sqrt(o_totalprice) AS rt,
-      |o_orderkey % 7 AS m7
+      |o_orderkey % 7 AS m7,
+      |md5(o_orderpriority) AS h_md5,
+      |sha256(o_orderstatus) AS h_sha,
+      |to_base64(o_orderstatus::BLOB) AS b64,
+      |reverse(o_orderpriority) AS rev,
+      |lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded,
+      |split_part(o_orderpriority, '-', 2) AS prio_word
       |FROM orders""".stripMargin
 
   /** PIVOT: order counts by status per priority. */

@@ -25,6 +25,21 @@ object IO {
   def readTable(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).parquet(path)
 
+  /** Schema-enforced newline-delimited JSON read (semi-structured intake —
+    * the reference's native input shape, SURVEY §1.1). PERMISSIVE mode
+    * plus a corrupt-record column: bad lines land in `_corrupt` instead of
+    * failing the scan. */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  /** Schema-enforced CSV read with header. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
   /** Partitioned, optionally sorted parquet sink. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
                        sortCols: Seq[String] = Nil,

@@ -139,6 +139,18 @@ class CompilerSpec extends AnyFunSuite {
     assert(r.getSeq[org.apache.spark.sql.Row](0).map(_.getInt(0)) == Seq(-1, -2))
   }
 
+  test("chained Get on JSON strings walks nested objects; null propagates") {
+    val df = Seq(
+      ("""{"a": {"b": 7}}""", Some("x")),
+      (null: String, None: Option[String])).toDF("j", "s")
+    val spec = PipelineSpec(Model("M")(
+      "b"  -> (Get("j") | Get("a") | Get("b")),
+      "s2" -> (Get("s") | If(Truthy, Id))))
+    val r = Wrangle.wrangle(df, spec, "M").collect()
+    assert(r(0).getString(0) == "7")
+    assert(r(1).isNullAt(0) && r(1).isNullAt(1))
+  }
+
   test("wrangleAs binds the projection to a typed Dataset[T]") {
     val df = Seq(("a", 1), ("b", 2)).toDF("name", "num")
     val spec = PipelineSpec(Model("Rec")(

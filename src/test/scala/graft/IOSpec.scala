@@ -54,6 +54,27 @@ class IOSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("json/csv sources round-trip with enforced schemas; bad json quarantined") {
+    val dir = Files.createTempDirectory("graft_src").toString
+    val orders = Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    orders.write.json(s"$dir/j")
+    orders.write.option("header", "true").csv(s"$dir/c")
+    val schema = orders.schema
+    assert(IO.readJson(spark, s"$dir/j", schema).drop("_corrupt").count() == orders.count())
+    assert(IO.readCsv(spark, s"$dir/c", schema).count() == orders.count())
+    // corrupt line lands in _corrupt, not an exception
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/j/zzz_bad.json"), "{not valid json\n")
+    // Spark refuses corrupt-column-only queries on the raw scan; cache the
+    // parsed batch first (the documented pattern)
+    val withBad = IO.readJson(spark, s"$dir/j", schema).cache()
+    try {
+      assert(withBad.filter(col("_corrupt").isNotNull).count() == 1)
+      assert(withBad.count() == orders.count() + 1)
+    } finally withBad.unpersist()
+  }
+
   test("upsert: updates win, new keys appended, untouched rows survive") {
     val existing = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val updates = Seq((2L, "B2"), (3L, "c")).toDF("k", "v")
