@@ -199,6 +199,19 @@ object ExtQueries {
     Dedup.dedupNear(Tables(s, dir, "documents"), "text", "doc_id",
       threshold = 0.8).select(col("doc_id"))
 
+  /** Sketch aggregates (HLL++ distinct counts, approximate quantiles) —
+    * the constant-memory path for 100 TB cardinality/quantile work.
+    * Rows-only (sketch internals are engine-specific); accuracy vs exact
+    * is asserted in ExtSpec. */
+  def qApproxSketch(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supp"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"))
+  }
+
   /** Exact cosine top-5 neighbors for the first 10 vectors. */
   def qSimTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
@@ -243,6 +256,7 @@ object ExtQueries {
     "q_dedup_simhash"    -> (qDedupSimhash _),
     "q_near_dup"         -> (qNearDup _),
     "q_dedup_clusters"   -> (qDedupClusters _),
+    "q_approx_sketch"    -> (qApproxSketch _),
     "q_sim_topk"         -> (qSimTopK _),
     "q_sim_lsh"          -> (qSimLsh _),
     "q_emb_near_dup"     -> (qEmbNearDup _))

@@ -187,6 +187,20 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall too low: $recall")
   }
 
+  test("sketch aggregates land within tolerance of exact answers") {
+    val li = Tables(spark, dir, "lineitem")
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey"), rsd = 0.01).as("a"),
+      countDistinct(col("l_partkey")).as("e"),
+      percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("pa"),
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("pe"))
+      .collect().head
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"HLL off: $a vs $e")
+    assert(math.abs(r.getDouble(2) - r.getDouble(3)) <= 1.0,
+      s"approx median off: ${r.getDouble(2)} vs ${r.getDouble(3)}")
+  }
+
   test("text analysis basics") {
     val df = Seq("The cat and the dog!", "").toDF("t")
     val r = df.select(
