@@ -392,7 +392,91 @@ object RelationalQueries {
       |GROUP BY n_name, revenue
       |HAVING revenue > (SELECT CAST(sum(CAST(r2.revenue AS DECIMAL(27,7))) AS DOUBLE) / count(*) FROM rev r2)""".stripMargin
 
+  /** Explicit GROUPING SETS with grouping() markers. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("v_orders_gs")
+    s.sql(
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |count(*) AS n,
+        |grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_prio
+        |FROM v_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority), ())""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+      |count(*) AS n,
+      |grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_prio
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |                        (o_orderstatus, o_orderpriority), ())""".stripMargin
+
+  /** Array function library over the embeddings fixture. */
+  def qArrayLib(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val arr = col("embedding")
+    e.select(
+      col("vec_id"),
+      sort_array(arr).as("sorted"),
+      array_max(arr).as("mx"),
+      array_min(arr).as("mn"),
+      slice(arr, 5, 3).as("sl"),
+      sort_array(array_distinct(arr)).as("dst"), // sorted: DuckDB's
+      // list_distinct does not preserve order
+      size(arr).as("n"),
+      exists(arr, x => x > 0.2f).as("has_big"),
+      forall(arr, x => x > -1.0f).as("all_gt"),
+      array_contains(arr, 0.0f).as("has_zero"),
+      reverse(arr).as("rev"),
+      arrays_zip(slice(arr, 1, 2), slice(arr, 3, 2)).as("zipped"))
+  }
+
+  val qArrayLibSql: String =
+    """SELECT vec_id,
+      |list_sort(embedding) AS sorted,
+      |list_max(embedding) AS mx,
+      |list_min(embedding) AS mn,
+      |embedding[5:7] AS sl,
+      |list_sort(list_distinct(embedding)) AS dst,
+      |len(embedding) AS n,
+      |len(list_filter(embedding, x -> x > 0.2)) > 0 AS has_big,
+      |len(list_filter(embedding, x -> NOT (x > -1.0))) = 0 AS all_gt,
+      |list_contains(embedding, 0.0) AS has_zero,
+      |list_reverse(embedding) AS rev,
+      |list_transform(list_zip(embedding[1:2], embedding[3:4]),
+      |  p -> {'0': p[1], '1': p[2]}) AS zipped
+      |FROM embeddings""".stripMargin
+
+  /** Datetime function library over orders/events. */
+  def qDatetime(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").select(
+      col("o_orderkey").as("okey"),
+      quarter(col("o_orderdate")).as("q"),
+      last_day(col("o_orderdate")).as("eom"),
+      date_add(col("o_orderdate").cast(DateType), 30).as("plus30"),
+      hour(col("o_orderdate")).as("hr"),
+      dayofyear(col("o_orderdate")).as("doy"),
+      unix_timestamp(col("o_orderdate")).as("epoch_s"),
+      datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType))
+        .as("days_since"))
+  }
+
+  val qDatetimeSql: String =
+    """SELECT o_orderkey AS okey,
+      |quarter(o_orderdate) AS q,
+      |last_day(o_orderdate::DATE) AS eom,
+      |o_orderdate::DATE + 30 AS plus30,
+      |hour(o_orderdate) AS hr,
+      |dayofyear(o_orderdate) AS doy,
+      |epoch(o_orderdate)::BIGINT AS epoch_s,
+      |date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since
+      |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_array_lib"  -> (qArrayLib _),
+    "q_datetime"   -> (qDatetime _),
     "q_having"     -> (qHaving _),
     "q_percentile" -> (qPercentile _),
     "q_asof_join"  -> (qAsOfJoin _),
@@ -412,6 +496,9 @@ object RelationalQueries {
     "q_sql"        -> (qSql _))
 
   val oracle: Map[String, String] = Map(
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_array_lib"  -> qArrayLibSql,
+    "q_datetime"   -> qDatetimeSql,
     "q_having"     -> qHavingSql,
     "q_percentile" -> qPercentileSql,
     "q_asof_join"  -> qAsOfJoinSql,
