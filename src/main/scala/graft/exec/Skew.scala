@@ -1,0 +1,27 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling helpers beyond AQE's automatic skew-join split.
+  *
+  * [[saltedAgg]] is the classic two-phase aggregation for hot grouping
+  * keys: phase 1 groups on (salt, keys) so a hot key's rows spread over
+  * `salts` reducers; phase 2 combines the partials. Only valid for
+  * reassociable aggregates — the caller supplies both phases explicitly,
+  * keeping the combine law in the caller's hands (sum→sum, count→sum,
+  * min→min, max→max...). */
+object Skew {
+
+  def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
+                partial: Seq[Column], combine: Seq[Column]): DataFrame = {
+    require(partial.nonEmpty && partial.size == combine.size)
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(combine.head, combine.tail: _*)
+  }
+}

@@ -473,7 +473,26 @@ object RelationalQueries {
       |date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since
       |FROM orders""".stripMargin
 
+  /** Hot-key aggregation through the two-phase salted path
+    * (graft.exec.Skew): l_returnflag has only 3 values — the exact shape
+    * where one reducer would own a third of the table. The oracle is the
+    * plain GROUP BY: salting must be invisible in the result. */
+  def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.exec.Skew.saltedAgg(
+      Tables(s, dir, "lineitem"), Seq("l_returnflag"), salts = 16,
+      partial = Seq(
+        sum(col("l_quantity").cast(DecimalType(27, 7))).as("p_qty"),
+        count(lit(1)).as("p_n")),
+      combine = Seq(
+        sum(col("p_qty")).cast(DoubleType).as("qty"),
+        sum(col("p_n")).as("n")))
+
+  val qSaltedAggSql: String =
+    s"""SELECT l_returnflag, ${sqlSum("l_quantity")} AS qty, count(*) AS n
+       |FROM lineitem GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_agg" -> (qSaltedAgg _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_array_lib"  -> (qArrayLib _),
     "q_datetime"   -> (qDatetime _),
@@ -496,6 +515,7 @@ object RelationalQueries {
     "q_sql"        -> (qSql _))
 
   val oracle: Map[String, String] = Map(
+    "q_salted_agg" -> qSaltedAggSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_array_lib"  -> qArrayLibSql,
     "q_datetime"   -> qDatetimeSql,

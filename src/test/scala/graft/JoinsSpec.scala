@@ -40,6 +40,23 @@ class JoinsSpec extends AnyFunSuite {
     assert(tol.toSeq == Seq((1L, Some(99.5)), (1L, Some(100.5)), (2L, None)))
   }
 
+  test("salted two-phase aggregation == plain groupBy") {
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val got = graft.exec.Skew.saltedAgg(li, Seq("l_returnflag"), salts = 8,
+        partial = Seq(
+          sum(col("l_quantity").cast("decimal(27,7)")).as("p_qty"),
+          count(lit(1)).as("p_n")),
+        combine = Seq(
+          sum(col("p_qty")).cast("double").as("qty"),
+          sum(col("p_n")).as("n")))
+      .as[(String, Double, Long)].collect().toSet
+    val want = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(27,7)")).cast("double").as("qty"),
+        count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("range join == plain inequality join") {
     val left = (0 until 200).map(i => (i.toLong, i * 7.3 - 100)).toDF("id", "v")
     val right = (0 until 20).map(i => (i.toLong, i * 53.0 - 80, i * 53.0 + 40.0))

@@ -85,6 +85,27 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join: streaming events enrich against a static dim") {
+    val users = Tables(spark, dir, "events")
+      .select(col("user_id")).distinct()
+      .withColumn("segment",
+        when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+    val joined = eventStream()
+      .join(broadcast(users), Seq("user_id"))
+      .groupBy(col("segment")).count()
+    val q = joined.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").as[(String, Long)].collect().toMap
+      val want = Tables.events(spark, dir)
+        .withColumn("segment",
+          when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+        .groupBy("segment").count().as[(String, Long)].collect().toMap
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append-mode windowed aggregation") {
     import java.sql.Timestamp
     val dir2 = java.nio.file.Files.createTempDirectory("graft_late").toString
