@@ -16,8 +16,14 @@ object Skew {
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
                 partial: Seq[Column], combine: Seq[Column]): DataFrame = {
     require(partial.nonEmpty && partial.size == combine.size)
+    // The salt must be DETERMINISTIC per row content: a partition-id /
+    // monotonic-id salt changes on task retry, and regrouping recomputed
+    // rows under a different salt during shuffle recovery can double-count
+    // or drop them. Hashing every column gives a stable, well-spread salt
+    // (identical rows share a salt, which only costs spread when a single
+    // key+payload combination dominates — rare for real payloads).
     val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts.toLong)))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partial.head, partial.tail: _*)

@@ -98,12 +98,18 @@ object Wrangle {
     val outCols = incoming.columns.toSeq
     require(outCols.forall(dim.columns.contains),
       "dim must contain every incoming column")
-    val d0 = dim.select(outCols.map(col): _*)
+    // Null-safe key equality (<=>) mirrors the reference's dict-style probe,
+    // where a None key matches a stored None. Hit detection must then agree
+    // with the join condition: testing d.<key> IS NOT NULL would misclassify
+    // a NULL-key hit as a miss, so the dim side carries an explicit non-null
+    // marker instead.
+    val hitCol = "__graft_hit"
+    val d0 = dim.select(outCols.map(col): _*).withColumn(hitCol, lit(true))
     val d = if (broadcastDim) broadcast(d0) else d0
     val b = incoming.alias("b")
     val dd = d.alias("d")
     val cond = keys.map(k => col(s"b.$k") <=> col(s"d.$k")).reduce(_ && _)
-    val hit = col(s"d.${keys.head}").isNotNull
+    val hit = col(s"d.$hitCol").isNotNull
     val projected = outCols.map { c =>
       when(hit, col(s"d.$c")).otherwise(col(s"b.$c")).as(c)
     }

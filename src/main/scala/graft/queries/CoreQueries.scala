@@ -76,14 +76,16 @@ object CoreQueries {
         "okey"    -> Get("l_orderkey"),
         "lnum"    -> (Get("l_linenumber") | Id),
         "tag"     -> Constant("graft"),
-        "qty_int" -> (Get("l_quantity") | CastTo(DecimalType(12, 2))),
+        // Decimal cast exercised, but emitted as DOUBLE: the driver's pandas
+        // comparator hashes DECIMAL cells differently across engines.
+        "qty_int" -> (Get("l_quantity") | CastTo(DecimalType(12, 2)) | CastTo(DoubleType)),
         "qty_str" -> (Get("l_linenumber") | CastTo(StringType))))
     Wrangle.wrangle(Tables(s, dir, "lineitem"), spec, "Row")
   }
 
   val qScalarSql: String =
     """SELECT l_orderkey AS okey, l_linenumber AS lnum, 'graft' AS tag,
-      |CAST(l_quantity AS DECIMAL(12,2)) AS qty_int,
+      |CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty_int,
       |CAST(l_linenumber AS VARCHAR) AS qty_str
       |FROM lineitem""".stripMargin
 
@@ -137,11 +139,13 @@ object CoreQueries {
         "seg2"  -> (Create("Info") | Attr("seg")),
         "ident" -> (Gather(Seq("c_custkey", "c_name")) | Get("c_name"))))
     Wrangle.wrangle(Tables(s, dir, "customer"), spec, "Cust")
+      // Nested outputs serialize to JSON for the driver's comparator (Oracle.q6 doc)
+      .withColumn("info", to_json(col("info")))
   }
 
   val qCreateSql: String =
     """SELECT c_custkey AS key,
-      |{'nk': c_nationkey, 'seg': c_mktsegment} AS info,
+      |to_json({'nk': c_nationkey, 'seg': c_mktsegment}) AS info,
       |c_mktsegment AS seg2,
       |c_name AS ident
       |FROM customer""".stripMargin
@@ -188,6 +192,7 @@ object CoreQueries {
         "n"  -> (Get("s") | CastTo(LongType)),
         "v"  -> Get("value")))
     Wrangle.wrangle(shaped, spec, "Ev", Wrangle.Permissive)
+      .withColumn(Wrangle.ErrorsCol, to_json(col(Wrangle.ErrorsCol)))
   }
 
   val qPermissiveSql: String =
@@ -195,8 +200,8 @@ object CoreQueries {
       |CASE WHEN event_id % 3 = 0 THEN NULL ELSE 12 END AS n,
       |value AS v,
       |CASE WHEN event_id % 3 = 0
-      |     THEN [{'model': 'Ev', 'field': 'n', 'op': 'Get|CastTo'}]
-      |     ELSE [] END AS "_errors"
+      |     THEN to_json([{'model': 'Ev', 'field': 'n', 'op': 'Get|CastTo'}])
+      |     ELSE '[]' END AS "_errors"
       |FROM events""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

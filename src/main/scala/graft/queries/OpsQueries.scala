@@ -38,16 +38,29 @@ object OpsQueries {
         "first"  -> (Get("embedding") | Get(0)),
         "last"   -> (Get("embedding") | Get(-1))))
     Wrangle.wrangle(Tables(s, dir, "embeddings"), spec, "Emb")
+      // Nested outputs serialize to quantized JSON for the driver's
+      // comparator (Oracle.q6 doc); scalar floats stay raw.
+      .select(
+        col("vec_id"),
+        to_json(transform(col("pos"), x => Oracle.q6(x))).as("pos"),
+        to_json(transform(col("scaled"), x => Oracle.q6(x))).as("scaled"),
+        to_json(transform(col("pts"), p => struct(
+          Oracle.q6(p.getField("v")).as("v"),
+          Oracle.q6(p.getField("neg")).as("neg")))).as("pts"),
+        col("first"), col("last"))
   }
 
+  private def Q(e: String): String = Oracle.sqlQ6(e)
+
   val qArrayOpsSql: String =
-    """SELECT vec_id,
-      |list_filter(embedding, x -> x > 0) AS pos,
-      |list_transform(embedding, x -> CAST(x AS DOUBLE) * 2) AS scaled,
-      |list_transform(list_filter(embedding, x -> x > 0.25), x -> {'v': x, 'neg': -x}) AS pts,
-      |embedding[1] AS first,
-      |embedding[-1] AS last
-      |FROM embeddings""".stripMargin
+    s"""SELECT vec_id,
+       |to_json(list_transform(list_filter(embedding, x -> x > 0), x -> ${Q("x")})) AS pos,
+       |to_json(list_transform(embedding, x -> ${Q("CAST(x AS DOUBLE) * 2")})) AS scaled,
+       |to_json(list_transform(list_filter(embedding, x -> x > 0.25),
+       |  x -> {'v': ${Q("x")}, 'neg': ${Q("-x")}})) AS pts,
+       |embedding[1] AS first,
+       |embedding[-1] AS last
+       |FROM embeddings""".stripMargin
 
   /** Flatten (§2.3 #11): one level and depth=2 over inline nesting. */
   def qFlatten(s: SparkSession, dir: String): DataFrame = {
@@ -61,13 +74,19 @@ object OpsQueries {
         "once"   -> (Get("deep") | Flatten()),
         "twice"  -> (Get("deep") | Flatten(2))))
     Wrangle.wrangle(df, spec, "M")
+      .select(
+        col("vec_id"),
+        to_json(transform(col("once"), a => transform(a, x => Oracle.q6(x)))).as("once"),
+        to_json(transform(col("twice"), x => Oracle.q6(x))).as("twice"))
   }
 
   val qFlattenSql: String =
-    """SELECT vec_id,
-      |[embedding[1:2], embedding[3:4], embedding[5:5]] AS once,
-      |embedding[1:5] AS twice
-      |FROM embeddings""".stripMargin
+    s"""SELECT vec_id,
+       |to_json([list_transform(embedding[1:2], x -> ${Q("x")}),
+       |         list_transform(embedding[3:4], x -> ${Q("x")}),
+       |         list_transform(embedding[5:5], x -> ${Q("x")})]) AS once,
+       |to_json(list_transform(embedding[1:5], x -> ${Q("x")})) AS twice
+       |FROM embeddings""".stripMargin
 
   /** Map restructuring ops over a MAP<STRING, STRUCT> built from `nation`
     * (§2.3 #12-16): Gather on a map, FoldInKeys, FoldInValue, GetKeys,
@@ -88,17 +107,19 @@ object OpsQueries {
         "keys"   -> (Get("m") | GetKeys),
         "vals"   -> (Get("m") | GetValues | MapT(Get("s")))))
     Wrangle.wrangle(df, spec, "M")
+      .select(col("key") +: Seq("gathered", "folded", "broad", "keys", "vals")
+        .map(c => to_json(col(c)).as(c)): _*)
   }
 
   val qMapOpsSql: String =
     """SELECT n_nationkey AS key,
-      |MAP {'name': {'s': n_name}, 'region': {'s': CAST(n_regionkey AS VARCHAR)}} AS gathered,
-      |[{'k': 'name', 's': n_name}, {'k': 'region', 's': CAST(n_regionkey AS VARCHAR)},
-      | {'k': 'meta', 's': 'fixture'}] AS folded,
-      |MAP {'name': {'src': {'s': 'fixture'}, 's': n_name},
-      |     'region': {'src': {'s': 'fixture'}, 's': CAST(n_regionkey AS VARCHAR)}} AS broad,
-      |['name', 'region', 'meta'] AS keys,
-      |[n_name, CAST(n_regionkey AS VARCHAR), 'fixture'] AS vals
+      |to_json(MAP {'name': {'s': n_name}, 'region': {'s': CAST(n_regionkey AS VARCHAR)}}) AS gathered,
+      |to_json([{'k': 'name', 's': n_name}, {'k': 'region', 's': CAST(n_regionkey AS VARCHAR)},
+      | {'k': 'meta', 's': 'fixture'}]) AS folded,
+      |to_json(MAP {'name': {'src': {'s': 'fixture'}, 's': n_name},
+      |     'region': {'src': {'s': 'fixture'}, 's': CAST(n_regionkey AS VARCHAR)}}) AS broad,
+      |to_json(['name', 'region', 'meta']) AS keys,
+      |to_json([n_name, CAST(n_regionkey AS VARCHAR), 'fixture']) AS vals
       |FROM nation""".stripMargin
 
   /** CreateMultiple (§2.3 #19): one child record per datapoint of an inline
@@ -118,12 +139,13 @@ object OpsQueries {
         "okey"     -> Get("o_orderkey"),
         "contacts" -> (Get("contacts") | CreateMultiple("Contact"))))
     Wrangle.wrangle(df, spec, "Order")
+      .withColumn("contacts", to_json(col("contacts")))
   }
 
   val qCreateMultipleSql: String =
     """SELECT o_orderkey AS okey,
-      |[{'kind': 'SHIP', 'rkind': 'pihs', 'key': o_orderkey},
-      | {'kind': 'BILL', 'rkind': 'llib', 'key': o_custkey}] AS contacts
+      |to_json([{'kind': 'SHIP', 'rkind': 'pihs', 'key': o_orderkey},
+      | {'kind': 'BILL', 'rkind': 'llib', 'key': o_custkey}]) AS contacts
       |FROM orders""".stripMargin
 
   /** GetOrCreateMultiple (§2.3 #21) set-oriented: every order's custkey

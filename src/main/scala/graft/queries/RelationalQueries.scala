@@ -416,37 +416,44 @@ object RelationalQueries {
   def qArrayLib(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val arr = col("embedding")
+    // Array outputs serialize to quantized JSON for the driver's comparator
+    // (Oracle.q6 doc); scalar floats/bools/ints stay raw.
+    val J = (c: org.apache.spark.sql.Column) => to_json(transform(c, x => Oracle.q6(x)))
     e.select(
       col("vec_id"),
-      sort_array(arr).as("sorted"),
+      J(sort_array(arr)).as("sorted"),
       array_max(arr).as("mx"),
       array_min(arr).as("mn"),
-      slice(arr, 5, 3).as("sl"),
-      sort_array(array_distinct(arr)).as("dst"), // sorted: DuckDB's
+      J(slice(arr, 5, 3)).as("sl"),
+      J(sort_array(array_distinct(arr))).as("dst"), // sorted: DuckDB's
       // list_distinct does not preserve order
       size(arr).as("n"),
       exists(arr, x => x > 0.2f).as("has_big"),
       forall(arr, x => x > -1.0f).as("all_gt"),
       array_contains(arr, 0.0f).as("has_zero"),
-      reverse(arr).as("rev"),
-      arrays_zip(slice(arr, 1, 2), slice(arr, 3, 2)).as("zipped"))
+      J(reverse(arr)).as("rev"),
+      to_json(transform(arrays_zip(slice(arr, 1, 2), slice(arr, 3, 2)),
+        z => struct(Oracle.q6(z.getField("0")).as("0"),
+                    Oracle.q6(z.getField("1")).as("1")))).as("zipped"))
   }
 
-  val qArrayLibSql: String =
-    """SELECT vec_id,
-      |list_sort(embedding) AS sorted,
-      |list_max(embedding) AS mx,
-      |list_min(embedding) AS mn,
-      |embedding[5:7] AS sl,
-      |list_sort(list_distinct(embedding)) AS dst,
-      |len(embedding) AS n,
-      |len(list_filter(embedding, x -> x > 0.2)) > 0 AS has_big,
-      |len(list_filter(embedding, x -> NOT (x > -1.0))) = 0 AS all_gt,
-      |list_contains(embedding, 0.0) AS has_zero,
-      |list_reverse(embedding) AS rev,
-      |list_transform(list_zip(embedding[1:2], embedding[3:4]),
-      |  p -> {'0': p[1], '1': p[2]}) AS zipped
-      |FROM embeddings""".stripMargin
+  val qArrayLibSql: String = {
+    val Q = (e: String) => Oracle.sqlQ6(e)
+    s"""SELECT vec_id,
+       |to_json(list_transform(list_sort(embedding), x -> ${Q("x")})) AS sorted,
+       |list_max(embedding) AS mx,
+       |list_min(embedding) AS mn,
+       |to_json(list_transform(embedding[5:7], x -> ${Q("x")})) AS sl,
+       |to_json(list_transform(list_sort(list_distinct(embedding)), x -> ${Q("x")})) AS dst,
+       |len(embedding) AS n,
+       |len(list_filter(embedding, x -> x > 0.2)) > 0 AS has_big,
+       |len(list_filter(embedding, x -> NOT (x > -1.0))) = 0 AS all_gt,
+       |list_contains(embedding, 0.0) AS has_zero,
+       |to_json(list_transform(list_reverse(embedding), x -> ${Q("x")})) AS rev,
+       |to_json(list_transform(list_zip(embedding[1:2], embedding[3:4]),
+       |  p -> {'0': ${Q("p[1]")}, '1': ${Q("p[2]")}})) AS zipped
+       |FROM embeddings""".stripMargin
+  }
 
   /** Datetime function library over orders/events. */
   def qDatetime(s: SparkSession, dir: String): DataFrame = {

@@ -38,9 +38,13 @@ object Sessionize {
     sorted.foreach { e =>
       val t = micros(e.ts)
       state match {
-        // strict <: matches session_window's half-open [ts, ts+gap) merge
+        // strict <: matches session_window's half-open [ts, ts+gap) merge.
+        // t can precede s.last when a prior batch left open state and this
+        // batch delivers a late-but-in-gap event, so the session bounds
+        // must only ever widen: min for start, max for last.
         case Some(s) if t - s.last < gapUs =>
-          state = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+          state = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
+            s.n + 1, s.total + e.value))
         case Some(s) =>
           out += Session(userId, instant(s.start), instant(s.last + gapUs),
             s.n, s.total)
@@ -71,7 +75,12 @@ object Sessionize {
             open match {
               case Some(s) =>
                 state.update(s)
-                state.setTimeoutTimestamp((s.last + gapUs) / 1000L)
+                // A timeout at or below the current watermark is rejected by
+                // Spark (IllegalArgumentException) — possible when the batch
+                // only carried late events. Clamp strictly above it so the
+                // session still times out on the next watermark advance.
+                val wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(math.max((s.last + gapUs) / 1000L, wm + 1L))
               case None => state.remove()
             }
             closed.iterator
