@@ -217,11 +217,15 @@ object Dedup {
     * Output: (id, cluster) for every id in `ids`, cluster = min id of its
     * component (singletons map to themselves). */
   def clusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // Materialize the edge list ONCE. Exchange reuse does not span actions,
+    // so without this every iteration's join (and every convergence count)
+    // would re-execute the entire upstream pair-generation pipeline —
+    // LSH banding, candidate join, exact verify — from the parquet scan up.
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
-      .repartition(col("u"))
-    var labels = ids.select(col("id"), col("id").as("cluster"))
+      .localCheckpoint()
+    var labels = ids.select(col("id"), col("id").as("cluster")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -229,14 +233,15 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "v2"), col("v") === col("v2"))
         .groupBy(col("u").as("id"))
         .agg(min(col("cluster")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .localCheckpoint() // truncate the growing iterative lineage
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.cluster") =!= col("o.cluster")).count()
-      labels = next
+      // Carry the previous label through the checkpoint so convergence
+      // detection is a scan of materialized data, not another join.
+      val next = labels.withColumnRenamed("cluster", "prev")
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("prev"),
+          least(col("prev"), coalesce(col("nmin"), col("prev"))).as("cluster"))
+        .localCheckpoint() // also truncates the growing iterative lineage
+      changed = next.filter(col("cluster") =!= col("prev")).count()
+      labels = next.select("id", "cluster")
       iter += 1
     }
     labels

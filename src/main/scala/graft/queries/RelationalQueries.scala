@@ -367,17 +367,23 @@ object RelationalQueries {
     Tables(s, dir, "orders").createOrReplaceTempView("v_orders")
     Tables(s, dir, "customer").createOrReplaceTempView("v_customer")
     Tables(s, dir, "nation").createOrReplaceTempView("v_nation")
+    // The CTE is referenced twice (main query + scalar subquery) and Spark
+    // inlines CTEs, so without materialization the 4-way join would execute
+    // twice. The grouped result is |nations| rows — checkpoint it once; the
+    // same pattern holds at 100 TB, where re-running the fact join to score
+    // its own aggregate would double the query cost.
+    val rev = s.sql(
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,7))) AS DOUBLE) AS revenue
+        |FROM v_lineitem JOIN v_orders ON l_orderkey = o_orderkey
+        |JOIN v_customer ON o_custkey = c_custkey
+        |JOIN v_nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin).localCheckpoint()
+    rev.createOrReplaceTempView("v_rev")
     s.sql(
-      """WITH rev AS (
-        |  SELECT n_name,
-        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,7))) AS DOUBLE) AS revenue
-        |  FROM v_lineitem JOIN v_orders ON l_orderkey = o_orderkey
-        |  JOIN v_customer ON o_custkey = c_custkey
-        |  JOIN v_nation ON c_nationkey = n_nationkey
-        |  GROUP BY n_name)
-        |SELECT n_name, revenue FROM rev
+      """SELECT n_name, revenue FROM v_rev
         |GROUP BY n_name, revenue
-        |HAVING revenue > (SELECT CAST(sum(CAST(r2.revenue AS DECIMAL(27,7))) AS DOUBLE) / count(*) FROM rev r2)""".stripMargin)
+        |HAVING revenue > (SELECT CAST(sum(CAST(r2.revenue AS DECIMAL(27,7))) AS DOUBLE) / count(*) FROM v_rev r2)""".stripMargin)
   }
 
   val qHavingSql: String =
