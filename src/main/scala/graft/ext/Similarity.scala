@@ -138,6 +138,49 @@ object Similarity {
       k)
   }
 
+  /** IVF (inverted-file) approximate nearest neighbors: the corpus is
+    * partitioned into Voronoi cells of a small centroid set (the coarse
+    * quantizer); each query searches only its `nprobe` nearest cells.
+    *
+    * Scale shape (the 100 TB path): the centroid set is driver-sized by
+    * construction (classic IVF keeps the coarse quantizer in memory — even
+    * 65k × dim-64 floats is ~16 MB), so cell assignment is a pure map-side
+    * projection (C fused cosines per row, no shuffle), probe selection is
+    * the same expression on the query side, and candidate generation is a
+    * broadcast join on the cell id — the corpus is scanned once and never
+    * shuffled; only the bounded per-query top-k aggregation exchanges rows.
+    *
+    * Fully deterministic given a deterministic centroid set (ties broken by
+    * centroid id), so unlike random-hyperplane LSH it is exactly
+    * oracle-checkable. Output shape matches [[bruteForceTopK]]. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids.select(col(idCol).cast(LongType), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "centroid set must be non-empty")
+    // (sim, cid) structs compare lexicographically: max sim, ties to the
+    // larger centroid id — mirrored in the oracle's ORDER BY sim DESC, cid DESC.
+    def simArr(v: Column): Column = array(cents.map { case (cid, cv) =>
+      struct(cosine(v, typedLit(cv)).as("sim"), lit(cid).as("cid"))
+    }.toSeq: _*)
+    val assigned = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      array_max(simArr(col(vecCol))).getField("cid").as("cell"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(transform(slice(reverse(array_sort(simArr(col(vecCol)))), 1, nprobe),
+        s => s.getField("cid"))).as("cell"))
+    // Each corpus vector lives in exactly one cell and (query, cell) probes
+    // are distinct, so candidates need no dedup.
+    topKPerKey(
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          cosine(col("qv"), col("cv")).as("sim")),
+      k)
+  }
+
   /** Embedding-space near-duplicate pairs: cosine ≥ threshold, found via
     * LSH collisions (any shared bucket), verified exactly. */
   def embeddingNearDupPairs(df: DataFrame, threshold: Double, dim: Int,

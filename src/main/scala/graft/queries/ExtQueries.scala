@@ -232,6 +232,44 @@ object ExtQueries {
       |FROM scored)
       |SELECT query_id, rank, cand_id, sim FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** IVF approximate top-k: deterministic coarse quantizer (every 50th
+    * vector is a centroid), nprobe=3 — exactly oracle-checkable, unlike
+    * the randomized LSH path, because cell assignment and probe order are
+    * fully determined by (cosine, centroid id). */
+  def qSimIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+      e.filter(col("vec_id") % 50 === 0), k = 5, nprobe = 3)
+  }
+
+  private val cosSql = (a: String, b: String) =>
+    s"""list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))
+       |    / (sqrt(list_sum(list_transform($a, x -> x * x)))
+       |       * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+
+  val qSimIvfSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+       |asim AS (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |    ${cosSql("e.v", "c.cv")} AS csim
+       |  FROM e CROSS JOIN c),
+       |cells AS (SELECT vec_id, v, cid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid DESC) AS rn
+       |  FROM asim) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, v AS qv, cid AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid DESC) AS rn
+       |  FROM asim WHERE vec_id < 10) WHERE rn <= 3),
+       |scored AS (
+       |  SELECT p.query_id, t.vec_id AS cand_id,
+       |    ${cosSql("p.qv", "t.v")} AS sim
+       |  FROM probes p JOIN cells t ON p.cell = t.cell
+       |  WHERE t.vec_id <> p.query_id),
+       |ranked AS (SELECT query_id, cand_id, sim,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
+       |FROM scored)
+       |SELECT query_id, rank, cand_id, sim FROM ranked WHERE rank <= 5""".stripMargin
+
   /** LSH-bucketed approximate top-k — rows-only; recall vs brute force
     * asserted in ExtSpec. */
   def qSimLsh(s: SparkSession, dir: String): DataFrame = {
@@ -258,6 +296,7 @@ object ExtQueries {
     "q_dedup_clusters"   -> (qDedupClusters _),
     "q_approx_sketch"    -> (qApproxSketch _),
     "q_sim_topk"         -> (qSimTopK _),
+    "q_sim_ivf"          -> (qSimIvf _),
     "q_sim_lsh"          -> (qSimLsh _),
     "q_emb_near_dup"     -> (qEmbNearDup _))
 
@@ -268,5 +307,6 @@ object ExtQueries {
     "q_contamination"    -> qContaminationSql,
     "q_dedup_exact"      -> qDedupExactSql,
     "q_dedup_jaccard"    -> qDedupJaccardSql,
-    "q_sim_topk"         -> qSimTopKSql)
+    "q_sim_topk"         -> qSimTopKSql,
+    "q_sim_ivf"          -> qSimIvfSql)
 }

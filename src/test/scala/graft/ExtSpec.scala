@@ -185,6 +185,20 @@ class ExtSpec extends AnyFunSuite {
     val recall = bfSet.keys.toSeq.map(k =>
       lshSet.getOrElse(k, Set.empty).intersect(bfSet(k)).size.toDouble / 5).sum / bfSet.size
     assert(recall >= 0.6, s"LSH recall too low: $recall")
+
+    // IVF: deterministic quantizer, probes only 3 of the cells, so output
+    // is well-formed (k rows per query, sims descending) and recalls most
+    // of the exact top-k on this corpus.
+    val ivf = Similarity.ivfTopK(e, q, e.filter(col("vec_id") % 50 === 0),
+      k = 5, nprobe = 3).as[(Long, Int, Long, Double)].collect()
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_._2).map(_._4)
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+    val ivfSet = ivf.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val ivfRecall = bfSet.keys.toSeq.map(k =>
+      ivfSet.getOrElse(k, Set.empty).intersect(bfSet(k)).size.toDouble / 5).sum / bfSet.size
+    assert(ivfRecall >= 0.4, s"IVF recall too low: $ivfRecall")
   }
 
   test("sketch aggregates land within tolerance of exact answers") {
