@@ -75,6 +75,30 @@ object StreamQueries {
       |count(*) AS n
       |FROM g GROUP BY user_id, sid""".stripMargin
 
+  /** Stream-stream interval join, batch twin (the identical plan runs as a
+    * watermarked streaming self-join in StreamSpec): each view matched to
+    * the same user's purchases within 30 minutes. */
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("amount"))
+    graft.streaming.StreamJoins.intervalJoin(
+        v, p, "v_user", "p_user", "v_ts", "p_ts", "30 minutes")
+      .select(col("view_id"), col("purchase_id"), col("v_user").as("user_id"),
+        col("amount"))
+  }
+
+  val qIntervalJoinSql: String =
+    """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+      |v.user_id, p.value AS amount
+      |FROM events v JOIN events p ON v.user_id = p.user_id
+      | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+      |WHERE v.event_type = 'view' AND p.event_type = 'purchase'""".stripMargin
+
   // ------------------------------------------------------- multimodal
 
   def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
@@ -127,6 +151,7 @@ object StreamQueries {
     "q_window_sliding"    -> (qSliding _),
     "q_window_session"    -> (qSessionWindow _),
     "q_sessionize_custom" -> (qSessionizeCustom _),
+    "q_interval_join"     -> (qIntervalJoin _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_resize" -> (qMultimodalResize _))
@@ -136,6 +161,7 @@ object StreamQueries {
     "q_window_sliding"    -> qSlidingSql,
     "q_window_session"    -> qSessionWindowSql,
     "q_sessionize_custom" -> qSessionizeCustomSql,
+    "q_interval_join"     -> qIntervalJoinSql,
     "q_multimodal_decode" -> qMultimodalDecodeSql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
     "q_multimodal_resize" -> qMultimodalResizeSql)

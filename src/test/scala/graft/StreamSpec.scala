@@ -106,6 +106,35 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: watermarked streaming == batch twin") {
+    import graft.streaming.StreamJoins
+    def views(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    def purchases(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val joined = StreamJoins.intervalJoin(
+        views(eventStream()).withWatermark("v_ts", "1 minute"),
+        purchases(eventStream()).withWatermark("p_ts", "1 minute"),
+        "v_user", "p_user", "v_ts", "p_ts", "30 minutes")
+      .select(col("view_id"), col("purchase_id"))
+    val q = joined.writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sj_out").as[(Long, Long)].collect().toSet
+      val ev = Tables.events(spark, dir)
+      val want = StreamJoins.intervalJoin(views(ev), purchases(ev),
+          "v_user", "p_user", "v_ts", "p_ts", "30 minutes")
+        .select(col("view_id"), col("purchase_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append-mode windowed aggregation") {
     import java.sql.Timestamp
     val dir2 = java.nio.file.Files.createTempDirectory("graft_late").toString
