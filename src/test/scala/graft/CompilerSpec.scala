@@ -168,4 +168,17 @@ class CompilerSpec extends AnyFunSuite {
     assert(r.map(x => (x.getLong(0), x.getString(1), x.getBoolean(2))).toSeq ==
       Seq((1L, "old-a", false), (2L, "NEW-B", true), (3L, "old-c", false)))
   }
+
+  test("getOrCreate: a NULL incoming key matching a NULL dim key is a hit") {
+    val incoming = Seq((Some(1L), "NEW-A"), (None, "NEW-NULL"))
+      .toDF("k", "name")
+    val dim = Seq((Some(1L), "old-a"), (None, "old-null")).toDF("k", "name")
+    val r = Wrangle.getOrCreate(incoming, dim, Seq("k"))
+      .orderBy(col("k").asc_nulls_first).collect()
+    // dict-style probe semantics: None == None matches, and the hit keeps
+    // the STORED record (not the built one) with created=false.
+    assert(r.map(x => (if (x.isNullAt(0)) -1L else x.getLong(0),
+      x.getString(1), x.getBoolean(2))).toSeq ==
+      Seq((-1L, "old-null", false), (1L, "old-a", false)))
+  }
 }

@@ -173,6 +173,34 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: late-but-in-gap event merges without moving the session end backwards") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sp = spark
+    implicit val sqlCtx = spark.sqlContext
+    def ev(s: String) = Sessionize.Event(
+      1L, java.sql.Timestamp.valueOf(s).toInstant, 1.0)
+    val input = MemoryStream[Sessionize.Event]
+    val q = Sessionize.sessions(
+        input.toDS().withWatermark("ts", "10 minutes"), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("ooo_out")
+      .outputMode("append").start()
+    try {
+      input.addData(ev("2024-01-01 10:00:00"), ev("2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      // Arrives in a later batch, BEFORE the open session's last event but
+      // within the gap: must merge, and must not shrink the session end.
+      input.addData(ev("2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      input.addData(ev("2024-01-01 11:00:00")) // gap exceeded: closes it
+      q.processAllAvailable()
+      val got = spark.table("ooo_out")
+        .select("s_start", "s_end", "n")
+        .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      assert(got == Set((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 10:15:00"), 3L)))
+    } finally q.stop()
+  }
+
   test("session_window batch == custom sessionize batch (same fold)") {
     implicit val sp = spark
     val ev = Tables.events(spark, dir)
