@@ -120,6 +120,49 @@ object Multimodal {
           greatest(col("meta.duration_ms"), lit(1L)) * 100.0)
           .cast(IntegerType).as("pct"))
 
+  /** ======== STUB ======== Audio feature extraction: the payload is read
+    * as an 8-bit sample stream (a real impl would decode PCM via a codec),
+    * chunked into fixed-size windows, and per-chunk loudness features
+    * (RMS, peak) are computed — one output row per chunk, so the chunks of
+    * one long recording scatter across tasks downstream. Integer
+    * accumulation keeps the result bit-reproducible across engines. */
+  def audioChunkFeatures(media: DataFrame, samplesPerChunk: Int = 256,
+                         idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("chunk", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("rms", DoubleType),
+      StructField("peak", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      // per-partition decoder/resampler init would go here (STUB: none)
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+          val nChunks = (bytes.length + samplesPerChunk - 1) / samplesPerChunk
+          (0 until nChunks).iterator.map { c =>
+            val from = c * samplesPerChunk
+            val until = math.min(from + samplesPerChunk, bytes.length)
+            var sumSq = 0L; var peak = 0
+            var i = from
+            while (i < until) {
+              val b = bytes(i) & 0xFF
+              sumSq += b.toLong * b; if (b > peak) peak = b
+              i += 1
+            }
+            val n = until - from
+            Row(id, c, n, math.sqrt(sumSq.toDouble / n), peak)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Re-bucket by cumulative payload size: `targetBytes` per partition.
     * Media tables are size-skewed; row-count partitioning starves tasks. */
   def repartitionBySize(media: DataFrame, targetBytes: Long): DataFrame = {

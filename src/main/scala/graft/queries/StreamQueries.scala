@@ -146,7 +146,26 @@ object StreamQueries {
       |  greatest(floor(len0 * scale)::INT, 1) AS n_bytes
       |FROM sc""".stripMargin
 
+  def qMultimodalAudio(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioChunkFeatures(
+      Multimodal.mediaTable(Tables(s, dir, "documents")), samplesPerChunk = 256)
+
+  /** Fixture texts are pure ASCII, so byte stream == codepoint stream. */
+  val qMultimodalAudioSql: String =
+    """WITH codes AS (SELECT doc_id, length(text) AS len,
+      |  list_transform(range(1, length(text) + 1), i -> ascii(text[i])::BIGINT) AS cs
+      |FROM documents WHERE length(text) > 0),
+      |ch AS (SELECT doc_id, len, cs,
+      |  unnest(range(0, (len + 255) // 256)) AS chunk FROM codes),
+      |sl AS (SELECT doc_id, chunk::INT AS chunk,
+      |  cs[chunk * 256 + 1 : least((chunk + 1) * 256, len)::INT] AS s FROM ch)
+      |SELECT doc_id, chunk, len(s)::INT AS n_samples,
+      |  sqrt(list_sum(list_transform(s, x -> x * x))::DOUBLE / len(s)) AS rms,
+      |  list_max(s)::INT AS peak
+      |FROM sl""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_audio"  -> (qMultimodalAudio _),
     "q_window_tumbling"   -> (qTumbling _),
     "q_window_sliding"    -> (qSliding _),
     "q_window_session"    -> (qSessionWindow _),
@@ -157,6 +176,7 @@ object StreamQueries {
     "q_multimodal_resize" -> (qMultimodalResize _))
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_audio"  -> qMultimodalAudioSql,
     "q_window_tumbling"   -> qTumblingSql,
     "q_window_sliding"    -> qSlidingSql,
     "q_window_session"    -> qSessionWindowSql,
