@@ -199,6 +199,35 @@ object ExtQueries {
     Dedup.dedupNear(Tables(s, dir, "documents"), "text", "doc_id",
       threshold = 0.8).select(col("doc_id"))
 
+  /** Connected components over the EXACT Jaccard pair graph — unlike
+    * q_dedup_clusters (LSH-prefiltered, rows-only), this one is fully
+    * oracle-checkable: the DuckDB twin computes the transitive closure
+    * with a recursive CTE and takes each node's min reachable id. */
+  def qClusterExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val pairs = Dedup.prefixJaccardPairs(docs, "text", "doc_id", "lang",
+      threshold = 0.5)
+    Dedup.clusters(docs.select(col("doc_id").as("id")), pairs)
+  }
+
+  val qClusterExactSql: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, lang,
+      |  string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |sh AS (SELECT doc_id, lang,
+      |  list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+      |    i -> array_to_string(w[i+1:i+3], ' '))) AS t FROM t),
+      |pairs AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.t, b.t))::DOUBLE
+      |      / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.5),
+      |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS a, doc_id AS b FROM documents
+      |  UNION
+      |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)
+      |SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a""".stripMargin
+
   /** Sketch aggregates (HLL++ distinct counts, approximate quantiles) —
     * the constant-memory path for 100 TB cardinality/quantile work.
     * Rows-only (sketch internals are engine-specific); accuracy vs exact
@@ -294,6 +323,7 @@ object ExtQueries {
     "q_dedup_simhash"    -> (qDedupSimhash _),
     "q_near_dup"         -> (qNearDup _),
     "q_dedup_clusters"   -> (qDedupClusters _),
+    "q_cluster_exact"    -> (qClusterExact _),
     "q_approx_sketch"    -> (qApproxSketch _),
     "q_sim_topk"         -> (qSimTopK _),
     "q_sim_ivf"          -> (qSimIvf _),
@@ -308,5 +338,6 @@ object ExtQueries {
     "q_dedup_exact"      -> qDedupExactSql,
     "q_dedup_jaccard"    -> qDedupJaccardSql,
     "q_sim_topk"         -> qSimTopKSql,
-    "q_sim_ivf"          -> qSimIvfSql)
+    "q_sim_ivf"          -> qSimIvfSql,
+    "q_cluster_exact"    -> qClusterExactSql)
 }
