@@ -92,18 +92,30 @@ object Similarity {
 
   /** Deterministic random hyperplanes: `tables` tables × `bits` planes of
     * dimension `dim`, fixed seed. Materialized as plan-time literals. */
-  private[ext] def hyperplanes(dim: Int, bits: Int, tables: Int,
+  private[graft] def hyperplanes(dim: Int, bits: Int, tables: Int,
                                seed: Long): Seq[Seq[Array[Double]]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
   }
 
-  /** Sign-bit bucket id of a vector under one table's planes. */
-  private def bucketId(vec: Column, planes: Seq[Array[Double]]): Column =
+  /** Sign-bit bucket id of a vector under one table's planes —
+    * compositional formulation, kept ONLY as the cross-check twin of the
+    * fused [[graft.functions.HyperplaneBuckets]] expression (T×B dot
+    * expressions fall out of whole-stage codegen and run ~6x slower). */
+  private[graft] def bucketId(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val d = dot(vec, typedLit(p.toSeq))
       when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** (tbl, bucket) rows for every LSH table — fused single-pass expression
+    * + posexplode. */
+  private def withBuckets(df: DataFrame, planes: Seq[Seq[Array[Double]]],
+                          id: String, v: String): DataFrame =
+    df.select(col(id), col(v),
+        posexplode(graft.functions.VectorExpressions.hyperplaneBuckets(
+          col(v), planes.map(_.map(_.toSeq)))))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
 
   /** Approximate cosine top-k via random-hyperplane LSH.
     *
@@ -115,18 +127,11 @@ object Similarity {
               bits: Int = 8, tables: Int = 8, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val planes = hyperplanes(dim, bits, tables, seed)
-    def withBuckets(df: DataFrame, id: String, v: String): DataFrame = {
-      val buckets = array(planes.zipWithIndex.map { case (tp, t) =>
-        struct(lit(t).as("tbl"), bucketId(col(v), tp).as("bucket"))
-      }: _*)
-      df.select(col(id), col(v), explode(buckets).as("tb"))
-        .select(col(id), col(v), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    }
     val c = withBuckets(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
-      "cand_id", "cv")
+      planes, "cand_id", "cv")
     val q = broadcast(withBuckets(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "query_id", "qv"))
+      planes, "query_id", "qv"))
     // Score before dedup: cosine is codegen-cheap, and shuffling
     // (query, cand, sim) triples is ~50x narrower than shuffling vectors;
     // then the bounded aggregator caps shuffle rows at keys*k.
@@ -188,11 +193,8 @@ object Similarity {
                             idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
     val planes = hyperplanes(dim, bits, tables, seed)
-    val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        explode(array(planes.zipWithIndex.map { case (tp, t) =>
-          struct(lit(t).as("tbl"), bucketId(col(vecCol), tp).as("bucket"))
-        }: _*)).as("tb"))
-      .select(col("id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val withB = withBuckets(df.select(col(idCol).as("id"), col(vecCol).as("v")),
+      planes, "id", "v")
     val a = withB.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = withB.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     // Score + threshold-filter before the pair dedup: the codegen'd cosine

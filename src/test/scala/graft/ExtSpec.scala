@@ -156,6 +156,18 @@ class ExtSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("fused HyperplaneBuckets == compositional bucketId formulation") {
+    val e = Tables(spark, dir, "embeddings").limit(200)
+    val planes = Similarity.hyperplanes(dim = 64, bits = 4, tables = 16, seed = 42L)
+    val fused = graft.functions.VectorExpressions.hyperplaneBuckets(
+      col("embedding"), planes.map(_.map(_.toSeq)))
+    val composed = array(planes.map(tp =>
+      Similarity.bucketId(col("embedding"), tp)): _*)
+    val diff = e.select(fused.as("f"), composed.as("c"))
+      .filter(col("f") =!= col("c")).count()
+    assert(diff == 0L)
+  }
+
   test("cosine: orthogonal 0, identical 1") {
     val df = Seq((Seq(1f, 0f), Seq(0f, 1f), Seq(2f, 0f))).toDF("a", "b", "c")
     val r = df.select(
