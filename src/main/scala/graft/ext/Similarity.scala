@@ -168,9 +168,13 @@ object Similarity {
     require(cents.nonEmpty, "centroid set must be non-empty")
     // (sim, cid) structs compare lexicographically: max sim, ties to the
     // larger centroid id — mirrored in the oracle's ORDER BY sim DESC, cid DESC.
-    def simArr(v: Column): Column = array(cents.map { case (cid, cv) =>
-      struct(cosine(v, typedLit(cv)).as("sim"), lit(cid).as("cid"))
-    }.toSeq: _*)
+    // All C cosines come from one fused expression pass (CentroidCosines,
+    // bit-equal to C compositional cosine expressions but codegen-budget-safe).
+    val centroidVecs = cents.map(_._2.map(_.toDouble).toSeq).toSeq
+    val cids = typedLit(cents.map(_._1).toSeq)
+    def simArr(v: Column): Column = zip_with(
+      graft.functions.VectorExpressions.centroidCosines(v, centroidVecs),
+      cids, (s, c) => struct(s.as("sim"), c.as("cid")))
     val assigned = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
       array_max(simArr(col(vecCol))).getField("cid").as("cell"))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),

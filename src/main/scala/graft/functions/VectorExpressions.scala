@@ -212,6 +212,60 @@ case class HyperplaneBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
     copy(child = c)
 }
 
+/** Cosine similarity of a vector against EVERY centroid of a driver-sized
+  * codebook in one pass — ARRAY<DOUBLE>, one sim per centroid, in codebook
+  * order. Same motivation as [[HyperplaneBuckets]]: C compositional
+  * `CosineSimilarity` expressions per row blow the codegen budget and run
+  * interpreted. Per-centroid arithmetic is identical to
+  * [[CosineSimilarity]] (left-to-right double accumulation), so results
+  * are bit-equal to the compositional form. Null vector → null. */
+case class CentroidCosines(child: Expression, centroids: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val mat: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expected ARRAY<FLOAT|DOUBLE>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Double](mat.length)
+    var c = 0
+    while (c < mat.length) {
+      val cv = mat(c)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n && i < cv.length) {
+        if (!x.isNullAt(i)) {
+          val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+          dot += xv * cv(i); na += xv * xv; nb += cv(i) * cv(i)
+        }
+        i += 1
+      }
+      out(c) = dot / (math.sqrt(na) * math.sqrt(nb))
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(
@@ -224,4 +278,8 @@ object VectorExpressions {
   def hyperplaneBuckets(v: Column, planes: Seq[Seq[Seq[Double]]]): Column =
     GraftColumnBridge.column(HyperplaneBuckets(
       GraftColumnBridge.expression(v), planes))
+
+  def centroidCosines(v: Column, centroids: Seq[Seq[Double]]): Column =
+    GraftColumnBridge.column(CentroidCosines(
+      GraftColumnBridge.expression(v), centroids))
 }
