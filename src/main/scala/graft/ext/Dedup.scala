@@ -225,7 +225,12 @@ object Dedup {
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
       .localCheckpoint()
-    var labels = ids.select(col("id"), col("id").as("cluster")).localCheckpoint()
+    // Only nodes that appear in an edge participate in propagation. In a
+    // dedup graph almost every document is a singleton, so at scale this
+    // shrinks the iterated frame from |corpus| to |near-dup docs|;
+    // singletons are stitched back as their own cluster at the end.
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -244,7 +249,8 @@ object Dedup {
       labels = next.select("id", "cluster")
       iter += 1
     }
-    labels
+    ids.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** End-to-end near-duplicate removal: LSH+verified pairs → clusters →
