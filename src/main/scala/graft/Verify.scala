@@ -16,9 +16,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // The driver's comparator hashes cells with pandas, which cannot
+        // hash ARRAY/STRUCT/MAP or DECIMAL — nested outputs must be
+        // to_json'd (see graft.queries.Oracle.q6). Catch regressions here.
+        df.schema.fields.foreach { f =>
+          val t = f.dataType.typeName
+          if (t == "array" || t == "struct" || t == "map" || t.startsWith("decimal"))
+            System.err.println(
+              s"[verify] WARNING $name.${f.name}: $t output breaks the driver's comparator")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

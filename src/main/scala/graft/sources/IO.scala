@@ -40,6 +40,15 @@ object IO {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
 
+  /** Schema-enforced ORC read (the other columnar format large estates
+    * carry alongside parquet; same pushdown/pruning behavior). */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Partitioned, optionally sorted parquet sink. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
                        sortCols: Seq[String] = Nil,
@@ -81,4 +90,28 @@ object IO {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .partitionBy(partitionCols: _*)
+
+  /** Streaming upsert sink: `foreachBatch` applies the MERGE-as-joins
+    * [[upsert]] per micro-batch, so a stream maintains a keyed dimension —
+    * the streaming half of the reference's get-or-create store. The batch
+    * is deduped on the keys first (last write in a batch wins arbitrarily
+    * -> keep it deterministic by deduping), and the merged result is
+    * materialized (`localCheckpoint`) before overwriting the path it was
+    * read from. Checkpointing makes retries idempotent: re-running a batch
+    * re-merges the same keys. Caller starts/stops the returned query. */
+  def writeStreamUpsert(stream: DataFrame, path: String, checkpoint: String,
+                        keys: Seq[String]) =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val deduped = batch.dropDuplicates(keys)
+        val merged =
+          if (new java.io.File(path).exists())
+            upsert(spark.read.parquet(path), deduped, keys)
+          else deduped
+        merged.localCheckpoint()
+          .write.mode(SaveMode.Overwrite).parquet(path)
+        ()
+      }
 }

@@ -83,4 +83,31 @@ class IOSpec extends AnyFunSuite {
     val ins = IO.insertNew(existing, updates, Seq("k")).as[(Long, String)].collect().toSet
     assert(ins == Set((3L, "c")))
   }
+
+  test("orc source round-trips with enforced schema") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val orders = Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    IO.writeOrc(orders, s"$dir/o")
+    val back = IO.readOrc(spark, s"$dir/o", orders.schema)
+    assert(back.count() == orders.count())
+    assert(back.schema == orders.schema)
+  }
+
+  test("streaming upsert sink maintains a keyed dimension across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_supsert").toString
+    val input = MemoryStream[(Long, String)]
+    val q = IO.writeStreamUpsert(input.toDF().toDF("k", "v"),
+      s"$dir/dim", s"$dir/ckpt", Seq("k")).start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((2L, "B2"), (3L, "c")) // update 2, insert 3
+      q.processAllAvailable()
+      val r = spark.read.parquet(s"$dir/dim").as[(Long, String)].collect().toSet
+      assert(r == Set((1L, "a"), (2L, "B2"), (3L, "c")))
+    } finally q.stop()
+  }
 }
