@@ -112,6 +112,45 @@ object TextAnalysis {
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** Non-distinct word n-grams — repetition signals need multiplicity
+    * (unlike [[Dedup.shingles]], which dedups for set similarity). */
+  def ngramsAll(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    transform(sequence(lit(0), greatest(size(t) - n, lit(0))),
+      i => concat_ws(" ", slice(t, i + lit(1), lit(n))))
+  }
+
+  /** Fraction of adjacent token pairs that repeat ("the the") — pure
+    * map-side expression. */
+  def consecutiveRepeatRatio(text: Column): Column = {
+    val t = tokens(text)
+    val sz = size(t)
+    size(filter(zip_with(slice(t, lit(1), sz - 1), slice(t, lit(2), sz - 1),
+        (a, b) => a === b), x => x)).cast(DoubleType) /
+      greatest(sz - 1, lit(1)).cast(DoubleType)
+  }
+
+  /** Gopher-style repetition signals per document:
+    *  - `top{n}gram_frac`: share of all n-gram occurrences taken by the
+    *    single most frequent n-gram;
+    *  - `dup{n}gram_frac`: share of n-gram occurrences that are repeats
+    *    (1 − distinct/total);
+    *  - `rep_ratio`: consecutive-token repeat fraction.
+    * Shape at scale: one explode + two aggregations keyed by (doc, gram)
+    * then (doc) — narrow string keys, partial aggregation throughout; the
+    * map-side repeat ratio rides the same scan. */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                        idCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    val counts = docs
+      .select(col(idCol), explode(ngramsAll(col(textCol), n)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+    val aggd = counts.groupBy(col(idCol)).agg(
+      (max(col("c")).cast(DoubleType) / sum(col("c"))).as(s"top${n}gram_frac"),
+      (lit(1.0) - count(lit(1)).cast(DoubleType) / sum(col("c"))).as(s"dup${n}gram_frac"))
+    docs.select(col(idCol), consecutiveRepeatRatio(col(textCol)).as("rep_ratio"))
+      .join(aggd, Seq(idCol))
+  }
+
   /** Polynomial rolling-hash fingerprint over the normalized character
     * stream: h := (h*31 + codepoint) mod 1e9+7. Order-sensitive (unlike a
     * bag-of-words hash) and expressible in plain SQL for the oracle. */

@@ -108,6 +108,26 @@ object ExtQueries {
        |SELECT doc_id, quality, n_tokens FROM q
        |WHERE quality >= 0.9 AND n_tokens >= 50""".stripMargin
 
+  /** Gopher-style repetition quality signals (top-2-gram share, duplicate
+    * 2-gram share, consecutive-token repeats). */
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(Tables(s, dir, "documents"), "text", "doc_id", n = 2)
+
+  val qRepetitionSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |  unnest(list_transform(range(0, greatest(len(w) - 2, 0) + 1),
+      |    i -> array_to_string(w[i+1:i+2], ' '))) AS g FROM t),
+      |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+      |a AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top2gram_frac,
+      |  1.0 - count(*)::DOUBLE / sum(c) AS dup2gram_frac FROM c GROUP BY doc_id),
+      |r AS (SELECT doc_id,
+      |  len(list_filter(range(1, len(w)), i -> w[i] = w[i+1]))::DOUBLE
+      |    / greatest(len(w) - 1, 1) AS rep_ratio FROM t)
+      |SELECT a.doc_id, rep_ratio, top2gram_frac, dup2gram_frac
+      |FROM a JOIN r USING (doc_id)""".stripMargin
+
   /** Benchmark contamination: documents sharing ≥5 word-trigram shingles
     * with the "benchmark" slice (doc_id % 10 = 0). */
   def qContamination(s: SparkSession, dir: String): DataFrame = {
@@ -316,6 +336,7 @@ object ExtQueries {
     "q_text_stats"       -> (qTextStats _),
     "q_lang_fingerprint" -> (qLangFingerprint _),
     "q_quality_filter"   -> (qQualityFilter _),
+    "q_repetition"       -> (qRepetition _),
     "q_contamination"    -> (qContamination _),
     "q_dedup_exact"      -> (qDedupExact _),
     "q_dedup_jaccard"    -> (qDedupJaccard _),
@@ -334,6 +355,7 @@ object ExtQueries {
     "q_text_stats"       -> qTextStatsSql,
     "q_lang_fingerprint" -> qLangFingerprintSql,
     "q_quality_filter"   -> qQualityFilterSql,
+    "q_repetition"       -> qRepetitionSql,
     "q_contamination"    -> qContaminationSql,
     "q_dedup_exact"      -> qDedupExactSql,
     "q_dedup_jaccard"    -> qDedupJaccardSql,

@@ -227,6 +227,18 @@ class ExtSpec extends AnyFunSuite {
       s"approx median off: ${r.getDouble(2)} vs ${r.getDouble(3)}")
   }
 
+  test("repetition signals: degenerate text scores high, varied text low") {
+    val df = Seq((1L, "spam spam spam spam"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(df, "text", "doc_id", n = 2)
+      .collect().map(x => x.getLong(0) ->
+        (x.getDouble(1), x.getDouble(2), x.getDouble(3))).toMap
+    // "spam spam" is all 3 bigram occurrences: top=1.0, dup=2/3, rep=1.0
+    assert(r(1L) == ((1.0, 1.0, 1.0 - 1.0 / 3.0)))
+    // all bigrams distinct, no consecutive repeats
+    assert(r(2L) == ((0.0, 1.0 / 3.0, 0.0)))
+  }
+
   test("text analysis basics") {
     val df = Seq("The cat and the dog!", "").toDF("t")
     val r = df.select(
