@@ -30,4 +30,21 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(combine.head, combine.tail: _*)
   }
+
+  /** Skewed equi-join: the fact side gets a content-derived salt in
+    * [0, salts) so a hot key's rows spread over `salts` reducers; the dim
+    * side is replicated `salts`-way and the join runs on keys :+ salt.
+    * For joins where AQE's skew split does not apply (e.g. the build side
+    * is already partitioned, or the skew is dominated by a single key that
+    * one split cannot break). Cost: dim scan × salts — use with
+    * driver-small-to-medium dims, not two fact tables. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    val saltCol = "__graft_salt"
+    val saltedFact = fact.withColumn(saltCol,
+      pmod(xxhash64(fact.columns.map(col).toSeq: _*), lit(salts.toLong)))
+    val saltedDim = dim.withColumn(saltCol,
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    saltedFact.join(saltedDim, keys :+ saltCol, joinType).drop(saltCol)
+  }
 }

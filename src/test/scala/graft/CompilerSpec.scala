@@ -169,6 +169,21 @@ class CompilerSpec extends AnyFunSuite {
       Seq((1L, "old-a", false), (2L, "NEW-B", true), (3L, "old-c", false)))
   }
 
+  test("wrangle plans keep filter pushdown and column pruning through the row-struct") {
+    val df = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val spec = PipelineSpec(Model("M")(
+      "okey" -> Get("l_orderkey"),
+      "qty"  -> Get("l_quantity")))
+    val plan = Wrangle.wrangle(df, spec, "M").filter(col("qty") > 30.0)
+      .queryExecution.executedPlan.toString
+    // SimplifyExtractValueOps must collapse struct(row).getField so the
+    // predicate and the 2-column projection reach the parquet scan.
+    assert(plan.contains("GreaterThan(l_quantity,30.0)"),
+      s"filter not pushed to scan:\n$plan")
+    assert(!plan.contains("l_comment") && !plan.contains("l_extendedprice"),
+      s"scan reads columns the query never touches:\n$plan")
+  }
+
   test("getOrCreate: a NULL incoming key matching a NULL dim key is a hit") {
     val incoming = Seq((Some(1L), "NEW-A"), (None, "NEW-NULL"))
       .toDF("k", "name")

@@ -57,6 +57,28 @@ class JoinsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("salted join == plain join, inner and left") {
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    // 3-value key: exactly the hot-key shape saltedJoin targets
+    val dim = Seq(("A", "flagA"), ("N", "flagN"), ("X", "flagX"))
+      .toDF("l_returnflag", "label")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_orderkey", "l_returnflag", "label")
+        .as[(Long, String, String)].collect().sorted.toSeq
+    val gotInner = canon(graft.exec.Skew.saltedJoin(li, dim, Seq("l_returnflag"), salts = 8))
+    val wantInner = canon(li.join(dim, Seq("l_returnflag")))
+    assert(gotInner == wantInner && gotInner.nonEmpty)
+    val gotLeft = graft.exec.Skew.saltedJoin(li, dim, Seq("l_returnflag"),
+        salts = 8, joinType = "left")
+      .select("l_orderkey", "l_returnflag", "label")
+      .as[(Long, String, Option[String])].collect().sorted.toSeq
+    val wantLeft = li.join(dim, Seq("l_returnflag"), "left")
+      .select("l_orderkey", "l_returnflag", "label")
+      .as[(Long, String, Option[String])].collect().sorted.toSeq
+    assert(gotLeft == wantLeft)
+  }
+
   test("range join == plain inequality join") {
     val left = (0 until 200).map(i => (i.toLong, i * 7.3 - 100)).toDF("id", "v")
     val right = (0 until 20).map(i => (i.toLong, i * 53.0 - 80, i * 53.0 + 40.0))
