@@ -136,19 +136,37 @@ object TextAnalysis {
     *  - `dup{n}gram_frac`: share of n-gram occurrences that are repeats
     *    (1 − distinct/total);
     *  - `rep_ratio`: consecutive-token repeat fraction.
-    * Shape at scale: one explode + two aggregations keyed by (doc, gram)
-    * then (doc) — narrow string keys, partial aggregation throughout; the
-    * map-side repeat ratio rides the same scan. */
+    *
+    * Shape at scale: a per-document signal must not shuffle — the naive
+    * explode + groupBy(doc, gram) formulation shuffles every gram
+    * occurrence (measured 4s at sf0.1 vs ~0.3s for this one). Instead the
+    * grams are sorted per row and the max n-gram count falls out as the
+    * longest equal-neighbor run: the whole operator is one map-side
+    * projection over the scan. The sorted gram array is aliased in its own
+    * projection; CollapseProject keeps multi-use non-cheap aliases
+    * un-inlined, so it is computed once per row. */
   def repetitionSignals(docs: org.apache.spark.sql.DataFrame, textCol: String,
                         idCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
-    val counts = docs
-      .select(col(idCol), explode(ngramsAll(col(textCol), n)).as("g"))
-      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
-    val aggd = counts.groupBy(col(idCol)).agg(
-      (max(col("c")).cast(DoubleType) / sum(col("c"))).as(s"top${n}gram_frac"),
-      (lit(1.0) - count(lit(1)).cast(DoubleType) / sum(col("c"))).as(s"dup${n}gram_frac"))
-    docs.select(col(idCol), consecutiveRepeatRatio(col(textCol)).as("rep_ratio"))
-      .join(aggd, Seq(idCol))
+    val g = col("__g")
+    val total = size(g)
+    // longest run of equal neighbors in the sorted array == max gram count
+    val maxRun = aggregate(g,
+      struct(lit("").as("prev"), lit(0L).as("cur"), lit(0L).as("best")),
+      (acc, x) => {
+        val cur = when(x === acc.getField("prev"), acc.getField("cur") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), cur.as("cur"),
+          greatest(acc.getField("best"), cur).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs
+      .select(col(idCol), col(textCol),
+        array_sort(ngramsAll(col(textCol), n)).as("__g"))
+      .select(col(idCol),
+        consecutiveRepeatRatio(col(textCol)).as("rep_ratio"),
+        (maxRun.cast(DoubleType) / total.cast(DoubleType)).as(s"top${n}gram_frac"),
+        (lit(1.0) - size(array_distinct(g)).cast(DoubleType) / total.cast(DoubleType))
+          .as(s"dup${n}gram_frac"))
   }
 
   /** Polynomial rolling-hash fingerprint over the normalized character
