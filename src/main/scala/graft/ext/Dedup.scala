@@ -193,8 +193,13 @@ object Dedup {
       .repartition(col("id")) // one shingle pass shared by all four consumers
     val prefLen = (size(col("sh")) -
       ceil(lit(threshold) * size(col("sh"))).cast("int") + lit(1))
+    // Prefix shingles join on their 8-byte hash, not the string: the
+    // candidate join shuffles ~half of every document's shingles, and at
+    // scale the shingle TEXT dominates that exchange. Hash equality is
+    // lossless here — a collision can only ADD a candidate, and every
+    // candidate is verified with exact Jaccard below.
     val pref = sh.select(col("blk"), col("id"),
-      explode(slice(col("sh"), lit(1), prefLen)).as("p"))
+      explode(transform(slice(col("sh"), lit(1), prefLen), x => xxhash64(x))).as("p"))
     val cand = pref.select(col("blk"), col("p"), col("id").as("id_a"))
       .join(pref.select(col("blk"), col("p"), col("id").as("id_b")), Seq("blk", "p"))
       .filter(col("id_a") < col("id_b"))
@@ -248,6 +253,7 @@ object Dedup {
       changed = next.filter(col("cluster") =!= col("prev")).count()
       labels = next.select("id", "cluster")
       iter += 1
+      System.err.println(s"[clusters] iter $iter: $changed labels changed")
     }
     ids.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
