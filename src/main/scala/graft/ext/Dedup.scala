@@ -27,6 +27,15 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col(textCol), col("n_copies"))
 
+  /** Streaming exact dedup: first occurrence of each key wins; the
+    * watermark bounds the dedup state (keys older than the watermark minus
+    * the delay are evicted), so state is O(rate × delay), not O(stream).
+    * Batch twin of the semantics: `dropDuplicates(keys)`. */
+  def exactStream(stream: DataFrame, keys: Seq[String],
+                  eventTimeCol: String, delay: String): DataFrame =
+    stream.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   // ------------------------------------------------------------- shingles
 
   /** Word n-gram shingles (distinct) of the lower-cased text — tight-loop

@@ -133,6 +133,62 @@ object RelationalQueries {
        |GROUP BY o_custkey
        |ORDER BY revenue DESC, custkey ASC LIMIT 10""".stripMargin
 
+  /** Range-frame window (numeric RANGE BETWEEN) + value window functions
+    * (first/last/nth value, cume_dist). Range frames include ALL peers of
+    * the current order value, so results are tie-deterministic. */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem_wr")
+    s.sql(
+      """SELECT l_orderkey AS okey, l_linenumber AS lnum, l_returnflag AS flag,
+        |l_quantity AS qty,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(27,7))) OVER
+        |  (PARTITION BY l_returnflag ORDER BY l_quantity
+        |   RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_near,
+        |first_value(l_orderkey) OVER w AS first_ok,
+        |last_value(l_orderkey) OVER w AS last_ok,
+        |nth_value(l_orderkey, 3) OVER w AS third_ok,
+        |cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
+        |FROM v_lineitem_wr
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_quantity, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT l_orderkey AS okey, l_linenumber AS lnum, l_returnflag AS flag,
+      |l_quantity AS qty,
+      |CAST(sum(CAST(l_quantity AS DECIMAL(27,7))) OVER
+      |  (PARTITION BY l_returnflag ORDER BY l_quantity
+      |   RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_near,
+      |first_value(l_orderkey) OVER w AS first_ok,
+      |last_value(l_orderkey) OVER w AS last_ok,
+      |nth_value(l_orderkey, 3) OVER w AS third_ok,
+      |cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_returnflag
+      |  ORDER BY l_quantity, l_orderkey, l_linenumber
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Multiset set-ops (EXCEPT ALL / INTERSECT ALL) over a key with real
+    * duplicate multiplicity. */
+  def qSetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val a = li.filter(col("l_returnflag") === "A").select(col("l_suppkey"))
+    val r = li.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+    a.exceptAll(r).select(col("l_suppkey").as("suppkey"), lit("except_all").as("op"))
+      .unionAll(a.intersectAll(r)
+        .select(col("l_suppkey").as("suppkey"), lit("intersect_all").as("op")))
+  }
+
+  val qSetOpsAllSql: String =
+    """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'),
+      |r AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT l_suppkey AS suppkey, 'except_all' AS op
+      |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM r)
+      |UNION ALL
+      |SELECT l_suppkey AS suppkey, 'intersect_all' AS op
+      |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM r)""".stripMargin
+
   /** Set operations: union distinct / intersect / except, tagged. */
   def qSetOps(s: SparkSession, dir: String): DataFrame = {
     val c = Tables(s, dir, "customer")
@@ -517,8 +573,10 @@ object RelationalQueries {
     "q_semi_anti"  -> (qSemiAnti _),
     "q_outer_join" -> (qOuterJoin _),
     "q_window"     -> (qWindow _),
+    "q_window_range" -> (qWindowRange _),
     "q_topk"       -> (qTopK _),
     "q_set_ops"    -> (qSetOps _),
+    "q_set_ops_all" -> (qSetOpsAll _),
     "q_distinct"   -> (qDistinct _),
     "q_rollup"     -> (qRollup _),
     "q_cube"       -> (qCube _),
@@ -540,8 +598,10 @@ object RelationalQueries {
     "q_semi_anti"  -> qSemiAntiSql,
     "q_outer_join" -> qOuterJoinSql,
     "q_window"     -> qWindowSql,
+    "q_window_range" -> qWindowRangeSql,
     "q_topk"       -> qTopKSql,
     "q_set_ops"    -> qSetOpsSql,
+    "q_set_ops_all" -> qSetOpsAllSql,
     "q_distinct"   -> qDistinctSql,
     "q_rollup"     -> qRollupSql,
     "q_cube"       -> qCubeSql,

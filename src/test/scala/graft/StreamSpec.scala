@@ -173,6 +173,21 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: one row per key, watermark-bounded state") {
+    val s = graft.ext.Dedup.exactStream(eventStream(), Seq("user_id"), "ts", "1 hour")
+      .select("user_id")
+    val q = s.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").as[Long].collect().toSeq
+      val want = Tables.events(spark, dir).select("user_id").distinct()
+        .as[Long].collect().toSet
+      assert(got.toSet == want, "streaming dedup must cover every key once")
+      assert(got.size == want.size, "no key may be emitted twice")
+    } finally q.stop()
+  }
+
   test("sessionize: late-but-in-gap event merges without moving the session end backwards") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sp = spark
