@@ -169,6 +169,28 @@ object RelationalQueries {
       |  ORDER BY l_quantity, l_orderkey, l_linenumber
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Correlated LATERAL subquery join: each customer's single
+    * highest-value order (per-key top-1 via correlated ORDER BY + LIMIT —
+    * the decorrelation-machinery exercise; Catalyst rewrites it to a
+    * ranked window join). */
+  def qLateral(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "customer").createOrReplaceTempView("v_customer_lat")
+    Tables(s, dir, "orders").createOrReplaceTempView("v_orders_lat")
+    s.sql(
+      """SELECT c_custkey AS custkey, o.okey, o.top_price
+        |FROM v_customer_lat, LATERAL (
+        |  SELECT o_orderkey AS okey, o_totalprice AS top_price
+        |  FROM v_orders_lat WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o""".stripMargin)
+  }
+
+  val qLateralSql: String =
+    """SELECT c_custkey AS custkey, o.okey, o.top_price
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey AS okey, o_totalprice AS top_price
+      |  FROM orders WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o""".stripMargin
+
   /** Multiset set-ops (EXCEPT ALL / INTERSECT ALL) over a key with real
     * duplicate multiplicity. */
   def qSetOpsAll(s: SparkSession, dir: String): DataFrame = {
@@ -575,6 +597,7 @@ object RelationalQueries {
     "q_window"     -> (qWindow _),
     "q_window_range" -> (qWindowRange _),
     "q_topk"       -> (qTopK _),
+    "q_lateral"    -> (qLateral _),
     "q_set_ops"    -> (qSetOps _),
     "q_set_ops_all" -> (qSetOpsAll _),
     "q_distinct"   -> (qDistinct _),
@@ -600,6 +623,7 @@ object RelationalQueries {
     "q_window"     -> qWindowSql,
     "q_window_range" -> qWindowRangeSql,
     "q_topk"       -> qTopKSql,
+    "q_lateral"    -> qLateralSql,
     "q_set_ops"    -> qSetOpsSql,
     "q_set_ops_all" -> qSetOpsAllSql,
     "q_distinct"   -> qDistinctSql,
