@@ -169,6 +169,44 @@ object TextAnalysis {
           .as(s"dup${n}gram_frac"))
   }
 
+  /** Top-k salient terms per document by tf-idf.
+    *
+    * idf is the smoothed RATIO (N+1)/(df+1), not its logarithm: the gate
+    * compares doubles bit-for-bit across engines and libm `ln` is not
+    * guaranteed identical between the JVM and DuckDB — swapping in log-idf
+    * is a one-line change where cross-engine bit-equality is not required.
+    *
+    * Scale shape: term frequencies aggregate on (doc, term) — narrow keys,
+    * map-side partial agg; document frequencies on (term) — vocabulary-
+    * sized; the idf join broadcasts the vocabulary; top-k per doc is a
+    * ranked window over each doc's own terms. */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("tfidf",
+        col("tf").cast(DoubleType) *
+          (lit(nDocs + 1.0) / (col("df").cast(DoubleType) + 1.0)))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Inverted index: term → sorted posting list of document ids (+ df).
+    * The posting list is emitted as JSON for the driver's comparator. */
+  def invertedIndex(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        to_json(sort_array(collect_list(col(idCol)))).as("postings"))
+
   /** Polynomial rolling-hash fingerprint over the normalized character
     * stream: h := (h*31 + codepoint) mod 1e9+7. Order-sensitive (unlike a
     * bag-of-words hash) and expressible in plain SQL for the oracle. */

@@ -108,6 +108,36 @@ object ExtQueries {
        |SELECT doc_id, quality, n_tokens FROM q
        |WHERE quality >= 0.9 AND n_tokens >= 50""".stripMargin
 
+  /** Top-5 tf-idf terms per document (ratio idf — see
+    * TextAnalysis.tfidfTopTerms for why not log). */
+  def qTfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(Tables(s, dir, "documents"), "text", "doc_id", k = 5)
+
+  val qTfidfSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+      |scored AS (SELECT doc_id, term, tf, df,
+      |  tf::DOUBLE * ((n.n + 1.0) / (df::DOUBLE + 1.0)) AS tfidf
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      |ranked AS (SELECT doc_id, term, tf, df, tfidf,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+      |FROM scored)
+      |SELECT doc_id, rank, term, tf, df, tfidf FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** Inverted index over the corpus: term -> df + sorted posting list. */
+  def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.invertedIndex(Tables(s, dir, "documents"), "text", "doc_id")
+
+  val qInvertedIndexSql: String =
+    """WITH t AS (SELECT DISTINCT doc_id,
+      |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents)
+      |SELECT term, count(*) AS df,
+      |  to_json(list_sort(list(doc_id))) AS postings
+      |FROM t GROUP BY term""".stripMargin
+
   /** Gopher-style repetition quality signals (top-2-gram share, duplicate
     * 2-gram share, consecutive-token repeats). */
   def qRepetition(s: SparkSession, dir: String): DataFrame =
@@ -334,6 +364,8 @@ object ExtQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"       -> (qTextStats _),
+    "q_tfidf"            -> (qTfidf _),
+    "q_inverted_index"   -> (qInvertedIndex _),
     "q_lang_fingerprint" -> (qLangFingerprint _),
     "q_quality_filter"   -> (qQualityFilter _),
     "q_repetition"       -> (qRepetition _),
@@ -353,6 +385,8 @@ object ExtQueries {
 
   val oracle: Map[String, String] = Map(
     "q_text_stats"       -> qTextStatsSql,
+    "q_tfidf"            -> qTfidfSql,
+    "q_inverted_index"   -> qInvertedIndexSql,
     "q_lang_fingerprint" -> qLangFingerprintSql,
     "q_quality_filter"   -> qQualityFilterSql,
     "q_repetition"       -> qRepetitionSql,
