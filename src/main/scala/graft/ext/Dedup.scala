@@ -264,6 +264,11 @@ object Dedup {
       iter += 1
       System.err.println(s"[clusters] iter $iter: $changed labels changed")
     }
+    if (changed > 0)
+      System.err.println(s"[clusters] WARNING: not converged after $maxIter " +
+        s"iterations ($changed labels still changing) — labels are an upper " +
+        "bound on components; raise maxIter for graphs with diameter > " +
+        s"$maxIter")
     ids.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
