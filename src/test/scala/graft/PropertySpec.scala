@@ -72,6 +72,29 @@ object PropertySpec extends Properties("graft") {
         }
     }
 
+  property("salted join == plain join on random skewed data") =
+    forAll(Gen.listOfN(30, Gen.choose(0L, 3L)), Gen.listOfN(3, Gen.choose(0L, 5L))) {
+      (factKeys, dimKeys) =>
+        val fact = factKeys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+          .toDF("k", "payload")
+        val dim = dimKeys.distinct.map(k => (k, s"d$k")).toDF("k", "label")
+        val got = graft.exec.Skew.saltedJoin(fact, dim, Seq("k"), salts = 4)
+          .as[(Long, Long, String)].collect().sorted.toSeq
+        val want = fact.join(dim, Seq("k"))
+          .as[(Long, Long, String)].collect().sorted.toSeq
+        got == want
+    }
+
+  property("repetition signals stay in [0,1] and spam maximizes them") =
+    forAll(Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc", "dd"))) { words =>
+      val df = Seq((1L, words.mkString(" "))).toDF("id", "text")
+      val r = graft.ext.TextAnalysis.repetitionSignals(df, "text", "id", n = 2)
+        .collect().head
+      val (rep, top, dup) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      Seq(rep, top, dup).forall(x => x >= 0.0 && x <= 1.0) &&
+        (words.distinct.size != 1 || (top == 1.0 && rep == 1.0))
+    }
+
   property("truthiness default: falsy inputs take the fallback") =
     forAll(Gen.oneOf(Gen.const(None), Gen.some(Gen.choose(-5.0, 5.0).sample.getOrElse(0.0)))) { v =>
       val df = Seq(Tuple1(v)).toDF("x")

@@ -173,6 +173,30 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("wrangle (the reference's core path) runs unchanged under Structured Streaming") {
+    import graft.dsl._
+    import graft.exec.Wrangle
+    import graft.model.{Model, PipelineSpec}
+    val spec = PipelineSpec(Model("Ev")(
+      "id"  -> Get("event_id"),
+      "typ" -> (Get("event_type") | Fn("upper")),
+      "v"   -> (Get("value") | Default(-1.0))))
+    // The spec compiles to a plain projection, so the SAME call works on a
+    // streaming frame — the reference's create_multiple over an unbounded
+    // input.
+    val q = Wrangle.wrangle(eventStream(), spec, "Ev")
+      .writeStream.format("memory").queryName("wrangle_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("wrangle_out")
+        .as[(Long, String, Double)].collect().toSet
+      val want = Wrangle.wrangle(Tables.events(spark, dir), spec, "Ev")
+        .as[(Long, String, Double)].collect().toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: one row per key, watermark-bounded state") {
     val s = graft.ext.Dedup.exactStream(eventStream(), Seq("user_id"), "ts", "1 hour")
       .select("user_id")
