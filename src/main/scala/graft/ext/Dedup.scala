@@ -235,6 +235,10 @@ object Dedup {
     // so without this every iteration's join (and every convergence count)
     // would re-execute the entire upstream pair-generation pipeline —
     // LSH banding, candidate join, exact verify — from the parquet scan up.
+    // localCheckpoint (NOT cache): caching keeps the full logical lineage,
+    // so every iteration re-optimizes the entire upstream pair-generation
+    // plan even though execution reads cached blocks — measured slower
+    // than checkpointing, which truncates the plan to a leaf.
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
