@@ -1,0 +1,44 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from an RNG seeded per partition — resplitting the
+  * input changes the selected rows, and no other engine can reproduce the
+  * choice. Hash-based sampling keys the decision on row CONTENT: the same
+  * row is always in or out, across runs, engines, partitionings, and
+  * incremental reprocessing — which is what dataset curation needs
+  * (stable held-out splits, rerunnable downsampling).
+  *
+  * The hash is plain 64-bit arithmetic (Knuth multiplicative on a reduced
+  * key) rather than xxhash64 so any SQL engine can replicate it; the
+  * pre-reduction keeps the product within Long range (ANSI mode would
+  * throw on overflow). Map-side only — no shuffle, composes with scans. */
+object Sampling {
+
+  private val Mod = 1000000007L          // reduce key below 2^30
+  private val Knuth = 2654435761L        // 2^32 * golden ratio
+  private val Buckets = 10000L
+
+  /** Uniform bucket in [0, 10000) for a numeric key column. */
+  def hashBucket(key: Column): Column =
+    pmod(pmod(key.cast("long"), lit(Mod)) * lit(Knuth), lit(Buckets))
+
+  /** Keep ~`rate` of rows, decided by the key's hash bucket. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(hashBucket(col(keyCol)) < lit((rate * Buckets).toLong))
+
+  /** Per-stratum rates (e.g. downsample dominant languages), with a
+    * default for unlisted strata. One map-side filter, no shuffle. */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+                           rates: Map[String, Double],
+                           defaultRate: Double): DataFrame = {
+    val threshold = rates.foldLeft(lit((defaultRate * Buckets).toLong)) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit((rate * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < threshold)
+  }
+}

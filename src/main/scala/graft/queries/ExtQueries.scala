@@ -108,6 +108,21 @@ object ExtQueries {
        |SELECT doc_id, quality, n_tokens FROM q
        |WHERE quality >= 0.9 AND n_tokens >= 50""".stripMargin
 
+  /** Reproducible stratified downsampling: content-hash bucketing keeps
+    * the same rows across runs/engines/partitionings (RNG sampling does
+    * not) — per-language rates, map-side only. */
+  def qSample(s: SparkSession, dir: String): DataFrame =
+    graft.exec.Sampling.stratifiedHashSample(
+        Tables(s, dir, "documents"), "doc_id", "lang",
+        rates = Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
+      .select(col("doc_id"), col("lang"))
+
+  val qSampleSql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE (doc_id % 1000000007) * 2654435761 % 10000 <
+      |  CASE WHEN lang = 'fr' THEN 2500
+      |       WHEN lang = 'en' THEN 5000 ELSE 1000 END""".stripMargin
+
   /** Top-5 tf-idf terms per document (ratio idf — see
     * TextAnalysis.tfidfTopTerms for why not log). */
   def qTfidf(s: SparkSession, dir: String): DataFrame =
@@ -365,6 +380,7 @@ object ExtQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"       -> (qTextStats _),
     "q_tfidf"            -> (qTfidf _),
+    "q_sample"           -> (qSample _),
     "q_inverted_index"   -> (qInvertedIndex _),
     "q_lang_fingerprint" -> (qLangFingerprint _),
     "q_quality_filter"   -> (qQualityFilter _),
@@ -386,6 +402,7 @@ object ExtQueries {
   val oracle: Map[String, String] = Map(
     "q_text_stats"       -> qTextStatsSql,
     "q_tfidf"            -> qTfidfSql,
+    "q_sample"           -> qSampleSql,
     "q_inverted_index"   -> qInvertedIndexSql,
     "q_lang_fingerprint" -> qLangFingerprintSql,
     "q_quality_filter"   -> qQualityFilterSql,

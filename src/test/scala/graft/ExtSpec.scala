@@ -239,6 +239,17 @@ class ExtSpec extends AnyFunSuite {
     assert(r(2L) == ((0.0, 1.0 / 3.0, 0.0)))
   }
 
+  test("hash sampling is reproducible across partitionings and near the rate") {
+    val docs = Tables(spark, dir, "documents")
+    val a = graft.exec.Sampling.hashSample(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val b = graft.exec.Sampling.hashSample(docs.repartition(7), "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "content-hash sampling must not depend on partitioning")
+    val n = docs.count().toDouble
+    assert(a.size > n * 0.15 && a.size < n * 0.45, s"rate off: ${a.size / n}")
+  }
+
   test("text analysis basics") {
     val df = Seq("The cat and the dog!", "").toDF("t")
     val r = df.select(
