@@ -41,4 +41,24 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol)) < threshold)
   }
+
+  /** Stable train/val/test (or any) split assignment: consecutive hash-
+    * bucket ranges sized by the given fractions. A row's split never
+    * changes when data is added, removed, or repartitioned — the property
+    * an eval holdout must have. Fractions should sum to ≤ 1 (any
+    * remainder falls into the last split). */
+  def assignSplit(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)],
+                  splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty)
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + (f * Buckets).toLong
+    }.tail
+    val bucket = hashBucket(col(keyCol))
+    val assigned = splits.init.zip(bounds.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), acc) =>
+      when(bucket < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, assigned)
+  }
 }

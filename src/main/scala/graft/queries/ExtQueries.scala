@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Packing, Similarity, TextAnalysis}
 
 /** Driver-checked queries for the north-star training-data operators:
   * text analysis, dedup (exact / exact-Jaccard / MinHash / SimHash),
@@ -122,6 +122,33 @@ object ExtQueries {
       |WHERE (doc_id % 1000000007) * 2654435761 % 10000 <
       |  CASE WHEN lang = 'fr' THEN 2500
       |       WHEN lang = 'en' THEN 5000 ELSE 1000 END""".stripMargin
+
+  /** Stable train/val/test split assignment by hash-bucket ranges. */
+  def qSplit(s: SparkSession, dir: String): DataFrame =
+    graft.exec.Sampling.assignSplit(Tables(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+
+  val qSplitSql: String =
+    """SELECT doc_id,
+      |CASE WHEN (doc_id % 1000000007) * 2654435761 % 10000 < 8000 THEN 'train'
+      |     WHEN (doc_id % 1000000007) * 2654435761 % 10000 < 9000 THEN 'val'
+      |     ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
+  /** Token-budget sequence packing (sharded contiguous binning). */
+  def qPack(s: SparkSession, dir: String): DataFrame =
+    Packing.packSequences(Tables(s, dir, "documents"), "text", "doc_id",
+      budget = 4096, shards = 32)
+
+  val qPackSql: String =
+    """WITH t AS (SELECT doc_id, doc_id % 32 AS shard,
+      |  len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS n_tokens
+      |FROM documents),
+      |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |  ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      |SELECT doc_id, shard, n_tokens,
+      |  ((cum - n_tokens) // 4096)::BIGINT AS seq_in_shard FROM c""".stripMargin
 
   /** Top-5 tf-idf terms per document (ratio idf — see
     * TextAnalysis.tfidfTopTerms for why not log). */
@@ -381,6 +408,8 @@ object ExtQueries {
     "q_text_stats"       -> (qTextStats _),
     "q_tfidf"            -> (qTfidf _),
     "q_sample"           -> (qSample _),
+    "q_split"            -> (qSplit _),
+    "q_pack"             -> (qPack _),
     "q_inverted_index"   -> (qInvertedIndex _),
     "q_lang_fingerprint" -> (qLangFingerprint _),
     "q_quality_filter"   -> (qQualityFilter _),
@@ -403,6 +432,8 @@ object ExtQueries {
     "q_text_stats"       -> qTextStatsSql,
     "q_tfidf"            -> qTfidfSql,
     "q_sample"           -> qSampleSql,
+    "q_split"            -> qSplitSql,
+    "q_pack"             -> qPackSql,
     "q_inverted_index"   -> qInvertedIndexSql,
     "q_lang_fingerprint" -> qLangFingerprintSql,
     "q_quality_filter"   -> qQualityFilterSql,
