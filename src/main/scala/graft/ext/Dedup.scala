@@ -247,8 +247,11 @@ object Dedup {
     // dedup graph almost every document is a singleton, so at scale this
     // shrinks the iterated frame from |corpus| to |near-dup docs|;
     // singletons are stitched back as their own cluster at the end.
+    // No checkpoint here: the plan is one distinct over the (materialized)
+    // edge leaf, so the first iteration folds it into its own action
+    // instead of paying a separate materialization job.
     var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster")).localCheckpoint()
+      .select(col("id"), col("id").as("cluster"))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
