@@ -163,6 +163,24 @@ object Multimodal {
     }(enc)
   }
 
+  /** ViT-style patch grid: one output row per (px, py) patch of each
+    * image's metadata dimensions (partial edge patches dropped, like ViT).
+    * Pixel slicing itself would live in the decode stage (STUB); the grid
+    * explode is the scale-relevant plumbing — patches of one image fan
+    * out across tasks downstream. */
+  def patchGrid(media: DataFrame, patch: Int, idCol: String = "doc_id"): DataFrame =
+    media
+      .withColumn("nx", expr(s"meta.width div $patch"))
+      .withColumn("ny", expr(s"meta.height div $patch"))
+      .filter(col("nx") > 0 && col("ny") > 0)
+      .select(col(idCol), col("nx"),
+        explode(sequence(lit(0L), col("nx").cast("long") * col("ny") - 1)).as("p"))
+      .select(col(idCol),
+        (col("p") % col("nx")).cast(IntegerType).as("px"),
+        expr("p div nx").cast(IntegerType).as("py"),
+        ((col("p") % col("nx")) * patch).cast(IntegerType).as("x0"),
+        (expr("p div nx") * patch).cast(IntegerType).as("y0"))
+
   /** Re-bucket by cumulative payload size: `targetBytes` per partition.
     * Media tables are size-skewed; row-count partitioning starves tasks. */
   def repartitionBySize(media: DataFrame, targetBytes: Long): DataFrame = {

@@ -190,6 +190,32 @@ object Similarity {
       k)
   }
 
+  /** L2-normalize an embedding column to unit length (double output).
+    * The norm is aliased in its own projection first — CollapseProject
+    * keeps multi-use non-cheap aliases un-inlined, so it is computed once
+    * per row instead of once per element inside the interpreted HOF. */
+  def l2Normalize(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn("__norm", norm(col(vecCol)))
+      .withColumn(outCol,
+        transform(col(vecCol), x => x.cast(DoubleType) / col("__norm")))
+      .drop("__norm")
+
+  /** Symmetric int8 quantization: scale = 127 / max(|x|), q = floor(x *
+    * scale) clamped to [-127, 127]. floor (not round) because both SQL
+    * engines define it identically; the scale rides along for dequant. */
+  def quantizeInt8(df: DataFrame, vecCol: String, outCol: String,
+                   scaleCol: String = "q_scale"): DataFrame =
+    df.withColumn("__absmax",
+        greatest(array_max(col(vecCol)).cast(DoubleType),
+          -array_min(col(vecCol)).cast(DoubleType)))
+      .withColumn(scaleCol,
+        when(col("__absmax") > 0, lit(127.0) / col("__absmax")).otherwise(lit(1.0)))
+      .withColumn(outCol,
+        transform(col(vecCol), x =>
+          greatest(least(floor(x.cast(DoubleType) * col(scaleCol)), lit(127.0)),
+            lit(-127.0)).cast(IntegerType)))
+      .drop("__absmax")
+
   /** Embedding-space near-duplicate pairs: cosine ≥ threshold, found via
     * LSH collisions (any shared bucket), verified exactly. */
   def embeddingNearDupPairs(df: DataFrame, threshold: Double, dim: Int,

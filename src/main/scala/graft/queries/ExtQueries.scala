@@ -333,6 +333,36 @@ object ExtQueries {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"))
   }
 
+  /** Embedding shaping: L2 normalization + symmetric int8 quantization
+    * (unit vector serialized via the quantized-JSON gate protocol). */
+  def qVectorOps(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val shaped = Similarity.quantizeInt8(
+      Similarity.l2Normalize(e, "embedding", "unit"), "embedding", "q8")
+    shaped.select(col("vec_id"),
+      to_json(transform(col("unit"), x => Oracle.q6(x))).as("unit"),
+      to_json(col("q8")).as("q8"),
+      col("q_scale"))
+  }
+
+  val qVectorOpsSql: String = {
+    val Q = (e: String) => Oracle.sqlQ6(e)
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+       |  greatest(CAST(list_max(embedding) AS DOUBLE),
+       |           -CAST(list_min(embedding) AS DOUBLE)) AS absmax
+       |FROM embeddings),
+       |sc AS (SELECT *, CASE WHEN absmax > 0 THEN 127.0 / absmax ELSE 1.0 END AS q_scale
+       |FROM n)
+       |SELECT vec_id,
+       |to_json(list_transform(embedding, x -> ${Q("CAST(x AS DOUBLE) / nrm")})) AS unit,
+       |to_json(list_transform(embedding, x ->
+       |  CAST(greatest(least(floor(CAST(x AS DOUBLE) * q_scale), 127.0), -127.0) AS INT))) AS q8,
+       |q_scale
+       |FROM sc""".stripMargin
+  }
+
   /** Exact cosine top-5 neighbors for the first 10 vectors. */
   def qSimTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
@@ -424,6 +454,7 @@ object ExtQueries {
     "q_cluster_exact"    -> (qClusterExact _),
     "q_approx_sketch"    -> (qApproxSketch _),
     "q_sim_topk"         -> (qSimTopK _),
+    "q_vector_ops"       -> (qVectorOps _),
     "q_sim_ivf"          -> (qSimIvf _),
     "q_sim_lsh"          -> (qSimLsh _),
     "q_emb_near_dup"     -> (qEmbNearDup _))
@@ -442,6 +473,7 @@ object ExtQueries {
     "q_dedup_exact"      -> qDedupExactSql,
     "q_dedup_jaccard"    -> qDedupJaccardSql,
     "q_sim_topk"         -> qSimTopKSql,
+    "q_vector_ops"       -> qVectorOpsSql,
     "q_sim_ivf"          -> qSimIvfSql,
     "q_cluster_exact"    -> qClusterExactSql)
 }

@@ -169,6 +169,22 @@ object RelationalQueries {
       |  ORDER BY l_quantity, l_orderkey, l_linenumber
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Dataset profiling: per-column counts/distinct/min/max in ONE
+    * aggregation pass, melted to a row per column. */
+  def qProfile(s: SparkSession, dir: String): DataFrame =
+    graft.exec.Profiling.profile(Tables(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+
+  val qProfileSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column", count(*) AS total, count($c) AS nonnull,
+         |count(DISTINCT $c) AS n_distinct,
+         |CAST(min($c) AS VARCHAR) AS min_v, CAST(max($c) AS VARCHAR) AS max_v
+         |FROM orders""".stripMargin
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .map(one).mkString("\nUNION ALL\n")
+  }
+
   /** Correlated LATERAL subquery join: each customer's single
     * highest-value order (per-key top-1 via correlated ORDER BY + LIMIT —
     * the decorrelation-machinery exercise; Catalyst rewrites it to a
@@ -598,6 +614,7 @@ object RelationalQueries {
     "q_window_range" -> (qWindowRange _),
     "q_topk"       -> (qTopK _),
     "q_lateral"    -> (qLateral _),
+    "q_profile"    -> (qProfile _),
     "q_set_ops"    -> (qSetOps _),
     "q_set_ops_all" -> (qSetOpsAll _),
     "q_distinct"   -> (qDistinct _),
@@ -624,6 +641,7 @@ object RelationalQueries {
     "q_window_range" -> qWindowRangeSql,
     "q_topk"       -> qTopKSql,
     "q_lateral"    -> qLateralSql,
+    "q_profile"    -> qProfileSql,
     "q_set_ops"    -> qSetOpsSql,
     "q_set_ops_all" -> qSetOpsAllSql,
     "q_distinct"   -> qDistinctSql,

@@ -146,6 +146,20 @@ object StreamQueries {
       |  greatest(floor(len0 * scale)::INT, 1) AS n_bytes
       |FROM sc""".stripMargin
 
+  /** ViT-style 16px patch grid over the media metadata. */
+  def qMultimodalPatches(s: SparkSession, dir: String): DataFrame =
+    Multimodal.patchGrid(Multimodal.mediaTable(Tables(s, dir, "documents")),
+      patch = 16)
+
+  val qMultimodalPatchesSql: String =
+    """WITH m AS (SELECT doc_id, 32 + (doc_id % 8) * 16 AS w,
+      |  32 + (doc_id % 5) * 16 AS h FROM documents),
+      |g AS (SELECT doc_id, w // 16 AS nx, h // 16 AS ny FROM m
+      |      WHERE w // 16 > 0 AND h // 16 > 0)
+      |SELECT doc_id, (p % nx)::INT AS px, (p // nx)::INT AS py,
+      |  ((p % nx) * 16)::INT AS x0, ((p // nx) * 16)::INT AS y0
+      |FROM g, UNNEST(range(0, nx * ny)) AS t(p)""".stripMargin
+
   def qMultimodalAudio(s: SparkSession, dir: String): DataFrame =
     Multimodal.audioChunkFeatures(
       Multimodal.mediaTable(Tables(s, dir, "documents")), samplesPerChunk = 256)
@@ -166,6 +180,7 @@ object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_audio"  -> (qMultimodalAudio _),
+    "q_multimodal_patches" -> (qMultimodalPatches _),
     "q_window_tumbling"   -> (qTumbling _),
     "q_window_sliding"    -> (qSliding _),
     "q_window_session"    -> (qSessionWindow _),
@@ -177,6 +192,7 @@ object StreamQueries {
 
   val oracle: Map[String, String] = Map(
     "q_multimodal_audio"  -> qMultimodalAudioSql,
+    "q_multimodal_patches" -> qMultimodalPatchesSql,
     "q_window_tumbling"   -> qTumblingSql,
     "q_window_sliding"    -> qSlidingSql,
     "q_window_session"    -> qSessionWindowSql,
