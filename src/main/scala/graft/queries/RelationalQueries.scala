@@ -185,6 +185,36 @@ object RelationalQueries {
       .map(one).mkString("\nUNION ALL\n")
   }
 
+  /** Data-quality constraint checks in one report: key uniqueness,
+    * referential integrity (orphan FKs via anti-join), null rate, and a
+    * domain/range rule — each as a named violation count. */
+  def qConstraints(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    val dupKeys = o.groupBy(col("o_orderkey")).count().filter(col("count") > 1)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orderkey_not_unique").as("rule"), col("violations"))
+    val orphans = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orphan_custkey").as("rule"), col("violations"))
+    val nulls = o.agg(count(when(col("o_orderdate").isNull, 1)).as("violations"))
+      .select(lit("null_orderdate").as("rule"), col("violations"))
+    val range = o.agg(count(when(col("o_totalprice") <= 0.0, 1)).as("violations"))
+      .select(lit("nonpositive_totalprice").as("rule"), col("violations"))
+    dupKeys.unionAll(orphans).unionAll(nulls).unionAll(range)
+  }
+
+  val qConstraintsSql: String =
+    """SELECT 'orderkey_not_unique' AS rule, count(*) AS violations
+      |FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+      |UNION ALL
+      |SELECT 'orphan_custkey', count(*) FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      |UNION ALL
+      |SELECT 'null_orderdate', count(*) FROM orders WHERE o_orderdate IS NULL
+      |UNION ALL
+      |SELECT 'nonpositive_totalprice', count(*) FROM orders WHERE o_totalprice <= 0.0""".stripMargin
+
   /** Correlated LATERAL subquery join: each customer's single
     * highest-value order (per-key top-1 via correlated ORDER BY + LIMIT —
     * the decorrelation-machinery exercise; Catalyst rewrites it to a
@@ -615,6 +645,7 @@ object RelationalQueries {
     "q_topk"       -> (qTopK _),
     "q_lateral"    -> (qLateral _),
     "q_profile"    -> (qProfile _),
+    "q_constraints" -> (qConstraints _),
     "q_set_ops"    -> (qSetOps _),
     "q_set_ops_all" -> (qSetOpsAll _),
     "q_distinct"   -> (qDistinct _),
@@ -642,6 +673,7 @@ object RelationalQueries {
     "q_topk"       -> qTopKSql,
     "q_lateral"    -> qLateralSql,
     "q_profile"    -> qProfileSql,
+    "q_constraints" -> qConstraintsSql,
     "q_set_ops"    -> qSetOpsSql,
     "q_set_ops_all" -> qSetOpsAllSql,
     "q_distinct"   -> qDistinctSql,

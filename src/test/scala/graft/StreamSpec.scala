@@ -173,6 +173,47 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: nulls only for truly unmatched rows") {
+    import graft.streaming.StreamJoins
+    def views(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    def purchases(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val joined = views(eventStream()).withWatermark("v_ts", "1 minute")
+      .join(purchases(eventStream()).withWatermark("p_ts", "1 minute"),
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 30 minutes"),
+        "left_outer")
+      .select(col("view_id"), col("purchase_id"))
+    val q = joined.writeStream.format("memory").queryName("sjo_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sjo_out")
+        .as[(Long, Option[Long])].collect()
+      val ev = Tables.events(spark, dir)
+      val wantInner = StreamJoins.intervalJoin(views(ev), purchases(ev),
+          "v_user", "p_user", "v_ts", "p_ts", "30 minutes")
+        .select(col("view_id"), col("purchase_id"))
+        .as[(Long, Long)].collect().toSet
+      val matchedViews = wantInner.map(_._1)
+      // every matched pair arrives; a null row may only appear for a view
+      // with NO purchase in its window (unmatched emission waits on the
+      // watermark, so not every unmatched view is flushed — but none may
+      // be emitted wrongly)
+      assert(got.collect { case (v, Some(p)) => (v, p) }.toSet == wantInner)
+      got.collect { case (v, None) => v }.foreach { v =>
+        assert(!matchedViews.contains(v),
+          s"view $v emitted as unmatched but has a matching purchase")
+      }
+    } finally q.stop()
+  }
+
   test("wrangle (the reference's core path) runs unchanged under Structured Streaming") {
     import graft.dsl._
     import graft.exec.Wrangle
