@@ -99,6 +99,47 @@ object StreamQueries {
       | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
       |WHERE v.event_type = 'view' AND p.event_type = 'purchase'""".stripMargin
 
+  /** CDC compaction: keep each key's LATEST record (ties broken by
+    * event_id) — the keep-last twin of exact dedup's keep-first, and the
+    * read-side of a log-compacted changelog. */
+  def qCompact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+  }
+
+  val qCompactSql: String =
+    """SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1""".stripMargin
+
+  /** SCD2 history build: each change event becomes a version row with a
+    * [valid_from, valid_to) interval; the current version is open
+    * (valid_to NULL). */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        (lead(col("ts"), 1).over(w).isNull).as("is_current"))
+  }
+
+  val qScd2Sql: String =
+    """SELECT user_id, event_id, event_type,
+      |ts::TIMESTAMP AS valid_from,
+      |lead(ts::TIMESTAMP, 1) OVER w AS valid_to,
+      |lead(ts, 1) OVER w IS NULL AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin
+
   // ------------------------------------------------------- multimodal
 
   def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
@@ -186,6 +227,8 @@ object StreamQueries {
     "q_window_session"    -> (qSessionWindow _),
     "q_sessionize_custom" -> (qSessionizeCustom _),
     "q_interval_join"     -> (qIntervalJoin _),
+    "q_compact"           -> (qCompact _),
+    "q_scd2"              -> (qScd2 _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_resize" -> (qMultimodalResize _))
@@ -198,6 +241,8 @@ object StreamQueries {
     "q_window_session"    -> qSessionWindowSql,
     "q_sessionize_custom" -> qSessionizeCustomSql,
     "q_interval_join"     -> qIntervalJoinSql,
+    "q_compact"           -> qCompactSql,
+    "q_scd2"              -> qScd2Sql,
     "q_multimodal_decode" -> qMultimodalDecodeSql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
     "q_multimodal_resize" -> qMultimodalResizeSql)
