@@ -153,12 +153,17 @@ object Dedup {
                    threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
     val cand = minhashPairs(df, textCol, idCol, minEstimate = threshold * 0.5,
       shingleN = shingleN)
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    // Verify on hash-sorted 8-byte shingles (see [[prefixJaccardPairs]]):
+    // same exact Jaccard, ~2.5x narrower verify-join shuffle.
+    val sh = df.select(col(idCol).as("id"),
+        graft.functions.TextExpressions
+          .sortedShingleHashes(col(textCol), shingleN).as("sh"))
       .repartition(col("id")) // shared by both verify joins via ReuseExchange
     cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .select(col("id_a"), col("id_b"),
-        graft.functions.TextExpressions.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
+        graft.functions.TextExpressions
+          .jaccardSortedLongs(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -197,18 +202,20 @@ object Dedup {
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                          blockCol: String, threshold: Double,
                          shingleN: Int = 3): DataFrame = {
+    // Shingles are HASH-SORTED 8-byte values end-to-end: prefix-filter
+    // theory only needs *a* consistent global order, and hash order
+    // qualifies. Set sizes/intersections — hence exact Jaccard — are
+    // preserved (64-bit collisions are negligible), while both the verify
+    // join (full array) and the candidate explode (~half the array) shuffle
+    // 8 bytes per shingle instead of ~20 bytes of text.
     val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-        shinglesSorted(col(textCol), shingleN).as("sh"))
+        graft.functions.TextExpressions
+          .sortedShingleHashes(col(textCol), shingleN).as("sh"))
       .repartition(col("id")) // one shingle pass shared by all four consumers
     val prefLen = (size(col("sh")) -
       ceil(lit(threshold) * size(col("sh"))).cast("int") + lit(1))
-    // Prefix shingles join on their 8-byte hash, not the string: the
-    // candidate join shuffles ~half of every document's shingles, and at
-    // scale the shingle TEXT dominates that exchange. Hash equality is
-    // lossless here — a collision can only ADD a candidate, and every
-    // candidate is verified with exact Jaccard below.
     val pref = sh.select(col("blk"), col("id"),
-      explode(transform(slice(col("sh"), lit(1), prefLen), x => xxhash64(x))).as("p"))
+      explode(slice(col("sh"), lit(1), prefLen)).as("p"))
     val cand = pref.select(col("blk"), col("p"), col("id").as("id_a"))
       .join(pref.select(col("blk"), col("p"), col("id").as("id_b")), Seq("blk", "p"))
       .filter(col("id_a") < col("id_b"))
@@ -217,7 +224,8 @@ object Dedup {
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        graft.functions.TextExpressions.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
+        graft.functions.TextExpressions
+          .jaccardSortedLongs(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

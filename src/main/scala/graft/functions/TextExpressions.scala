@@ -162,6 +162,60 @@ case class WordShingles(child: Expression, n: Int, sort: Boolean)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Sorted distinct xxhash64 values of the word n-gram shingles — the
+  * hashed twin of `WordShingles(sort=true)` mapped through xxhash64.
+  * Hashing is injective on any realistic corpus (64-bit birthday bound), so
+  * set sizes and intersections — hence exact Jaccard — are preserved while
+  * each shingle shrinks from ~20 text bytes to 8. Output: ARRAY<LONG>. */
+case class SortedShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].trim().toLowerCase.toString
+      .split("\\s+")
+    val count = math.max(toks.length - n, 0) + 1
+    val seen = new mutable.HashSet[Long]
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, toks.length)
+      seen.add(TextHash.xxhash(
+        UTF8String.fromString(toks.slice(i, end).mkString(" "))))
+      i += 1
+    }
+    val out = seen.toArray
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Exact Jaccard of two SORTED distinct long arrays by merge intersection —
+  * zero allocation, no hashing; the verify-stage kernel when shingles are
+  * pre-hashed with [[SortedShingleHashes]]. */
+case class JaccardSortedLongs(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int, sort: Boolean = false): Column =
     GraftColumnBridge.column(
@@ -177,4 +231,12 @@ object TextExpressions {
 
   def simhash64(tokens: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
+
+  def sortedShingleHashes(text: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      SortedShingleHashes(GraftColumnBridge.expression(text), n))
+
+  def jaccardSortedLongs(a: Column, b: Column): Column =
+    GraftColumnBridge.column(JaccardSortedLongs(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

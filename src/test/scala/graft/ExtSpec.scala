@@ -92,6 +92,27 @@ class ExtSpec extends AnyFunSuite {
     assert(quad.nonEmpty && pref == quad)
   }
 
+  test("hashed-shingle kernels == string-shingle twins") {
+    val docs = Tables(spark, dir, "documents").limit(100)
+    // SortedShingleHashes == sort(xxhash64 over distinct string shingles)
+    val hDiff = docs.select(
+      graft.functions.TextExpressions.sortedShingleHashes(col("text"), 3).as("fast"),
+      array_sort(transform(Dedup.shingles(col("text"), 3), s => xxhash64(s))).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(hDiff == 0L)
+    // merge-intersection Jaccard on hashes == hash-set Jaccard on strings
+    val sh = docs.select(col("doc_id"),
+      Dedup.shingles(col("text")).as("s"),
+      graft.functions.TextExpressions.sortedShingleHashes(col("text"), 3).as("h"))
+    val pairs = sh.select(col("s").as("sa"), col("h").as("ha"))
+      .crossJoin(sh.select(col("s").as("sb"), col("h").as("hb"))).limit(500)
+    val jDiff = pairs.select(
+      graft.functions.TextExpressions.jaccardSortedLongs(col("ha"), col("hb")).as("fast"),
+      graft.functions.TextExpressions.jaccardSim(col("sa"), col("sb")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(jDiff == 0L)
+  }
+
   test("simhash: identical texts identical fingerprints; hamming sane") {
     val df = Seq(
       ("the quick brown fox jumps over the lazy dog", "the quick brown fox jumps over the lazy dog"),
