@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Driver-checked event-analytics and corpus-hygiene queries: funnel
+  * analysis, cohort retention, time-series gap-fill with forward-fill,
+  * histogram binning, and PII redaction. These extend the engine past the
+  * reference's wrangling surface into the event/corpus analytics a
+  * training-data pipeline runs at scale; every query here is
+  * DuckDB-oracle-checked with an independently-written SQL formulation.
+  *
+  * Scale notes per query are on the method docs — the common theme is one
+  * shuffle on the natural key (user_id / lang) and no driver round-trips.
+  */
+object AnalyticsQueries {
+
+  // ------------------------------------------------------------- funnel
+
+  /** Ordered conversion funnel view → click → purchase per user: stage k
+    * counts users whose first stage-k event STRICTLY follows their stage
+    * k-1 entry time. One shuffle: all three stage times are
+    * partition-frame window minima over user_id (no per-stage join), then
+    * a single global aggregate. The oracle is the independent three-CTE
+    * min-after-join formulation. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val w = Window.partitionBy("user_id")
+    e.withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("ts") > col("t1"),
+        col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+        col("ts"))).over(w))
+      .agg(
+        count_distinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
+        count_distinct(when(col("t2").isNotNull, col("user_id"))).as("n_click"),
+        count_distinct(when(col("t3").isNotNull, col("user_id"))).as("n_purchase"))
+  }
+
+  val qFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+      |v AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_click,
+      |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin
+
+  // ---------------------------------------------------------- retention
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; cell (cohort_week, week_offset) counts the cohort's users
+    * active that week. Two shuffles on user_id (first-event min, then the
+    * cohort join is a groupBy after an equi-join Catalyst can broadcast
+    * when the user dimension is small relative to events — which it always
+    * is). */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+    val first = e.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+    e.join(first, "user_id")
+      .groupBy(col("cohort_week"),
+        expr("datediff(wk, cohort_week) div 7").cast(LongType).as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("users"))
+  }
+
+  val qRetentionSql: String =
+    """WITH e AS (SELECT user_id, date_trunc('week', ts::TIMESTAMP) AS wk FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1)
+      |SELECT cohort_week, date_diff('day', cohort_week, wk) // 7 AS week_offset,
+      |       count(DISTINCT user_id) AS users
+      |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------ gapfill
+
+  /** Per-user daily time series with gaps filled: the spine is
+    * `sequence(min_day, max_day)` exploded per user (the distributed
+    * spine pattern — no driver-side calendar), missing days get
+    * n_events=0, and the running value carries forward with
+    * `last(_, ignoreNulls)` over an ordered window. Day 1 of every user is
+    * a real observation, so the forward-fill never reads an empty frame. */
+  def qGapfill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), Oracle.dsum(col("value")).as("v"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("v"), ignoreNulls = true)
+          .over(Window.partitionBy("user_id").orderBy("day")).as("v_ff"))
+  }
+
+  val qGapfillSql: String =
+    s"""WITH daily AS (SELECT user_id, CAST(ts::TIMESTAMP AS DATE) AS day,
+       |  count(*) AS n, ${Oracle.sqlSum("value")} AS v FROM events GROUP BY 1, 2),
+       |bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+       |spine AS (SELECT user_id,
+       |  unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds)
+       |SELECT s.user_id, s.day, coalesce(n, 0) AS n_events,
+       |  last_value(v IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+       |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day""".stripMargin
+
+  // ---------------------------------------------------------- histogram
+
+  /** Document-length histogram per language: fixed-width 100-char buckets
+    * (capped at bucket 19), count and within-language share. Bucketing is
+    * explicit integer arithmetic (DuckDB has no width_bucket); share is a
+    * single exact-integer double divide, bit-identical across engines.
+    * One shuffle on (lang, bucket); the share window re-shuffles only the
+    * tiny histogram frame. */
+  def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "documents")
+      .groupBy(col("lang"), least(expr("n_chars div 100"), lit(19L)).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        col("n_docs") / sum(col("n_docs")).over(Window.partitionBy("lang")))
+  }
+
+  val qHistogramSql: String =
+    """WITH h AS (SELECT lang, least(n_chars // 100, 19) AS bucket, count(*) AS n_docs
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT lang, bucket, n_docs,
+      |       n_docs / sum(n_docs) OVER (PARTITION BY lang) AS share
+      |FROM h""".stripMargin
+
+  // -------------------------------------------------------- PII redact
+
+  // RE2- and Java-regex-compatible patterns (no lookaround, no backrefs).
+  private val EmailPat = "[a-z0-9.]+@[a-z0-9.]+"
+  private val PhonePat = "\\+1-555-[0-9]{4}"
+
+  /** PII scrubbing — the corpus-hygiene pass every training pipeline runs
+    * before release: regexp-redact emails and phone numbers, reporting
+    * per-row match counts. The contact text is synthesized from `customer`
+    * (the fixtures carry no real PII), which also makes every row exercise
+    * both patterns. Pure map-side: no shuffle at any scale. */
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      col("c_name"), lit(" reach me at "),
+      lower(regexp_replace(col("c_name"), "#", ".")), lit("@example.com or +1-555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+    Tables(s, dir, "customer").select(
+      col("c_custkey"),
+      regexp_count(raw, lit(EmailPat)).as("n_emails"),
+      regexp_count(raw, lit(PhonePat)).as("n_phones"),
+      regexp_replace(regexp_replace(raw, EmailPat, "[EMAIL]"), PhonePat, "[PHONE]")
+        .as("redacted"))
+  }
+
+  val qPiiRedactSql: String =
+    s"""WITH t AS (SELECT c_custkey,
+       |  c_name || ' reach me at ' || lower(replace(c_name, '#', '.')) ||
+       |  '@example.com or +1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS raw
+       |  FROM customer)
+       |SELECT c_custkey,
+       |  len(regexp_extract_all(raw, '$EmailPat')) AS n_emails,
+       |  len(regexp_extract_all(raw, '\\+1-555-[0-9]{4}')) AS n_phones,
+       |  regexp_replace(regexp_replace(raw, '$EmailPat', '[EMAIL]', 'g'),
+       |    '\\+1-555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+       |FROM t""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel"     -> (qFunnel _),
+    "q_retention"  -> (qRetention _),
+    "q_gapfill"    -> (qGapfill _),
+    "q_histogram"  -> (qHistogram _),
+    "q_pii_redact" -> (qPiiRedact _))
+
+  val oracle: Map[String, String] = Map(
+    "q_funnel"     -> qFunnelSql,
+    "q_retention"  -> qRetentionSql,
+    "q_gapfill"    -> qGapfillSql,
+    "q_histogram"  -> qHistogramSql,
+    "q_pii_redact" -> qPiiRedactSql)
+}
