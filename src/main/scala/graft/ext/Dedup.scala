@@ -247,9 +247,13 @@ object Dedup {
     // so every iteration re-optimizes the entire upstream pair-generation
     // plan even though execution reads cached blocks — measured slower
     // than checkpointing, which truncates the plan to a leaf.
+    // The trailing repartition(v) is load-bearing: localCheckpoint preserves
+    // outputPartitioning, and every iteration joins edges on v — so the
+    // edge side of the per-iteration join never re-shuffles.
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
+      .repartition(col("v"))
       .localCheckpoint()
     // Only nodes that appear in an edge participate in propagation. In a
     // dedup graph almost every document is a singleton, so at scale this
@@ -260,6 +264,15 @@ object Dedup {
     // instead of paying a separate materialization job.
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("cluster"))
+    // Convergence detection rides the checkpoint action itself: a counting
+    // side effect on the label projection populates an accumulator while
+    // localCheckpoint materializes the iteration, so each iteration is ONE
+    // job instead of checkpoint + count. Task retries can only over-count
+    // rows that genuinely changed, so the `== 0` convergence test is exact.
+    val changedAcc = ids.sparkSession.sparkContext.longAccumulator("cc_changed")
+    val mark = udf((prev: Long, cur: Long) => {
+      if (prev != cur) changedAcc.add(1L); cur
+    })
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -267,15 +280,15 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "v2"), col("v") === col("v2"))
         .groupBy(col("u").as("id"))
         .agg(min(col("cluster")).as("nmin"))
-      // Carry the previous label through the checkpoint so convergence
-      // detection is a scan of materialized data, not another join.
+      changedAcc.reset()
       val next = labels.withColumnRenamed("cluster", "prev")
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("prev"),
-          least(col("prev"), coalesce(col("nmin"), col("prev"))).as("cluster"))
+        .select(col("id"),
+          mark(col("prev"),
+            least(col("prev"), coalesce(col("nmin"), col("prev")))).as("cluster"))
         .localCheckpoint() // also truncates the growing iterative lineage
-      changed = next.filter(col("cluster") =!= col("prev")).count()
-      labels = next.select("id", "cluster")
+      changed = changedAcc.value
+      labels = next
       iter += 1
       System.err.println(s"[clusters] iter $iter: $changed labels changed")
     }
