@@ -169,17 +169,64 @@ object AnalyticsQueries {
        |    '\\+1-555-[0-9]{4}', '[PHONE]', 'g') AS redacted
        |FROM t""".stripMargin
 
+  // ----------------------------------------------------- k-hop recursion
+
+  /** Bounded BFS over the exact near-dup pair graph with Spark 4's
+    * recursive CTE (`WITH RECURSIVE` + UNION ALL + depth guard — the
+    * supported terminating form; unbounded closure needs UNION-dedup,
+    * which the DataFrame loop in [[graft.ext.Dedup.clusters]] provides):
+    * min hop distance ≤ 3 from a deterministic seed set. Cycle safety
+    * comes from the depth bound; `min(d)` collapses the path multiset. */
+  def qKhop(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val pairs = graft.ext.Dedup.prefixJaccardPairs(
+      docs, "text", "doc_id", "lang", threshold = 0.5)
+    pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .createOrReplaceTempView("khop_edges")
+    docs.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("id"))
+      .createOrReplaceTempView("khop_seeds")
+    s.sql(
+      """WITH RECURSIVE walk(id, d) AS (
+        |  SELECT id, 0 FROM khop_seeds
+        |  UNION ALL
+        |  SELECT e.v, w.d + 1 FROM walk w JOIN khop_edges e ON w.id = e.u
+        |  WHERE w.d < 3)
+        |SELECT id, min(d) AS hops FROM walk GROUP BY id""".stripMargin)
+  }
+
+  val qKhopSql: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, lang,
+      |  string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |sh AS (SELECT doc_id, lang,
+      |  list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+      |    i -> array_to_string(w[i+1:i+3], ' '))) AS t FROM t),
+      |pairs AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.t, b.t))::DOUBLE
+      |      / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.5),
+      |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+      |seeds AS (SELECT doc_id AS id FROM documents WHERE doc_id % 97 = 0),
+      |walk(id, d) AS (
+      |  SELECT id, 0 FROM seeds
+      |  UNION ALL
+      |  SELECT e.v, w.d + 1 FROM walk w JOIN edges e ON w.id = e.u WHERE w.d < 3)
+      |SELECT id, min(d) AS hops FROM walk GROUP BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel"     -> (qFunnel _),
     "q_retention"  -> (qRetention _),
     "q_gapfill"    -> (qGapfill _),
     "q_histogram"  -> (qHistogram _),
-    "q_pii_redact" -> (qPiiRedact _))
+    "q_pii_redact" -> (qPiiRedact _),
+    "q_khop"       -> (qKhop _))
 
   val oracle: Map[String, String] = Map(
     "q_funnel"     -> qFunnelSql,
     "q_retention"  -> qRetentionSql,
     "q_gapfill"    -> qGapfillSql,
     "q_histogram"  -> qHistogramSql,
-    "q_pii_redact" -> qPiiRedactSql)
+    "q_pii_redact" -> qPiiRedactSql,
+    "q_khop"       -> qKhopSql)
 }
