@@ -229,6 +229,70 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-set prefix-filtered exact-Jaccard join (PPJoin candidate rule
+    * on BOTH prefixes): all (left, right) pairs inside a block with
+    * Jaccard ≥ `threshold`. Same hashed-shingle machinery as
+    * [[prefixJaccardPairs]] but over two distinct frames — the primitive
+    * behind incremental (delta-vs-corpus) dedup, where the quadratic
+    * corpus×corpus pass would be wasted work. */
+  def prefixJaccardJoin(left: DataFrame, right: DataFrame,
+                        textCol: String, idCol: String, blockCol: String,
+                        threshold: Double, shingleN: Int = 3): DataFrame = {
+    def prep(df: DataFrame, tag: String) =
+      df.select(col(blockCol).as("blk"), col(idCol).as(s"id_$tag"),
+          graft.functions.TextExpressions
+            .sortedShingleHashes(col(textCol), shingleN).as(s"sh_$tag"))
+        .repartition(col(s"id_$tag"))
+    def pref(df: DataFrame, tag: String) = {
+      val sh = col(s"sh_$tag")
+      val prefLen = size(sh) - ceil(lit(threshold) * size(sh)).cast("int") + lit(1)
+      df.select(col("blk"), col(s"id_$tag"),
+        explode(slice(sh, lit(1), prefLen)).as("p"))
+    }
+    val a = prep(left, "a"); val b = prep(right, "b")
+    val cand = pref(a, "a").join(pref(b, "b"), Seq("blk", "p"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(a.select(col("id_a"), col("sh_a")), "id_a")
+      .join(b.select(col("id_b"), col("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.TextExpressions
+          .jaccardSortedLongs(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental dedup: judge a `delta` batch against an existing
+    * `corpus` WITHOUT touching corpus×corpus — the shape of continuous
+    * ingestion at 100 TB, where the corpus is petabytes and the delta is
+    * not. Two drop rules, each one join: exact text match (on
+    * `(xxhash64(text), text)` so the shuffle compares 8-byte hashes
+    * first), and blocked exact Jaccard ≥ `threshold` via the cross-set
+    * prefix join. Output: every delta row with `keep` and the drop
+    * `reason` ('exact' wins over 'near'; NULL when kept). */
+  def dedupIncremental(corpus: DataFrame, delta: DataFrame,
+                       textCol: String, idCol: String, blockCol: String,
+                       threshold: Double, shingleN: Int = 3): DataFrame = {
+    val exactIds = delta
+      .select(col(idCol).as("id"), xxhash64(col(textCol)).as("__h"),
+        col(textCol).as("__t"))
+      .join(
+        corpus.select(xxhash64(col(textCol)).as("__h"), col(textCol).as("__t"))
+          .distinct(),
+        Seq("__h", "__t"), "left_semi")
+      .select(col("id"), lit(true).as("__e"))
+    val nearIds = prefixJaccardJoin(corpus, delta, textCol, idCol, blockCol,
+        threshold, shingleN)
+      .select(col("id_b").as("id")).distinct()
+      .select(col("id"), lit(true).as("__n"))
+    delta.select(col(idCol).as("id"))
+      .join(exactIds, Seq("id"), "left")
+      .join(nearIds, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        (col("__e").isNull && col("__n").isNull).as("keep"),
+        when(col("__e").isNotNull, "exact")
+          .when(col("__n").isNotNull, "near").as("reason"))
+  }
+
   /** Resolve near-dup pairs into duplicate clusters: connected components
     * by iterative min-label propagation (each id adopts the smallest label
     * among itself and its neighbors until fixpoint). Label propagation is

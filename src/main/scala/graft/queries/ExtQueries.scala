@@ -291,6 +291,36 @@ object ExtQueries {
     Dedup.dedupNear(Tables(s, dir, "documents"), "text", "doc_id",
       threshold = 0.8).select(col("doc_id"))
 
+  /** Incremental (delta-vs-corpus) dedup: doc_id % 5 == 0 is the incoming
+    * batch, the rest the standing corpus. No corpus×corpus work — exact
+    * drop is one semi-join, near drop one cross-set prefix-filtered
+    * Jaccard join. Oracle recomputes both rules quadratically. */
+  def qDedupIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    Dedup.dedupIncremental(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0),
+      "text", "doc_id", "lang", threshold = 0.5)
+  }
+
+  val qDedupIncrSql: String =
+    """WITH w AS (SELECT doc_id, lang, text,
+      |  string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |sh AS (SELECT doc_id, lang, text,
+      |  list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+      |    i -> array_to_string(w[i+1:i+3], ' '))) AS t FROM w),
+      |delta AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+      |corpus AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+      |ex AS (SELECT DISTINCT d.doc_id FROM delta d JOIN corpus c ON d.text = c.text),
+      |nr AS (SELECT DISTINCT d.doc_id FROM delta d JOIN corpus c ON d.lang = c.lang
+      |  WHERE len(list_intersect(d.t, c.t))::DOUBLE
+      |      / (len(d.t) + len(c.t) - len(list_intersect(d.t, c.t))) >= 0.5)
+      |SELECT d.doc_id, (e.doc_id IS NULL AND n.doc_id IS NULL) AS keep,
+      |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+      |       WHEN n.doc_id IS NOT NULL THEN 'near' END AS reason
+      |FROM delta d LEFT JOIN ex e ON d.doc_id = e.doc_id
+      |             LEFT JOIN nr n ON d.doc_id = n.doc_id""".stripMargin
+
   /** Connected components over the EXACT Jaccard pair graph — unlike
     * q_dedup_clusters (LSH-prefiltered, rows-only), this one is fully
     * oracle-checkable: the DuckDB twin computes the transitive closure
@@ -451,6 +481,7 @@ object ExtQueries {
     "q_dedup_simhash"    -> (qDedupSimhash _),
     "q_near_dup"         -> (qNearDup _),
     "q_dedup_clusters"   -> (qDedupClusters _),
+    "q_dedup_incr"       -> (qDedupIncr _),
     "q_cluster_exact"    -> (qClusterExact _),
     "q_approx_sketch"    -> (qApproxSketch _),
     "q_sim_topk"         -> (qSimTopK _),
@@ -475,5 +506,6 @@ object ExtQueries {
     "q_sim_topk"         -> qSimTopKSql,
     "q_vector_ops"       -> qVectorOpsSql,
     "q_sim_ivf"          -> qSimIvfSql,
+    "q_dedup_incr"       -> qDedupIncrSql,
     "q_cluster_exact"    -> qClusterExactSql)
 }

@@ -92,6 +92,35 @@ class ExtSpec extends AnyFunSuite {
     assert(quad.nonEmpty && pref == quad)
   }
 
+  test("incremental dedup == quadratic delta-vs-corpus reference") {
+    val docs = Tables(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val got = Dedup.dedupIncremental(corpus, delta, "text", "doc_id", "lang", 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) "kept" else r.getString(2)))).toMap
+    // Quadratic reference: cross-join on block + exact text anywhere.
+    val sh = (df: org.apache.spark.sql.DataFrame, t: String) => df.select(
+      col("lang").as(s"lang_$t"), col("text").as(s"text_$t"),
+      col("doc_id").as(s"id_$t"), Dedup.shingles(col("text")).as(s"sh_$t"))
+    val exact = sh(delta, "d").join(sh(corpus, "c"),
+        col("text_d") === col("text_c")).select("id_d")
+      .as[Long].collect().toSet
+    val near = sh(delta, "d").join(sh(corpus, "c"), col("lang_d") === col("lang_c"))
+      .filter(Dedup.jaccard(col("sh_d"), col("sh_c")) >= 0.5)
+      .select("id_d").as[Long].collect().toSet
+    val all = delta.select("doc_id").as[Long].collect()
+    assert(got.size == all.length)
+    all.foreach { id =>
+      val expect =
+        if (exact(id)) (false, "exact")
+        else if (near(id)) (false, "near")
+        else (true, "kept")
+      assert(got(id) == (expect._1, expect._2), s"doc $id")
+    }
+    assert(exact.nonEmpty || near.nonEmpty, "fixture should drop something")
+  }
+
   test("hashed-shingle kernels == string-shingle twins") {
     val docs = Tables(spark, dir, "documents").limit(100)
     // SortedShingleHashes == sort(xxhash64 over distinct string shingles)
