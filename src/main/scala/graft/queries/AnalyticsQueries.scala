@@ -169,6 +169,36 @@ object AnalyticsQueries {
        |    '\\+1-555-[0-9]{4}', '[PHONE]', 'g') AS redacted
        |FROM t""".stripMargin
 
+  // --------------------------------------------------------------- EWMA
+
+  /** Per-user exponentially weighted moving average (α = 0.5, seeded with
+    * the first observation) over the event-time-ordered value stream. The
+    * inherently sequential recurrence runs as a per-key fold over the
+    * sort-collected sequence — one shuffle, state bounded by events/key,
+    * and the fold's IEEE operation order is identical to DuckDB's
+    * `list_reduce` (which seeds with the first element — matched here by
+    * a NULL-initialized accumulator), so the result is bit-exact. */
+  def qEwma(s: SparkSession, dir: String): DataFrame = {
+    val seq = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("value")))).as("seq"))
+    seq.select(col("user_id"), size(col("seq")).as("n_events"),
+      aggregate(
+        transform(col("seq"), x => x.getField("value")),
+        lit(null).cast("double"),
+        (acc, x) => when(acc.isNull, x).otherwise(lit(0.5) * x + lit(0.5) * acc))
+        .as("ewma"))
+  }
+
+  val qEwmaSql: String =
+    """WITH l AS (SELECT user_id,
+      |  list_sort(list(struct_pack(ts := ts::TIMESTAMP, value := value))) AS seq
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, len(seq) AS n_events,
+      |  list_reduce(list_transform(seq, x -> x.value),
+      |              (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
+      |FROM l""".stripMargin
+
   // ----------------------------------------------------- k-hop recursion
 
   /** Bounded BFS over the exact near-dup pair graph with Spark 4's
@@ -220,6 +250,7 @@ object AnalyticsQueries {
     "q_gapfill"    -> (qGapfill _),
     "q_histogram"  -> (qHistogram _),
     "q_pii_redact" -> (qPiiRedact _),
+    "q_ewma"       -> (qEwma _),
     "q_khop"       -> (qKhop _))
 
   val oracle: Map[String, String] = Map(
@@ -228,5 +259,6 @@ object AnalyticsQueries {
     "q_gapfill"    -> qGapfillSql,
     "q_histogram"  -> qHistogramSql,
     "q_pii_redact" -> qPiiRedactSql,
+    "q_ewma"       -> qEwmaSql,
     "q_khop"       -> qKhopSql)
 }

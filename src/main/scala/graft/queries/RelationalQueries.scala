@@ -628,7 +628,31 @@ object RelationalQueries {
     s"""SELECT l_returnflag, ${sqlSum("l_quantity")} AS qty, count(*) AS n
        |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Multiple DISTINCT aggregates beside plain ones in a single GROUP BY —
+    * Catalyst plans this with one Expand (rows replicated per distinct
+    * group) + two-level aggregation, keeping each distinct set's dedup
+    * map-side partial. The alternative — one self-join per distinct
+    * column — would be two extra shuffles at 100 TB. */
+  def qMultiDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(
+        count_distinct(col("l_partkey")).as("d_parts"),
+        count_distinct(col("l_suppkey")).as("d_supps"),
+        count_distinct(col("l_partkey"), col("l_suppkey")).as("d_pairs"),
+        count(lit(1)).as("n"),
+        Oracle.dsum(col("l_quantity")).as("qty"))
+
+  val qMultiDistinctSql: String =
+    s"""SELECT l_returnflag AS returnflag,
+       |count(DISTINCT l_partkey) AS d_parts,
+       |count(DISTINCT l_suppkey) AS d_supps,
+       |count(DISTINCT (l_partkey, l_suppkey)) AS d_pairs,
+       |count(*) AS n, ${sqlSum("l_quantity")} AS qty
+       |FROM lineitem GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multi_distinct" -> (qMultiDistinct _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_array_lib"  -> (qArrayLib _),
@@ -657,6 +681,7 @@ object RelationalQueries {
     "q_sql"        -> (qSql _))
 
   val oracle: Map[String, String] = Map(
+    "q_multi_distinct" -> qMultiDistinctSql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_array_lib"  -> qArrayLibSql,
