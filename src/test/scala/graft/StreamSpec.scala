@@ -281,6 +281,43 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch incremental ingestion: streamed corpus == sequential dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.Dedup
+    implicit val sp = spark
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "en"),
+      (2L, "an entirely different document about spark engines", "en"),
+      (3L, "dies ist ein deutsches dokument ohne duplikate", "de"))
+    val b2 = Seq(
+      (4L, "the quick brown fox jumps over the lazy dog today", "en"), // exact dup of 1
+      (5L, "the quick brown fox jumps over the lazy dog tonight", "en"), // near dup of 1
+      (6L, "a brand new unique document in the second batch", "en"))
+    val input = MemoryStream[(Long, String, String)]
+    var corpus = spark.createDataFrame(
+      Seq.empty[(Long, String, String)]).toDF("doc_id", "text", "lang")
+        .localCheckpoint()
+    val q = input.toDF().toDF("doc_id", "text", "lang")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = Dedup.dedupIncremental(corpus, batch, "text", "doc_id", "lang",
+            threshold = 0.5)
+          .filter(col("keep")).select(col("doc_id"))
+        // checkpoint: the accumulated corpus must not re-run prior batches'
+        // dedup plans on every subsequent microbatch
+        corpus = corpus.unionAll(batch.join(kept, Seq("doc_id"), "left_semi"))
+          .localCheckpoint()
+        ()
+      }.start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = corpus.select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 3L, 6L),
+        s"4 (exact dup) and 5 (near dup) must be dropped, got $got")
+    } finally q.stop()
+  }
+
   test("session_window batch == custom sessionize batch (same fold)") {
     implicit val sp = spark
     val ev = Tables.events(spark, dir)
