@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{AnalyticsQueries, CoreQueries}
+
+/** Physical-plan quality guards: these queries' 100 TB viability rests on
+  * specific plan shapes (map-side-only, single shuffle, pushdown, partial
+  * aggregation), so regressions here should fail CI even while results
+  * stay correct. Assertions run on the pre-execution plan string — shapes,
+  * not runtime stats. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  private def shuffles(plan: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan).length
+
+  test("pii redaction is pure map-side: no exchange, two-column scan") {
+    val p = physical(AnalyticsQueries.qPiiRedact(spark, dir))
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),
+      s"scan should prune to 2 columns:\n$p")
+  }
+
+  test("funnel: one user_id window shuffle + one expand-distinct shuffle") {
+    val p = physical(AnalyticsQueries.qFunnel(spark, dir))
+    assert(shuffles(p) == 2, s"expected 2 hash exchanges:\n$p")
+    assert(p.contains("Expand"),
+      s"3 count-distincts should share one Expand, not per-column plans:\n$p")
+    assert("Window \\[min".r.findAllIn(p).length == 3,
+      s"stage times should be 3 windows over ONE partitioning:\n$p")
+  }
+
+  test("ewma: map-side partial collect_list, single shuffle, pruned scan") {
+    val p = physical(AnalyticsQueries.qEwma(spark, dir))
+    assert(shuffles(p) == 1, s"expected 1 hash exchange:\n$p")
+    assert(p.contains("partial_collect_list"),
+      s"collect_list must aggregate map-side:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"collect_list should use the object hash aggregate, not sort-based:\n$p")
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint,value:double>"),
+      s"scan should prune to 3 columns:\n$p")
+  }
+
+  test("flagship q1: filter pushed through the wrangle layer into the scan") {
+    val p = physical(CoreQueries.q1(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter must reach the parquet scan:\n$p")
+    assert(!p.contains("l_orderkey"),
+      s"unused columns must be pruned from the scan:\n$p")
+    assert(p.contains("partial_sum"), s"aggregation must be two-phase:\n$p")
+  }
+
+  test("histogram: agg shuffle + tiny window re-shuffle only") {
+    val p = physical(AnalyticsQueries.qHistogram(spark, dir))
+    assert(shuffles(p) <= 2, s"expected at most 2 hash exchanges:\n$p")
+    assert(p.contains("partial_count"), s"count must be two-phase:\n$p")
+  }
+}
