@@ -244,6 +244,35 @@ object AnalyticsQueries {
       |  SELECT e.v, w.d + 1 FROM walk w JOIN edges e ON w.id = e.u WHERE w.d < 3)
       |SELECT id, min(d) AS hops FROM walk GROUP BY id""".stripMargin
 
+  // ------------------------------------------------------- fuzzy lookup
+
+  /** Fuzzy dimension lookup (entity resolution): each supplier resolves to
+    * its minimum-edit-distance customer name within the same nation. The
+    * clean dimension broadcasts — the dirty side never shuffles — and the
+    * argmin is a lexicographic struct `min` (distance, then name, so ties
+    * break deterministically), giving map-side partial aggregation instead
+    * of a window sort. At 100 TB this is the "reconcile dirty keys against
+    * a reference dim" shape: broadcast + per-key min, no quadratic pass. */
+  def qFuzzyLookup(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables(s, dir, "supplier")
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_name"), col("c_nationkey"))
+    sup.join(broadcast(cust), col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(min(struct(
+        levenshtein(col("s_name"), col("c_name")).cast(LongType).as("lev"),
+        col("c_name").as("match_name"))).as("m"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("m.lev").as("lev"), col("m.match_name").as("match_name"))
+  }
+
+  val qFuzzyLookupSql: String =
+    """WITH j AS (SELECT s_suppkey, s_name, levenshtein(s_name, c_name) AS lev, c_name
+      |  FROM supplier JOIN customer ON s_nationkey = c_nationkey),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY s_suppkey ORDER BY lev, c_name) AS rn
+      |  FROM j)
+      |SELECT s_suppkey, s_name, lev, c_name AS match_name FROM r WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel"     -> (qFunnel _),
     "q_retention"  -> (qRetention _),
@@ -251,6 +280,7 @@ object AnalyticsQueries {
     "q_histogram"  -> (qHistogram _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_ewma"       -> (qEwma _),
+    "q_fuzzy_lookup" -> (qFuzzyLookup _),
     "q_khop"       -> (qKhop _))
 
   val oracle: Map[String, String] = Map(
@@ -260,5 +290,6 @@ object AnalyticsQueries {
     "q_histogram"  -> qHistogramSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_ewma"       -> qEwmaSql,
+    "q_fuzzy_lookup" -> qFuzzyLookupSql,
     "q_khop"       -> qKhopSql)
 }
