@@ -183,14 +183,20 @@ object TextAnalysis {
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, textCol: String,
                     idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = docs.select(col(idCol)).distinct().count()
+    // Corpus size rides as a broadcast scalar (no separate count action),
+    // and the exploded terms repartition on the doc id ONCE: hash(id)
+    // satisfies the (id, term) aggregation's clustering AND the per-id
+    // window, so tf-counting, ranking, and (via ReuseExchange) the
+    // document-frequency branch all hang off a single wide exchange.
+    val n = docs.agg(countDistinct(col(idCol)).cast(DoubleType).as("__n"))
     val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .repartition(col(idCol))
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), Seq("term"))
+    val scored = tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(n))
       .withColumn("tfidf",
         col("tf").cast(DoubleType) *
-          (lit(nDocs + 1.0) / (col("df").cast(DoubleType) + 1.0)))
+          ((col("__n") + 1.0) / (col("df").cast(DoubleType) + 1.0)))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term").asc)
     scored.withColumn("rank", row_number().over(w))

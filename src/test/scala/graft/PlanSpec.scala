@@ -55,6 +55,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"aggregation must be two-phase:\n$p")
   }
 
+  test("tfidf: window rank reuses the id partitioning; df broadcasts back") {
+    val p = physical(graft.ext.TextAnalysis.tfidfTopTerms(
+      Tables(spark, dir, "documents"), "text", "doc_id", 5))
+    // No exchange between the scoring join and the per-id window: the
+    // repartition(id) feeding tf must satisfy the window's distribution.
+    val between = p.substring(p.indexOf("Window ["), p.indexOf("BroadcastNestedLoopJoin"))
+    assert(!between.contains("Exchange"),
+      s"window must reuse the id partitioning, not re-shuffle:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must push a group-limit below the full window sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df must broadcast back:\n$p")
+  }
+
   test("histogram: agg shuffle + tiny window re-shuffle only") {
     val p = physical(AnalyticsQueries.qHistogram(spark, dir))
     assert(shuffles(p) <= 2, s"expected at most 2 hash exchanges:\n$p")
