@@ -318,6 +318,42 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState running EWMA: streamed in-order batches == batch query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sp = spark
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Running
+    // Two genuine microbatches split at the median timestamp: the second
+    // batch must fold onto state carried from the first.
+    val all = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value")).as[Sessionize.Event]
+      .collect().sortBy(_.ts)
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val input = MemoryStream[Sessionize.Event]
+    val q = Running.ewmaStream(input.toDS())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("update").start()
+    try {
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("ewma_out")
+        .groupBy("user_id").agg(max(struct(col("n_events"), col("ewma"))).as("m"))
+        .select(col("user_id"), col("m.n_events"), col("m.ewma"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (k, n, e) => k -> ((n, e)) }.toMap
+      // Twin 1: the typed batch fold.
+      val batch = Running.ewmaBatch(
+          Tables.events(spark, dir).select(col("user_id"), col("ts"), col("value"))
+            .as[Sessionize.Event])
+        .as[Running.Ewma].collect().map(r => r.user_id -> ((r.n_events, r.ewma))).toMap
+      assert(got == batch)
+      // Twin 2: the oracle-checked SQL HOF fold (same IEEE op order).
+      val sql = graft.queries.AnalyticsQueries.qEwma(spark, dir)
+        .as[(Long, Int, Double)].collect().map(r => r._1 -> ((r._2.toLong, r._3))).toMap
+      assert(got == sql)
+    } finally q.stop()
+  }
+
   test("session_window batch == custom sessionize batch (same fold)") {
     implicit val sp = spark
     val ev = Tables.events(spark, dir)
