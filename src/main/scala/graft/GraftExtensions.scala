@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, JaccardSimilarity, MinHashSignature, SimHash64}
+import graft.functions.{CosineSimilarity, DotProduct, JaccardSimilarity, JaccardSortedLongs, MinHashSignature, SimHash64, SortedShingleHashes, WordShingles}
 
 /** SQL-surface registration of the engine's custom Catalyst expressions —
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
@@ -36,7 +36,11 @@ object GraftExtensions {
     "dot_product" -> two(DotProduct(_, _)),
     "jaccard_sim" -> two(JaccardSimilarity(_, _)),
     "minhash_sig" -> { case Seq(a) => MinHashSignature(a, 64, 42L) },
-    "simhash64"   -> { case Seq(a) => SimHash64(a) })
+    "simhash64"   -> { case Seq(a) => SimHash64(a) },
+    // hashed-shingle verify kernels (word 3-gram default)
+    "shingles"        -> { case Seq(a) => WordShingles(a, 3, sort = false) },
+    "shingle_hashes"  -> { case Seq(a) => SortedShingleHashes(a, 3) },
+    "jaccard_hashed"  -> two(JaccardSortedLongs(_, _)))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -192,6 +192,11 @@ class ExtSpec extends AnyFunSuite {
         |simhash64(array('a','b')) AS fp FROM v_emb LIMIT 1""".stripMargin)
       .collect().head
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    val j = spark.sql(
+      """SELECT jaccard_hashed(shingle_hashes('a b c d'), shingle_hashes('a b c e')) AS jh,
+        |jaccard_sim(shingles('a b c d'), shingles('a b c e')) AS js""".stripMargin)
+      .collect().head
+    assert(j.getDouble(0) == j.getDouble(1), "hashed and string SQL kernels must agree")
   }
 
   test("codegen cosine == interpreted HOF cosine, bit-exact on fixtures") {
