@@ -211,8 +211,12 @@ object AnalyticsQueries {
     val docs = Tables(s, dir, "documents")
     val pairs = graft.ext.Dedup.prefixJaccardPairs(
       docs, "text", "doc_id", "lang", threshold = 0.5)
+    // Materialized once: each recursion step joins the edge view, and an
+    // unmaterialized view would re-run the whole prefix-Jaccard pipeline
+    // per step (same trap Dedup.clusters documents for its loop).
     pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint()
       .createOrReplaceTempView("khop_edges")
     docs.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("id"))
       .createOrReplaceTempView("khop_seeds")
