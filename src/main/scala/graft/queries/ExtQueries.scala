@@ -169,6 +169,39 @@ object ExtQueries {
       |FROM scored)
       |SELECT doc_id, rank, term, tf, df, tfidf FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** Vocabulary induction: top-100 corpus tokens by frequency with
+    * cumulative coverage share — the "how big must the vocab be" question
+    * every tokenizer build asks. Distributed shape: one (token) count
+    * shuffle, then TakeOrdered for the top-N (never a global sort), with
+    * the cumulative window running only over the tiny result and the
+    * corpus total riding as a broadcast scalar. */
+  def qVocab(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("n"))
+    val total = toks.agg(count(lit(1)).cast("double").as("__t"))
+    val top = counts.orderBy(col("n").desc, col("token")).limit(100)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("token"))))
+      .select(col("rank"), col("token"), col("n"),
+        (sum(col("n")).over(Window.orderBy(col("n").desc, col("token")))
+          / col("__t")).as("coverage"))
+  }
+
+  val qVocabSql: String =
+    """WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      |  FROM documents),
+      |c AS (SELECT token, count(*) AS n FROM t GROUP BY 1),
+      |tot AS (SELECT count(*)::DOUBLE AS t FROM t),
+      |top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100)
+      |SELECT row_number() OVER (ORDER BY n DESC, token) AS rank, token, n,
+      |  sum(n) OVER (ORDER BY n DESC, token
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / (SELECT t FROM tot)
+      |    AS coverage
+      |FROM top""".stripMargin
+
   /** Inverted index over the corpus: term -> df + sorted posting list. */
   def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.invertedIndex(Tables(s, dir, "documents"), "text", "doc_id")
@@ -467,6 +500,7 @@ object ExtQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"       -> (qTextStats _),
     "q_tfidf"            -> (qTfidf _),
+    "q_vocab"            -> (qVocab _),
     "q_sample"           -> (qSample _),
     "q_split"            -> (qSplit _),
     "q_pack"             -> (qPack _),
@@ -493,6 +527,7 @@ object ExtQueries {
   val oracle: Map[String, String] = Map(
     "q_text_stats"       -> qTextStatsSql,
     "q_tfidf"            -> qTfidfSql,
+    "q_vocab"            -> qVocabSql,
     "q_sample"           -> qSampleSql,
     "q_split"            -> qSplitSql,
     "q_pack"             -> qPackSql,

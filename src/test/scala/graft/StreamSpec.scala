@@ -354,6 +354,52 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: EWMA state survives a stream restart") {
+    implicit val sp = spark
+    import graft.streaming.Running
+    val base = java.nio.file.Files.createTempDirectory("graft_recover").toString
+    val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val all = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value")).as[Sessionize.Event]
+      .collect().sortBy(_.ts)
+    val (b1, b2) = all.splitAt(all.length / 2)
+    def writeBatch(evs: Array[Sessionize.Event], name: String): Unit =
+      spark.createDataset(evs.toSeq).write.parquet(s"$srcDir/$name")
+    val schema = spark.emptyDataset[Sessionize.Event].schema
+    val latest = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Double)]()
+    // foreachBatch (not the memory sink): the memory sink refuses
+    // checkpoint recovery; foreachBatch is the restartable shape.
+    def start() = Running.ewmaStream(
+        spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+          .parquet(srcDir).as[Sessionize.Event])
+      .writeStream.foreachBatch {
+        (df: org.apache.spark.sql.Dataset[Running.Ewma], _: Long) =>
+          df.collect().foreach(r => latest.put(r.user_id, (r.n_events, r.ewma)))
+          ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    writeBatch(b1, "b1")
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    latest.clear() // keep only post-restart emissions
+    // restart from the checkpoint: only b2 is new input, but the fold must
+    // continue from b1's state, not restart from scratch
+    writeBatch(b2, "b2")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = latest.asScala.toMap
+      val batch = Running.ewmaBatch(spark.createDataset(all.toSeq))
+        .collect().map(r => r.user_id -> ((r.n_events, r.ewma))).toMap
+      // rec2 only contains users updated in b2; each must carry full history
+      assert(got.nonEmpty)
+      got.foreach { case (u, ne) => assert(ne == batch(u), s"user $u") }
+    } finally q2.stop()
+  }
+
   test("session_window batch == custom sessionize batch (same fold)") {
     implicit val sp = spark
     val ev = Tables.events(spark, dir)
