@@ -202,6 +202,36 @@ object ExtQueries {
       |    AS coverage
       |FROM top""".stripMargin
 
+  /** Sliding-window document chunking (50-token chunks, stride 40): the
+    * standard long-document windowing pass before tokenization/packing.
+    * Pure map-side — tokenize once, emit every window with posexplode;
+    * chunk count uses exact integer arithmetic so both engines agree. */
+  def qChunk(s: SparkSession, dir: String): DataFrame = {
+    val chunk = 50; val stride = 40
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .withColumn("k",
+        expr(s"(greatest(size(t) - $chunk, 0) + ${stride - 1}) div $stride + 1"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("k") - 1),
+          i => concat_ws(" ", slice(col("t"), i * stride + 1, lit(chunk))))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        size(split(col("col"), " ")).cast("long").as("n_tokens"),
+        col("col").as("chunk"))
+  }
+
+  val qChunkSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |c AS (SELECT doc_id, t,
+      |  (greatest(len(t) - 50, 0) + 39) // 40 + 1 AS k FROM t),
+      |x AS (SELECT doc_id, unnest(list_transform(range(0, k), i ->
+      |  {'cid': i, 'chunk': array_to_string(t[(i*40+1):(i*40+50)], ' ')})) AS u
+      |  FROM c)
+      |SELECT doc_id, u.cid AS chunk_id,
+      |  len(string_split(u.chunk, ' ')) AS n_tokens, u.chunk AS chunk
+      |FROM x""".stripMargin
+
   /** Inverted index over the corpus: term -> df + sorted posting list. */
   def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.invertedIndex(Tables(s, dir, "documents"), "text", "doc_id")
@@ -501,6 +531,7 @@ object ExtQueries {
     "q_text_stats"       -> (qTextStats _),
     "q_tfidf"            -> (qTfidf _),
     "q_vocab"            -> (qVocab _),
+    "q_chunk"            -> (qChunk _),
     "q_sample"           -> (qSample _),
     "q_split"            -> (qSplit _),
     "q_pack"             -> (qPack _),
@@ -528,6 +559,7 @@ object ExtQueries {
     "q_text_stats"       -> qTextStatsSql,
     "q_tfidf"            -> qTfidfSql,
     "q_vocab"            -> qVocabSql,
+    "q_chunk"            -> qChunkSql,
     "q_sample"           -> qSampleSql,
     "q_split"            -> qSplitSql,
     "q_pack"             -> qPackSql,
