@@ -628,6 +628,58 @@ object RelationalQueries {
     s"""SELECT l_returnflag, ${sqlSum("l_quantity")} AS qty, count(*) AS n
        |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Statistical aggregates — stddev, covariance, correlation — computed
+    * from exact decimal power sums rather than the built-in streaming
+    * aggregates: Spark (Welford-style updates) and DuckDB accumulate in
+    * different orders, so their floating-point results differ run-to-run
+    * and engine-to-engine, while power sums through DECIMAL(38,14) are
+    * order-independent and make the derived moments bit-identical. The
+    * shuffle cost is the same (one grouped pass, map-side partials). */
+  def qStats(s: SparkSession, dir: String): DataFrame = {
+    // Power sums over EXACT INTEGERS: quantity is integer-valued and
+    // extendedprice carries exactly 2 decimals, so round(y*100) is exact
+    // (the *100 product of a decimal-derived double rounds to the true
+    // integer), every per-row product stays below 2^53, and the
+    // DECIMAL(38,0) sums are exact on both engines — fractional decimal
+    // casts are NOT cross-engine-stable (Spark converts doubles via
+    // shortest string, DuckDB via exact binary expansion), integer casts
+    // are. The derived moments then use identical IEEE double ops on both
+    // sides; corr is scale-invariant and covar unscales by 100.
+    val x = col("l_quantity"); val y = round(col("l_extendedprice") * 100)
+    def d(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 0))).cast(DoubleType)
+    val base = Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(count(lit(1)).cast(DoubleType).as("n"), d(x).as("sx"), d(y).as("sy"),
+        d(x * x).as("sxx"), d(y * y).as("syy"), d(x * y).as("sxy"))
+    val varQ = (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
+    val varP = (col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)
+    val covarS = (col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)
+    base.select(col("returnflag"), col("n").cast("long").as("n"),
+      varQ.as("var_qty"), sqrt(varQ).as("sd_qty"),
+      (covarS / 100).as("covar"),
+      (covarS / (sqrt(varQ) * sqrt(varP))).as("corr"))
+  }
+
+  val qStatsSql: String = {
+    def d(e: String) = s"CAST(sum(CAST(($e) AS DECIMAL(38,0))) AS DOUBLE)"
+    val y = "round(l_extendedprice * 100)"
+    s"""WITH m AS (SELECT l_returnflag AS returnflag, count(*)::DOUBLE AS n,
+       |  ${d("l_quantity")} AS sx, ${d(y)} AS sy,
+       |  ${d("l_quantity * l_quantity")} AS sxx,
+       |  ${d(s"$y * $y")} AS syy,
+       |  ${d(s"l_quantity * $y")} AS sxy
+       |  FROM lineitem GROUP BY 1)
+       |SELECT returnflag, CAST(n AS BIGINT) AS n,
+       |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+       |  sqrt((sxx - sx * sx / n) / (n - 1)) AS sd_qty,
+       |  ((sxy - sx * sy / n) / (n - 1)) / 100 AS covar,
+       |  ((sxy - sx * sy / n) / (n - 1))
+       |    / (sqrt((sxx - sx * sx / n) / (n - 1))
+       |       * sqrt((syy - sy * sy / n) / (n - 1))) AS corr
+       |FROM m""".stripMargin
+  }
+
   /** Multiple DISTINCT aggregates beside plain ones in a single GROUP BY —
     * Catalyst plans this with one Expand (rows replicated per distinct
     * group) + two-level aggregation, keeping each distinct set's dedup
@@ -653,6 +705,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multi_distinct" -> (qMultiDistinct _),
+    "q_stats"      -> (qStats _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_array_lib"  -> (qArrayLib _),
@@ -682,6 +735,7 @@ object RelationalQueries {
 
   val oracle: Map[String, String] = Map(
     "q_multi_distinct" -> qMultiDistinctSql,
+    "q_stats"      -> qStatsSql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_array_lib"  -> qArrayLibSql,
