@@ -129,10 +129,15 @@ object Dedup {
           b => xxhash64(lit("band"), b, slice(col("sig"), b * rows + lit(1), lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
 
-    // Cap pathological buckets: count per (band,bhash), keep small ones.
-    val bucketCounts = banded.groupBy("band", "bhash").count()
-      .filter(col("count") <= maxBucket && col("count") >= 2)
-    val small = banded.join(bucketCounts.select("band", "bhash"), Seq("band", "bhash"))
+    // Cap pathological buckets with a partition-frame window count, not a
+    // groupBy + join back: the window computes the bucket size inside the
+    // ONE (band, bhash) exchange, and the self-join below then joins two
+    // branches of that same shuffle (identically partitioned and sorted —
+    // no further exchange of the banded frame). The groupBy formulation
+    // shuffled the banded rows twice more.
+    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "bhash")
+    val small = banded.withColumn("__cnt", count(lit(1)).over(bucketW))
+      .filter(col("__cnt") <= maxBucket && col("__cnt") >= 2).drop("__cnt")
 
     val a = small.select(col("band"), col("bhash"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = small.select(col("band"), col("bhash"), col("id").as("id_b"), col("sig").as("sig_b"))
