@@ -16,11 +16,13 @@ import graft.functions.{CosineSimilarity, DotProduct, JaccardSimilarity, Jaccard
   * SELECT minhash_sig(shingles), simhash64(tokens), jaccard_sim(x, y) ...
   * }}} */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.ShingleHashRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -43,8 +45,12 @@ object GraftExtensions {
     "jaccard_hashed"  -> two(JaccardSortedLongs(_, _)))
 
   /** Register on an already-built session (tests, notebooks). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, name, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.ShingleHashRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ShingleHashRewrite
+  }
 }

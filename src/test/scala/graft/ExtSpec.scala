@@ -199,6 +199,27 @@ class ExtSpec extends AnyFunSuite {
     assert(j.getDouble(0) == j.getDouble(1), "hashed and string SQL kernels must agree")
   }
 
+  test("optimizer rule rewrites string-shingle jaccard to the hashed kernel") {
+    GraftExtensions.register(spark)
+    val docs = Tables(spark, dir, "documents").limit(50)
+    val pairs = docs.select(col("text").as("a"))
+      .crossJoin(docs.select(col("text").as("b"))).limit(200)
+    val q = pairs.select(
+      graft.functions.TextExpressions.jaccardSim(
+        Dedup.shingles(col("a")), Dedup.shingles(col("b"))).as("j"))
+    val optimized = q.queryExecution.optimizedPlan.toString()
+    assert(optimized.contains("jaccardsortedlongs") ||
+      optimized.contains("JaccardSortedLongs"),
+      s"rule must swap in the hashed kernel:\n$optimized")
+    // and the rewrite must not change results vs the un-rewritten twin
+    val want = pairs.select(
+        graft.functions.TextExpressions.jaccardSim(
+          Dedup.shinglesHof(col("a")), Dedup.shinglesHof(col("b"))).as("j"))
+      .as[Double].collect().toSeq
+    val got = q.as[Double].collect().toSeq
+    assert(got == want)
+  }
+
   test("codegen cosine == interpreted HOF cosine, bit-exact on fixtures") {
     val e = Tables(spark, dir, "embeddings")
     val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
