@@ -81,6 +81,31 @@ object RelationalQueries {
        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
        |GROUP BY c_custkey""".stripMargin
 
+  /** FULL OUTER join of two disjoint per-customer aggregates — customers
+    * holding only fulfilled or only open orders survive on one side with
+    * NULLs on the other. Both inputs aggregate BEFORE the join, so the
+    * full-outer exchange carries one row per (customer, side), not raw
+    * orders. */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    def side(status: String, n: String) = o.filter(col("o_orderstatus") === status)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as(n))
+    side("F", "n_fulfilled").join(side("O", "n_open"), Seq("o_custkey"), "full")
+      .select(col("o_custkey").as("custkey"),
+        coalesce(col("n_fulfilled"), lit(0L)).as("n_fulfilled"),
+        coalesce(col("n_open"), lit(0L)).as("n_open"))
+  }
+
+  val qFullOuterSql: String =
+    """WITH f AS (SELECT o_custkey, count(*) AS n_fulfilled FROM orders
+      |  WHERE o_orderstatus = 'F' GROUP BY 1),
+      |o AS (SELECT o_custkey, count(*) AS n_open FROM orders
+      |  WHERE o_orderstatus = 'O' GROUP BY 1)
+      |SELECT COALESCE(f.o_custkey, o.o_custkey) AS custkey,
+      |  COALESCE(n_fulfilled, 0) AS n_fulfilled,
+      |  COALESCE(n_open, 0) AS n_open
+      |FROM f FULL OUTER JOIN o ON f.o_custkey = o.o_custkey""".stripMargin
+
   /** Window functions: row_number / running sum / lag over a total order. */
   def qWindow(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
@@ -717,6 +742,7 @@ object RelationalQueries {
     "q_join_star"  -> (qJoinStar _),
     "q_semi_anti"  -> (qSemiAnti _),
     "q_outer_join" -> (qOuterJoin _),
+    "q_full_outer" -> (qFullOuter _),
     "q_window"     -> (qWindow _),
     "q_window_range" -> (qWindowRange _),
     "q_topk"       -> (qTopK _),
@@ -747,6 +773,7 @@ object RelationalQueries {
     "q_join_star"  -> qJoinStarSql,
     "q_semi_anti"  -> qSemiAntiSql,
     "q_outer_join" -> qOuterJoinSql,
+    "q_full_outer" -> qFullOuterSql,
     "q_window"     -> qWindowSql,
     "q_window_range" -> qWindowRangeSql,
     "q_topk"       -> qTopKSql,
