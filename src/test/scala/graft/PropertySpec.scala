@@ -95,6 +95,40 @@ object PropertySpec extends Properties("graft") {
         (words.distinct.size != 1 || (top == 1.0 && rep == 1.0))
     }
 
+  property("funnel stages are monotonically non-increasing") =
+    forAll(Gen.listOfN(12,
+      Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 1000L),
+        Gen.oneOf("view", "click", "purchase", "error")))) { evs =>
+      val df = evs.zipWithIndex.map { case ((u, t, ty), i) =>
+        (i.toLong, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t)),
+          u, ty, 0.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+      // route through the same nanos layout Tables.events reads
+      df.withColumn("ts", expr("unix_micros(ts) * 1000")).write
+        .mode("overwrite").parquet(s"$tmp/events.parquet")
+      val r = graft.queries.AnalyticsQueries.qFunnel(spark, tmp).collect().head
+      val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      v >= c && c >= p
+    }
+
+  property("chunking covers every token: stride windows reassemble the doc") =
+    forAll(Gen.choose(1, 130)) { nTok =>
+      val text = (0 until nTok).map(i => s"w$i").mkString(" ")
+      val df = Seq((1L, text, "en", "src", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+      df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val chunks = graft.queries.ExtQueries.qChunk(spark, tmp)
+        .orderBy("chunk_id").collect()
+      val toks = chunks.flatMap(_.getString(3).split(" ")).distinct
+      // every token appears in some chunk, chunk 0 starts at token 0, and
+      // consecutive chunks overlap by chunk-stride = 10 tokens (when full)
+      toks.length == nTok &&
+        chunks.head.getString(3).startsWith("w0") &&
+        chunks.forall(_.getLong(2) <= 50)
+    }
+
   property("truthiness default: falsy inputs take the fallback") =
     forAll(Gen.oneOf(Gen.const(None), Gen.some(Gen.choose(-5.0, 5.0).sample.getOrElse(0.0)))) { v =>
       val df = Seq(Tuple1(v)).toDF("x")
