@@ -18,21 +18,28 @@ import org.apache.spark.sql.types.LongType
   *    proportional to true matches per bucket, not |L|×|R|. */
 object Joins {
 
-  /** Point-in-time (as-of backward) join: for each left row, the single
-    * most recent right row with `rightTs <= leftTs`, per key; unmatched
-    * left rows keep NULL right columns (left-join semantics).
+  /** Point-in-time (as-of) join: for each left row, ONE right row per key —
+    * `direction = "backward"` (default): most recent right with
+    * `rightTs <= leftTs`; `"forward"`: earliest right with
+    * `rightTs >= leftTs`; `"nearest"`: whichever of the two is closer in
+    * time (ties go backward). Unmatched left rows keep NULL right columns
+    * (left-join semantics). `rightPrefix` disambiguates the right's
+    * columns in the output.
     *
-    * `rightPrefix` disambiguates the right's columns in the output
-    * (`<prefix><col>` for every right column except the keys).
-    *
-    * Algorithm: union both sides tagged, sort per key by (ts, side) with
-    * right-before-left at equal timestamps (so an exactly-simultaneous
-    * right row matches), carry the last non-null right record forward with
-    * an unbounded-preceding window, keep left rows. */
+    * Algorithm (all directions): union both sides tagged, ONE shuffle +
+    * sort per key on (ts, side) with right-before-left at equal
+    * timestamps, then carry the adjacent right record with window frames —
+    * unbounded-preceding `last` for backward, current-to-unbounded-
+    * following `first` for forward (equal-ts rights sort before the left
+    * row, so the forward frame is strictly-after; the `>=` tie case is
+    * covered by the backward carry, which is why "nearest" composes
+    * correctly). Never a per-row probe, never an inequality nested loop. */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
            rightPrefix: String = "r_",
-           tolerance: Option[String] = None): DataFrame = {
+           tolerance: Option[String] = None,
+           direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction), direction)
     val rightCols = right.columns.filterNot(keys.contains).toSeq
     val leftCols = left.columns.toSeq
     val l = left.select(
@@ -43,17 +50,44 @@ object Joins {
       (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
         lit(null).cast(structType(left, leftCols)).as("__l") :+
         struct(rightCols.map(col): _*).as("__r")): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
+    val ord = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.unionByName(r)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val union = l.unionByName(r)
+    val carried = (direction match {
+      case "backward" =>
+        union.withColumn("__m", last(col("__r"), ignoreNulls = true).over(wb))
+      case "forward" =>
+        union.withColumn("__m",
+          coalesce(
+            // equal-ts right rows sort before the left row: they belong to
+            // the >= match set but live in the preceding frame, so take
+            // them from a backward carry restricted to equal timestamps
+            when(last(col("__r"), ignoreNulls = true).over(wb)
+              .getField(rightTs) === col("__ts"),
+              last(col("__r"), ignoreNulls = true).over(wb)),
+            first(col("__r"), ignoreNulls = true).over(wf)))
+      case "nearest" =>
+        val b = last(col("__r"), ignoreNulls = true).over(wb)
+        val f = first(col("__r"), ignoreNulls = true).over(wf)
+        union.withColumn("__m",
+          when(b.isNull, f).when(f.isNull, b)
+            .when(col("__ts") - b.getField(rightTs)
+              <= f.getField(rightTs) - col("__ts"), b)
+            .otherwise(f))
+    }).filter(col("__side") === 1)
     val withTol = tolerance match {
       case Some(tol) =>
+        // |Δt| ≤ tol in epoch-micros — direction-agnostic (forward matches
+        // have negative leftTs - rightTs); the timestamp_micros(0) round
+        // trip converts the interval literal to micros independent of the
+        // session timezone.
+        val tolUs = expr(s"unix_micros(timestamp_micros(0) + INTERVAL '$tol')")
         carried.withColumn("__m",
           when(col("__m").isNotNull &&
-            col("__ts") - col("__m").getField(rightTs) <= expr(s"INTERVAL '$tol'"),
+            abs(unix_micros(col("__ts")) -
+              unix_micros(col("__m").getField(rightTs))) <= tolUs,
             col("__m")))
       case None => carried
     }

@@ -473,6 +473,33 @@ object RelationalQueries {
       |SELECT p.user_id, p.ts, p.amount, v.ts AS r_ts, v.value AS r_value
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin
 
+  /** Forward as-of: each view matched to the user's NEXT purchase at or
+    * after it (time-to-conversion shape). Same single-shuffle union+window
+    * algorithm with the forward frame; the oracle is a correlated LATERAL
+    * top-1, deliberately a different formulation. Ambiguous ties (two
+    * right rows at one timestamp) don't exist in the fixture (µs
+    * timestamps are unique per user). */
+  def qAsOfForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("amount"))
+    graft.exec.Joins.asOf(v, p, Seq("user_id"), "ts", "ts",
+      direction = "forward")
+  }
+
+  val qAsOfForwardSql: String =
+    """WITH v AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, ts::TIMESTAMP AS ts, value AS amount FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT v.user_id, v.ts, v.event_id, m.r_ts, m.r_amount
+      |FROM v LEFT JOIN LATERAL (
+      |  SELECT p.ts AS r_ts, p.amount AS r_amount FROM p
+      |  WHERE p.user_id = v.user_id AND p.ts >= v.ts
+      |  ORDER BY p.ts LIMIT 1) m ON TRUE""".stripMargin
+
   /** Range (interval) join via bucketization: customers against overlapping
     * account-balance bands derived from nation. */
   def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
@@ -738,6 +765,7 @@ object RelationalQueries {
     "q_having"     -> (qHaving _),
     "q_percentile" -> (qPercentile _),
     "q_asof_join"  -> (qAsOfJoin _),
+    "q_asof_forward" -> (qAsOfForward _),
     "q_range_join" -> (qRangeJoin _),
     "q_join_star"  -> (qJoinStar _),
     "q_semi_anti"  -> (qSemiAnti _),
@@ -769,6 +797,7 @@ object RelationalQueries {
     "q_having"     -> qHavingSql,
     "q_percentile" -> qPercentileSql,
     "q_asof_join"  -> qAsOfJoinSql,
+    "q_asof_forward" -> qAsOfForwardSql,
     "q_range_join" -> qRangeJoinSql,
     "q_join_star"  -> qJoinStarSql,
     "q_semi_anti"  -> qSemiAntiSql,

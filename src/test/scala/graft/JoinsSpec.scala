@@ -40,6 +40,45 @@ class JoinsSpec extends AnyFunSuite {
     assert(tol.toSeq == Seq((1L, Some(99.5)), (1L, Some(100.5)), (2L, None)))
   }
 
+  test("asOf forward/nearest == brute-force reference on random data") {
+    val rnd = new scala.util.Random(7)
+    def t(m: Int) = ts(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00")
+    val lefts = (0 until 60).map(i => (rnd.nextInt(3).toLong, t(rnd.nextInt(120)), i.toLong))
+    val rights = (0 until 40).map(i => (rnd.nextInt(4).toLong, t(rnd.nextInt(120)), i * 1.0))
+    val l = lefts.toDF("k", "ts", "lid")
+    val r = rights.toDF("k", "ts", "rv")
+    def brute(dir: String): Map[Long, Option[Double]] =
+      lefts.map { case (k, lts, lid) =>
+        val cands = rights.filter(_._1 == k)
+        val picked = dir match {
+          case "forward" =>
+            cands.filter(!_._2.before(lts)).sortBy(c => (c._2.getTime, c._3)).headOption
+          case "nearest" =>
+            // min |dt|; ties backward; among equals pick deterministic min rv
+            cands.sortBy(c => (math.abs(c._2.getTime - lts.getTime),
+              if (c._2.after(lts)) 1 else 0, c._3)).headOption
+        }
+        lid -> picked.map(_._3)
+      }.toMap
+    for (dir <- Seq("forward", "nearest")) {
+      val got = Joins.asOf(l, r, Seq("k"), "ts", "ts", direction = dir)
+        .select("lid", "r_rv").as[(Long, Option[Double])].collect().toMap
+      val want = brute(dir)
+      // ties among same-ts right rows: any same-ts candidate is acceptable;
+      // compare on the matched TIMESTAMP+presence level for exactness
+      lefts.foreach { case (k, lts, lid) =>
+        (got(lid), want(lid)) match {
+          case (None, None) => ()
+          case (Some(g), Some(w)) =>
+            val gts = rights.find(x => x._1 == k && x._3 == g).get._2.getTime
+            val wts = rights.find(x => x._1 == k && x._3 == w).get._2.getTime
+            assert(gts == wts, s"$dir lid=$lid matched ts $gts vs $wts")
+          case (g, w) => fail(s"$dir lid=$lid: got $g want $w")
+        }
+      }
+    }
+  }
+
   test("salted two-phase aggregation == plain groupBy") {
     val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
     val got = graft.exec.Skew.saltedAgg(li, Seq("l_returnflag"), salts = 8,
