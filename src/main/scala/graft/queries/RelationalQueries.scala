@@ -548,10 +548,20 @@ object RelationalQueries {
     // twice. The grouped result is |nations| rows — checkpoint it once; the
     // same pattern holds at 100 TB, where re-running the fact join to score
     // its own aggregate would double the query cost.
+    //
+    // The inner `lrev` pre-aggregates lineitem revenue per order BEFORE the
+    // orders join — a partial-aggregation pushdown Catalyst does not do on
+    // its own. The groupBy partitions on l_orderkey, which IS the join key,
+    // so it shares the exchange the join needs anyway and the join sees one
+    // row per order instead of ~4 lineitems. Decimal addition is exact and
+    // associative, so regrouping by nation afterwards changes nothing.
     val rev = s.sql(
-      """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,7))) AS DOUBLE) AS revenue
-        |FROM v_lineitem JOIN v_orders ON l_orderkey = o_orderkey
+      """WITH lrev AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,7))) AS orev
+        |  FROM v_lineitem GROUP BY l_orderkey)
+        |SELECT n_name, CAST(sum(orev) AS DOUBLE) AS revenue
+        |FROM lrev JOIN v_orders ON l_orderkey = o_orderkey
         |JOIN v_customer ON o_custkey = c_custkey
         |JOIN v_nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin).localCheckpoint()
