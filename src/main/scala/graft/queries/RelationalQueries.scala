@@ -142,11 +142,19 @@ object RelationalQueries {
 
   /** Top-k with deterministic tiebreak: highest-revenue customers. */
   def qTopK(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir, "lineitem")
+    // Revenue pre-aggregates per order below the join (the groupBy
+    // partitions on the join key, so it rides the join's exchange), the
+    // per-customer regroup runs over one row per order, and the final
+    // top-10 is TakeOrdered — no global sort. Decimal sums reassociate
+    // exactly.
+    val lrev = Tables(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(27, 7))).as("orev"))
     val o = Tables(s, dir, "orders")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    lrev.join(o, col("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_custkey").as("custkey"))
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .agg(sum(col("orev")).cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("custkey").asc)
       .limit(10)
   }
