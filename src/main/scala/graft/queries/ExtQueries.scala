@@ -384,6 +384,73 @@ object ExtQueries {
       |FROM delta d LEFT JOIN ex e ON d.doc_id = e.doc_id
       |             LEFT JOIN nr n ON d.doc_id = n.doc_id""".stripMargin
 
+  /** End-to-end corpus preparation — the pipeline a training-data user
+    * actually runs, composed from the engine's own operators with one
+    * composed oracle: quality gate → exact dedup (min-id per text) →
+    * near-dup removal (prefix-Jaccard pairs → connected components → keep
+    * representatives) → stable split assignment. Each stage is the
+    * already-oracle-checked operator; the value here is proving the
+    * COMPOSITION matches an independently assembled DuckDB pipeline. */
+  def qCorpusPrep(s: SparkSession, dir: String): DataFrame = {
+    import graft.exec.Sampling
+    val docs = Tables(s, dir, "documents")
+    val quality = docs.filter(
+      TextAnalysis.qualityScore(col("text")) >= 0.9 &&
+        TextAnalysis.tokenCount(col("text")) >= 50)
+    val afterExact = quality.join(
+      Dedup.exact(quality, "text", "doc_id").select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val pairs = Dedup.prefixJaccardPairs(afterExact, "text", "doc_id", "lang",
+      threshold = 0.5)
+    val cl = Dedup.clusters(afterExact.select(col("doc_id").as("id")), pairs)
+    val reps = afterExact.join(
+      cl.filter(col("id") === col("cluster")).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    Sampling.assignSplit(reps.select(col("doc_id"), col("lang")), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+  }
+
+  val qCorpusPrepSql: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, lang, text,
+       |  string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |m AS (SELECT doc_id, len(toks) AS n_tokens,
+       |  len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))::DOUBLE
+       |    / greatest(length(text), 1) AS punct_ratio,
+       |  len(list_filter(toks, x -> x IN ($swList)))::DOUBLE
+       |    / greatest(len(toks), 1) AS stopword_ratio,
+       |  list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+       |    / greatest(len(toks), 1) AS mean_token_len
+       |FROM t),
+       |q AS (SELECT doc_id FROM m WHERE n_tokens >= 50 AND
+       |  0.3 * (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+       |  + 0.2 * (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+       |  + 0.3 * (CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.0 END)
+       |  + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)) >= 0.9),
+       |qd AS (SELECT t.* FROM t JOIN q USING (doc_id)),
+       |ed AS (SELECT * FROM (SELECT qd.*,
+       |    min(doc_id) OVER (PARTITION BY text) AS keep FROM qd)
+       |  WHERE doc_id = keep),
+       |sh AS (SELECT doc_id, lang,
+       |  list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+       |    i -> array_to_string(toks[i+1:i+3], ' '))) AS t3 FROM ed),
+       |pairs AS (
+       |  SELECT a.doc_id AS u, b.doc_id AS v
+       |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.t3, b.t3))::DOUBLE
+       |      / (len(a.t3) + len(b.t3) - len(list_intersect(a.t3, b.t3))) >= 0.5),
+       |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS a, doc_id AS b FROM ed
+       |  UNION
+       |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+       |cl AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a)
+       |SELECT ed.doc_id, ed.lang,
+       |  CASE WHEN (ed.doc_id % 1000000007) * 2654435761 % 10000 < 8000 THEN 'train'
+       |       WHEN (ed.doc_id % 1000000007) * 2654435761 % 10000 < 9000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM ed JOIN cl ON ed.doc_id = cl.doc_id
+       |WHERE cl.doc_id = cl.cluster""".stripMargin
+
   /** Connected components over the EXACT Jaccard pair graph — unlike
     * q_dedup_clusters (LSH-prefiltered, rows-only), this one is fully
     * oracle-checkable: the DuckDB twin computes the transitive closure
@@ -547,6 +614,7 @@ object ExtQueries {
     "q_near_dup"         -> (qNearDup _),
     "q_dedup_clusters"   -> (qDedupClusters _),
     "q_dedup_incr"       -> (qDedupIncr _),
+    "q_corpus_prep"      -> (qCorpusPrep _),
     "q_cluster_exact"    -> (qClusterExact _),
     "q_approx_sketch"    -> (qApproxSketch _),
     "q_sim_topk"         -> (qSimTopK _),
@@ -574,5 +642,6 @@ object ExtQueries {
     "q_vector_ops"       -> qVectorOpsSql,
     "q_sim_ivf"          -> qSimIvfSql,
     "q_dedup_incr"       -> qDedupIncrSql,
+    "q_corpus_prep"      -> qCorpusPrepSql,
     "q_cluster_exact"    -> qClusterExactSql)
 }
