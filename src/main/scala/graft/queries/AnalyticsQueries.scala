@@ -248,6 +248,34 @@ object AnalyticsQueries {
       |  SELECT e.v, w.d + 1 FROM walk w JOIN edges e ON w.id = e.u WHERE w.d < 3)
       |SELECT id, min(d) AS hops FROM walk GROUP BY id""".stripMargin
 
+  // ------------------------------------------------- sequence features
+
+  /** Behavioral sequence features — the per-event trailing context a
+    * sequence model trains on: the last-3 event types (ordered, including
+    * current) and microseconds since the previous event, per user. One
+    * user_id shuffle; both the frame collect and the lag share the same
+    * sort. Output arrays serialize via the gate's JSON protocol. */
+  def qSeqFeatures(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .select(col("user_id"), col("event_id"),
+        to_json(collect_list(col("event_type"))
+          .over(w.rowsBetween(-2, Window.currentRow))).as("last3"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .as("gap_us"))
+  }
+
+  val qSeqFeaturesSql: String =
+    """SELECT user_id, event_id,
+      |  to_json(list(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts::TIMESTAMP, event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS last3,
+      |  epoch_us(ts::TIMESTAMP)
+      |    - epoch_us(lag(ts::TIMESTAMP, 1) OVER (PARTITION BY user_id
+      |        ORDER BY ts::TIMESTAMP, event_id)) AS gap_us
+      |FROM events""".stripMargin
+
   // ------------------------------------------------------- fuzzy lookup
 
   /** Fuzzy dimension lookup (entity resolution): each supplier resolves to
@@ -285,6 +313,7 @@ object AnalyticsQueries {
     "q_pii_redact" -> (qPiiRedact _),
     "q_ewma"       -> (qEwma _),
     "q_fuzzy_lookup" -> (qFuzzyLookup _),
+    "q_seq_features" -> (qSeqFeatures _),
     "q_khop"       -> (qKhop _))
 
   val oracle: Map[String, String] = Map(
@@ -295,5 +324,6 @@ object AnalyticsQueries {
     "q_pii_redact" -> qPiiRedactSql,
     "q_ewma"       -> qEwmaSql,
     "q_fuzzy_lookup" -> qFuzzyLookupSql,
+    "q_seq_features" -> qSeqFeaturesSql,
     "q_khop"       -> qKhopSql)
 }
