@@ -117,6 +117,14 @@ object Wrangle {
       .select(projected :+ (!hit).as(createdCol): _*)
   }
 
+  /** `match_targets = None` twin (pipeline.py:71-77): EVERY field of the
+    * incoming record is the probe key, so a hit requires a dim row equal
+    * on all fields. */
+  def getOrCreateAll(incoming: DataFrame, dim: DataFrame,
+                     broadcastDim: Boolean = true,
+                     createdCol: String = "created"): DataFrame =
+    getOrCreate(incoming, dim, incoming.columns.toSeq, broadcastDim, createdCol)
+
   /** Typed materialization (SURVEY §1.1: models ≡ case classes): wrangle
     * then bind the projection to `T`'s encoder — field names must match the
     * spec's field names. The Dataset stays lazy like the reference's

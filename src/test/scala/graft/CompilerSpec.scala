@@ -184,6 +184,17 @@ class CompilerSpec extends AnyFunSuite {
       s"scan reads columns the query never touches:\n$plan")
   }
 
+  test("getOrCreateAll: match_targets=None probes on every field") {
+    val incoming = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
+    val dim = Seq((1L, "a"), (2L, "zzz")).toDF("k", "name")
+    val r = Wrangle.getOrCreateAll(incoming, dim)
+      .orderBy("k", "name").collect()
+    // (1,"a") hits on full equality; (1,"b") misses despite the shared k;
+    // (2,"c") misses despite dim having k=2 with another name.
+    assert(r.map(x => (x.getLong(0), x.getString(1), x.getBoolean(2))).toSeq ==
+      Seq((1L, "a", false), (1L, "b", true), (2L, "c", true)))
+  }
+
   test("getOrCreate: a NULL incoming key matching a NULL dim key is a hit") {
     val incoming = Seq((Some(1L), "NEW-A"), (None, "NEW-NULL"))
       .toDF("k", "name")
