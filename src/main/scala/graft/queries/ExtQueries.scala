@@ -202,6 +202,28 @@ object ExtQueries {
       |    AS coverage
       |FROM top""".stripMargin
 
+  /** Deterministic mode (argmax) aggregate: each language's most frequent
+    * token. Built-in `mode()` breaks ties arbitrarily in both engines, so
+    * the argmax is a lexicographic struct max — (count, token) — which is
+    * also the map-side-partial-friendly formulation (two grouped passes,
+    * both partially aggregated; never a per-group sort). */
+  def qMode(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "documents")
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      .groupBy("lang")
+      .agg(max(struct(col("n"), col("token"))).as("m"))
+      .select(col("lang"), col("m.token").as("top_token"), col("m.n").as("n"))
+  }
+
+  val qModeSql: String =
+    """WITH t AS (SELECT lang,
+      |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents),
+      |c AS (SELECT lang, token, count(*) AS n FROM t GROUP BY 1, 2),
+      |r AS (SELECT lang, token, n,
+      |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, token DESC) AS rn FROM c)
+      |SELECT lang, token AS top_token, n FROM r WHERE rn = 1""".stripMargin
+
   /** Sliding-window document chunking (50-token chunks, stride 40): the
     * standard long-document windowing pass before tokenization/packing.
     * Pure map-side — tokenize once, emit every window with posexplode;
@@ -599,6 +621,7 @@ object ExtQueries {
     "q_tfidf"            -> (qTfidf _),
     "q_vocab"            -> (qVocab _),
     "q_chunk"            -> (qChunk _),
+    "q_mode"             -> (qMode _),
     "q_sample"           -> (qSample _),
     "q_split"            -> (qSplit _),
     "q_pack"             -> (qPack _),
@@ -628,6 +651,7 @@ object ExtQueries {
     "q_tfidf"            -> qTfidfSql,
     "q_vocab"            -> qVocabSql,
     "q_chunk"            -> qChunkSql,
+    "q_mode"             -> qModeSql,
     "q_sample"           -> qSampleSql,
     "q_split"            -> qSplitSql,
     "q_pack"             -> qPackSql,
