@@ -419,9 +419,14 @@ object ExtQueries {
     val quality = docs.filter(
       TextAnalysis.qualityScore(col("text")) >= 0.9 &&
         TextAnalysis.tokenCount(col("text")) >= 50)
+    // Materialized once: three downstream consumers (pair generation via
+    // the CC edge checkpoint, the representative semi-join, the final
+    // split projection) would each re-run the quality gate and exact
+    // dedup from the scan otherwise.
     val afterExact = quality.join(
       Dedup.exact(quality, "text", "doc_id").select(col("keep_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val pairs = Dedup.prefixJaccardPairs(afterExact, "text", "doc_id", "lang",
       threshold = 0.5)
     val cl = Dedup.clusters(afterExact.select(col("doc_id").as("id")), pairs)
