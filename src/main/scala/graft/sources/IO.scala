@@ -36,6 +36,14 @@ object IO {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
 
+  /** Schema-evolution read: merges the footers of every parquet file under
+    * `path` into the union schema — columns a file predates come back NULL.
+    * The intake mode for long-lived datasets whose producers add fields
+    * over time (mergeSchema is off by default because footer-merging costs
+    * a pass over file metadata — opt in only where evolution is real). */
+  def readTableEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Schema-enforced CSV read with header. */
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)

@@ -75,6 +75,19 @@ class IOSpec extends AnyFunSuite {
     } finally withBad.unpersist()
   }
 
+  test("schema evolution: merged read unions fields, old files yield NULLs") {
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 30.0)).toDF("k", "v", "score")
+      .write.mode("append").parquet(dir)
+    val merged = IO.readTableEvolved(spark, dir)
+    assert(merged.columns.toSet == Set("k", "v", "score"))
+    val rows = merged.orderBy("k")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(30.0))))
+  }
+
   test("upsert: updates win, new keys appended, untouched rows survive") {
     val existing = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val updates = Seq((2L, "B2"), (3L, "c")).toDF("k", "v")
