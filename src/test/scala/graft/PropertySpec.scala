@@ -129,6 +129,23 @@ object PropertySpec extends Properties("graft") {
         chunks.forall(_.getLong(2) <= 50)
     }
 
+  property("prefix-filtered jaccard == quadratic join on random degenerate docs") =
+    forAll(Gen.listOfN(8, Gen.zip(
+      Gen.oneOf("en", "fr"),
+      Gen.choose(0, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "ee")))))) { docsRaw =>
+      val docs = docsRaw.zipWithIndex.map { case ((lang, ws), i) =>
+        (i.toLong, ws.mkString(" "), lang)
+      }.toDF("doc_id", "text", "lang")
+      def toSet(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double)].collect().toSet
+      val pref = toSet(graft.ext.Dedup.prefixJaccardPairs(
+        docs, "text", "doc_id", "lang", 0.5))
+      val quad = toSet(graft.ext.Dedup.blockedJaccardPairs(
+        docs, "text", "doc_id", "lang", 0.5))
+      pref == quad
+    }
+
   property("truthiness default: falsy inputs take the fallback") =
     forAll(Gen.oneOf(Gen.const(None), Gen.some(Gen.choose(-5.0, 5.0).sample.getOrElse(0.0)))) { v =>
       val df = Seq(Tuple1(v)).toDF("x")
