@@ -234,6 +234,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Sub-document segment dedup (CCNet-style line/paragraph dedup): split
+    * every document into consecutive `segTokens`-token segments, keep ONE
+    * copy of each distinct segment corpus-wide — the first by
+    * (doc_id, seg_idx) — and reassemble the surviving text per document.
+    * Documents whose every segment was claimed elsewhere drop out.
+    *
+    * The dedup key shuffles once as (xxhash64(seg), seg) so the exchange
+    * compares 8-byte hashes before text, same trick as [[exact]]; the
+    * keep-first choice is a window row_number over that key, and
+    * reassembly is a sorted collect per doc (bounded by segments/doc). */
+  def dedupSegments(df: DataFrame, textCol: String, idCol: String,
+                    segTokens: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nSegs = expr(
+      s"(greatest(size(${"__toks"}) - $segTokens, 0) + ${segTokens - 1}) div $segTokens + 1")
+    val segs = df
+      .select(col(idCol).as("id"), toks.as("__toks"))
+      .select(col("id"), posexplode(transform(sequence(lit(0), nSegs - 1),
+        i => concat_ws(" ", slice(col("__toks"), i * segTokens + 1, lit(segTokens))))))
+      .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
+    val w = Window.partitionBy(xxhash64(col("seg")), col("seg"))
+      .orderBy(col("id"), col("seg_idx"))
+    segs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_segs"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg"))).as("cleaned"))
+  }
+
   /** Cross-set prefix-filtered exact-Jaccard join (PPJoin candidate rule
     * on BOTH prefixes): all (left, right) pairs inside a block with
     * Jaccard ≥ `threshold`. Same hashed-shingle machinery as

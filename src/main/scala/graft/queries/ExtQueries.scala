@@ -202,6 +202,26 @@ object ExtQueries {
       |    AS coverage
       |FROM top""".stripMargin
 
+  /** CCNet-style sub-document dedup: 10-token segments deduped corpus-wide
+    * (keep-first by doc/position), documents reassembled from survivors. */
+  def qDedupLines(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSegments(Tables(s, dir, "documents"), "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+
+  val qDedupLinesSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |c AS (SELECT doc_id, u.cid AS seg_idx, u.seg FROM (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(0, (greatest(len(toks) - 10, 0) + 9) // 10 + 1),
+      |    i -> {'cid': i, 'seg': array_to_string(toks[(i*10+1):(i*10+10)], ' ')})) AS u
+      |  FROM t)),
+      |r AS (SELECT doc_id, seg_idx, seg,
+      |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM c)
+      |SELECT doc_id, count(*) AS n_segs,
+      |  string_agg(seg, ' ' ORDER BY seg_idx) AS cleaned
+      |FROM r WHERE rn = 1 GROUP BY doc_id""".stripMargin
+
   /** Deterministic mode (argmax) aggregate: each language's most frequent
     * token. Built-in `mode()` breaks ties arbitrarily in both engines, so
     * the argmax is a lexicographic struct max — (count, token) — which is
@@ -627,6 +647,7 @@ object ExtQueries {
     "q_vocab"            -> (qVocab _),
     "q_chunk"            -> (qChunk _),
     "q_mode"             -> (qMode _),
+    "q_dedup_lines"      -> (qDedupLines _),
     "q_sample"           -> (qSample _),
     "q_split"            -> (qSplit _),
     "q_pack"             -> (qPack _),
@@ -657,6 +678,7 @@ object ExtQueries {
     "q_vocab"            -> qVocabSql,
     "q_chunk"            -> qChunkSql,
     "q_mode"             -> qModeSql,
+    "q_dedup_lines"      -> qDedupLinesSql,
     "q_sample"           -> qSampleSql,
     "q_split"            -> qSplitSql,
     "q_pack"             -> qPackSql,
