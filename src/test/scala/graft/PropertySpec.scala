@@ -146,6 +146,21 @@ object PropertySpec extends Properties("graft") {
       pref == quad
     }
 
+  property("segment dedup: unique docs pass through; duplicated docs lose text") =
+    forAll(Gen.choose(2, 25)) { n =>
+      // doc 0 and doc 1 share identical text; docs 2..n are pairwise unique
+      val texts = ("dup dup dup dup" :: "dup dup dup dup" ::
+        (2 to n).map(i => (0 until 12).map(j => s"u${i}_$j").mkString(" ")).toList)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.ext.Dedup.dedupSegments(docs, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      // doc 1's only segment is claimed by doc 0 → doc 1 vanishes;
+      // unique docs reassemble to their exact tokenized text
+      !out.contains(1L) && out(0L) == "dup dup dup dup" &&
+        (2 to n).forall(i => out(i.toLong) == texts(i))
+    }
+
   property("truthiness default: falsy inputs take the fallback") =
     forAll(Gen.oneOf(Gen.const(None), Gen.some(Gen.choose(-5.0, 5.0).sample.getOrElse(0.0)))) { v =>
       val df = Seq(Tuple1(v)).toDF("x")
