@@ -52,6 +52,63 @@ object AnalyticsQueries {
       |       (SELECT count(*) FROM c) AS n_click,
       |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin
 
+  // ------------------------------------------------------ session funnel
+
+  /** Per-session conversion funnel: sessions form by 10-minute inactivity
+    * gaps (the lag + cumulative-sum window idiom — one user_id shuffle,
+    * no custom state needed in batch), then the view → click → purchase
+    * ladder evaluates INSIDE each (user, session) partition with the same
+    * strictly-after window minima as [[qFunnel]]. Output: one row per
+    * session with its stage flags — product analytics' per-session
+    * conversion table. */
+  def qSessionFunnel(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 10L * 60 * 1000 * 1000
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val newSess = when(lag(col("ts"), 1).over(wOrd).isNull ||
+      unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wOrd)) > gapUs, 1L)
+      .otherwise(0L)
+    val sessioned = e.withColumn("sess",
+      sum(newSess).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy("user_id", "sess")
+    val staged = sessioned
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(wSess))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("ts") > col("t1"),
+        col("ts"))).over(wSess))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+        col("ts"))).over(wSess))
+    staged.groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("s_start"),
+        max(col("t1").isNotNull.cast("int")).as("viewed"),
+        max(col("t2").isNotNull.cast("int")).as("clicked"),
+        max(col("t3").isNotNull.cast("int")).as("purchased"))
+  }
+
+  val qSessionFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type FROM events),
+      |g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000 THEN 1 ELSE 0 END AS ns
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |se AS (SELECT user_id, event_id, ts, event_type,
+      |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM g),
+      |st AS (SELECT *,
+      |  min(CASE WHEN event_type = 'view' THEN ts END)
+      |    OVER (PARTITION BY user_id, sess) AS t1 FROM se),
+      |s2 AS (SELECT *,
+      |  min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+      |    OVER (PARTITION BY user_id, sess) AS t2 FROM st),
+      |s3 AS (SELECT *,
+      |  min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+      |    OVER (PARTITION BY user_id, sess) AS t3 FROM s2)
+      |SELECT user_id, sess, count(*) AS n_events, min(ts) AS s_start,
+      |  max(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS viewed,
+      |  max(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS clicked,
+      |  max(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS purchased
+      |FROM s3 GROUP BY user_id, sess""".stripMargin
+
   // ---------------------------------------------------------- retention
 
   /** Weekly cohort retention: users grouped by the week of their first
@@ -314,6 +371,7 @@ object AnalyticsQueries {
     "q_ewma"       -> (qEwma _),
     "q_fuzzy_lookup" -> (qFuzzyLookup _),
     "q_seq_features" -> (qSeqFeatures _),
+    "q_session_funnel" -> (qSessionFunnel _),
     "q_khop"       -> (qKhop _))
 
   val oracle: Map[String, String] = Map(
@@ -325,5 +383,6 @@ object AnalyticsQueries {
     "q_ewma"       -> qEwmaSql,
     "q_fuzzy_lookup" -> qFuzzyLookupSql,
     "q_seq_features" -> qSeqFeaturesSql,
+    "q_session_funnel" -> qSessionFunnelSql,
     "q_khop"       -> qKhopSql)
 }
