@@ -100,4 +100,89 @@ object Sessionize {
         instant(s.last + gapUs), s.n, s.total))).iterator
     }
   }
+
+  // ------------------------------------------------- custom payload demo
+
+  case class TypedEvent(user_id: Long, ts: Instant, event_type: String)
+  /** t1/t2/t3 = first view / first later click / first later purchase
+    * (epoch-micros; Long.MinValue = unset). */
+  case class FunnelState(start: Long, last: Long, n: Long,
+                         t1: Long, t2: Long, t3: Long)
+  case class FunnelSession(user_id: Long, s_start: Instant, n: Long,
+                           viewed: Int, clicked: Int, purchased: Int)
+
+  private val Unset = Long.MinValue
+
+  private def foldFunnel(userId: Long, evs: Iterator[TypedEvent], gapUs: Long,
+                         open: Option[FunnelState])
+      : (Seq[FunnelSession], Option[FunnelState]) = {
+    def close(s: FunnelState) = FunnelSession(userId, instant(s.start), s.n,
+      if (s.t1 != Unset) 1 else 0, if (s.t2 != Unset) 1 else 0,
+      if (s.t3 != Unset) 1 else 0)
+    def step(s: FunnelState, t: Long, ty: String): FunnelState = {
+      // ascending fold ⇒ first-qualifying == window-min with strictly-after
+      val t1 = if (s.t1 == Unset && ty == "view") t else s.t1
+      val t2 = if (s.t2 == Unset && ty == "click" && s.t1 != Unset && t > s.t1) t else s.t2
+      val t3 = if (s.t3 == Unset && ty == "purchase" && s.t2 != Unset && t > s.t2) t else s.t3
+      FunnelState(math.min(s.start, t), math.max(s.last, t), s.n + 1, t1, t2, t3)
+    }
+    val sorted = evs.toSeq.sortBy(e => micros(e.ts))
+    var state = open
+    val out = Seq.newBuilder[FunnelSession]
+    sorted.foreach { e =>
+      val t = micros(e.ts)
+      state match {
+        case Some(s) if t - s.last < gapUs => state = Some(step(s, t, e.event_type))
+        case Some(s) =>
+          out += close(s)
+          state = Some(step(FunnelState(t, t, 0, Unset, Unset, Unset), t, e.event_type))
+        case None =>
+          state = Some(step(FunnelState(t, t, 0, Unset, Unset, Unset), t, e.event_type))
+      }
+    }
+    (out.result(), state)
+  }
+
+  /** The "custom session payload" pattern the plain sessionizer's doc
+    * promises: same gap/timeout state machine, session payload = funnel
+    * conversion flags folded in event order. Streaming emits a session's
+    * funnel row when the gap (or event-time timeout) closes it. */
+  def funnelSessions(events: Dataset[TypedEvent], gapMs: Long)
+                    (implicit spark: SparkSession): Dataset[FunnelSession] = {
+    import spark.implicits._
+    val gapUs = gapMs * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, evs: Iterator[TypedEvent], state: GroupState[FunnelState]) => {
+          def close(s: FunnelState) = FunnelSession(userId, instant(s.start), s.n,
+            if (s.t1 != Unset) 1 else 0, if (s.t2 != Unset) 1 else 0,
+            if (s.t3 != Unset) 1 else 0)
+          if (state.hasTimedOut) {
+            val s = state.get; state.remove(); Iterator.single(close(s))
+          } else {
+            val (closed, open) = foldFunnel(userId, evs, gapUs, state.getOption)
+            open match {
+              case Some(s) =>
+                state.update(s)
+                val wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(math.max((s.last + gapUs) / 1000L, wm + 1L))
+              case None => state.remove()
+            }
+            closed.iterator
+          }
+        })
+  }
+
+  /** Batch twin: all funnel sessions closed at end-of-input. */
+  def funnelSessionsBatch(events: Dataset[TypedEvent], gapMs: Long)
+                         (implicit spark: SparkSession): Dataset[FunnelSession] = {
+    import spark.implicits._
+    val gapUs = gapMs * 1000L
+    events.groupByKey(_.user_id).flatMapGroups { (userId, evs) =>
+      val (closed, open) = foldFunnel(userId, evs, gapUs, None)
+      (closed ++ open.map(s => FunnelSession(userId, instant(s.start), s.n,
+        if (s.t1 != Unset) 1 else 0, if (s.t2 != Unset) 1 else 0,
+        if (s.t3 != Unset) 1 else 0))).iterator
+    }
+  }
 }

@@ -400,6 +400,41 @@ class StreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("funnel-session payload: batch fold == SQL session funnel; streaming closed ⊂ batch") {
+    implicit val sp = spark
+    val gapMs = 10 * 60 * 1000L
+    val typed = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[Sessionize.TypedEvent]
+    val batch = Sessionize.funnelSessionsBatch(typed, gapMs)
+      .collect()
+      .map(f => (f.user_id, java.sql.Timestamp.from(f.s_start)) ->
+        ((f.n, f.viewed, f.clicked, f.purchased))).toMap
+    // must agree with the oracle-checked window-based q_session_funnel
+    val sql = graft.queries.AnalyticsQueries.qSessionFunnel(spark, dir)
+      .select("user_id", "s_start", "n_events", "viewed", "clicked", "purchased")
+      .as[(Long, java.sql.Timestamp, Long, Int, Int, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(batch == sql)
+    // streaming: closed sessions must be a subset with identical payloads
+    val q = Sessionize.funnelSessions(
+        eventStream().withWatermark("ts", "1 minute")
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .as[Sessionize.TypedEvent], gapMs)
+      .writeStream.format("memory").queryName("funnel_sess_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_sess_out")
+        .as[Sessionize.FunnelSession].collect()
+      assert(streamed.nonEmpty)
+      streamed.foreach { f =>
+        val key = (f.user_id, java.sql.Timestamp.from(f.s_start))
+        assert(batch(key) == ((f.n, f.viewed, f.clicked, f.purchased)), s"$key")
+      }
+    } finally q.stop()
+  }
+
   test("session_window batch == custom sessionize batch (same fold)") {
     implicit val sp = spark
     val ev = Tables.events(spark, dir)
