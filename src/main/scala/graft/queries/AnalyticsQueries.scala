@@ -305,6 +305,41 @@ object AnalyticsQueries {
       |  SELECT e.v, w.d + 1 FROM walk w JOIN edges e ON w.id = e.u WHERE w.d < 3)
       |SELECT id, min(d) AS hops FROM walk GROUP BY id""".stripMargin
 
+  // ----------------------------------------------------------- outliers
+
+  /** Per-user z-score outlier flags (|z| > 2): the data-quality pass that
+    * spots anomalous values against each key's own distribution. Moments
+    * come from exact integer power sums (the q_stats technique — value
+    * carries exactly 2 decimals, so round(v*100) is exact), the per-user
+    * stats frame broadcasts back onto the events, and every derived op is
+    * the same IEEE double arithmetic on both engines — so even the
+    * boundary events flag identically. */
+  def qOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), round(col("value") * 100).as("v"))
+    val stats = e.groupBy("user_id")
+      .agg(count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("v").cast(DecimalType(38, 0))).cast(DoubleType).as("sx"),
+        sum((col("v") * col("v")).cast(DecimalType(38, 0))).cast(DoubleType).as("sxx"))
+    val sd = sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+    e.join(broadcast(stats), "user_id")
+      .withColumn("z", (col("v") - col("sx") / col("n")) / sd)
+      .filter(abs(col("z")) > 2)
+      .select(col("user_id"), col("event_id"), (col("v") / 100).as("value"), col("z"))
+  }
+
+  val qOutliersSql: String =
+    """WITH e AS (SELECT user_id, event_id, round(value * 100) AS v FROM events),
+      |s AS (SELECT user_id, count(*)::DOUBLE AS n,
+      |  CAST(sum(CAST(v AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(v * v AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+      |  FROM e GROUP BY 1)
+      |SELECT user_id, event_id, v / 100 AS value,
+      |  (v - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS z
+      |FROM e JOIN s USING (user_id)
+      |WHERE abs((v - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1))) > 2""".stripMargin
+
   // ------------------------------------------------- sequence features
 
   /** Behavioral sequence features — the per-event trailing context a
@@ -372,6 +407,7 @@ object AnalyticsQueries {
     "q_fuzzy_lookup" -> (qFuzzyLookup _),
     "q_seq_features" -> (qSeqFeatures _),
     "q_session_funnel" -> (qSessionFunnel _),
+    "q_outliers"   -> (qOutliers _),
     "q_khop"       -> (qKhop _))
 
   val oracle: Map[String, String] = Map(
@@ -384,5 +420,6 @@ object AnalyticsQueries {
     "q_fuzzy_lookup" -> qFuzzyLookupSql,
     "q_seq_features" -> qSeqFeaturesSql,
     "q_session_funnel" -> qSessionFunnelSql,
+    "q_outliers"   -> qOutliersSql,
     "q_khop"       -> qKhopSql)
 }
