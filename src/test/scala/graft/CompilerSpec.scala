@@ -184,6 +184,41 @@ class CompilerSpec extends AnyFunSuite {
       s"scan reads columns the query never touches:\n$plan")
   }
 
+  test("spec JSON round-trip: every node type survives; wrangle output identical") {
+    import graft.model.SpecJson
+    val spec = PipelineSpec(
+      Model("Pt")("v" -> Id, "neg" -> Fn("negate")),
+      Model("M")(
+        "a" -> (Get("x") | CastTo(org.apache.spark.sql.types.LongType)),
+        "b" -> Constant(42.5),
+        "c" -> (Get("arr") | FilterT(Cmp(">", 0) && !IsNull) | MapT(Fn("negate"))),
+        "d" -> (Get("arr") | FilterT(In(Seq(1, 2, 3)) || Truthy) | ForEach(Create("Pt"))),
+        "e" -> (Get("nested") | Flatten(2)),
+        "f" -> (Get("m") | Gather(Seq("k1")) ),
+        "g" -> (Get("m") | FoldInKeys("k")),
+        "h" -> (Get("m") | FoldInValue("k1", "src")),
+        "i" -> (Get("m") | GetKeys),
+        "j" -> (Get("m") | GetValues),
+        "k" -> If(IsNotNull, Id, Some(Constant("fallback"))),
+        "l" -> (Get("x") | Default(0, Truthy)),
+        "m2" -> Get("arr2", default = Some(9)),
+        "n" -> Attr("k1")))
+    val json = SpecJson.toJson(spec)
+    val back = SpecJson.fromJson(json)
+    assert(back == spec, s"round-trip mismatch:\n$json")
+    // and a runnable spec produces identical results through the round trip
+    val df = Seq((1, Seq(1, -2, 3), Seq(Seq(Seq(1), Seq(2)), Seq(Seq(3))))).toDF("x", "arr", "nested")
+      .withColumn("m", map(lit("k1"), struct(lit("s").as("s"))))
+      .withColumn("arr2", array(lit(7)))
+    val spec2 = PipelineSpec(Model("R")(
+      "a" -> (Get("x") | CastTo(org.apache.spark.sql.types.LongType)),
+      "c" -> (Get("arr") | FilterT(Cmp(">", 0)) | MapT(Fn("negate"))),
+      "e" -> (Get("nested") | Flatten(2))))
+    val got = Wrangle.wrangle(df, SpecJson.fromJson(SpecJson.toJson(spec2)), "R").collect()
+    val want = Wrangle.wrangle(df, spec2, "R").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("getOrCreateAll: match_targets=None probes on every field") {
     val incoming = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "name")
     val dim = Seq((1L, "a"), (2L, "zzz")).toDF("k", "name")
