@@ -117,6 +117,13 @@ object Wrangle {
       .select(projected :+ (!hit).as(createdCol): _*)
   }
 
+  /** Run a JSON-serialized spec (graft.model.SpecJson) — the
+    * pipelines-as-data entry point: load a spec from a file/catalog and
+    * execute it without any host-language spec construction. */
+  def wrangleJson(df: DataFrame, specJson: String, model: String,
+                  mode: ErrorMode = FailFast): DataFrame =
+    wrangle(df, graft.model.SpecJson.fromJson(specJson), model, mode)
+
   /** `match_targets = None` twin (pipeline.py:71-77): EVERY field of the
     * incoming record is the probe key, so a hit requires a dim row equal
     * on all fields. */
