@@ -202,6 +202,33 @@ object ExtQueries {
       |    AS coverage
       |FROM top""".stripMargin
 
+  /** Language balancing: every language deterministically downsamples to
+    * (approximately) the smallest language's size — class-balance
+    * resampling for mixture curation. The per-class threshold derives from
+    * broadcast counts (floor(n_min/n_s · 10000) hash buckets), so the pass
+    * stays map-side after one tiny count aggregate, and the same row is
+    * kept on every run/engine/partitioning (content-hash decision, same
+    * machinery as q_sample). */
+  def qBalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val nMin = counts.agg(min(col("n")).as("n_min"))
+    val thresholds = counts.crossJoin(broadcast(nMin))
+      .select(col("lang"),
+        // integer div, not floor(double /): a correctly-rounded double
+        // quotient can land ON an integer the true quotient sits below
+        expr("(n_min * 10000) div n").as("__thr"))
+    docs.join(broadcast(thresholds), "lang")
+      .filter(graft.exec.Sampling.hashBucket(col("doc_id")) < col("__thr"))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  val qBalanceSql: String =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |t AS (SELECT lang, (SELECT min(n) FROM c) * 10000 // n AS thr FROM c)
+      |SELECT doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
+      |WHERE (doc_id % 1000000007) * 2654435761 % 10000 < thr""".stripMargin
+
   /** CCNet-style sub-document dedup: 10-token segments deduped corpus-wide
     * (keep-first by doc/position), documents reassembled from survivors. */
   def qDedupLines(s: SparkSession, dir: String): DataFrame =
@@ -648,6 +675,7 @@ object ExtQueries {
     "q_chunk"            -> (qChunk _),
     "q_mode"             -> (qMode _),
     "q_dedup_lines"      -> (qDedupLines _),
+    "q_balance"          -> (qBalance _),
     "q_sample"           -> (qSample _),
     "q_split"            -> (qSplit _),
     "q_pack"             -> (qPack _),
@@ -679,6 +707,7 @@ object ExtQueries {
     "q_chunk"            -> qChunkSql,
     "q_mode"             -> qModeSql,
     "q_dedup_lines"      -> qDedupLinesSql,
+    "q_balance"          -> qBalanceSql,
     "q_sample"           -> qSampleSql,
     "q_split"            -> qSplitSql,
     "q_pack"             -> qPackSql,
