@@ -51,6 +51,8 @@ class JoinsSpec extends AnyFunSuite {
       lefts.map { case (k, lts, lid) =>
         val cands = rights.filter(_._1 == k)
         val picked = dir match {
+          case "backward" =>
+            cands.filter(!_._2.after(lts)).sortBy(c => (-c._2.getTime, c._3)).headOption
           case "forward" =>
             cands.filter(!_._2.before(lts)).sortBy(c => (c._2.getTime, c._3)).headOption
           case "nearest" =>
@@ -60,7 +62,7 @@ class JoinsSpec extends AnyFunSuite {
         }
         lid -> picked.map(_._3)
       }.toMap
-    for (dir <- Seq("forward", "nearest")) {
+    for (dir <- Seq("backward", "forward", "nearest")) {
       val got = Joins.asOf(l, r, Seq("k"), "ts", "ts", direction = dir)
         .select("lid", "r_rv").as[(Long, Option[Double])].collect().toMap
       val want = brute(dir)
