@@ -544,6 +544,37 @@ object RelationalQueries {
       |percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95_price
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Discrete percentiles (the actual element at or above the quantile
+    * position, no interpolation) — spelled out as ceil(p·n) over a
+    * per-group rank instead of the built-in `percentile_disc`, whose
+    * boundary convention differs between engines. Ties on the value break
+    * by the full sort (value, orderkey, linenumber), so the "which equal
+    * element" question has one answer everywhere. */
+  def qPercentileDisc(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v_li_disc")
+    s.sql(
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n
+        |FROM v_li_disc)
+        |SELECT l_returnflag AS returnflag,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_quantity END) AS p50_disc,
+        |  max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN l_quantity END) AS p95_disc
+        |FROM r GROUP BY 1""".stripMargin)
+  }
+
+  val qPercentileDiscSql: String =
+    """WITH r AS (SELECT l_returnflag, l_quantity,
+      |  row_number() OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+      |  count(*) OVER (PARTITION BY l_returnflag) AS n
+      |FROM lineitem)
+      |SELECT l_returnflag AS returnflag,
+      |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_quantity END) AS p50_disc,
+      |  max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN l_quantity END) AS p95_disc
+      |FROM r GROUP BY 1""".stripMargin
+
   /** HAVING + uncorrelated scalar subquery: nations whose revenue exceeds
     * the all-nation average. */
   def qHaving(s: SparkSession, dir: String): DataFrame = {
@@ -782,6 +813,7 @@ object RelationalQueries {
     "q_datetime"   -> (qDatetime _),
     "q_having"     -> (qHaving _),
     "q_percentile" -> (qPercentile _),
+    "q_percentile_disc" -> (qPercentileDisc _),
     "q_asof_join"  -> (qAsOfJoin _),
     "q_asof_forward" -> (qAsOfForward _),
     "q_range_join" -> (qRangeJoin _),
@@ -814,6 +846,7 @@ object RelationalQueries {
     "q_datetime"   -> qDatetimeSql,
     "q_having"     -> qHavingSql,
     "q_percentile" -> qPercentileSql,
+    "q_percentile_disc" -> qPercentileDiscSql,
     "q_asof_join"  -> qAsOfJoinSql,
     "q_asof_forward" -> qAsOfForwardSql,
     "q_range_join" -> qRangeJoinSql,
