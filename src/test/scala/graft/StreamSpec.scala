@@ -400,6 +400,41 @@ class StreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming trending top-k: foreachBatch ranking over update-mode counts == batch") {
+    implicit val sp = spark
+    // Native append-mode streams cannot rank ("top-k per window" needs all
+    // of a window's final counts); the pattern is update-mode counts into
+    // foreachBatch, ranking the maintained state. Here: top-2 event types
+    // per 5-minute window.
+    val latest = new java.util.concurrent.ConcurrentHashMap[(java.sql.Timestamp, String), Long]()
+    val q = Windows.tumblingStream(eventStream(), "ts", "5 minutes",
+        Seq("event_type"), watermark = "1 minute", Seq(count(lit(1)).as("n")))
+      .writeStream.outputMode("update").foreachBatch {
+        (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("w_start", "event_type", "n")
+            .as[(java.sql.Timestamp, String, Long)].collect()
+            .foreach { case (w, t, n) => latest.put((w, t), n) }
+          ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val topk = latest.asScala.toSeq
+        .map { case ((w, t), n) => (w, t, n) }
+        .groupBy(_._1).map { case (w, rows) =>
+          w -> rows.sortBy(r => (-r._3, r._2)).take(2).map(r => (r._2, r._3))
+        }
+      val want = Windows.tumbling(Tables.events(spark, dir), "ts", "5 minutes",
+          Seq("event_type"), Seq(count(lit(1)).as("n")))
+        .select("w_start", "event_type", "n")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSeq
+        .groupBy(_._1).map { case (w, rows) =>
+          w -> rows.sortBy(r => (-r._3, r._2)).take(2).map(r => (r._2, r._3))
+        }
+      assert(topk == want && topk.nonEmpty)
+    } finally q.stop()
+  }
+
   test("funnel-session payload: batch fold == SQL session funnel; streaming closed ⊂ batch") {
     implicit val sp = spark
     val gapMs = 10 * 60 * 1000L
