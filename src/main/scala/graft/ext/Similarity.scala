@@ -190,6 +190,54 @@ object Similarity {
       k)
   }
 
+  /** Lloyd's k-means over an embedding column — the trained-coarse-
+    * quantizer companion to [[ivfTopK]]'s fixed centroid set, and the
+    * canonical driver-coordinated iterative algorithm: per iteration, ONE
+    * distributed assignment pass (fused [[graft.functions.VectorExpressions
+    * .centroidCosines]], cosine similarity, ties to the larger cluster id)
+    * and ONE per-(cluster, dim) mean aggregation; only the k×dim centroid
+    * matrix ever reaches the driver.
+    *
+    * Fully deterministic, hence oracle-checkable: seeding is the first k
+    * vectors by id, and centroid means run over 1e-6-quantized components
+    * (exact integer sums — float sums are order-dependent and fractional
+    * decimal casts are not cross-engine-stable; the quantized mean is the
+    * same number everywhere). Clusters that lose all members drop out.
+    * Output: (idCol, cluster) after `iters` update rounds. */
+  def kmeans(df: DataFrame, vecCol: String, idCol: String,
+             k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    var centroids: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast(LongType), col(vecCol)).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    var clusterIds: Seq[Long] = centroids.indices.map(_.toLong)
+
+    def assign(): DataFrame = {
+      val cids = typedLit(clusterIds)
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        array_max(zip_with(
+          graft.functions.VectorExpressions.centroidCosines(col(vecCol), centroids),
+          cids, (s, c) => struct(s.as("sim"), c.as("cid"))))
+          .getField("cid").as("cluster"))
+    }
+
+    for (_ <- 1 to iters) {
+      val means = assign()
+        .select(col("cluster"), posexplode(transform(col("v"),
+          x => floor(x.cast(DoubleType) * 1000000.0).cast(LongType))))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col").cast(DecimalType(38, 0))).cast(DoubleType).as("s"),
+          count(lit(1)).cast(DoubleType).as("n"))
+        .select(col("cluster"), col("pos"), (col("s") / (col("n") * 1000000.0)).as("m"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val byCluster = means.groupBy(_._1).toSeq.sortBy(_._1)
+      clusterIds = byCluster.map(_._1)
+      centroids = byCluster.map(_._2.sortBy(_._2).map(_._3).toSeq)
+    }
+    assign().select(col("id").as(idCol), col("cluster"))
+  }
+
   /** L2-normalize an embedding column to unit length (double output).
     * The norm is aliased in its own projection first — CollapseProject
     * keeps multi-use non-cheap aliases un-inlined, so it is computed once

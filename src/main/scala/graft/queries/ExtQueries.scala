@@ -655,6 +655,37 @@ object ExtQueries {
        |FROM scored)
        |SELECT query_id, rank, cand_id, sim FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** Lloyd's k-means (k=4, one update round): deterministic seeding +
+    * exact quantized means make the trained clustering itself
+    * oracle-checkable — the DuckDB twin unrolls the same iteration. */
+  def qKmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeans(Tables(s, dir, "embeddings"), "embedding", "vec_id",
+      k = 4, iters = 1)
+
+  val qKmeansSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+       |  FROM e ORDER BY vec_id LIMIT 4),
+       |a1 AS (SELECT vec_id, q, cluster FROM (
+       |  SELECT e.vec_id, e.q, c0.cluster,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c0.cv")} DESC, c0.cluster DESC) AS rn
+       |  FROM e CROSS JOIN c0) WHERE rn = 1),
+       |m1 AS (SELECT cluster, i,
+       |  CAST(sum(CAST(q[i] AS DECIMAL(38,0))) AS DOUBLE)
+       |    / (count(*) * 1000000.0) AS m
+       |  FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+       |  GROUP BY cluster, i),
+       |c1 AS (SELECT cluster, list(m ORDER BY i) AS cv FROM m1 GROUP BY cluster)
+       |SELECT vec_id, cluster FROM (
+       |  SELECT e.vec_id, c1.cluster,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c1.cv")} DESC, c1.cluster DESC) AS rn
+       |  FROM e CROSS JOIN c1) WHERE rn = 1""".stripMargin
+
   /** LSH-bucketed approximate top-k — rows-only; recall vs brute force
     * asserted in ExtSpec. */
   def qSimLsh(s: SparkSession, dir: String): DataFrame = {
@@ -697,6 +728,7 @@ object ExtQueries {
     "q_sim_topk"         -> (qSimTopK _),
     "q_vector_ops"       -> (qVectorOps _),
     "q_sim_ivf"          -> (qSimIvf _),
+    "q_kmeans"           -> (qKmeans _),
     "q_sim_lsh"          -> (qSimLsh _),
     "q_emb_near_dup"     -> (qEmbNearDup _))
 
@@ -721,6 +753,7 @@ object ExtQueries {
     "q_sim_topk"         -> qSimTopKSql,
     "q_vector_ops"       -> qVectorOpsSql,
     "q_sim_ivf"          -> qSimIvfSql,
+    "q_kmeans"           -> qKmeansSql,
     "q_dedup_incr"       -> qDedupIncrSql,
     "q_corpus_prep"      -> qCorpusPrepSql,
     "q_cluster_exact"    -> qClusterExactSql)

@@ -220,6 +220,19 @@ class ExtSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("kmeans: all clusters populated; assignments stabilize with iterations") {
+    val e = Tables(spark, dir, "embeddings")
+    def labels(iters: Int): Map[Long, Long] =
+      graft.ext.Similarity.kmeans(e, "embedding", "vec_id", k = 4, iters = iters)
+        .as[(Long, Long)].collect().toMap
+    val l1 = labels(1); val l3 = labels(3); val l4 = labels(4)
+    assert(l1.values.toSet.size > 1, "clustering must be non-trivial")
+    val churn13 = l1.count { case (id, c) => l3(id) != c }
+    val churn34 = l3.count { case (id, c) => l4(id) != c }
+    assert(churn34 <= churn13,
+      s"assignments should stabilize: churn(1→3)=$churn13 churn(3→4)=$churn34")
+  }
+
   test("codegen cosine == interpreted HOF cosine, bit-exact on fixtures") {
     val e = Tables(spark, dir, "embeddings")
     val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
