@@ -229,6 +229,36 @@ object ExtQueries {
       |SELECT doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
       |WHERE (doc_id % 1000000007) * 2654435761 % 10000 < thr""".stripMargin
 
+  /** Weighted mixture sampling: downsample languages so the OUTPUT
+    * mixture hits target shares (en 50%, zh 20%, de/es/fr 10% each) at
+    * the largest total the corpus can supply without upsampling —
+    * T = min_s(n_s·10 div w_s), kept_s ≈ w_s·T/10. Every step is integer
+    * arithmetic (weights in tenths), so thresholds are identical across
+    * engines, and the keep decision is the same content-hash bucket as
+    * q_sample. One tiny count aggregate, then map-side. */
+  def qMixture(s: SparkSession, dir: String): DataFrame = {
+    val w10 = expr("CASE lang WHEN 'en' THEN 5 WHEN 'zh' THEN 2 ELSE 1 END")
+    val docs = Tables(s, dir, "documents")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("w10", w10)
+    val t = counts.agg(min(expr("(n * 10) div w10")).as("t"))
+    val thresholds = counts.crossJoin(broadcast(t))
+      .select(col("lang"),
+        expr("(((w10 * t) div 10) * 10000) div n").as("__thr"))
+    docs.join(broadcast(thresholds), "lang")
+      .filter(graft.exec.Sampling.hashBucket(col("doc_id")) < col("__thr"))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  val qMixtureSql: String =
+    """WITH c AS (SELECT lang, count(*) AS n,
+      |  CASE lang WHEN 'en' THEN 5 WHEN 'zh' THEN 2 ELSE 1 END AS w10
+      |  FROM documents GROUP BY 1),
+      |mt AS (SELECT min((n * 10) // w10) AS t FROM c),
+      |th AS (SELECT lang, (((w10 * t) // 10) * 10000) // n AS thr FROM c, mt)
+      |SELECT doc_id, d.lang FROM documents d JOIN th ON d.lang = th.lang
+      |WHERE (doc_id % 1000000007) * 2654435761 % 10000 < thr""".stripMargin
+
   /** CCNet-style sub-document dedup: 10-token segments deduped corpus-wide
     * (keep-first by doc/position), documents reassembled from survivors. */
   def qDedupLines(s: SparkSession, dir: String): DataFrame =
@@ -707,6 +737,7 @@ object ExtQueries {
     "q_mode"             -> (qMode _),
     "q_dedup_lines"      -> (qDedupLines _),
     "q_balance"          -> (qBalance _),
+    "q_mixture"          -> (qMixture _),
     "q_sample"           -> (qSample _),
     "q_split"            -> (qSplit _),
     "q_pack"             -> (qPack _),
@@ -740,6 +771,7 @@ object ExtQueries {
     "q_mode"             -> qModeSql,
     "q_dedup_lines"      -> qDedupLinesSql,
     "q_balance"          -> qBalanceSql,
+    "q_mixture"          -> qMixtureSql,
     "q_sample"           -> qSampleSql,
     "q_split"            -> qSplitSql,
     "q_pack"             -> qPackSql,
