@@ -92,8 +92,8 @@ object AnalyticsQueries {
       |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000 THEN 1 ELSE 0 END AS ns
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |se AS (SELECT user_id, event_id, ts, event_type,
-      |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM g),
+      |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess FROM g),
       |st AS (SELECT *,
       |  min(CASE WHEN event_type = 'view' THEN ts END)
       |    OVER (PARTITION BY user_id, sess) AS t1 FROM se),

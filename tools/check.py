@@ -8,6 +8,7 @@ sorts columns by name and rows by value, and diffs.
 """
 import json, math, sys
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -58,8 +59,29 @@ def main(outdir, sfdir):
                 if len(gr) != len(wr):
                     print(f"  spark-only sample: {[r for r in gr[:5] if r not in set(wr[:1000])][:2]}")
             else:
-                n_pass += 1
-                print(f"PASS {name} ({len(gr)} rows)")
+                # The real driver hashes pandas frames: an int column on one
+                # side vs float on the other (e.g. DuckDB HUGEINT window sums
+                # -> float64) hash-mismatches even when values are equal.
+                # Integer-width and datetime-unit differences are tolerated.
+                sdt = {c: str(t) for c, t in pd.read_parquet(
+                    f"{outdir}/{name}").dtypes.items()}
+                ddt = {c: str(t) for c, t in con.execute(sql).df().dtypes.items()}
+                def fam(t):
+                    if t.startswith(("int", "uint")): return "int"
+                    if t.startswith("float"): return "float"
+                    if t.startswith("datetime"): return "ts"
+                    return t
+                bad = {c: (sdt[c], ddt[c]) for c in sdt
+                       if c in ddt and fam(sdt[c]) != fam(ddt[c])
+                       # Spark DATE -> pandas object(date) vs DuckDB
+                       # datetime64 passed the real driver (r02) — tolerate.
+                       and "object" not in (fam(sdt[c]), fam(ddt[c]))}
+                if bad:
+                    n_fail += 1
+                    print(f"FAIL {name}: pandas dtype family mismatch {bad}")
+                else:
+                    n_pass += 1
+                    print(f"PASS {name} ({len(gr)} rows)")
         except Exception as e:
             n_fail += 1
             print(f"ERROR {name}: {e}")
