@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CoreQueries, ExtQueries, OpsQueries, RelationalQueries, StreamQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, ExtQueries, MiningQueries, OpsQueries, RelationalQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query implementations live under graft.queries.*; this object only
@@ -15,11 +15,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ OpsQueries.queries ++ RelationalQueries.queries ++
-      ExtQueries.queries ++ StreamQueries.queries ++ AnalyticsQueries.queries
+      ExtQueries.queries ++ StreamQueries.queries ++ AnalyticsQueries.queries ++
+      MiningQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ OpsQueries.oracle ++ RelationalQueries.oracle ++
-      ExtQueries.oracle ++ StreamQueries.oracle ++ AnalyticsQueries.oracle
+      ExtQueries.oracle ++ StreamQueries.oracle ++ AnalyticsQueries.oracle ++
+      MiningQueries.oracle
 }

@@ -163,15 +163,26 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame = {
     val cents = centroids.select(col(idCol).cast(LongType), col(vecCol))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1)
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    ivfTopKWith(corpus, queries, cents, k, nprobe, idCol, vecCol)
+  }
+
+  /** [[ivfTopK]] with a driver-resident coarse quantizer — the shape a
+    * TRAINED quantizer arrives in (see [[kmeansCentroids]]): classic IVF
+    * keeps the centroid matrix in memory, so composing train → index →
+    * search never writes centroids to a table. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+                  cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
     require(cents.nonEmpty, "centroid set must be non-empty")
     // (sim, cid) structs compare lexicographically: max sim, ties to the
     // larger centroid id — mirrored in the oracle's ORDER BY sim DESC, cid DESC.
     // All C cosines come from one fused expression pass (CentroidCosines,
     // bit-equal to C compositional cosine expressions but codegen-budget-safe).
-    val centroidVecs = cents.map(_._2.map(_.toDouble).toSeq).toSeq
-    val cids = typedLit(cents.map(_._1).toSeq)
+    val centroidVecs = cents.map(_._2)
+    val cids = typedLit(cents.map(_._1))
     def simArr(v: Column): Column = zip_with(
       graft.functions.VectorExpressions.centroidCosines(v, centroidVecs),
       cids, (s, c) => struct(s.as("sim"), c.as("cid")))
@@ -206,6 +217,30 @@ object Similarity {
     * Output: (idCol, cluster) after `iters` update rounds. */
   def kmeans(df: DataFrame, vecCol: String, idCol: String,
              k: Int, iters: Int): DataFrame = {
+    val (clusterIds, centroids) = kmeansCentroids(df, vecCol, idCol, k, iters)
+    kmeansAssign(df, vecCol, idCol, clusterIds, centroids)
+      .select(col("id").as(idCol), col("cluster"))
+  }
+
+  /** One assignment pass against a fixed centroid set (cosine, ties to the
+    * larger cluster id). Output: (id, v, cluster). */
+  private def kmeansAssign(df: DataFrame, vecCol: String, idCol: String,
+                           clusterIds: Seq[Long],
+                           centroids: Seq[Seq[Double]]): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val cids = typedLit(clusterIds)
+    df.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("v"),
+      array_max(zip_with(
+        graft.functions.VectorExpressions.centroidCosines(col(vecCol), centroids),
+        cids, (s, c) => struct(s.as("sim"), c.as("cid"))))
+        .getField("cid").as("cluster"))
+  }
+
+  /** The trained coarse quantizer itself: cluster ids + centroid vectors
+    * after `iters` Lloyd rounds (see [[kmeans]] for the determinism
+    * contract). Only the k×dim matrix reaches the driver. */
+  def kmeansCentroids(df: DataFrame, vecCol: String, idCol: String,
+                      k: Int, iters: Int): (Seq[Long], Seq[Seq[Double]]) = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     var centroids: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast(LongType), col(vecCol)).collect()
@@ -213,17 +248,8 @@ object Similarity {
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
     var clusterIds: Seq[Long] = centroids.indices.map(_.toLong)
 
-    def assign(): DataFrame = {
-      val cids = typedLit(clusterIds)
-      df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        array_max(zip_with(
-          graft.functions.VectorExpressions.centroidCosines(col(vecCol), centroids),
-          cids, (s, c) => struct(s.as("sim"), c.as("cid"))))
-          .getField("cid").as("cluster"))
-    }
-
     for (_ <- 1 to iters) {
-      val means = assign()
+      val means = kmeansAssign(df, vecCol, idCol, clusterIds, centroids)
         .select(col("cluster"), posexplode(transform(col("v"),
           x => floor(x.cast(DoubleType) * 1000000.0).cast(LongType))))
         .groupBy(col("cluster"), col("pos"))
@@ -235,7 +261,7 @@ object Similarity {
       clusterIds = byCluster.map(_._1)
       centroids = byCluster.map(_._2.sortBy(_._2).map(_._3).toSeq)
     }
-    assign().select(col("id").as(idCol), col("cluster"))
+    (clusterIds, centroids)
   }
 
   /** L2-normalize an embedding column to unit length (double output).

@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dsl._
+import graft.exec.Wrangle
+import graft.ext.{EditDistance, Graph, Similarity}
+import graft.model.{Model, PipelineSpec, SpecJson}
+
+/** Round-3 mining surface: string-similarity joins, graph ranking,
+  * n-gram language modelling, sparse-vector similarity, a TRAINED ANN
+  * quantizer end-to-end, spec-as-JSON execution, and robust scaling —
+  * every one exactly oracle-checkable (integer/floor arithmetic where
+  * float accumulation order would diverge across engines). */
+object MiningQueries {
+
+  // ------------------------------------------------- edit-distance join
+
+  /** Bounded edit-distance self-join (PassJoin pigeonhole segments +
+    * exact levenshtein verify) on 40-char document prefixes: finds the
+    * fixture's near-duplicate pairs without a quadratic pass. The oracle
+    * IS the quadratic formulation — viable at sf0.01, impossible at
+    * 100 TB, which is the point of the segment filter. */
+  def qEditdistJoin(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("s"))
+    EditDistance.editDistancePairs(d, "s", "doc_id", tau = 3)
+  }
+
+  val qEditdistJoinSql: String =
+    """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS s FROM documents)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |       CAST(levenshtein(a.s, b.s) AS INT) AS dist
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |WHERE levenshtein(a.s, b.s) <= 3""".stripMargin
+
+  // ----------------------------------------------------------- pagerank
+
+  /** Weighted PageRank (5 supersteps, integer micro-unit arithmetic) over
+    * the item-transition graph mined from the event stream (consecutive
+    * `props.k` values per user). The iteration itself is oracle-checked:
+    * the DuckDB twin unrolls the same five steps with the same floor
+    * divisions. */
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      col("ts"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val edges = Graph.transitionEdges(e, "user_id", "k", Seq("ts", "event_id"))
+    val nodes = e.select(col("k").as("node")).distinct()
+    Graph.pageRank(nodes, edges, iters = 5)
+  }
+
+  val qPagerankSql: String = {
+    val pre =
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events),
+        |seq AS (SELECT k AS dst,
+        |  lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src FROM e),
+        |edges AS (SELECT src, dst, count(*) AS w FROM seq
+        |  WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+        |deg AS (SELECT src, sum(w) AS wtot FROM edges GROUP BY 1),
+        |ew AS (SELECT edges.src, edges.dst, edges.w, deg.wtot
+        |  FROM edges JOIN deg USING (src)),
+        |nodes AS (SELECT DISTINCT k AS node FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)""".stripMargin
+    val steps = (1 to 5).map { i =>
+      s"""c$i AS (SELECT ew.dst, sum((r.pr * ew.w) // ew.wtot) AS s
+         |  FROM ew JOIN r${i - 1} r ON r.node = ew.src GROUP BY 1),
+         |r$i AS (SELECT n.node,
+         |  CAST(150000 + 85 * COALESCE(c.s, 0) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN c$i c ON c.dst = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"$pre,\n$steps\nSELECT node, pr FROM r5"
+  }
+
+  // ---------------------------------------------------------- ngram LM
+
+  /** Bigram language model: MLE next-word distribution P(w2|w1) as an
+    * exact micro-unit integer ratio, top-3 continuations per context
+    * (ties to the lexicographically smaller word). One narrow shuffle on
+    * (w1, w2), then the context totals ride a w1 window. */
+  def qNgramLm(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(split(lower(trim(col("text"))), "\\s+").as("w"))
+    val bi = toks
+      .select(slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("b"))
+      .select(explode(arrays_zip(col("a"), col("b"))).as("p"))
+      .select(col("p.a").as("w1"), col("p.b").as("w2"))
+    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val wCtx = Window.partitionBy("w1")
+    counts
+      .withColumn("c1", sum(col("n12")).over(wCtx))
+      .withColumn("rnk", row_number().over(
+        wCtx.orderBy(col("n12").desc, col("w2").asc)))
+      .where(col("rnk") <= 3)
+      .select(col("w1"), col("rnk"), col("w2"), col("n12"), col("c1"),
+        expr("n12 * 1000000 div c1").as("p_q6"))
+  }
+
+  val qNgramLmSql: String =
+    """WITH t AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+      |  FROM documents),
+      |b AS (SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p FROM t),
+      |pr AS (SELECT p[1] AS w1, p[2] AS w2 FROM b),
+      |c AS (SELECT w1, w2, count(*) AS n12 FROM pr GROUP BY 1, 2),
+      |t2 AS (SELECT w1, w2, n12,
+      |  CAST(sum(n12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+      |  row_number() OVER (PARTITION BY w1 ORDER BY n12 DESC, w2) AS rnk
+      |  FROM c)
+      |SELECT w1, rnk, w2, n12, c1,
+      |  CAST(n12 * 1000000 // c1 AS BIGINT) AS p_q6
+      |FROM t2 WHERE rnk <= 3""".stripMargin
+
+  // --------------------------------------------- sparse cosine (APSS)
+
+  /** All-pairs similarity over sparse rare-bigram tf vectors: the
+    * inverted-index join (candidates share a term; dot products sum
+    * EXACT integer tf products) restricted to discriminative terms
+    * (df ≤ 5% of the corpus — common terms pair everything with
+    * everything and carry no signal). The standard APSS shape at scale:
+    * cost follows the inverted lists of rare terms, never |D|². */
+  def qSparseSim(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+      .select(col("doc_id"),
+        slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("b"))
+      .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("p"))
+      .select(col("doc_id"),
+        concat(col("p.a"), lit(" "), col("p.b")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val rare = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
+      .where(col("df") * 20 <= col("nd"))
+      .select(col("term"))
+    val kept = tf.join(rare, "term")
+    val nrm = kept.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val a = kept.select(col("term"), col("doc_id").as("id1"), col("tf").as("tf1"))
+    val b = kept.select(col("term"), col("doc_id").as("id2"), col("tf").as("tf2"))
+    val dots = a.join(b, Seq("term")).where(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum(col("tf1") * col("tf2")).as("dot"))
+    dots
+      .join(nrm.select(col("doc_id").as("id1"), col("n2").as("n2a")), "id1")
+      .join(nrm.select(col("doc_id").as("id2"), col("n2").as("n2b")), "id2")
+      .select(col("id1"), col("id2"), col("dot"),
+        (col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))))
+          .as("sim"))
+      .where(col("sim") >= 0.3)
+  }
+
+  val qSparseSimSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |b AS (SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+      |  FROM t),
+      |tf AS (SELECT doc_id, p[1] || ' ' || p[2] AS term, count(*) AS tf
+      |  FROM b GROUP BY 1, 2),
+      |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |nd AS (SELECT count(*) AS nd FROM documents),
+      |rare AS (SELECT term FROM dfc, nd WHERE df * 20 <= nd),
+      |kept AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN rare USING (term)),
+      |nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+      |  FROM kept GROUP BY 1),
+      |dots AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+      |  FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id1, id2, dot,
+      |  CAST(dot AS DOUBLE)
+      |    / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS sim
+      |FROM dots JOIN nrm x ON x.doc_id = id1 JOIN nrm y ON y.doc_id = id2
+      |WHERE CAST(dot AS DOUBLE)
+      |    / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) >= 0.3""".stripMargin
+
+  // --------------------------------------------------- trained IVF ANN
+
+  /** The full ANN pipeline end-to-end: Lloyd-train the coarse quantizer
+    * (k=4, one exact-arithmetic round — the q_kmeans iteration), then IVF
+    * search with the TRAINED centroids (nprobe=2, top-5 for queries
+    * vec_id < 10). Exactly oracle-checkable because both stages are. */
+  def qSimIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val (cids, cents) = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+      k = 4, iters = 1)
+    Similarity.ivfTopKWith(e, e.filter(col("vec_id") < 10),
+      cids.zip(cents), k = 5, nprobe = 2)
+  }
+
+  private val cosSql = (a: String, b: String) =>
+    s"""list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))
+       |    / (sqrt(list_sum(list_transform($a, x -> x * x)))
+       |       * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+
+  val qSimIvfTrainedSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+       |  FROM e ORDER BY vec_id LIMIT 4),
+       |a1 AS (SELECT vec_id, q, cluster FROM (
+       |  SELECT e.vec_id, e.q, c0.cluster,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c0.cv")} DESC, c0.cluster DESC) AS rn
+       |  FROM e CROSS JOIN c0) WHERE rn = 1),
+       |m1 AS (SELECT cluster, i,
+       |  CAST(sum(CAST(q[i] AS DECIMAL(38,0))) AS DOUBLE)
+       |    / (count(*) * 1000000.0) AS m
+       |  FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+       |  GROUP BY cluster, i),
+       |c1 AS (SELECT cluster, list(m ORDER BY i) AS cv FROM m1 GROUP BY cluster),
+       |cells AS (SELECT vec_id, v, cluster AS cell FROM (
+       |  SELECT e.vec_id, e.v, c1.cluster,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c1.cv")} DESC, c1.cluster DESC) AS rn
+       |  FROM e CROSS JOIN c1) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, v AS qv, cluster AS cell FROM (
+       |  SELECT e.vec_id, e.v, c1.cluster,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c1.cv")} DESC, c1.cluster DESC) AS rn
+       |  FROM e CROSS JOIN c1 WHERE e.vec_id < 10) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.query_id, t.vec_id AS cand_id,
+       |    ${cosSql("p.qv", "t.v")} AS sim
+       |  FROM probes p JOIN cells t ON p.cell = t.cell
+       |  WHERE t.vec_id <> p.query_id),
+       |ranked AS (SELECT query_id, cand_id, sim,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
+       |FROM scored)
+       |SELECT query_id, rank, cand_id, sim FROM ranked WHERE rank <= 5""".stripMargin
+
+  // ------------------------------------------------------ spec-as-JSON
+
+  /** Pipelines as data through the DRIVER GATE: the spec round-trips
+    * through its JSON codec (SpecJson) and executes via `wrangleJson` —
+    * the path a spec file/catalog entry would take, no host-language
+    * construction at run time. */
+  def qWrangleJson(s: SparkSession, dir: String): DataFrame = {
+    val spec = PipelineSpec(
+      Model("Supp")(
+        "skey"    -> Get("s_suppkey"),
+        "name"    -> (Get("s_name") | Fn("upper")),
+        "nk"      -> Get("s_nationkey"),
+        "bal_pos" -> (Get("s_acctbal") |
+          If(Cmp(">=", 0.0), Id, Some(Constant(0.0))))))
+    val json = SpecJson.toJson(spec)
+    Wrangle.wrangleJson(Tables(s, dir, "supplier"), json, "Supp")
+  }
+
+  val qWrangleJsonSql: String =
+    """SELECT s_suppkey AS skey, upper(s_name) AS name, s_nationkey AS nk,
+      |CASE WHEN s_acctbal >= 0.0 THEN s_acctbal ELSE 0.0 END AS bal_pos
+      |FROM supplier""".stripMargin
+
+  // -------------------------------------------------------- winsorize
+
+  /** Robust scaling: per-group winsorization at the exact discrete
+    * p05/p95 (value at row_number ceil(p·n) — rank positions, NOT the
+    * engines' interpolating quantile functions, so both sides pick the
+    * identical stored double). One exchange on the group key serves the
+    * ordering window, the boundary lookups, and the clamp. */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_returnflag").as("rf"), col("l_extendedprice").as("price"))
+    val wOrd = Window.partitionBy("rf").orderBy(col("price").asc)
+    val wAll = Window.partitionBy("rf")
+    li
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("p05", min(when(
+        col("rn") === greatest(expr("(n * 5 + 99) div 100"), lit(1L)),
+        col("price"))).over(wAll))
+      .withColumn("p95", min(when(
+        col("rn") === greatest(expr("(n * 95 + 99) div 100"), lit(1L)),
+        col("price"))).over(wAll))
+      .select(col("l_orderkey"), col("l_linenumber"), col("rf"),
+        col("price"), col("p05"), col("p95"),
+        least(greatest(col("price"), col("p05")), col("p95")).as("wprice"))
+  }
+
+  val qWinsorizeSql: String =
+    """WITH r AS (SELECT l_orderkey, l_linenumber, l_returnflag AS rf,
+      |  l_extendedprice AS price,
+      |  row_number() OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_extendedprice ASC) AS rn,
+      |  count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem),
+      |b AS (SELECT *,
+      |  min(CASE WHEN rn = greatest((n * 5 + 99) // 100, 1) THEN price END)
+      |    OVER (PARTITION BY rf) AS p05,
+      |  min(CASE WHEN rn = greatest((n * 95 + 99) // 100, 1) THEN price END)
+      |    OVER (PARTITION BY rf) AS p95
+      |  FROM r)
+      |SELECT l_orderkey, l_linenumber, rf, price, p05, p95,
+      |  least(greatest(price, p05), p95) AS wprice
+      |FROM b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_editdist_join"   -> (qEditdistJoin _),
+    "q_pagerank"        -> (qPagerank _),
+    "q_ngram_lm"        -> (qNgramLm _),
+    "q_sparse_sim"      -> (qSparseSim _),
+    "q_sim_ivf_trained" -> (qSimIvfTrained _),
+    "q_wrangle_json"    -> (qWrangleJson _),
+    "q_winsorize"       -> (qWinsorize _))
+
+  val oracle: Map[String, String] = Map(
+    "q_editdist_join"   -> qEditdistJoinSql,
+    "q_pagerank"        -> qPagerankSql,
+    "q_ngram_lm"        -> qNgramLmSql,
+    "q_sparse_sim"      -> qSparseSimSql,
+    "q_sim_ivf_trained" -> qSimIvfTrainedSql,
+    "q_wrangle_json"    -> qWrangleJsonSql,
+    "q_winsorize"       -> qWinsorizeSql)
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{EditDistance, Graph}
+
+/** Round-3 mining operators: the PassJoin segment filter against the
+  * quadratic twin, PageRank invariants on hand graphs, and the transition
+  * edge builder. */
+class MiningSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------ edit distance
+
+  test("editDistancePairs equals the quadratic twin on fixture prefixes") {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("s"))
+    for (tau <- 1 to 3) {
+      val fast = EditDistance.editDistancePairs(d, "s", "doc_id", tau)
+        .as[(Long, Long, Int)].collect().toSet
+      val brute = EditDistance.editDistancePairsBrute(d, "s", "doc_id", tau)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(fast == brute, s"tau=$tau: segment filter lost/invented pairs")
+    }
+  }
+
+  test("editDistancePairs handles length-skewed strings") {
+    val df = Seq(
+      (1L, "abcdefgh"), (2L, "abcdefg"), (3L, "abcdefghij"),
+      (4L, "xbcdefgh"), (5L, "ab"), (6L, "a"), (7L, "abcdefghxy"))
+      .toDF("id", "s")
+    val fast = EditDistance.editDistancePairs(df, "s", "id", tau = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = EditDistance.editDistancePairsBrute(df, "s", "id", tau = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fast == brute)
+    assert(fast.contains((1L, 2L, 1)) && fast.contains((1L, 4L, 1)))
+  }
+
+  test("editDistancePairs emits each unordered pair exactly once") {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 30).as("s"))
+    val out = EditDistance.editDistancePairs(d, "s", "doc_id", tau = 2)
+    assert(out.count() == out.select("id1", "id2").distinct().count())
+    assert(out.where(col("id1") >= col("id2")).count() == 0)
+  }
+
+  // ----------------------------------------------------------- pagerank
+
+  test("pageRank on a two-node cycle is symmetric and exact") {
+    val nodes = Seq(1L, 2L).toDF("node")
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.pageRank(nodes, edges, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    // Symmetric graph -> equal ranks; the fixed point of
+    // r = 150000 + 85*r/100 is 1e6, reached exactly from r0 = 1e6.
+    assert(r(1L) == 1000000L && r(2L) == 1000000L)
+  }
+
+  test("pageRank star graph: hub collects mass, leaves keep the floor") {
+    // leaves 2,3,4 each point at hub 1; hub points at leaf 2.
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val edges = Seq((2L, 1L, 1L), (3L, 1L, 1L), (4L, 1L, 1L), (1L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.pageRank(nodes, edges, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    // One superstep by hand: every node starts at 1e6; hub gets
+    // 150000 + 85*3e6/100 = 2700000, leaf 2 gets 1e6, leaves 3,4 get 150000.
+    val r1 = Graph.pageRank(nodes, edges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 2700000L, 2L -> 1000000L, 3L -> 150000L, 4L -> 150000L))
+    assert(r(1L) > r(2L) && r(2L) > r(3L))
+    assert(r(3L) == r(4L), "symmetric leaves must tie exactly")
+  }
+
+  test("pageRank floor semantics: dangling mass drops, weights steer") {
+    // 1 -> 2 (w=3) and 1 -> 3 (w=1); 2 and 3 dangle.
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.pageRank(nodes, edges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    // contrib(1->2) = floor(1e6*3/4) = 750000 -> 150000 + 85*750000/100
+    assert(r(2L) == 150000L + 85L * 750000L / 100L)
+    assert(r(3L) == 150000L + 85L * 250000L / 100L)
+    assert(r(1L) == 150000L)
+  }
+
+  test("transitionEdges orders within partition and drops self-loops") {
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "b"), (1L, 4L, "a"),
+      (2L, 1L, "b"), (2L, 2L, "a"))
+      .toDF("u", "seq", "item")
+    val e = Graph.transitionEdges(ev, "u", "item", Seq("seq"))
+      .as[(String, String, Long)].collect().toSet
+    assert(e == Set(("a", "b", 1L), ("b", "a", 2L)))
+  }
+}
