@@ -17,6 +17,18 @@ import graft.model.{Model, PipelineSpec, SpecJson}
   * float accumulation order would diverge across engines). */
 object MiningQueries {
 
+  /** Spread a small-but-about-to-fan-out frame across the cluster with an
+    * EXPLICIT partition count: `repartition(col)` alone is AQE-coalescible
+    * and a few-MB pre-explode shuffle would be folded back into one
+    * partition — exactly the serial hotspot the repartition exists to
+    * avoid. */
+  private def spread(df: DataFrame, key: String): DataFrame = {
+    val n = df.sparkSession.conf
+      .getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    df.repartition(n, col(key))
+  }
+
   // ------------------------------------------------- edit-distance join
 
   /** Bounded edit-distance self-join (PassJoin pigeonhole segments +
@@ -82,8 +94,9 @@ object MiningQueries {
     * (ties to the lexicographically smaller word). One narrow shuffle on
     * (w1, w2), then the context totals ride a w1 window. */
   def qNgramLm(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(s, dir, "documents")
-      .select(split(lower(trim(col("text"))), "\\s+").as("w"))
+    val toks = spread(Tables(s, dir, "documents")
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w")),
+      "doc_id") // spread before the bigram fan-out
     val bi = toks
       .select(slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
         slice(col("w"), lit(2), size(col("w")) - 1).as("b"))
@@ -124,8 +137,9 @@ object MiningQueries {
     * cost follows the inverted lists of rare terms, never |D|². */
   def qSparseSim(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val tf = docs
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+    val tf = spread(docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w")),
+      "doc_id") // spread BEFORE the ~200x bigram explode
       .select(col("doc_id"),
         slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
         slice(col("w"), lit(2), size(col("w")) - 1).as("b"))
@@ -137,6 +151,10 @@ object MiningQueries {
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
       .where(col("df") * 20 <= col("nd"))
       .select(col("term"))
+    // Shuffle join (NOT broadcast) on purpose: it leaves `kept`
+    // term-partitioned, which is exactly the distribution the a×b
+    // self-join needs — both its branches reuse this exchange instead of
+    // re-shuffling the full posting list.
     val kept = tf.join(rare, "term")
     val nrm = kept.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("n2"))
