@@ -49,6 +49,61 @@ object MiningQueries {
       |FROM d a JOIN d b ON a.doc_id < b.doc_id
       |WHERE levenshtein(a.s, b.s) <= 3""".stripMargin
 
+  /** Fuzzy record linkage across two tables: deterministically corrupted
+    * 40-char snippets (even ids: char 20 replaced; odd ids: char 5
+    * deleted) joined back to the clean corpus at τ=2 — the
+    * provenance-recovery / entity-resolution shape, same pigeonhole
+    * candidate join as q_editdist_join but probe ≠ index. */
+  def qEditdistLookup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val index = docs.select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+    val probes = docs.select(col("doc_id").as("pid"),
+      when(col("doc_id") % 2 === 0,
+        concat(substring(col("text"), 1, 19), lit("#"),
+          substring(col("text"), 21, 20)))
+        .otherwise(concat(substring(col("text"), 1, 4),
+          substring(col("text"), 6, 35))).as("p"))
+    EditDistance.editDistanceJoin(probes, "p", "pid", index, "t", "doc_id",
+      tau = 2)
+  }
+
+  val qEditdistLookupSql: String =
+    """WITH idx AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents),
+      |p AS (SELECT doc_id AS pid,
+      |  CASE WHEN doc_id % 2 = 0
+      |       THEN substr(text, 1, 19) || '#' || substr(text, 21, 20)
+      |       ELSE substr(text, 1, 4) || substr(text, 6, 35) END AS p
+      |  FROM documents)
+      |SELECT p.pid AS probe_id, idx.doc_id AS index_id,
+      |       CAST(levenshtein(p.p, idx.t) AS INT) AS dist
+      |FROM p CROSS JOIN idx WHERE levenshtein(p.p, idx.t) <= 2""".stripMargin
+
+  // ------------------------------------------------------------ zorder
+
+  /** Morton (Z-order) clustering key over (l_partkey, l_suppkey) — the
+    * multi-dimensional layout key behind [[graft.sources.IO.writeZordered]]
+    * (file-level span/pruning asserted in IOSpec); here the key itself is
+    * oracle-checked bit-for-bit against the same literal-shift
+    * interleave in DuckDB. */
+  def qZorder(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      graft.sources.IO.zorderKey(
+        // both dimensions scaled to the same 7-bit domain first (see
+        // IO.writeZordered: interleave assumes comparable significance)
+        Seq(expr("l_partkey * 128 div 2000"), col("l_suppkey")),
+        bits = 7).as("zkey"))
+
+  val qZorderSql: String = {
+    val terms = for {
+      (c, j) <- Seq("(l_partkey * 128 // 2000)", "l_suppkey").zipWithIndex
+      i <- 0 until 7
+    } yield s"((($c >> $i) & 1) << ${i * 2 + j})"
+    s"""SELECT l_orderkey, l_linenumber,
+       |CAST(${terms.mkString(" | ")} AS BIGINT) AS zkey
+       |FROM lineitem""".stripMargin
+  }
+
   // ----------------------------------------------------------- pagerank
 
   /** Weighted PageRank (5 supersteps, integer micro-unit arithmetic) over
@@ -323,6 +378,8 @@ object MiningQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_editdist_join"   -> (qEditdistJoin _),
+    "q_editdist_lookup" -> (qEditdistLookup _),
+    "q_zorder"          -> (qZorder _),
     "q_pagerank"        -> (qPagerank _),
     "q_ngram_lm"        -> (qNgramLm _),
     "q_sparse_sim"      -> (qSparseSim _),
@@ -332,6 +389,8 @@ object MiningQueries {
 
   val oracle: Map[String, String] = Map(
     "q_editdist_join"   -> qEditdistJoinSql,
+    "q_editdist_lookup" -> qEditdistLookupSql,
+    "q_zorder"          -> qZorderSql,
     "q_pagerank"        -> qPagerankSql,
     "q_ngram_lm"        -> qNgramLmSql,
     "q_sparse_sim"      -> qSparseSimSql,

@@ -66,6 +66,46 @@ object IO {
     sorted.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** Morton (Z-order) interleave of the low `bits` bits of each column —
+    * the multi-dimensional clustering key: sorting by it co-locates rows
+    * close in EVERY dimension, so parquet row-group min/max stats prune
+    * range predicates on any of the columns, not just the leading sort
+    * key. Pure literal-shift bit arithmetic (codegen'd; Spark's
+    * shiftleft/shiftright take literal shifts only), identical in any
+    * SQL engine. Columns are masked to `bits` bits first (values beyond
+    * that interleave only their low bits — pick `bits` to cover the
+    * domain). */
+  def zorderKey(cols: Seq[org.apache.spark.sql.Column], bits: Int): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty && bits >= 1 && bits * cols.size <= 63,
+      "need 1+ columns and bits*ncols <= 63")
+    val d = cols.size
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+      i * d + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ordered parquet sink: range-partition + sort by the interleaved
+    * key, so every file covers a small hyper-rectangle of the key space
+    * (verified in IOSpec: per-file spans of EACH dimension stay narrow).
+    * Interleaving treats every bit level as equally significant — scale
+    * the column expressions to comparable domains first (e.g. map each
+    * to [0, 2^bits)), or a wide-domain column dominates the key and the
+    * narrow ones get no clustering. */
+  def writeZordered(df: DataFrame, path: String,
+                    zCols: Seq[org.apache.spark.sql.Column],
+                    bits: Int = 16, numFiles: Int = 8,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val keyed = df.withColumn("__z", zorderKey(zCols, bits))
+    keyed
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
+
   /** Bucketed managed table: `n` buckets on `bucketCols`, sorted within
     * buckets. Joins between tables bucketed identically on the join key
     * skip the shuffle entirely. */

@@ -25,6 +25,44 @@ class IOSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters"))
   }
 
+  test("zorder write keeps per-file spans narrow in BOTH dimensions") {
+    val dir = Files.createTempDirectory("graft_z").toString
+    val df = Tables(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+    // scale both dimensions to the same 7-bit domain first — interleave
+    // treats bit levels as equally significant, so unequal domains would
+    // let the wide column (partkey, 11 bits) dominate the key
+    IO.writeZordered(df, s"$dir/li",
+      Seq(expr("l_partkey * 128 div 2000"), col("l_suppkey")),
+      bits = 7, numFiles = 16)
+    val files = new java.io.File(s"$dir/li").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length > 4, s"expected many files, got ${files.length}")
+    def spans(colName: String): Seq[(Long, Long)] = files.toSeq.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col(colName)).cast("long"), max(col(colName)).cast("long"))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val global = df.agg(min(col("l_partkey")).cast("long"),
+      max(col("l_partkey")).cast("long"),
+      min(col("l_suppkey")).cast("long"),
+      max(col("l_suppkey")).cast("long")).collect().head
+    val pkRange = (global.getLong(1) - global.getLong(0)).toDouble
+    val skRange = (global.getLong(3) - global.getLong(2)).toDouble
+    val pkAvg = spans("l_partkey").map(s => s._2 - s._1).sum.toDouble / files.length
+    val skAvg = spans("l_suppkey").map(s => s._2 - s._1).sum.toDouble / files.length
+    // a single-column sort gives ~full range on the OTHER column; the
+    // interleave must keep both well under it
+    assert(pkAvg < 0.6 * pkRange, s"partkey span $pkAvg vs range $pkRange")
+    assert(skAvg < 0.6 * skRange, s"suppkey span $skAvg vs range $skRange")
+    // zorderKey masks to the requested bits and interleaves exactly
+    val k = df.sparkSession.range(1).select(
+      IO.zorderKey(Seq(lit(5L), lit(3L)), 4).as("z")).collect().head.getLong(0)
+    // x=0101, y=0011, y_i at odd positions: bits 0,1,3,4 set -> 27
+    assert(k == 27L)
+  }
+
   test("identically bucketed tables join with zero shuffle") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")

@@ -49,6 +49,25 @@ class MiningSpec extends AnyFunSuite {
     assert(out.where(col("id1") >= col("id2")).count() == 0)
   }
 
+  test("editDistanceJoin equals the quadratic cross twin") {
+    val docs = Tables(spark, dir, "documents")
+    val index = docs.select(col("doc_id"), substring(col("text"), 1, 30).as("t"))
+    val probes = docs.where(col("doc_id") % 5 === 0).select(
+      col("doc_id").as("pid"),
+      concat(substring(col("text"), 1, 10), lit("#"),
+        substring(col("text"), 12, 19)).as("p"))
+    val fast = graft.ext.EditDistance
+      .editDistanceJoin(probes, "p", "pid", index, "t", "doc_id", tau = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = graft.ext.EditDistance
+      .editDistanceJoinBrute(probes, "p", "pid", index, "t", "doc_id", tau = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fast == brute)
+    // every corrupted probe recovers its own source at distance 1
+    val own = fast.filter(t => t._1 == t._2)
+    assert(own.nonEmpty && own.forall(_._3 == 1))
+  }
+
   // ----------------------------------------------------------- pagerank
 
   test("pageRank on a two-node cycle is symmetric and exact") {
