@@ -73,4 +73,36 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(p) <= 2, s"expected at most 2 hash exchanges:\n$p")
     assert(p.contains("partial_count"), s"count must be two-phase:\n$p")
   }
+
+  test("editdist join: equality candidate join, no cartesian anywhere") {
+    val p = physical(graft.queries.MiningQueries.qEditdistJoin(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the pigeonhole filter must keep the join an equi-join:\n$p")
+    // bounded 3-arg verify, not the full DP
+    assert(p.contains("levenshtein") && p.contains("Some(3)"),
+      s"verify must use the threshold levenshtein:\n$p")
+  }
+
+  test("sparse sim: posting-list stages reused across self-join sides") {
+    val df = graft.queries.MiningQueries.qSparseSim(spark, dir)
+    // exchange reuse is an AQE runtime decision, and count() would plan a
+    // DIFFERENT query — collect THIS df, then read its final plan
+    df.collect()
+    val p = physical(df)
+    assert(p.contains("ReusedQueryStage") || p.contains("ReusedExchange"),
+      s"kept posting list should be computed once and reused:\n$p")
+    assert(p.contains("partial_sum"),
+      s"dot products must pre-aggregate map-side:\n$p")
+  }
+
+  test("pagerank: edge pipeline materialized once, supersteps scan it") {
+    val df = graft.queries.MiningQueries.qPagerank(spark, dir)
+    val p = physical(df)
+    // the 5 supersteps must join the checkpointed edges, not re-run the
+    // lag-window edge derivation each iteration
+    assert(!p.contains("Window"),
+      s"edge derivation must not re-run inside the iteration:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 5,
+      s"each superstep should scan the materialized edges:\n$p")
+  }
 }
