@@ -332,6 +332,44 @@ object MiningQueries {
       |CASE WHEN s_acctbal >= 0.0 THEN s_acctbal ELSE 0.0 END AS bal_pos
       |FROM supplier""".stripMargin
 
+  /** Last-touch attribution: every purchase is credited to the item (`k`)
+    * of the same user's most recent PRIOR view/click, with the touch age
+    * in seconds. One user-window shuffle — `last(..., ignoreNulls)` over
+    * the preceding frame, no per-stage self-join. */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      col("ts"), col("event_type"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e
+      .withColumn("touch_k", last(
+        when(col("event_type").isin("view", "click"), col("k")),
+        ignoreNulls = true).over(w))
+      .withColumn("touch_ts", last(
+        when(col("event_type").isin("view", "click"), col("ts")),
+        ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("k").as("bought_k"),
+        col("touch_k"),
+        (unix_micros(col("ts")) - unix_micros(col("touch_ts")))
+          .as("touch_age_us"))
+  }
+
+  val qAttributionSql: String =
+    """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events),
+      |t AS (SELECT *,
+      |  last_value(CASE WHEN event_type IN ('view', 'click') THEN k END
+      |    IGNORE NULLS) OVER w AS touch_k,
+      |  last_value(CASE WHEN event_type IN ('view', 'click') THEN ts END
+      |    IGNORE NULLS) OVER w AS touch_ts
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id, k AS bought_k, touch_k,
+      |  epoch_us(ts) - epoch_us(touch_ts) AS touch_age_us
+      |FROM t WHERE event_type = 'purchase'""".stripMargin
+
   // -------------------------------------------------------- winsorize
 
   /** Robust scaling: per-group winsorization at the exact discrete
@@ -385,6 +423,7 @@ object MiningQueries {
     "q_sparse_sim"      -> (qSparseSim _),
     "q_sim_ivf_trained" -> (qSimIvfTrained _),
     "q_wrangle_json"    -> (qWrangleJson _),
+    "q_attribution"     -> (qAttribution _),
     "q_winsorize"       -> (qWinsorize _))
 
   val oracle: Map[String, String] = Map(
@@ -396,5 +435,6 @@ object MiningQueries {
     "q_sparse_sim"      -> qSparseSimSql,
     "q_sim_ivf_trained" -> qSimIvfTrainedSql,
     "q_wrangle_json"    -> qWrangleJsonSql,
+    "q_attribution"     -> qAttributionSql,
     "q_winsorize"       -> qWinsorizeSql)
 }
