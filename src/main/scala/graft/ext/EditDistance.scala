@@ -101,6 +101,24 @@ object EditDistance {
           sp => col("s").substr(sp + lit(1), slen)))).as("seg"))
   }
 
+  /** The pigeonhole argument needs τ+1 NONEMPTY segments: an index string
+    * shorter than τ+1 has empty segments, which "match anywhere" — its
+    * pairs can evade the segment equality join entirely (ed("aa","b")=2
+    * shares no character at all; the empty string is the extreme case).
+    * Pairs with such an index side are matched here exactly instead.
+    * Both sides of such a pair are ≤ 2τ chars (ed ≥ length difference),
+    * so this is a bounded cross join of two tiny-length subsets that
+    * AQE broadcasts. Output: (id_a, id_b, dist). */
+  private def shortStringPairs(probeBase: DataFrame, indexBase: DataFrame,
+                               tau: Int): DataFrame =
+    probeBase.where(col("len") <= 2 * tau)
+      .select(col("id").as("id_a"), col("s").as("s_a"))
+      .crossJoin(indexBase.where(col("len") <= tau)
+        .select(col("id").as("id_b"), col("s").as("s_b")))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b"), tau).as("dist"))
+      .where(col("dist") >= 0 && col("dist") <= tau)
+
   /** All pairs (id1 < id2) with levenshtein(s1, s2) ≤ tau.
     * Output: (id1, id2, dist: INT), each unordered pair once. */
   def editDistancePairs(df: DataFrame, strCol: String, idCol: String,
@@ -115,6 +133,10 @@ object EditDistance {
         greatest(col("id_a"), col("id_b")).as("id2"),
         levenshtein(col("s_a"), col("s_b"), tau).as("dist"))
       .where(col("dist") >= 0 && col("dist") <= tau)
+      .unionByName(shortStringPairs(base, base, tau)
+        .where(col("id_a") =!= col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as("id1"),
+          greatest(col("id_a"), col("id_b")).as("id2"), col("dist")))
       .dropDuplicates("id1", "id2")
   }
 
@@ -126,12 +148,16 @@ object EditDistance {
                        index: DataFrame, indexStr: String, indexId: String,
                        tau: Int): DataFrame = {
     require(tau >= 1, "tau must be ≥ 1")
-    probeSegments(spreadBase(probe, probeStr, probeId), tau)
-      .join(indexSegments(spreadBase(index, indexStr, indexId), tau),
-        Seq("lt", "i", "seg"))
+    val pBase = spreadBase(probe, probeStr, probeId)
+    val iBase = spreadBase(index, indexStr, indexId)
+    probeSegments(pBase, tau)
+      .join(indexSegments(iBase, tau), Seq("lt", "i", "seg"))
       .select(col("id_a").as("probe_id"), col("id_b").as("index_id"),
         levenshtein(col("s_a"), col("s_b"), tau).as("dist"))
       .where(col("dist") >= 0 && col("dist") <= tau)
+      .unionByName(shortStringPairs(pBase, iBase, tau)
+        .select(col("id_a").as("probe_id"), col("id_b").as("index_id"),
+          col("dist")))
       .dropDuplicates("probe_id", "index_id")
   }
 

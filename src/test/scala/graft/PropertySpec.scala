@@ -161,6 +161,37 @@ object PropertySpec extends Properties("graft") {
         (2 to n).forall(i => out(i.toLong) == texts(i))
     }
 
+  // strings over a 3-letter alphabet maximize collisions/near-misses —
+  // the adversarial regime for the segment filter
+  private val shortStrings: Gen[List[String]] =
+    Gen.listOfN(12, Gen.choose(1, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+
+  property("PassJoin editdist pairs == quadratic twin on adversarial strings") =
+    forAll(shortStrings, Gen.choose(1, 3)) { (ss, tau) =>
+      val df = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+      val fast = graft.ext.EditDistance.editDistancePairs(df, "s", "id", tau)
+        .as[(Long, Long, Int)].collect().toSet
+      val brute = graft.ext.EditDistance.editDistancePairsBrute(df, "s", "id", tau)
+        .as[(Long, Long, Int)].collect().toSet
+      fast == brute
+    }
+
+  property("pageRank: every rank >= damping floor; total mass never grows") =
+    forAll(Gen.listOfN(10, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 5L)))) { es0 =>
+      val es = es0.filter(e => e._1 != e._2).distinct
+      es.nonEmpty ==> {
+        val nodes = (0L to 5L).toDF("node")
+        val edges = es.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+        val r = graft.ext.Graph.pageRank(nodes, edges, iters = 3)
+          .as[(Long, Long)].collect()
+        // floor: isolated or un-pointed-to nodes keep exactly 150000;
+        // conservation: floor division + dangling drop can only lose mass
+        // relative to the ideal 1e6-per-node total
+        r.forall(_._2 >= 150000L) && r.map(_._2).sum <= 6L * 1000000L
+      }
+    }
+
   property("truthiness default: falsy inputs take the fallback") =
     forAll(Gen.oneOf(Gen.const(None), Gen.some(Gen.choose(-5.0, 5.0).sample.getOrElse(0.0)))) { v =>
       val df = Seq(Tuple1(v)).toDF("x")
