@@ -74,10 +74,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"count must be two-phase:\n$p")
   }
 
-  test("editdist join: equality candidate join, no cartesian anywhere") {
+  test("editdist join: equality candidate join; only the bounded short-string cross") {
     val p = physical(graft.queries.MiningQueries.qEditdistJoin(spark, dir))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"the pigeonhole filter must keep the join an equi-join:\n$p")
+    // exactly one non-equi join is allowed: the <=2τ-char short-string
+    // side branch (pigeonhole needs τ+1 nonempty segments); the candidate
+    // path itself must stay an equality join
+    val nonEqui = "CartesianProduct".r.findAllIn(p).length +
+      "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nonEqui <= 1, s"candidate generation must be an equi-join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"the segment join must be a hash/merge equi-join:\n$p")
     // bounded 3-arg verify, not the full DP
     assert(p.contains("levenshtein") && p.contains("Some(3)"),
       s"verify must use the threshold levenshtein:\n$p")
