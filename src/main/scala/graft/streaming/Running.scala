@@ -44,6 +44,69 @@ object Running {
         })
   }
 
+  // ------------------------------------------------- real-time attribution
+
+  case class TouchEvent(user_id: Long, event_id: Long, ts: Instant,
+                        event_type: String, k: Option[Long])
+  /** Last qualifying touch per user: item + its event-time micros. */
+  case class TouchState(k: Long, tsUs: Long)
+  case class Attribution(event_id: Long, user_id: Long, bought_k: Option[Long],
+                         touch_k: Option[Long], touch_age_us: Option[Long])
+
+  /** Real-time last-touch attribution (the streaming twin of
+    * q_attribution): state is ONE (item, ts) pair per user — views/clicks
+    * overwrite it, purchases emit an attribution row against it
+    * immediately. Emissions happen only for purchases, so the stream runs
+    * in Append mode; within each microbatch events fold in (event-time,
+    * event-id) order. Like the EWMA, cross-batch disorder folds
+    * as-arrived — the watermark-buffered variant is the [[Sessionize]]
+    * shape. */
+  def attributionStream(events: Dataset[TouchEvent])
+                       (implicit spark: SparkSession): Dataset[Attribution] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, evs: Iterator[TouchEvent], state: GroupState[TouchState]) => {
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val out = Seq.newBuilder[Attribution]
+          var s = state.getOption
+          sorted.foreach { e =>
+            e.event_type match {
+              case "view" | "click" if e.k.isDefined =>
+                s = Some(TouchState(e.k.get, micros(e.ts)))
+              case "purchase" =>
+                out += Attribution(e.event_id, userId, e.k,
+                  s.map(_.k), s.map(t => micros(e.ts) - t.tsUs))
+              case _ => ()
+            }
+          }
+          s.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
+  /** Batch twin of [[attributionStream]] for twin tests. */
+  def attributionBatch(events: Dataset[TouchEvent])
+                      (implicit spark: SparkSession): Dataset[Attribution] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (userId, evs) =>
+      val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var s: Option[TouchState] = None
+      val out = Seq.newBuilder[Attribution]
+      sorted.foreach { e =>
+        e.event_type match {
+          case "view" | "click" if e.k.isDefined =>
+            s = Some(TouchState(e.k.get, micros(e.ts)))
+          case "purchase" =>
+            out += Attribution(e.event_id, userId, e.k,
+              s.map(_.k), s.map(t => micros(e.ts) - t.tsUs))
+          case _ => ()
+        }
+      }
+      out.result().iterator
+    }
+  }
+
   /** Batch twin: same fold over the full history, for twin tests. */
   def ewmaBatch(events: Dataset[Sessionize.Event], alpha: Double = 0.5)
                (implicit spark: SparkSession): Dataset[Ewma] = {

@@ -354,6 +354,46 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("real-time last-touch attribution: streamed in-order batches == SQL window query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sp = spark
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Running
+    val all = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .as[Running.TouchEvent]
+      .collect().sortBy(e => (e.ts, e.event_id))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val input = MemoryStream[Running.TouchEvent]
+    val q = Running.attributionStream(input.toDS())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .as[Running.Attribution].collect()
+        .map(a => a.event_id -> ((a.touch_k, a.touch_age_us))).toMap
+      // Twin 1: the typed batch fold.
+      val batch = Running.attributionBatch(
+          Tables.events(spark, dir)
+            .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+            .as[Running.TouchEvent])
+        .collect().map(a => a.event_id -> ((a.touch_k, a.touch_age_us))).toMap
+      assert(got == batch)
+      // Twin 2: the oracle-checked window query.
+      val sql = graft.queries.MiningQueries.qAttribution(spark, dir)
+        .select(col("event_id"), col("touch_k"), col("touch_age_us"))
+        .collect().map { r =>
+          r.getLong(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(_.asInstanceOf[Long])))
+        }.toMap
+      assert(got == sql)
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: EWMA state survives a stream restart") {
     implicit val sp = spark
     import graft.streaming.Running
