@@ -182,6 +182,54 @@ object MiningQueries {
       |  CAST(n12 * 1000000 // c1 AS BIGINT) AS p_q6
       |FROM t2 WHERE rnk <= 3""".stripMargin
 
+  /** Self-trained LM quality scoring (the CCNet-filter shape, with the
+    * corpus itself as the LM): every document's bigram occurrences are
+    * scored under the corpus MLE bigram model and averaged — low scores
+    * mark improbable (noisy/garbled) text. All integer micro-unit
+    * arithmetic: LM probabilities and the per-doc average are exact floor
+    * ratios, so the composition (train → score → join back) hash-matches
+    * the oracle end-to-end. The bigram exchange is shared between the LM
+    * aggregation and the scoring join. */
+  def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    val bi = spread(Tables(s, dir, "documents")
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w")),
+      "doc_id")
+      .select(col("doc_id"),
+        slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("b"))
+      .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("p"))
+      .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
+    val occ = bi.groupBy(col("w1"), col("w2"), col("doc_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val lm = occ.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("n12"))
+      .withColumn("c1", sum(col("n12")).over(Window.partitionBy("w1")))
+      .select(col("w1"), col("w2"), expr("n12 * 1000000 div c1").as("p_q6"))
+    occ.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bi"),
+        sum(col("cnt") * col("p_q6")).as("sum_p"))
+      .select(col("doc_id"), col("n_bi"), col("sum_p"),
+        expr("sum_p div n_bi").as("avg_p_q6"))
+  }
+
+  val qLmScoreSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |b AS (SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
+      |  FROM t),
+      |occ AS (SELECT p[1] AS w1, p[2] AS w2, doc_id, count(*) AS cnt
+      |  FROM b GROUP BY 1, 2, 3),
+      |c AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS n12
+      |  FROM occ GROUP BY 1, 2),
+      |lm AS (SELECT w1, w2,
+      |  CAST(n12 * 1000000 // CAST(sum(n12) OVER (PARTITION BY w1) AS BIGINT)
+      |    AS BIGINT) AS p_q6 FROM c)
+      |SELECT occ.doc_id,
+      |  CAST(sum(occ.cnt) AS BIGINT) AS n_bi,
+      |  CAST(sum(occ.cnt * lm.p_q6) AS BIGINT) AS sum_p,
+      |  CAST(sum(occ.cnt * lm.p_q6) // sum(occ.cnt) AS BIGINT) AS avg_p_q6
+      |FROM occ JOIN lm USING (w1, w2) GROUP BY 1""".stripMargin
+
   // --------------------------------------------- sparse cosine (APSS)
 
   /** All-pairs similarity over sparse rare-bigram tf vectors: the
@@ -420,6 +468,7 @@ object MiningQueries {
     "q_zorder"          -> (qZorder _),
     "q_pagerank"        -> (qPagerank _),
     "q_ngram_lm"        -> (qNgramLm _),
+    "q_lm_score"        -> (qLmScore _),
     "q_sparse_sim"      -> (qSparseSim _),
     "q_sim_ivf_trained" -> (qSimIvfTrained _),
     "q_wrangle_json"    -> (qWrangleJson _),
@@ -432,6 +481,7 @@ object MiningQueries {
     "q_zorder"          -> qZorderSql,
     "q_pagerank"        -> qPagerankSql,
     "q_ngram_lm"        -> qNgramLmSql,
+    "q_lm_score"        -> qLmScoreSql,
     "q_sparse_sim"      -> qSparseSimSql,
     "q_sim_ivf_trained" -> qSimIvfTrainedSql,
     "q_wrangle_json"    -> qWrangleJsonSql,

@@ -177,6 +177,19 @@ object PropertySpec extends Properties("graft") {
       fast == brute
     }
 
+  property("PassJoin cross linkage == quadratic twin on adversarial strings") =
+    forAll(shortStrings, shortStrings, Gen.choose(1, 3)) { (ps, is, tau) =>
+      val p = ps.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("pid", "p")
+      val ix = is.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("iid", "t")
+      val fast = graft.ext.EditDistance
+        .editDistanceJoin(p, "p", "pid", ix, "t", "iid", tau)
+        .as[(Long, Long, Int)].collect().toSet
+      val brute = graft.ext.EditDistance
+        .editDistanceJoinBrute(p, "p", "pid", ix, "t", "iid", tau)
+        .as[(Long, Long, Int)].collect().toSet
+      fast == brute
+    }
+
   property("pageRank: every rank >= damping floor; total mass never grows") =
     forAll(Gen.listOfN(10, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 5L)))) { es0 =>
       val es = es0.filter(e => e._1 != e._2).distinct
