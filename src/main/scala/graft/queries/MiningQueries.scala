@@ -22,11 +22,11 @@ object MiningQueries {
     * and a few-MB pre-explode shuffle would be folded back into one
     * partition — exactly the serial hotspot the repartition exists to
     * avoid. */
-  private def spread(df: DataFrame, key: String): DataFrame = {
+  private def spread(df: DataFrame, keys: String*): DataFrame = {
     val n = df.sparkSession.conf
       .getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
       .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
-    df.repartition(n, col(key))
+    df.repartition(n, keys.map(col): _*)
   }
 
   // ------------------------------------------------- edit-distance join
@@ -199,7 +199,11 @@ object MiningQueries {
         slice(col("w"), lit(2), size(col("w")) - 1).as("b"))
       .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("p"))
       .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
-    val occ = bi.groupBy(col("w1"), col("w2"), col("doc_id"))
+    // ONE (w1, w2) exchange serves everything downstream: hash(w1, w2)
+    // satisfies the occ aggregation's (w1, w2, doc_id) clustering, the LM
+    // aggregation, and both sides of the scoring join.
+    val occ = spread(bi, "w1", "w2")
+      .groupBy(col("w1"), col("w2"), col("doc_id"))
       .agg(count(lit(1)).as("cnt"))
     val lm = occ.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("n12"))
       .withColumn("c1", sum(col("n12")).over(Window.partitionBy("w1")))
