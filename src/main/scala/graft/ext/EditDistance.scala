@@ -49,16 +49,11 @@ object EditDistance {
   /** Spread before the ~(2τ+1)²·(τ+1)-fold probe amplification: one
     * narrow (id, s) shuffle so the fan-out parallelizes even when the
     * source arrives in few partitions (measured 2.7x on the
-    * single-row-group fixture). Explicit count — `repartition(col)`
-    * alone is AQE-coalescible for small shuffles. */
-  private def spreadBase(df: DataFrame, strCol: String, idCol: String): DataFrame = {
-    val n = df.sparkSession.conf
-      .getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
-      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
-    df.select(col(idCol).cast("long").as("id"),
-      col(strCol).as("s"), length(col(strCol)).cast("int").as("len"))
-      .repartition(n)
-  }
+    * single-row-group fixture). */
+  private def spreadBase(df: DataFrame, strCol: String, idCol: String): DataFrame =
+    graft.exec.Partitioning.spread(
+      df.select(col(idCol).cast("long").as("id"),
+        col(strCol).as("s"), length(col(strCol)).cast("int").as("len")))
 
   /** Index side: each string contributes its τ+1 home segments, keyed by
     * its own length (probes enumerate every candidate target length).

@@ -17,17 +17,10 @@ import graft.model.{Model, PipelineSpec, SpecJson}
   * float accumulation order would diverge across engines). */
 object MiningQueries {
 
-  /** Spread a small-but-about-to-fan-out frame across the cluster with an
-    * EXPLICIT partition count: `repartition(col)` alone is AQE-coalescible
-    * and a few-MB pre-explode shuffle would be folded back into one
-    * partition — exactly the serial hotspot the repartition exists to
-    * avoid. */
-  private def spread(df: DataFrame, keys: String*): DataFrame = {
-    val n = df.sparkSession.conf
-      .getOption("spark.sql.shuffle.partitions").flatMap(_.toIntOption)
-      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
-    df.repartition(n, keys.map(col): _*)
-  }
+  /** See graft.exec.Partitioning.spread: explicit-count repartition
+    * before a row-amplifying stage. */
+  private def spread(df: DataFrame, keys: String*): DataFrame =
+    graft.exec.Partitioning.spread(df, keys.map(col): _*)
 
   // ------------------------------------------------- edit-distance join
 
@@ -85,23 +78,30 @@ object MiningQueries {
     * (file-level span/pruning asserted in IOSpec); here the key itself is
     * oracle-checked bit-for-bit against the same literal-shift
     * interleave in DuckDB. */
-  def qZorder(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "lineitem").select(
+  def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    // Scale both dimensions to the same 7-bit domain from their ACTUAL
+    // max (a broadcast one-row cross join — a fixed constant would stop
+    // covering the domain at a different scale factor and the key would
+    // alias mod 2^bits). Integer arithmetic throughout.
+    val mx = li.agg(max(col("l_partkey")).as("mxp"),
+      max(col("l_suppkey")).as("mxs"))
+    li.crossJoin(broadcast(mx)).select(
       col("l_orderkey"), col("l_linenumber"),
       graft.sources.IO.zorderKey(
-        // both dimensions scaled to the same 7-bit domain first (see
-        // IO.writeZordered: interleave assumes comparable significance)
-        Seq(expr("l_partkey * 128 div 2000"), col("l_suppkey")),
+        Seq(expr("l_partkey * 127 div mxp"), expr("l_suppkey * 127 div mxs")),
         bits = 7).as("zkey"))
+  }
 
   val qZorderSql: String = {
     val terms = for {
-      (c, j) <- Seq("(l_partkey * 128 // 2000)", "l_suppkey").zipWithIndex
+      (c, j) <- Seq("(l_partkey * 127 // mxp)", "(l_suppkey * 127 // mxs)").zipWithIndex
       i <- 0 until 7
     } yield s"((($c >> $i) & 1) << ${i * 2 + j})"
     s"""SELECT l_orderkey, l_linenumber,
        |CAST(${terms.mkString(" | ")} AS BIGINT) AS zkey
-       |FROM lineitem""".stripMargin
+       |FROM lineitem CROSS JOIN (SELECT max(l_partkey) AS mxp,
+       |  max(l_suppkey) AS mxs FROM lineitem) m""".stripMargin
   }
 
   // ----------------------------------------------------------- pagerank
@@ -394,12 +394,14 @@ object MiningQueries {
       get_json_object(col("props"), "$.k").cast("long").as("k"))
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // A touch must carry an item: k-less views/clicks qualify for NEITHER
+    // column, or touch_k and touch_age_us would come from different
+    // events (and diverge from the streaming twin, which keys state on k).
+    val isTouch = col("event_type").isin("view", "click") && col("k").isNotNull
     e
-      .withColumn("touch_k", last(
-        when(col("event_type").isin("view", "click"), col("k")),
+      .withColumn("touch_k", last(when(isTouch, col("k")),
         ignoreNulls = true).over(w))
-      .withColumn("touch_ts", last(
-        when(col("event_type").isin("view", "click"), col("ts")),
+      .withColumn("touch_ts", last(when(isTouch, col("ts")),
         ignoreNulls = true).over(w))
       .where(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("k").as("bought_k"),
@@ -412,10 +414,10 @@ object MiningQueries {
     """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type,
       |  CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events),
       |t AS (SELECT *,
-      |  last_value(CASE WHEN event_type IN ('view', 'click') THEN k END
-      |    IGNORE NULLS) OVER w AS touch_k,
-      |  last_value(CASE WHEN event_type IN ('view', 'click') THEN ts END
-      |    IGNORE NULLS) OVER w AS touch_ts
+      |  last_value(CASE WHEN event_type IN ('view', 'click')
+      |    AND k IS NOT NULL THEN k END IGNORE NULLS) OVER w AS touch_k,
+      |  last_value(CASE WHEN event_type IN ('view', 'click')
+      |    AND k IS NOT NULL THEN ts END IGNORE NULLS) OVER w AS touch_ts
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
       |SELECT event_id, user_id, k AS bought_k, touch_k,

@@ -63,19 +63,37 @@ def main(outdir, sfdir):
                 # side vs float on the other (e.g. DuckDB HUGEINT window sums
                 # -> float64) hash-mismatches even when values are equal.
                 # Integer-width and datetime-unit differences are tolerated.
+                # Oracle dtypes come from DESCRIBE (plans, does not re-run
+                # the query — the quadratic levenshtein oracles are slow)
+                # mapped to the pandas family duckdb .df() would produce.
                 sdt = {c: str(t) for c, t in pd.read_parquet(
                     f"{outdir}/{name}").dtypes.items()}
-                ddt = {c: str(t) for c, t in con.execute(sql).df().dtypes.items()}
+                ddt = {r[0]: r[1] for r in
+                       con.execute(f"DESCRIBE {sql}").fetchall()}
                 def fam(t):
+                    if t.startswith("bool"): return "bool"
                     if t.startswith(("int", "uint")): return "int"
                     if t.startswith("float"): return "float"
                     if t.startswith("datetime"): return "ts"
                     return t
+                def dfam(t):
+                    t = t.upper()
+                    if t == "BOOLEAN": return "bool"
+                    if t in ("HUGEINT", "UHUGEINT") or t.startswith(
+                            ("DOUBLE", "FLOAT", "REAL", "DECIMAL")):
+                        return "float"  # .df() renders these as float64
+                    if "INT" in t: return "int"
+                    if t.startswith(("TIMESTAMP", "DATE")): return "ts"
+                    return t
+                # Only the spark-int vs duck-float direction is dangerous:
+                # a DuckDB HUGEINT renders float64 while Spark stays int64
+                # even though every value matches. The reverse (spark
+                # float64 vs declared INT) is what NULLABLE int columns
+                # look like — at runtime nulls turn BOTH sides float64,
+                # and the real driver passed those in r02.
                 bad = {c: (sdt[c], ddt[c]) for c in sdt
-                       if c in ddt and fam(sdt[c]) != fam(ddt[c])
-                       # Spark DATE -> pandas object(date) vs DuckDB
-                       # datetime64 passed the real driver (r02) — tolerate.
-                       and "object" not in (fam(sdt[c]), fam(ddt[c]))}
+                       if c in ddt
+                       and fam(sdt[c]) == "int" and dfam(ddt[c]) == "float"}
                 if bad:
                     n_fail += 1
                     print(f"FAIL {name}: pandas dtype family mismatch {bad}")
