@@ -61,4 +61,31 @@ object Graph {
       .where(col("src").isNotNull && col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
   }
+
+  /** One micro-batch step of INCREMENTAL transition-graph maintenance
+    * (the foreachBatch shape — see the dedupIncremental pattern): the
+    * standing state is one boundary row per partition key (that key's
+    * latest event) plus the accumulated edge counts; a new in-order batch
+    * folds in by deriving transitions over (boundary ∪ batch) — which
+    * yields exactly the batch-internal pairs plus the cross-batch
+    * boundary pair, since a single boundary row forms no pair by itself —
+    * and summing the edge counts. Cost per batch follows the BATCH (plus
+    * one row per touched key), never the standing history.
+    *
+    * `events` columns: (partitionCol, itemCol, orderCols...); `boundary`
+    * has the same shape; `edges` is (src, dst, w). Returns the updated
+    * (edges, boundary). */
+  def transitionStep(batch: DataFrame, boundary: DataFrame, edges: DataFrame,
+                     partitionCol: String, itemCol: String,
+                     orderCols: Seq[String]): (DataFrame, DataFrame) = {
+    val all = batch.unionByName(boundary)
+    val batchEdges = transitionEdges(all, partitionCol, itemCol, orderCols)
+    val newEdges = edges.unionByName(batchEdges)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val wOrd = Window.partitionBy(partitionCol)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    val newBoundary = all.withColumn("__rn", row_number().over(wOrd))
+      .where(col("__rn") === 1).drop("__rn")
+    (newEdges, newBoundary)
+  }
 }

@@ -394,6 +394,48 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch incremental transition graph: streamed edges + rank == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Graph
+    val full = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val all = full.as[(Long, Long, java.time.Instant, Long)]
+      .collect().sortBy(e => (e._3, e._2))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    // standing state: empty edges + empty boundary
+    var edges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    var boundary = full.limit(0)
+    val input = MemoryStream[(Long, Long, java.time.Instant, Long)]
+    val q = input.toDS().toDF("user_id", "event_id", "ts", "k")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (e2, b2_) = Graph.transitionStep(batch, boundary, edges,
+          "user_id", "k", Seq("ts", "event_id"))
+        edges = e2.localCheckpoint(); boundary = b2_.localCheckpoint()
+        ()
+      }.start()
+    try {
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      val batchEdges = Graph.transitionEdges(full, "user_id", "k",
+        Seq("ts", "event_id"))
+        .as[(Long, Long, Long)].collect().toSet
+      val streamed = edges.as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batchEdges,
+        "incremental edge counts must equal the one-shot derivation")
+      // and the downstream consumer agrees: identical PageRank
+      val nodes = full.select(col("k").as("node")).distinct()
+      val rBatch = Graph.pageRank(nodes,
+          Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+            .unionByName(batchEdges.toSeq.toDF("src", "dst", "w")), iters = 3)
+        .as[(Long, Long)].collect().toMap
+      val rStream = Graph.pageRank(nodes, edges, iters = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(rBatch == rStream)
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: EWMA state survives a stream restart") {
     implicit val sp = spark
     import graft.streaming.Running
