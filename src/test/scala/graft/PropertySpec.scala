@@ -205,6 +205,23 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("incremental transition fold == one-shot edges for any in-order split") =
+    forAll(Gen.listOfN(16, Gen.zip(Gen.choose(0L, 3L), Gen.oneOf("a", "b", "c"))),
+      Gen.choose(0, 16)) { (evs0, cut) =>
+      val evs = evs0.zipWithIndex.map { case ((u, item), i) => (u, i.toLong, item) }
+      val full = evs.toDF("u", "seq", "item")
+      val oneShot = graft.ext.Graph.transitionEdges(full, "u", "item", Seq("seq"))
+        .as[(String, String, Long)].collect().toSet
+      var edges = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
+      var boundary = full.limit(0)
+      for (b <- Seq(evs.take(cut), evs.drop(cut)) if b.nonEmpty) {
+        val (e2, b2) = graft.ext.Graph.transitionStep(
+          b.toDF("u", "seq", "item"), boundary, edges, "u", "item", Seq("seq"))
+        edges = e2.localCheckpoint(); boundary = b2.localCheckpoint()
+      }
+      edges.as[(String, String, Long)].collect().toSet == oneShot
+    }
+
   property("truthiness default: falsy inputs take the fallback") =
     forAll(Gen.oneOf(Gen.const(None), Gen.some(Gen.choose(-5.0, 5.0).sample.getOrElse(0.0)))) { v =>
       val df = Seq(Tuple1(v)).toDF("x")
