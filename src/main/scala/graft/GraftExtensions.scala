@@ -42,7 +42,14 @@ object GraftExtensions {
     // hashed-shingle verify kernels (word 3-gram default)
     "shingles"        -> { case Seq(a) => WordShingles(a, 3, sort = false) },
     "shingle_hashes"  -> { case Seq(a) => SortedShingleHashes(a, 3) },
-    "jaccard_hashed"  -> two(JaccardSortedLongs(_, _)))
+    "jaccard_hashed"  -> two(JaccardSortedLongs(_, _)),
+    // the runtime-filter bloom sketch, callable from user SQL (the
+    // analyzer wraps the bare AggregateFunction like any builtin agg)
+    "bloom_agg" -> { case Seq(a, n, bits) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(a, n, bits) },
+    "bloom_might_contain" -> two(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(_, _)))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {

@@ -100,6 +100,32 @@ object Joins {
     org.apache.spark.sql.types.StructType(
       cols.map(c => df.schema(df.schema.fieldIndex(c))))
 
+  /** Bloom-prefiltered EXACT semi join: build a bloom over the filter
+    * side's keys, broadcast the bits, drop big-side rows that cannot
+    * match (no false negatives — the sketch only passes extras), then
+    * settle survivors with a real semi join. Same result as a plain
+    * left_semi — asserted in JoinsSpec and oracle-checked — but the big
+    * side shrinks BEFORE the join machinery: the 100 TB pattern for a
+    * filter side too large to hash-broadcast (a bloom holds ~10⁸ keys in
+    * 64 MB of bits), which is exactly what Spark's own runtime shuffle
+    * filters do inside the optimizer. Keys are hashed with xxhash64, so
+    * any key type works. */
+  def bloomSemiJoin(big: DataFrame, keyCol: String,
+                    filterSide: DataFrame, filterKeyCol: String,
+                    estimatedItems: Long = 1000000L,
+                    numBits: Long = 8388608L): DataFrame = {
+    import graft.functions.BloomFunctions._
+    // might_contain demands a CONSTANT (or scalar-subquery) sketch, so the
+    // aggregate materializes first and ships as a binary literal — the
+    // same two-phase execution the optimizer's own runtime filters use.
+    val bfBytes = filterSide
+      .agg(bloomAgg(xxhash64(col(filterKeyCol)), estimatedItems, numBits))
+      .collect().head.getAs[Array[Byte]](0)
+    big.where(mightContain(lit(bfBytes), xxhash64(col(keyCol))))
+      .join(filterSide.select(col(filterKeyCol).as(keyCol)).distinct(),
+        Seq(keyCol), "left_semi")
+  }
+
   /** Interval (range) join: left rows against right intervals `[lo, hi)`,
     * inner semantics. `bucketWidth` trades replication of wide intervals
     * against bucket fan-in; pick ~ the typical interval width. */

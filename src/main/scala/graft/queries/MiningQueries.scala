@@ -71,6 +71,26 @@ object MiningQueries {
       |       CAST(levenshtein(p.p, idx.t) AS INT) AS dist
       |FROM p CROSS JOIN idx WHERE levenshtein(p.p, idx.t) <= 2""".stripMargin
 
+  /** Bloom-prefiltered exact semi join: lineitem rows whose part is in
+    * the small-size part set. The bloom pass is a lossless prefilter, so
+    * the result — and the oracle — is a plain IN/semi join; what the
+    * bloom buys at 100 TB is shrinking the big side before any join
+    * machinery when the key set is too large to hash-broadcast (the
+    * runtime-filter pattern, here as a first-class operator). */
+  def qBloomSemi(s: SparkSession, dir: String): DataFrame =
+    graft.exec.Joins.bloomSemiJoin(
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
+      "l_partkey",
+      Tables(s, dir, "part").where(col("p_size") <= 5)
+        .select(col("p_partkey")),
+      "p_partkey",
+      estimatedItems = 10000L, numBits = 524288L)
+
+  val qBloomSemiSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+      |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)""".stripMargin
+
   // ------------------------------------------------------------ zorder
 
   /** Morton (Z-order) clustering key over (l_partkey, l_suppkey) — the
@@ -471,6 +491,7 @@ object MiningQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_editdist_join"   -> (qEditdistJoin _),
     "q_editdist_lookup" -> (qEditdistLookup _),
+    "q_bloom_semi"      -> (qBloomSemi _),
     "q_zorder"          -> (qZorder _),
     "q_pagerank"        -> (qPagerank _),
     "q_ngram_lm"        -> (qNgramLm _),
@@ -484,6 +505,7 @@ object MiningQueries {
   val oracle: Map[String, String] = Map(
     "q_editdist_join"   -> qEditdistJoinSql,
     "q_editdist_lookup" -> qEditdistLookupSql,
+    "q_bloom_semi"      -> qBloomSemiSql,
     "q_zorder"          -> qZorderSql,
     "q_pagerank"        -> qPagerankSql,
     "q_ngram_lm"        -> qNgramLmSql,

@@ -120,6 +120,32 @@ class JoinsSpec extends AnyFunSuite {
     assert(gotLeft == wantLeft)
   }
 
+  test("bloom-prefiltered semi join == plain semi join; SQL surface resolves") {
+    val big = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val dim = Tables(spark, "/root/testdata/sf0.001", "part")
+      .where(col("p_size") <= 5).select(col("p_partkey"))
+    val got = Joins.bloomSemiJoin(big, "l_partkey", dim, "p_partkey",
+        estimatedItems = 1000L, numBits = 65536L)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+      .as[(Long, Int, Long)].collect().toSet
+    val want = big.join(dim, col("l_partkey") === col("p_partkey"), "left_semi")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == want && want.nonEmpty)
+    // the sketch itself through the registered SQL functions: lossless
+    // prefilter — every true key passes
+    graft.GraftExtensions.register(spark)
+    dim.createOrReplaceTempView("bloom_dim")
+    big.createOrReplaceTempView("bloom_big")
+    val kept = spark.sql("""
+      SELECT count(*) FROM bloom_big
+      WHERE bloom_might_contain(
+        (SELECT bloom_agg(xxhash64(p_partkey), 1000L, 65536L) FROM bloom_dim),
+        xxhash64(l_partkey))""")
+      .collect().head.getLong(0)
+    assert(kept >= want.size, "bloom must never drop a true match")
+  }
+
   test("range join == plain inequality join") {
     val left = (0 until 200).map(i => (i.toLong, i * 7.3 - 100)).toDF("id", "v")
     val right = (0 until 20).map(i => (i.toLong, i * 53.0 - 80, i * 53.0 + 40.0))
