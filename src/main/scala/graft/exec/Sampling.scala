@@ -42,6 +42,25 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < threshold)
   }
 
+  /** Weight-proportional reproducible sampling: row i is kept with
+    * probability w_i / w_max — the heaviest row always survives, a row
+    * with half its weight survives half the time — decided by the same
+    * content hash as [[hashSample]], so the selection is stable across
+    * runs/engines/partitionings (importance sampling for curation:
+    * weight by quality score, length, dedup-cluster size...). Integer
+    * floor arithmetic throughout; w_max arrives via a broadcast one-row
+    * cross join, everything else is a map-side filter. */
+  def weightedHashSample(df: DataFrame, keyCol: String,
+                         weightCol: String): DataFrame = {
+    val mx = df.agg(max(col(weightCol).cast("long")).as("__wmax"))
+    df.crossJoin(broadcast(mx))
+      // `div`, not `/`: Long / Long is DOUBLE division in Spark; the
+      // oracle's `//` is floor division and the two must floor alike
+      .filter(hashBucket(col(keyCol)) <
+        expr(s"CAST($weightCol AS BIGINT) * $Buckets div __wmax"))
+      .drop("__wmax")
+  }
+
   /** Stable train/val/test (or any) split assignment: consecutive hash-
     * bucket ranges sized by the given fractions. A row's split never
     * changes when data is added, removed, or repartitioned — the property

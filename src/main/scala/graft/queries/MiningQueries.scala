@@ -91,6 +91,22 @@ object MiningQueries {
     """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
       |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)""".stripMargin
 
+  /** Weight-proportional reproducible sampling: documents kept with
+    * probability n_chars/max(n_chars) (importance sampling by length),
+    * decided by the engine's portable content hash — the same rows
+    * survive on any engine/partitioning, which RNG sampling cannot
+    * promise. Map-side filter + one broadcast scalar. */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.exec.Sampling.weightedHashSample(
+        Tables(s, dir, "documents"), "doc_id", "n_chars")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  val qWeightedSampleSql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |CROSS JOIN (SELECT max(n_chars) AS wmax FROM documents) m
+      |WHERE (doc_id % 1000000007) * 2654435761 % 10000
+      |      < n_chars * 10000 // wmax""".stripMargin
+
   // ------------------------------------------------------------ zorder
 
   /** Morton (Z-order) clustering key over (l_partkey, l_suppkey) — the
@@ -492,6 +508,7 @@ object MiningQueries {
     "q_editdist_join"   -> (qEditdistJoin _),
     "q_editdist_lookup" -> (qEditdistLookup _),
     "q_bloom_semi"      -> (qBloomSemi _),
+    "q_weighted_sample" -> (qWeightedSample _),
     "q_zorder"          -> (qZorder _),
     "q_pagerank"        -> (qPagerank _),
     "q_ngram_lm"        -> (qNgramLm _),
@@ -506,6 +523,7 @@ object MiningQueries {
     "q_editdist_join"   -> qEditdistJoinSql,
     "q_editdist_lookup" -> qEditdistLookupSql,
     "q_bloom_semi"      -> qBloomSemiSql,
+    "q_weighted_sample" -> qWeightedSampleSql,
     "q_zorder"          -> qZorderSql,
     "q_pagerank"        -> qPagerankSql,
     "q_ngram_lm"        -> qNgramLmSql,
