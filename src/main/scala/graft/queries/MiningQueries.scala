@@ -465,23 +465,21 @@ object MiningQueries {
   /** Robust scaling: per-group winsorization at the exact discrete
     * p05/p95 (value at row_number ceil(p·n) — rank positions, NOT the
     * engines' interpolating quantile functions, so both sides pick the
-    * identical stored double). One exchange on the group key serves the
-    * ordering window, the boundary lookups, and the clamp. */
+    * identical stored double). The boundary values come from
+    * [[graft.exec.RankBoundaries]] — a value-histogram + two-level
+    * cumulative count, NOT a `PARTITION BY rf` whole-group sort window
+    * (3 distinct flags would put each group's entire sort in one task at
+    * 100 TB) — and broadcast back for a map-side clamp. The oracle keeps
+    * the monolithic window formulation: rank positions name a unique
+    * value, so both spellings agree exactly. */
   def qWinsorize(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"),
       col("l_returnflag").as("rf"), col("l_extendedprice").as("price"))
-    val wOrd = Window.partitionBy("rf").orderBy(col("price").asc)
-    val wAll = Window.partitionBy("rf")
-    li
-      .withColumn("rn", row_number().over(wOrd))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("p05", min(when(
-        col("rn") === greatest(expr("(n * 5 + 99) div 100"), lit(1L)),
-        col("price"))).over(wAll))
-      .withColumn("p95", min(when(
-        col("rn") === greatest(expr("(n * 95 + 99) div 100"), lit(1L)),
-        col("price"))).over(wAll))
+    val bounds = graft.exec.RankBoundaries.valuesAt(li, "rf", "price", Seq(
+      "p05" -> (_ => expr("greatest((n * 5 + 99) div 100, 1L)")),
+      "p95" -> (_ => expr("greatest((n * 95 + 99) div 100, 1L)"))))
+    li.join(broadcast(bounds), Seq("rf"))
       .select(col("l_orderkey"), col("l_linenumber"), col("rf"),
         col("price"), col("p05"), col("p95"),
         least(greatest(col("price"), col("p05")), col("p95")).as("wprice"))

@@ -551,17 +551,20 @@ object RelationalQueries {
     * by the full sort (value, orderkey, linenumber), so the "which equal
     * element" question has one answer everywhere. */
   def qPercentileDisc(s: SparkSession, dir: String): DataFrame = {
-    Tables(s, dir, "lineitem").createOrReplaceTempView("v_li_disc")
-    s.sql(
-      """WITH r AS (SELECT l_returnflag, l_quantity,
-        |  row_number() OVER (PARTITION BY l_returnflag
-        |    ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
-        |  count(*) OVER (PARTITION BY l_returnflag) AS n
-        |FROM v_li_disc)
-        |SELECT l_returnflag AS returnflag,
-        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_quantity END) AS p50_disc,
-        |  max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN l_quantity END) AS p95_disc
-        |FROM r GROUP BY 1""".stripMargin)
+    // Distributed rank-position lookup (value histogram + two-level
+    // cumulative counts, graft.exec.RankBoundaries) instead of a
+    // PARTITION BY l_returnflag whole-group sort window: 3 distinct
+    // flags = 3 monolithic sort tasks at 100 TB. The rank position names
+    // a unique VALUE regardless of the oracle's tie-break columns, so
+    // the window-formulated oracle holds unchanged. The position
+    // arithmetic (double ceil) matches the oracle expression exactly —
+    // IEEE double ops are bit-identical across engines.
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+    graft.exec.RankBoundaries.valuesAt(li, "l_returnflag", "l_quantity", Seq(
+        "p50_disc" -> (_ => expr("cast(ceil(0.5 * n) as bigint)")),
+        "p95_disc" -> (_ => expr("cast(ceil(0.95 * n) as bigint)"))))
+      .withColumnRenamed("l_returnflag", "returnflag")
   }
 
   val qPercentileDiscSql: String =

@@ -101,6 +101,39 @@ class PlanSpec extends AnyFunSuite {
       s"dot products must pre-aggregate map-side:\n$p")
   }
 
+  test("rank boundaries: no single-task whole-group sort of the fact table") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Both queries' windows must be bounded: either partitioned by
+    // (group, bucket[, pname]) — parallel slices — or the per-group
+    // cumulative over the ≤`buckets`-row bucket subtotals (ordered by the
+    // bucket id, never by the raw value). A `PARTITION BY group ORDER BY
+    // value` window over fact rows (3 groups = 3 sort tasks at 100 TB)
+    // fails both arms.
+    val dfs = Seq(
+      graft.queries.MiningQueries.qWinsorize(spark, dir),
+      graft.queries.RelationalQueries.qPercentileDisc(spark, dir))
+    for (df <- dfs) {
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val wins = root.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, "the histogram cumsum windows should be present")
+      wins.foreach { w =>
+        val sliceParallel = w.partitionSpec.size >= 2
+        val boundedBucketCumsum =
+          w.orderSpec.forall(_.child.references.exists(_.name.contains("bkt")))
+        assert(sliceParallel || boundedBucketCumsum,
+          s"unbounded per-group sort window: ${w.partitionSpec} order ${w.orderSpec}")
+      }
+    }
+    // the clamp must come back as a broadcast join, not a shuffle
+    val p = physical(graft.queries.MiningQueries.qWinsorize(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"boundaries must broadcast back for a map-side clamp:\n$p")
+  }
+
   test("pagerank: edge pipeline materialized once, supersteps scan it") {
     val df = graft.queries.MiningQueries.qPagerank(spark, dir)
     val p = physical(df)

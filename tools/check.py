@@ -6,7 +6,7 @@ Loads each <name>/ parquet result written by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the same fixture tables,
 sorts columns by name and rows by value, and diffs.
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 import pandas as pd
 
@@ -38,6 +38,8 @@ def main(outdir, sfdir):
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        if not os.path.isdir(f"{outdir}/{name}"):
+            continue  # Verify was run with a query-subset filter
         try:
             got = con.execute(
                 f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchall()
