@@ -205,15 +205,36 @@ object Compiler {
 
   /** Field build with the reference's error-provenance contract
     * (`failed @ Model.field: Op: msg`, pipeline.py:128-135) applied to
-    * plan-time failures. */
+    * plan-time failures — the op named is the specific failing chain
+    * node, not the whole chain. */
   def compileField(model: String, field: String, t: Transform, in: TypedCol,
                    ctx: Ctx): TypedCol =
-    try compile(t, in, ctx)
-    catch {
-      case e: PlanException if !e.getMessage.startsWith("failed @") =>
-        throw new PlanException(
-          s"failed @ $model.$field: ${opName(t)}: ${e.getMessage}", e)
+    compileFieldPrefixes(model, field, t, in, ctx).last._2
+
+  /** Cumulative prefix compilations of a field's top-level chain:
+    * one `(opName, column after ops 1..i)` per node (a single entry for
+    * non-chains). The last entry is exactly [[compileField]]'s result —
+    * `scanLeft.last ≡ foldLeft` — and Permissive mode wraps EACH prefix
+    * in a runtime guard so `_errors.op` can name the first failing node,
+    * the reference's per-transformation provenance (pipeline.py:142-148).
+    * Prefixes share subtrees, which projection-level codegen CSE
+    * de-duplicates. */
+  def compileFieldPrefixes(model: String, field: String, t: Transform,
+                           in: TypedCol, ctx: Ctx): Seq[(String, TypedCol)] = {
+    def step(op: Transform, acc: TypedCol): TypedCol =
+      try compile(op, acc, ctx)
+      catch {
+        case e: PlanException if !e.getMessage.startsWith("failed @") =>
+          throw new PlanException(
+            s"failed @ $model.$field: ${opName(op)}: ${e.getMessage}", e)
+      }
+    t match {
+      case Chain(ts) if ts.nonEmpty =>
+        var acc = in
+        ts.map { op => acc = step(op, acc); (opName(op), acc) }
+      case other => Seq((opName(other), step(other, in)))
     }
+  }
 
   // ------------------------------------------------------------------
   // Get: plan-time dispatch on the input type

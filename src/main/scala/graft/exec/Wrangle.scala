@@ -21,11 +21,13 @@ object Wrangle {
 
   /** Runtime error handling (reference §1.3, pipeline.py:128-148):
     *  - [[FailFast]]: Spark 4's default ANSI mode already raises on bad
-    *    casts / invalid access, matching the reference's re-raise; plan-time
-    *    errors carry `failed @ Model.field: Op` provenance.
-    *  - [[Permissive]]: each field is wrapped in a runtime guard — a failing
-    *    field yields NULL and appends `(model, field, op)` to an `_errors`
-    *    array column, the reference's provenance triple per row. */
+    *    casts / invalid access, matching the reference's re-raise; BOTH
+    *    plan-time and runtime errors carry `failed @ Model.field: Op`
+    *    provenance ([[graft.functions.WithErrorContext]] for runtime).
+    *  - [[Permissive]]: each chain node is wrapped in a runtime guard — a
+    *    failing field yields NULL and appends `(model, field, op)` to an
+    *    `_errors` array column, `op` naming the first failing
+    *    transformation, the reference's per-node provenance triple. */
   sealed trait ErrorMode
   case object FailFast extends ErrorMode
   case object Permissive extends ErrorMode
@@ -49,6 +51,36 @@ object Wrangle {
         GraftColumnBridge.expression(struct(c.as("v")))))
   }
 
+  /** Conservative "can this expression raise at runtime" test, applied to
+    * ANALYZED (resolved) trees — pre-resolution Columns are opaque
+    * `ColumnNodeExpression` wrappers. ANSI mode makes casts, arithmetic,
+    * and collection access fail-fast; pure column plumbing (refs, struct
+    * build/extract, collection reshaping, literals, comparisons, boolean
+    * logic) cannot throw, and a TryEval subtree swallows its own errors.
+    * Unknown nodes count as throwing. Used to elide the FailFast
+    * provenance wrapper: wrapping a non-throwing field would cost nothing
+    * at runtime but would make the column opaque to data-source filter
+    * translation, losing parquet pushdown through wrangled fields. */
+  private def canThrow(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e match {
+      case _: TryEval => false
+      case _: AttributeReference | _: Literal | _: Alias | _: GetStructField |
+           _: GetArrayStructFields | _: CreateNamedStruct | _: CreateArray |
+           _: CreateMap | _: MapKeys | _: MapValues | _: MapEntries |
+           _: ArrayTransform | _: ArrayFilter | _: MapFilter |
+           _: TransformKeys | _: TransformValues | _: LambdaFunction |
+           _: NamedLambdaVariable | _: Flatten |
+           _: IsNull | _: IsNotNull | _: Not |
+           _: And | _: Or | _: EqualTo | _: EqualNullSafe | _: LessThan |
+           _: LessThanOrEqual | _: GreaterThan | _: GreaterThanOrEqual |
+           _: Coalesce | _: If | _: CaseWhen | _: Size | _: Length |
+           _: KnownNotNull =>
+        e.children.exists(canThrow)
+      case _ => true
+    }
+  }
+
   /** `pipeline.create_multiple(Model, data)` — one nested projection.
     * Output columns = the model's declared fields, in spec order; in
     * [[Permissive]] mode a trailing `_errors` column carries the
@@ -57,19 +89,52 @@ object Wrangle {
               mode: ErrorMode = FailFast): DataFrame = {
     val ctx = Compiler.Ctx(spec, stack = List(model))
     val in = rowCol(df)
-    val compiled = spec(model).fields.map { f =>
-      (f, Compiler.compileField(model, f.name, f.t, in, ctx).col)
-    }
     mode match {
       case FailFast =>
-        df.select(compiled.map { case (f, c) => c.as(f.name) }: _*)
+        // Runtime provenance (reference pipeline.py:128-135): a bad ANSI
+        // cast mid-job surfaces as `failed @ Model.field: Op: msg`, not a
+        // bare Spark exception. Throwability is judged on the RESOLVED
+        // projection (one extra analysis pass, plan-time only); fields
+        // that cannot throw skip the wrapper so their filters still
+        // translate to parquet pushdown.
+        import org.apache.spark.sql.GraftColumnBridge
+        import org.apache.spark.sql.catalyst.plans.logical.Project
+        val compiled = spec(model).fields.map { f =>
+          (f, Compiler.compileField(model, f.name, f.t, in, ctx).col)
+        }
+        val probe = df.select(compiled.map { case (f, c) => c.as(f.name) }: _*)
+        val throws: Seq[Boolean] = probe.queryExecution.analyzed match {
+          case Project(ps, _) if ps.size == compiled.size => ps.map(canThrow)
+          case _ => compiled.map(_ => true) // unexpected shape: wrap all
+        }
+        df.select(compiled.zip(throws).map { case ((f, c), t) =>
+          val wrapped =
+            if (t) GraftColumnBridge.column(graft.functions.WithErrorContext(
+              GraftColumnBridge.expression(c),
+              s"failed @ $model.${f.name}: ${Compiler.opName(f.t)}"))
+            else c
+          wrapped.as(f.name)
+        }: _*)
       case Permissive =>
-        val guarded = compiled.map { case (f, c) => (f, tryField(c)) }
-        val values = guarded.map { case (f, g) => g.getField("v").as(f.name) }
-        val errs = array_compact(array(guarded.map { case (f, g) =>
+        // Per-node guards (reference pipeline.py:142-148): each chain
+        // prefix gets its own TryEval, and the first failing prefix names
+        // the `_errors.op` — `a|b|c` failing at `b` reports op "b", like
+        // the reference naming the failing transformation. Prefixes share
+        // subtrees; projection codegen CSE evaluates each op once.
+        val guarded = spec(model).fields.map { f =>
+          val prefixes =
+            Compiler.compileFieldPrefixes(model, f.name, f.t, in, ctx)
+          val tries = prefixes.map { case (op, tc) => (op, tryField(tc.col)) }
+          val full = tries.last._2
+          val errOp = coalesce(tries.map { case (op, t) =>
+            when(t.isNull, lit(op)) }: _*)
+          (f, full, errOp)
+        }
+        val values = guarded.map { case (f, g, _) => g.getField("v").as(f.name) }
+        val errs = array_compact(array(guarded.map { case (f, g, errOp) =>
           when(g.isNull, struct(
             lit(model).as("model"), lit(f.name).as("field"),
-            lit(Compiler.opName(f.t)).as("op")))
+            errOp.as("op")))
         }: _*)).as(ErrorsCol)
         df.select(values :+ errs: _*)
     }

@@ -200,7 +200,7 @@ object CoreQueries {
       |CASE WHEN event_id % 3 = 0 THEN NULL ELSE 12 END AS n,
       |value AS v,
       |CASE WHEN event_id % 3 = 0
-      |     THEN to_json([{'model': 'Ev', 'field': 'n', 'op': 'Get|CastTo'}])
+      |     THEN to_json([{'model': 'Ev', 'field': 'n', 'op': 'CastTo'}])
       |     ELSE '[]' END AS "_errors"
       |FROM events""".stripMargin
 

@@ -184,6 +184,35 @@ class CompilerSpec extends AnyFunSuite {
       s"scan reads columns the query never touches:\n$plan")
   }
 
+  test("FailFast runtime error carries failed @ Model.field: Op provenance") {
+    val df = Seq(("xx", 1L)).toDF("s", "k")
+    val spec = PipelineSpec(Model("M")(
+      "k" -> Get("k"),
+      "n" -> (Get("s") | CastTo(LongType))))
+    val e = intercept[Throwable] {
+      Wrangle.wrangle(df, spec, "M").collect()
+    }
+    // Spark wraps task failures; the provenance must appear in the chain
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("failed @ M.n: Get|CastTo")),
+      s"no provenance in: $msgs")
+  }
+
+  test("Permissive _errors.op names the failing chain node, not the chain") {
+    val df = Seq(("12", 0L), ("xx", 1L)).toDF("s", "k")
+    val spec = PipelineSpec(Model("M")(
+      "k" -> Get("k"),
+      "n" -> (Get("s") | CastTo(LongType) | Fn("negate"))))
+    val byK = Wrangle.wrangle(df, spec, "M", Wrangle.Permissive)
+      .select(col("k"), col("n"), to_json(col(Wrangle.ErrorsCol)).as("e"))
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.getString(2))).toMap
+    assert(byK(0L) == ((-12L, "[]")))
+    assert(byK(1L)._1 == null)
+    assert(byK(1L)._2 ==
+      """[{"model":"M","field":"n","op":"CastTo"}]""")
+  }
+
   test("spec JSON round-trip: every node type survives; wrangle output identical") {
     import graft.model.SpecJson
     val spec = PipelineSpec(
