@@ -9,11 +9,15 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample operators.
   *
-  * The Spark-side plumbing — schema, partition sizing, per-partition batch
-  * processing, output shape — is real and tested. The codec itself is a
-  * clearly-marked deterministic STUB (`fakeDecode`): this container has no
-  * image/audio libraries, so the stub stands where an actual JNI/ffmpeg/
-  * turbojpeg call would go. Swapping it out changes no plumbing.
+  * Decode is REAL for the pure-JVM formats: [[Codecs.decodeWav]]
+  * (RIFF/WAVE PCM) feeds [[audioChunkFeatures]] and [[Codecs.decodeBmp24]]
+  * (uncompressed 24-bit BMP) feeds [[imageFeatures]] — byte-level parsers
+  * with magic/chunk/row-padding handling, exercised end-to-end on
+  * synthesized valid payloads. Formats that need native libraries
+  * (jpeg/png/webp, compressed audio) are not decodable in this container;
+  * [[byteStats]] covers such opaque payloads honestly — byte statistics
+  * only, no decode claim — and a real jpeg path would slot into the same
+  * mapPartitions shape.
   *
   * Scale notes: media rows are large and skewed — [[repartitionBySize]]
   * re-buckets by cumulative payload size so one task never holds a few
@@ -42,13 +46,11 @@ object Multimodal {
         (lit(32) + pmod(col("doc_id"), lit(5)) * 16).cast(IntegerType).as("height"),
         (pmod(col("doc_id"), lit(60)) * 1000L).as("duration_ms")).as("meta"))
 
-  /** ======== STUB ========
-    * Deterministic fake decoder: a real implementation would hand `bytes`
-    * to an image codec and return pixel features. The fake derives features
-    * only from the raw bytes (byte count, mean byte value, min/max), so it
-    * is reproducible and oracle-checkable while exercising the identical
-    * batch shape a real codec would. */
-  private[ext] def fakeDecode(bytes: Array[Byte]): (Long, Double, Int, Int) = {
+  /** Byte-level statistics for OPAQUE payloads (formats this container
+    * cannot decode — jpeg/png/webp): byte count, mean/min/max byte value.
+    * No decode claim; a real native codec would slot into the same
+    * mapPartitions shape with per-partition init. */
+  private[ext] def byteStats(bytes: Array[Byte]): (Long, Double, Int, Int) = {
     if (bytes == null || bytes.isEmpty) (0L, 0.0, 0, 0)
     else {
       var sum = 0L; var mn = 255; var mx = 0
@@ -62,7 +64,7 @@ object Multimodal {
     }
   }
 
-  /** Decode + feature-extract over the media column. Runs as one
+  /** Byte-stats pass over the media column for opaque formats. Runs as one
     * `mapPartitions` pass (codec init once per partition); output keeps the
     * metadata and appends the feature struct. */
   def decodeFeatures(media: DataFrame, idCol: String = "doc_id"): DataFrame = {
@@ -78,10 +80,96 @@ object Multimodal {
     val mIdx = media.schema.fieldIndex("media")
     val metaIdx = media.schema.fieldIndex("meta")
     media.mapPartitions { rows =>
-      // per-partition codec setup would go here (STUB: none needed)
       rows.map { r =>
-        val (n, mean, mn, mx) = fakeDecode(r.getAs[Array[Byte]](mIdx))
+        val (n, mean, mn, mx) = byteStats(r.getAs[Array[Byte]](mIdx))
         Row(r.getLong(idIdx), r.getStruct(metaIdx).getString(0), n, mean, mn, mx)
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------ real-codec tables
+
+  /** Synthesize a REAL RIFF/WAVE PCM16 payload per document — a valid
+    * file [[Codecs.decodeWav]] round-trips exactly. Sample values follow
+    * a closed-form integer formula so an oracle can recompute the decoded
+    * features without a decoder:
+    * `n = 200 + doc_id % 400`, `s_i = (doc_id*31 + i*17) % 4001 - 2000`,
+    * `rate = 8000 + (doc_id % 4) * 4000`, mono. */
+  def wavTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("media", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = docs.schema.fieldIndex(idCol)
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val n = (200 + id % 400).toInt
+        val samples = Array.tabulate(n) { i =>
+          ((id * 31 + i * 17) % 4001 - 2000).toShort
+        }
+        val rate = (8000 + (id % 4) * 4000).toInt
+        Row(id, Codecs.encodeWavPcm16(samples, rate))
+      }
+    }(enc)
+  }
+
+  /** Synthesize a REAL uncompressed 24-bit BMP payload per document
+    * (bottom-up rows, 4-byte padding — the real layout). Pixel channels
+    * follow closed-form formulas for oracle recomputation:
+    * `w = 4 + doc_id % 12`, `h = 4 + doc_id % 7`,
+    * `r = (doc_id + 3x + 7y) % 256`, `g = (doc_id*2 + 5x + y) % 256`,
+    * `b = (doc_id + x*y) % 256`. */
+  def bmpTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("media", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = docs.schema.fieldIndex(idCol)
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (4 + id % 12).toInt
+        val h = (4 + id % 7).toInt
+        val px = (x: Int, y: Int) => {
+          val rr = ((id + 3 * x + 7 * y) % 256).toInt
+          val gg = ((id * 2 + 5 * x + y) % 256).toInt
+          val bb = ((id + x.toLong * y) % 256).toInt
+          (rr << 16) | (gg << 8) | bb
+        }
+        Row(id, Codecs.encodeBmp24(w, h, px))
+      }
+    }(enc)
+  }
+
+  /** REAL image decode + feature extraction: parses each payload as a
+    * 24-bit BMP ([[Codecs.decodeBmp24]] — magic, header, row padding,
+    * bottom-up order) and reduces the pixel grid to per-channel sums.
+    * One mapPartitions pass; decoder state is per-task. */
+  def imageFeatures(media: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_pixels", LongType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = Codecs.decodeBmp24(r.getAs[Array[Byte]](mIdx))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < img.rgb.length) {
+          val p = img.rgb(i)
+          sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+          i += 1
+        }
+        Row(r.getLong(idIdx), img.width, img.height,
+          img.rgb.length.toLong, sr, sg, sb)
       }
     }(enc)
   }
@@ -120,16 +208,18 @@ object Multimodal {
           greatest(col("meta.duration_ms"), lit(1L)) * 100.0)
           .cast(IntegerType).as("pct"))
 
-  /** ======== STUB ======== Audio feature extraction: the payload is read
-    * as an 8-bit sample stream (a real impl would decode PCM via a codec),
-    * chunked into fixed-size windows, and per-chunk loudness features
-    * (RMS, peak) are computed — one output row per chunk, so the chunks of
-    * one long recording scatter across tasks downstream. Integer
-    * accumulation keeps the result bit-reproducible across engines. */
+  /** REAL audio feature extraction: each payload is parsed as a RIFF/WAVE
+    * PCM file ([[Codecs.decodeWav]] — chunk walk, fmt validation, 8/16-bit
+    * samples), the decoded sample stream is chunked into fixed-size
+    * windows, and per-chunk loudness features (RMS over signed samples,
+    * peak) are computed — one output row per chunk, so the chunks of one
+    * long recording scatter across tasks downstream. Integer accumulation
+    * + IEEE sqrt keep the result bit-reproducible across engines. */
   def audioChunkFeatures(media: DataFrame, samplesPerChunk: Int = 256,
                          idCol: String = "doc_id"): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, LongType),
+      StructField("sample_rate", IntegerType),
       StructField("chunk", IntegerType),
       StructField("n_samples", IntegerType),
       StructField("rms", DoubleType),
@@ -138,25 +228,26 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex(idCol)
     val mIdx = media.schema.fieldIndex("media")
     media.mapPartitions { rows =>
-      // per-partition decoder/resampler init would go here (STUB: none)
+      // per-partition decoder init would go here (pure-JVM: none needed)
       rows.flatMap { r =>
         val id = r.getLong(idIdx)
-        val bytes = r.getAs[Array[Byte]](mIdx)
-        if (bytes == null || bytes.isEmpty) Iterator.empty
+        val wav = Codecs.decodeWav(r.getAs[Array[Byte]](mIdx))
+        val s = wav.samples
+        if (s.isEmpty) Iterator.empty
         else {
-          val nChunks = (bytes.length + samplesPerChunk - 1) / samplesPerChunk
+          val nChunks = (s.length + samplesPerChunk - 1) / samplesPerChunk
           (0 until nChunks).iterator.map { c =>
             val from = c * samplesPerChunk
-            val until = math.min(from + samplesPerChunk, bytes.length)
-            var sumSq = 0L; var peak = 0
+            val until = math.min(from + samplesPerChunk, s.length)
+            var sumSq = 0L; var peak = Int.MinValue
             var i = from
             while (i < until) {
-              val b = bytes(i) & 0xFF
-              sumSq += b.toLong * b; if (b > peak) peak = b
+              val v = s(i)
+              sumSq += v.toLong * v; if (v > peak) peak = v
               i += 1
             }
             val n = until - from
-            Row(id, c, n, math.sqrt(sumSq.toDouble / n), peak)
+            Row(id, wav.sampleRate, c, n, math.sqrt(sumSq.toDouble / n), peak)
           }
         }
       }
@@ -182,11 +273,15 @@ object Multimodal {
         (expr("p div nx") * patch).cast(IntegerType).as("y0"))
 
   /** Re-bucket by cumulative payload size: `targetBytes` per partition.
-    * Media tables are size-skewed; row-count partitioning starves tasks. */
+    * Media tables are size-skewed; row-count partitioning starves tasks.
+    *
+    * Sizing comes from Catalyst's own plan statistics (`stats.sizeInBytes`
+    * — file-size metadata for scans, propagated through operators), NOT a
+    * data pass: the previous `agg(sum(octet_length))` read every payload
+    * byte just to pick a partition count, a full extra scan at 100 TB. */
   def repartitionBySize(media: DataFrame, targetBytes: Long): DataFrame = {
-    val spark = media.sparkSession
-    val totalBytes = media.agg(sum(octet_length(col("media")))).head.getLong(0)
-    val parts = math.max(1, (totalBytes / targetBytes).toInt)
+    val est = media.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = (est / targetBytes).min(BigInt(1 << 20)).max(1).toInt
     media.repartition(parts, col("doc_id"))
   }
 }

@@ -142,12 +142,32 @@ object StreamQueries {
 
   // ------------------------------------------------------- multimodal
 
+  /** REAL image decode: synthesize a valid 24-bit BMP per document
+    * (bottom-up rows, 4-byte padding), parse it back with the pure-JVM
+    * codec, reduce pixels to channel sums. The oracle recomputes the
+    * features from the closed-form pixel formulas — matching proves the
+    * encode→parse→extract roundtrip is byte-exact. */
   def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageFeatures(Multimodal.bmpTable(Tables(s, dir, "documents")))
+
+  val qMultimodalDecodeSql: String =
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 12 AS w, 4 + doc_id % 7 AS h
+      |  FROM documents)
+      |SELECT doc_id, w::INT AS width, h::INT AS height,
+      |  (w * h)::BIGINT AS n_pixels,
+      |  CAST(sum((doc_id + 3 * x + 7 * y) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((doc_id * 2 + 5 * x + y) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((doc_id + x * y) % 256) AS BIGINT) AS sum_b
+      |FROM d, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y)
+      |GROUP BY doc_id, w, h""".stripMargin
+
+  /** Byte statistics over opaque payloads (formats with no JVM decoder).
+    * Oracle exploits the fixture texts being pure ASCII: byte stream ==
+    * codepoint stream. */
+  def qMediaBytestats(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(Multimodal.mediaTable(Tables(s, dir, "documents")))
 
-  /** Oracle exploits the fixture texts being pure ASCII: byte stream ==
-    * codepoint stream. */
-  val qMultimodalDecodeSql: String =
+  val qMediaBytestatsSql: String =
     """WITH codes AS (SELECT doc_id, text,
       |  list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs
       |FROM documents)
@@ -201,26 +221,30 @@ object StreamQueries {
       |  ((p % nx) * 16)::INT AS x0, ((p // nx) * 16)::INT AS y0
       |FROM g, UNNEST(range(0, nx * ny)) AS t(p)""".stripMargin
 
+  /** REAL audio decode: synthesize a valid RIFF/WAVE PCM16 file per
+    * document, parse it back with the pure-JVM codec (chunk walk, fmt
+    * validation), then window the decoded signed samples into 256-sample
+    * chunks with RMS/peak. The oracle recomputes everything from the
+    * closed-form sample formula — matching proves the encode→parse→
+    * extract roundtrip is sample-exact. */
   def qMultimodalAudio(s: SparkSession, dir: String): DataFrame =
     Multimodal.audioChunkFeatures(
-      Multimodal.mediaTable(Tables(s, dir, "documents")), samplesPerChunk = 256)
+      Multimodal.wavTable(Tables(s, dir, "documents")), samplesPerChunk = 256)
 
-  /** Fixture texts are pure ASCII, so byte stream == codepoint stream. */
   val qMultimodalAudioSql: String =
-    """WITH codes AS (SELECT doc_id, length(text) AS len,
-      |  list_transform(range(1, length(text) + 1), i -> ascii(text[i])::BIGINT) AS cs
-      |FROM documents WHERE length(text) > 0),
-      |ch AS (SELECT doc_id, len, cs,
-      |  unnest(range(0, (len + 255) // 256)) AS chunk FROM codes),
-      |sl AS (SELECT doc_id, chunk::INT AS chunk,
-      |  cs[chunk * 256 + 1 : least((chunk + 1) * 256, len)::INT] AS s FROM ch)
-      |SELECT doc_id, chunk, len(s)::INT AS n_samples,
-      |  sqrt(list_sum(list_transform(s, x -> x * x))::DOUBLE / len(s)) AS rms,
-      |  list_max(s)::INT AS peak
-      |FROM sl""".stripMargin
+    """WITH s AS (SELECT doc_id,
+      |  8000 + (doc_id % 4) * 4000 AS sample_rate,
+      |  i, (doc_id * 31 + i * 17) % 4001 - 2000 AS v
+      |FROM documents, UNNEST(range(0, 200 + doc_id % 400)) AS t(i))
+      |SELECT doc_id, sample_rate::INT AS sample_rate,
+      |  (i // 256)::INT AS chunk, count(*)::INT AS n_samples,
+      |  sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)) AS rms,
+      |  max(v)::INT AS peak
+      |FROM s GROUP BY doc_id, sample_rate, i // 256""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_audio"  -> (qMultimodalAudio _),
+    "q_media_bytestats"   -> (qMediaBytestats _),
     "q_multimodal_patches" -> (qMultimodalPatches _),
     "q_window_tumbling"   -> (qTumbling _),
     "q_window_sliding"    -> (qSliding _),
@@ -235,6 +259,7 @@ object StreamQueries {
 
   val oracle: Map[String, String] = Map(
     "q_multimodal_audio"  -> qMultimodalAudioSql,
+    "q_media_bytestats"   -> qMediaBytestatsSql,
     "q_multimodal_patches" -> qMultimodalPatchesSql,
     "q_window_tumbling"   -> qTumblingSql,
     "q_window_sliding"    -> qSlidingSql,
