@@ -115,15 +115,20 @@ object Joins {
                     estimatedItems: Long = 1000000L,
                     numBits: Long = 8388608L): DataFrame = {
     import graft.functions.BloomFunctions._
+    // The filter side feeds TWO actions — the bloom aggregate and the
+    // settling semi join — so its distinct key projection is materialized
+    // once (localCheckpoint); without it the whole filter-side pipeline
+    // would execute twice, doubling its cost at the scale this exists for.
+    val keys = filterSide.select(col(filterKeyCol).as(keyCol))
+      .distinct().localCheckpoint()
     // might_contain demands a CONSTANT (or scalar-subquery) sketch, so the
     // aggregate materializes first and ships as a binary literal — the
     // same two-phase execution the optimizer's own runtime filters use.
-    val bfBytes = filterSide
-      .agg(bloomAgg(xxhash64(col(filterKeyCol)), estimatedItems, numBits))
+    val bfBytes = keys
+      .agg(bloomAgg(xxhash64(col(keyCol)), estimatedItems, numBits))
       .collect().head.getAs[Array[Byte]](0)
     big.where(mightContain(lit(bfBytes), xxhash64(col(keyCol))))
-      .join(filterSide.select(col(filterKeyCol).as(keyCol)).distinct(),
-        Seq(keyCol), "left_semi")
+      .join(keys, Seq(keyCol), "left_semi")
   }
 
   /** Interval (range) join: left rows against right intervals `[lo, hi)`,

@@ -52,12 +52,25 @@ object Sampling {
     * cross join, everything else is a map-side filter. */
   def weightedHashSample(df: DataFrame, keyCol: String,
                          weightCol: String): DataFrame = {
+    // Degenerate weights fail loudly instead of silently dropping every
+    // row: a non-positive max weight raises (the rate w/w_max is
+    // meaningless), and a NULL per-row weight raises rather than letting
+    // the NULL comparison filter the row. An empty input stays a clean
+    // empty result (the NULL max never meets a row to raise on).
     val mx = df.agg(max(col(weightCol).cast("long")).as("__wmax"))
     df.crossJoin(broadcast(mx))
-      // `div`, not `/`: Long / Long is DOUBLE division in Spark; the
-      // oracle's `//` is floor division and the two must floor alike
-      .filter(hashBucket(col(keyCol)) <
-        expr(s"CAST($weightCol AS BIGINT) * $Buckets div __wmax"))
+      .filter(
+        when(col(weightCol).isNull || col("__wmax") <= 0,
+          raise_error(concat(
+            lit(s"weightedHashSample: $weightCol must be non-NULL with a " +
+              "positive max; got weight="),
+            coalesce(col(weightCol).cast("string"), lit("NULL")),
+            lit(", max="),
+            coalesce(col("__wmax").cast("string"), lit("NULL")))))
+        // `div`, not `/`: Long / Long is DOUBLE division in Spark; the
+        // oracle's `//` is floor division and the two must floor alike
+        .otherwise(hashBucket(col(keyCol)) <
+          expr(s"CAST($weightCol AS BIGINT) * $Buckets div __wmax")))
       .drop("__wmax")
   }
 

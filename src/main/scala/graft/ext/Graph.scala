@@ -38,12 +38,20 @@ object Graph {
     val n = nodes.select(col("node")).localCheckpoint(eager)
     var ranks = n.withColumn("pr", lit(1000000L))
     for (_ <- 1 to iters) {
+      // Intermediates widen to DECIMAL(38,0): pr grows toward N·1e6, and
+      // pr*w on a heavy hub can silently wrap past Long in non-ANSI mode
+      // (the oracle's engine would error instead — a divergence). `div` is
+      // IntegralDivide, which floors identically on decimals and returns
+      // LONG, so the public (node, pr) schema is unchanged.
       val contrib = ew.join(ranks, ew("src") === ranks("node"))
-        .select(col("dst"), expr("(pr * w) div wtot").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("dst"),
+          expr("(cast(pr as decimal(38,0)) * w) div wtot").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c").cast("decimal(38,0)")).as("s"))
       ranks = n.join(contrib, n("node") === contrib("dst"), "left")
         .select(col("node"),
-          (lit(150000L) + expr("85 * coalesce(s, 0L) div 100")).as("pr"))
+          (lit(150000L) +
+            expr("85 * coalesce(s, cast(0 as decimal(38,0))) div 100")).as("pr"))
     }
     ranks
   }

@@ -14,8 +14,16 @@ object TextAnalysis {
 
   val FingerprintMod: Long = 1000000007L
 
+  /** Whitespace characters, spelled explicitly: Java's `\s` includes
+    * vertical tab (\x0B) while RE2's (DuckDB, Go) does not, so `\s` silently
+    * tokenizes differently across engines. Every tokenizer in the engine —
+    * Column split, the tight-loop expressions, and the oracle SQL — uses
+    * this one class so the token stream is identical everywhere. */
+  val WsChars: String = " \\t\\n\\f\\r"
+  val WsPlus: String = s"[$WsChars]+"
+
   /** Whitespace tokens of the lower-cased text. */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  def tokens(text: Column): Column = split(lower(trim(text)), WsPlus)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -23,11 +31,11 @@ object TextAnalysis {
     * counted separately — the cheap proxy for subword token counts
     * (pattern kept RE2/Java-compatible for oracle parity). */
   def bpeTokenCount(text: Column): Column =
-    regexp_count(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"))
+    regexp_count(lower(text), lit("[a-z0-9]+|[^a-z0-9" + WsChars + "]"))
 
   /** Punctuation ratio over characters. */
   def punctRatio(text: Column): Column =
-    regexp_count(lower(text), lit("[^a-z0-9\\s]")).cast(DoubleType) /
+    regexp_count(lower(text), lit("[^a-z0-9" + WsChars + "]")).cast(DoubleType) /
       greatest(length(text), lit(1)).cast(DoubleType)
 
   val EnStopwords: Seq[String] =

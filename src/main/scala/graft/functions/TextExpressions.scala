@@ -20,6 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextHash {
   final val XxSeed = 42L
 
+  /** Precompiled whitespace splitter for the tight-loop expressions —
+    * same explicit class as graft.ext.TextAnalysis.WsPlus (Java `\s`
+    * includes \x0B, RE2's does not), compiled once instead of per row. */
+  final val WsPattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("[ \\t\\n\\f\\r]+")
+
   def xxhash(s: UTF8String): Long =
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
       s.getBaseObject, s.getBaseOffset, s.numBytes, XxSeed)
@@ -134,17 +140,17 @@ case class SimHash64(child: Expression)
 
 /** Distinct word n-gram shingles of a text — the tight-loop twin of
   * `array_distinct(transform(sequence(...), i => concat_ws(" ",
-  * slice(split(lower(trim(text)), "\\s+"), i+1, n))))`. Tokenization is
+  * slice(split(lower(trim(text)), WsPlus), i+1, n))))`. Tokenization is
   * byte-identical to the HOF form on the fixture domain (trim = leading/
-  * trailing spaces, Java `\s+` split, ASCII lowercase); first-occurrence
+  * trailing spaces, explicit-class whitespace split, ASCII lowercase); first-occurrence
   * order, optionally sorted (binary order == array_sort on strings). */
 case class WordShingles(child: Expression, n: Int, sort: Boolean)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].trim().toLowerCase.toString
-      .split("\\s+")
+    val toks = TextHash.WsPattern.split(
+      input.asInstanceOf[UTF8String].trim().toLowerCase.toString)
     val count = math.max(toks.length - n, 0) + 1
     val seen = new mutable.LinkedHashSet[String]
     var i = 0
@@ -172,8 +178,8 @@ case class SortedShingleHashes(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].trim().toLowerCase.toString
-      .split("\\s+")
+    val toks = TextHash.WsPattern.split(
+      input.asInstanceOf[UTF8String].trim().toLowerCase.toString)
     val count = math.max(toks.length - n, 0) + 1
     val seen = new mutable.HashSet[Long]
     var i = 0

@@ -288,7 +288,7 @@ object AnalyticsQueries {
 
   val qKhopSql: String =
     """WITH RECURSIVE t AS (SELECT doc_id, lang,
-      |  string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |  string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS w FROM documents),
       |sh AS (SELECT doc_id, lang,
       |  list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
       |    i -> array_to_string(w[i+1:i+3], ' '))) AS t FROM t),

@@ -31,11 +31,11 @@ object ExtQueries {
 
   val qTextStatsSql: String =
     s"""WITH t AS (SELECT doc_id, text,
-       |  string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |  string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+') AS toks FROM documents),
        |m AS (SELECT doc_id, text, toks,
        |  len(toks) AS n_tokens,
-       |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_bpe,
-       |  len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))::DOUBLE
+       |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 \\t\\n\\f\\r]')) AS n_bpe,
+       |  len(regexp_extract_all(lower(text), '[^a-z0-9 \\t\\n\\f\\r]'))::DOUBLE
        |    / greatest(length(text), 1) AS punct_ratio,
        |  len(list_filter(toks, x -> x IN ($swList)))::DOUBLE
        |    / greatest(len(toks), 1) AS stopword_ratio,
@@ -64,7 +64,7 @@ object ExtQueries {
 
   val qLangFingerprintSql: String =
     s"""WITH t AS (SELECT doc_id, lower(trim(text)) AS s,
-       |  string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |  string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+') AS toks FROM documents),
        |sc AS (SELECT doc_id, s, $langScoreSql FROM t),
        |mx AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM sc)
        |SELECT doc_id,
@@ -90,9 +90,9 @@ object ExtQueries {
 
   val qQualityFilterSql: String =
     s"""WITH t AS (SELECT doc_id, text,
-       |  string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |  string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+') AS toks FROM documents),
        |m AS (SELECT doc_id, len(toks) AS n_tokens,
-       |  len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))::DOUBLE
+       |  len(regexp_extract_all(lower(text), '[^a-z0-9 \\t\\n\\f\\r]'))::DOUBLE
        |    / greatest(length(text), 1) AS punct_ratio,
        |  len(list_filter(toks, x -> x IN ($swList)))::DOUBLE
        |    / greatest(len(toks), 1) AS stopword_ratio,
@@ -143,7 +143,7 @@ object ExtQueries {
 
   val qPackSql: String =
     """WITH t AS (SELECT doc_id, doc_id % 32 AS shard,
-      |  len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS n_tokens
+      |  len(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+'))::BIGINT AS n_tokens
       |FROM documents),
       |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
       |  ROWS UNBOUNDED PRECEDING) AS cum FROM t)
@@ -157,7 +157,7 @@ object ExtQueries {
 
   val qTfidfSql: String =
     """WITH t AS (SELECT doc_id,
-      |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+      |  unnest(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+')) AS term FROM documents),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
       |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
@@ -191,7 +191,7 @@ object ExtQueries {
   }
 
   val qVocabSql: String =
-    """WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+    """WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+')) AS token
       |  FROM documents),
       |c AS (SELECT token, count(*) AS n FROM t GROUP BY 1),
       |tot AS (SELECT count(*)::DOUBLE AS t FROM t),
@@ -267,7 +267,7 @@ object ExtQueries {
 
   val qDedupLinesSql: String =
     """WITH t AS (SELECT doc_id,
-      |  string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+      |  string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS toks FROM documents),
       |c AS (SELECT doc_id, u.cid AS seg_idx, u.seg FROM (
       |  SELECT doc_id, unnest(list_transform(
       |    range(0, (greatest(len(toks) - 10, 0) + 9) // 10 + 1),
@@ -295,7 +295,7 @@ object ExtQueries {
 
   val qModeSql: String =
     """WITH t AS (SELECT lang,
-      |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS token FROM documents),
+      |  unnest(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+')) AS token FROM documents),
       |c AS (SELECT lang, token, count(*) AS n FROM t GROUP BY 1, 2),
       |r AS (SELECT lang, token, n,
       |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, token DESC) AS rn FROM c)
@@ -321,7 +321,7 @@ object ExtQueries {
 
   val qChunkSql: String =
     """WITH t AS (SELECT doc_id,
-      |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |  string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS t FROM documents),
       |c AS (SELECT doc_id, t,
       |  (greatest(len(t) - 50, 0) + 39) // 40 + 1 AS k FROM t),
       |x AS (SELECT doc_id, unnest(list_transform(range(0, k), i ->
@@ -337,7 +337,7 @@ object ExtQueries {
 
   val qInvertedIndexSql: String =
     """WITH t AS (SELECT DISTINCT doc_id,
-      |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents)
+      |  unnest(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+')) AS term FROM documents)
       |SELECT term, count(*) AS df,
       |  to_json(list_sort(list(doc_id))) AS postings
       |FROM t GROUP BY term""".stripMargin
@@ -349,7 +349,7 @@ object ExtQueries {
 
   val qRepetitionSql: String =
     """WITH t AS (SELECT doc_id,
-      |  string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |  string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS w FROM documents),
       |g AS (SELECT doc_id,
       |  unnest(list_transform(range(0, greatest(len(w) - 2, 0) + 1),
       |    i -> array_to_string(w[i+1:i+2], ' '))) AS g FROM t),
@@ -373,7 +373,7 @@ object ExtQueries {
   }
 
   val qContaminationSql: String =
-    """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS w
       |           FROM documents),
       |sh AS (SELECT doc_id,
       |  list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
@@ -415,7 +415,7 @@ object ExtQueries {
 
   val qDedupJaccardSql: String =
     """WITH t AS (SELECT doc_id, lang,
-      |  string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |  string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS w FROM documents),
       |sh AS (SELECT doc_id, lang,
       |  list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
       |    i -> array_to_string(w[i+1:i+3], ' '))) AS t FROM t)
@@ -467,7 +467,7 @@ object ExtQueries {
 
   val qDedupIncrSql: String =
     """WITH w AS (SELECT doc_id, lang, text,
-      |  string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |  string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS w FROM documents),
       |sh AS (SELECT doc_id, lang, text,
       |  list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
       |    i -> array_to_string(w[i+1:i+3], ' '))) AS t FROM w),
@@ -516,9 +516,9 @@ object ExtQueries {
 
   val qCorpusPrepSql: String =
     s"""WITH RECURSIVE t AS (SELECT doc_id, lang, text,
-       |  string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |  string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+') AS toks FROM documents),
        |m AS (SELECT doc_id, len(toks) AS n_tokens,
-       |  len(regexp_extract_all(lower(text), '[^a-z0-9\\s]'))::DOUBLE
+       |  len(regexp_extract_all(lower(text), '[^a-z0-9 \\t\\n\\f\\r]'))::DOUBLE
        |    / greatest(length(text), 1) AS punct_ratio,
        |  len(list_filter(toks, x -> x IN ($swList)))::DOUBLE
        |    / greatest(len(toks), 1) AS stopword_ratio,
@@ -568,7 +568,7 @@ object ExtQueries {
 
   val qClusterExactSql: String =
     """WITH RECURSIVE t AS (SELECT doc_id, lang,
-      |  string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |  string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS w FROM documents),
       |sh AS (SELECT doc_id, lang,
       |  list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
       |    i -> array_to_string(w[i+1:i+3], ' '))) AS t FROM t),

@@ -186,7 +186,7 @@ object MiningQueries {
     * (w1, w2), then the context totals ride a w1 window. */
   def qNgramLm(s: SparkSession, dir: String): DataFrame = {
     val toks = spread(Tables(s, dir, "documents")
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w")),
+      .select(col("doc_id"), split(lower(trim(col("text"))), graft.ext.TextAnalysis.WsPlus).as("w")),
       "doc_id") // spread before the bigram fan-out
     val bi = toks
       .select(slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
@@ -205,7 +205,7 @@ object MiningQueries {
   }
 
   val qNgramLmSql: String =
-    """WITH t AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+    """WITH t AS (SELECT string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS w
       |  FROM documents),
       |b AS (SELECT unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p FROM t),
       |pr AS (SELECT p[1] AS w1, p[2] AS w2 FROM b),
@@ -228,7 +228,7 @@ object MiningQueries {
     * aggregation and the scoring join. */
   def qLmScore(s: SparkSession, dir: String): DataFrame = {
     val bi = spread(Tables(s, dir, "documents")
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w")),
+      .select(col("doc_id"), split(lower(trim(col("text"))), graft.ext.TextAnalysis.WsPlus).as("w")),
       "doc_id")
       .select(col("doc_id"),
         slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
@@ -254,7 +254,7 @@ object MiningQueries {
 
   val qLmScoreSql: String =
     """WITH t AS (SELECT doc_id,
-      |  string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |  string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS w FROM documents),
       |b AS (SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
       |  FROM t),
       |occ AS (SELECT p[1] AS w1, p[2] AS w2, doc_id, count(*) AS cnt
@@ -281,7 +281,7 @@ object MiningQueries {
   def qSparseSim(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val tf = spread(docs
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w")),
+      .select(col("doc_id"), split(lower(trim(col("text"))), graft.ext.TextAnalysis.WsPlus).as("w")),
       "doc_id") // spread BEFORE the ~200x bigram explode
       .select(col("doc_id"),
         slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
@@ -318,7 +318,7 @@ object MiningQueries {
 
   val qSparseSimSql: String =
     """WITH t AS (SELECT doc_id,
-      |  string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |  string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS w FROM documents),
       |b AS (SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS p
       |  FROM t),
       |tf AS (SELECT doc_id, p[1] || ' ' || p[2] AS term, count(*) AS tf
