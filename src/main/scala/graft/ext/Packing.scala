@@ -17,15 +17,45 @@ import org.apache.spark.sql.functions._
   * boundary and bins are filled in id order, not best-fit. */
 object Packing {
 
+  /** Shard-count cap: at the cap, a corpus of 10^14 tokens still leaves
+    * ~10^8 tokens (~hundreds of thousands of rows) per shard window. */
+  val MaxShards: Long = 1L << 20
+
+  /** Target packed sequences per shard when auto-scaling: each shard's
+    * cumulative-sum window then handles ~`budget * TargetSeqsPerShard`
+    * tokens regardless of corpus size. */
+  val TargetSeqsPerShard: Long = 64L
+
+  /** Pack documents into `budget`-token bins.
+    *
+    * `shards <= 0` (the default) derives the shard count from the TOTAL
+    * token count: `clamp(total div (budget * TargetSeqsPerShard) + 1,
+    * 1, MaxShards)` — so per-shard window state stays ~constant as the
+    * corpus grows 100×, instead of a fixed shard count turning each
+    * window partition into a monolithic sort. The derivation is exact
+    * integer arithmetic on one broadcast scalar (any engine reproduces
+    * it), and the per-document decision stays map-side. A positive
+    * `shards` pins the count explicitly. */
   def packSequences(docs: DataFrame, textCol: String, idCol: String,
-                    budget: Long, shards: Int = 32): DataFrame = {
+                    budget: Long, shards: Int = 0): DataFrame = {
+    val toks = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val sharded =
+      if (shards > 0) toks.withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
+      else {
+        val total = toks.agg(coalesce(sum(col("n_tokens")), lit(0L)).as("__tot"))
+        toks.crossJoin(broadcast(total))
+          .withColumn("shard", pmod(col(idCol),
+            greatest(lit(1L), least(lit(MaxShards),
+              expr(s"__tot div ($budget * $TargetSeqsPerShard) + 1")))))
+          .drop("__tot")
+      }
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col(idCol),
-        pmod(col(idCol), lit(shards.toLong)).as("shard"),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    sharded
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("seq_in_shard", expr(s"(cum - n_tokens) div $budget"))
       .drop("cum")
+      .select(col(idCol), col("shard"), col("n_tokens"), col("seq_in_shard"))
   }
 }

@@ -136,17 +136,23 @@ object ExtQueries {
       |     ELSE 'test' END AS split
       |FROM documents""".stripMargin
 
-  /** Token-budget sequence packing (sharded contiguous binning). */
+  /** Token-budget sequence packing (sharded contiguous binning). Shard
+    * count auto-scales with the corpus's total token count — the oracle
+    * reproduces the same integer derivation. */
   def qPack(s: SparkSession, dir: String): DataFrame =
     Packing.packSequences(Tables(s, dir, "documents"), "text", "doc_id",
-      budget = 4096, shards = 32)
+      budget = 4096)
 
   val qPackSql: String =
-    """WITH t AS (SELECT doc_id, doc_id % 32 AS shard,
+    """WITH t AS (SELECT doc_id,
       |  len(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+'))::BIGINT AS n_tokens
       |FROM documents),
+      |tot AS (SELECT COALESCE(sum(n_tokens), 0) AS tot FROM t),
+      |sh AS (SELECT greatest(1, least(1048576, tot // (4096 * 64) + 1))::BIGINT
+      |  AS shards FROM tot),
+      |st AS (SELECT doc_id, doc_id % shards AS shard, n_tokens FROM t, sh),
       |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-      |  ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      |  ROWS UNBOUNDED PRECEDING) AS cum FROM st)
       |SELECT doc_id, shard, n_tokens,
       |  ((cum - n_tokens) // 4096)::BIGINT AS seq_in_shard FROM c""".stripMargin
 
