@@ -361,4 +361,31 @@ class ExtSpec extends AnyFunSuite {
     val r = df.select(TextAnalysis.langId(col("t"))).collect().map(_.getString(0))
     assert(r.toSeq == Seq("de", "fr", "und"))
   }
+
+  test("packing auto-scales shards so per-shard window state stays bounded") {
+    import graft.ext.Packing
+    // 2000 docs x 100 tokens = 200k tokens; budget=100 =>
+    // shards = 200000 div (100 * 64) + 1 = 32
+    val text = ("tok " * 100).trim
+    val docs = spark.range(2000).select(col("id").as("doc_id"), lit(text).as("text"))
+    val packed = Packing.packSequences(docs, "text", "doc_id", budget = 100)
+    val shards = packed.select(countDistinct(col("shard"))).collect().head.getLong(0)
+    assert(shards == 200000L / (100 * Packing.TargetSeqsPerShard) + 1)
+    // per-shard input stays ~budget * TargetSeqsPerShard: with contiguous
+    // ids the mod sharding is balanced, so no shard exceeds 2x the target
+    val maxShardTokens = packed.groupBy("shard")
+      .agg(sum(col("n_tokens")).as("t"))
+      .agg(max(col("t"))).collect().head.getLong(0)
+    assert(maxShardTokens <= 2 * 100 * Packing.TargetSeqsPerShard,
+      s"shard holds $maxShardTokens tokens")
+    // 10x the corpus -> ~10x the shards; per-shard stays the same scale
+    val docs10 = spark.range(20000).select(col("id").as("doc_id"), lit(text).as("text"))
+    val shards10 = Packing.packSequences(docs10, "text", "doc_id", budget = 100)
+      .select(countDistinct(col("shard"))).collect().head.getLong(0)
+    assert(shards10 == 2000000L / (100 * Packing.TargetSeqsPerShard) + 1)
+    // an explicit shard count still pins the layout
+    val pinned = Packing.packSequences(docs, "text", "doc_id",
+      budget = 100, shards = 4)
+    assert(pinned.select(countDistinct(col("shard"))).collect().head.getLong(0) == 4)
+  }
 }
