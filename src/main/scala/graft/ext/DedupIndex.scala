@@ -1,0 +1,159 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Standing dedup index as BUCKETED tables, so continuous (delta-vs-corpus)
+  * ingestion never shuffles the corpus side again.
+  *
+  * [[Dedup.dedupIncremental]] recomputes corpus hashes/shingles and
+  * exchanges them on every batch — fine for a one-shot backfill, wasted
+  * work for the 100 TB steady state where the corpus is petabytes and the
+  * delta is not. This module persists the corpus's dedup artifacts ONCE,
+  * each bucketed on exactly its probe-join keys, so every per-batch join
+  * reads bucket files already partitioned the way the join needs them
+  * (`FileSourceScanExec` reports the bucket `HashPartitioning`, and
+  * EnsureRequirements shuffles only the small delta side to match —
+  * asserted in IOSpec):
+  *
+  *  - `<base>_exact(h, t)`      bucketed by `(h, t)`, h = xxhash64(text) —
+  *    the exact-duplicate rule probes it with an equi-join on `h` plus the
+  *    text equality (which Catalyst folds into the join keys, so the
+  *    bucket spec carries BOTH keys; the leading 8-byte hash keeps bucket
+  *    sort comparisons cheap);
+  *  - `<base>_pref(bk, id)`     bucketed by `bk` = xxhash64(block, prefix
+  *    shingle hash) — PPJoin candidate generation is an equi-join on the
+  *    fused key (a 64-bit collision can only ADD a candidate, which the
+  *    exact verify then rejects — recall is unaffected);
+  *  - `<base>_sh(id, blk, sh)`  bucketed by `id` — the verify join fetches
+  *    each candidate's full sorted shingle-hash array by id.
+  *
+  * Kept batches append to the same tables (`SaveMode.Append` preserves the
+  * bucket spec), so the index *is* the corpus state and ingestion is:
+  * judge batch → append survivors → next batch. */
+object DedupIndex {
+
+  def exactTable(base: String) = s"${base}_exact"
+  def prefTable(base: String)  = s"${base}_pref"
+  def shTable(base: String)    = s"${base}_sh"
+
+  /** The per-document index artifacts for one frame: id, block, text hash,
+    * text, and the hash-sorted shingle array ([[Dedup.prefixJaccardPairs]]'
+    * representation — prefix-filter theory only needs a consistent global
+    * order, and hash order qualifies). */
+  private def artifacts(df: DataFrame, textCol: String, idCol: String,
+                        blockCol: String, shingleN: Int): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      col(blockCol).cast("string").as("blk"),
+      xxhash64(col(textCol)).as("h"),
+      col(textCol).as("t"),
+      graft.functions.TextExpressions
+        .sortedShingleHashes(col(textCol), shingleN).as("sh"))
+
+  /** Prefix-filter explode of the shingle arrays: one (bk, id) row per
+    * prefix shingle, bk fused from (block, shingle hash) so the candidate
+    * join is single-key. prefLen = |s| - ceil(t·|s|) + 1 — the PPJoin
+    * prefix bound for Jaccard ≥ t. */
+  private def prefixRows(art: DataFrame, threshold: Double): DataFrame = {
+    val prefLen =
+      size(col("sh")) - ceil(lit(threshold) * size(col("sh"))).cast("int") + lit(1)
+    art.select(col("blk"), col("id"),
+        explode(slice(col("sh"), lit(1), prefLen)).as("p"))
+      .select(xxhash64(col("blk"), col("p")).as("bk"), col("id"))
+  }
+
+  /** Build (overwrite) the standing index for `corpus`. `threshold` is
+    * baked into the stored prefix length — probe with the same threshold.
+    * One pass derives all three tables (the artifact frame is
+    * materialized once, then written three ways). */
+  def write(corpus: DataFrame, textCol: String, idCol: String,
+            blockCol: String, base: String, threshold: Double,
+            shingleN: Int = 3, buckets: Int = 32,
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val art = artifacts(corpus, textCol, idCol, blockCol, shingleN)
+      .localCheckpoint() // shingle once, feed three writes
+    writeBucketed(art.select(col("h"), col("t")).distinct(),
+      exactTable(base), Seq("h", "t"), buckets, mode)
+    writeBucketed(prefixRows(art, threshold),
+      prefTable(base), Seq("bk"), buckets, mode)
+    writeBucketed(art.select(col("id"), col("blk"), col("sh")),
+      shTable(base), Seq("id"), buckets, mode)
+  }
+
+  private def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                            buckets: Int, mode: SaveMode): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", tablePath(df.sparkSession, table))
+      .format("parquet").saveAsTable(table)
+
+  /** External-table location: pinned under the JVM temp dir so the index
+    * works regardless of warehouse configuration (and lands outside the
+    * repo during local runs). */
+  private def tablePath(spark: SparkSession, table: String): String =
+    new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_dedup_index/$table").getAbsolutePath
+
+  /** Judge `delta` against the standing index — same output contract as
+    * [[Dedup.dedupIncremental]] (every delta row with `keep` + drop
+    * `reason`), but the corpus side of every join is a bucketed scan with
+    * NO exchange: only the delta's artifacts shuffle. */
+  def dedupIncremental(spark: SparkSession, base: String, delta: DataFrame,
+                       textCol: String, idCol: String, blockCol: String,
+                       threshold: Double, shingleN: Int = 3): DataFrame = {
+    val d = artifacts(delta, textCol, idCol, blockCol, shingleN)
+      .repartition(col("id")) // one artifact pass shared by all three rules
+    // Exact rule: equi-join on the 64-bit text hash (the bucket key),
+    // settled by the residual full-text comparison.
+    val exactIds = d.select(col("id"), col("h"), col("t").as("__dt"))
+      .join(spark.table(exactTable(base)), Seq("h"))
+      .filter(col("t") === col("__dt"))
+      .select(col("id")).distinct()
+      .select(col("id"), lit(true).as("__e"))
+    // Near rule: PPJoin candidates via the fused (block, prefix-shingle)
+    // key, verified with exact Jaccard on the stored shingle arrays.
+    val cand = prefixRows(d, threshold).withColumnRenamed("id", "id_b")
+      .join(spark.table(prefTable(base)).withColumnRenamed("id", "id_a"), Seq("bk"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val corpusSh = spark.table(shTable(base))
+    val nearIds = cand
+      .join(corpusSh.select(col("id").as("id_a"), col("blk").as("__blk_a"),
+        col("sh").as("__sh_a")), Seq("id_a"))
+      .join(d.select(col("id").as("id_b"), col("blk").as("__blk_b"),
+        col("sh").as("__sh_b")), Seq("id_b"))
+      // the blk equality settles fused-key collisions across blocks
+      .filter(col("__blk_a") === col("__blk_b") &&
+        graft.functions.TextExpressions
+          .jaccardSortedLongs(col("__sh_a"), col("__sh_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .select(col("id"), lit(true).as("__n"))
+    delta.select(col(idCol).cast("long").as("id"))
+      .join(exactIds, Seq("id"), "left")
+      .join(nearIds, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        (col("__e").isNull && col("__n").isNull).as("keep"),
+        when(col("__e").isNotNull, "exact")
+          .when(col("__n").isNotNull, "near").as("reason"))
+  }
+
+  /** Fold a judged batch's KEPT rows into the index (bucket-preserving
+    * appends) — the state transition of continuous ingestion. The bucket
+    * count is read from the existing table's spec: an append with a
+    * different count would be rejected by the catalog. */
+  def appendKept(spark: SparkSession, base: String, batch: DataFrame,
+                 verdicts: DataFrame, textCol: String, idCol: String,
+                 blockCol: String, threshold: Double,
+                 shingleN: Int = 3): Unit = {
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(exactTable(base)))
+      .bucketSpec.map(_.numBuckets).getOrElse(32)
+    val kept = batch.join(
+      verdicts.filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")
+    write(kept, textCol, idCol, blockCol, base, threshold, shingleN, buckets,
+      mode = SaveMode.Append)
+  }
+}

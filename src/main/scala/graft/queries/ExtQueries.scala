@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, Packing, Similarity, TextAnalysis}
+import graft.ext.{Dedup, DedupIndex, Packing, Similarity, TextAnalysis}
 
 /** Driver-checked queries for the north-star training-data operators:
   * text analysis, dedup (exact / exact-Jaccard / MinHash / SimHash),
@@ -489,6 +489,20 @@ object ExtQueries {
       |FROM delta d LEFT JOIN ex e ON d.doc_id = e.doc_id
       |             LEFT JOIN nr n ON d.doc_id = n.doc_id""".stripMargin
 
+  /** Index-backed incremental dedup: identical verdict contract (and
+    * oracle) as q_dedup_incr, but the corpus side is the STANDING BUCKETED
+    * INDEX — built once, then every probe join reads bucket files already
+    * partitioned on its join key, so only the delta shuffles (the
+    * continuous-ingestion steady state; plan asserted in IOSpec). */
+  def qDedupIncrIdx(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val base = "graft_idx_dincr"
+    DedupIndex.write(docs.filter(col("doc_id") % 5 =!= 0),
+      "text", "doc_id", "lang", base, threshold = 0.5)
+    DedupIndex.dedupIncremental(s, base, docs.filter(col("doc_id") % 5 === 0),
+      "text", "doc_id", "lang", threshold = 0.5)
+  }
+
   /** End-to-end corpus preparation — the pipeline a training-data user
     * actually runs, composed from the engine's own operators with one
     * composed oracle: quality gate → exact dedup (min-id per text) →
@@ -759,6 +773,7 @@ object ExtQueries {
     "q_near_dup"         -> (qNearDup _),
     "q_dedup_clusters"   -> (qDedupClusters _),
     "q_dedup_incr"       -> (qDedupIncr _),
+    "q_dedup_incr_idx"   -> (qDedupIncrIdx _),
     "q_corpus_prep"      -> (qCorpusPrep _),
     "q_cluster_exact"    -> (qClusterExact _),
     "q_approx_sketch"    -> (qApproxSketch _),
@@ -793,6 +808,7 @@ object ExtQueries {
     "q_sim_ivf"          -> qSimIvfSql,
     "q_kmeans"           -> qKmeansSql,
     "q_dedup_incr"       -> qDedupIncrSql,
+    "q_dedup_incr_idx"   -> qDedupIncrSql,
     "q_corpus_prep"      -> qCorpusPrepSql,
     "q_cluster_exact"    -> qClusterExactSql)
 }

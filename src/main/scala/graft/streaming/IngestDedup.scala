@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+
+import graft.ext.DedupIndex
+
+/** Streaming near-duplicate ingestion against the standing bucketed dedup
+  * index — the unbounded twin of [[graft.ext.DedupIndex.dedupIncremental]],
+  * and the full 100 TB continuous-ingestion shape: the corpus state lives
+  * in bucketed tables that are never re-shuffled; each micro-batch judges
+  * its rows (exact text rule + prefix-filtered exact-Jaccard near rule,
+  * the lossless candidate generator), emits a verdict row per input, and
+  * optionally folds the survivors back into the index so later batches
+  * are judged against earlier survivors too.
+  *
+  * foreachBatch (not a stateful operator) is the right tool here: the
+  * dedup state is far too large for stream state stores — it IS the
+  * corpus — and lives in the bucketed tables instead; Structured
+  * Streaming contributes exactly-once batch boundaries and restart
+  * bookkeeping via the checkpoint. */
+object IngestDedup {
+
+  /** Build the writer (caller `.start()`s it). Verdicts append to
+    * `verdictPath` as parquet. With `updateIndex`, each batch's kept rows
+    * append to the index (bucket-preserving), making batch order
+    * significant exactly like sequential ingestion is. */
+  def run(stream: DataFrame, base: String, textCol: String, idCol: String,
+          blockCol: String, threshold: Double, verdictPath: String,
+          checkpoint: String, updateIndex: Boolean,
+          shingleN: Int = 3): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // Materialize the verdicts BEFORE any index mutation: they are
+        // consumed twice (verdict sink + kept-row filter), and the second
+        // evaluation must not see the index as it looks after the append.
+        val verdicts = DedupIndex.dedupIncremental(spark, base, batch,
+            textCol, idCol, blockCol, threshold, shingleN)
+          .localCheckpoint()
+        verdicts.write.mode(SaveMode.Append).parquet(verdictPath)
+        if (updateIndex)
+          DedupIndex.appendKept(spark, base, batch, verdicts,
+            textCol, idCol, blockCol, threshold, shingleN)
+        ()
+      }
+}

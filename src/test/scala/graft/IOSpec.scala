@@ -145,6 +145,61 @@ class IOSpec extends AnyFunSuite {
     assert(back.schema == orders.schema)
   }
 
+  test("dedup index: verdicts match the non-indexed path; corpus side " +
+       "joins from bucket files with no exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import graft.ext.{Dedup, DedupIndex}
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    DedupIndex.write(corpus, "text", "doc_id", "lang", "t_dedup_idx",
+      threshold = 0.5, buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcast off: the bucket partitioning must be what spares the
+      // corpus side its exchange, not a tiny-fixture broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val verdicts = DedupIndex.dedupIncremental(spark, "t_dedup_idx", delta,
+        "text", "doc_id", "lang", threshold = 0.5)
+      // Plan assertions run on the INITIAL (pre-execution) plan: AQE's
+      // runtime empty-relation propagation can legitimately ELIMINATE an
+      // index scan whose rule matched nothing at this fixture size, which
+      // would undercount the bucketed scans below.
+      val root = verdicts.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // every index scan must feed its join directly — an exchange may
+      // shuffle DELTA artifacts or join OUTPUTS (pair distinct), but never
+      // sit between an index bucket scan and its first join
+      def leavesAboveJoins(p: SparkPlan): Seq[SparkPlan] = p match {
+        case _: BaseJoinExec => Nil
+        case l if l.children.isEmpty => Seq(l)
+        case o => o.children.flatMap(leavesAboveJoins)
+      }
+      val shuffledIndexScans = root.collect { case e: ShuffleExchangeExec =>
+        leavesAboveJoins(e.child)
+          .filter(_.toString.contains("graft_dedup_index"))
+      }.flatten
+      assert(shuffledIndexScans.isEmpty,
+        s"index scans under an exchange:\n$root")
+      val planStr = root.toString()
+      assert("Bucketed: true".r.findAllIn(planStr).length >= 3,
+        s"all three index scans should be bucketed:\n$planStr")
+      // exactness: identical verdicts to the recompute-everything path
+      val expected = Dedup.dedupIncremental(corpus, delta, "text", "doc_id",
+        "lang", threshold = 0.5)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getBoolean(1),
+          Option(r.getString(2)))).toSet
+      assert(rows(verdicts) == rows(expected))
+      assert(verdicts.count() == delta.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("streaming upsert sink maintains a keyed dimension across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

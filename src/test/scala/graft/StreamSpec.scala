@@ -565,4 +565,74 @@ class StreamSpec extends AnyFunSuite {
       .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
     assert(custom == builtin)
   }
+
+  test("index-backed streaming dedup: two-batch split == one-shot verdicts " +
+       "against a static index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.DedupIndex
+    import graft.streaming.IngestDedup
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables(spark, dir, "documents")
+    DedupIndex.write(docs.filter(col("doc_id") % 5 =!= 0),
+      "text", "doc_id", "lang", "t_stream_idx", threshold = 0.5, buckets = 4)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect()
+    val (b1, b2) = delta.partition(_._1 % 10 == 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = IngestDedup.run(input.toDF().toDF("doc_id", "lang", "text"),
+      "t_stream_idx", "text", "doc_id", "lang", threshold = 0.5,
+      verdictPath = s"$tmp/verdicts", checkpoint = s"$tmp/ckpt",
+      updateIndex = false).start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$tmp/verdicts")
+      .as[(Long, Boolean, Option[String])].collect().toSet
+    val oneShot = DedupIndex.dedupIncremental(spark, "t_stream_idx",
+        docs.filter(col("doc_id") % 5 === 0), "text", "doc_id", "lang",
+        threshold = 0.5)
+      .as[(Long, Boolean, Option[String])].collect().toSet
+    assert(streamed == oneShot)
+    assert(streamed.size == delta.length)
+  }
+
+  test("index-backed streaming dedup with index updates: later batches are " +
+       "judged against earlier survivors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.DedupIndex
+    import graft.streaming.IngestDedup
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "en", "one two three four five six seven eight"))
+      .toDF("doc_id", "lang", "text")
+    DedupIndex.write(corpus, "text", "doc_id", "lang", "t_upd_idx",
+      threshold = 0.5, buckets = 4)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_upd").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = IngestDedup.run(input.toDF().toDF("doc_id", "lang", "text"),
+      "t_upd_idx", "text", "doc_id", "lang", threshold = 0.5,
+      verdictPath = s"$tmp/verdicts", checkpoint = s"$tmp/ckpt",
+      updateIndex = true).start()
+    try {
+      // batch 1: novel doc -> kept, appended to the index
+      input.addData((10L, "en", "alpha beta gamma delta epsilon zeta eta theta"))
+      q.processAllAvailable()
+      // batch 2: exact copy of batch 1's survivor, a near-dup of it
+      // (6 of 7 union trigrams shared -> jaccard ~0.71), and a novel doc
+      input.addData(
+        (20L, "en", "alpha beta gamma delta epsilon zeta eta theta"),
+        (21L, "en", "alpha beta gamma delta epsilon zeta eta iota"),
+        (22L, "en", "completely different words about nine ten eleven twelve"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = spark.read.parquet(s"$tmp/verdicts")
+      .as[(Long, Boolean, Option[String])].collect().toSet
+    assert(verdicts == Set(
+      (10L, true, None),
+      (20L, false, Some("exact")),
+      (21L, false, Some("near")),
+      (22L, true, None)))
+  }
 }
