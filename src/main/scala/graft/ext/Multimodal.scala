@@ -174,10 +174,81 @@ object Multimodal {
     }(enc)
   }
 
-  /** ======== STUB ======== Resize: recomputes metadata to the target box
-    * (aspect-preserving) and truncates the payload proportionally — a real
-    * impl would re-encode pixels; the metadata/plumbing contract is the
-    * same. */
+  /** REAL image resize for BMP payloads: decode ([[Codecs.decodeBmp24]])
+    * → nearest-neighbor resample into the aspect-preserving `maxW`×`maxH`
+    * box (never upscaled) → re-encode ([[Codecs.encodeBmp24]]). The
+    * source pixel for output (x, y) is `(x·w0 div w1, y·h0 div h1)` —
+    * integer floor mapping, so an oracle recomputes the resampled grid
+    * without a decoder. One mapPartitions pass, codec state per task. */
+  def resizeBmp(media: DataFrame, maxW: Int, maxH: Int,
+                idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("media", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = Codecs.decodeBmp24(r.getAs[Array[Byte]](mIdx))
+        val scale = math.min(
+          math.min(maxW.toDouble / img.width, maxH.toDouble / img.height), 1.0)
+        val w1 = math.max(math.floor(img.width * scale).toInt, 1)
+        val h1 = math.max(math.floor(img.height * scale).toInt, 1)
+        val out = Codecs.encodeBmp24(w1, h1, (x, y) =>
+          img.rgb((y * img.height / h1) * img.width + (x * img.width / w1)))
+        Row(r.getLong(idIdx), out)
+      }
+    }(enc)
+  }
+
+  /** REAL per-patch pixel features: decode each BMP, cut the ViT-style
+    * `patch`×`patch` grid (partial edge patches dropped, like
+    * [[patchGrid]]), and reduce every patch to exact integer channel sums
+    * — one output row per patch, so patches of one image scatter across
+    * tasks downstream. The metadata-only grid ([[patchGrid]]) stays the
+    * planner's cheap path; this is the decode path. */
+  def patchPixelFeatures(media: DataFrame, patch: Int,
+                         idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("px", IntegerType),
+      StructField("py", IntegerType),
+      StructField("n_px", IntegerType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val img = Codecs.decodeBmp24(r.getAs[Array[Byte]](mIdx))
+        val nx = img.width / patch; val ny = img.height / patch
+        for { py <- (0 until ny).iterator; px <- (0 until nx).iterator } yield {
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = py * patch
+          while (y < (py + 1) * patch) {
+            var x = px * patch
+            while (x < (px + 1) * patch) {
+              val p = img.rgb(y * img.width + x)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, px, py, patch * patch, sr, sg, sb)
+        }
+      }
+    }(enc)
+  }
+
+  /** Metadata-level resize for OPAQUE payloads (no JVM decoder):
+    * recomputes metadata to the target box (aspect-preserving) and
+    * truncates the payload proportionally — the plumbing contract for
+    * formats whose real resample lives behind a native codec (the BMP
+    * path above is the real one). */
   def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val scale = least(
       lit(maxW.toDouble) / col("meta.width"),

@@ -207,6 +207,53 @@ object StreamQueries {
       |  greatest(floor(len0 * scale)::INT, 1) AS n_bytes
       |FROM sc""".stripMargin
 
+  /** REAL resize: synthesize valid BMPs, decode → nearest-neighbor
+    * resample into an 8×8 box → re-encode, then extract pixel features
+    * from the RESIZED payloads. The oracle recomputes the resampled grid
+    * from the closed-form pixel formulas and the integer source-pixel
+    * mapping (x·w0 div w1) — matching proves decode→resample→encode→
+    * decode is pixel-exact. */
+  def qMultimodalResizeReal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageFeatures(
+      Multimodal.resizeBmp(Multimodal.bmpTable(Tables(s, dir, "documents")), 8, 8))
+
+  val qMultimodalResizeRealSql: String =
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 12 AS w0, 4 + doc_id % 7 AS h0
+      |  FROM documents),
+      |s AS (SELECT *, least(8.0 / w0, 8.0 / h0, 1.0) AS sc FROM d),
+      |t AS (SELECT doc_id, w0, h0,
+      |  greatest(floor(w0 * sc)::INT, 1) AS w1,
+      |  greatest(floor(h0 * sc)::INT, 1) AS h1 FROM s),
+      |px AS (SELECT doc_id, w1, h1,
+      |  (x * w0) // w1 AS sx, (y * h0) // h1 AS sy
+      |  FROM t, UNNEST(range(0, w1)) AS tx(x), UNNEST(range(0, h1)) AS ty(y))
+      |SELECT doc_id, w1::INT AS width, h1::INT AS height,
+      |  (w1 * h1)::BIGINT AS n_pixels,
+      |  CAST(sum((doc_id + 3 * sx + 7 * sy) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((doc_id * 2 + 5 * sx + sy) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((doc_id + sx * sy) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id, w1, h1""".stripMargin
+
+  /** REAL per-patch pixel features: 4×4 patches of each decoded BMP
+    * reduced to exact integer channel sums (edge partials dropped). */
+  def qMultimodalPatchPx(s: SparkSession, dir: String): DataFrame =
+    Multimodal.patchPixelFeatures(
+      Multimodal.bmpTable(Tables(s, dir, "documents")), patch = 4)
+
+  val qMultimodalPatchPxSql: String =
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 12 AS w, 4 + doc_id % 7 AS h
+      |  FROM documents),
+      |g AS (SELECT doc_id, w, h, w // 4 AS nx, h // 4 AS ny FROM d),
+      |pt AS (SELECT doc_id, w, px, py FROM g,
+      |  UNNEST(range(0, nx)) AS tx(px), UNNEST(range(0, ny)) AS ty(py)),
+      |c AS (SELECT doc_id, px, py, px * 4 + dx AS x, py * 4 + dy AS y
+      |  FROM pt, UNNEST(range(0, 4)) AS t1(dx), UNNEST(range(0, 4)) AS t2(dy))
+      |SELECT doc_id, px::INT AS px, py::INT AS py, 16 AS n_px,
+      |  CAST(sum((doc_id + 3 * x + 7 * y) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((doc_id * 2 + 5 * x + y) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((doc_id + x * y) % 256) AS BIGINT) AS sum_b
+      |FROM c GROUP BY doc_id, px, py""".stripMargin
+
   /** ViT-style 16px patch grid over the media metadata. */
   def qMultimodalPatches(s: SparkSession, dir: String): DataFrame =
     Multimodal.patchGrid(Multimodal.mediaTable(Tables(s, dir, "documents")),
@@ -255,7 +302,9 @@ object StreamQueries {
     "q_scd2"              -> (qScd2 _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
-    "q_multimodal_resize" -> (qMultimodalResize _))
+    "q_multimodal_resize" -> (qMultimodalResize _),
+    "q_multimodal_resize_real" -> (qMultimodalResizeReal _),
+    "q_multimodal_patchpx" -> (qMultimodalPatchPx _))
 
   val oracle: Map[String, String] = Map(
     "q_multimodal_audio"  -> qMultimodalAudioSql,
@@ -270,5 +319,7 @@ object StreamQueries {
     "q_scd2"              -> qScd2Sql,
     "q_multimodal_decode" -> qMultimodalDecodeSql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
-    "q_multimodal_resize" -> qMultimodalResizeSql)
+    "q_multimodal_resize" -> qMultimodalResizeSql,
+    "q_multimodal_resize_real" -> qMultimodalResizeRealSql,
+    "q_multimodal_patchpx" -> qMultimodalPatchPxSql)
 }

@@ -97,4 +97,37 @@ class CodecSpec extends AnyFunSuite {
         s"sizing must come from plan statistics, not a data pass ($jobs jobs)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("resizeBmp: fits-in-box is identity; 2x downscale picks floor-mapped pixels") {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Multimodal
+    val spark0 = SparkTest.spark
+    import spark0.implicits._
+    // 4x2 image with distinct channel values per pixel
+    val src = Codecs.encodeBmp24(4, 2, (x, y) => (x << 16) | (y << 8) | (x + y))
+    val df = Seq((1L, src)).toDF("doc_id", "media")
+    // box larger than the image: payload must come back byte-identical
+    val same = Multimodal.resizeBmp(df, 16, 16).collect().head.getAs[Array[Byte]](1)
+    assert(java.util.Arrays.equals(same, src))
+    // halve: output (x, y) samples source (2x, 2y)
+    val half = Codecs.decodeBmp24(
+      Multimodal.resizeBmp(df, 2, 1).collect().head.getAs[Array[Byte]](1))
+    assert(half.width == 2 && half.height == 1)
+    assert(half.rgb.toSeq == Seq((0 << 16) | 0, (2 << 16) | 2))
+  }
+
+  test("patchPixelFeatures sums exactly the full patches, drops edge partials") {
+    import graft.ext.Multimodal
+    val spark0 = SparkTest.spark
+    import spark0.implicits._
+    // 5x3 image, patch=2 -> grid 2x1; pixel value = r channel x+10y
+    val src = Codecs.encodeBmp24(5, 3, (x, y) => (x + 10 * y) << 16)
+    val df = Seq((7L, src)).toDF("doc_id", "media")
+    val rows = Multimodal.patchPixelFeatures(df, patch = 2)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    // patch (0,0): pixels (0,0)(1,0)(0,1)(1,1) -> 0+1+10+11 = 22
+    // patch (1,0): pixels (2,0)(3,0)(2,1)(3,1) -> 2+3+12+13 = 30
+    assert(rows == Set((0, 0, 4, 22L), (1, 0, 4, 30L)))
+  }
 }
