@@ -26,7 +26,13 @@ import org.apache.spark.sql.functions._
   *    fused key (a 64-bit collision can only ADD a candidate, which the
   *    exact verify then rejects — recall is unaffected);
   *  - `<base>_sh(id, blk, sh)`  bucketed by `id` — the verify join fetches
-  *    each candidate's full sorted shingle-hash array by id.
+  *    each candidate's full sorted shingle-hash array by id;
+  *  - `<base>_band(bk, id)`     bucketed by `bk` = the MinHash band hash —
+  *    the LSH candidate generator (`candidates = "lsh"`), for corpora
+  *    where the prefix explode is too wide (very long documents): ~b·n
+  *    index rows regardless of document length, at the cost of LSH's
+  *    probabilistic recall. Both generators feed the SAME exact-Jaccard
+  *    verify, so precision is exact either way.
   *
   * Kept batches append to the same tables (`SaveMode.Append` preserves the
   * bucket spec), so the index *is* the corpus state and ingestion is:
@@ -36,6 +42,14 @@ object DedupIndex {
   def exactTable(base: String) = s"${base}_exact"
   def prefTable(base: String)  = s"${base}_pref"
   def shTable(base: String)    = s"${base}_sh"
+  def bandTable(base: String)  = s"${base}_band"
+
+  /** MinHash/LSH banding parameters (k = bands·rows): 16 bands of 4 rows —
+    * [[Dedup.minhashPairs]]' defaults; collision probability at the 0.5
+    * Jaccard operating point ≈ 0.64 per pair and ≥ 0.99 by ~0.7. */
+  val LshK = 64
+  val LshBands = 16
+  val LshSeed = 42L
 
   /** The per-document index artifacts for one frame: id, block, text hash,
     * text, and the hash-sorted shingle array ([[Dedup.prefixJaccardPairs]]'
@@ -51,6 +65,23 @@ object DedupIndex {
       graft.functions.TextExpressions
         .sortedShingleHashes(col(textCol), shingleN).as("sh"))
 
+  /** LSH band explode of the shingle arrays: one (bk, id) row per MinHash
+    * band, bk = xxhash64("band", band index, the band's signature slice) —
+    * identical banding to [[Dedup.minhashPairs]], derived from the STORED
+    * hashes ([[graft.functions.TextExpressions.minhashFromHashes]] produces
+    * the same signature as hashing the text's shingles directly). */
+  private def bandRows(art: DataFrame): DataFrame = {
+    val rows = LshK / LshBands
+    art.select(col("id"),
+        graft.functions.TextExpressions
+          .minhashFromHashes(col("sh"), LshK, LshSeed).as("sig"))
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(LshBands - 1)),
+          b => xxhash64(lit("band"), b,
+            slice(col("sig"), b * rows + lit(1), lit(rows))))).as("bk"))
+      .select(col("bk"), col("id"))
+  }
+
   /** Prefix-filter explode of the shingle arrays: one (bk, id) row per
     * prefix shingle, bk fused from (block, shingle hash) so the candidate
     * join is single-key. prefLen = |s| - ceil(t·|s|) + 1 — the PPJoin
@@ -65,8 +96,8 @@ object DedupIndex {
 
   /** Build (overwrite) the standing index for `corpus`. `threshold` is
     * baked into the stored prefix length — probe with the same threshold.
-    * One pass derives all three tables (the artifact frame is
-    * materialized once, then written three ways). */
+    * One pass derives all four tables (the artifact frame is
+    * materialized once, then written four ways). */
   def write(corpus: DataFrame, textCol: String, idCol: String,
             blockCol: String, base: String, threshold: Double,
             shingleN: Int = 3, buckets: Int = 32,
@@ -79,6 +110,7 @@ object DedupIndex {
       prefTable(base), Seq("bk"), buckets, mode)
     writeBucketed(art.select(col("id"), col("blk"), col("sh")),
       shTable(base), Seq("id"), buckets, mode)
+    writeBucketed(bandRows(art), bandTable(base), Seq("bk"), buckets, mode)
   }
 
   private def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
@@ -100,10 +132,15 @@ object DedupIndex {
   /** Judge `delta` against the standing index — same output contract as
     * [[Dedup.dedupIncremental]] (every delta row with `keep` + drop
     * `reason`), but the corpus side of every join is a bucketed scan with
-    * NO exchange: only the delta's artifacts shuffle. */
+    * NO exchange: only the delta's artifacts shuffle.
+    *
+    * `candidates` picks the near-rule generator: `"prefix"` (lossless
+    * PPJoin, the default) or `"lsh"` (MinHash bands — constant index rows
+    * per document, probabilistic recall). */
   def dedupIncremental(spark: SparkSession, base: String, delta: DataFrame,
                        textCol: String, idCol: String, blockCol: String,
-                       threshold: Double, shingleN: Int = 3): DataFrame = {
+                       threshold: Double, shingleN: Int = 3,
+                       candidates: String = "prefix"): DataFrame = {
     val d = artifacts(delta, textCol, idCol, blockCol, shingleN)
       .repartition(col("id")) // one artifact pass shared by all three rules
     // Exact rule: equi-join on the 64-bit text hash (the bucket key),
@@ -113,10 +150,17 @@ object DedupIndex {
       .filter(col("t") === col("__dt"))
       .select(col("id")).distinct()
       .select(col("id"), lit(true).as("__e"))
-    // Near rule: PPJoin candidates via the fused (block, prefix-shingle)
-    // key, verified with exact Jaccard on the stored shingle arrays.
-    val cand = prefixRows(d, threshold).withColumnRenamed("id", "id_b")
-      .join(spark.table(prefTable(base)).withColumnRenamed("id", "id_a"), Seq("bk"))
+    // Near rule: candidates from the chosen generator, verified with
+    // exact Jaccard on the stored shingle arrays — both generators are
+    // single-key equi-joins against their bucketed table.
+    val (probe, table) = candidates match {
+      case "prefix" => (prefixRows(d, threshold), prefTable(base))
+      case "lsh"    => (bandRows(d), bandTable(base))
+      case other => throw new IllegalArgumentException(
+        s"candidates must be 'prefix' or 'lsh', got '$other'")
+    }
+    val cand = probe.withColumnRenamed("id", "id_b")
+      .join(spark.table(table).withColumnRenamed("id", "id_a"), Seq("bk"))
       .select(col("id_a"), col("id_b")).distinct()
     val corpusSh = spark.table(shTable(base))
     val nearIds = cand

@@ -77,6 +77,52 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** [[MinHashSignature]]'s twin over PRE-HASHED shingles (ARRAY<LONG> of
+  * xxhash64 values, e.g. [[SortedShingleHashes]] output): the base hash is
+  * the stored 64-bit value truncated to 32 bits — exactly what
+  * MinHashSignature computes from the string — so signatures are identical
+  * for the same shingle set, without re-reading the text. */
+case class MinHashFromHashes(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  private val prime = 4294967311L // first prime > 2^32
+
+  @transient private lazy val (as, bs) = {
+    val rnd = new scala.util.Random(seed)
+    val a = new Array[Long](k); val b = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      a(i) = rnd.nextInt(Int.MaxValue - 1).toLong + 1
+      b(i) = rnd.nextInt(Int.MaxValue).toLong
+      i += 1
+    }
+    (a, b)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(k)(prime)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = java.lang.Long.remainderUnsigned(arr.getLong(i), 4294967296L)
+        var j = 0
+        while (j < k) {
+          val v = java.lang.Long.remainderUnsigned(h * as(j) + bs(j), prime)
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Exact Jaccard similarity of two string arrays (hash-set intersect). */
 case class JaccardSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -254,6 +300,10 @@ object TextExpressions {
   def minhashSignature(sh: Column, k: Int = 64, seed: Long = 42L): Column =
     GraftColumnBridge.column(
       MinHashSignature(GraftColumnBridge.expression(sh), k, seed))
+
+  def minhashFromHashes(sh: Column, k: Int = 64, seed: Long = 42L): Column =
+    GraftColumnBridge.column(
+      MinHashFromHashes(GraftColumnBridge.expression(sh), k, seed))
 
   def jaccardSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(JaccardSimilarity(

@@ -30,7 +30,8 @@ object IngestDedup {
   def run(stream: DataFrame, base: String, textCol: String, idCol: String,
           blockCol: String, threshold: Double, verdictPath: String,
           checkpoint: String, updateIndex: Boolean,
-          shingleN: Int = 3): DataStreamWriter[Row] =
+          shingleN: Int = 3,
+          candidates: String = "prefix"): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -39,7 +40,7 @@ object IngestDedup {
         // consumed twice (verdict sink + kept-row filter), and the second
         // evaluation must not see the index as it looks after the append.
         val verdicts = DedupIndex.dedupIncremental(spark, base, batch,
-            textCol, idCol, blockCol, threshold, shingleN)
+            textCol, idCol, blockCol, threshold, shingleN, candidates)
           .localCheckpoint()
         verdicts.write.mode(SaveMode.Append).parquet(verdictPath)
         if (updateIndex)

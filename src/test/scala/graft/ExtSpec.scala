@@ -388,4 +388,46 @@ class ExtSpec extends AnyFunSuite {
       budget = 100, shards = 4)
     assert(pinned.select(countDistinct(col("shard"))).collect().head.getLong(0) == 4)
   }
+
+  test("minhashFromHashes(stored hashes) == minhashSignature(shingle strings)") {
+    import graft.functions.TextExpressions
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs", "a b", "")
+      .toDF("text")
+    val r = df.select(
+      TextExpressions.minhashSignature(Dedup.shingles(col("text"))).as("a"),
+      TextExpressions.minhashFromHashes(
+        TextExpressions.sortedShingleHashes(col("text"), 3)).as("b"))
+      .collect()
+    r.foreach(x => assert(x.getSeq[Long](0) == x.getSeq[Long](1)))
+  }
+
+  test("index LSH candidates: catches planted dups, never drops more than prefix") {
+    import graft.ext.DedupIndex
+    val corpus = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "en", "one two three four five six seven eight nine ten"),
+      (3L, "fr", "un deux trois quatre cinq six sept huit neuf dix"))
+      .toDF("doc_id", "lang", "text")
+    val delta = Seq(
+      (10L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "en", "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (12L, "en", "totally unrelated words nothing shared here at all today"))
+      .toDF("doc_id", "lang", "text")
+    DedupIndex.write(corpus, "text", "doc_id", "lang", "t_lsh_idx",
+      threshold = 0.5, buckets = 4)
+    def verdicts(mode: String) = DedupIndex.dedupIncremental(spark,
+        "t_lsh_idx", delta, "text", "doc_id", "lang", threshold = 0.5,
+        candidates = mode)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.getString(2))))
+      .toMap
+    val pref = verdicts("prefix"); val lsh = verdicts("lsh")
+    assert(pref == Map(10L -> (false, Some("exact")),
+      11L -> (false, Some("near")), 12L -> (true, None)))
+    // 9/11 shared trigram-jaccard ≈ 0.82 -> band collision ≈ certain
+    assert(lsh == pref)
+    // structural guarantee regardless of seed: LSH candidates verify with
+    // the same exact jaccard, so it can only MISS drops, never add them
+    lsh.foreach { case (id, (keep, _)) => if (!keep) assert(!pref(id)._1) }
+  }
 }

@@ -168,10 +168,11 @@ class IOSpec extends AnyFunSuite {
       // runtime empty-relation propagation can legitimately ELIMINATE an
       // index scan whose rule matched nothing at this fixture size, which
       // would undercount the bucketed scans below.
-      val root = verdicts.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }
+      def initialPlan(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
       // every index scan must feed its join directly — an exchange may
       // shuffle DELTA artifacts or join OUTPUTS (pair distinct), but never
       // sit between an index bucket scan and its first join
@@ -180,15 +181,20 @@ class IOSpec extends AnyFunSuite {
         case l if l.children.isEmpty => Seq(l)
         case o => o.children.flatMap(leavesAboveJoins)
       }
-      val shuffledIndexScans = root.collect { case e: ShuffleExchangeExec =>
-        leavesAboveJoins(e.child)
-          .filter(_.toString.contains("graft_dedup_index"))
-      }.flatten
-      assert(shuffledIndexScans.isEmpty,
-        s"index scans under an exchange:\n$root")
-      val planStr = root.toString()
-      assert("Bucketed: true".r.findAllIn(planStr).length >= 3,
-        s"all three index scans should be bucketed:\n$planStr")
+      for (mode <- Seq("prefix", "lsh")) {
+        val root = initialPlan(DedupIndex.dedupIncremental(spark,
+          "t_dedup_idx", delta, "text", "doc_id", "lang", threshold = 0.5,
+          candidates = mode))
+        val shuffledIndexScans = root.collect { case e: ShuffleExchangeExec =>
+          leavesAboveJoins(e.child)
+            .filter(_.toString.contains("graft_dedup_index"))
+        }.flatten
+        assert(shuffledIndexScans.isEmpty,
+          s"[$mode] index scans under an exchange:\n$root")
+        val planStr = root.toString()
+        assert("Bucketed: true".r.findAllIn(planStr).length >= 3,
+          s"[$mode] all three index scans should be bucketed:\n$planStr")
+      }
       // exactness: identical verdicts to the recompute-everything path
       val expected = Dedup.dedupIncremental(corpus, delta, "text", "doc_id",
         "lang", threshold = 0.5)
