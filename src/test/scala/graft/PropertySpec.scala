@@ -234,4 +234,31 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("index-backed incremental dedup == recompute-everything path") = {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val doc = for {
+      lang <- Gen.oneOf("en", "fr")
+      n <- Gen.choose(4, 10)
+      ws <- Gen.listOfN(n, word)
+    } yield (lang, ws.mkString(" "))
+    forAll(Gen.listOfN(8, doc)) { docs0 =>
+      docs0.nonEmpty ==> {
+        val docs = docs0.zipWithIndex
+          .map { case ((lang, text), i) => (i.toLong, lang, text) }
+          .toDF("doc_id", "lang", "text")
+        val corpus = docs.filter(col("doc_id") % 2 === 0)
+        val delta = docs.filter(col("doc_id") % 2 === 1)
+        graft.ext.DedupIndex.write(corpus, "text", "doc_id", "lang",
+          "t_prop_idx", threshold = 0.5, buckets = 2)
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getBoolean(1),
+            Option(r.getString(2)))).toSet
+        rows(graft.ext.DedupIndex.dedupIncremental(spark, "t_prop_idx",
+            delta, "text", "doc_id", "lang", threshold = 0.5)) ==
+          rows(graft.ext.Dedup.dedupIncremental(corpus, delta,
+            "text", "doc_id", "lang", threshold = 0.5))
+      }
+    }
+  }
+
 }
