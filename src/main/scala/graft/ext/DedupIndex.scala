@@ -102,15 +102,24 @@ object DedupIndex {
             blockCol: String, base: String, threshold: Double,
             shingleN: Int = 3, buckets: Int = 32,
             mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val art = artifacts(corpus, textCol, idCol, blockCol, shingleN)
-      .localCheckpoint() // shingle once, feed three writes
-    writeBucketed(art.select(col("h"), col("t")).distinct(),
-      exactTable(base), Seq("h", "t"), buckets, mode)
-    writeBucketed(prefixRows(art, threshold),
-      prefTable(base), Seq("bk"), buckets, mode)
-    writeBucketed(art.select(col("id"), col("blk"), col("sh")),
-      shTable(base), Seq("id"), buckets, mode)
-    writeBucketed(bandRows(art), bandTable(base), Seq("bk"), buckets, mode)
+      .localCheckpoint() // shingle once, feed four writes
+    // The four writes are independent actions over the one checkpointed
+    // artifact frame — submitted concurrently so the scheduler overlaps
+    // them (driver-side job-submission overhead dominates small builds;
+    // on a cluster the stages simply share the executors).
+    val writes = Seq(
+      () => writeBucketed(art.select(col("h"), col("t")).distinct(),
+        exactTable(base), Seq("h", "t"), buckets, mode),
+      () => writeBucketed(prefixRows(art, threshold),
+        prefTable(base), Seq("bk"), buckets, mode),
+      () => writeBucketed(art.select(col("id"), col("blk"), col("sh")),
+        shTable(base), Seq("id"), buckets, mode),
+      () => writeBucketed(bandRows(art), bandTable(base), Seq("bk"), buckets, mode))
+    Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
   }
 
   private def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
