@@ -151,7 +151,15 @@ object Codecs {
     val compression = buf.getInt()
     require(compression == 0, s"BMP: only BI_RGB supported, got $compression")
     require(width > 0 && height > 0, "BMP: non-positive dimensions")
-    val rowBytes = (width * 3 + 3) & ~3
+    // Bound dims by what the file could physically hold BEFORE any size
+    // arithmetic: a crafted width near Int.Max would wrap `width * 3 + 3`
+    // negative and slip past the overrun check below, crashing later with
+    // a raw array exception instead of this loud contract failure.
+    require(width <= bytes.length / 3 + 1 && height <= bytes.length,
+      "BMP: declared dimensions exceed file size")
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      s"BMP: bad pixel-data offset $dataOffset")
+    val rowBytes = ((width.toLong * 3 + 3) & ~3L).toInt
     require(dataOffset + rowBytes.toLong * height <= bytes.length,
       "BMP: pixel data overruns file")
     val rgb = new Array[Int](width * height)

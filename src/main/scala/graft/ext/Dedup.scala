@@ -64,13 +64,14 @@ object Dedup {
 
   // -------------------------------------------------------------- MinHash
 
-  val MinHashPrime: Long = 4294967311L // first prime > 2^32
+  val MinHashPrime: Long = graft.functions.MinHashPerms.Prime
 
-  /** Deterministic universal-hash parameters for the k permutations. */
+  /** Deterministic universal-hash parameters for the k permutations —
+    * the shared [[graft.functions.MinHashPerms]] table, so the HOF twin
+    * can never drift from the tight-loop expressions. */
   private def perms(k: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
-      rnd.nextInt(Int.MaxValue).toLong))
+    val (a, b) = graft.functions.MinHashPerms.perms(k, seed)
+    a.zip(b).toSeq
   }
 
   /** 32-bit base hashes of the shingles (xxhash64 truncated). */
@@ -96,6 +97,15 @@ object Dedup {
       (acc, h) => zip_with(acc, ab, (cur, p) =>
         least(cur, pmod(h * p.getField("_1") + p.getField("_2"), lit(MinHashPrime)))))
   }
+
+  /** The per-band LSH hashes of a k-wide signature: band i hashes
+    * ("band", i, the i-th r-wide slice). ONE definition shared by
+    * [[minhashPairs]] and the standing index's band table
+    * (graft.ext.DedupIndex) — the band join only works if both sides
+    * band identically. */
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(lit("band"), b, slice(sig, b * rows + lit(1), lit(rows))))
 
   /** Estimated Jaccard from two equal-width signatures. */
   def minhashEstimate(sigA: Column, sigB: Column, k: Int): Column =
@@ -125,8 +135,7 @@ object Dedup {
       .repartition(col("id"))
 
     val banded = sig.select(col("id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(lit("band"), b, slice(col("sig"), b * rows + lit(1), lit(rows))))))
+        posexplode(bandHashes(col("sig"), bands, rows)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
 
     // Cap pathological buckets with a partition-frame window count, not a

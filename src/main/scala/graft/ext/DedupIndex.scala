@@ -58,7 +58,7 @@ object DedupIndex {
   private def artifacts(df: DataFrame, textCol: String, idCol: String,
                         blockCol: String, shingleN: Int): DataFrame =
     df.select(
-      col(idCol).cast("long").as("id"),
+      col(idCol).as("id"),
       col(blockCol).cast("string").as("blk"),
       xxhash64(col(textCol)).as("h"),
       col(textCol).as("t"),
@@ -76,9 +76,7 @@ object DedupIndex {
         graft.functions.TextExpressions
           .minhashFromHashes(col("sh"), LshK, LshSeed).as("sig"))
       .select(col("id"),
-        explode(transform(sequence(lit(0), lit(LshBands - 1)),
-          b => xxhash64(lit("band"), b,
-            slice(col("sig"), b * rows + lit(1), lit(rows))))).as("bk"))
+        explode(Dedup.bandHashes(col("sig"), LshBands, rows)).as("bk"))
       .select(col("bk"), col("id"))
   }
 
@@ -132,7 +130,10 @@ object DedupIndex {
 
   /** External-table location: pinned under the JVM temp dir so the index
     * works regardless of warehouse configuration (and lands outside the
-    * repo during local runs). */
+    * repo during local runs). The path is host-shared state — that is the
+    * point of a STANDING index (a later session reads what an earlier one
+    * built) — so concurrent writers must use distinct `base` names, like
+    * any shared table. */
   private def tablePath(spark: SparkSession, table: String): String =
     new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
@@ -183,7 +184,7 @@ object DedupIndex {
           .jaccardSortedLongs(col("__sh_a"), col("__sh_b")) >= threshold)
       .select(col("id_b").as("id")).distinct()
       .select(col("id"), lit(true).as("__n"))
-    delta.select(col(idCol).cast("long").as("id"))
+    delta.select(col(idCol).as("id"))
       .join(exactIds, Seq("id"), "left")
       .join(nearIds, Seq("id"), "left")
       .select(col("id").as(idCol),

@@ -159,8 +159,14 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex(idCol)
     val mIdx = media.schema.fieldIndex("media")
     media.mapPartitions { rows =>
-      rows.map { r =>
-        val img = Codecs.decodeBmp24(r.getAs[Array[Byte]](mIdx))
+      // NULL / empty payloads are MISSING data, not malformed media: they
+      // yield no feature row. Anything long enough to carry a header is
+      // decoded and fails loudly if malformed (the codec contract).
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else Iterator.single {
+        val img = Codecs.decodeBmp24(bytes)
         var sr = 0L; var sg = 0L; var sb = 0L
         var i = 0
         while (i < img.rgb.length) {
@@ -170,6 +176,7 @@ object Multimodal {
         }
         Row(r.getLong(idIdx), img.width, img.height,
           img.rgb.length.toLong, sr, sg, sb)
+        }
       }
     }(enc)
   }
@@ -189,8 +196,11 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex(idCol)
     val mIdx = media.schema.fieldIndex("media")
     media.mapPartitions { rows =>
-      rows.map { r =>
-        val img = Codecs.decodeBmp24(r.getAs[Array[Byte]](mIdx))
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else Iterator.single {
+        val img = Codecs.decodeBmp24(bytes)
         val scale = math.min(
           math.min(maxW.toDouble / img.width, maxH.toDouble / img.height), 1.0)
         val w1 = math.max(math.floor(img.width * scale).toInt, 1)
@@ -198,6 +208,7 @@ object Multimodal {
         val out = Codecs.encodeBmp24(w1, h1, (x, y) =>
           img.rgb((y * img.height / h1) * img.width + (x * img.width / w1)))
         Row(r.getLong(idIdx), out)
+        }
       }
     }(enc)
   }
@@ -224,7 +235,10 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(idIdx)
-        val img = Codecs.decodeBmp24(r.getAs[Array[Byte]](mIdx))
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+        val img = Codecs.decodeBmp24(bytes)
         val nx = img.width / patch; val ny = img.height / patch
         for { py <- (0 until ny).iterator; px <- (0 until nx).iterator } yield {
           var sr = 0L; var sg = 0L; var sb = 0L
@@ -239,6 +253,7 @@ object Multimodal {
             y += 1
           }
           Row(id, px, py, patch * patch, sr, sg, sb)
+        }
         }
       }
     }(enc)
@@ -302,7 +317,10 @@ object Multimodal {
       // per-partition decoder init would go here (pure-JVM: none needed)
       rows.flatMap { r =>
         val id = r.getLong(idIdx)
-        val wav = Codecs.decodeWav(r.getAs[Array[Byte]](mIdx))
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+        val wav = Codecs.decodeWav(bytes)
         val s = wav.samples
         if (s.isEmpty) Iterator.empty
         else {
@@ -320,6 +338,7 @@ object Multimodal {
             val n = until - from
             Row(id, wav.sampleRate, c, n, math.sqrt(sumSq.toDouble / n), peak)
           }
+        }
         }
       }
     }(enc)
@@ -349,10 +368,16 @@ object Multimodal {
     * Sizing comes from Catalyst's own plan statistics (`stats.sizeInBytes`
     * — file-size metadata for scans, propagated through operators), NOT a
     * data pass: the previous `agg(sum(octet_length))` read every payload
-    * byte just to pick a partition count, a full extra scan at 100 TB. */
-  def repartitionBySize(media: DataFrame, targetBytes: Long): DataFrame = {
+    * byte just to pick a partition count, a full extra scan at 100 TB.
+    * For scans the statistic is the ON-DISK (compressed) size — when the
+    * downstream holds DECODED payloads, pass the expected decode ratio as
+    * `expansion` (e.g. ~5-10x for snappy-compressed WAV/text) so tasks
+    * are sized for what they will actually hold. */
+  def repartitionBySize(media: DataFrame, targetBytes: Long,
+                        expansion: Double = 1.0): DataFrame = {
     val est = media.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = (est / targetBytes).min(BigInt(1 << 20)).max(1).toInt
+    val scaled = (BigDecimal(est) * expansion).toBigInt
+    val parts = (scaled / targetBytes).min(BigInt(1 << 20)).max(1).toInt
     media.repartition(parts, col("doc_id"))
   }
 }

@@ -38,11 +38,17 @@ object Packing {
     * `shards` pins the count explicitly. */
   def packSequences(docs: DataFrame, textCol: String, idCol: String,
                     budget: Long, shards: Int = 0): DataFrame = {
-    val toks = docs.select(col(idCol),
+    val toks0 = docs.select(col(idCol),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
     val sharded =
-      if (shards > 0) toks.withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
+      if (shards > 0) toks0.withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
       else {
+        // The total-count branch and the windowed branch both consume the
+        // tokenized frame, and nothing between them is a reusable
+        // exchange — materialize it once or the corpus is TOKENIZED twice
+        // (the dominant cost at scale). The checkpointed frame is two
+        // longs per document, not the text.
+        val toks = toks0.localCheckpoint()
         val total = toks.agg(coalesce(sum(col("n_tokens")), lit(0L)).as("__tot"))
         toks.crossJoin(broadcast(total))
           .withColumn("shard", pmod(col(idCol),

@@ -31,15 +31,13 @@ object TextHash {
       s.getBaseObject, s.getBaseOffset, s.numBytes, XxSeed)
 }
 
-/** MinHash signature from a shingle (string) array: for each of k
-  * deterministic permutations (a_i*h + b_i) mod p over the 32-bit-truncated
-  * xxhash of each shingle, keep the minimum. Output: ARRAY<LONG> of width k.
-  * Empty input → all-sentinel (p) signature. */
-case class MinHashSignature(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
-  private val prime = 4294967311L // first prime > 2^32
+/** The ONE source of MinHash permutation parameters: every MinHash
+  * expression (string-shingle and pre-hashed variants) derives (a_i, b_i)
+  * here, so their signatures can never drift apart. */
+object MinHashPerms {
+  final val Prime = 4294967311L // first prime > 2^32
 
-  @transient private lazy val (as, bs) = {
+  def perms(k: Int, seed: Long): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(seed)
     val a = new Array[Long](k); val b = new Array[Long](k)
     var i = 0
@@ -50,6 +48,17 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
     }
     (a, b)
   }
+}
+
+/** MinHash signature from a shingle (string) array: for each of k
+  * deterministic permutations (a_i*h + b_i) mod p over the 32-bit-truncated
+  * xxhash of each shingle, keep the minimum. Output: ARRAY<LONG> of width k.
+  * Empty input → all-sentinel (p) signature. */
+case class MinHashSignature(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  private val prime = MinHashPerms.Prime
+
+  @transient private lazy val (as, bs) = MinHashPerms.perms(k, seed)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -84,19 +93,9 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
   * for the same shingle set, without re-reading the text. */
 case class MinHashFromHashes(child: Expression, k: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
-  private val prime = 4294967311L // first prime > 2^32
+  private val prime = MinHashPerms.Prime
 
-  @transient private lazy val (as, bs) = {
-    val rnd = new scala.util.Random(seed)
-    val a = new Array[Long](k); val b = new Array[Long](k)
-    var i = 0
-    while (i < k) {
-      a(i) = rnd.nextInt(Int.MaxValue - 1).toLong + 1
-      b(i) = rnd.nextInt(Int.MaxValue).toLong
-      i += 1
-    }
-    (a, b)
-  }
+  @transient private lazy val (as, bs) = MinHashPerms.perms(k, seed)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

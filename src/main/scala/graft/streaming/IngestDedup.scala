@@ -23,10 +23,17 @@ import graft.ext.DedupIndex
   * bookkeeping via the checkpoint. */
 object IngestDedup {
 
-  /** Build the writer (caller `.start()`s it). Verdicts append to
-    * `verdictPath` as parquet. With `updateIndex`, each batch's kept rows
-    * append to the index (bucket-preserving), making batch order
-    * significant exactly like sequential ingestion is. */
+  /** Build the writer (caller `.start()`s it). Verdicts land in
+    * `verdictPath` as parquet partitioned by `batch_id`, written with
+    * dynamic partition OVERWRITE — a replayed micro-batch (restart between
+    * sink write and checkpoint commit) rewrites its own partition instead
+    * of appending a duplicate copy, so the sink is idempotent. The index
+    * append is verdict-idempotent too: a replayed append can only
+    * duplicate index ROWS, and every probe distincts its matches, so
+    * verdicts are unchanged (the duplicates cost space, not answers).
+    * With `updateIndex`, each batch's kept rows append to the index
+    * (bucket-preserving), making batch order significant exactly like
+    * sequential ingestion is. */
   def run(stream: DataFrame, base: String, textCol: String, idCol: String,
           blockCol: String, threshold: Double, verdictPath: String,
           checkpoint: String, updateIndex: Boolean,
@@ -34,7 +41,7 @@ object IngestDedup {
           candidates: String = "prefix"): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // Materialize the verdicts BEFORE any index mutation: they are
         // consumed twice (verdict sink + kept-row filter), and the second
@@ -42,7 +49,10 @@ object IngestDedup {
         val verdicts = DedupIndex.dedupIncremental(spark, base, batch,
             textCol, idCol, blockCol, threshold, shingleN, candidates)
           .localCheckpoint()
-        verdicts.write.mode(SaveMode.Append).parquet(verdictPath)
+        verdicts.withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(verdictPath)
         if (updateIndex)
           DedupIndex.appendKept(spark, base, batch, verdicts,
             textCol, idCol, blockCol, threshold, shingleN)

@@ -130,4 +130,40 @@ class CodecSpec extends AnyFunSuite {
     // patch (1,0): pixels (2,0)(3,0)(2,1)(3,1) -> 2+3+12+13 = 30
     assert(rows == Set((0, 0, 4, 22L), (1, 0, 4, 30L)))
   }
+
+  test("decodeBmp24 rejects crafted dimensions loudly (no Int wrap)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // valid 1x1 file, then forge width so width*3+3 wraps Int negative
+    val base = Codecs.encodeBmp24(1, 1, (_, _) => 0)
+    val buf = ByteBuffer.wrap(base.clone()).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(18, 715827883) // width field
+    val e = intercept[IllegalArgumentException](Codecs.decodeBmp24(buf.array()))
+    assert(e.getMessage.contains("exceed file size"))
+    // forged pixel-data offset must also fail loudly
+    val buf2 = ByteBuffer.wrap(base.clone()).order(ByteOrder.LITTLE_ENDIAN)
+    buf2.putInt(10, -8) // dataOffset field
+    val e2 = intercept[IllegalArgumentException](Codecs.decodeBmp24(buf2.array()))
+    assert(e2.getMessage.contains("offset"))
+  }
+
+  test("decode operators skip NULL/empty payloads instead of crashing the job") {
+    import graft.ext.Multimodal
+    val spark0 = SparkTest.spark
+    import spark0.implicits._
+    val bmp = Codecs.encodeBmp24(4, 4, (x, y) => (x + y) << 16)
+    val wav = Codecs.encodeWavPcm16(Array[Short](1, 2, 3), 8000)
+    val df = Seq((1L, bmp), (2L, null.asInstanceOf[Array[Byte]]),
+        (3L, Array.empty[Byte]))
+      .toDF("doc_id", "media")
+    assert(Multimodal.imageFeatures(df).select("doc_id")
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(Multimodal.resizeBmp(df, 2, 2).select("doc_id")
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(Multimodal.patchPixelFeatures(df, 2).select("doc_id")
+      .as[Long].collect().distinct.toSeq == Seq(1L))
+    val adf = Seq((1L, wav), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "media")
+    assert(Multimodal.audioChunkFeatures(adf).select("doc_id")
+      .as[Long].collect().distinct.toSeq == Seq(1L))
+  }
 }

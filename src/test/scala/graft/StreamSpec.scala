@@ -590,6 +590,7 @@ class StreamSpec extends AnyFunSuite {
       input.addData(b2.toSeq); q.processAllAvailable()
     } finally q.stop()
     val streamed = spark.read.parquet(s"$tmp/verdicts")
+      .select("doc_id", "keep", "reason")
       .as[(Long, Boolean, Option[String])].collect().toSet
     val oneShot = DedupIndex.dedupIncremental(spark, "t_stream_idx",
         docs.filter(col("doc_id") % 5 === 0), "text", "doc_id", "lang",
@@ -628,6 +629,7 @@ class StreamSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
     val verdicts = spark.read.parquet(s"$tmp/verdicts")
+      .select("doc_id", "keep", "reason")
       .as[(Long, Boolean, Option[String])].collect().toSet
     assert(verdicts == Set(
       (10L, true, None),

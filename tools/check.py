@@ -36,10 +36,19 @@ def main(outdir, sfdir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    # A missing result dir is only benign when Verify ran a SUBSET — in a
+    # full run it means the query CRASHED (Verify logs and moves on), and
+    # silently skipping it would turn a broken query into a green gate.
+    # Heuristic: the dirs that DO exist define the subset that was run.
+    ran = {d for d in os.listdir(outdir) if os.path.isdir(f"{outdir}/{d}")}
+    full_run = len(ran) > len(oracles) / 2
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         if not os.path.isdir(f"{outdir}/{name}"):
-            continue  # Verify was run with a query-subset filter
+            if full_run:
+                n_fail += 1
+                print(f"FAIL {name}: no result written (query crashed in Verify?)")
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchall()
