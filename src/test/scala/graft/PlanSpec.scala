@@ -144,4 +144,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan ExistingRDD".r.findAllIn(p).length >= 5,
       s"each superstep should scan the materialized edges:\n$p")
   }
+
+  test("auto-scaled packing tokenizes the corpus exactly once") {
+    // The total-token scalar and the windowed branch both need the token
+    // counts; the checkpoint in packSequences must make the windowed plan
+    // read the materialized (id, n_tokens) frame instead of re-running
+    // the tokenizer over the text a second time.
+    val p = physical(graft.ext.Packing.packSequences(
+      Tables(spark, dir, "documents"), "text", "doc_id", budget = 4096))
+    assert(p.contains("Scan ExistingRDD"),
+      s"windowed branch should read the checkpointed token frame:\n$p")
+    assert(!p.contains("split("),
+      s"tokenization must not re-run inside the windowed branch:\n$p")
+  }
 }
