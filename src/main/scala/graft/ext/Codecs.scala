@@ -19,6 +19,32 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object Codecs {
 
+  // ------------------------------------------------------------ gzip
+
+  /** Gzip-compress a byte payload (java.util.zip — pure JVM). */
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val out = new java.util.zip.GZIPOutputStream(bos)
+    out.write(bytes); out.close()
+    bos.toByteArray
+  }
+
+  /** Decompress a gzip payload, including MULTI-MEMBER files (the shape
+    * real web-crawl archives ship — concatenated gzip members —
+    * GZIPInputStream handles member chaining itself). Fails loudly on a
+    * bad magic or truncated stream. */
+  def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    require(bytes != null && bytes.length >= 2 &&
+      (bytes(0) & 0xFF) == 0x1f && (bytes(1) & 0xFF) == 0x8b,
+      "gzip: missing 1f8b magic")
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes()
+    catch { case e: java.io.IOException =>
+      throw new IllegalArgumentException(s"gzip: corrupt stream: ${e.getMessage}")
+    } finally in.close()
+  }
+
   // ------------------------------------------------------------- WAV
 
   /** Decoded PCM audio: interleaved samples widened to Int

@@ -142,6 +142,46 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize REAL gzip payloads from the documents fixture (utf-8
+    * text, gzip-compressed) — the compressed-ingestion shape web-crawl
+    * corpora arrive in. */
+  def gzipTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("media", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = docs.schema.fieldIndex(idCol)
+    val tIdx = docs.schema.fieldIndex("text")
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(idIdx), Codecs.gzip(r.getString(tIdx).getBytes("UTF-8")))
+      }
+    }(enc)
+  }
+
+  /** REAL compressed-text ingestion: gunzip each payload (multi-member
+    * aware) and surface the decoded text as a column, so every downstream
+    * text operator (tokenize, quality, dedup) composes unchanged — the
+    * oracle recomputes from the original plaintext, closing the
+    * compress→decompress loop end-to-end. NULL/empty payloads are missing
+    * data (skipped); corrupt streams fail loudly. */
+  def textFromGzip(media: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("text", StringType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else Iterator.single(
+          Row(r.getLong(idIdx), new String(Codecs.gunzip(bytes), "UTF-8")))
+      }
+    }(enc)
+  }
+
   /** REAL image decode + feature extraction: parses each payload as a
     * 24-bit BMP ([[Codecs.decodeBmp24]] — magic, header, row padding,
     * bottom-up order) and reduces the pixel grid to per-channel sums.

@@ -122,6 +122,24 @@ case class MinHashFromHashes(child: Expression, k: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Unicode normalization of a string column (java.text.Normalizer —
+  * NFC/NFD/NFKC/NFKD). The cross-engine contract: NFC output is
+  * byte-identical to DuckDB's nfc_normalize (both implement UAX #15),
+  * which is what makes normalized text safe as a dedup/join key across
+  * engines — the whole reason a pipeline normalizes before hashing. */
+case class NormalizeText(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, f))
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Exact Jaccard similarity of two string arrays (hash-set intersect). */
 case class JaccardSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -303,6 +321,10 @@ object TextExpressions {
   def minhashFromHashes(sh: Column, k: Int = 64, seed: Long = 42L): Column =
     GraftColumnBridge.column(
       MinHashFromHashes(GraftColumnBridge.expression(sh), k, seed))
+
+  def normalize(text: Column, form: String = "NFC"): Column =
+    GraftColumnBridge.column(
+      NormalizeText(GraftColumnBridge.expression(text), form))
 
   def jaccardSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(JaccardSimilarity(

@@ -108,6 +108,47 @@ object ExtQueries {
        |SELECT doc_id, quality, n_tokens FROM q
        |WHERE quality >= 0.9 AND n_tokens >= 50""".stripMargin
 
+  /** Unicode NFC normalization as a cross-engine contract: plant
+    * combining sequences (e + U+0301) and a compatibility singleton
+    * (U+212B ANGSTROM SIGN) after the fixture text; both engines must
+    * produce byte-identical NFC output — the property that makes
+    * normalized text safe as a dedup/hash key across engines. */
+  def qNormalize(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"), lit(" cafe\u0301 \u212B"))
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.normalizeNfc(planted).as("normalized"),
+      length(TextAnalysis.normalizeNfc(planted)).cast("long").as("n_chars"),
+      octet_length(TextAnalysis.normalizeNfc(planted)).cast("long").as("n_bytes"))
+  }
+
+  val qNormalizeSql: String =
+    """SELECT doc_id,
+      |  nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(8491)) AS normalized,
+      |  length(nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(8491)))::BIGINT AS n_chars,
+      |  strlen(nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(8491)))::BIGINT AS n_bytes
+      |FROM documents""".stripMargin
+
+  /** REAL compressed-text ingestion: gzip every document's utf-8 bytes,
+    * gunzip them back through the pure-JVM codec, and run the standard
+    * token/byte stats on the DECODED column — the oracle recomputes from
+    * the original plaintext, so a pass proves the compress→decompress→
+    * tokenize loop is byte-exact. */
+  def qGzipText(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val decoded = graft.ext.Multimodal.textFromGzip(
+      graft.ext.Multimodal.gzipTable(docs))
+    decoded.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+  }
+
+  val qGzipTextSql: String =
+    """SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
+      |  len(string_split_regex(lower(trim(text)), '[ 	
+]+'))::BIGINT AS n_tokens
+      |FROM documents""".stripMargin
+
   /** Reproducible stratified downsampling: content-hash bucketing keeps
     * the same rows across runs/engines/partitionings (RNG sampling does
     * not) — per-language rates, map-side only. */
@@ -751,6 +792,8 @@ object ExtQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"       -> (qTextStats _),
+    "q_normalize"        -> (qNormalize _),
+    "q_gzip_text"        -> (qGzipText _),
     "q_tfidf"            -> (qTfidf _),
     "q_vocab"            -> (qVocab _),
     "q_chunk"            -> (qChunk _),
@@ -786,6 +829,8 @@ object ExtQueries {
 
   val oracle: Map[String, String] = Map(
     "q_text_stats"       -> qTextStatsSql,
+    "q_normalize"        -> qNormalizeSql,
+    "q_gzip_text"        -> qGzipTextSql,
     "q_tfidf"            -> qTfidfSql,
     "q_vocab"            -> qVocabSql,
     "q_chunk"            -> qChunkSql,

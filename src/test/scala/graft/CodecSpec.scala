@@ -166,4 +166,32 @@ class CodecSpec extends AnyFunSuite {
     assert(Multimodal.audioChunkFeatures(adf).select("doc_id")
       .as[Long].collect().distinct.toSeq == Seq(1L))
   }
+
+  test("gzip roundtrip is byte-exact; multi-member archives concatenate; corrupt fails loudly") {
+    val payload = ("the quick brown fox " * 50).getBytes("UTF-8")
+    assert(java.util.Arrays.equals(Codecs.gunzip(Codecs.gzip(payload)), payload))
+    // concatenated members — the shape web-crawl .gz archives ship
+    val two = Codecs.gzip("hello ".getBytes("UTF-8")) ++
+      Codecs.gzip("world".getBytes("UTF-8"))
+    assert(new String(Codecs.gunzip(two), "UTF-8") == "hello world")
+    val e = intercept[IllegalArgumentException](
+      Codecs.gunzip("not gzip".getBytes("UTF-8")))
+    assert(e.getMessage.contains("magic"))
+    val truncated = Codecs.gzip(payload).dropRight(6)
+    intercept[Exception](Codecs.gunzip(truncated))
+  }
+
+  test("NormalizeText: NFC composes combining marks and compatibility singletons") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextExpressions
+    val spark0 = SparkTest.spark
+    import spark0.implicits._
+    val df = Seq("cafe\u0301 \u212B \ufb01").toDF("t")
+    val nfc = df.select(TextExpressions.normalize(col("t"), "NFC"))
+      .collect().head.getString(0)
+    assert(nfc == "caf\u00e9 \u00c5 \ufb01") // e+acute -> é, angstrom -> Å, fi ligature kept
+    val nfkc = df.select(TextExpressions.normalize(col("t"), "NFKC"))
+      .collect().head.getString(0)
+    assert(nfkc == "caf\u00e9 \u00c5 fi") // NFKC also folds the ligature
+  }
 }
