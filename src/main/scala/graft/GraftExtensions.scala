@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, JaccardSimilarity, JaccardSortedLongs, MinHashSignature, SimHash64, SortedShingleHashes, WordShingles}
+import graft.functions.{CosineSimilarity, DotProduct, JaccardSimilarity, JaccardSortedLongs, MinHashFromHashes, MinHashSignature, NormalizeText, SimHash64, SortedShingleHashes, WordShingles}
 
 /** SQL-surface registration of the engine's custom Catalyst expressions —
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
@@ -38,6 +38,10 @@ object GraftExtensions {
     "dot_product" -> two(DotProduct(_, _)),
     "jaccard_sim" -> two(JaccardSimilarity(_, _)),
     "minhash_sig" -> { case Seq(a) => MinHashSignature(a, 64, 42L) },
+    "minhash_sig_hashed" -> { case Seq(a) => MinHashFromHashes(a, 64, 42L) },
+    // DuckDB-compatible UAX#15 normalization (byte-identical NFC output)
+    "nfc_normalize" -> { case Seq(a) => NormalizeText(a, "NFC") },
+    "nfkc_normalize" -> { case Seq(a) => NormalizeText(a, "NFKC") },
     "simhash64"   -> { case Seq(a) => SimHash64(a) },
     // hashed-shingle verify kernels (word 3-gram default)
     "shingles"        -> { case Seq(a) => WordShingles(a, 3, sort = false) },

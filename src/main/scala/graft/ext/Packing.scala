@@ -64,4 +64,24 @@ object Packing {
       .drop("cum")
       .select(col(idCol), col("shard"), col("n_tokens"), col("seq_in_shard"))
   }
+
+  /** Materialize the packed training sequences: each (shard, seq) bin's
+    * documents concatenated in id order, with doc/token counts. The
+    * per-group collect is SAFE at scale because [[packSequences]] bounds
+    * every bin at ≈ `budget` tokens by construction — group state is one
+    * training sequence, not a corpus slice. Reassembly order is
+    * deterministic (sort by id inside the aggregated structs), so the
+    * output is reproducible across partitionings and engines. */
+  def materializeSequences(docs: DataFrame, textCol: String, idCol: String,
+                           budget: Long, shards: Int = 0): DataFrame = {
+    val assigned = packSequences(docs, textCol, idCol, budget, shards)
+    assigned.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy(col("shard"), col("seq_in_shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col(idCol), col(textCol)))),
+          s => s.getField(textCol))).as("sequence"))
+  }
 }

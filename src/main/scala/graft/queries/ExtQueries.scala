@@ -146,7 +146,8 @@ object ExtQueries {
   val qGzipTextSql: String =
     """SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
       |  len(string_split_regex(lower(trim(text)), '[ 	
-]+'))::BIGINT AS n_tokens
+
+]+'))::BIGINT AS n_tokens
       |FROM documents""".stripMargin
 
   /** Reproducible stratified downsampling: content-hash bucketing keeps
@@ -196,6 +197,32 @@ object ExtQueries {
       |  ROWS UNBOUNDED PRECEDING) AS cum FROM st)
       |SELECT doc_id, shard, n_tokens,
       |  ((cum - n_tokens) // 4096)::BIGINT AS seq_in_shard FROM c""".stripMargin
+
+  /** Materialized packed training sequences: the q_pack assignment
+    * joined back to text and reassembled per bin in id order — count,
+    * token total, and the concatenated sequence, all oracle-checked. */
+  def qPackConcat(s: SparkSession, dir: String): DataFrame =
+    Packing.materializeSequences(Tables(s, dir, "documents"), "text",
+      "doc_id", budget = 4096)
+
+  val qPackConcatSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  len(string_split_regex(lower(trim(text)), '[ 	
+]+'))::BIGINT AS n_tokens
+      |FROM documents),
+      |tot AS (SELECT COALESCE(sum(n_tokens), 0) AS tot FROM t),
+      |sh AS (SELECT greatest(1, least(1048576, tot // (4096 * 64) + 1))::BIGINT
+      |  AS shards FROM tot),
+      |st AS (SELECT doc_id, doc_id % shards AS shard, n_tokens FROM t, sh),
+      |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |  ROWS UNBOUNDED PRECEDING) AS cum FROM st),
+      |a AS (SELECT doc_id, shard,
+      |  ((cum - n_tokens) // 4096)::BIGINT AS seq_in_shard, n_tokens FROM c)
+      |SELECT shard, seq_in_shard, count(*)::BIGINT AS n_docs,
+      |  sum(n_tokens)::BIGINT AS n_tokens,
+      |  string_agg(text, ' ' ORDER BY doc_id) AS sequence
+      |FROM a JOIN documents USING (doc_id)
+      |GROUP BY shard, seq_in_shard""".stripMargin
 
   /** Top-5 tf-idf terms per document (ratio idf — see
     * TextAnalysis.tfidfTopTerms for why not log). */
@@ -804,6 +831,7 @@ object ExtQueries {
     "q_sample"           -> (qSample _),
     "q_split"            -> (qSplit _),
     "q_pack"             -> (qPack _),
+    "q_pack_concat"      -> (qPackConcat _),
     "q_inverted_index"   -> (qInvertedIndex _),
     "q_lang_fingerprint" -> (qLangFingerprint _),
     "q_quality_filter"   -> (qQualityFilter _),
@@ -841,6 +869,7 @@ object ExtQueries {
     "q_sample"           -> qSampleSql,
     "q_split"            -> qSplitSql,
     "q_pack"             -> qPackSql,
+    "q_pack_concat"      -> qPackConcatSql,
     "q_inverted_index"   -> qInvertedIndexSql,
     "q_lang_fingerprint" -> qLangFingerprintSql,
     "q_quality_filter"   -> qQualityFilterSql,
