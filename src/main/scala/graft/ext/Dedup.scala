@@ -397,6 +397,11 @@ object Dedup {
             least(col("prev"), coalesce(col("nmin"), col("prev")))).as("cluster"))
         .localCheckpoint() // also truncates the growing iterative lineage
       changed = changedAcc.value
+      // the superseded iteration's label blocks are dead the moment `next`
+      // materializes — free them now, or a long-diameter run accumulates
+      // one full label frame per superstep until driver GC (no-op for the
+      // first iteration, whose labels frame is derived, not a checkpoint)
+      graft.exec.Partitioning.unpersistCheckpoint(labels)
       labels = next
       iter += 1
       System.err.println(s"[clusters] iter $iter: $changed labels changed")
@@ -406,6 +411,9 @@ object Dedup {
         s"iterations ($changed labels still changing) — labels are an upper " +
         "bound on components; raise maxIter for graphs with diameter > " +
         s"$maxIter")
+    // the returned plan references only `labels` (a checkpoint root after
+    // any iteration) and `ids` — the edge blocks are no longer reachable
+    if (iter >= 1) graft.exec.Partitioning.unpersistCheckpoint(edges)
     ids.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }

@@ -118,6 +118,9 @@ object DedupIndex {
         shTable(base), Seq("id"), buckets, mode),
       () => writeBucketed(bandRows(art), bandTable(base), Seq("bk"), buckets, mode))
     Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
+    // all four consumers have run — free the checkpoint blocks now
+    // instead of waiting for driver GC (repeated builds would pile them)
+    graft.exec.Partitioning.unpersistCheckpoint(art)
   }
 
   private def writeBucketed(df: DataFrame, table: String, keys: Seq[String],

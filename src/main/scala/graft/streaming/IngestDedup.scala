@@ -56,6 +56,9 @@ object IngestDedup {
         if (updateIndex)
           DedupIndex.appendKept(spark, base, batch, verdicts,
             textCol, idCol, blockCol, threshold, shingleN)
+        // both consumers ran — free the batch's checkpoint blocks so a
+        // long-running stream does not accumulate one frame per batch
+        graft.exec.Partitioning.unpersistCheckpoint(verdicts)
         ()
       }
 }
