@@ -36,7 +36,11 @@ import org.apache.spark.sql.functions._
   *
   * Kept batches append to the same tables (`SaveMode.Append` preserves the
   * bucket spec), so the index *is* the corpus state and ingestion is:
-  * judge batch → append survivors → next batch. */
+  * judge batch → append survivors → next batch. Every row carries the
+  * `bid` (batch id) it arrived in, and a probe can EXCLUDE its own batch
+  * id — that makes a replayed micro-batch (restart after the append)
+  * judge against exactly the pre-append state, so replay verdicts equal
+  * the originals (tested in StreamSpec). */
 object DedupIndex {
 
   def exactTable(base: String) = s"${base}_exact"
@@ -64,6 +68,9 @@ object DedupIndex {
       col(textCol).as("t"),
       graft.functions.TextExpressions
         .sortedShingleHashes(col(textCol), shingleN).as("sh"))
+
+  /** Bulk (non-batch) index rows carry this sentinel batch id. */
+  val BulkBid: Long = -1L
 
   /** LSH band explode of the shingle arrays: one (bk, id) row per MinHash
     * band, bk = xxhash64("band", band index, the band's signature slice) —
@@ -99,24 +106,28 @@ object DedupIndex {
   def write(corpus: DataFrame, textCol: String, idCol: String,
             blockCol: String, base: String, threshold: Double,
             shingleN: Int = 3, buckets: Int = 32,
-            mode: SaveMode = SaveMode.Overwrite): Unit = {
+            mode: SaveMode = SaveMode.Overwrite,
+            batchId: Long = BulkBid): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val art = artifacts(corpus, textCol, idCol, blockCol, shingleN)
       .localCheckpoint() // shingle once, feed four writes
+    val bid = lit(batchId).as("bid")
     // The four writes are independent actions over the one checkpointed
     // artifact frame — submitted concurrently so the scheduler overlaps
     // them (driver-side job-submission overhead dominates small builds;
     // on a cluster the stages simply share the executors).
     val writes = Seq(
-      () => writeBucketed(art.select(col("h"), col("t")).distinct(),
+      () => writeBucketed(art.select(col("h"), col("t")).distinct()
+        .select(col("h"), col("t"), bid),
         exactTable(base), Seq("h", "t"), buckets, mode),
-      () => writeBucketed(prefixRows(art, threshold),
+      () => writeBucketed(prefixRows(art, threshold).select(col("bk"), col("id"), bid),
         prefTable(base), Seq("bk"), buckets, mode),
-      () => writeBucketed(art.select(col("id"), col("blk"), col("sh")),
+      () => writeBucketed(art.select(col("id"), col("blk"), col("sh"), bid),
         shTable(base), Seq("id"), buckets, mode),
-      () => writeBucketed(bandRows(art), bandTable(base), Seq("bk"), buckets, mode))
+      () => writeBucketed(bandRows(art).select(col("bk"), col("id"), bid),
+        bandTable(base), Seq("bk"), buckets, mode))
     Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
     // all four consumers have run — free the checkpoint blocks now
     // instead of waiting for driver GC (repeated builds would pile them)
@@ -149,17 +160,25 @@ object DedupIndex {
     *
     * `candidates` picks the near-rule generator: `"prefix"` (lossless
     * PPJoin, the default) or `"lsh"` (MinHash bands — constant index rows
-    * per document, probabilistic recall). */
+    * per document, probabilistic recall).
+    *
+    * `excludeBatchId`: ignore index rows stamped with this batch id — a
+    * replayed micro-batch passes its own id so its earlier append (if the
+    * first attempt died after appending) is invisible, and the replay
+    * reproduces the original verdicts exactly. */
   def dedupIncremental(spark: SparkSession, base: String, delta: DataFrame,
                        textCol: String, idCol: String, blockCol: String,
                        threshold: Double, shingleN: Int = 3,
-                       candidates: String = "prefix"): DataFrame = {
+                       candidates: String = "prefix",
+                       excludeBatchId: Long = Long.MinValue): DataFrame = {
+    def tbl(name: String) =
+      spark.table(name).filter(col("bid") =!= lit(excludeBatchId)).drop("bid")
     val d = artifacts(delta, textCol, idCol, blockCol, shingleN)
       .repartition(col("id")) // one artifact pass shared by all three rules
     // Exact rule: equi-join on the 64-bit text hash (the bucket key),
     // settled by the residual full-text comparison.
     val exactIds = d.select(col("id"), col("h"), col("t").as("__dt"))
-      .join(spark.table(exactTable(base)), Seq("h"))
+      .join(tbl(exactTable(base)), Seq("h"))
       .filter(col("t") === col("__dt"))
       .select(col("id")).distinct()
       .select(col("id"), lit(true).as("__e"))
@@ -173,9 +192,9 @@ object DedupIndex {
         s"candidates must be 'prefix' or 'lsh', got '$other'")
     }
     val cand = probe.withColumnRenamed("id", "id_b")
-      .join(spark.table(table).withColumnRenamed("id", "id_a"), Seq("bk"))
+      .join(tbl(table).withColumnRenamed("id", "id_a"), Seq("bk"))
       .select(col("id_a"), col("id_b")).distinct()
-    val corpusSh = spark.table(shTable(base))
+    val corpusSh = tbl(shTable(base))
     val nearIds = cand
       .join(corpusSh.select(col("id").as("id_a"), col("blk").as("__blk_a"),
         col("sh").as("__sh_a")), Seq("id_a"))
@@ -203,7 +222,7 @@ object DedupIndex {
   def appendKept(spark: SparkSession, base: String, batch: DataFrame,
                  verdicts: DataFrame, textCol: String, idCol: String,
                  blockCol: String, threshold: Double,
-                 shingleN: Int = 3): Unit = {
+                 shingleN: Int = 3, batchId: Long = BulkBid): Unit = {
     val buckets = spark.sessionState.catalog
       .getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(exactTable(base)))
@@ -211,6 +230,6 @@ object DedupIndex {
     val kept = batch.join(
       verdicts.filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")
     write(kept, textCol, idCol, blockCol, base, threshold, shingleN, buckets,
-      mode = SaveMode.Append)
+      mode = SaveMode.Append, batchId = batchId)
   }
 }

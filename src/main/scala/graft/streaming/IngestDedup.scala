@@ -28,9 +28,11 @@ object IngestDedup {
     * dynamic partition OVERWRITE — a replayed micro-batch (restart between
     * sink write and checkpoint commit) rewrites its own partition instead
     * of appending a duplicate copy, so the sink is idempotent. The index
-    * append is verdict-idempotent too: a replayed append can only
-    * duplicate index ROWS, and every probe distincts its matches, so
-    * verdicts are unchanged (the duplicates cost space, not answers).
+    * append is replay-safe as well: appended rows are stamped with their
+    * batch id, and the probe EXCLUDES the current batch's id — a replay
+    * therefore judges against exactly the pre-append state and
+    * reproduces the original verdicts, while its duplicate append rows
+    * only cost space (probes distinct their matches) until compaction.
     * With `updateIndex`, each batch's kept rows append to the index
     * (bucket-preserving), making batch order significant exactly like
     * sequential ingestion is. */
@@ -42,23 +44,36 @@ object IngestDedup {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // Materialize the verdicts BEFORE any index mutation: they are
-        // consumed twice (verdict sink + kept-row filter), and the second
-        // evaluation must not see the index as it looks after the append.
-        val verdicts = DedupIndex.dedupIncremental(spark, base, batch,
-            textCol, idCol, blockCol, threshold, shingleN, candidates)
-          .localCheckpoint()
-        verdicts.withColumn("batch_id", lit(batchId))
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(verdictPath)
-        if (updateIndex)
-          DedupIndex.appendKept(spark, base, batch, verdicts,
-            textCol, idCol, blockCol, threshold, shingleN)
-        // both consumers ran — free the batch's checkpoint blocks so a
-        // long-running stream does not accumulate one frame per batch
-        graft.exec.Partitioning.unpersistCheckpoint(verdicts)
-        ()
+        processBatch(batch, batchId, base, textCol, idCol, blockCol,
+          threshold, verdictPath, updateIndex, shingleN, candidates)
       }
+
+  /** One micro-batch step, exposed so the replay-idempotence contract is
+    * directly testable: calling it twice with the SAME batchId (what a
+    * restart between sink write and checkpoint commit does) must leave
+    * exactly one copy of the batch's verdicts. */
+  def processBatch(batch: DataFrame, batchId: Long, base: String,
+                   textCol: String, idCol: String, blockCol: String,
+                   threshold: Double, verdictPath: String,
+                   updateIndex: Boolean, shingleN: Int = 3,
+                   candidates: String = "prefix"): Unit = {
+    val spark = batch.sparkSession
+    // Materialize the verdicts BEFORE any index mutation: they are
+    // consumed twice (verdict sink + kept-row filter), and the second
+    // evaluation must not see the index as it looks after the append.
+    val verdicts = DedupIndex.dedupIncremental(spark, base, batch,
+        textCol, idCol, blockCol, threshold, shingleN, candidates,
+        excludeBatchId = batchId)
+      .localCheckpoint()
+    verdicts.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(verdictPath)
+    if (updateIndex)
+      DedupIndex.appendKept(spark, base, batch, verdicts,
+        textCol, idCol, blockCol, threshold, shingleN, batchId = batchId)
+    // both consumers ran — free the batch's checkpoint blocks so a
+    // long-running stream does not accumulate one frame per batch
+    graft.exec.Partitioning.unpersistCheckpoint(verdicts)
+  }
 }

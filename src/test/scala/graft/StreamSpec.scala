@@ -637,4 +637,31 @@ class StreamSpec extends AnyFunSuite {
       (21L, false, Some("near")),
       (22L, true, None)))
   }
+
+  test("ingestion batch replay is idempotent: same batchId leaves one verdict copy") {
+    import graft.ext.DedupIndex
+    import graft.streaming.IngestDedup
+    val corpus = Seq((1L, "en", "one two three four five six seven eight"))
+      .toDF("doc_id", "lang", "text")
+    DedupIndex.write(corpus, "text", "doc_id", "lang", "t_replay_idx",
+      threshold = 0.5, buckets = 4)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val batch = Seq(
+      (10L, "en", "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "en", "one two three four five six seven eight"))
+      .toDF("doc_id", "lang", "text")
+    def step() = IngestDedup.processBatch(batch, batchId = 0L, "t_replay_idx",
+      "text", "doc_id", "lang", threshold = 0.5,
+      verdictPath = s"$tmp/verdicts", updateIndex = true)
+    step()
+    step() // the restart-replay: same batch, same batchId
+    val verdicts = spark.read.parquet(s"$tmp/verdicts")
+      .select("doc_id", "keep", "reason")
+      .as[(Long, Boolean, Option[String])].collect().toList
+    // one copy per input row, not two — and the replay judged against the
+    // PRE-append index state equivalently: verdicts unchanged even though
+    // the first pass appended doc 10 to the index (probes distinct matches)
+    assert(verdicts.sortBy(_._1) == List(
+      (10L, true, None), (11L, false, Some("exact"))))
+  }
 }
