@@ -79,12 +79,12 @@ object DedupIndex {
     * the same signature as hashing the text's shingles directly). */
   private def bandRows(art: DataFrame): DataFrame = {
     val rows = LshK / LshBands
-    art.select(col("id"),
+    art.select(col("id"), col("bid"),
         graft.functions.TextExpressions
           .minhashFromHashes(col("sh"), LshK, LshSeed).as("sig"))
-      .select(col("id"),
+      .select(col("id"), col("bid"),
         explode(Dedup.bandHashes(col("sig"), LshBands, rows)).as("bk"))
-      .select(col("bk"), col("id"))
+      .select(col("bk"), col("id"), col("bid"))
   }
 
   /** Prefix-filter explode of the shingle arrays: one (bk, id) row per
@@ -94,9 +94,9 @@ object DedupIndex {
   private def prefixRows(art: DataFrame, threshold: Double): DataFrame = {
     val prefLen =
       size(col("sh")) - ceil(lit(threshold) * size(col("sh"))).cast("int") + lit(1)
-    art.select(col("blk"), col("id"),
+    art.select(col("blk"), col("id"), col("bid"),
         explode(slice(col("sh"), lit(1), prefLen)).as("p"))
-      .select(xxhash64(col("blk"), col("p")).as("bk"), col("id"))
+      .select(xxhash64(col("blk"), col("p")).as("bk"), col("id"), col("bid"))
   }
 
   /** Build (overwrite) the standing index for `corpus`. `threshold` is
@@ -111,27 +111,30 @@ object DedupIndex {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    // bid stamped ONCE here (constant per call, so the exact table's
+    // distinct over (h, t, bid) still dedups texts), shingle once,
+    // feed four writes
     val art = artifacts(corpus, textCol, idCol, blockCol, shingleN)
-      .localCheckpoint() // shingle once, feed four writes
-    val bid = lit(batchId).as("bid")
-    // The four writes are independent actions over the one checkpointed
-    // artifact frame — submitted concurrently so the scheduler overlaps
-    // them (driver-side job-submission overhead dominates small builds;
-    // on a cluster the stages simply share the executors).
-    val writes = Seq(
-      () => writeBucketed(art.select(col("h"), col("t")).distinct()
-        .select(col("h"), col("t"), bid),
-        exactTable(base), Seq("h", "t"), buckets, mode),
-      () => writeBucketed(prefixRows(art, threshold).select(col("bk"), col("id"), bid),
-        prefTable(base), Seq("bk"), buckets, mode),
-      () => writeBucketed(art.select(col("id"), col("blk"), col("sh"), bid),
-        shTable(base), Seq("id"), buckets, mode),
-      () => writeBucketed(bandRows(art).select(col("bk"), col("id"), bid),
-        bandTable(base), Seq("bk"), buckets, mode))
-    Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
-    // all four consumers have run — free the checkpoint blocks now
-    // instead of waiting for driver GC (repeated builds would pile them)
-    graft.exec.Partitioning.unpersistCheckpoint(art)
+      .withColumn("bid", lit(batchId))
+      .localCheckpoint()
+    try {
+      // The four writes are independent actions over the one checkpointed
+      // artifact frame — submitted concurrently so the scheduler overlaps
+      // them (driver-side job-submission overhead dominates small builds;
+      // on a cluster the stages simply share the executors).
+      val writes = Seq(
+        () => writeBucketed(art.select(col("h"), col("t"), col("bid")).distinct(),
+          exactTable(base), Seq("h", "t"), buckets, mode),
+        () => writeBucketed(prefixRows(art, threshold),
+          prefTable(base), Seq("bk"), buckets, mode),
+        () => writeBucketed(art.select(col("id"), col("blk"), col("sh"), col("bid")),
+          shTable(base), Seq("id"), buckets, mode),
+        () => writeBucketed(bandRows(art), bandTable(base), Seq("bk"), buckets, mode))
+      Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
+    } finally
+      // free the checkpoint blocks even when a write fails mid-retry —
+      // otherwise every failed attempt pins a dead block set until GC
+      graft.exec.Partitioning.unpersistCheckpoint(art)
   }
 
   private def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
@@ -171,9 +174,15 @@ object DedupIndex {
                        threshold: Double, shingleN: Int = 3,
                        candidates: String = "prefix",
                        excludeBatchId: Long = Long.MinValue): DataFrame = {
-    def tbl(name: String) =
-      spark.table(name).filter(col("bid") =!= lit(excludeBatchId)).drop("bid")
+    // Legacy (pre-bid) indexes read as all-bulk: no stamp, no exclusion.
+    def tbl(name: String) = {
+      val raw = spark.table(name)
+      if (raw.columns.contains("bid"))
+        raw.filter(col("bid") =!= lit(excludeBatchId)).drop("bid")
+      else raw
+    }
     val d = artifacts(delta, textCol, idCol, blockCol, shingleN)
+      .withColumn("bid", lit(BulkBid)) // probe-side stamp is never stored
       .repartition(col("id")) // one artifact pass shared by all three rules
     // Exact rule: equi-join on the 64-bit text hash (the bucket key),
     // settled by the residual full-text comparison.

@@ -28,9 +28,11 @@ object IngestDedup {
     * dynamic partition OVERWRITE — a replayed micro-batch (restart between
     * sink write and checkpoint commit) rewrites its own partition instead
     * of appending a duplicate copy, so the sink is idempotent. The index
-    * append is replay-safe as well: appended rows are stamped with their
-    * batch id, and the probe EXCLUDES the current batch's id — a replay
-    * therefore judges against exactly the pre-append state and
+    * append is replay-safe as well: appended rows are stamped with a tag
+    * derived from (checkpoint location, batch id) — stable across
+    * restarts of the SAME logical run, unique across different ingestion
+    * runs sharing the index — and the probe EXCLUDES the current batch's
+    * tag, so a replay judges against exactly the pre-append state and
     * reproduces the original verdicts, while its duplicate append rows
     * only cost space (probes distinct their matches) until compaction.
     * With `updateIndex`, each batch's kept rows append to the index
@@ -45,7 +47,8 @@ object IngestDedup {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, base, textCol, idCol, blockCol,
-          threshold, verdictPath, updateIndex, shingleN, candidates)
+          threshold, verdictPath, updateIndex, shingleN, candidates,
+          runTag = checkpoint)
       }
 
   /** One micro-batch step, exposed so the replay-idempotence contract is
@@ -56,24 +59,37 @@ object IngestDedup {
                    textCol: String, idCol: String, blockCol: String,
                    threshold: Double, verdictPath: String,
                    updateIndex: Boolean, shingleN: Int = 3,
-                   candidates: String = "prefix"): Unit = {
+                   candidates: String = "prefix",
+                   runTag: String = ""): Unit = {
     val spark = batch.sparkSession
+    // The index stamp must be stable across restarts of this run (a
+    // replayed batch must see and exclude its first attempt's rows) but
+    // unique across RUNS sharing the standing index (a later run's batch
+    // 0 must not mask an earlier run's batch 0) — hash the checkpoint
+    // location in. A bare batchId satisfies the first and violates the
+    // second.
+    val stamp = graft.functions.TextHash.xxhash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        s"$runTag#$batchId"))
     // Materialize the verdicts BEFORE any index mutation: they are
     // consumed twice (verdict sink + kept-row filter), and the second
     // evaluation must not see the index as it looks after the append.
     val verdicts = DedupIndex.dedupIncremental(spark, base, batch,
         textCol, idCol, blockCol, threshold, shingleN, candidates,
-        excludeBatchId = batchId)
+        excludeBatchId = stamp)
       .localCheckpoint()
-    verdicts.withColumn("batch_id", lit(batchId))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(verdictPath)
-    if (updateIndex)
-      DedupIndex.appendKept(spark, base, batch, verdicts,
-        textCol, idCol, blockCol, threshold, shingleN, batchId = batchId)
-    // both consumers ran — free the batch's checkpoint blocks so a
-    // long-running stream does not accumulate one frame per batch
-    graft.exec.Partitioning.unpersistCheckpoint(verdicts)
+    try {
+      verdicts.withColumn("batch_id", lit(batchId))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(verdictPath)
+      if (updateIndex)
+        DedupIndex.appendKept(spark, base, batch, verdicts,
+          textCol, idCol, blockCol, threshold, shingleN, batchId = stamp)
+    } finally
+      // free the batch's checkpoint blocks even on a failed/retried
+      // batch — a long-running stream must not accumulate one dead
+      // frame per attempt
+      graft.exec.Partitioning.unpersistCheckpoint(verdicts)
   }
 }

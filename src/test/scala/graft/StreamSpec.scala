@@ -652,9 +652,9 @@ class StreamSpec extends AnyFunSuite {
       .toDF("doc_id", "lang", "text")
     def step() = IngestDedup.processBatch(batch, batchId = 0L, "t_replay_idx",
       "text", "doc_id", "lang", threshold = 0.5,
-      verdictPath = s"$tmp/verdicts", updateIndex = true)
+      verdictPath = s"$tmp/verdicts", updateIndex = true, runTag = "runA")
     step()
-    step() // the restart-replay: same batch, same batchId
+    step() // the restart-replay: same batch, same batchId, same run
     val verdicts = spark.read.parquet(s"$tmp/verdicts")
       .select("doc_id", "keep", "reason")
       .as[(Long, Boolean, Option[String])].collect().toList
@@ -663,5 +663,17 @@ class StreamSpec extends AnyFunSuite {
     // the first pass appended doc 10 to the index (probes distinct matches)
     assert(verdicts.sortBy(_._1) == List(
       (10L, true, None), (11L, false, Some("exact"))))
+    // a DIFFERENT run against the same index also starts at batchId 0 —
+    // its exclusion stamp must NOT mask run A's batch-0 survivors, so a
+    // true duplicate of doc 10's text is dropped
+    val batchB = Seq((20L, "en", "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "lang", "text")
+    IngestDedup.processBatch(batchB, batchId = 0L, "t_replay_idx",
+      "text", "doc_id", "lang", threshold = 0.5,
+      verdictPath = s"$tmp/verdictsB", updateIndex = false, runTag = "runB")
+    val vb = spark.read.parquet(s"$tmp/verdictsB")
+      .select("doc_id", "keep", "reason")
+      .as[(Long, Boolean, Option[String])].collect().toList
+    assert(vb == List((20L, false, Some("exact"))))
   }
 }
