@@ -156,6 +156,31 @@ object DedupIndex {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft_dedup_index/$table").getAbsolutePath
 
+  /** Compact the standing index: rewrite every table in place with its
+    * own bucket spec. Each kept batch appends one file per bucket, so a
+    * long-running ingestion accumulates per-bucket file counts linear in
+    * the batch count — the probe plan is unaffected (a bucket is read as
+    * a group), but scan open/seek overhead and replayed-append
+    * duplicates are not. Compaction folds each bucket back to one file
+    * and drops exact-duplicate rows a replayed append may have left.
+    * Run it OFFLINE relative to probes (it is the standard bucketed-table
+    * maintenance trade, same as any warehouse). */
+  def compact(spark: SparkSession, base: String, buckets: Int = 32): Unit = {
+    // the ORIGINAL bucket spec per table — re-bucketing on different keys
+    // would break the probes' exchange-free scans
+    val tables = Seq(
+      exactTable(base) -> Seq("h", "t"),
+      prefTable(base)  -> Seq("bk"),
+      shTable(base)    -> Seq("id"),
+      bandTable(base)  -> Seq("bk"))
+    tables.foreach { case (table, keys) =>
+      // materialize before overwriting the location being read
+      val snap = spark.table(table).distinct().localCheckpoint()
+      try writeBucketed(snap, table, keys, buckets, SaveMode.Overwrite)
+      finally graft.exec.Partitioning.unpersistCheckpoint(snap)
+    }
+  }
+
   /** Judge `delta` against the standing index — same output contract as
     * [[Dedup.dedupIncremental]] (every delta row with `keep` + drop
     * `reason`), but the corpus side of every join is a bucketed scan with

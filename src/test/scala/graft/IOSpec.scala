@@ -206,6 +206,51 @@ class IOSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("index compaction folds appended files back and preserves verdicts") {
+    import graft.ext.DedupIndex
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    DedupIndex.write(corpus, "text", "doc_id", "lang", "t_compact_idx",
+      threshold = 0.5, buckets = 4)
+    // two appends, the second a replay duplicate of the first
+    val extra = Seq((90001L, "en", "compaction test unique words here indeed"))
+      .toDF("doc_id", "lang", "text")
+    val keepAll = extra.select(col("doc_id"), lit(true).as("keep"),
+      lit(null).cast("string").as("reason"))
+    DedupIndex.appendKept(spark, "t_compact_idx", extra, keepAll,
+      "text", "doc_id", "lang", threshold = 0.5, batchId = 7L)
+    DedupIndex.appendKept(spark, "t_compact_idx", extra, keepAll,
+      "text", "doc_id", "lang", threshold = 0.5, batchId = 7L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.getString(2)))).toSet
+    val before = rows(DedupIndex.dedupIncremental(spark, "t_compact_idx",
+      delta, "text", "doc_id", "lang", threshold = 0.5))
+    def files(tbl: String) = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_dedup_index/$tbl")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files("t_compact_idx_sh") > 4, "appends should add files per bucket")
+    DedupIndex.compact(spark, "t_compact_idx", buckets = 4)
+    assert(files("t_compact_idx_sh") <= 4,
+      "compaction should fold each bucket to one file")
+    // replay-duplicate rows are gone; verdicts identical
+    val shRows = spark.table("t_compact_idx_sh")
+    assert(shRows.count() == shRows.distinct().count())
+    val after = rows(DedupIndex.dedupIncremental(spark, "t_compact_idx",
+      delta, "text", "doc_id", "lang", threshold = 0.5))
+    assert(after == before)
+    // bucketed spec survives the rewrite
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = DedupIndex.dedupIncremental(spark, "t_compact_idx", delta,
+        "text", "doc_id", "lang", threshold = 0.5)
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("Bucketed: true"), s"compacted scan not bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("streaming upsert sink maintains a keyed dimension across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
