@@ -18,9 +18,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    attempted.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // The driver's comparator hashes cells with pandas, which cannot
@@ -52,6 +52,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The list of queries this run ATTEMPTED: any attempted query with no
+    // result dir crashed above. The checker reads this instead of inferring
+    // a subset from surviving dirs (which inverts on catastrophic runs).
+    Files.writeString(Paths.get(s"$outDir/ran_queries.json"),
+      attempted.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -130,7 +130,17 @@ object DedupIndex {
         () => writeBucketed(art.select(col("id"), col("blk"), col("sh"), col("bid")),
           shTable(base), Seq("id"), buckets, mode),
         () => writeBucketed(bandRows(art), bandTable(base), Seq("bk"), buckets, mode))
-      Await.result(Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
+      // Wait for ALL four writes to SETTLE (not fail-fast): the shared
+      // localCheckpoint blocks cannot be recomputed from lineage, so
+      // unpersisting while sibling writes are still running would kill
+      // them with missing-block errors — and in Append mode leave the
+      // four tables inconsistently appended. Collect every outcome,
+      // unpersist in `finally`, then rethrow the first failure.
+      import scala.util.{Failure, Try}
+      val settled = Await.result(
+        Future.sequence(writes.map(w => Future(w()).transform(Try(_)))),
+        Duration.Inf)
+      settled.collectFirst { case Failure(e) => e }.foreach(throw _)
     } finally
       // free the checkpoint blocks even when a write fails mid-retry —
       // otherwise every failed attempt pins a dead block set until GC

@@ -145,9 +145,7 @@ object ExtQueries {
 
   val qGzipTextSql: String =
     """SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
-      |  len(string_split_regex(lower(trim(text)), '[ 	
-
-]+'))::BIGINT AS n_tokens
+      |  len(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+'))::BIGINT AS n_tokens
       |FROM documents""".stripMargin
 
   /** Reproducible stratified downsampling: content-hash bucketing keeps
@@ -207,8 +205,7 @@ object ExtQueries {
 
   val qPackConcatSql: String =
     """WITH t AS (SELECT doc_id,
-      |  len(string_split_regex(lower(trim(text)), '[ 	
-]+'))::BIGINT AS n_tokens
+      |  len(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+'))::BIGINT AS n_tokens
       |FROM documents),
       |tot AS (SELECT COALESCE(sum(n_tokens), 0) AS tot FROM t),
       |sh AS (SELECT greatest(1, least(1048576, tot // (4096 * 64) + 1))::BIGINT

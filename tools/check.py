@@ -36,16 +36,18 @@ def main(outdir, sfdir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
-    # A missing result dir is only benign when Verify ran a SUBSET — in a
-    # full run it means the query CRASHED (Verify logs and moves on), and
-    # silently skipping it would turn a broken query into a green gate.
-    # Heuristic: the dirs that DO exist define the subset that was run.
-    ran = {d for d in os.listdir(outdir) if os.path.isdir(f"{outdir}/{d}")}
-    full_run = len(ran) > len(oracles) / 2
+    # A missing result dir is only benign when Verify did not ATTEMPT the
+    # query — for an attempted query it means it CRASHED (Verify logs and
+    # moves on), and silently skipping it would turn a broken query into a
+    # green gate. Verify writes the attempted list as ran_queries.json;
+    # fall back to "everything was attempted" if it is missing.
+    ran_path = f"{outdir}/ran_queries.json"
+    attempted = (set(json.load(open(ran_path))) if os.path.exists(ran_path)
+                 else set(oracles))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         if not os.path.isdir(f"{outdir}/{name}"):
-            if full_run:
+            if name in attempted:
                 n_fail += 1
                 print(f"FAIL {name}: no result written (query crashed in Verify?)")
             continue
