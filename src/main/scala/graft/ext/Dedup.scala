@@ -206,12 +206,74 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Double-rounding guard for the PPJoin integer bounds: `0.7 * 10` is
+    * `7.000000000000001` in binary, and a spurious `ceil` round-up would
+    * over-PRUNE a true pair. Subtracting epsilon before `ceil` only makes
+    * every filter more conservative — losslessness is preserved. */
+  private val PpEps = 1e-9
+
+  /** PPJoin candidate-pair pruning, applied per matched prefix element.
+    * `sa`/`sb` are the two sets' sizes, `pa`/`pb` the 1-based positions of
+    * the shared element in each hash-sorted set. Both bounds upper-bound
+    * the true overlap, so a pair is pruned only when it PROVABLY fails the
+    * threshold — recall is untouched (PPJoin, Xiao et al., WWW'08):
+    *  - length filter: |a∩b| ≤ min(|a|,|b|) and J ≥ t forces
+    *    min ≥ ceil(t·max);
+    *  - positional filter: elements before the match contribute at most
+    *    min(pa−1, pb−1), elements from the match on at most
+    *    min(sa−pa+1, sb−pb+1); their sum must reach the overlap threshold
+    *    α = ceil(t/(1+t)·(sa+sb)) (J ≥ t ⟺ |a∩b| ≥ t/(1+t)·(|a|+|b|)). */
+  private[graft] def ppFilter(sa: Column, pa: Column, sb: Column, pb: Column,
+                              threshold: Double): Column = {
+    val alpha =
+      ceil(lit(threshold / (1 + threshold)) * (sa + sb) - lit(PpEps))
+    val lengthOk =
+      least(sa, sb) >= ceil(lit(threshold) * greatest(sa, sb) - lit(PpEps))
+    val overlapUb =
+      least(pa - 1, pb - 1) + least(sa - pa + 1, sb - pb + 1)
+    lengthOk && overlapUb >= alpha
+  }
+
+  /** Prefix explode carrying the PPJoin pruning payload: one row per
+    * prefix element with the element's 1-based position and the set size.
+    * prefLen = |s| − ceil(t·|s|) + 1, the PPJoin prefix bound. */
+  private def prefixRowsWithPos(sh: DataFrame, threshold: Double): DataFrame = {
+    val prefLen = (size(col("sh")) -
+      ceil(lit(threshold) * size(col("sh"))).cast("int") + lit(1))
+    sh.select(col("blk"), col("id"), size(col("sh")).as("sz"),
+        posexplode(slice(col("sh"), lit(1), prefLen)))
+      .select(col("blk"), col("id"), col("sz"),
+        (col("pos") + lit(1)).as("pos"), col("col").as("p"))
+  }
+
+  /** Candidate pairs from the prefix rule over a prepared (blk, id, sh)
+    * frame — package-private so tests can measure how much the positional
+    * and length filters (`filtered = true`, the production path) shrink
+    * the candidate set vs the bare prefix-intersection rule. */
+  private[graft] def prefixCandidates(sh: DataFrame, threshold: Double,
+                                      filtered: Boolean = true): DataFrame = {
+    val pref = prefixRowsWithPos(sh, threshold)
+    val joined = pref.select(col("blk"), col("p"), col("id").as("id_a"),
+        col("sz").as("__sza"), col("pos").as("__pa"))
+      .join(pref.select(col("blk"), col("p"), col("id").as("id_b"),
+        col("sz").as("__szb"), col("pos").as("__pb")), Seq("blk", "p"))
+      .filter(col("id_a") < col("id_b"))
+    val pruned =
+      if (filtered) joined.filter(ppFilter(
+        col("__sza"), col("__pa"), col("__szb"), col("__pb"), threshold))
+      else joined
+    pruned.select("id_a", "id_b").distinct()
+  }
+
   /** Exact Jaccard pairs via *prefix filtering* (PPJoin-style set-similarity
     * join) — lossless for the threshold, and the algorithm you'd run at
     * 100 TB instead of the O(block²) loop: two sets with Jaccard ≥ t must
     * share at least one element among the first `|s| - ceil(t*|s|) + 1`
     * elements under a global order. Candidate generation is an equi-join on
-    * (block, prefix-shingle); the exact check runs only on candidates.
+    * (block, prefix-shingle), pruned per match by [[ppFilter]]'s positional
+    * and length bounds — the PPJoin defense against a boilerplate shingle
+    * landing in millions of prefixes and going quadratic on one key; the
+    * exact check runs only on surviving candidates.
     * Returns exactly [[blockedJaccardPairs]]'s rows. */
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                          blockCol: String, threshold: Double,
@@ -226,14 +288,7 @@ object Dedup {
         graft.functions.TextExpressions
           .sortedShingleHashes(col(textCol), shingleN).as("sh"))
       .repartition(col("id")) // one shingle pass shared by all four consumers
-    val prefLen = (size(col("sh")) -
-      ceil(lit(threshold) * size(col("sh"))).cast("int") + lit(1))
-    val pref = sh.select(col("blk"), col("id"),
-      explode(slice(col("sh"), lit(1), prefLen)).as("p"))
-    val cand = pref.select(col("blk"), col("p"), col("id").as("id_a"))
-      .join(pref.select(col("blk"), col("p"), col("id").as("id_b")), Seq("blk", "p"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cand = prefixCandidates(sh, threshold)
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -291,11 +346,15 @@ object Dedup {
     def pref(df: DataFrame, tag: String) = {
       val sh = col(s"sh_$tag")
       val prefLen = size(sh) - ceil(lit(threshold) * size(sh)).cast("int") + lit(1)
-      df.select(col("blk"), col(s"id_$tag"),
-        explode(slice(sh, lit(1), prefLen)).as("p"))
+      df.select(col("blk"), col(s"id_$tag"), size(sh).as(s"__sz_$tag"),
+          posexplode(slice(sh, lit(1), prefLen)))
+        .select(col("blk"), col(s"id_$tag"), col(s"__sz_$tag"),
+          (col("pos") + lit(1)).as(s"__pos_$tag"), col("col").as("p"))
     }
     val a = prep(left, "a"); val b = prep(right, "b")
     val cand = pref(a, "a").join(pref(b, "b"), Seq("blk", "p"))
+      .filter(ppFilter(col("__sz_a"), col("__pos_a"),
+        col("__sz_b"), col("__pos_b"), threshold))
       .select("id_a", "id_b").distinct()
     cand
       .join(a.select(col("id_a"), col("sh_a")), "id_a")

@@ -87,16 +87,21 @@ object DedupIndex {
       .select(col("bk"), col("id"), col("bid"))
   }
 
-  /** Prefix-filter explode of the shingle arrays: one (bk, id) row per
-    * prefix shingle, bk fused from (block, shingle hash) so the candidate
-    * join is single-key. prefLen = |s| - ceil(t·|s|) + 1 — the PPJoin
-    * prefix bound for Jaccard ≥ t. */
+  /** Prefix-filter explode of the shingle arrays: one (bk, id, pos, sz)
+    * row per prefix shingle, bk fused from (block, shingle hash) so the
+    * candidate join is single-key. prefLen = |s| - ceil(t·|s|) + 1 — the
+    * PPJoin prefix bound for Jaccard ≥ t. `pos` (1-based position of the
+    * shingle in the hash-sorted set) and `sz` (set size) feed
+    * [[Dedup.ppFilter]]'s positional + length pruning at probe time, so a
+    * boilerplate shingle shared by millions of documents cannot go
+    * quadratic on its one candidate key. */
   private def prefixRows(art: DataFrame, threshold: Double): DataFrame = {
     val prefLen =
       size(col("sh")) - ceil(lit(threshold) * size(col("sh"))).cast("int") + lit(1)
-    art.select(col("blk"), col("id"), col("bid"),
-        explode(slice(col("sh"), lit(1), prefLen)).as("p"))
-      .select(xxhash64(col("blk"), col("p")).as("bk"), col("id"), col("bid"))
+    art.select(col("blk"), col("id"), col("bid"), size(col("sh")).as("sz"),
+        posexplode(slice(col("sh"), lit(1), prefLen)))
+      .select(xxhash64(col("blk"), col("col")).as("bk"), col("id"), col("bid"),
+        (col("pos") + lit(1)).as("pos"), col("sz"))
   }
 
   /** Build (overwrite) the standing index for `corpus`. `threshold` is
@@ -148,47 +153,125 @@ object DedupIndex {
   }
 
   private def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-                            buckets: Int, mode: SaveMode): Unit =
-    df.write.mode(mode)
+                            buckets: Int, mode: SaveMode): Unit = {
+    val w = df.write.mode(mode)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-      .option("path", tablePath(df.sparkSession, table))
-      .format("parquet").saveAsTable(table)
+    // Appends go into the existing table's current snapshot location
+    // (resolved from the catalog); any table (re)creation claims a FRESH
+    // version dir so the files of the snapshot being replaced are never
+    // clobbered mid-read — crash recovery is "the old files are intact".
+    val target =
+      if (mode == SaveMode.Append && df.sparkSession.catalog.tableExists(table)) w
+      else w.option("path", nextVersionPath(table))
+    target.format("parquet").saveAsTable(table)
+  }
 
-  /** External-table location: pinned under the JVM temp dir so the index
-    * works regardless of warehouse configuration (and lands outside the
-    * repo during local runs). The path is host-shared state — that is the
-    * point of a STANDING index (a later session reads what an earlier one
-    * built) — so concurrent writers must use distinct `base` names, like
-    * any shared table. */
-  private def tablePath(spark: SparkSession, table: String): String =
+  /** External-table location root: pinned under the JVM temp dir so the
+    * index works regardless of warehouse configuration (and lands outside
+    * the repo during local runs). The path is host-shared state — that is
+    * the point of a STANDING index (a later session reads what an earlier
+    * one built) — so concurrent writers must use distinct `base` names,
+    * like any shared table. Each table's data lives in versioned snapshot
+    * dirs `<root>/<table>/v<N>`; the catalog points at the current one. */
+  private def tableRoot(table: String): java.io.File =
     new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft_dedup_index/$table").getAbsolutePath
+      s"graft_dedup_index/$table")
 
-  /** Compact the standing index: rewrite every table in place with its
-    * own bucket spec. Each kept batch appends one file per bucket, so a
-    * long-running ingestion accumulates per-bucket file counts linear in
-    * the batch count — the probe plan is unaffected (a bucket is read as
-    * a group), but scan open/seek overhead and replayed-append
-    * duplicates are not. Compaction folds each bucket back to one file
-    * and drops exact-duplicate rows a replayed append may have left.
-    * Run it OFFLINE relative to probes (it is the standard bucketed-table
-    * maintenance trade, same as any warehouse). */
-  def compact(spark: SparkSession, base: String, buckets: Int = 32): Unit = {
-    // the ORIGINAL bucket spec per table — re-bucketing on different keys
-    // would break the probes' exchange-free scans
+  private def nextVersionPath(table: String): String = {
+    val cur = Option(tableRoot(table).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).foldLeft(0L)(math.max)
+    new java.io.File(tableRoot(table), s"v${cur + 1}").getAbsolutePath
+  }
+
+  /** Write `df` as the table's NEXT snapshot dir under a scratch catalog
+    * name (dropped immediately — external, files stay) WITHOUT touching
+    * the live table. Publication is a separate single catalog operation
+    * ([[swapLocation]]); a crash anywhere during this write leaves probes
+    * reading the current snapshot untouched. */
+  private[graft] def writeSnapshot(spark: SparkSession, table: String,
+                                   keys: Seq[String], df: DataFrame): String = {
+    val scratch = s"${table}__snap"
+    val path = nextVersionPath(table)
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(bucketsOf(spark, table), keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", path).format("parquet").saveAsTable(scratch)
+    spark.sql(s"DROP TABLE IF EXISTS $scratch")
+    path
+  }
+
+  /** Atomically repoint the live table at a fully-written snapshot dir —
+    * ONE catalog operation, the commit point of [[compact]]. Snapshots
+    * older than the one just replaced are pruned (current + previous are
+    * retained, for in-flight readers and crash forensics). */
+  private[graft] def swapLocation(spark: SparkSession, table: String,
+                                  newPath: String): Unit = {
+    val oldLoc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location
+    spark.sql(s"ALTER TABLE $table SET LOCATION '$newPath'")
+    spark.catalog.refreshTable(table)
+    val keep = Set(new java.io.File(newPath).getName,
+      new java.io.File(oldLoc.getPath).getName)
+    Option(tableRoot(table).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") && !keep(f.getName))
+      .foreach(deleteRec)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+    f.delete(); ()
+  }
+
+  /** The per-bucket compaction frame: a SHUFFLE-FREE dedup of one table.
+    * The bucketed scan is forced to one partition per bucket (the caller
+    * disables `autoBucketedScan`), identical rows co-bucket by
+    * construction, so a within-partition sort + adjacent-row dedup IS a
+    * global dedup — no exchange anywhere in the plan (asserted in
+    * IOSpec), in contrast to a `distinct()` that would full-shuffle the
+    * corpus artifact set. */
+  private[graft] def compactionFrame(spark: SparkSession, table: String): DataFrame = {
+    val df = spark.table(table)
+    val cols = df.columns.map(col).toSeq
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(df.schema)
+    df.sortWithinPartitions(cols: _*).mapPartitions { it =>
+      var prev: org.apache.spark.sql.Row = null
+      it.filter { r => val keep = prev == null || r != prev; prev = r; keep }
+    }
+  }
+
+  /** Compact the standing index: fold each bucket's accumulated append
+    * files back to one file and drop exact-duplicate rows a replayed
+    * append may have left. Each table keeps its own catalog bucket spec —
+    * re-bucketing on different keys/counts would break the probes'
+    * exchange-free scans. The rewrite is per-bucket and shuffle-free
+    * ([[compactionFrame]]), lands in a fresh snapshot dir, and goes live
+    * only at [[swapLocation]]'s single catalog op — a compaction that
+    * dies mid-write leaves probes on the old snapshot. Run it OFFLINE
+    * relative to WRITERS (probes racing the swap re-plan safely; a
+    * concurrent append could land in the dir being replaced). */
+  def compact(spark: SparkSession, base: String): Unit = {
     val tables = Seq(
       exactTable(base) -> Seq("h", "t"),
       prefTable(base)  -> Seq("bk"),
       shTable(base)    -> Seq("id"),
       bandTable(base)  -> Seq("bk"))
-    tables.foreach { case (table, keys) =>
-      // materialize before overwriting the location being read
-      val snap = spark.table(table).distinct().localCheckpoint()
-      try writeBucketed(snap, table, keys, buckets, SaveMode.Overwrite)
-      finally graft.exec.Partitioning.unpersistCheckpoint(snap)
-    }
+    // forced bucketed scan: one partition per bucket is what makes the
+    // per-partition dedup global (duplicates co-bucket across files)
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      tables.foreach { case (table, keys) =>
+        swapLocation(spark, table,
+          writeSnapshot(spark, table, keys, compactionFrame(spark, table)))
+      }
+    } finally spark.conf.set(conf, prev)
   }
 
   /** Judge `delta` against the standing index — same output contract as
@@ -228,16 +311,33 @@ object DedupIndex {
       .select(col("id"), lit(true).as("__e"))
     // Near rule: candidates from the chosen generator, verified with
     // exact Jaccard on the stored shingle arrays — both generators are
-    // single-key equi-joins against their bucketed table.
-    val (probe, table) = candidates match {
-      case "prefix" => (prefixRows(d, threshold), prefTable(base))
-      case "lsh"    => (bandRows(d), bandTable(base))
+    // single-key equi-joins against their bucketed table. The prefix
+    // generator prunes each match with the PPJoin positional + length
+    // bounds when the stored table carries (pos, sz) — a legacy index
+    // built before those columns existed still probes correctly, just
+    // without the pruning (run [[migrate]] to backfill).
+    val cand = candidates match {
+      case "prefix" =>
+        val probe = prefixRows(d, threshold)
+          .select(col("bk"), col("id").as("id_b"),
+            col("pos").as("__pb"), col("sz").as("__szb"))
+        val idx = tbl(prefTable(base))
+        val joined =
+          if (idx.columns.contains("pos") && idx.columns.contains("sz"))
+            probe.join(idx.select(col("bk"), col("id").as("id_a"),
+                col("pos").as("__pa"), col("sz").as("__sza")), Seq("bk"))
+              .filter(Dedup.ppFilter(
+                col("__sza"), col("__pa"), col("__szb"), col("__pb"), threshold))
+          else
+            probe.join(idx.select(col("bk"), col("id").as("id_a")), Seq("bk"))
+        joined.select(col("id_a"), col("id_b")).distinct()
+      case "lsh" =>
+        bandRows(d).withColumnRenamed("id", "id_b")
+          .join(tbl(bandTable(base)).withColumnRenamed("id", "id_a"), Seq("bk"))
+          .select(col("id_a"), col("id_b")).distinct()
       case other => throw new IllegalArgumentException(
         s"candidates must be 'prefix' or 'lsh', got '$other'")
     }
-    val cand = probe.withColumnRenamed("id", "id_b")
-      .join(tbl(table).withColumnRenamed("id", "id_a"), Seq("bk"))
-      .select(col("id_a"), col("id_b")).distinct()
     val corpusSh = tbl(shTable(base))
     val nearIds = cand
       .join(corpusSh.select(col("id").as("id_a"), col("blk").as("__blk_a"),
@@ -259,18 +359,60 @@ object DedupIndex {
           .when(col("__n").isNotNull, "near").as("reason"))
   }
 
+  /** The table's bucket count from the catalog — appends and rewrites
+    * must preserve the existing spec or the probes' exchange-free
+    * bucketed scans are lost. */
+  private def bucketsOf(spark: SparkSession, table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(32)
+
+  /** Upgrade a legacy standing index IN PLACE to the current schema —
+    * probes read any era (missing columns just disable their feature),
+    * but an APPEND needs the catalog schema to match, so mixed-era
+    * ingestion migrates first:
+    *  - tables written before batch-id stamping gain `bid` = [[BulkBid]]
+    *    (their rows judge every probe, exactly as before);
+    *  - a pref table written before the PPJoin pruning payload is
+    *    rebuilt from the sh table, which holds every document's full
+    *    shingle array — positions and sizes are derived, not guessed.
+    * One-time rewrite per table, same bucket spec; a no-op on a
+    * current-schema index. */
+  def migrate(spark: SparkSession, base: String, threshold: Double): Unit = {
+    def rewrite(table: String, keys: Seq[String], df: DataFrame): Unit = {
+      val snap = df.localCheckpoint()
+      try writeBucketed(snap, table, keys, bucketsOf(spark, table),
+        SaveMode.Overwrite)
+      finally graft.exec.Partitioning.unpersistCheckpoint(snap)
+    }
+    Seq(exactTable(base) -> Seq("h", "t"), shTable(base) -> Seq("id"),
+        bandTable(base) -> Seq("bk")).foreach { case (table, keys) =>
+      val t = spark.table(table)
+      if (!t.columns.contains("bid"))
+        rewrite(table, keys, t.withColumn("bid", lit(BulkBid)))
+    }
+    val pref = spark.table(prefTable(base))
+    if (!pref.columns.contains("pos") || !pref.columns.contains("sz") ||
+        !pref.columns.contains("bid")) {
+      val sh = spark.table(shTable(base)) // already bid-stamped above
+      rewrite(prefTable(base), Seq("bk"), prefixRows(sh, threshold))
+    }
+  }
+
   /** Fold a judged batch's KEPT rows into the index (bucket-preserving
     * appends) — the state transition of continuous ingestion. The bucket
     * count is read from the existing table's spec: an append with a
-    * different count would be rejected by the catalog. */
+    * different count would be rejected by the catalog. A legacy-schema
+    * index is migrated first (appends resolve columns by name against
+    * the catalog schema, so a missing column would reject the append). */
   def appendKept(spark: SparkSession, base: String, batch: DataFrame,
                  verdicts: DataFrame, textCol: String, idCol: String,
                  blockCol: String, threshold: Double,
                  shingleN: Int = 3, batchId: Long = BulkBid): Unit = {
-    val buckets = spark.sessionState.catalog
-      .getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(exactTable(base)))
-      .bucketSpec.map(_.numBuckets).getOrElse(32)
+    if (!spark.table(exactTable(base)).columns.contains("bid") ||
+        !spark.table(prefTable(base)).columns.contains("pos"))
+      migrate(spark, base, threshold)
+    val buckets = bucketsOf(spark, exactTable(base))
     val kept = batch.join(
       verdicts.filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")
     write(kept, textCol, idCol, blockCol, base, threshold, shingleN, buckets,

@@ -92,6 +92,34 @@ class ExtSpec extends AnyFunSuite {
     assert(quad.nonEmpty && pref == quad)
   }
 
+  test("positional+length filters shrink candidates on boilerplate, losslessly") {
+    // Boilerplate-heavy corpus: every document shares a long legal footer,
+    // so its shingles land in many prefixes — the hot-shingle shape that
+    // goes quadratic without the PPJoin positional/length pruning. Bodies
+    // differ in length and content; only the two planted near-dups and the
+    // short-vs-long footer-only docs should pair.
+    val footer = (1 to 12).map(i => s"boilerplate$i").mkString(" ")
+    val docs = ((1 to 40).map { i =>
+      val body = (1 to (i % 7) * 4 + 2).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, s"$body $footer")
+    } ++ Seq((100L, s"alpha beta gamma $footer"),
+             (101L, s"alpha beta gamma delta $footer"))).toDF("id", "text")
+      .withColumn("blk", lit("en"))
+    val sh = docs.select(col("blk"), col("id"),
+      graft.functions.TextExpressions.sortedShingleHashes(col("text"), 3).as("sh"))
+    val unfiltered = Dedup.prefixCandidates(sh, 0.5, filtered = false).count()
+    val filtered = Dedup.prefixCandidates(sh, 0.5, filtered = true).count()
+    assert(filtered < unfiltered,
+      s"PPJoin filters should prune boilerplate candidates: $filtered vs $unfiltered")
+    // losslessness on the same fixture: filtered candidates still yield
+    // exactly the quadratic join's qualifying pairs
+    val quad = Dedup.blockedJaccardPairs(docs, "text", "id", "blk", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pref = Dedup.prefixJaccardPairs(docs, "text", "id", "blk", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(quad.nonEmpty && pref == quad)
+  }
+
   test("incremental dedup == quadratic delta-vs-corpus reference") {
     val docs = Tables(spark, dir, "documents")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)

@@ -227,11 +227,44 @@ class IOSpec extends AnyFunSuite {
         Option(r.getString(2)))).toSet
     val before = rows(DedupIndex.dedupIncremental(spark, "t_compact_idx",
       delta, "text", "doc_id", "lang", threshold = 0.5))
-    def files(tbl: String) = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_dedup_index/$tbl")
-      .listFiles().count(_.getName.endsWith(".parquet"))
+    // file counts resolve the table's CURRENT snapshot dir from the catalog
+    def loc(tbl: String) = new java.io.File(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .location.getPath)
+    def files(tbl: String) =
+      loc(tbl).listFiles().count(_.getName.endsWith(".parquet"))
     assert(files("t_compact_idx_sh") > 4, "appends should add files per bucket")
-    DedupIndex.compact(spark, "t_compact_idx", buckets = 4)
+
+    // 1) the compaction plan is SHUFFLE-FREE: forced bucketed scan, local
+    // sort, adjacent dedup — no exchange between scan and write
+    val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevScan = spark.conf.get(confKey)
+    val crashSafeLoc = loc("t_compact_idx_sh")
+    try {
+      spark.conf.set(confKey, "false")
+      val frame = DedupIndex.compactionFrame(spark, "t_compact_idx_sh")
+      val plan = frame.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"compaction must not shuffle the table:\n$plan")
+      assert(plan.toString.contains("Bucketed: true"),
+        s"compaction must read bucket-aligned partitions:\n$plan")
+
+      // 2) a compaction that dies AFTER the snapshot write but BEFORE the
+      // location swap leaves probes reading the old snapshot
+      DedupIndex.writeSnapshot(spark, "t_compact_idx_sh", Seq("id"), frame)
+      assert(loc("t_compact_idx_sh").getAbsolutePath == crashSafeLoc.getAbsolutePath,
+        "an unpublished snapshot must not move the live table")
+      val midCrash = rows(DedupIndex.dedupIncremental(spark, "t_compact_idx",
+        delta, "text", "doc_id", "lang", threshold = 0.5))
+      assert(midCrash == before, "probes must be unaffected by a dead snapshot")
+    } finally spark.conf.set(confKey, prevScan)
+
+    // 3) the real compaction: folds files, drops replay duplicates,
+    // preserves verdicts and the bucket spec
+    DedupIndex.compact(spark, "t_compact_idx")
+    assert(loc("t_compact_idx_sh").getAbsolutePath != crashSafeLoc.getAbsolutePath,
+      "published compaction must repoint the table")
     assert(files("t_compact_idx_sh") <= 4,
       "compaction should fold each bucket to one file")
     // replay-duplicate rows are gone; verdicts identical
@@ -249,6 +282,62 @@ class IOSpec extends AnyFunSuite {
         .queryExecution.executedPlan.toString()
       assert(plan.contains("Bucketed: true"), s"compacted scan not bucketed:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("legacy index (pre-bid, pre-PPJoin-payload) migrates and accepts stamped appends") {
+    import graft.ext.{Dedup, DedupIndex}
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val extra = Seq((90007L, "en", "migration test unique words here indeed"))
+      .toDF("doc_id", "lang", "text")
+    val keepAll = extra.select(col("doc_id"), lit(true).as("keep"),
+      lit(null).cast("string").as("reason"))
+    // Build a CURRENT index, then rewrite every table to the legacy shape:
+    // no bid column anywhere, no (pos, sz) on the pref table — exactly
+    // what a pre-stamping build left on disk.
+    DedupIndex.write(corpus, "text", "doc_id", "lang", "t_legacy_idx",
+      threshold = 0.5, buckets = 4)
+    def strip(tbl: String, keys: Seq[String], drop: Seq[String]): Unit = {
+      val legacy = spark.table(tbl).drop(drop: _*)
+      // write the stripped rows as an unpublished snapshot, then recreate
+      // the catalog entry with the LEGACY schema directly over it (DDL —
+      // a writer-based recreate would clean the location dir)
+      val path = DedupIndex.writeSnapshot(spark, tbl, keys, legacy)
+      val bucketCols = keys.mkString(", ")
+      spark.sql(s"DROP TABLE $tbl")
+      spark.sql(s"""CREATE TABLE $tbl (${legacy.schema.toDDL}) USING parquet
+        CLUSTERED BY ($bucketCols) SORTED BY ($bucketCols) INTO 4 BUCKETS
+        LOCATION '$path'""")
+    }
+    strip("t_legacy_idx_exact", Seq("h", "t"), Seq("bid"))
+    strip("t_legacy_idx_sh", Seq("id"), Seq("bid"))
+    strip("t_legacy_idx_band", Seq("bk"), Seq("bid"))
+    strip("t_legacy_idx_pref", Seq("bk"), Seq("bid", "pos", "sz"))
+    assert(!spark.table("t_legacy_idx_pref").columns.contains("pos"))
+    // legacy probes still work (no pruning payload, no stamps)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.getString(2)))).toSet
+    val legacyVerdicts = rows(DedupIndex.dedupIncremental(spark, "t_legacy_idx",
+      delta, "text", "doc_id", "lang", threshold = 0.5))
+    assert(legacyVerdicts == rows(Dedup.dedupIncremental(corpus, delta,
+      "text", "doc_id", "lang", threshold = 0.5)))
+    // a stamped append auto-migrates the index to the current schema…
+    DedupIndex.appendKept(spark, "t_legacy_idx", extra, keepAll,
+      "text", "doc_id", "lang", threshold = 0.5, batchId = 3L)
+    Seq("t_legacy_idx_exact", "t_legacy_idx_sh", "t_legacy_idx_band").foreach {
+      t => assert(spark.table(t).columns.contains("bid"), s"$t not migrated") }
+    assert(spark.table("t_legacy_idx_pref").columns.contains("pos"))
+    // …and the mixed-era index (bulk legacy + stamped append) judges
+    // probes exactly like a from-scratch rebuild over the same corpus
+    DedupIndex.write(corpus.select("doc_id", "lang", "text").unionByName(extra),
+      "text", "doc_id", "lang", "t_rebuilt_idx", threshold = 0.5, buckets = 4)
+    val mixed = rows(DedupIndex.dedupIncremental(spark, "t_legacy_idx",
+      delta, "text", "doc_id", "lang", threshold = 0.5))
+    val rebuilt = rows(DedupIndex.dedupIncremental(spark, "t_rebuilt_idx",
+      delta, "text", "doc_id", "lang", threshold = 0.5))
+    assert(mixed == rebuilt)
   }
 
   test("streaming upsert sink maintains a keyed dimension across batches") {
