@@ -3,19 +3,27 @@ package graft.ext
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Pure-JVM media codecs for the multimodal column operators — real
-  * byte-level parsers, not stubs: RIFF/WAVE PCM audio and uncompressed
-  * BMP images are fully implementable without native libraries, so the
-  * decode stage of [[Multimodal]] can be exercised end-to-end on valid
-  * payloads. Formats that genuinely need native codecs (jpeg/png/webp,
-  * compressed audio) remain out of scope in this container and are
-  * documented as such on the operators that mention them.
+  * decoders, not stubs, two tiers:
   *
-  * Both decoders validate magic numbers, walk the real chunk/header
-  * structure, honor little-endian layout, BMP row padding and bottom-up
-  * row order — the parts a hand-rolled parser usually gets wrong — and
-  * throw `IllegalArgumentException` with a specific message on malformed
-  * input (surfaced through the engine's error provenance when run inside
-  * a wrangle).
+  *  - hand-rolled byte-level parsers for RIFF/WAVE PCM audio and
+  *    uncompressed 24-bit BMP — fully specified layouts whose decode an
+  *    oracle can recompute closed-form, so they anchor the bit-exact
+  *    correctness queries;
+  *  - the JDK's own `javax.imageio` (java.desktop, pure Java, headless)
+  *    for JPEG/PNG/GIF/TIFF — no native libraries involved, so the
+  *    dominant crawl-scale image formats decode for real in any stock
+  *    JVM. PNG is lossless, hence also closed-form checkable; JPEG decode
+  *    is verified on its lossless properties (dimensions, pixel counts).
+  *
+  * WebP and compressed audio have no JDK decoder and stay opaque
+  * ([[Multimodal.byteStats]]).
+  *
+  * The byte-level decoders validate magic numbers, walk the real
+  * chunk/header structure, honor little-endian layout, BMP row padding
+  * and bottom-up row order — the parts a hand-rolled parser usually gets
+  * wrong — and throw `IllegalArgumentException` with a specific message
+  * on malformed input (surfaced through the engine's error provenance
+  * when run inside a wrangle).
   */
 object Codecs {
 
@@ -155,6 +163,63 @@ object Codecs {
     buf.array()
   }
 
+  /** Walk a 24-bit BGR DIB pixel grid (4-byte-padded rows) starting at
+    * `dataOffset` — the shared kernel of [[decodeBmp24]] and the raw-DIB
+    * AVI frame decoder (an uncompressed AVI frame IS a headerless DIB). */
+  private def readDib24(bytes: Array[Byte], dataOffset: Int,
+                        width: Int, height: Int, topDown: Boolean): Array[Int] = {
+    val rowBytes = ((width.toLong * 3 + 3) & ~3L).toInt
+    require(dataOffset >= 0 &&
+      dataOffset + rowBytes.toLong * height <= bytes.length,
+      "DIB: pixel data overruns payload")
+    val rgb = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      var off = dataOffset + srcRow * rowBytes
+      var x = 0
+      while (x < width) {
+        val b = bytes(off) & 0xFF
+        val g = bytes(off + 1) & 0xFF
+        val r = bytes(off + 2) & 0xFF
+        rgb(y * width + x) = (r << 16) | (g << 8) | b
+        off += 3
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
+  /** Encode a headerless bottom-up 24-bit DIB frame (the payload of an
+    * uncompressed AVI `00db` chunk). */
+  def encodeDib24(width: Int, height: Int,
+                  pixel: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = (width * 3 + 3) & ~3
+    val buf = ByteBuffer.allocate(rowBytes * height).order(ByteOrder.LITTLE_ENDIAN)
+    var y = height - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val p = pixel(x, y)
+        buf.put((p & 0xFF).toByte)
+        buf.put(((p >> 8) & 0xFF).toByte)
+        buf.put(((p >> 16) & 0xFF).toByte)
+        x += 1
+      }
+      var pad = rowBytes - width * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Decode a raw AVI DIB frame using the stream header's dimensions. */
+  def decodeDib24(frame: Array[Byte], width: Int, height: Int): BmpImage = {
+    require(width > 0 && height > 0, "DIB: non-positive dimensions")
+    BmpImage(width, height, readDib24(frame, 0, width, height, topDown = false))
+  }
+
   /** Parse an uncompressed 24-bit BMP: honors the declared pixel-data
     * offset, 4-byte row padding, and both bottom-up (height > 0) and
     * top-down (height < 0) row orders. */
@@ -188,22 +253,189 @@ object Codecs {
     val rowBytes = ((width.toLong * 3 + 3) & ~3L).toInt
     require(dataOffset + rowBytes.toLong * height <= bytes.length,
       "BMP: pixel data overruns file")
-    val rgb = new Array[Int](width * height)
+    BmpImage(width, height,
+      readDib24(bytes, dataOffset, width, height, topDown))
+  }
+
+  // ------------------------------------------------------------- AVI
+
+  /** Decoded AVI video: stream fourcc (`DIB ` = raw 24-bit frames,
+    * `MJPG` = one JPEG per frame) and the undecoded frame payloads —
+    * per-frame pixel decode is the caller's dispatch
+    * ([[decodeVideoFrame]]), so sampling can skip frames without paying
+    * their decode. */
+  final case class AviVideo(width: Int, height: Int, usecPerFrame: Int,
+                            fourcc: String, frames: Vector[Array[Byte]])
+
+  private def fourCCBytes(s: String): Array[Byte] = {
+    require(s.length == 4, s"AVI: fourcc must be 4 chars, got '$s'")
+    s.getBytes("US-ASCII")
+  }
+
+  /** Encode a minimal valid AVI: RIFF/`AVI ` form, `hdrl` LIST with the
+    * main (`avih`) and stream (`strh`/`strf`) headers, `movi` LIST with
+    * one `00db`/`00dc` chunk per frame. `DIB ` payloads are headerless
+    * bottom-up 24-bit DIBs ([[encodeDib24]]); `MJPG` payloads are whole
+    * JPEG files ([[encodeJpeg]]). */
+  def encodeAvi(width: Int, height: Int, usecPerFrame: Int, fourcc: String,
+                frames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1 // RIFF chunks are word-aligned
+      val buf = ByteBuffer.allocate(8 + body.length + pad)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put(fourCCBytes(id)).putInt(body.length).put(body)
+      buf.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourCCBytes(kind) ++ body)
+    val avih = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(usecPerFrame).putInt(0).putInt(0).putInt(0)
+      b.putInt(frames.length).putInt(0).putInt(1).putInt(0)
+      b.putInt(width).putInt(height)
+      b.array() // 4 reserved ints stay zero
+    }
+    val strh = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(fourCCBytes("vids")).put(fourCCBytes(fourcc))
+      b.putInt(0).putShort(0).putShort(0).putInt(0)
+      b.putInt(usecPerFrame) // scale
+      b.putInt(1000000)      // rate: rate/scale = fps
+      b.putInt(0).putInt(frames.length)
+      b.array()
+    }
+    val strf = {
+      val b = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(width).putInt(height)
+      b.putShort(1).putShort(24)
+      b.put(if (fourcc == "DIB ") Array[Byte](0, 0, 0, 0)
+            else fourCCBytes(fourcc))
+      b.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val frameId = if (fourcc == "DIB ") "00db" else "00dc"
+    val movi = list("movi",
+      frames.iterator.flatMap(f => chunk(frameId, f)).toArray)
+    chunk("RIFF", fourCCBytes("AVI ") ++ hdrl ++ movi)
+  }
+
+  /** Parse an AVI container: top-level RIFF walk, `hdrl` for dimensions /
+    * frame period / stream fourcc, `movi` for the frame payloads
+    * (`##db`/`##dc` chunks, nested `rec ` LISTs included). Tolerates and
+    * skips unknown chunks (`idx1`, `JUNK`, vendor LISTs) like the WAV
+    * parser does. */
+  def decodeAvi(bytes: Array[Byte]): AviVideo = {
+    require(bytes != null && bytes.length >= 24, "AVI: truncated header")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(fourCC() == "RIFF", "AVI: missing RIFF magic")
+    buf.getInt()
+    require(fourCC() == "AVI ", "AVI: missing 'AVI ' form type")
+    var width = -1; var height = -1; var usecPerFrame = -1
+    var fourcc: String = null
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(end: Int, inMovi: Boolean): Unit = {
+      while (buf.position() + 8 <= end) {
+        val id = fourCC()
+        val size = buf.getInt()
+        require(size >= 0 && buf.position() + size <= end,
+          s"AVI: chunk '$id' overruns container")
+        val next = buf.position() + size + (size & 1)
+        id match {
+          case "LIST" =>
+            val kind = fourCC()
+            walk(buf.position() + size - 4,
+              inMovi || kind == "movi") // 'rec ' groups nest inside movi
+          case "avih" =>
+            require(size >= 40, "AVI: avih too small")
+            usecPerFrame = buf.getInt()
+            buf.getInt(); buf.getInt(); buf.getInt(); buf.getInt()
+            buf.getInt(); buf.getInt(); buf.getInt()
+            width = buf.getInt(); height = buf.getInt()
+          case "strh" =>
+            require(size >= 8, "AVI: strh too small")
+            val kind = fourCC()
+            val handler = fourCC()
+            if (kind == "vids" && fourcc == null) fourcc = handler
+          case f if inMovi && f.length == 4 &&
+              (f.endsWith("db") || f.endsWith("dc")) =>
+            val payload = new Array[Byte](size)
+            buf.get(payload)
+            frames += payload
+          case _ => // idx1 / JUNK / strf (dims already in avih) / audio
+        }
+        buf.position(math.min(next, end))
+      }
+    }
+    walk(bytes.length, inMovi = false)
+    require(width > 0 && height > 0, "AVI: missing or invalid avih header")
+    require(fourcc != null, "AVI: no video stream header")
+    AviVideo(width, height, usecPerFrame, fourcc, frames.result())
+  }
+
+  /** Decode one AVI frame payload by the stream's fourcc: raw DIB frames
+    * through the byte kernel, MJPEG (and any other ImageIO-decodable
+    * per-frame codec) through [[decodeImage]]. */
+  def decodeVideoFrame(video: AviVideo, idx: Int): BmpImage =
+    video.fourcc match {
+      case "DIB " => decodeDib24(video.frames(idx), video.width, video.height)
+      case _      => decodeImage(video.frames(idx))
+    }
+
+  // --------------------------------------------------------- ImageIO
+
+  /** Encode a pixel grid losslessly as PNG via the JDK's `javax.imageio`
+    * (pure Java, headless — present in every `java.desktop` JVM). */
+  def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] =
+    encodeImageIO(width, height, pixel, "png")
+
+  /** Encode a pixel grid as baseline JPEG via `javax.imageio`. LOSSY:
+    * round-tripped pixel values are approximations; only dimensions and
+    * derived counts are exact. */
+  def encodeJpeg(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] =
+    encodeImageIO(width, height, pixel, "jpg")
+
+  private def encodeImageIO(width: Int, height: Int,
+                            pixel: (Int, Int) => Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < height) {
-      val srcRow = if (topDown) y else height - 1 - y
-      var off = dataOffset + srcRow * rowBytes
       var x = 0
-      while (x < width) {
-        val b = bytes(off) & 0xFF
-        val g = bytes(off + 1) & 0xFF
-        val r = bytes(off + 2) & 0xFF
-        rgb(y * width + x) = (r << 16) | (g << 8) | b
-        off += 3
-        x += 1
-      }
+      while (x < width) { img.setRGB(x, y, pixel(x, y)); x += 1 }
       y += 1
     }
-    BmpImage(width, height, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
+    require(javax.imageio.ImageIO.write(img, fmt, bos),
+      s"image: no ImageIO writer for '$fmt'")
+    bos.toByteArray
+  }
+
+  /** Decode ANY supported raster payload to the shared [[BmpImage]]
+    * representation, dispatching on the magic bytes: BMP goes through the
+    * oracle-exact byte parser above; JPEG/PNG/GIF/TIFF decode with the
+    * JDK's `javax.imageio`. Fails loudly when no reader claims the
+    * payload (e.g. webp) — opaque formats belong in
+    * [[Multimodal.byteStats]], not here. */
+  def decodeImage(bytes: Array[Byte]): BmpImage = {
+    require(bytes != null && bytes.length >= 2, "image: truncated payload")
+    if (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) decodeBmp24(bytes)
+    else {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "image: no ImageIO reader for payload magic " +
+        f"0x${bytes(0) & 0xFF}%02x${bytes(1) & 0xFF}%02x")
+      val w = img.getWidth; val h = img.getHeight
+      val rgb = new Array[Int](w * h)
+      img.getRGB(0, 0, w, h, rgb, 0, w)
+      var i = 0
+      while (i < rgb.length) { rgb(i) &= 0xFFFFFF; i += 1 } // drop alpha
+      BmpImage(w, h, rgb)
+    }
   }
 }

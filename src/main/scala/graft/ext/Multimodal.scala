@@ -9,15 +9,15 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample operators.
   *
-  * Decode is REAL for the pure-JVM formats: [[Codecs.decodeWav]]
-  * (RIFF/WAVE PCM) feeds [[audioChunkFeatures]] and [[Codecs.decodeBmp24]]
-  * (uncompressed 24-bit BMP) feeds [[imageFeatures]] — byte-level parsers
-  * with magic/chunk/row-padding handling, exercised end-to-end on
-  * synthesized valid payloads. Formats that need native libraries
-  * (jpeg/png/webp, compressed audio) are not decodable in this container;
-  * [[byteStats]] covers such opaque payloads honestly — byte statistics
-  * only, no decode claim — and a real jpeg path would slot into the same
-  * mapPartitions shape.
+  * Decode is REAL for every format a stock JVM can parse:
+  * [[Codecs.decodeWav]] (RIFF/WAVE PCM) feeds [[audioChunkFeatures]];
+  * [[Codecs.decodeImage]] feeds [[imageFeatures]] / [[resizeImage]] /
+  * [[patchPixelFeatures]] — uncompressed 24-bit BMP through the
+  * oracle-exact byte parser, JPEG/PNG/GIF/TIFF through the JDK's own
+  * `javax.imageio` (pure Java, headless, no native libraries). Formats
+  * with no JVM decoder (webp, compressed audio) stay opaque:
+  * [[byteStats]] covers them honestly — byte statistics only, no decode
+  * claim.
   *
   * Scale notes: media rows are large and skewed — [[repartitionBySize]]
   * re-buckets by cumulative payload size so one task never holds a few
@@ -46,9 +46,9 @@ object Multimodal {
         (lit(32) + pmod(col("doc_id"), lit(5)) * 16).cast(IntegerType).as("height"),
         (pmod(col("doc_id"), lit(60)) * 1000L).as("duration_ms")).as("meta"))
 
-  /** Byte-level statistics for OPAQUE payloads (formats this container
-    * cannot decode — jpeg/png/webp): byte count, mean/min/max byte value.
-    * No decode claim; a real native codec would slot into the same
+  /** Byte-level statistics for OPAQUE payloads (formats with no JVM
+    * decoder — webp, compressed audio): byte count, mean/min/max byte
+    * value. No decode claim; a native codec would slot into the same
     * mapPartitions shape with per-partition init. */
   private[ext] def byteStats(bytes: Array[Byte]): (Long, Double, Int, Int) = {
     if (bytes == null || bytes.isEmpty) (0L, 0.0, 0, 0)
@@ -120,7 +120,22 @@ object Multimodal {
     * `w = 4 + doc_id % 12`, `h = 4 + doc_id % 7`,
     * `r = (doc_id + 3x + 7y) % 256`, `g = (doc_id*2 + 5x + y) % 256`,
     * `b = (doc_id + x*y) % 256`. */
-  def bmpTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def bmpTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    gridImageTable(docs, idCol, Codecs.encodeBmp24)
+
+  /** The shared closed-form pixel grid behind [[bmpTable]] / [[pngTable]]
+    * / [[jpegTable]] — one formula, three container formats, so the same
+    * oracle arithmetic checks whichever encoder produced the payload. */
+  private def gridPixel(id: Long): (Int, Int) => Int = (x: Int, y: Int) => {
+    val rr = ((id + 3 * x + 7 * y) % 256).toInt
+    val gg = ((id * 2 + 5 * x + y) % 256).toInt
+    val bb = ((id + x.toLong * y) % 256).toInt
+    (rr << 16) | (gg << 8) | bb
+  }
+
+  private def gridImageTable(docs: DataFrame, idCol: String,
+                             encode: (Int, Int, (Int, Int) => Int) => Array[Byte])
+      : DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, LongType),
       StructField("media", BinaryType)))
@@ -131,13 +146,94 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val w = (4 + id % 12).toInt
         val h = (4 + id % 7).toInt
-        val px = (x: Int, y: Int) => {
-          val rr = ((id + 3 * x + 7 * y) % 256).toInt
-          val gg = ((id * 2 + 5 * x + y) % 256).toInt
-          val bb = ((id + x.toLong * y) % 256).toInt
-          (rr << 16) | (gg << 8) | bb
+        Row(id, encode(w, h, gridPixel(id)))
+      }
+    }(enc)
+  }
+
+  /** Synthesize REAL PNG payloads ([[Codecs.encodePng]], the JDK encoder)
+    * over [[bmpTable]]'s closed-form pixel grid — PNG is lossless, so the
+    * decoded features are bit-exact against the same oracle formulas. */
+  def pngTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    gridImageTable(docs, idCol, Codecs.encodePng)
+
+  /** Synthesize REAL baseline-JPEG payloads ([[Codecs.encodeJpeg]]) over
+    * the same grid. JPEG is lossy: dimensions and pixel COUNTS survive
+    * the round-trip exactly, channel values only approximately — oracle
+    * checks stick to the lossless properties. */
+  def jpegTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    gridImageTable(docs, idCol, Codecs.encodeJpeg)
+
+  /** Synthesize REAL AVI videos: a valid RIFF/`AVI ` container
+    * ([[Codecs.encodeAvi]] — avih/strh/strf headers, movi frame chunks)
+    * with `1 + doc_id % 5` raw-DIB frames at 25 fps (40 ms/frame), frame
+    * `f`'s pixels following the shared closed-form grid seeded with
+    * `doc_id + f` — so an oracle recomputes every sampled frame's decoded
+    * features without a decoder. */
+  def aviTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("media", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = docs.schema.fieldIndex(idCol)
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (4 + id % 12).toInt
+        val h = (4 + id % 7).toInt
+        val frames = Array.tabulate((1 + id % 5).toInt)(f =>
+          Codecs.encodeDib24(w, h, gridPixel(id + f)))
+        Row(id, Codecs.encodeAvi(w, h, usecPerFrame = 40000,
+          fourcc = "DIB ", frames = frames.toSeq))
+      }
+    }(enc)
+  }
+
+  /** REAL sampled-frame video decode: parse each AVI container, pick the
+    * frame under every `everyMs` timestamp (0, everyMs, … < duration),
+    * decode ONLY those frames ([[Codecs.decodeVideoFrame]] — raw DIB or
+    * MJPEG-via-ImageIO by the stream's fourcc), and reduce each to
+    * channel sums. One output row per sampled frame — frames of one
+    * video scatter across tasks downstream, and unsampled frames never
+    * pay a decode (the payload walk is chunk-offset arithmetic). */
+  def videoFrameFeatures(media: DataFrame, everyMs: Long,
+                         idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_ms", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_pixels", LongType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+          val id = r.getLong(idIdx)
+          val video = Codecs.decodeAvi(bytes)
+          val periodMs = math.max(video.usecPerFrame / 1000L, 1L)
+          val durationMs = video.frames.length * periodMs
+          Iterator.range(0L, durationMs, everyMs).map { t =>
+            val fi = (t / periodMs).toInt
+            val img = Codecs.decodeVideoFrame(video, fi)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < img.rgb.length) {
+              val p = img.rgb(i)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              i += 1
+            }
+            Row(id, fi, t, img.width, img.height,
+              img.rgb.length.toLong, sr, sg, sb)
+          }
         }
-        Row(id, Codecs.encodeBmp24(w, h, px))
       }
     }(enc)
   }
@@ -182,10 +278,11 @@ object Multimodal {
     }(enc)
   }
 
-  /** REAL image decode + feature extraction: parses each payload as a
-    * 24-bit BMP ([[Codecs.decodeBmp24]] — magic, header, row padding,
-    * bottom-up order) and reduces the pixel grid to per-channel sums.
-    * One mapPartitions pass; decoder state is per-task. */
+  /** REAL image decode + feature extraction: parses each payload via
+    * [[Codecs.decodeImage]] (BMP through the byte parser; JPEG/PNG/GIF/
+    * TIFF through `javax.imageio`) and reduces the pixel grid to
+    * per-channel sums. One mapPartitions pass; decoder state is
+    * per-task. */
   def imageFeatures(media: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, LongType),
@@ -206,7 +303,7 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](mIdx)
         if (bytes == null || bytes.isEmpty) Iterator.empty
         else Iterator.single {
-        val img = Codecs.decodeBmp24(bytes)
+        val img = Codecs.decodeImage(bytes)
         var sr = 0L; var sg = 0L; var sb = 0L
         var i = 0
         while (i < img.rgb.length) {
@@ -221,14 +318,18 @@ object Multimodal {
     }(enc)
   }
 
-  /** REAL image resize for BMP payloads: decode ([[Codecs.decodeBmp24]])
-    * → nearest-neighbor resample into the aspect-preserving `maxW`×`maxH`
-    * box (never upscaled) → re-encode ([[Codecs.encodeBmp24]]). The
-    * source pixel for output (x, y) is `(x·w0 div w1, y·h0 div h1)` —
+  /** REAL image resize: decode ([[Codecs.decodeImage]] — BMP byte parser
+    * or `javax.imageio` by magic) → nearest-neighbor resample into the
+    * aspect-preserving `maxW`×`maxH` box (never upscaled) → re-encode in
+    * the source's format family (BMP stays BMP; ImageIO formats re-encode
+    * as lossless PNG, the archival choice — resampled JPEG pixels are
+    * already approximations and a second lossy pass would compound).
+    * The source pixel for output (x, y) is `(x·w0 div w1, y·h0 div h1)` —
     * integer floor mapping, so an oracle recomputes the resampled grid
-    * without a decoder. One mapPartitions pass, codec state per task. */
-  def resizeBmp(media: DataFrame, maxW: Int, maxH: Int,
-                idCol: String = "doc_id"): DataFrame = {
+    * without a decoder (bit-exact for BMP/PNG sources). One mapPartitions
+    * pass, codec state per task. */
+  def resizeImage(media: DataFrame, maxW: Int, maxH: Int,
+                  idCol: String = "doc_id"): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, LongType),
       StructField("media", BinaryType)))
@@ -240,18 +341,28 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](mIdx)
         if (bytes == null || bytes.isEmpty) Iterator.empty
         else Iterator.single {
-        val img = Codecs.decodeBmp24(bytes)
+        val img = Codecs.decodeImage(bytes)
         val scale = math.min(
           math.min(maxW.toDouble / img.width, maxH.toDouble / img.height), 1.0)
         val w1 = math.max(math.floor(img.width * scale).toInt, 1)
         val h1 = math.max(math.floor(img.height * scale).toInt, 1)
-        val out = Codecs.encodeBmp24(w1, h1, (x, y) =>
-          img.rgb((y * img.height / h1) * img.width + (x * img.width / w1)))
+        val px = (x: Int, y: Int) =>
+          img.rgb((y * img.height / h1) * img.width + (x * img.width / w1))
+        val out =
+          if (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+            Codecs.encodeBmp24(w1, h1, px)
+          else Codecs.encodePng(w1, h1, px)
         Row(r.getLong(idIdx), out)
         }
       }
     }(enc)
   }
+
+  /** BMP-specific alias of [[resizeImage]], kept for the oracle-exact BMP
+    * pipeline's name stability. */
+  def resizeBmp(media: DataFrame, maxW: Int, maxH: Int,
+                idCol: String = "doc_id"): DataFrame =
+    resizeImage(media, maxW, maxH, idCol)
 
   /** REAL per-patch pixel features: decode each BMP, cut the ViT-style
     * `patch`×`patch` grid (partial edge patches dropped, like
@@ -278,7 +389,7 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](mIdx)
         if (bytes == null || bytes.isEmpty) Iterator.empty
         else {
-        val img = Codecs.decodeBmp24(bytes)
+        val img = Codecs.decodeImage(bytes)
         val nx = img.width / patch; val ny = img.height / patch
         for { py <- (0 until ny).iterator; px <- (0 until nx).iterator } yield {
           var sr = 0L; var sg = 0L; var sb = 0L

@@ -161,6 +161,68 @@ object StreamQueries {
       |FROM d, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y)
       |GROUP BY doc_id, w, h""".stripMargin
 
+  /** REAL PNG decode via the JDK's `javax.imageio`: synthesize a valid
+    * PNG per document over the same closed-form pixel grid as
+    * [[qMultimodalDecode]], decode it back, reduce to channel sums. PNG
+    * is lossless, so the oracle is the SAME arithmetic as the BMP query —
+    * matching proves the ImageIO encode→decode→extract loop is bit-exact
+    * on the dominant lossless crawl format. */
+  def qMultimodalPng(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageFeatures(Multimodal.pngTable(Tables(s, dir, "documents")))
+
+  val qMultimodalPngSql: String = qMultimodalDecodeSql
+
+  /** REAL JPEG decode via `javax.imageio`: synthesize a valid baseline
+    * JPEG per document, decode it back. JPEG is LOSSY — channel sums are
+    * approximations — so the checked columns are the properties the
+    * round-trip preserves exactly: dimensions and pixel count. (The
+    * decode itself is as real as the PNG path; only the oracle-checkable
+    * surface shrinks with the format's information loss.) */
+  def qMultimodalJpeg(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageFeatures(Multimodal.jpegTable(Tables(s, dir, "documents")))
+      .select(col("doc_id"), col("width"), col("height"), col("n_pixels"))
+
+  val qMultimodalJpegSql: String =
+    """SELECT doc_id, (4 + doc_id % 12)::INT AS width,
+      |  (4 + doc_id % 7)::INT AS height,
+      |  ((4 + doc_id % 12) * (4 + doc_id % 7))::BIGINT AS n_pixels
+      |FROM documents""".stripMargin
+
+  /** REAL resize over PNG payloads: ImageIO decode → nearest-neighbor
+    * resample → lossless PNG re-encode → decode again for features. Same
+    * integer source-pixel mapping as the BMP resize, so the SAME oracle
+    * checks it — proving [[Multimodal.resizeImage]] is pixel-exact across
+    * both decoder families. */
+  def qMultimodalResizePng(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageFeatures(
+      Multimodal.resizeImage(Multimodal.pngTable(Tables(s, dir, "documents")), 8, 8))
+
+  /** REAL video decode: synthesize a valid AVI per document (RIFF chunk
+    * walk — avih/strh/strf headers, movi frame list) holding raw-DIB
+    * frames whose pixels follow the closed-form grid seeded with
+    * `doc_id + frame`, then sample a frame every 80 ms (25 fps source →
+    * every 2nd frame) and decode ONLY the sampled frames to channel
+    * sums. The oracle recomputes the sampled indices and per-frame sums
+    * arithmetically — matching proves the container walk, the frame
+    * sampling arithmetic, and the per-frame DIB decode are all exact. */
+  def qMultimodalVideo(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoFrameFeatures(
+      Multimodal.aviTable(Tables(s, dir, "documents")), everyMs = 80)
+
+  val qMultimodalVideoSql: String =
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 12 AS w, 4 + doc_id % 7 AS h,
+      |  1 + doc_id % 5 AS nf FROM documents),
+      |f AS (SELECT doc_id, w, h, t AS frame_ms, t // 40 AS fi
+      |  FROM d, UNNEST(range(0, nf * 40, 80)) AS tt(t)),
+      |px AS (SELECT doc_id, frame_ms, fi, w, h, x, y
+      |  FROM f, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y))
+      |SELECT doc_id, fi::INT AS frame_idx, frame_ms::BIGINT AS frame_ms,
+      |  w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels,
+      |  CAST(sum((doc_id + fi + 3 * x + 7 * y) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum(((doc_id + fi) * 2 + 5 * x + y) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((doc_id + fi + x * y) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id, frame_ms, fi, w, h""".stripMargin
+
   /** Byte statistics over opaque payloads (formats with no JVM decoder).
     * Oracle exploits the fixture texts being pure ASCII: byte stream ==
     * codepoint stream. */
@@ -301,6 +363,10 @@ object StreamQueries {
     "q_compact"           -> (qCompact _),
     "q_scd2"              -> (qScd2 _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
+    "q_multimodal_png"    -> (qMultimodalPng _),
+    "q_multimodal_jpeg"   -> (qMultimodalJpeg _),
+    "q_multimodal_resize_png" -> (qMultimodalResizePng _),
+    "q_multimodal_video"  -> (qMultimodalVideo _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_resize_real" -> (qMultimodalResizeReal _),
@@ -318,6 +384,10 @@ object StreamQueries {
     "q_compact"           -> qCompactSql,
     "q_scd2"              -> qScd2Sql,
     "q_multimodal_decode" -> qMultimodalDecodeSql,
+    "q_multimodal_png"    -> qMultimodalPngSql,
+    "q_multimodal_jpeg"   -> qMultimodalJpegSql,
+    "q_multimodal_resize_png" -> qMultimodalResizeRealSql,
+    "q_multimodal_video"  -> qMultimodalVideoSql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
     "q_multimodal_resize" -> qMultimodalResizeSql,
     "q_multimodal_resize_real" -> qMultimodalResizeRealSql,

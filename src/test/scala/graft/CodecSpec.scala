@@ -181,6 +181,75 @@ class CodecSpec extends AnyFunSuite {
     intercept[Exception](Codecs.gunzip(truncated))
   }
 
+  test("PNG roundtrip via javax.imageio is pixel-exact; decodeImage dispatches by magic") {
+    val px = (x: Int, y: Int) => ((x * 37 + y * 91) % 256 << 16) |
+      ((x + y * 3) % 256 << 8) | ((x * y) % 256)
+    val png = Codecs.encodePng(13, 7, px)
+    // PNG magic, not BMP — the dispatch must route to ImageIO
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P'.toByte)
+    val img = Codecs.decodeImage(png)
+    assert(img.width == 13 && img.height == 7)
+    for (y <- 0 until 7; x <- 0 until 13)
+      assert(img.rgb(y * 13 + x) == px(x, y), s"pixel ($x,$y)")
+    // BMP payloads take the byte-parser path and agree exactly
+    val bmp = Codecs.encodeBmp24(13, 7, px)
+    assert(java.util.Arrays.equals(Codecs.decodeImage(bmp).rgb, img.rgb))
+  }
+
+  test("JPEG decode preserves dimensions; lossy pixels stay near the source") {
+    val px = (x: Int, y: Int) => (128 << 16) | (64 << 8) | 200 // uniform color
+    val jpg = Codecs.encodeJpeg(16, 12, px)
+    assert((jpg(0) & 0xFF) == 0xFF && (jpg(1) & 0xFF) == 0xD8) // JFIF magic
+    val img = Codecs.decodeImage(jpg)
+    assert(img.width == 16 && img.height == 12 && img.rgb.length == 192)
+    // a uniform image survives DCT quantization to within a small epsilon
+    img.rgb.foreach { p =>
+      assert(math.abs(((p >> 16) & 0xFF) - 128) <= 8)
+      assert(math.abs(((p >> 8) & 0xFF) - 64) <= 8)
+      assert(math.abs((p & 0xFF) - 200) <= 8)
+    }
+  }
+
+  test("decodeImage fails loudly on unknown magic (no silent null decode)") {
+    val e = intercept[IllegalArgumentException](
+      Codecs.decodeImage(Array[Byte]('R', 'I', 'F', 'F', 1, 2, 3, 4)))
+    assert(e.getMessage.contains("no ImageIO reader"))
+  }
+
+  test("AVI raw-DIB roundtrip is frame- and pixel-exact; MJPEG frames decode via ImageIO") {
+    val w = 13; val h = 5
+    val px = (f: Int) => (x: Int, y: Int) =>
+      ((x * 31 + f) % 256 << 16) | ((y * 17 + f) % 256 << 8) | ((x + y + f) % 256)
+    val dibAvi = Codecs.encodeAvi(w, h, usecPerFrame = 40000, fourcc = "DIB ",
+      frames = (0 until 3).map(f => Codecs.encodeDib24(w, h, px(f))))
+    val v = Codecs.decodeAvi(dibAvi)
+    assert(v.width == w && v.height == h && v.usecPerFrame == 40000)
+    assert(v.fourcc == "DIB " && v.frames.length == 3)
+    for (f <- 0 until 3) {
+      val img = Codecs.decodeVideoFrame(v, f)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.rgb(y * w + x) == px(f)(x, y), s"frame $f pixel ($x,$y)")
+    }
+    // MJPEG: same container walk, per-frame JPEG decode — dims exact
+    val mjpg = Codecs.encodeAvi(16, 8, 33333, "MJPG",
+      (0 until 2).map(f => Codecs.encodeJpeg(16, 8, px(f))))
+    val vm = Codecs.decodeAvi(mjpg)
+    assert(vm.fourcc == "MJPG" && vm.frames.length == 2)
+    val img0 = Codecs.decodeVideoFrame(vm, 0)
+    assert(img0.width == 16 && img0.height == 8)
+  }
+
+  test("AVI parser rejects malformed input loudly") {
+    val e1 = intercept[IllegalArgumentException](
+      Codecs.decodeAvi("RIFFxxxxWAVEfmt and more padding".getBytes("US-ASCII")))
+    assert(e1.getMessage.contains("AVI"))
+    val good = Codecs.encodeAvi(4, 4, 40000, "DIB ",
+      Seq(Codecs.encodeDib24(4, 4, (_, _) => 0)))
+    // truncate inside the movi list: the chunk overrun check must fire
+    intercept[IllegalArgumentException](
+      Codecs.decodeAvi(good.dropRight(10)))
+  }
+
   test("NormalizeText: NFC composes combining marks and compatibility singletons") {
     import org.apache.spark.sql.functions.col
     import graft.functions.TextExpressions
