@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -514,6 +514,69 @@ object ExtQueries {
     Dedup.nearDupPairs(Tables(s, dir, "documents"), "text", "doc_id",
       threshold = 0.7)
 
+  /** 3-token shingle Jaccard recomputed from Catalyst BUILT-INS only
+    * (split/transform/slice/array_intersect) — deliberately independent
+    * of the custom shingle/Jaccard Expressions, so the companion queries
+    * below cross-examine the engine's verify stage with different code. */
+  private def sqlJaccard(textA: Column, textB: Column): Column = {
+    def sh(t: Column): Column = {
+      val toks = split(lower(trim(t)), "[ \t\n\f\r]+")
+      val cnt = greatest(size(toks) - lit(3), lit(0)) + lit(1)
+      array_distinct(transform(sequence(lit(0), cnt - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+    }
+    val (a, b) = (sh(textA), sh(textB))
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  /** Companion verification of [[qNearDup]]'s VERIFY stage: candidates
+    * are engine-specific (LSH), but every EMITTED pair's Jaccard is
+    * recomputable — re-derive it from built-ins and emit one row per
+    * CONTRACT BREACH (emitted score wrong, or below the threshold). The
+    * oracle is the empty set: a hash-pass PROVES every emitted pair
+    * clears the threshold with the exactly right score, turning the
+    * rows-only q_near_dup into an oracle-verified one. */
+  def qNearDupVerified(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.7)
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
+      .withColumn("__j", sqlJaccard(col("__ta"), col("__tb")))
+      .filter(col("__j") < 0.7 || abs(col("__j") - col("jaccard")) > 1e-12)
+      .select(col("id_a"), col("id_b"),
+        lit("verify_breach").as("problem"))
+  }
+
+  val qNearDupVerifiedSql: String =
+    """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+      |  CAST(NULL AS VARCHAR) AS problem WHERE false""".stripMargin
+
+  /** Companion verification of [[qDedupMinhash]]: the candidate set is
+    * probabilistic but two DETERMINISTIC contracts bound it given the
+    * fixed seed — (a) no emitted pair (estimate ≥ 0.5 = ≥32/64 agreeing
+    * minhashes) may have true Jaccard < 0.05 (binomially impossible),
+    * and (b) no true pair at Jaccard ≥ 0.9 may be missed (per-band miss
+    * (1−0.9⁴)¹⁶ ≈ 4e-8; the exact side comes from the LOSSLESS prefix
+    * join, not LSH). Breach rows only; oracle = empty set. */
+  def qDedupMinhashVerified(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val emitted = Dedup.minhashPairs(docs, "text", "doc_id", minEstimate = 0.5)
+    val fp = emitted
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
+      .filter(sqlJaccard(col("__ta"), col("__tb")) < 0.05)
+      .select(col("id_a"), col("id_b"), lit("false_positive").as("problem"))
+    val missed = Dedup.prefixJaccardPairs(
+        docs.withColumn("__blk", lit(1)), "text", "doc_id", "__blk",
+        threshold = 0.9)
+      .join(emitted, Seq("id_a", "id_b"), "left_anti")
+      .select(col("id_a"), col("id_b"), lit("missed_high_sim").as("problem"))
+    fp.unionByName(missed)
+  }
+
+  val qDedupMinhashVerifiedSql: String = qNearDupVerifiedSql
+
   // ------------------------------------------------------ similarity
 
   /** Full near-duplicate removal: LSH-verified pairs → connected
@@ -809,6 +872,39 @@ object ExtQueries {
       bits = 4, tables = 16)
   }
 
+  /** Companion verification of [[qSimLsh]]: buckets are engine-specific,
+    * but every EMITTED (query, candidate, sim) triple's cosine is
+    * recomputable — re-derive it with built-in zip_with/aggregate over
+    * the stored vectors and emit one row per breach (score off by more
+    * than float-accumulation tolerance, or more than k rows per query).
+    * Oracle = empty set: a hash-pass proves every emitted neighbor
+    * carries its true cosine and the top-k bound holds. */
+  def qSimLshVerified(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir, "embeddings")
+    val emitted = Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
+      k = 5, dim = 64, bits = 4, tables = 16)
+    val cosSql = expr(
+      """aggregate(zip_with(__qv, __cv, (x, y) ->
+        |  CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)
+        |/ (sqrt(aggregate(__qv, 0D, (a, v) -> a + CAST(v AS DOUBLE) * v))
+        | * sqrt(aggregate(__cv, 0D, (a, v) -> a + CAST(v AS DOUBLE) * v)))"""
+        .stripMargin)
+    val scored = emitted
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("__qv")),
+        "query_id")
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("__cv")),
+        "cand_id")
+      .withColumn("__cos", cosSql)
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("query_id"))))
+    scored.filter(abs(col("__cos") - col("sim")) > 1e-6 || col("__n") > 5)
+      .select(col("query_id").as("id_a"), col("cand_id").as("id_b"),
+        lit("verify_breach").as("problem"))
+  }
+
+  val qSimLshVerifiedSql: String = qNearDupVerifiedSql
+
   /** Embedding near-duplicate pairs via LSH + exact verify — rows-only. */
   def qEmbNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairs(Tables(s, dir, "embeddings"),
@@ -850,6 +946,9 @@ object ExtQueries {
     "q_sim_ivf"          -> (qSimIvf _),
     "q_kmeans"           -> (qKmeans _),
     "q_sim_lsh"          -> (qSimLsh _),
+    "q_near_dup_verified"      -> (qNearDupVerified _),
+    "q_dedup_minhash_verified" -> (qDedupMinhashVerified _),
+    "q_sim_lsh_verified"       -> (qSimLshVerified _),
     "q_emb_near_dup"     -> (qEmbNearDup _))
 
   val oracle: Map[String, String] = Map(
@@ -881,5 +980,8 @@ object ExtQueries {
     "q_dedup_incr"       -> qDedupIncrSql,
     "q_dedup_incr_idx"   -> qDedupIncrSql,
     "q_corpus_prep"      -> qCorpusPrepSql,
+    "q_near_dup_verified"      -> qNearDupVerifiedSql,
+    "q_dedup_minhash_verified" -> qDedupMinhashVerifiedSql,
+    "q_sim_lsh_verified"       -> qSimLshVerifiedSql,
     "q_cluster_exact"    -> qClusterExactSql)
 }
