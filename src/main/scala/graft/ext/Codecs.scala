@@ -168,10 +168,17 @@ object Codecs {
     * AVI frame decoder (an uncompressed AVI frame IS a headerless DIB). */
   private def readDib24(bytes: Array[Byte], dataOffset: Int,
                         width: Int, height: Int, topDown: Boolean): Array[Int] = {
-    val rowBytes = ((width.toLong * 3 + 3) & ~3L).toInt
-    require(dataOffset >= 0 &&
-      dataOffset + rowBytes.toLong * height <= bytes.length,
-      "DIB: pixel data overruns payload")
+    // ALL size arithmetic in Long BEFORE any Int narrowing: a crafted
+    // width near Int.Max would wrap `rowBytes.toInt` negative and slip
+    // past the overrun check, crashing later with a raw array exception
+    // (or a multi-GB allocation) instead of this loud contract failure.
+    val rowBytesL = (width.toLong * 3 + 3) & ~3L
+    require(width > 0 && height > 0, "DIB: non-positive dimensions")
+    require(width.toLong * height <= Int.MaxValue &&
+      rowBytesL * height <= bytes.length - dataOffset.toLong &&
+      dataOffset >= 0,
+      "DIB: declared dimensions exceed payload size")
+    val rowBytes = rowBytesL.toInt
     val rgb = new Array[Int](width * height)
     var y = 0
     while (y < height) {
@@ -214,11 +221,10 @@ object Codecs {
     buf.array()
   }
 
-  /** Decode a raw AVI DIB frame using the stream header's dimensions. */
-  def decodeDib24(frame: Array[Byte], width: Int, height: Int): BmpImage = {
-    require(width > 0 && height > 0, "DIB: non-positive dimensions")
+  /** Decode a raw AVI DIB frame using the stream header's dimensions
+    * (bounds-checked against the frame payload in [[readDib24]]). */
+  def decodeDib24(frame: Array[Byte], width: Int, height: Int): BmpImage =
     BmpImage(width, height, readDib24(frame, 0, width, height, topDown = false))
-  }
 
   /** Parse an uncompressed 24-bit BMP: honors the declared pixel-data
     * offset, 4-byte row padding, and both bottom-up (height > 0) and
@@ -336,6 +342,8 @@ object Codecs {
     require(fourCC() == "AVI ", "AVI: missing 'AVI ' form type")
     var width = -1; var height = -1; var usecPerFrame = -1
     var fourcc: String = null
+    var streamIdx = 0        // strh chunks appear once per stream, in order
+    var videoStream = ""     // the FIRST video stream's 2-digit chunk prefix
     val frames = Vector.newBuilder[Array[Byte]]
     def walk(end: Int, inMovi: Boolean): Unit = {
       while (buf.position() + 8 <= end) {
@@ -359,8 +367,15 @@ object Codecs {
             require(size >= 8, "AVI: strh too small")
             val kind = fourCC()
             val handler = fourCC()
-            if (kind == "vids" && fourcc == null) fourcc = handler
-          case f if inMovi && f.length == 4 &&
+            if (kind == "vids" && fourcc == null) {
+              fourcc = handler
+              videoStream = f"$streamIdx%02d"
+            }
+            streamIdx += 1
+          // frames of OTHER streams (a second video, audio '##wb') must
+          // not interleave into this stream's frame list
+          case f if inMovi && f.length == 4 && f.startsWith(videoStream) &&
+              videoStream.nonEmpty &&
               (f.endsWith("db") || f.endsWith("dc")) =>
             val payload = new Array[Byte](size)
             buf.get(payload)

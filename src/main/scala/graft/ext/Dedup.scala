@@ -208,9 +208,15 @@ object Dedup {
 
   /** Double-rounding guard for the PPJoin integer bounds: `0.7 * 10` is
     * `7.000000000000001` in binary, and a spurious `ceil` round-up would
-    * over-PRUNE a true pair. Subtracting epsilon before `ceil` only makes
-    * every filter more conservative — losslessness is preserved. */
-  private val PpEps = 1e-9
+    * over-PRUNE a true pair (filters) or SHORTEN a prefix by one and skip
+    * a true candidate (prefix length). Subtracting epsilon before `ceil`
+    * only makes every filter more conservative and every prefix longer —
+    * losslessness is preserved. */
+  private[ext] val PpEps = 1e-9
+
+  /** The PPJoin prefix length `|s| − ceil(t·|s|) + 1`, FP-guarded. */
+  private[ext] def prefLenOf(sz: Column, threshold: Double): Column =
+    sz - ceil(lit(threshold) * sz - lit(PpEps)).cast("int") + lit(1)
 
   /** PPJoin candidate-pair pruning, applied per matched prefix element.
     * `sa`/`sb` are the two sets' sizes, `pa`/`pb` the 1-based positions of
@@ -238,8 +244,7 @@ object Dedup {
     * prefix element with the element's 1-based position and the set size.
     * prefLen = |s| − ceil(t·|s|) + 1, the PPJoin prefix bound. */
   private def prefixRowsWithPos(sh: DataFrame, threshold: Double): DataFrame = {
-    val prefLen = (size(col("sh")) -
-      ceil(lit(threshold) * size(col("sh"))).cast("int") + lit(1))
+    val prefLen = prefLenOf(size(col("sh")), threshold)
     sh.select(col("blk"), col("id"), size(col("sh")).as("sz"),
         posexplode(slice(col("sh"), lit(1), prefLen)))
       .select(col("blk"), col("id"), col("sz"),
@@ -345,7 +350,7 @@ object Dedup {
         .repartition(col(s"id_$tag"))
     def pref(df: DataFrame, tag: String) = {
       val sh = col(s"sh_$tag")
-      val prefLen = size(sh) - ceil(lit(threshold) * size(sh)).cast("int") + lit(1)
+      val prefLen = prefLenOf(size(sh), threshold)
       df.select(col("blk"), col(s"id_$tag"), size(sh).as(s"__sz_$tag"),
           posexplode(slice(sh, lit(1), prefLen)))
         .select(col("blk"), col(s"id_$tag"), col(s"__sz_$tag"),

@@ -96,8 +96,7 @@ object DedupIndex {
     * boilerplate shingle shared by millions of documents cannot go
     * quadratic on its one candidate key. */
   private def prefixRows(art: DataFrame, threshold: Double): DataFrame = {
-    val prefLen =
-      size(col("sh")) - ceil(lit(threshold) * size(col("sh"))).cast("int") + lit(1)
+    val prefLen = Dedup.prefLenOf(size(col("sh")), threshold)
     art.select(col("blk"), col("id"), col("bid"), size(col("sh")).as("sz"),
         posexplode(slice(col("sh"), lit(1), prefLen)))
       .select(xxhash64(col("blk"), col("col")).as("bk"), col("id"), col("bid"),
@@ -154,18 +153,50 @@ object DedupIndex {
 
   private def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                             buckets: Int, mode: SaveMode): Unit = {
-    val w = df.write.mode(mode)
+    val spark = df.sparkSession
+    def writer(d: DataFrame, m: SaveMode) = d.write.mode(m)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-    // Appends go into the existing table's current snapshot location
-    // (resolved from the catalog); any table (re)creation claims a FRESH
-    // version dir so the files of the snapshot being replaced are never
-    // clobbered mid-read — crash recovery is "the old files are intact".
-    val target =
-      if (mode == SaveMode.Append && df.sparkSession.catalog.tableExists(table)) w
-      else w.option("path", nextVersionPath(table))
-    target.format("parquet").saveAsTable(table)
+    if (mode == SaveMode.Append && spark.catalog.tableExists(table)) {
+      // appends go into the existing table's current snapshot location
+      // (Spark's job commit protocol makes the file set atomic per table)
+      writer(df, mode).format("parquet").saveAsTable(table)
+    } else if (spark.catalog.tableExists(table)) {
+      // OVERWRITE of a live table: saveAsTable's own drop-and-recreate
+      // would leave no catalog entry if the write died mid-way. Write the
+      // complete new snapshot under a SCRATCH entry first, then commit
+      // with two catalog ops; a crash between them leaves the scratch
+      // holding everything and [[healInterrupted]] finishes the rename.
+      val prev = new java.io.File(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location.getPath).getName
+      val scratch = s"${table}__next"
+      val path = nextVersionPath(table)
+      writer(df, SaveMode.Overwrite)
+        .option("path", path).format("parquet").saveAsTable(scratch)
+      spark.sql(s"DROP TABLE $table")
+      spark.sql(s"ALTER TABLE $scratch RENAME TO $table") // external: keeps path
+      pruneVersions(table, Set(new java.io.File(path).getName, prev))
+    } else {
+      // fresh create claims a new version dir (older dirs from previous
+      // runs are stale garbage once this commit lands)
+      val path = nextVersionPath(table)
+      writer(df, mode).option("path", path).format("parquet").saveAsTable(table)
+      pruneVersions(table, Set(new java.io.File(path).getName))
+    }
   }
+
+  /** Finish a table rewrite that died between its DROP and RENAME catalog
+    * ops: the scratch entry holds the COMPLETE new snapshot, so adopting
+    * it is the correct (and only) repair. Called on entry by every
+    * index-mutating/probing API — a no-op unless a crash left the marker. */
+  private def healInterrupted(spark: SparkSession, base: String): Unit =
+    Seq(exactTable(base), prefTable(base), shTable(base), bandTable(base))
+      .foreach { table =>
+        if (!spark.catalog.tableExists(table) &&
+            spark.catalog.tableExists(s"${table}__next"))
+          spark.sql(s"ALTER TABLE ${table}__next RENAME TO $table")
+      }
 
   /** External-table location root: pinned under the JVM temp dir so the
     * index works regardless of warehouse configuration (and lands outside
@@ -215,12 +246,17 @@ object DedupIndex {
       .location
     spark.sql(s"ALTER TABLE $table SET LOCATION '$newPath'")
     spark.catalog.refreshTable(table)
-    val keep = Set(new java.io.File(newPath).getName,
-      new java.io.File(oldLoc.getPath).getName)
+    pruneVersions(table, Set(new java.io.File(newPath).getName,
+      new java.io.File(oldLoc.getPath).getName))
+  }
+
+  /** Delete snapshot dirs not in `keep` — every publish path prunes, so
+    * repeated rebuilds/compactions/migrations cannot leak one full corpus
+    * copy per call into the table root. */
+  private def pruneVersions(table: String, keep: Set[String]): Unit =
     Option(tableRoot(table).listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.matches("v\\d+") && !keep(f.getName))
       .foreach(deleteRec)
-  }
 
   private def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
@@ -256,6 +292,7 @@ object DedupIndex {
     * relative to WRITERS (probes racing the swap re-plan safely; a
     * concurrent append could land in the dir being replaced). */
   def compact(spark: SparkSession, base: String): Unit = {
+    healInterrupted(spark, base)
     val tables = Seq(
       exactTable(base) -> Seq("h", "t"),
       prefTable(base)  -> Seq("bk"),
@@ -292,6 +329,7 @@ object DedupIndex {
                        threshold: Double, shingleN: Int = 3,
                        candidates: String = "prefix",
                        excludeBatchId: Long = Long.MinValue): DataFrame = {
+    healInterrupted(spark, base)
     // Legacy (pre-bid) indexes read as all-bulk: no stamp, no exclusion.
     def tbl(name: String) = {
       val raw = spark.table(name)
@@ -377,8 +415,12 @@ object DedupIndex {
     *    rebuilt from the sh table, which holds every document's full
     *    shingle array — positions and sizes are derived, not guessed.
     * One-time rewrite per table, same bucket spec; a no-op on a
-    * current-schema index. */
+    * current-schema index. Each rewrite commits scratch-then-rename
+    * (see [[writeBucketed]]): the new snapshot is fully written before
+    * any catalog op, and a crash between the two catalog ops is healed
+    * on the next index call by [[healInterrupted]]. */
   def migrate(spark: SparkSession, base: String, threshold: Double): Unit = {
+    healInterrupted(spark, base)
     def rewrite(table: String, keys: Seq[String], df: DataFrame): Unit = {
       val snap = df.localCheckpoint()
       try writeBucketed(snap, table, keys, bucketsOf(spark, table),
@@ -409,6 +451,7 @@ object DedupIndex {
                  verdicts: DataFrame, textCol: String, idCol: String,
                  blockCol: String, threshold: Double,
                  shingleN: Int = 3, batchId: Long = BulkBid): Unit = {
+    healInterrupted(spark, base)
     if (!spark.table(exactTable(base)).columns.contains("bid") ||
         !spark.table(prefTable(base)).columns.contains("pos"))
       migrate(spark, base, threshold)

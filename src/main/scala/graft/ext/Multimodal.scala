@@ -133,9 +133,12 @@ object Multimodal {
     (rr << 16) | (gg << 8) | bb
   }
 
-  private def gridImageTable(docs: DataFrame, idCol: String,
-                             encode: (Int, Int, (Int, Int) => Int) => Array[Byte])
-      : DataFrame = {
+  /** One synthesized payload per document from the shared (id, w, h)
+    * derivation — the single place the grid dimensions formula lives, so
+    * the image tables and the video table cannot drift apart from the
+    * oracle SQL that assumes they match. */
+  private def gridMediaTable(docs: DataFrame, idCol: String,
+                             make: (Long, Int, Int) => Array[Byte]): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, LongType),
       StructField("media", BinaryType)))
@@ -144,12 +147,15 @@ object Multimodal {
     docs.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
-        val w = (4 + id % 12).toInt
-        val h = (4 + id % 7).toInt
-        Row(id, encode(w, h, gridPixel(id)))
+        Row(id, make(id, (4 + id % 12).toInt, (4 + id % 7).toInt))
       }
     }(enc)
   }
+
+  private def gridImageTable(docs: DataFrame, idCol: String,
+                             encode: (Int, Int, (Int, Int) => Int) => Array[Byte])
+      : DataFrame =
+    gridMediaTable(docs, idCol, (id, w, h) => encode(w, h, gridPixel(id)))
 
   /** Synthesize REAL PNG payloads ([[Codecs.encodePng]], the JDK encoder)
     * over [[bmpTable]]'s closed-form pixel grid — PNG is lossless, so the
@@ -170,24 +176,13 @@ object Multimodal {
     * `f`'s pixels following the shared closed-form grid seeded with
     * `doc_id + f` — so an oracle recomputes every sampled frame's decoded
     * features without a decoder. */
-  def aviTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType),
-      StructField("media", BinaryType)))
-    val enc = RowEncoder.encoderFor(outSchema)
-    val idIdx = docs.schema.fieldIndex(idCol)
-    docs.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(idIdx)
-        val w = (4 + id % 12).toInt
-        val h = (4 + id % 7).toInt
-        val frames = Array.tabulate((1 + id % 5).toInt)(f =>
-          Codecs.encodeDib24(w, h, gridPixel(id + f)))
-        Row(id, Codecs.encodeAvi(w, h, usecPerFrame = 40000,
-          fourcc = "DIB ", frames = frames.toSeq))
-      }
-    }(enc)
-  }
+  def aviTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    gridMediaTable(docs, idCol, (id, w, h) => {
+      val frames = Array.tabulate((1 + id % 5).toInt)(f =>
+        Codecs.encodeDib24(w, h, gridPixel(id + f)))
+      Codecs.encodeAvi(w, h, usecPerFrame = 40000,
+        fourcc = "DIB ", frames = frames.toSeq)
+    })
 
   /** REAL sampled-frame video decode: parse each AVI container, pick the
     * frame under every `everyMs` timestamp (0, everyMs, … < duration),

@@ -514,21 +514,14 @@ object ExtQueries {
     Dedup.nearDupPairs(Tables(s, dir, "documents"), "text", "doc_id",
       threshold = 0.7)
 
-  /** 3-token shingle Jaccard recomputed from Catalyst BUILT-INS only
-    * (split/transform/slice/array_intersect) — deliberately independent
-    * of the custom shingle/Jaccard Expressions, so the companion queries
-    * below cross-examine the engine's verify stage with different code. */
-  private def sqlJaccard(textA: Column, textB: Column): Column = {
-    def sh(t: Column): Column = {
-      val toks = split(lower(trim(t)), "[ \t\n\f\r]+")
-      val cnt = greatest(size(toks) - lit(3), lit(0)) + lit(1)
-      array_distinct(transform(sequence(lit(0), cnt - 1),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
-    }
-    val (a, b) = (sh(textA), sh(textB))
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
-  }
+  /** 3-token shingle Jaccard recomputed from Catalyst BUILT-INS only —
+    * [[Dedup.shinglesHof]] + [[Dedup.jaccard]], the interpreted HOF twins
+    * kept for parity testing (they share [[TextAnalysis]]'s one
+    * whitespace class but none of the custom Expressions' code), so the
+    * companion queries below cross-examine the engine's verify stage
+    * with different execution machinery. */
+  private def sqlJaccard(textA: Column, textB: Column): Column =
+    Dedup.jaccard(Dedup.shinglesHof(textA), Dedup.shinglesHof(textB))
 
   /** Companion verification of [[qNearDup]]'s VERIFY stage: candidates
     * are engine-specific (LSH), but every EMITTED pair's Jaccard is
@@ -556,9 +549,14 @@ object ExtQueries {
     * probabilistic but two DETERMINISTIC contracts bound it given the
     * fixed seed — (a) no emitted pair (estimate ≥ 0.5 = ≥32/64 agreeing
     * minhashes) may have true Jaccard < 0.05 (binomially impossible),
-    * and (b) no true pair at Jaccard ≥ 0.9 may be missed (per-band miss
-    * (1−0.9⁴)¹⁶ ≈ 4e-8; the exact side comes from the LOSSLESS prefix
-    * join, not LSH). Breach rows only; oracle = empty set. */
+    * and (b) no true pair at Jaccard ≥ 0.9 may be missed by the LSH MATH
+    * (per-band miss (1−0.9⁴)¹⁶ ≈ 4e-8; the exact side comes from the
+    * LOSSLESS prefix join, not LSH). The recall side generates its
+    * candidates UNCAPPED: the production `maxBucket` hot-bucket cap can
+    * legitimately drop every band of a >cap near-identical cluster — a
+    * deliberate recall/size dial, recall-tested separately in ExtSpec —
+    * and must not read as an LSH-math breach here. Breach rows only;
+    * oracle = empty set. */
   def qDedupMinhashVerified(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val emitted = Dedup.minhashPairs(docs, "text", "doc_id", minEstimate = 0.5)
@@ -567,10 +565,12 @@ object ExtQueries {
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
       .filter(sqlJaccard(col("__ta"), col("__tb")) < 0.05)
       .select(col("id_a"), col("id_b"), lit("false_positive").as("problem"))
+    val uncapped = Dedup.minhashPairs(docs, "text", "doc_id",
+      minEstimate = 0.5, maxBucket = Int.MaxValue)
     val missed = Dedup.prefixJaccardPairs(
         docs.withColumn("__blk", lit(1)), "text", "doc_id", "__blk",
         threshold = 0.9)
-      .join(emitted, Seq("id_a", "id_b"), "left_anti")
+      .join(uncapped, Seq("id_a", "id_b"), "left_anti")
       .select(col("id_a"), col("id_b"), lit("missed_high_sim").as("problem"))
     fp.unionByName(missed)
   }

@@ -284,6 +284,28 @@ class IOSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("interrupted overwrite commit heals on the next index call") {
+    import graft.ext.{Dedup, DedupIndex}
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    DedupIndex.write(corpus, "text", "doc_id", "lang", "t_heal_idx",
+      threshold = 0.5, buckets = 4)
+    // Simulate a rewrite that died between its two catalog ops: the live
+    // entry is gone, the scratch entry holds the complete snapshot.
+    spark.sql("ALTER TABLE t_heal_idx_exact RENAME TO t_heal_idx_exact__next")
+    assert(!spark.catalog.tableExists("t_heal_idx_exact"))
+    // the next probe heals the catalog and judges correctly
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.getString(2)))).toSet
+    val healed = rows(DedupIndex.dedupIncremental(spark, "t_heal_idx",
+      delta, "text", "doc_id", "lang", threshold = 0.5))
+    assert(spark.catalog.tableExists("t_heal_idx_exact"))
+    assert(healed == rows(Dedup.dedupIncremental(corpus, delta,
+      "text", "doc_id", "lang", threshold = 0.5)))
+  }
+
   test("legacy index (pre-bid, pre-PPJoin-payload) migrates and accepts stamped appends") {
     import graft.ext.{Dedup, DedupIndex}
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
