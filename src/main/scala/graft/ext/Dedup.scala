@@ -289,6 +289,16 @@ object Dedup {
     // preserved (64-bit collisions are negligible), while both the verify
     // join (full array) and the candidate explode (~half the array) shuffle
     // 8 bytes per shingle instead of ~20 bytes of text.
+    //
+    // Deliberately NOT the classic rarest-first (ascending document
+    // frequency) order: df-ordering shrinks candidate sets further, but
+    // the order would then be a function of the CORPUS — it drifts as the
+    // corpus grows, and a standing index ([[DedupIndex]]) whose stored
+    // prefixes were cut under an older order silently loses the prefix
+    // guarantee against probes cut under a newer one. Hash order is
+    // corpus-independent (stable forever) and already scatters hot
+    // shingles uniformly through prefixes; the positional/length filters
+    // above reclaim most of df-ordering's pruning without the drift.
     val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
         graft.functions.TextExpressions
           .sortedShingleHashes(col(textCol), shingleN).as("sh"))

@@ -264,6 +264,39 @@ object Similarity {
     (clusterIds, centroids)
   }
 
+  /** SemDeDup-style semantic deduplication: k-means-cluster the embedding
+    * space (the deterministic [[kmeans]]), then search near-duplicates
+    * ONLY within each cluster — the published recipe for billion-scale
+    * embedding dedup. The quadratic pair search is bounded by the cluster
+    * size, which `k` dials (at scale pick k ≈ corpus / target-cluster-
+    * size; clusters process embarrassingly parallel, and the cluster join
+    * is one shuffle on the cluster id). A row is dropped when a
+    * SMALLER-id row of its cluster has cosine ≥ `threshold` — the greedy
+    * keep-first rule: deterministic, one pass, no iteration, and the same
+    * representative set a sequential scan in id order would keep.
+    * Output: every input row as (idCol, cluster, keep). */
+  def semDedup(df: DataFrame, vecCol: String, idCol: String,
+               k: Int, iters: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val assign = kmeans(df, vecCol, idCol, k, iters)
+    val withV = df
+      .select(col(idCol).cast(LongType).as("id"), col(vecCol).as("__v"))
+      .join(assign.select(col(idCol).cast(LongType).as("id"), col("cluster")),
+        Seq("id"))
+    val a = withV.select(col("cluster"), col("id").as("id_a"),
+      col("__v").as("__va"))
+    val b = withV.select(col("cluster"), col("id").as("id_b"),
+      col("__v").as("__vb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b") &&
+        cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    withV.select(col("id"), col("cluster"))
+      .join(dropped.withColumn("__d", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        col("__d").isNull.as("keep"))
+  }
+
   /** L2-normalize an embedding column to unit length (double output).
     * The norm is aliased in its own projection first — CollapseProject
     * keeps multi-use non-cheap aliases un-inlined, so it is computed once

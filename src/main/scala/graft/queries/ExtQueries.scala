@@ -864,6 +864,47 @@ object ExtQueries {
        |      ORDER BY ${cosSql("e.v", "c1.cv")} DESC, c1.cluster DESC) AS rn
        |  FROM e CROSS JOIN c1) WHERE rn = 1""".stripMargin
 
+  /** SemDeDup: deterministic k-means over the embedding space, then
+    * near-duplicate removal WITHIN clusters only (cosine ≥ 0.4, greedy
+    * keep-smallest-id) — the cluster-bounded recipe for embedding dedup
+    * at scale. Fully oracle-checkable because the clustering is the
+    * [[qKmeans]] iteration and the within-cluster rule is deterministic:
+    * the DuckDB twin unrolls the same Lloyd round, then the same
+    * quadratic-within-cluster pair rule. */
+  def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables(s, dir, "embeddings"), "embedding", "vec_id",
+      k = 4, iters = 1, threshold = 0.4)
+
+  val qSemDedupSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+       |  FROM e ORDER BY vec_id LIMIT 4),
+       |a1 AS (SELECT vec_id, q, cluster FROM (
+       |  SELECT e.vec_id, e.q, c0.cluster,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c0.cv")} DESC, c0.cluster DESC) AS rn
+       |  FROM e CROSS JOIN c0) WHERE rn = 1),
+       |m1 AS (SELECT cluster, i,
+       |  CAST(sum(CAST(q[i] AS DECIMAL(38,0))) AS DOUBLE)
+       |    / (count(*) * 1000000.0) AS m
+       |  FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+       |  GROUP BY cluster, i),
+       |c1 AS (SELECT cluster, list(m ORDER BY i) AS cv FROM m1 GROUP BY cluster),
+       |sd AS (SELECT vec_id, v, cluster FROM (
+       |  SELECT e.vec_id, e.v, c1.cluster,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c1.cv")} DESC, c1.cluster DESC) AS rn
+       |  FROM e CROSS JOIN c1) WHERE rn = 1),
+       |dropped AS (SELECT DISTINCT b.vec_id
+       |  FROM sd a JOIN sd b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.v", "b.v")} >= 0.4)
+       |SELECT s.vec_id, s.cluster, d.vec_id IS NULL AS keep
+       |FROM sd s LEFT JOIN dropped d ON s.vec_id = d.vec_id""".stripMargin
+
   /** LSH-bucketed approximate top-k — rows-only; recall vs brute force
     * asserted in ExtSpec. */
   def qSimLsh(s: SparkSession, dir: String): DataFrame = {
@@ -945,6 +986,7 @@ object ExtQueries {
     "q_vector_ops"       -> (qVectorOps _),
     "q_sim_ivf"          -> (qSimIvf _),
     "q_kmeans"           -> (qKmeans _),
+    "q_semdedup"         -> (qSemDedup _),
     "q_sim_lsh"          -> (qSimLsh _),
     "q_near_dup_verified"      -> (qNearDupVerified _),
     "q_dedup_minhash_verified" -> (qDedupMinhashVerified _),
@@ -977,6 +1019,7 @@ object ExtQueries {
     "q_vector_ops"       -> qVectorOpsSql,
     "q_sim_ivf"          -> qSimIvfSql,
     "q_kmeans"           -> qKmeansSql,
+    "q_semdedup"         -> qSemDedupSql,
     "q_dedup_incr"       -> qDedupIncrSql,
     "q_dedup_incr_idx"   -> qDedupIncrSql,
     "q_corpus_prep"      -> qCorpusPrepSql,
