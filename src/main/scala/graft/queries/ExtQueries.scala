@@ -951,6 +951,71 @@ object ExtQueries {
     Similarity.embeddingNearDupPairs(Tables(s, dir, "embeddings"),
       threshold = 0.4, dim = 64, bits = 4, tables = 8)
 
+  /** Companion verification of [[qDedupSimhash]]: every emitted pair's
+    * fingerprints are recomputed with the interpreted HOF twin
+    * ([[Dedup.simhashHof]] — none of the custom expression's code) and a
+    * breach row appears when the recomputed Hamming distance disagrees
+    * with the emitted one or exceeds the threshold. Oracle = empty set. */
+  def qDedupSimhashVerified(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 6)
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
+      .withColumn("__h", bit_count(
+        Dedup.simhashHof(col("__ta")).bitwiseXOR(Dedup.simhashHof(col("__tb")))))
+      .filter(col("__h") =!= col("hamming") || col("__h") > 6)
+      .select(col("id_a"), col("id_b"), lit("verify_breach").as("problem"))
+  }
+
+  val qDedupSimhashVerifiedSql: String = qNearDupVerifiedSql
+
+  /** Companion verification of [[qEmbNearDup]]: every emitted pair's
+    * cosine is recomputed with built-in zip_with/aggregate over the
+    * stored vectors (the HOF twin of the codegen'd expression); a breach
+    * row appears when the recomputed cosine misses the threshold or the
+    * emitted score by more than accumulation tolerance. Oracle = empty
+    * set. */
+  def qEmbNearDupVerified(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    Similarity.embeddingNearDupPairs(e, threshold = 0.4, dim = 64,
+        bits = 4, tables = 8)
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("__va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("__vb")), "id_b")
+      .withColumn("__cos", Similarity.cosineHof(col("__va"), col("__vb")))
+      .filter(col("__cos") < 0.4 || abs(col("__cos") - col("sim")) > 1e-6)
+      .select(col("id_a"), col("id_b"), lit("verify_breach").as("problem"))
+  }
+
+  val qEmbNearDupVerifiedSql: String = qNearDupVerifiedSql
+
+  /** Companion verification of [[qApproxSketch]]: sketch INTERNALS are
+    * engine-specific (hence rows-only), but their accuracy contract is
+    * checkable — recompute the EXACT distinct counts and median and emit
+    * a breach row when a sketch strays beyond its documented error bound
+    * (HLL++ rsd: 0.05 default / 0.01 requested, checked at 5× the bound
+    * — deterministic for fixed data; quantile_approx at 10k accuracy is
+    * near-exact, checked within the 1-percentile rank band). Oracle =
+    * empty set. */
+  def qApproxSketchVerified(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val sketch = qApproxSketch(s, dir)
+    val exact = li.groupBy(col("l_returnflag").as("returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("__ep"),
+        countDistinct(col("l_suppkey")).as("__es"),
+        expr("percentile_cont(0.49) WITHIN GROUP (ORDER BY l_extendedprice)").as("__qlo"),
+        expr("percentile_cont(0.51) WITHIN GROUP (ORDER BY l_extendedprice)").as("__qhi"))
+    sketch.join(exact, Seq("returnflag"))
+      .filter(
+        abs(col("approx_parts") - col("__ep")) > col("__ep") * 0.25 ||
+        abs(col("approx_supp") - col("__es")) > col("__es") * 0.05 ||
+        col("p50_approx") < col("__qlo") || col("p50_approx") > col("__qhi"))
+      .select(col("returnflag"), lit("sketch_breach").as("problem"))
+  }
+
+  val qApproxSketchVerifiedSql: String =
+    """SELECT CAST(NULL AS VARCHAR) AS returnflag,
+      |  CAST(NULL AS VARCHAR) AS problem WHERE false""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats"       -> (qTextStats _),
     "q_normalize"        -> (qNormalize _),
@@ -991,6 +1056,9 @@ object ExtQueries {
     "q_near_dup_verified"      -> (qNearDupVerified _),
     "q_dedup_minhash_verified" -> (qDedupMinhashVerified _),
     "q_sim_lsh_verified"       -> (qSimLshVerified _),
+    "q_emb_near_dup_verified"  -> (qEmbNearDupVerified _),
+    "q_dedup_simhash_verified" -> (qDedupSimhashVerified _),
+    "q_approx_sketch_verified" -> (qApproxSketchVerified _),
     "q_emb_near_dup"     -> (qEmbNearDup _))
 
   val oracle: Map[String, String] = Map(
@@ -1026,5 +1094,8 @@ object ExtQueries {
     "q_near_dup_verified"      -> qNearDupVerifiedSql,
     "q_dedup_minhash_verified" -> qDedupMinhashVerifiedSql,
     "q_sim_lsh_verified"       -> qSimLshVerifiedSql,
+    "q_emb_near_dup_verified"  -> qEmbNearDupVerifiedSql,
+    "q_dedup_simhash_verified" -> qDedupSimhashVerifiedSql,
+    "q_approx_sketch_verified" -> qApproxSketchVerifiedSql,
     "q_cluster_exact"    -> qClusterExactSql)
 }
