@@ -345,7 +345,10 @@ object Codecs {
     var streamIdx = 0        // strh chunks appear once per stream, in order
     var videoStream = ""     // the FIRST video stream's 2-digit chunk prefix
     val frames = Vector.newBuilder[Array[Byte]]
-    def walk(end: Int, inMovi: Boolean): Unit = {
+    // Two passes so an out-of-order container (movi LIST before hdrl —
+    // nonstandard but parseable) still yields its frames: headers first,
+    // then frame collection with the video stream's prefix known.
+    def walk(end: Int, inMovi: Boolean, collectFrames: Boolean): Unit = {
       while (buf.position() + 8 <= end) {
         val id = fourCC()
         val size = buf.getInt()
@@ -356,14 +359,15 @@ object Codecs {
           case "LIST" =>
             val kind = fourCC()
             walk(buf.position() + size - 4,
-              inMovi || kind == "movi") // 'rec ' groups nest inside movi
-          case "avih" =>
+              inMovi || kind == "movi", // 'rec ' groups nest inside movi
+              collectFrames)
+          case "avih" if !collectFrames =>
             require(size >= 40, "AVI: avih too small")
             usecPerFrame = buf.getInt()
             buf.getInt(); buf.getInt(); buf.getInt(); buf.getInt()
             buf.getInt(); buf.getInt(); buf.getInt()
             width = buf.getInt(); height = buf.getInt()
-          case "strh" =>
+          case "strh" if !collectFrames =>
             require(size >= 8, "AVI: strh too small")
             val kind = fourCC()
             val handler = fourCC()
@@ -374,8 +378,8 @@ object Codecs {
             streamIdx += 1
           // frames of OTHER streams (a second video, audio '##wb') must
           // not interleave into this stream's frame list
-          case f if inMovi && f.length == 4 && f.startsWith(videoStream) &&
-              videoStream.nonEmpty &&
+          case f if collectFrames && inMovi && f.length == 4 &&
+              videoStream.nonEmpty && f.startsWith(videoStream) &&
               (f.endsWith("db") || f.endsWith("dc")) =>
             val payload = new Array[Byte](size)
             buf.get(payload)
@@ -385,7 +389,10 @@ object Codecs {
         buf.position(math.min(next, end))
       }
     }
-    walk(bytes.length, inMovi = false)
+    val moviStart = buf.position()
+    walk(bytes.length, inMovi = false, collectFrames = false)
+    buf.position(moviStart)
+    walk(bytes.length, inMovi = false, collectFrames = true)
     require(width > 0 && height > 0, "AVI: missing or invalid avih header")
     require(fourcc != null, "AVI: no video stream header")
     AviVideo(width, height, usecPerFrame, fourcc, frames.result())

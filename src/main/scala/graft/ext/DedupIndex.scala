@@ -115,6 +115,10 @@ object DedupIndex {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    // adopt any rewrite a crash split between its two catalog ops BEFORE
+    // looking at table existence: an Append must see the healed table (a
+    // fresh-create here would otherwise shadow the full corpus snapshot)
+    healInterrupted(corpus.sparkSession, base)
     // bid stamped ONCE here (constant per call, so the exact table's
     // distinct over (h, t, bid) still dedups texts), shingle once,
     // feed four writes
@@ -418,8 +422,17 @@ object DedupIndex {
     * current-schema index. Each rewrite commits scratch-then-rename
     * (see [[writeBucketed]]): the new snapshot is fully written before
     * any catalog op, and a crash between the two catalog ops is healed
-    * on the next index call by [[healInterrupted]]. */
-  def migrate(spark: SparkSession, base: String, threshold: Double): Unit = {
+    * on the next index call by [[healInterrupted]].
+    *
+    * `rebuildPref = true` rebuilds the pref table from the sh table even
+    * when its schema is current — run once when upgrading an index whose
+    * prefixes were cut by an engine version with a DIFFERENT prefix
+    * length for the same threshold (e.g. the pre-FP-guard formula could
+    * cut one element short): schema alone cannot reveal which formula
+    * cut the stored prefixes, and a too-short stored prefix silently
+    * weakens recall. */
+  def migrate(spark: SparkSession, base: String, threshold: Double,
+              rebuildPref: Boolean = false): Unit = {
     healInterrupted(spark, base)
     def rewrite(table: String, keys: Seq[String], df: DataFrame): Unit = {
       val snap = df.localCheckpoint()
@@ -434,7 +447,8 @@ object DedupIndex {
         rewrite(table, keys, t.withColumn("bid", lit(BulkBid)))
     }
     val pref = spark.table(prefTable(base))
-    if (!pref.columns.contains("pos") || !pref.columns.contains("sz") ||
+    if (rebuildPref ||
+        !pref.columns.contains("pos") || !pref.columns.contains("sz") ||
         !pref.columns.contains("bid")) {
       val sh = spark.table(shTable(base)) // already bid-stamped above
       rewrite(prefTable(base), Seq("bk"), prefixRows(sh, threshold))

@@ -270,11 +270,16 @@ object Similarity {
     * embedding dedup. The quadratic pair search is bounded by the cluster
     * size, which `k` dials (at scale pick k ≈ corpus / target-cluster-
     * size; clusters process embarrassingly parallel, and the cluster join
-    * is one shuffle on the cluster id). A row is dropped when a
-    * SMALLER-id row of its cluster has cosine ≥ `threshold` — the greedy
-    * keep-first rule: deterministic, one pass, no iteration, and the same
-    * representative set a sequential scan in id order would keep.
-    * Output: every input row as (idCol, cluster, keep). */
+    * is one shuffle on the cluster id). A row is dropped when ANY
+    * smaller-id row of its cluster has cosine ≥ `threshold` — including
+    * a smaller-id row that is itself dropped, so the rule is one
+    * set-oriented pass with no iteration. (This is slightly MORE
+    * aggressive than a sequential keep-first scan, which compares each
+    * row only against previously KEPT rows: in a chain 1~2, 2~3, 1≁3
+    * the scan keeps {1, 3} while this rule keeps {1} — the set-oriented
+    * form is what stays join-shaped at scale, and near-dup chains are
+    * transitively similar in practice.) Output: every input row as
+    * (idCol, cluster, keep). */
   def semDedup(df: DataFrame, vecCol: String, idCol: String,
                k: Int, iters: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.types.LongType

@@ -497,22 +497,29 @@ object ExtQueries {
       |WHERE len(list_intersect(a.t, b.t))::DOUBLE
       |    / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.5""".stripMargin
 
+  // Thresholds shared between each approximate query and its companion
+  // verification: tune the production query and the companion's contract
+  // moves with it instead of silently verifying the old setting.
+  private val MinhashMinEstimate = 0.5
+  private val SimhashMaxHamming = 6
+  private val NearDupThreshold = 0.7
+
   /** MinHash+LSH candidate pairs (est. Jaccard ≥ 0.5) — approximate,
     * rows-only check; recall asserted against exact pairs in ExtSpec. */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(Tables(s, dir, "documents"), "text", "doc_id",
-      minEstimate = 0.5)
+      minEstimate = MinhashMinEstimate)
 
   /** SimHash near-dup pairs (hamming ≤ 6 of 64 bits) — rows-only. */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables(s, dir, "documents"), "text", "doc_id",
-      maxHamming = 6)
+      maxHamming = SimhashMaxHamming)
 
   /** LSH-prefiltered, exactly-verified near-dup pairs — rows-only
     * (prefilter recall < 1 by construction). */
   def qNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupPairs(Tables(s, dir, "documents"), "text", "doc_id",
-      threshold = 0.7)
+      threshold = NearDupThreshold)
 
   /** 3-token shingle Jaccard recomputed from Catalyst BUILT-INS only —
     * [[Dedup.shinglesHof]] + [[Dedup.jaccard]], the interpreted HOF twins
@@ -532,11 +539,12 @@ object ExtQueries {
     * rows-only q_near_dup into an oracle-verified one. */
   def qNearDupVerified(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.7)
+    qNearDup(s, dir) // verify the PRODUCTION emitted set, not a re-instantiation
       .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
       .withColumn("__j", sqlJaccard(col("__ta"), col("__tb")))
-      .filter(col("__j") < 0.7 || abs(col("__j") - col("jaccard")) > 1e-12)
+      .filter(col("__j") < NearDupThreshold ||
+        abs(col("__j") - col("jaccard")) > 1e-12)
       .select(col("id_a"), col("id_b"),
         lit("verify_breach").as("problem"))
   }
@@ -559,14 +567,14 @@ object ExtQueries {
     * oracle = empty set. */
   def qDedupMinhashVerified(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val emitted = Dedup.minhashPairs(docs, "text", "doc_id", minEstimate = 0.5)
+    val emitted = qDedupMinhash(s, dir) // the PRODUCTION emitted set
     val fp = emitted
       .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
       .filter(sqlJaccard(col("__ta"), col("__tb")) < 0.05)
       .select(col("id_a"), col("id_b"), lit("false_positive").as("problem"))
     val uncapped = Dedup.minhashPairs(docs, "text", "doc_id",
-      minEstimate = 0.5, maxBucket = Int.MaxValue)
+      minEstimate = MinhashMinEstimate, maxBucket = Int.MaxValue)
     val missed = Dedup.prefixJaccardPairs(
         docs.withColumn("__blk", lit(1)), "text", "doc_id", "__blk",
         threshold = 0.9)
@@ -923,8 +931,7 @@ object ExtQueries {
   def qSimLshVerified(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables(s, dir, "embeddings")
-    val emitted = Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
-      k = 5, dim = 64, bits = 4, tables = 16)
+    val emitted = qSimLsh(s, dir) // the PRODUCTION emitted set
     val cosSql = expr(
       """aggregate(zip_with(__qv, __cv, (x, y) ->
         |  CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)
@@ -946,10 +953,12 @@ object ExtQueries {
 
   val qSimLshVerifiedSql: String = qNearDupVerifiedSql
 
+  private val EmbNearDupThreshold = 0.4
+
   /** Embedding near-duplicate pairs via LSH + exact verify — rows-only. */
   def qEmbNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDupPairs(Tables(s, dir, "embeddings"),
-      threshold = 0.4, dim = 64, bits = 4, tables = 8)
+      threshold = EmbNearDupThreshold, dim = 64, bits = 4, tables = 8)
 
   /** Companion verification of [[qDedupSimhash]]: every emitted pair's
     * fingerprints are recomputed with the interpreted HOF twin
@@ -958,12 +967,12 @@ object ExtQueries {
     * with the emitted one or exceeds the threshold. Oracle = empty set. */
   def qDedupSimhashVerified(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 6)
+    qDedupSimhash(s, dir) // the PRODUCTION emitted set
       .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
       .withColumn("__h", bit_count(
         Dedup.simhashHof(col("__ta")).bitwiseXOR(Dedup.simhashHof(col("__tb")))))
-      .filter(col("__h") =!= col("hamming") || col("__h") > 6)
+      .filter(col("__h") =!= col("hamming") || col("__h") > SimhashMaxHamming)
       .select(col("id_a"), col("id_b"), lit("verify_breach").as("problem"))
   }
 
@@ -977,12 +986,12 @@ object ExtQueries {
     * set. */
   def qEmbNearDupVerified(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-    Similarity.embeddingNearDupPairs(e, threshold = 0.4, dim = 64,
-        bits = 4, tables = 8)
+    qEmbNearDup(s, dir) // the PRODUCTION emitted set
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("__va")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("__vb")), "id_b")
       .withColumn("__cos", Similarity.cosineHof(col("__va"), col("__vb")))
-      .filter(col("__cos") < 0.4 || abs(col("__cos") - col("sim")) > 1e-6)
+      .filter(col("__cos") < EmbNearDupThreshold ||
+        abs(col("__cos") - col("sim")) > 1e-6)
       .select(col("id_a"), col("id_b"), lit("verify_breach").as("problem"))
   }
 
@@ -999,11 +1008,16 @@ object ExtQueries {
   def qApproxSketchVerified(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
     val sketch = qApproxSketch(s, dir)
+    // The quantile band uses DISCRETE bounds (actual data values):
+    // percentile_approx returns a DATUM with rank error ≤ n/accuracy =
+    // 1e-4·n, which always lies between the 0.47/0.53 discrete ranks —
+    // interpolated (percentile_cont) bounds would falsely breach on
+    // small groups, where no datum falls inside the interpolated band.
     val exact = li.groupBy(col("l_returnflag").as("returnflag"))
       .agg(countDistinct(col("l_partkey")).as("__ep"),
         countDistinct(col("l_suppkey")).as("__es"),
-        expr("percentile_cont(0.49) WITHIN GROUP (ORDER BY l_extendedprice)").as("__qlo"),
-        expr("percentile_cont(0.51) WITHIN GROUP (ORDER BY l_extendedprice)").as("__qhi"))
+        expr("percentile_disc(0.47) WITHIN GROUP (ORDER BY l_extendedprice)").as("__qlo"),
+        expr("percentile_disc(0.53) WITHIN GROUP (ORDER BY l_extendedprice)").as("__qhi"))
     sketch.join(exact, Seq("returnflag"))
       .filter(
         abs(col("approx_parts") - col("__ep")) > col("__ep") * 0.25 ||

@@ -237,6 +237,16 @@ class CodecSpec extends AnyFunSuite {
     assert(vm.fourcc == "MJPG" && vm.frames.length == 2)
     val img0 = Codecs.decodeVideoFrame(vm, 0)
     assert(img0.width == 16 && img0.height == 8)
+    // out-of-order container (movi LIST before hdrl — nonstandard but
+    // parseable): the two-pass walk must still find every frame
+    val bb = java.nio.ByteBuffer.wrap(dibAvi)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val hdrlSize = bb.getInt(16) // LIST chunk at 12: id@12, size@16
+    val hdrlEnd = 12 + 8 + hdrlSize + (hdrlSize & 1)
+    val swapped = dibAvi.slice(0, 12) ++
+      dibAvi.slice(hdrlEnd, dibAvi.length) ++ dibAvi.slice(12, hdrlEnd)
+    val vs = Codecs.decodeAvi(swapped)
+    assert(vs.frames.length == 3 && vs.width == w && vs.fourcc == "DIB ")
   }
 
   test("AVI parser rejects malformed input loudly") {
