@@ -304,6 +304,19 @@ class IOSpec extends AnyFunSuite {
     assert(spark.catalog.tableExists("t_heal_idx_exact"))
     assert(healed == rows(Dedup.dedupIncremental(corpus, delta,
       "text", "doc_id", "lang", threshold = 0.5)))
+    // an APPEND arriving while the crash marker is still in place must
+    // adopt the healed snapshot, not fresh-create a batch-only table
+    // over it (which would silently shadow the whole corpus)
+    spark.sql("ALTER TABLE t_heal_idx_exact RENAME TO t_heal_idx_exact__next")
+    val extra = Seq((90021L, "en", "heal append test unique brand new words"))
+      .toDF("doc_id", "lang", "text")
+    val keepAll = extra.select(col("doc_id"), lit(true).as("keep"),
+      lit(null).cast("string").as("reason"))
+    DedupIndex.appendKept(spark, "t_heal_idx", extra, keepAll,
+      "text", "doc_id", "lang", threshold = 0.5, batchId = 9L)
+    val exactRows = spark.table("t_heal_idx_exact").count()
+    assert(exactRows == corpus.count() + 1,
+      s"append after heal must keep the corpus: $exactRows rows")
   }
 
   test("legacy index (pre-bid, pre-PPJoin-payload) migrates and accepts stamped appends") {
