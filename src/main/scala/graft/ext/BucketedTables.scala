@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Shared lifecycle machinery for STANDING bucketed-table indexes
+  * ([[DedupIndex]], [[SimilarityIndex]]): versioned snapshot dirs,
+  * crash-safe scratch-then-rename overwrites, commit healing, and
+  * version pruning. One implementation so every standing index gets the
+  * same durability contract:
+  *
+  *  - every table (re)creation claims a FRESH `v<N>` dir under the table
+  *    root, so the snapshot being replaced is never clobbered mid-read;
+  *  - an overwrite of a LIVE table writes the complete new snapshot
+  *    under a `<table>__next` scratch entry first and commits with two
+  *    catalog ops (DROP + RENAME); a crash between them is healed by
+  *    [[heal]], which every index API calls on entry;
+  *  - every publish prunes version dirs outside its keep-set, so
+  *    repeated rebuilds cannot leak one full snapshot per call. */
+private[ext] object BucketedTables {
+
+  /** External-table location root: pinned under the JVM temp dir so the
+    * index works regardless of warehouse configuration. The path is
+    * host-shared state — that is the point of a STANDING index — so
+    * concurrent writers must use distinct table names. */
+  def tableRoot(table: String): java.io.File =
+    new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_dedup_index/$table")
+
+  def nextVersionPath(table: String): String = {
+    val cur = Option(tableRoot(table).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).foldLeft(0L)(math.max)
+    new java.io.File(tableRoot(table), s"v${cur + 1}").getAbsolutePath
+  }
+
+  /** The table's bucket count from the catalog — appends and rewrites
+    * must preserve the existing spec or exchange-free/bucket-pruned
+    * scans are lost. */
+  def bucketsOf(spark: SparkSession, table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(32)
+
+  def location(spark: SparkSession, table: String): java.net.URI =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location
+
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int, mode: SaveMode): Unit = {
+    val spark = df.sparkSession
+    def writer(d: DataFrame, m: SaveMode) = d.write.mode(m)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+    if (mode == SaveMode.Append && spark.catalog.tableExists(table)) {
+      // appends go into the existing table's current snapshot location
+      // (Spark's job commit protocol makes the file set atomic per table)
+      writer(df, mode).format("parquet").saveAsTable(table)
+    } else if (spark.catalog.tableExists(table)) {
+      // OVERWRITE of a live table: saveAsTable's own drop-and-recreate
+      // would leave no catalog entry if the write died mid-way. Write the
+      // complete new snapshot under a SCRATCH entry first, then commit
+      // with two catalog ops; a crash between them leaves the scratch
+      // holding everything and [[heal]] finishes the rename.
+      val prev = new java.io.File(location(spark, table).getPath).getName
+      val scratch = s"${table}__next"
+      val path = nextVersionPath(table)
+      writer(df, SaveMode.Overwrite)
+        .option("path", path).format("parquet").saveAsTable(scratch)
+      spark.sql(s"DROP TABLE $table")
+      spark.sql(s"ALTER TABLE $scratch RENAME TO $table") // external: keeps path
+      pruneVersions(table, Set(new java.io.File(path).getName, prev))
+    } else {
+      // fresh create claims a new version dir (older dirs from previous
+      // runs are stale garbage once this commit lands)
+      val path = nextVersionPath(table)
+      writer(df, mode).option("path", path).format("parquet").saveAsTable(table)
+      pruneVersions(table, Set(new java.io.File(path).getName))
+    }
+  }
+
+  /** Finish a table rewrite that died between its DROP and RENAME catalog
+    * ops: the scratch entry holds the COMPLETE new snapshot, so adopting
+    * it is the correct (and only) repair. A no-op unless a crash left the
+    * marker. */
+  def heal(spark: SparkSession, tables: Seq[String]): Unit =
+    tables.foreach { table =>
+      if (!spark.catalog.tableExists(table) &&
+          spark.catalog.tableExists(s"${table}__next"))
+        spark.sql(s"ALTER TABLE ${table}__next RENAME TO $table")
+    }
+
+  /** Delete snapshot dirs not in `keep` — every publish path prunes, so
+    * repeated rebuilds/compactions/migrations cannot leak one full
+    * snapshot copy per call into the table root. */
+  def pruneVersions(table: String, keep: Set[String]): Unit =
+    Option(tableRoot(table).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") && !keep(f.getName))
+      .foreach(deleteRec)
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+    f.delete(); ()
+  }
+}

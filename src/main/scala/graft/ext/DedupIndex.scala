@@ -155,72 +155,16 @@ object DedupIndex {
       graft.exec.Partitioning.unpersistCheckpoint(art)
   }
 
+  // lifecycle machinery shared with every standing index
   private def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-                            buckets: Int, mode: SaveMode): Unit = {
-    val spark = df.sparkSession
-    def writer(d: DataFrame, m: SaveMode) = d.write.mode(m)
-      .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-    if (mode == SaveMode.Append && spark.catalog.tableExists(table)) {
-      // appends go into the existing table's current snapshot location
-      // (Spark's job commit protocol makes the file set atomic per table)
-      writer(df, mode).format("parquet").saveAsTable(table)
-    } else if (spark.catalog.tableExists(table)) {
-      // OVERWRITE of a live table: saveAsTable's own drop-and-recreate
-      // would leave no catalog entry if the write died mid-way. Write the
-      // complete new snapshot under a SCRATCH entry first, then commit
-      // with two catalog ops; a crash between them leaves the scratch
-      // holding everything and [[healInterrupted]] finishes the rename.
-      val prev = new java.io.File(spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-        .location.getPath).getName
-      val scratch = s"${table}__next"
-      val path = nextVersionPath(table)
-      writer(df, SaveMode.Overwrite)
-        .option("path", path).format("parquet").saveAsTable(scratch)
-      spark.sql(s"DROP TABLE $table")
-      spark.sql(s"ALTER TABLE $scratch RENAME TO $table") // external: keeps path
-      pruneVersions(table, Set(new java.io.File(path).getName, prev))
-    } else {
-      // fresh create claims a new version dir (older dirs from previous
-      // runs are stale garbage once this commit lands)
-      val path = nextVersionPath(table)
-      writer(df, mode).option("path", path).format("parquet").saveAsTable(table)
-      pruneVersions(table, Set(new java.io.File(path).getName))
-    }
-  }
+                            buckets: Int, mode: SaveMode): Unit =
+    BucketedTables.writeBucketed(df, table, keys, buckets, mode)
 
-  /** Finish a table rewrite that died between its DROP and RENAME catalog
-    * ops: the scratch entry holds the COMPLETE new snapshot, so adopting
-    * it is the correct (and only) repair. Called on entry by every
-    * index-mutating/probing API — a no-op unless a crash left the marker. */
+  /** [[BucketedTables.heal]] over this index's four tables — called on
+    * entry by every index-mutating/probing API. */
   private def healInterrupted(spark: SparkSession, base: String): Unit =
-    Seq(exactTable(base), prefTable(base), shTable(base), bandTable(base))
-      .foreach { table =>
-        if (!spark.catalog.tableExists(table) &&
-            spark.catalog.tableExists(s"${table}__next"))
-          spark.sql(s"ALTER TABLE ${table}__next RENAME TO $table")
-      }
-
-  /** External-table location root: pinned under the JVM temp dir so the
-    * index works regardless of warehouse configuration (and lands outside
-    * the repo during local runs). The path is host-shared state — that is
-    * the point of a STANDING index (a later session reads what an earlier
-    * one built) — so concurrent writers must use distinct `base` names,
-    * like any shared table. Each table's data lives in versioned snapshot
-    * dirs `<root>/<table>/v<N>`; the catalog points at the current one. */
-  private def tableRoot(table: String): java.io.File =
-    new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft_dedup_index/$table")
-
-  private def nextVersionPath(table: String): String = {
-    val cur = Option(tableRoot(table).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toLong).foldLeft(0L)(math.max)
-    new java.io.File(tableRoot(table), s"v${cur + 1}").getAbsolutePath
-  }
+    BucketedTables.heal(spark,
+      Seq(exactTable(base), prefTable(base), shTable(base), bandTable(base)))
 
   /** Write `df` as the table's NEXT snapshot dir under a scratch catalog
     * name (dropped immediately — external, files stay) WITHOUT touching
@@ -230,9 +174,9 @@ object DedupIndex {
   private[graft] def writeSnapshot(spark: SparkSession, table: String,
                                    keys: Seq[String], df: DataFrame): String = {
     val scratch = s"${table}__snap"
-    val path = nextVersionPath(table)
+    val path = BucketedTables.nextVersionPath(table)
     df.write.mode(SaveMode.Overwrite)
-      .bucketBy(bucketsOf(spark, table), keys.head, keys.tail: _*)
+      .bucketBy(BucketedTables.bucketsOf(spark, table), keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .option("path", path).format("parquet").saveAsTable(scratch)
     spark.sql(s"DROP TABLE IF EXISTS $scratch")
@@ -245,26 +189,11 @@ object DedupIndex {
     * retained, for in-flight readers and crash forensics). */
   private[graft] def swapLocation(spark: SparkSession, table: String,
                                   newPath: String): Unit = {
-    val oldLoc = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .location
+    val oldLoc = BucketedTables.location(spark, table)
     spark.sql(s"ALTER TABLE $table SET LOCATION '$newPath'")
     spark.catalog.refreshTable(table)
-    pruneVersions(table, Set(new java.io.File(newPath).getName,
+    BucketedTables.pruneVersions(table, Set(new java.io.File(newPath).getName,
       new java.io.File(oldLoc.getPath).getName))
-  }
-
-  /** Delete snapshot dirs not in `keep` — every publish path prunes, so
-    * repeated rebuilds/compactions/migrations cannot leak one full corpus
-    * copy per call into the table root. */
-  private def pruneVersions(table: String, keep: Set[String]): Unit =
-    Option(tableRoot(table).listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+") && !keep(f.getName))
-      .foreach(deleteRec)
-
-  private def deleteRec(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
-    f.delete(); ()
   }
 
   /** The per-bucket compaction frame: a SHUFFLE-FREE dedup of one table.
@@ -401,13 +330,8 @@ object DedupIndex {
           .when(col("__n").isNotNull, "near").as("reason"))
   }
 
-  /** The table's bucket count from the catalog — appends and rewrites
-    * must preserve the existing spec or the probes' exchange-free
-    * bucketed scans are lost. */
   private def bucketsOf(spark: SparkSession, table: String): Int =
-    spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .bucketSpec.map(_.numBuckets).getOrElse(32)
+    BucketedTables.bucketsOf(spark, table)
 
   /** Upgrade a legacy standing index IN PLACE to the current schema —
     * probes read any era (missing columns just disable their feature),

@@ -172,25 +172,48 @@ object Similarity {
     * TRAINED quantizer arrives in (see [[kmeansCentroids]]): classic IVF
     * keeps the centroid matrix in memory, so composing train → index →
     * search never writes centroids to a table. */
+  /** (sim, cid) structs compare lexicographically: max sim, ties to the
+    * larger centroid id — mirrored in the oracle's ORDER BY sim DESC,
+    * cid DESC. All C cosines come from one fused expression pass
+    * (CentroidCosines, bit-equal to C compositional cosine expressions
+    * but codegen-budget-safe). */
+  private def centroidSimArr(v: Column,
+                             cents: Seq[(Long, Seq[Double])]): Column =
+    zip_with(
+      graft.functions.VectorExpressions.centroidCosines(v, cents.map(_._2)),
+      typedLit(cents.map(_._1)), (s, c) => struct(s.as("sim"), c.as("cid")))
+
+  /** One assignment pass against a fixed quantizer: every vector with
+    * its nearest cell — `(cell, id, v)`, the corpus side of IVF search
+    * and the stored frame of [[SimilarityIndex]]. */
+  private[ext] def assignCells(df: DataFrame, vecCol: String, idCol: String,
+                               cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty, "centroid set must be non-empty")
+    df.select(
+      array_max(centroidSimArr(col(vecCol), cents)).getField("cid").as("cell"),
+      col(idCol).as("id"), col(vecCol).as("v"))
+  }
+
+  /** The `nprobe` nearest cells per query — `(cell, query_id, qv)`, the
+    * probe side of IVF search. */
+  private[ext] def probeCells(df: DataFrame, vecCol: String, idCol: String,
+                              cents: Seq[(Long, Seq[Double])],
+                              nprobe: Int): DataFrame = {
+    require(cents.nonEmpty, "centroid set must be non-empty")
+    df.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(transform(
+        slice(reverse(array_sort(centroidSimArr(col(vecCol), cents))),
+          1, nprobe),
+        s => s.getField("cid"))).as("cell"))
+  }
+
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
                   cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
-    require(cents.nonEmpty, "centroid set must be non-empty")
-    // (sim, cid) structs compare lexicographically: max sim, ties to the
-    // larger centroid id — mirrored in the oracle's ORDER BY sim DESC, cid DESC.
-    // All C cosines come from one fused expression pass (CentroidCosines,
-    // bit-equal to C compositional cosine expressions but codegen-budget-safe).
-    val centroidVecs = cents.map(_._2)
-    val cids = typedLit(cents.map(_._1))
-    def simArr(v: Column): Column = zip_with(
-      graft.functions.VectorExpressions.centroidCosines(v, centroidVecs),
-      cids, (s, c) => struct(s.as("sim"), c.as("cid")))
-    val assigned = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
-      array_max(simArr(col(vecCol))).getField("cid").as("cell"))
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(transform(slice(reverse(array_sort(simArr(col(vecCol)))), 1, nprobe),
-        s => s.getField("cid"))).as("cell"))
+    val assigned = assignCells(corpus, vecCol, idCol, cents)
+      .select(col("cell"), col("id").as("cand_id"), col("v").as("cv"))
+    val probes = probeCells(queries, vecCol, idCol, cents, nprobe)
     // Each corpus vector lives in exactly one cell and (query, cell) probes
     // are distinct, so candidates need no dedup.
     topKPerKey(

@@ -354,6 +354,20 @@ object MiningQueries {
       cids.zip(cents), k = 5, nprobe = 2)
   }
 
+  /** The INDEX-BACKED twin of [[qSimIvfTrained]]: train + assign once
+    * into the standing bucketed ANN index ([[graft.ext.SimilarityIndex]]
+    * — cells bucketed by cell id), then search against the index. The
+    * probe's `cell IN (...)` filter bucket-prunes the corpus scan to the
+    * probed cells only (plan-asserted in IOSpec); results are IDENTICAL
+    * to the ad-hoc trained pipeline, so the SAME oracle checks both. */
+  def qSimIvfIdx(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    graft.ext.SimilarityIndex.write(e, "embedding", "vec_id", "q_ann_idx",
+      k = 4, iters = 1, buckets = 4)
+    graft.ext.SimilarityIndex.topK(s, "q_ann_idx",
+      e.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+  }
+
   private val cosSql = (a: String, b: String) =>
     s"""list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))
        |    / (sqrt(list_sum(list_transform($a, x -> x * x)))
@@ -513,6 +527,7 @@ object MiningQueries {
     "q_lm_score"        -> (qLmScore _),
     "q_sparse_sim"      -> (qSparseSim _),
     "q_sim_ivf_trained" -> (qSimIvfTrained _),
+    "q_sim_ivf_idx"     -> (qSimIvfIdx _),
     "q_wrangle_json"    -> (qWrangleJson _),
     "q_attribution"     -> (qAttribution _),
     "q_winsorize"       -> (qWinsorize _))
@@ -528,6 +543,7 @@ object MiningQueries {
     "q_lm_score"        -> qLmScoreSql,
     "q_sparse_sim"      -> qSparseSimSql,
     "q_sim_ivf_trained" -> qSimIvfTrainedSql,
+    "q_sim_ivf_idx"     -> qSimIvfTrainedSql,
     "q_wrangle_json"    -> qWrangleJsonSql,
     "q_attribution"     -> qAttributionSql,
     "q_winsorize"       -> qWinsorizeSql)

@@ -284,6 +284,43 @@ class IOSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("standing ANN index: probes bucket-prune to probed cells; results == ad-hoc IVF") {
+    import graft.ext.{Similarity, SimilarityIndex}
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    SimilarityIndex.write(e, "embedding", "vec_id", "t_ann_idx",
+      k = 4, iters = 1, buckets = 4)
+    // one query at nprobe=1 probes exactly one cell — the scan must
+    // read ONLY that cell's bucket, not the whole corpus table (the
+    // plan STRING truncates scan metadata, so read it off the node)
+    val one = SimilarityIndex.topK(spark, "t_ann_idx",
+      e.filter(col("vec_id") === 0), k = 3, nprobe = 1)
+    val root = one.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val cellScans = root.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == "t_ann_idx_cells") => f
+    }
+    assert(cellScans.nonEmpty, "cells table scan missing from plan")
+    val selected = cellScans.head.metadata.get("SelectedBucketsCount")
+    assert(selected.contains("1 out of 4"),
+      s"probe should read exactly the probed bucket: $selected")
+    // exactness: the index-backed search equals the ad-hoc trained IVF
+    val q = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val (cids, cents) = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+      k = 4, iters = 1)
+    val expect = rows(Similarity.ivfTopKWith(e, q, cids.zip(cents),
+      k = 3, nprobe = 2))
+    val got = rows(SimilarityIndex.topK(spark, "t_ann_idx", q,
+      k = 3, nprobe = 2))
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("interrupted overwrite commit heals on the next index call") {
     import graft.ext.{Dedup, DedupIndex}
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
