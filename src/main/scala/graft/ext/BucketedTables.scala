@@ -48,16 +48,31 @@ private[ext] object BucketedTables {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .location
 
+  /** `sidecar` (name → bytes) files are written INTO the new snapshot
+    * dir alongside the parquet files, so the table commit publishes data
+    * and sidecar atomically — the home for small per-snapshot metadata
+    * that must never pair with a different snapshot's data (e.g. the
+    * quantizer a [[SimilarityIndex]]'s cell ids were assigned under). On
+    * the overwrite path the sidecar lands BEFORE either catalog op; on
+    * the fresh-create path it lands right after the table appears, and a
+    * crash in that hair-thin window reads as a LOUD missing-sidecar
+    * error, never a silent mismatch. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-                    buckets: Int, mode: SaveMode): Unit = {
+                    buckets: Int, mode: SaveMode,
+                    sidecar: Seq[(String, Array[Byte])] = Nil): Unit = {
     val spark = df.sparkSession
     def writer(d: DataFrame, m: SaveMode) = d.write.mode(m)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
+    def writeSidecar(dir: String): Unit = sidecar.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(
+        new java.io.File(dir, name).toPath, bytes)
+    }
     if (mode == SaveMode.Append && spark.catalog.tableExists(table)) {
       // appends go into the existing table's current snapshot location
       // (Spark's job commit protocol makes the file set atomic per table)
       writer(df, mode).format("parquet").saveAsTable(table)
+      writeSidecar(location(spark, table).getPath)
     } else if (spark.catalog.tableExists(table)) {
       // OVERWRITE of a live table: saveAsTable's own drop-and-recreate
       // would leave no catalog entry if the write died mid-way. Write the
@@ -69,6 +84,7 @@ private[ext] object BucketedTables {
       val path = nextVersionPath(table)
       writer(df, SaveMode.Overwrite)
         .option("path", path).format("parquet").saveAsTable(scratch)
+      writeSidecar(path) // in the dir BEFORE the commit point
       spark.sql(s"DROP TABLE $table")
       spark.sql(s"ALTER TABLE $scratch RENAME TO $table") // external: keeps path
       pruneVersions(table, Set(new java.io.File(path).getName, prev))
@@ -77,8 +93,18 @@ private[ext] object BucketedTables {
       // runs are stale garbage once this commit lands)
       val path = nextVersionPath(table)
       writer(df, mode).option("path", path).format("parquet").saveAsTable(table)
+      writeSidecar(path)
       pruneVersions(table, Set(new java.io.File(path).getName))
     }
+  }
+
+  /** Read a sidecar file from the table's CURRENT snapshot dir. */
+  def readSidecar(spark: SparkSession, table: String, name: String): Array[Byte] = {
+    val f = new java.io.File(location(spark, table).getPath, name)
+    require(f.isFile,
+      s"$table: missing snapshot sidecar '$name' — the snapshot commit " +
+        "did not complete; rebuild the index")
+    java.nio.file.Files.readAllBytes(f.toPath)
   }
 
   /** Finish a table rewrite that died between its DROP and RENAME catalog

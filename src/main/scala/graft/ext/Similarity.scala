@@ -207,22 +207,30 @@ object Similarity {
         s => s.getField("cid"))).as("cell"))
   }
 
-  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
-                  cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int,
-                  idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
-    val assigned = assignCells(corpus, vecCol, idCol, cents)
-      .select(col("cell"), col("id").as("cand_id"), col("v").as("cv"))
-    val probes = probeCells(queries, vecCol, idCol, cents, nprobe)
-    // Each corpus vector lives in exactly one cell and (query, cell) probes
-    // are distinct, so candidates need no dedup.
+  /** The IVF search tail shared by the ad-hoc path and the standing
+    * index: score each (query, cell) probe against the cell's vectors,
+    * bounded top-k per query. `assigned` = (cell, id, v) corpus rows,
+    * `probes` = (cell, query_id, qv). Each corpus vector lives in
+    * exactly one cell and (query, cell) probes are distinct, so
+    * candidates need no dedup. One implementation so the index-backed
+    * results stay bit-identical to the ad-hoc ones (q_sim_ivf_idx
+    * shares q_sim_ivf_trained's oracle on that guarantee). */
+  private[ext] def searchCells(assigned: DataFrame, probes: DataFrame,
+                               k: Int): DataFrame =
     topKPerKey(
-      assigned.join(broadcast(probes), Seq("cell"))
+      assigned.select(col("cell"), col("id").as("cand_id"), col("v").as("cv"))
+        .join(broadcast(probes), Seq("cell"))
         .filter(col("query_id") =!= col("cand_id"))
         .select(col("query_id"), col("cand_id"),
           cosine(col("qv"), col("cv")).as("sim")),
       k)
-  }
+
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+                  cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    searchCells(assignCells(corpus, vecCol, idCol, cents),
+      probeCells(queries, vecCol, idCol, cents, nprobe), k)
 
   /** Lloyd's k-means over an embedding column — the trained-coarse-
     * quantizer companion to [[ivfTopK]]'s fixed centroid set, and the

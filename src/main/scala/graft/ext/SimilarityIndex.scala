@@ -2,86 +2,101 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Standing ANN index: the IVF structure persisted as a BUCKETED table so
-  * repeated query batches probe the corpus WITHOUT re-assigning or even
-  * re-scanning it — the similarity twin of [[DedupIndex]], and the shape
-  * vector search takes at 100 TB:
+  * repeated query batches probe the corpus WITHOUT re-training,
+  * re-assigning, or re-scanning it — the similarity twin of
+  * [[DedupIndex]], and the shape vector search takes at 100 TB.
   *
-  *  - `<base>_cells(cell, id, v)` — every corpus vector with its coarse
-  *    cell id, bucketed AND sorted by `cell`. A probe filters
-  *    `cell IN (probed cells)`, which Spark's bucket pruning turns into
-  *    reading ONLY the probed buckets (`SelectedBucketsCount` in the
-  *    scan) — at nprobe/C selectivity the probe touches that fraction of
-  *    the corpus FILES, not just rows;
-  *  - `<base>_centroids(cell, centroid)` — the trained coarse quantizer,
-  *    k×dim rows. Classic IVF keeps the quantizer driver-resident; the
-  *    table exists so a LATER SESSION recovers it without retraining.
+  * `<base>_cells(cell, id, v)` holds every corpus vector with its coarse
+  * cell id, bucketed AND sorted by `cell`. A probe filters
+  * `cell IN (probed cells)`, which Spark's bucket pruning turns into
+  * reading ONLY the matching buckets' files (`SelectedBucketsCount` in
+  * the scan, IOSpec-asserted) — a probe set touches at most
+  * min(|probed cells|, buckets) buckets of the corpus. Cells are
+  * hash-assigned to buckets, so co-hashed cells share a bucket and add
+  * their rows to a probe's read; sizing `buckets` well above the
+  * expected concurrent probe-cell count keeps that contamination small,
+  * while `k / buckets` cells-per-bucket bounds it in any case.
+  *
+  * The trained coarse quantizer rides INSIDE the cells table's snapshot
+  * dir as the `_quantizer` sidecar (underscore-prefixed: Spark's data
+  * listing ignores it), written before the snapshot's commit point — so
+  * ONE table commit atomically publishes cell assignments AND the
+  * quantizer they were assigned under; a torn pairing (new cells, old
+  * quantizer) cannot exist, and the hair-thin fresh-create window reads
+  * as a loud missing-sidecar error, never silently-wrong neighbors.
+  * Centroid components round-trip through raw IEEE-754 bits — the
+  * recovered quantizer is BIT-identical, which the oracle equality with
+  * the ad-hoc path depends on.
   *
   * Training is [[Similarity.kmeansCentroids]] (deterministic Lloyd
-  * rounds), assignment and probe selection are the same fused
-  * centroid-cosine expressions as [[Similarity.ivfTopKWith]] — so the
+  * rounds); assignment, probe selection, and search are the exact
+  * primitives of [[Similarity.ivfTopKWith]] ([[Similarity.assignCells]]/
+  * [[Similarity.probeCells]]/[[Similarity.searchCells]]), so the
   * index-backed search returns EXACTLY the ad-hoc trained-IVF results
-  * (oracle-checked as q_sim_ivf_idx against the q_sim_ivf_trained SQL).
-  * Lifecycle (versioned snapshots, crash-safe overwrite commits, heal on
-  * entry) comes from [[BucketedTables]]. */
+  * (q_sim_ivf_idx hash-passes the q_sim_ivf_trained oracle). Lifecycle
+  * (versioned snapshots, crash-safe overwrite commits, heal on entry)
+  * comes from [[BucketedTables]]. */
 object SimilarityIndex {
 
-  def cellsTable(base: String)     = s"${base}_cells"
-  def centroidsTable(base: String) = s"${base}_centroids"
+  def cellsTable(base: String) = s"${base}_cells"
+
+  private val QuantizerSidecar = "_quantizer"
+
+  /** Bit-exact text codec for the quantizer: one line per centroid,
+    * cell id then each component's raw long bits, space-separated. */
+  private def encodeQuantizer(cents: Seq[(Long, Seq[Double])]): Array[Byte] =
+    cents.map { case (cell, v) =>
+      (cell +: v.map(java.lang.Double.doubleToRawLongBits)).mkString(" ")
+    }.mkString("\n").getBytes("UTF-8")
+
+  private def decodeQuantizer(bytes: Array[Byte]): Seq[(Long, Seq[Double])] =
+    new String(bytes, "UTF-8").split("\n").toSeq.map { line =>
+      val parts = line.split(" ")
+      (parts.head.toLong,
+        parts.tail.toSeq.map(b => java.lang.Double.longBitsToDouble(b.toLong)))
+    }
 
   /** Build (overwrite) the standing index: train the coarse quantizer
     * with `iters` Lloyd rounds, assign every corpus vector its cell, and
-    * persist cells (bucketed by cell) + centroids. `buckets` bounds probe
-    * parallelism per cell group; at scale pick k so a cell's vectors are
-    * a few hundred MB and buckets ≈ k (one bucket per cell makes bucket
-    * pruning exact). */
+    * commit cells + quantizer sidecar as one snapshot. At scale pick k
+    * so a cell's vectors are a few hundred MB, and `buckets` comfortably
+    * above the concurrent probe-cell count (bucket pruning reads whole
+    * buckets; fewer cells per bucket = less co-hashed contamination). */
   def write(corpus: DataFrame, vecCol: String, idCol: String, base: String,
             k: Int, iters: Int, buckets: Int = 32): Unit = {
     val spark = corpus.sparkSession
-    BucketedTables.heal(spark, Seq(cellsTable(base), centroidsTable(base)))
+    BucketedTables.heal(spark, Seq(cellsTable(base)))
     val (cids, cents) = Similarity.kmeansCentroids(
       corpus, vecCol, idCol, k, iters)
-    val assigned = Similarity.assignCells(corpus, vecCol, idCol,
-      cids.zip(cents))
-    BucketedTables.writeBucketed(assigned, cellsTable(base), Seq("cell"),
-      buckets, SaveMode.Overwrite)
-    import spark.implicits._
     BucketedTables.writeBucketed(
-      cids.zip(cents).toDF("cell", "centroid"),
-      centroidsTable(base), Seq("cell"), math.min(buckets, cids.size),
-      SaveMode.Overwrite)
+      Similarity.assignCells(corpus, vecCol, idCol, cids.zip(cents)),
+      cellsTable(base), Seq("cell"), buckets, SaveMode.Overwrite,
+      sidecar = Seq(QuantizerSidecar -> encodeQuantizer(cids.zip(cents))))
   }
 
   /** Top-k cosine neighbors for `queries` against the standing index.
-    * The quantizer is read back to the driver (k×dim — the classic IVF
-    * memory contract), probe cells are selected query-side with the same
-    * fused expression as assignment, and the corpus scan carries a
-    * `cell IN (...)` filter over the DRIVER-SIZED probed-cell set (≤ k
-    * values) so bucket pruning skips every unprobed bucket's files. */
+    * The quantizer comes from the current snapshot's sidecar (k×dim on
+    * the driver — the classic IVF memory contract). Probe rows are
+    * evaluated ONCE and collected — the search broadcasts them anyway,
+    * so they are driver-sized by the algorithm's own contract — giving
+    * both the local probe relation for the join and the ≤ |queries|·
+    * nprobe (usually ≤ k) distinct-cell literal list whose `IN` filter
+    * bucket-prunes the corpus scan. */
   def topK(spark: SparkSession, base: String, queries: DataFrame,
            k: Int, nprobe: Int, idCol: String = "vec_id",
            vecCol: String = "embedding"): DataFrame = {
-    BucketedTables.heal(spark, Seq(cellsTable(base), centroidsTable(base)))
-    val cents = spark.table(centroidsTable(base))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-      .sortBy(_._1).toSeq
-    val probes = Similarity.probeCells(queries, vecCol, idCol, cents, nprobe)
-    // ≤ k distinct cell values regardless of query count — driver-sized
-    // by construction, and the literal IN list is what bucket pruning
-    // needs to skip unprobed buckets at scan time
-    val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    BucketedTables.heal(spark, Seq(cellsTable(base)))
+    val cents = decodeQuantizer(
+      BucketedTables.readSidecar(spark, cellsTable(base), QuantizerSidecar))
+    val probeFrame = Similarity.probeCells(queries, vecCol, idCol, cents, nprobe)
+    val probeRows = probeFrame.collect()
+    val probedCells = probeRows.map(_.getLong(2)).distinct.sorted
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probeFrame.schema)
     val corpus = spark.table(cellsTable(base))
       .filter(col("cell").isin(probedCells: _*))
-      .select(col("cell"), col("id").as("cand_id"), col("v").as("cv"))
-    Similarity.topKPerKey(
-      corpus.join(broadcast(probes), Seq("cell"))
-        .filter(col("query_id") =!= col("cand_id"))
-        .select(col("query_id"), col("cand_id"),
-          Similarity.cosine(col("qv"), col("cv")).as("sim")),
-      k)
+    Similarity.searchCells(corpus, probes, k)
   }
 }

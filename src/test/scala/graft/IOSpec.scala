@@ -319,6 +319,20 @@ class IOSpec extends AnyFunSuite {
     val got = rows(SimilarityIndex.topK(spark, "t_ann_idx", q,
       k = 3, nprobe = 2))
     assert(got == expect && got.nonEmpty)
+    // the quantizer rides in the snapshot dir: a snapshot without it
+    // (the fresh-create crash window) must fail LOUDLY, never probe
+    // with a stale or missing quantizer
+    val loc = new java.io.File(spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("t_ann_idx_cells"))
+      .location.getPath, "_quantizer")
+    assert(loc.isFile)
+    val backup = java.nio.file.Files.readAllBytes(loc.toPath)
+    loc.delete()
+    val e1 = intercept[IllegalArgumentException](
+      SimilarityIndex.topK(spark, "t_ann_idx", q, k = 3, nprobe = 2))
+    assert(e1.getMessage.contains("sidecar"))
+    java.nio.file.Files.write(loc.toPath, backup)
   }
 
   test("interrupted overwrite commit heals on the next index call") {
