@@ -76,6 +76,24 @@ object SimilarityIndex {
       sidecar = Seq(QuantizerSidecar -> encodeQuantizer(cids.zip(cents))))
   }
 
+  /** Fold a batch of NEW vectors into the index — continuous ingestion.
+    * Assignment uses the STORED quantizer (the sidecar), so appended
+    * rows live in the same cell space as the original build and probes
+    * see them immediately; the bucket-preserving append keeps the
+    * pruning layout. Like any IVF, heavy drift degrades cell balance
+    * over time — re-train by rebuilding with [[write]] (the snapshot
+    * swap keeps probes consistent throughout). */
+  def append(spark: SparkSession, base: String, batch: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    BucketedTables.heal(spark, Seq(cellsTable(base)))
+    val cents = decodeQuantizer(
+      BucketedTables.readSidecar(spark, cellsTable(base), QuantizerSidecar))
+    BucketedTables.writeBucketed(
+      Similarity.assignCells(batch, vecCol, idCol, cents),
+      cellsTable(base), Seq("cell"),
+      BucketedTables.bucketsOf(spark, cellsTable(base)), SaveMode.Append)
+  }
+
   /** Top-k cosine neighbors for `queries` against the standing index.
     * The quantizer comes from the current snapshot's sidecar (k×dim on
     * the driver — the classic IVF memory contract). Probe rows are

@@ -333,6 +333,26 @@ class IOSpec extends AnyFunSuite {
       SimilarityIndex.topK(spark, "t_ann_idx", q, k = 3, nprobe = 2))
     assert(e1.getMessage.contains("sidecar"))
     java.nio.file.Files.write(loc.toPath, backup)
+    // continuous ingestion: appended vectors are assigned with the
+    // STORED quantizer and immediately searchable — equal to a search
+    // over the ad-hoc assignment of the grown corpus
+    val extra = e.filter(col("vec_id") >= 490)
+      .withColumn("vec_id", col("vec_id") + 10000)
+    SimilarityIndex.append(spark, "t_ann_idx", extra)
+    val grown = rows(SimilarityIndex.topK(spark, "t_ann_idx", q,
+      k = 3, nprobe = 2))
+    val grownExpect = rows(Similarity.ivfTopKWith(
+      e.unionByName(extra), q, cids.zip(cents), k = 3, nprobe = 2))
+    assert(grown == grownExpect)
+    // an appended EXACT copy (vec 10490 == vec 490) shares its
+    // original's cell under the stored quantizer, so the original's
+    // probe must surface it at cosine ~1
+    val probe490 = SimilarityIndex.topK(spark, "t_ann_idx",
+        e.filter(col("vec_id") === 490), k = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(probe490.exists { case (cand, sim) =>
+      cand == 10490L && sim > 0.999999 },
+      s"appended copy not found: ${probe490.mkString(",")}")
   }
 
   test("interrupted overwrite commit heals on the next index call") {
