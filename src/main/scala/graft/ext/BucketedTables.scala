@@ -64,15 +64,27 @@ private[ext] object BucketedTables {
     def writer(d: DataFrame, m: SaveMode) = d.write.mode(m)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
+    // temp-file + ATOMIC_MOVE: a crash mid-write can never leave a
+    // truncated sidecar in place (readSidecar also checksums — belt and
+    // braces, since the fresh-create path commits the table first)
     def writeSidecar(dir: String): Unit = sidecar.foreach { case (name, bytes) =>
-      java.nio.file.Files.write(
-        new java.io.File(dir, name).toPath, bytes)
+      val target = new java.io.File(dir, name).toPath
+      val tmp = new java.io.File(dir, s"$name.tmp").toPath
+      java.nio.file.Files.write(tmp, frameSidecar(bytes))
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     if (mode == SaveMode.Append && spark.catalog.tableExists(table)) {
+      // Appending WITH a sidecar has no atomic ordering: new rows would
+      // go live under the old sidecar (or vice versa) — exactly the torn
+      // pairing the sidecar exists to prevent. Snapshot metadata changes
+      // belong to snapshot REPLACEMENTS only.
+      require(sidecar.isEmpty,
+        s"$table: sidecars cannot be appended — they pair with a snapshot")
       // appends go into the existing table's current snapshot location
       // (Spark's job commit protocol makes the file set atomic per table)
       writer(df, mode).format("parquet").saveAsTable(table)
-      writeSidecar(location(spark, table).getPath)
     } else if (spark.catalog.tableExists(table)) {
       // OVERWRITE of a live table: saveAsTable's own drop-and-recreate
       // would leave no catalog entry if the write died mid-way. Write the
@@ -98,13 +110,40 @@ private[ext] object BucketedTables {
     }
   }
 
-  /** Read a sidecar file from the table's CURRENT snapshot dir. */
+  /** Length + checksum frame around a sidecar payload, so a torn or
+    * bit-rotted file can NEVER be decoded as valid metadata: header line
+    * `<payload length> <xxhash-like checksum>\n`, then the payload. */
+  private def frameSidecar(bytes: Array[Byte]): Array[Byte] = {
+    val header = s"${bytes.length} ${checksum(bytes)}\n".getBytes("UTF-8")
+    header ++ bytes
+  }
+
+  private def checksum(bytes: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
+    h
+  }
+
+  /** Read a sidecar file from the table's CURRENT snapshot dir. Fails
+    * LOUDLY when the file is missing, truncated, or corrupt — a standing
+    * index must never probe with silently-wrong metadata. */
   def readSidecar(spark: SparkSession, table: String, name: String): Array[Byte] = {
     val f = new java.io.File(location(spark, table).getPath, name)
     require(f.isFile,
       s"$table: missing snapshot sidecar '$name' — the snapshot commit " +
         "did not complete; rebuild the index")
-    java.nio.file.Files.readAllBytes(f.toPath)
+    val framed = java.nio.file.Files.readAllBytes(f.toPath)
+    val nl = framed.indexOf('\n'.toByte)
+    require(nl > 0, s"$table: sidecar '$name' has no header — corrupt")
+    val header = new String(framed, 0, nl, "UTF-8").split(" ")
+    require(header.length == 2, s"$table: sidecar '$name' header malformed")
+    val payload = framed.drop(nl + 1)
+    require(payload.length == header(0).toInt &&
+        checksum(payload) == header(1).toLong,
+      s"$table: sidecar '$name' failed its length/checksum frame — " +
+        "truncated or corrupt; rebuild the index")
+    payload
   }
 
   /** Finish a table rewrite that died between its DROP and RENAME catalog

@@ -14,18 +14,21 @@ import org.apache.spark.sql.functions._
   * reading ONLY the matching buckets' files (`SelectedBucketsCount` in
   * the scan, IOSpec-asserted) — a probe set touches at most
   * min(|probed cells|, buckets) buckets of the corpus. Cells are
-  * hash-assigned to buckets, so co-hashed cells share a bucket and add
-  * their rows to a probe's read; sizing `buckets` well above the
-  * expected concurrent probe-cell count keeps that contamination small,
-  * while `k / buckets` cells-per-bucket bounds it in any case.
+  * HASH-assigned to buckets, so co-hashed cells share a bucket and add
+  * their rows to a probe's read: k/buckets cells per bucket is the
+  * EXPECTED co-residency, not a bound (hot cells can collide), so size
+  * `buckets` well above the concurrent probe-cell count and treat
+  * probe I/O as "probed buckets' total rows", not "probed cells'
+  * rows".
   *
   * The trained coarse quantizer rides INSIDE the cells table's snapshot
   * dir as the `_quantizer` sidecar (underscore-prefixed: Spark's data
   * listing ignores it), written before the snapshot's commit point — so
   * ONE table commit atomically publishes cell assignments AND the
   * quantizer they were assigned under; a torn pairing (new cells, old
-  * quantizer) cannot exist, and the hair-thin fresh-create window reads
-  * as a loud missing-sidecar error, never silently-wrong neighbors.
+  * quantizer) cannot exist, and a missing OR truncated sidecar (the
+  * hair-thin fresh-create window; disk corruption) fails the read's
+  * length/checksum frame loudly — never silently-wrong neighbors.
   * Centroid components round-trip through raw IEEE-754 bits — the
   * recovered quantizer is BIT-identical, which the oracle equality with
   * the ad-hoc path depends on.
@@ -68,12 +71,26 @@ object SimilarityIndex {
             k: Int, iters: Int, buckets: Int = 32): Unit = {
     val spark = corpus.sparkSession
     BucketedTables.heal(spark, Seq(cellsTable(base)))
+    dropLegacyCentroids(spark, base)
     val (cids, cents) = Similarity.kmeansCentroids(
       corpus, vecCol, idCol, k, iters)
     BucketedTables.writeBucketed(
       Similarity.assignCells(corpus, vecCol, idCol, cids.zip(cents)),
       cellsTable(base), Seq("cell"), buckets, SaveMode.Overwrite,
       sidecar = Seq(QuantizerSidecar -> encodeQuantizer(cids.zip(cents))))
+  }
+
+  /** An index built before the sidecar design stored its quantizer in a
+    * separate `<base>_centroids` table — superseded (and its separate
+    * commit was the torn-pairing hazard the sidecar removed). Rebuilds
+    * drop the stale entry, its crash marker, and its snapshot dirs so
+    * legacy state cannot linger. */
+  private def dropLegacyCentroids(spark: SparkSession, base: String): Unit = {
+    val legacy = s"${base}_centroids"
+    Seq(legacy, s"${legacy}__next").foreach { t =>
+      if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE $t")
+    }
+    BucketedTables.pruneVersions(legacy, keep = Set.empty)
   }
 
   /** Fold a batch of NEW vectors into the index — continuous ingestion.

@@ -332,6 +332,12 @@ class IOSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException](
       SimilarityIndex.topK(spark, "t_ann_idx", q, k = 3, nprobe = 2))
     assert(e1.getMessage.contains("sidecar"))
+    // ...and a TRUNCATED sidecar must fail its length/checksum frame
+    // loudly rather than decode into a silently-wrong quantizer
+    java.nio.file.Files.write(loc.toPath, backup.take(backup.length / 2))
+    val e2 = intercept[IllegalArgumentException](
+      SimilarityIndex.topK(spark, "t_ann_idx", q, k = 3, nprobe = 2))
+    assert(e2.getMessage.contains("checksum"))
     java.nio.file.Files.write(loc.toPath, backup)
     // continuous ingestion: appended vectors are assigned with the
     // STORED quantizer and immediately searchable — equal to a search
