@@ -64,17 +64,7 @@ private[ext] object BucketedTables {
     def writer(d: DataFrame, m: SaveMode) = d.write.mode(m)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-    // temp-file + ATOMIC_MOVE: a crash mid-write can never leave a
-    // truncated sidecar in place (readSidecar also checksums — belt and
-    // braces, since the fresh-create path commits the table first)
-    def writeSidecar(dir: String): Unit = sidecar.foreach { case (name, bytes) =>
-      val target = new java.io.File(dir, name).toPath
-      val tmp = new java.io.File(dir, s"$name.tmp").toPath
-      java.nio.file.Files.write(tmp, frameSidecar(bytes))
-      java.nio.file.Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    def writeSidecar(dir: String): Unit = writeSidecarFiles(dir, sidecar)
     if (mode == SaveMode.Append && spark.catalog.tableExists(table)) {
       // Appending WITH a sidecar has no atomic ordering: new rows would
       // go live under the old sidecar (or vice versa) — exactly the torn
@@ -109,6 +99,21 @@ private[ext] object BucketedTables {
       pruneVersions(table, Set(new java.io.File(path).getName))
     }
   }
+
+  /** Write each sidecar into `dir` framed ([[frameSidecar]]) and via
+    * temp-file + ATOMIC_MOVE: a crash mid-write can never leave a
+    * truncated sidecar in place (readSidecar also checksums — belt and
+    * braces, since the fresh-create path commits the table first). */
+  private def writeSidecarFiles(dir: String,
+                                sidecar: Seq[(String, Array[Byte])]): Unit =
+    sidecar.foreach { case (name, bytes) =>
+      val target = new java.io.File(dir, name).toPath
+      val tmp = new java.io.File(dir, s"$name.tmp").toPath
+      java.nio.file.Files.write(tmp, frameSidecar(bytes))
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
 
   /** Length + checksum frame around a sidecar payload, so a torn or
     * bit-rotted file can NEVER be decoded as valid metadata: header line
@@ -156,6 +161,69 @@ private[ext] object BucketedTables {
           spark.catalog.tableExists(s"${table}__next"))
         spark.sql(s"ALTER TABLE ${table}__next RENAME TO $table")
     }
+
+  /** Write `df` as the table's NEXT snapshot dir under a scratch catalog
+    * name (dropped immediately — external, files stay) WITHOUT touching
+    * the live table; `sidecar` files land in the new dir alongside the
+    * data, BEFORE the publish commit point. Publication is a separate
+    * single catalog operation ([[swapLocation]]); a crash anywhere
+    * during this write leaves readers on the current snapshot
+    * untouched. */
+  def writeSnapshot(spark: SparkSession, table: String, keys: Seq[String],
+                    df: DataFrame,
+                    sidecar: Seq[(String, Array[Byte])] = Nil): String = {
+    val scratch = s"${table}__snap"
+    val path = nextVersionPath(table)
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(bucketsOf(spark, table), keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", path).format("parquet").saveAsTable(scratch)
+    writeSidecarFiles(path, sidecar)
+    spark.sql(s"DROP TABLE IF EXISTS $scratch")
+    path
+  }
+
+  /** Atomically repoint the live table at a fully-written snapshot dir —
+    * ONE catalog operation, the commit point of every index compaction.
+    * Snapshots older than the one just replaced are pruned (current +
+    * previous are retained, for in-flight readers and crash
+    * forensics). */
+  def swapLocation(spark: SparkSession, table: String,
+                   newPath: String): Unit = {
+    val oldLoc = location(spark, table)
+    spark.sql(s"ALTER TABLE $table SET LOCATION '$newPath'")
+    spark.catalog.refreshTable(table)
+    pruneVersions(table, Set(new java.io.File(newPath).getName,
+      new java.io.File(oldLoc.getPath).getName))
+  }
+
+  /** The per-bucket compaction frame: a SHUFFLE-FREE dedup of one table.
+    * The bucketed scan is forced to one partition per bucket (the caller
+    * disables `autoBucketedScan`), identical rows co-bucket by
+    * construction, so a within-partition sort + adjacent-row dedup IS a
+    * global dedup — no exchange anywhere in the plan (asserted in
+    * IOSpec), in contrast to a `distinct()` that would full-shuffle the
+    * corpus artifact set. */
+  def compactionFrame(spark: SparkSession, table: String): DataFrame = {
+    val df = spark.table(table)
+    val cols = df.columns.map(org.apache.spark.sql.functions.col).toSeq
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(df.schema)
+    df.sortWithinPartitions(cols: _*).mapPartitions { it =>
+      var prev: org.apache.spark.sql.Row = null
+      it.filter { r => val keep = prev == null || r != prev; prev = r; keep }
+    }
+  }
+
+  /** Run `body` with bucketed scans forced to one partition per bucket —
+    * the shape that makes [[compactionFrame]]'s per-partition dedup
+    * global (duplicates co-bucket across files). */
+  def withForcedBucketedScan[A](spark: SparkSession)(body: => A): A = {
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    try { spark.conf.set(conf, "false"); body }
+    finally spark.conf.set(conf, prev)
+  }
 
   /** Delete snapshot dirs not in `keep` — every publish path prunes, so
     * repeated rebuilds/compactions/migrations cannot leak one full

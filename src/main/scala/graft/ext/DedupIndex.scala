@@ -166,53 +166,19 @@ object DedupIndex {
     BucketedTables.heal(spark,
       Seq(exactTable(base), prefTable(base), shTable(base), bandTable(base)))
 
-  /** Write `df` as the table's NEXT snapshot dir under a scratch catalog
-    * name (dropped immediately — external, files stay) WITHOUT touching
-    * the live table. Publication is a separate single catalog operation
-    * ([[swapLocation]]); a crash anywhere during this write leaves probes
-    * reading the current snapshot untouched. */
+  // snapshot write / atomic swap / shuffle-free per-bucket dedup are
+  // shared standing-index machinery ([[BucketedTables]]); aliased here
+  // for this index's tests and call sites
   private[graft] def writeSnapshot(spark: SparkSession, table: String,
-                                   keys: Seq[String], df: DataFrame): String = {
-    val scratch = s"${table}__snap"
-    val path = BucketedTables.nextVersionPath(table)
-    df.write.mode(SaveMode.Overwrite)
-      .bucketBy(BucketedTables.bucketsOf(spark, table), keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .option("path", path).format("parquet").saveAsTable(scratch)
-    spark.sql(s"DROP TABLE IF EXISTS $scratch")
-    path
-  }
+                                   keys: Seq[String], df: DataFrame): String =
+    BucketedTables.writeSnapshot(spark, table, keys, df)
 
-  /** Atomically repoint the live table at a fully-written snapshot dir —
-    * ONE catalog operation, the commit point of [[compact]]. Snapshots
-    * older than the one just replaced are pruned (current + previous are
-    * retained, for in-flight readers and crash forensics). */
   private[graft] def swapLocation(spark: SparkSession, table: String,
-                                  newPath: String): Unit = {
-    val oldLoc = BucketedTables.location(spark, table)
-    spark.sql(s"ALTER TABLE $table SET LOCATION '$newPath'")
-    spark.catalog.refreshTable(table)
-    BucketedTables.pruneVersions(table, Set(new java.io.File(newPath).getName,
-      new java.io.File(oldLoc.getPath).getName))
-  }
+                                  newPath: String): Unit =
+    BucketedTables.swapLocation(spark, table, newPath)
 
-  /** The per-bucket compaction frame: a SHUFFLE-FREE dedup of one table.
-    * The bucketed scan is forced to one partition per bucket (the caller
-    * disables `autoBucketedScan`), identical rows co-bucket by
-    * construction, so a within-partition sort + adjacent-row dedup IS a
-    * global dedup — no exchange anywhere in the plan (asserted in
-    * IOSpec), in contrast to a `distinct()` that would full-shuffle the
-    * corpus artifact set. */
-  private[graft] def compactionFrame(spark: SparkSession, table: String): DataFrame = {
-    val df = spark.table(table)
-    val cols = df.columns.map(col).toSeq
-    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-      org.apache.spark.sql.Encoders.row(df.schema)
-    df.sortWithinPartitions(cols: _*).mapPartitions { it =>
-      var prev: org.apache.spark.sql.Row = null
-      it.filter { r => val keep = prev == null || r != prev; prev = r; keep }
-    }
-  }
+  private[graft] def compactionFrame(spark: SparkSession, table: String): DataFrame =
+    BucketedTables.compactionFrame(spark, table)
 
   /** Compact the standing index: fold each bucket's accumulated append
     * files back to one file and drop exact-duplicate rows a replayed
@@ -231,17 +197,12 @@ object DedupIndex {
       prefTable(base)  -> Seq("bk"),
       shTable(base)    -> Seq("id"),
       bandTable(base)  -> Seq("bk"))
-    // forced bucketed scan: one partition per bucket is what makes the
-    // per-partition dedup global (duplicates co-bucket across files)
-    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.get(conf)
-    try {
-      spark.conf.set(conf, "false")
+    BucketedTables.withForcedBucketedScan(spark) {
       tables.foreach { case (table, keys) =>
         swapLocation(spark, table,
           writeSnapshot(spark, table, keys, compactionFrame(spark, table)))
       }
-    } finally spark.conf.set(conf, prev)
+    }
   }
 
   /** Judge `delta` against the standing index — same output contract as

@@ -93,6 +93,28 @@ object SimilarityIndex {
     BucketedTables.pruneVersions(legacy, keep = Set.empty)
   }
 
+  /** Compact the standing index: fold each bucket's accumulated append
+    * files back to one and drop exact-duplicate rows a replayed append
+    * may have left. The rewrite is per-bucket and shuffle-free
+    * ([[BucketedTables.compactionFrame]]) and lands in a fresh snapshot
+    * dir with the CURRENT quantizer sidecar carried over BEFORE the
+    * single-catalog-op swap — so probes racing the compaction see a
+    * complete (cells + quantizer) snapshot on either side of the commit
+    * point, and a compaction that dies mid-write leaves probes on the
+    * old snapshot. Run OFFLINE relative to WRITERS, like
+    * [[DedupIndex.compact]]. */
+  def compact(spark: SparkSession, base: String): Unit = {
+    BucketedTables.heal(spark, Seq(cellsTable(base)))
+    val quantizer =
+      BucketedTables.readSidecar(spark, cellsTable(base), QuantizerSidecar)
+    BucketedTables.withForcedBucketedScan(spark) {
+      BucketedTables.swapLocation(spark, cellsTable(base),
+        BucketedTables.writeSnapshot(spark, cellsTable(base), Seq("cell"),
+          BucketedTables.compactionFrame(spark, cellsTable(base)),
+          sidecar = Seq(QuantizerSidecar -> quantizer)))
+    }
+  }
+
   /** Fold a batch of NEW vectors into the index — continuous ingestion.
     * Assignment uses the STORED quantizer (the sidecar), so appended
     * rows live in the same cell space as the original build and probes

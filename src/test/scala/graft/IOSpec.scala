@@ -359,6 +359,45 @@ class IOSpec extends AnyFunSuite {
     assert(probe490.exists { case (cand, sim) =>
       cand == 10490L && sim > 0.999999 },
       s"appended copy not found: ${probe490.mkString(",")}")
+    // a REPLAYED append leaves exact-duplicate rows and extra files per
+    // bucket; compaction folds each bucket back to one file, drops the
+    // duplicates, carries the quantizer into the new snapshot, and
+    // changes no probe result
+    SimilarityIndex.append(spark, "t_ann_idx", extra)
+    def cellsLoc() = new java.io.File(spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("t_ann_idx_cells"))
+      .location.getPath)
+    def dataFiles() = cellsLoc().listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    val filesBefore = dataFiles()
+    SimilarityIndex.compact(spark, "t_ann_idx")
+    assert(dataFiles() <= 4 && dataFiles() < filesBefore,
+      s"compaction did not merge files: $filesBefore -> ${dataFiles()}")
+    val cells = spark.table("t_ann_idx_cells")
+    assert(cells.count() == cells.distinct().count())
+    assert(rows(SimilarityIndex.topK(spark, "t_ann_idx", q, k = 3, nprobe = 2))
+      == grownExpect)
+    // quantizer survived the snapshot swap bit-identical (framing is
+    // deterministic, so the whole file round-trips byte-equal)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(
+        new java.io.File(cellsLoc(), "_quantizer").toPath), backup))
+    // bucket pruning still holds on the compacted snapshot
+    val one2 = SimilarityIndex.topK(spark, "t_ann_idx",
+      e.filter(col("vec_id") === 0), k = 3, nprobe = 1)
+    val root2 = one2.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val sel2 = root2.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == "t_ann_idx_cells") => f
+    }.head.metadata.get("SelectedBucketsCount")
+    assert(sel2.exists(_.startsWith("1 out of 4")),
+      s"post-compact probe not pruned: $sel2")
   }
 
   test("interrupted overwrite commit heals on the next index call") {
