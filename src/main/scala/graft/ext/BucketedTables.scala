@@ -153,13 +153,24 @@ private[ext] object BucketedTables {
 
   /** Finish a table rewrite that died between its DROP and RENAME catalog
     * ops: the scratch entry holds the COMPLETE new snapshot, so adopting
-    * it is the correct (and only) repair. A no-op unless a crash left the
-    * marker. */
-  def heal(spark: SparkSession, tables: Seq[String]): Unit =
+    * it is the correct (and only) repair — a no-op unless a crash left
+    * the marker. With `refresh` (the default) it ALSO drops this
+    * session's cached relation for each table: a standing index is
+    * shared state — another session (a streaming ingestion's cloned
+    * micro-batch session, an offline compaction) may have appended files
+    * or swapped the snapshot since this session last listed the table,
+    * and the shared external catalog does not invalidate per-session
+    * relation caches (or their file listings). The refresh costs a
+    * re-listing on the next scan, so callers about to OVERWRITE the
+    * table (nothing reads the old state) pass `refresh = false`. */
+  def heal(spark: SparkSession, tables: Seq[String],
+           refresh: Boolean = true): Unit =
     tables.foreach { table =>
       if (!spark.catalog.tableExists(table) &&
           spark.catalog.tableExists(s"${table}__next"))
         spark.sql(s"ALTER TABLE ${table}__next RENAME TO $table")
+      if (refresh && spark.catalog.tableExists(table))
+        spark.catalog.refreshTable(table)
     }
 
   /** Write `df` as the table's NEXT snapshot dir under a scratch catalog

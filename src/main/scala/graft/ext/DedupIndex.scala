@@ -117,8 +117,10 @@ object DedupIndex {
     import scala.concurrent.duration.Duration
     // adopt any rewrite a crash split between its two catalog ops BEFORE
     // looking at table existence: an Append must see the healed table (a
-    // fresh-create here would otherwise shadow the full corpus snapshot)
-    healInterrupted(corpus.sparkSession, base)
+    // fresh-create here would otherwise shadow the full corpus snapshot).
+    // Only Append needs the cache refresh — an Overwrite reads nothing
+    healInterrupted(corpus.sparkSession, base,
+      refresh = mode == SaveMode.Append)
     // bid stamped ONCE here (constant per call, so the exact table's
     // distinct over (h, t, bid) still dedups texts), shingle once,
     // feed four writes
@@ -162,9 +164,11 @@ object DedupIndex {
 
   /** [[BucketedTables.heal]] over this index's four tables — called on
     * entry by every index-mutating/probing API. */
-  private def healInterrupted(spark: SparkSession, base: String): Unit =
+  private def healInterrupted(spark: SparkSession, base: String,
+                              refresh: Boolean = true): Unit =
     BucketedTables.heal(spark,
-      Seq(exactTable(base), prefTable(base), shTable(base), bandTable(base)))
+      Seq(exactTable(base), prefTable(base), shTable(base), bandTable(base)),
+      refresh)
 
   // snapshot write / atomic swap / shuffle-free per-bucket dedup are
   // shared standing-index machinery ([[BucketedTables]]); aliased here

@@ -70,7 +70,8 @@ object SimilarityIndex {
   def write(corpus: DataFrame, vecCol: String, idCol: String, base: String,
             k: Int, iters: Int, buckets: Int = 32): Unit = {
     val spark = corpus.sparkSession
-    BucketedTables.heal(spark, Seq(cellsTable(base)))
+    // refresh = false: this is an overwrite — nothing reads the old state
+    BucketedTables.heal(spark, Seq(cellsTable(base)), refresh = false)
     dropLegacyCentroids(spark, base)
     val (cids, cents) = Similarity.kmeansCentroids(
       corpus, vecCol, idCol, k, iters)
@@ -152,8 +153,19 @@ object SimilarityIndex {
     val probedCells = probeRows.map(_.getLong(2)).distinct.sorted
     val probes = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probeFrame.schema)
+    // a replayed append leaves exact-duplicate corpus rows until the
+    // next compaction; dedup the PROBED slice (cost bounded by the
+    // probed buckets' rows, never the full corpus) so a duplicate
+    // occupies ONE candidate slot and top-k stays identical to the
+    // ad-hoc path — searchCells' no-dedup premise holds for its other
+    // caller, whose corpus frame has unique ids by construction. Dedup
+    // on the FULL row (v included), matching compactionFrame's whole-row
+    // dedup: an id re-appended with a DIFFERENT vector keeps both rows
+    // on both sides of a compaction, instead of pre-compaction results
+    // arbitrarily picking one version and changing after the rewrite
     val corpus = spark.table(cellsTable(base))
       .filter(col("cell").isin(probedCells: _*))
+      .dropDuplicates("cell", "id", "v")
     Similarity.searchCells(corpus, probes, k)
   }
 }

@@ -364,6 +364,11 @@ class IOSpec extends AnyFunSuite {
     // duplicates, carries the quantizer into the new snapshot, and
     // changes no probe result
     SimilarityIndex.append(spark, "t_ann_idx", extra)
+    // duplicate rows must not distort results even BEFORE compaction:
+    // the probe dedups its probed slice, so a duplicate occupies ONE
+    // candidate slot instead of two of the k
+    assert(rows(SimilarityIndex.topK(spark, "t_ann_idx", q, k = 3, nprobe = 2))
+      == grownExpect)
     def cellsLoc() = new java.io.File(spark.sessionState.catalog
       .getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier("t_ann_idx_cells"))

@@ -731,4 +731,66 @@ class StreamSpec extends AnyFunSuite {
       .as[(Long, Boolean, Option[String])].collect().toList
     assert(vb == List((20L, false, Some("exact"))))
   }
+
+  test("streaming vector ingestion: batches searchable as they commit; " +
+       "two-batch split == one-shot append; periodic compaction folds files") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.{Similarity, SimilarityIndex}
+    import graft.streaming.IngestVectors
+    implicit val sqlCtx = spark.sqlContext
+    val e = Tables(spark, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") < 400)
+    SimilarityIndex.write(corpus, "embedding", "vec_id", "t_stream_ann",
+      k = 4, iters = 1, buckets = 4)
+    val extra = e.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    // a synthetic TWIN of vec 400 (search excludes self-pairs, so the
+    // only way a probe scores cosine ~1 is finding a DISTINCT row with
+    // the identical vector — which exists iff its batch is searchable)
+    val twin = (99999L, extra.find(_._1 == 400L).get._2)
+    val (b1, b2) = extra.partition(_._1 % 2 == 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_vec").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    // compactEvery = 2: the second batch commit triggers an in-line
+    // compaction, so the end state is also the post-compaction state
+    val q = IngestVectors.run(input.toDF().toDF("vec_id", "embedding"),
+      "t_stream_ann", checkpoint = s"$tmp/ckpt", compactEvery = 2).start()
+    try {
+      input.addData(b1.toSeq :+ twin); q.processAllAvailable()
+      // batch 1 is searchable before batch 2 arrives: probing with vec
+      // 400 must surface its batch-1 twin at cosine ~1, which only
+      // happens if the main session sees the cloned micro-batch
+      // session's append
+      val mid = SimilarityIndex.topK(spark, "t_stream_ann",
+        e.filter(col("vec_id") === 400), k = 1, nprobe = 4).collect()
+      assert(mid.length == 1 &&
+        mid.head.getLong(2) == twin._1 && mid.head.getDouble(3) > 0.999)
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // assignment under the stored quantizer is deterministic, so the
+    // batch split must not change any search result vs a one-shot append
+    SimilarityIndex.write(corpus, "embedding", "vec_id", "t_oneshot_ann",
+      k = 4, iters = 1, buckets = 4)
+    SimilarityIndex.append(spark, "t_oneshot_ann",
+      e.filter(col("vec_id") >= 400).select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].union(Seq(twin).toDS()).toDF())
+    val probes = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val streamed = rows(SimilarityIndex.topK(spark, "t_stream_ann", probes,
+      k = 3, nprobe = 2))
+    val oneShot = rows(SimilarityIndex.topK(spark, "t_oneshot_ann", probes,
+      k = 3, nprobe = 2))
+    assert(streamed == oneShot && streamed.nonEmpty)
+    // the in-line compaction left one file per non-empty bucket
+    val cellsDir = new java.io.File(spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("t_stream_ann_cells"))
+      .location.getPath)
+    val dataFiles = cellsDir.listFiles().count(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(dataFiles <= 4, s"compaction did not run/merge: $dataFiles files")
+  }
 }
