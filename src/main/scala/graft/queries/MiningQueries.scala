@@ -368,23 +368,50 @@ object MiningQueries {
       e.filter(col("vec_id") < 10), k = 5, nprobe = 2)
   }
 
+  /** The ANN index's CONTINUOUS-INGESTION path under the oracle gate:
+    * build the index on vec_id < 400 only, [[graft.ext.SimilarityIndex
+    * .append]] the rest (assigned with the STORED quantizer — the rows
+    * never influence training, exactly like a vector arriving after the
+    * build), then search. The oracle trains on the same subset and
+    * assigns everything under that quantizer, so a hash-pass proves
+    * appended vectors land in the right cells and rank identically to a
+    * from-scratch assignment — the steady-state contract of streaming
+    * ingestion ([[graft.streaming.IngestVectors]]). */
+  def qSimIncrIdx(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    graft.ext.SimilarityIndex.write(e.filter(col("vec_id") < 400),
+      "embedding", "vec_id", "q_ann_incr", k = 4, iters = 1, buckets = 4)
+    graft.ext.SimilarityIndex.append(s, "q_ann_incr",
+      e.filter(col("vec_id") >= 400))
+    graft.ext.SimilarityIndex.topK(s, "q_ann_incr",
+      e.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+  }
+
   private val cosSql = (a: String, b: String) =>
     s"""list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))
        |    / (sqrt(list_sum(list_transform($a, x -> x * x)))
        |       * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
 
-  val qSimIvfTrainedSql: String =
+  /** Lloyd(k=4, one round) + IVF(nprobe=2, top-5) in DuckDB SQL, with
+    * the TRAINING corpus restricted by `trainPred` — `TRUE` replicates
+    * the all-corpus build ([[qSimIvfTrained]]/[[qSimIvfIdx]]); a
+    * subset predicate replicates build-then-append
+    * ([[qSimIncrIdx]]: rows outside the subset are assigned under a
+    * quantizer they never influenced). Assignment/probe/search always
+    * run over the FULL corpus. */
+  private def ivfOracleSql(trainPred: String): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
        |  list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
        |  FROM embeddings),
+       |tr AS (SELECT * FROM e WHERE $trainPred),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
-       |  FROM e ORDER BY vec_id LIMIT 4),
+       |  FROM tr ORDER BY vec_id LIMIT 4),
        |a1 AS (SELECT vec_id, q, cluster FROM (
-       |  SELECT e.vec_id, e.q, c0.cluster,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${cosSql("e.v", "c0.cv")} DESC, c0.cluster DESC) AS rn
-       |  FROM e CROSS JOIN c0) WHERE rn = 1),
+       |  SELECT tr.vec_id, tr.q, c0.cluster,
+       |    row_number() OVER (PARTITION BY tr.vec_id
+       |      ORDER BY ${cosSql("tr.v", "c0.cv")} DESC, c0.cluster DESC) AS rn
+       |  FROM tr CROSS JOIN c0) WHERE rn = 1),
        |m1 AS (SELECT cluster, i,
        |  CAST(sum(CAST(q[i] AS DECIMAL(38,0))) AS DOUBLE)
        |    / (count(*) * 1000000.0) AS m
@@ -410,6 +437,10 @@ object MiningQueries {
        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
        |FROM scored)
        |SELECT query_id, rank, cand_id, sim FROM ranked WHERE rank <= 5""".stripMargin
+
+  val qSimIvfTrainedSql: String = ivfOracleSql("TRUE")
+
+  val qSimIncrIdxSql: String = ivfOracleSql("vec_id < 400")
 
   // ------------------------------------------------------ spec-as-JSON
 
@@ -528,6 +559,7 @@ object MiningQueries {
     "q_sparse_sim"      -> (qSparseSim _),
     "q_sim_ivf_trained" -> (qSimIvfTrained _),
     "q_sim_ivf_idx"     -> (qSimIvfIdx _),
+    "q_sim_incr_idx"    -> (qSimIncrIdx _),
     "q_wrangle_json"    -> (qWrangleJson _),
     "q_attribution"     -> (qAttribution _),
     "q_winsorize"       -> (qWinsorize _))
@@ -544,6 +576,7 @@ object MiningQueries {
     "q_sparse_sim"      -> qSparseSimSql,
     "q_sim_ivf_trained" -> qSimIvfTrainedSql,
     "q_sim_ivf_idx"     -> qSimIvfTrainedSql,
+    "q_sim_incr_idx"    -> qSimIncrIdxSql,
     "q_wrangle_json"    -> qWrangleJsonSql,
     "q_attribution"     -> qAttributionSql,
     "q_winsorize"       -> qWinsorizeSql)
