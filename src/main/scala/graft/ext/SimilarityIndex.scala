@@ -45,6 +45,11 @@ object SimilarityIndex {
 
   def cellsTable(base: String) = s"${base}_cells"
 
+  /** Pending deletions: ids marked deleted since the last compaction.
+    * Tiny between compactions (it holds DELTAS, never corpus rows), so
+    * probes broadcast it for their anti-join. */
+  def tombsTable(base: String) = s"${base}_tombs"
+
   private val QuantizerSidecar = "_quantizer"
 
   /** Bit-exact text codec for the quantizer: one line per centroid,
@@ -73,6 +78,12 @@ object SimilarityIndex {
     // refresh = false: this is an overwrite — nothing reads the old state
     BucketedTables.heal(spark, Seq(cellsTable(base)), refresh = false)
     dropLegacyCentroids(spark, base)
+    // a rebuild starts a NEW logical index: pending tombstones refer to
+    // the snapshot being replaced and must not mask re-ingested ids
+    Seq(tombsTable(base), s"${tombsTable(base)}__next").foreach { t =>
+      if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE $t")
+    }
+    BucketedTables.pruneVersions(tombsTable(base), keep = Set.empty)
     val (cids, cents) = Similarity.kmeansCentroids(
       corpus, vecCol, idCol, k, iters)
     BucketedTables.writeBucketed(
@@ -94,25 +105,66 @@ object SimilarityIndex {
     BucketedTables.pruneVersions(legacy, keep = Set.empty)
   }
 
+  /** Mark `ids` deleted. Deletion is a TOMBSTONE append — O(|ids|), the
+    * corpus is never touched: probes anti-join their probed slice
+    * against the (broadcast-small) tombstone table, and the next
+    * [[compact]] folds the deletions into the rewritten snapshot and
+    * clears the tombstones it applied. Tombstones are IDEMPOTENT —
+    * re-excluding an already-removed id is a no-op — which is what lets
+    * both the probe-time mask and the compaction fold stay crash-safe
+    * without any cells+tombs atomic commit. One constraint follows:
+    * re-ingesting a DELETED id resurfaces only after a compact() has
+    * folded its tombstone away (standard tombstone semantics). */
+  def delete(spark: SparkSession, base: String, ids: DataFrame,
+             idCol: String = "vec_id"): Unit = {
+    BucketedTables.heal(spark, Seq(tombsTable(base)), refresh = false)
+    BucketedTables.writeBucketed(
+      ids.select(col(idCol).as("id")).distinct(),
+      tombsTable(base), Seq("id"), buckets = 4, SaveMode.Append)
+  }
+
+  /** The probe-time deletion mask: anti-join against the tombstone
+    * table (absent table = nothing deleted). Broadcast by contract —
+    * the table holds only deletions since the last compaction. */
+  private def maskTombs(spark: SparkSession, base: String,
+                        corpus: DataFrame): DataFrame =
+    if (spark.catalog.tableExists(tombsTable(base)))
+      corpus.join(broadcast(spark.table(tombsTable(base))), Seq("id"),
+        "left_anti")
+    else corpus
+
   /** Compact the standing index: fold each bucket's accumulated append
-    * files back to one and drop exact-duplicate rows a replayed append
-    * may have left. The rewrite is per-bucket and shuffle-free
-    * ([[BucketedTables.compactionFrame]]) and lands in a fresh snapshot
-    * dir with the CURRENT quantizer sidecar carried over BEFORE the
+    * files back to one, drop exact-duplicate rows a replayed append
+    * may have left, and physically remove tombstoned ids. The rewrite
+    * is per-bucket and shuffle-free ([[BucketedTables.compactionFrame]];
+    * the tombstone anti-join broadcasts its tiny side, so the corpus
+    * never exchanges) and lands in a fresh snapshot dir with the
+    * CURRENT quantizer sidecar carried over BEFORE the
     * single-catalog-op swap — so probes racing the compaction see a
     * complete (cells + quantizer) snapshot on either side of the commit
     * point, and a compaction that dies mid-write leaves probes on the
-    * old snapshot. Run OFFLINE relative to WRITERS, like
+    * old snapshot. Applied tombstones are cleared AFTER the swap; a
+    * crash between the two leaves stale tombstones that re-exclude
+    * rows the swap already removed — harmless, and the next compact
+    * clears them. Run OFFLINE relative to WRITERS, like
     * [[DedupIndex.compact]]. */
   def compact(spark: SparkSession, base: String): Unit = {
-    BucketedTables.heal(spark, Seq(cellsTable(base)))
+    BucketedTables.heal(spark, Seq(cellsTable(base), tombsTable(base)))
     val quantizer =
       BucketedTables.readSidecar(spark, cellsTable(base), QuantizerSidecar)
+    val hasTombs = spark.catalog.tableExists(tombsTable(base))
     BucketedTables.withForcedBucketedScan(spark) {
+      val folded = BucketedTables.compactionFrame(spark, cellsTable(base))
       BucketedTables.swapLocation(spark, cellsTable(base),
         BucketedTables.writeSnapshot(spark, cellsTable(base), Seq("cell"),
-          BucketedTables.compactionFrame(spark, cellsTable(base)),
+          if (hasTombs) maskTombs(spark, base, folded) else folded,
           sidecar = Seq(QuantizerSidecar -> quantizer)))
+      if (hasTombs)
+        BucketedTables.writeBucketed(
+          spark.table(tombsTable(base)).limit(0),
+          tombsTable(base), Seq("id"),
+          BucketedTables.bucketsOf(spark, tombsTable(base)),
+          SaveMode.Overwrite)
     }
   }
 
@@ -145,7 +197,7 @@ object SimilarityIndex {
   def topK(spark: SparkSession, base: String, queries: DataFrame,
            k: Int, nprobe: Int, idCol: String = "vec_id",
            vecCol: String = "embedding"): DataFrame = {
-    BucketedTables.heal(spark, Seq(cellsTable(base)))
+    BucketedTables.heal(spark, Seq(cellsTable(base), tombsTable(base)))
     val cents = decodeQuantizer(
       BucketedTables.readSidecar(spark, cellsTable(base), QuantizerSidecar))
     val probeFrame = Similarity.probeCells(queries, vecCol, idCol, cents, nprobe)
@@ -166,6 +218,6 @@ object SimilarityIndex {
     val corpus = spark.table(cellsTable(base))
       .filter(col("cell").isin(probedCells: _*))
       .dropDuplicates("cell", "id", "v")
-    Similarity.searchCells(corpus, probes, k)
+    Similarity.searchCells(maskTombs(spark, base, corpus), probes, k)
   }
 }

@@ -387,6 +387,23 @@ object MiningQueries {
       e.filter(col("vec_id") < 10), k = 5, nprobe = 2)
   }
 
+  /** Tombstone deletion under the oracle gate: build the full index,
+    * [[graft.ext.SimilarityIndex.delete]] every seventh vector (an
+    * O(|ids|) tombstone append — the corpus is never rewritten), then
+    * search. Probes mask the tombstoned ids via a broadcast anti-join,
+    * so the oracle is simply IVF over the corpus WITHOUT those rows —
+    * a hash-pass proves deleted vectors vanish from results while
+    * every survivor still ranks exactly as a from-scratch build. */
+  def qSimDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    graft.ext.SimilarityIndex.write(e, "embedding", "vec_id", "q_ann_del",
+      k = 4, iters = 1, buckets = 4)
+    graft.ext.SimilarityIndex.delete(s, "q_ann_del",
+      e.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+    graft.ext.SimilarityIndex.topK(s, "q_ann_del",
+      e.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+  }
+
   private val cosSql = (a: String, b: String) =>
     s"""list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))
        |    / (sqrt(list_sum(list_transform($a, x -> x * x)))
@@ -397,9 +414,11 @@ object MiningQueries {
     * the all-corpus build ([[qSimIvfTrained]]/[[qSimIvfIdx]]); a
     * subset predicate replicates build-then-append
     * ([[qSimIncrIdx]]: rows outside the subset are assigned under a
-    * quantizer they never influenced). Assignment/probe/search always
-    * run over the FULL corpus. */
-  private def ivfOracleSql(trainPred: String): String =
+    * quantizer they never influenced). `corpusPred` restricts the
+    * SEARCHED corpus — a NOT-predicate replicates tombstone deletion
+    * ([[qSimDelete]]). Probes always run over the full corpus. */
+  private def ivfOracleSql(trainPred: String,
+                           corpusPred: String = "TRUE"): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
        |  list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
@@ -422,7 +441,7 @@ object MiningQueries {
        |  SELECT e.vec_id, e.v, c1.cluster,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cosSql("e.v", "c1.cv")} DESC, c1.cluster DESC) AS rn
-       |  FROM e CROSS JOIN c1) WHERE rn = 1),
+       |  FROM e CROSS JOIN c1 WHERE $corpusPred) WHERE rn = 1),
        |probes AS (SELECT vec_id AS query_id, v AS qv, cluster AS cell FROM (
        |  SELECT e.vec_id, e.v, c1.cluster,
        |    row_number() OVER (PARTITION BY e.vec_id
@@ -441,6 +460,8 @@ object MiningQueries {
   val qSimIvfTrainedSql: String = ivfOracleSql("TRUE")
 
   val qSimIncrIdxSql: String = ivfOracleSql("vec_id < 400")
+
+  val qSimDeleteSql: String = ivfOracleSql("TRUE", "e.vec_id % 7 <> 3")
 
   // ------------------------------------------------------ spec-as-JSON
 
@@ -560,6 +581,7 @@ object MiningQueries {
     "q_sim_ivf_trained" -> (qSimIvfTrained _),
     "q_sim_ivf_idx"     -> (qSimIvfIdx _),
     "q_sim_incr_idx"    -> (qSimIncrIdx _),
+    "q_sim_delete"      -> (qSimDelete _),
     "q_wrangle_json"    -> (qWrangleJson _),
     "q_attribution"     -> (qAttribution _),
     "q_winsorize"       -> (qWinsorize _))
@@ -577,6 +599,7 @@ object MiningQueries {
     "q_sim_ivf_trained" -> qSimIvfTrainedSql,
     "q_sim_ivf_idx"     -> qSimIvfTrainedSql,
     "q_sim_incr_idx"    -> qSimIncrIdxSql,
+    "q_sim_delete"      -> qSimDeleteSql,
     "q_wrangle_json"    -> qWrangleJsonSql,
     "q_attribution"     -> qAttributionSql,
     "q_winsorize"       -> qWinsorizeSql)

@@ -405,6 +405,55 @@ class IOSpec extends AnyFunSuite {
       s"post-compact probe not pruned: $sel2")
   }
 
+  test("ANN index deletion: tombstones mask probes at once; compact folds " +
+       "them physically; a rebuild clears pending tombstones") {
+    import graft.ext.{Similarity, SimilarityIndex}
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    SimilarityIndex.write(e, "embedding", "vec_id", "t_ann_del",
+      k = 4, iters = 1, buckets = 4)
+    val q = e.filter(col("vec_id") < 5)
+    val victims = e.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val full = rows(SimilarityIndex.topK(spark, "t_ann_del", q,
+      k = 3, nprobe = 2))
+    // tombstones are an O(|ids|) append; effect is immediate and equals
+    // an ad-hoc search over the corpus WITHOUT the deleted rows (still
+    // assigned under the quantizer trained on the FULL build corpus)
+    val (cids, cents) = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+      k = 4, iters = 1)
+    val expectDel = rows(Similarity.ivfTopKWith(
+      e.filter(col("vec_id") % 7 =!= 3), q, cids.zip(cents),
+      k = 3, nprobe = 2))
+    SimilarityIndex.delete(spark, "t_ann_del", victims)
+    val afterDel = rows(SimilarityIndex.topK(spark, "t_ann_del", q,
+      k = 3, nprobe = 2))
+    assert(afterDel == expectDel)
+    assert(afterDel != full, "deletion should change some probe result")
+    // deleting the same ids again is a no-op (tombstones are idempotent)
+    SimilarityIndex.delete(spark, "t_ann_del", victims)
+    assert(rows(SimilarityIndex.topK(spark, "t_ann_del", q,
+      k = 3, nprobe = 2)) == expectDel)
+    // compaction folds the deletions into the rewritten snapshot and
+    // clears the applied tombstones; no probe result changes
+    SimilarityIndex.compact(spark, "t_ann_del")
+    assert(spark.table("t_ann_del_cells")
+      .filter(col("id") % 7 === 3).count() == 0,
+      "compaction must physically remove tombstoned rows")
+    assert(spark.table("t_ann_del_tombs").count() == 0,
+      "compaction must clear the tombstones it applied")
+    assert(rows(SimilarityIndex.topK(spark, "t_ann_del", q,
+      k = 3, nprobe = 2)) == expectDel)
+    // a full rebuild starts a NEW logical index: pending tombstones are
+    // discarded, so re-ingested ids resurface
+    SimilarityIndex.delete(spark, "t_ann_del", victims)
+    SimilarityIndex.write(e, "embedding", "vec_id", "t_ann_del",
+      k = 4, iters = 1, buckets = 4)
+    assert(rows(SimilarityIndex.topK(spark, "t_ann_del", q,
+      k = 3, nprobe = 2)) == full)
+  }
+
   test("interrupted overwrite commit heals on the next index call") {
     import graft.ext.{Dedup, DedupIndex}
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
