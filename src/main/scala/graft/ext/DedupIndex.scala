@@ -48,6 +48,13 @@ object DedupIndex {
   def shTable(base: String)    = s"${base}_sh"
   def bandTable(base: String)  = s"${base}_band"
 
+  /** Pending deletions (both tiny between compactions — they hold
+    * DELTAS, never corpus rows — so probes broadcast them): the exact
+    * table is keyed by (hash, text) and carries no id, so deletion
+    * tombstones both keys. */
+  def tombExactTable(base: String) = s"${base}_tombx"
+  def tombIdTable(base: String)    = s"${base}_tombid"
+
   /** MinHash/LSH banding parameters (k = bands·rows): 16 bands of 4 rows —
     * [[Dedup.minhashPairs]]' defaults; collision probability at the 0.5
     * Jaccard operating point ≈ 0.64 per pair and ≥ 0.99 by ~0.7. */
@@ -121,6 +128,9 @@ object DedupIndex {
     // Only Append needs the cache refresh — an Overwrite reads nothing
     healInterrupted(corpus.sparkSession, base,
       refresh = mode == SaveMode.Append)
+    // a rebuild starts a NEW logical index: pending tombstones refer to
+    // the replaced corpus and must not mask re-ingested documents
+    if (mode != SaveMode.Append) dropTombs(corpus.sparkSession, base)
     // bid stamped ONCE here (constant per call, so the exact table's
     // distinct over (h, t, bid) still dedups texts), shingle once,
     // feed four writes
@@ -162,13 +172,66 @@ object DedupIndex {
                             buckets: Int, mode: SaveMode): Unit =
     BucketedTables.writeBucketed(df, table, keys, buckets, mode)
 
-  /** [[BucketedTables.heal]] over this index's four tables — called on
+  /** [[BucketedTables.heal]] over this index's tables (the four corpus
+    * tables plus the two tombstone tables, which go through the same
+    * scratch-then-rename overwrites during compaction) — called on
     * entry by every index-mutating/probing API. */
   private def healInterrupted(spark: SparkSession, base: String,
                               refresh: Boolean = true): Unit =
     BucketedTables.heal(spark,
-      Seq(exactTable(base), prefTable(base), shTable(base), bandTable(base)),
+      Seq(exactTable(base), prefTable(base), shTable(base), bandTable(base),
+        tombExactTable(base), tombIdTable(base)),
       refresh)
+
+  /** Mark documents deleted — the dedup twin of
+    * [[SimilarityIndex.delete]]: an O(|docs|) tombstone append, the
+    * corpus tables are never rewritten. `docs` must carry the TEXT as
+    * well as the id — the exact rule's table is keyed (hash, text) and
+    * stores no id, so its tombstone needs both. Probes mask tombstoned
+    * rows with broadcast anti-joins (a deleted document witnesses no
+    * exact or near verdict), and the next [[compact]] folds the
+    * deletions into the rewritten snapshots and clears the tombstones
+    * it applied. Tombstones are IDEMPOTENT, so every crash window
+    * degrades to harmless re-masking; the one contract is that a
+    * deleted document re-ingested BEFORE a compact stays masked until
+    * its tombstone folds. */
+  def delete(spark: SparkSession, base: String, docs: DataFrame,
+             textCol: String, idCol: String): Unit = {
+    BucketedTables.heal(spark,
+      Seq(tombExactTable(base), tombIdTable(base)), refresh = false)
+    BucketedTables.writeBucketed(
+      docs.select(xxhash64(col(textCol)).as("h"), col(textCol).as("t"))
+        .distinct(),
+      tombExactTable(base), Seq("h", "t"), buckets = 4, SaveMode.Append)
+    BucketedTables.writeBucketed(
+      docs.select(col(idCol).as("id")).distinct(),
+      tombIdTable(base), Seq("id"), buckets = 4, SaveMode.Append)
+  }
+
+  /** Probe-time deletion masks (absent tombstone table = nothing
+    * deleted; broadcast by contract — tombstones hold only deletions
+    * since the last compaction). */
+  private def maskExact(spark: SparkSession, base: String,
+                        df: DataFrame): DataFrame =
+    if (spark.catalog.tableExists(tombExactTable(base)))
+      df.join(broadcast(spark.table(tombExactTable(base))), Seq("h", "t"),
+        "left_anti")
+    else df
+
+  private def maskIds(spark: SparkSession, base: String,
+                      df: DataFrame): DataFrame =
+    if (spark.catalog.tableExists(tombIdTable(base)))
+      df.join(broadcast(spark.table(tombIdTable(base))), Seq("id"),
+        "left_anti")
+    else df
+
+  private def dropTombs(spark: SparkSession, base: String): Unit =
+    Seq(tombExactTable(base), tombIdTable(base)).foreach { t =>
+      Seq(t, s"${t}__next").foreach { n =>
+        if (spark.catalog.tableExists(n)) spark.sql(s"DROP TABLE $n")
+      }
+      BucketedTables.pruneVersions(t, keep = Set.empty)
+    }
 
   // snapshot write / atomic swap / shuffle-free per-bucket dedup are
   // shared standing-index machinery ([[BucketedTables]]); aliased here
@@ -185,15 +248,20 @@ object DedupIndex {
     BucketedTables.compactionFrame(spark, table)
 
   /** Compact the standing index: fold each bucket's accumulated append
-    * files back to one file and drop exact-duplicate rows a replayed
-    * append may have left. Each table keeps its own catalog bucket spec —
-    * re-bucketing on different keys/counts would break the probes'
-    * exchange-free scans. The rewrite is per-bucket and shuffle-free
-    * ([[compactionFrame]]), lands in a fresh snapshot dir, and goes live
+    * files back to one file, drop exact-duplicate rows a replayed
+    * append may have left, and physically remove tombstoned documents.
+    * Each table keeps its own catalog bucket spec — re-bucketing on
+    * different keys/counts would break the probes' exchange-free scans.
+    * The rewrite is per-bucket and shuffle-free ([[compactionFrame]];
+    * the tombstone anti-joins broadcast their tiny side, so the corpus
+    * never exchanges), lands in a fresh snapshot dir, and goes live
     * only at [[swapLocation]]'s single catalog op — a compaction that
-    * dies mid-write leaves probes on the old snapshot. Run it OFFLINE
-    * relative to WRITERS (probes racing the swap re-plan safely; a
-    * concurrent append could land in the dir being replaced). */
+    * dies mid-write leaves probes on the old snapshot, and one that
+    * dies between table swaps leaves the unfolded tables still masked
+    * by their tombstones (cleared only after ALL four fold). Run it
+    * OFFLINE relative to WRITERS (probes racing the swap re-plan
+    * safely; a concurrent append could land in the dir being
+    * replaced). */
   def compact(spark: SparkSession, base: String): Unit = {
     healInterrupted(spark, base)
     val tables = Seq(
@@ -203,8 +271,20 @@ object DedupIndex {
       bandTable(base)  -> Seq("bk"))
     BucketedTables.withForcedBucketedScan(spark) {
       tables.foreach { case (table, keys) =>
+        val folded = compactionFrame(spark, table)
         swapLocation(spark, table,
-          writeSnapshot(spark, table, keys, compactionFrame(spark, table)))
+          writeSnapshot(spark, table, keys,
+            if (table == exactTable(base)) maskExact(spark, base, folded)
+            else maskIds(spark, base, folded)))
+      }
+      // the tombstones applied above are folded into the new snapshots;
+      // clear them (a crash before this leaves stale tombstones that
+      // re-exclude rows already gone — harmless, the next compact clears)
+      Seq(tombExactTable(base) -> Seq("h", "t"),
+          tombIdTable(base) -> Seq("id")).foreach { case (table, keys) =>
+        if (spark.catalog.tableExists(table))
+          BucketedTables.writeBucketed(spark.table(table).limit(0), table,
+            keys, BucketedTables.bucketsOf(spark, table), SaveMode.Overwrite)
       }
     }
   }
@@ -229,11 +309,16 @@ object DedupIndex {
                        excludeBatchId: Long = Long.MinValue): DataFrame = {
     healInterrupted(spark, base)
     // Legacy (pre-bid) indexes read as all-bulk: no stamp, no exclusion.
+    // Tombstoned documents must witness no rule: the exact table masks
+    // on its (h, t) key, the id-keyed tables on id.
     def tbl(name: String) = {
       val raw = spark.table(name)
-      if (raw.columns.contains("bid"))
-        raw.filter(col("bid") =!= lit(excludeBatchId)).drop("bid")
-      else raw
+      val live =
+        if (raw.columns.contains("bid"))
+          raw.filter(col("bid") =!= lit(excludeBatchId)).drop("bid")
+        else raw
+      if (name == exactTable(base)) maskExact(spark, base, live)
+      else maskIds(spark, base, live)
     }
     val d = artifacts(delta, textCol, idCol, blockCol, shingleN)
       .withColumn("bid", lit(BulkBid)) // probe-side stamp is never stored

@@ -607,14 +607,19 @@ object ExtQueries {
       "text", "doc_id", "lang", threshold = 0.5)
   }
 
-  val qDedupIncrSql: String =
+  /** The incremental-dedup oracle with the CORPUS membership pluggable
+    * (plain string + placeholder replacement — an s-interpolator would
+    * cook the regex's backslash escapes into control bytes): the base
+    * predicate replicates q_dedup_incr(_idx); subtracting the deleted
+    * documents replicates tombstone deletion ([[qDedupDelete]]). */
+  private def dedupIncrOracleSql(corpusPred: String): String =
     """WITH w AS (SELECT doc_id, lang, text,
       |  string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS w FROM documents),
       |sh AS (SELECT doc_id, lang, text,
       |  list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
       |    i -> array_to_string(w[i+1:i+3], ' '))) AS t FROM w),
       |delta AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
-      |corpus AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+      |corpus AS (SELECT * FROM sh WHERE CORPUS_PRED),
       |ex AS (SELECT DISTINCT d.doc_id FROM delta d JOIN corpus c ON d.text = c.text),
       |nr AS (SELECT DISTINCT d.doc_id FROM delta d JOIN corpus c ON d.lang = c.lang
       |  WHERE len(list_intersect(d.t, c.t))::DOUBLE
@@ -624,6 +629,12 @@ object ExtQueries {
       |       WHEN n.doc_id IS NOT NULL THEN 'near' END AS reason
       |FROM delta d LEFT JOIN ex e ON d.doc_id = e.doc_id
       |             LEFT JOIN nr n ON d.doc_id = n.doc_id""".stripMargin
+      .replace("CORPUS_PRED", corpusPred)
+
+  val qDedupIncrSql: String = dedupIncrOracleSql("doc_id % 5 <> 0")
+
+  val qDedupDeleteSql: String =
+    dedupIncrOracleSql("doc_id % 5 <> 0 AND doc_id % 3 <> 1")
 
   /** Index-backed incremental dedup: identical verdict contract (and
     * oracle) as q_dedup_incr, but the corpus side is the STANDING BUCKETED
@@ -635,6 +646,25 @@ object ExtQueries {
     val base = "graft_idx_dincr"
     DedupIndex.write(docs.filter(col("doc_id") % 5 =!= 0),
       "text", "doc_id", "lang", base, threshold = 0.5)
+    DedupIndex.dedupIncremental(s, base, docs.filter(col("doc_id") % 5 === 0),
+      "text", "doc_id", "lang", threshold = 0.5)
+  }
+
+  /** Document deletion (takedown) against the standing dedup index,
+    * under the oracle gate: build the index, [[graft.ext.DedupIndex
+    * .delete]] a third of the corpus (an O(|docs|) tombstone append —
+    * no corpus table is rewritten), then judge the usual delta. Deleted
+    * documents must witness NO verdict — the oracle is simply
+    * incremental dedup against the corpus minus the deleted rows, so a
+    * hash-pass proves a tombstoned document can no longer cause an
+    * exact or near drop while every surviving verdict is unchanged. */
+  def qDedupDelete(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val base = "graft_idx_ddel"
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    DedupIndex.write(corpus, "text", "doc_id", "lang", base, threshold = 0.5)
+    DedupIndex.delete(s, base, corpus.filter(col("doc_id") % 3 === 1),
+      "text", "doc_id")
     DedupIndex.dedupIncremental(s, base, docs.filter(col("doc_id") % 5 === 0),
       "text", "doc_id", "lang", threshold = 0.5)
   }
@@ -1070,6 +1100,7 @@ object ExtQueries {
     "q_dedup_clusters"   -> (qDedupClusters _),
     "q_dedup_incr"       -> (qDedupIncr _),
     "q_dedup_incr_idx"   -> (qDedupIncrIdx _),
+    "q_dedup_delete"     -> (qDedupDelete _),
     "q_corpus_prep"      -> (qCorpusPrep _),
     "q_cluster_exact"    -> (qClusterExact _),
     "q_approx_sketch"    -> (qApproxSketch _),
@@ -1116,6 +1147,7 @@ object ExtQueries {
     "q_semdedup"         -> qSemDedupSql,
     "q_dedup_incr"       -> qDedupIncrSql,
     "q_dedup_incr_idx"   -> qDedupIncrSql,
+    "q_dedup_delete"     -> qDedupDeleteSql,
     "q_corpus_prep"      -> qCorpusPrepSql,
     "q_near_dup_verified"      -> qNearDupVerifiedSql,
     "q_dedup_minhash_verified" -> qDedupMinhashVerifiedSql,

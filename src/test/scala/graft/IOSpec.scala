@@ -454,6 +454,91 @@ class IOSpec extends AnyFunSuite {
       k = 3, nprobe = 2)) == full)
   }
 
+  test("dedup index deletion: tombstones mask verdicts at once; compact " +
+       "folds them physically; a rebuild clears pending tombstones") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import graft.ext.{Dedup, DedupIndex}
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val victims = corpus.filter(col("doc_id") % 3 === 1)
+    DedupIndex.write(corpus, "text", "doc_id", "lang", "t_del_idx",
+      threshold = 0.5, buckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.getString(2)))).toSet
+    def judge(cands: String = "prefix") =
+      rows(DedupIndex.dedupIncremental(spark, "t_del_idx", delta,
+        "text", "doc_id", "lang", threshold = 0.5, candidates = cands))
+    val before = judge()
+    // deletion is an O(|docs|) tombstone append; verdicts immediately
+    // equal incremental dedup against the corpus MINUS the deleted docs
+    DedupIndex.delete(spark, "t_del_idx", victims, "text", "doc_id")
+    val expect = rows(Dedup.dedupIncremental(
+      corpus.filter(col("doc_id") % 3 =!= 1), delta,
+      "text", "doc_id", "lang", threshold = 0.5))
+    val after = judge()
+    assert(after == expect)
+    assert(after != before, "deleting a third of the corpus should flip " +
+      "some verdict")
+    // deleting the same docs again is a no-op (tombstones are idempotent)
+    DedupIndex.delete(spark, "t_del_idx", victims, "text", "doc_id")
+    assert(judge() == expect)
+    // the LSH candidate generator masks identically: verdicts equal a
+    // fresh index built WITHOUT the deleted docs (banding is
+    // deterministic, so the equality is exact)
+    DedupIndex.write(corpus.filter(col("doc_id") % 3 =!= 1),
+      "text", "doc_id", "lang", "t_del_fresh", threshold = 0.5, buckets = 4)
+    assert(judge("lsh") == rows(DedupIndex.dedupIncremental(spark,
+      "t_del_fresh", delta, "text", "doc_id", "lang", threshold = 0.5,
+      candidates = "lsh")))
+    // masked probes keep the corpus side exchange-free: the tombstone
+    // anti-joins broadcast (explicit hint, so even threshold = -1 cannot
+    // shuffle them), and every index scan still feeds its joins without
+    // an exchange in between
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val root = DedupIndex.dedupIncremental(spark, "t_del_idx", delta,
+        "text", "doc_id", "lang", threshold = 0.5)
+        .queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+      def leavesAboveJoins(p: SparkPlan): Seq[SparkPlan] = p match {
+        case _: BaseJoinExec => Nil
+        case l if l.children.isEmpty => Seq(l)
+        case o => o.children.flatMap(leavesAboveJoins)
+      }
+      val shuffledIndexScans = root.collect { case e: ShuffleExchangeExec =>
+        leavesAboveJoins(e.child)
+          .filter(_.toString.contains("graft_dedup_index"))
+      }.flatten
+      assert(shuffledIndexScans.isEmpty,
+        s"masked index scans under an exchange:\n$root")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    // compaction folds the deletions into the rewritten snapshots and
+    // clears the applied tombstones; no verdict changes
+    DedupIndex.compact(spark, "t_del_idx")
+    assert(spark.table("t_del_idx_sh")
+      .filter(col("id") % 3 === 1).count() == 0,
+      "compaction must physically remove tombstoned docs")
+    assert(spark.table("t_del_idx_tombx").count() == 0 &&
+      spark.table("t_del_idx_tombid").count() == 0,
+      "compaction must clear the tombstones it applied")
+    assert(judge() == expect)
+    // a full rebuild starts a NEW logical index: pending tombstones are
+    // discarded, so re-ingested docs resurface
+    DedupIndex.delete(spark, "t_del_idx", victims, "text", "doc_id")
+    DedupIndex.write(corpus, "text", "doc_id", "lang", "t_del_idx",
+      threshold = 0.5, buckets = 4)
+    assert(judge() == before)
+  }
+
   test("interrupted overwrite commit heals on the next index call") {
     import graft.ext.{Dedup, DedupIndex}
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
