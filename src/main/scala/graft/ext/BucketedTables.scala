@@ -48,6 +48,25 @@ private[ext] object BucketedTables {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .location
 
+  /** The table's current snapshot-dir name (`v<N>`) — the identity of
+    * the live commit. Changes exactly when a rewrite/compaction
+    * publishes (the DROP+RENAME or SET LOCATION IS the commit), which
+    * makes it the EPOCH a tombstone can stamp: a tombstone whose epoch
+    * no longer matches was aimed at a replaced snapshot and is inert,
+    * atomically with the commit that replaced it. */
+  def snapshotEpoch(spark: SparkSession, table: String): String =
+    new java.io.File(location(spark, table).getPath).getName
+
+  /** Drop a table (and its crash-marker scratch entry) from the catalog
+    * and delete every snapshot dir under its root — the shared cleanup
+    * for superseded standing-index artifacts. */
+  def dropTable(spark: SparkSession, table: String): Unit = {
+    Seq(table, s"${table}__next").foreach { t =>
+      if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE $t")
+    }
+    pruneVersions(table, keep = Set.empty)
+  }
+
   /** `sidecar` (name → bytes) files are written INTO the new snapshot
     * dir alongside the parquet files, so the table commit publishes data
     * and sidecar atomically — the home for small per-snapshot metadata

@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   * EnsureRequirements shuffles only the small delta side to match —
   * asserted in IOSpec):
   *
-  *  - `<base>_exact(h, t)`      bucketed by `(h, t)`, h = xxhash64(text) —
+  *  - `<base>_exact(h, t, id)`  bucketed by `(h, t)`, h = xxhash64(text) —
   *    the exact-duplicate rule probes it with an equi-join on `h` plus the
   *    text equality (which Catalyst folds into the join keys, so the
   *    bucket spec carries BOTH keys; the leading 8-byte hash keeps bucket
-  *    sort comparisons cheap);
+  *    sort comparisons cheap); one row per HOLDER (id), so per-document
+  *    deletion can retire a single holder's witness;
   *  - `<base>_pref(bk, id)`     bucketed by `bk` = xxhash64(block, prefix
   *    shingle hash) — PPJoin candidate generation is an equi-join on the
   *    fused key (a 64-bit collision can only ADD a candidate, which the
@@ -48,12 +49,16 @@ object DedupIndex {
   def shTable(base: String)    = s"${base}_sh"
   def bandTable(base: String)  = s"${base}_band"
 
-  /** Pending deletions (both tiny between compactions — they hold
-    * DELTAS, never corpus rows — so probes broadcast them): the exact
-    * table is keyed by (hash, text) and carries no id, so deletion
-    * tombstones both keys. */
-  def tombExactTable(base: String) = s"${base}_tombx"
-  def tombIdTable(base: String)    = s"${base}_tombid"
+  /** Pending deletions: one row per deleted doc id, stamped with the
+    * exact table's snapshot EPOCH (dir name) it was aimed at — a
+    * rebuild's commit changes the epoch, retiring surviving tombstones
+    * atomically (no tombs+corpus two-table atomicity needed in either
+    * direction). Tiny between compactions (DELTAS, never corpus rows),
+    * so probes broadcast it. One table for all four corpus tables: the
+    * exact table stores each holder's id precisely so that deletion can
+    * be per-document (a (hash, text) tombstone would mask the shared
+    * exact row for EVERY holder of a duplicated text). */
+  def tombsTable(base: String) = s"${base}_tombs"
 
   /** MinHash/LSH banding parameters (k = bands·rows): 16 bands of 4 rows —
     * [[Dedup.minhashPairs]]' defaults; collision probability at the 0.5
@@ -118,7 +123,18 @@ object DedupIndex {
             blockCol: String, base: String, threshold: Double,
             shingleN: Int = 3, buckets: Int = 32,
             mode: SaveMode = SaveMode.Overwrite,
-            batchId: Long = BulkBid): Unit = {
+            batchId: Long = BulkBid): Unit =
+    writeImpl(corpus, textCol, idCol, blockCol, base, threshold, shingleN,
+      buckets, mode, batchId, healFirst = true)
+
+  /** [[write]] body; `healFirst = false` skips the entry heal for
+    * callers that already healed this call chain ([[appendKept]]) —
+    * the heal's cache refresh forces a full file re-listing per table,
+    * a real per-batch cost in streaming ingestion. */
+  private def writeImpl(corpus: DataFrame, textCol: String, idCol: String,
+                        blockCol: String, base: String, threshold: Double,
+                        shingleN: Int, buckets: Int, mode: SaveMode,
+                        batchId: Long, healFirst: Boolean): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
@@ -126,45 +142,61 @@ object DedupIndex {
     // looking at table existence: an Append must see the healed table (a
     // fresh-create here would otherwise shadow the full corpus snapshot).
     // Only Append needs the cache refresh — an Overwrite reads nothing
-    healInterrupted(corpus.sparkSession, base,
-      refresh = mode == SaveMode.Append)
-    // a rebuild starts a NEW logical index: pending tombstones refer to
-    // the replaced corpus and must not mask re-ingested documents
-    if (mode != SaveMode.Append) dropTombs(corpus.sparkSession, base)
+    if (healFirst)
+      healInterrupted(corpus.sparkSession, base,
+        refresh = mode == SaveMode.Append)
     // bid stamped ONCE here (constant per call, so the exact table's
-    // distinct over (h, t, bid) still dedups texts), shingle once,
+    // whole-row distinct still folds a replayed batch), shingle once,
     // feed four writes
     val art = artifacts(corpus, textCol, idCol, blockCol, shingleN)
       .withColumn("bid", lit(batchId))
       .localCheckpoint()
     try {
-      // The four writes are independent actions over the one checkpointed
+      // The writes are independent actions over the one checkpointed
       // artifact frame — submitted concurrently so the scheduler overlaps
       // them (driver-side job-submission overhead dominates small builds;
-      // on a cluster the stages simply share the executors).
+      // on a cluster the stages simply share the executors). The EXACT
+      // table commits LAST, sequentially: its snapshot dir is the
+      // tombstone EPOCH anchor, so pending deletions stay active until
+      // the whole (re)build has landed — a crashed rebuild can only
+      // over-mask (safe for takedowns), never resurrect.
       val writes = Seq(
-        () => writeBucketed(art.select(col("h"), col("t"), col("bid")).distinct(),
-          exactTable(base), Seq("h", "t"), buckets, mode),
         () => writeBucketed(prefixRows(art, threshold),
           prefTable(base), Seq("bk"), buckets, mode),
         () => writeBucketed(art.select(col("id"), col("blk"), col("sh"), col("bid")),
           shTable(base), Seq("id"), buckets, mode),
         () => writeBucketed(bandRows(art), bandTable(base), Seq("bk"), buckets, mode))
-      // Wait for ALL four writes to SETTLE (not fail-fast): the shared
+      // Wait for ALL writes to SETTLE (not fail-fast): the shared
       // localCheckpoint blocks cannot be recomputed from lineage, so
       // unpersisting while sibling writes are still running would kill
       // them with missing-block errors — and in Append mode leave the
-      // four tables inconsistently appended. Collect every outcome,
+      // tables inconsistently appended. Collect every outcome,
       // unpersist in `finally`, then rethrow the first failure.
       import scala.util.{Failure, Try}
       val settled = Await.result(
         Future.sequence(writes.map(w => Future(w()).transform(Try(_)))),
         Duration.Inf)
       settled.collectFirst { case Failure(e) => e }.foreach(throw _)
+      // The exact table stores each holder's id (one row per DOCUMENT,
+      // not per distinct text): per-document deletion must retire
+      // exactly one holder's witness — a text shared by several live
+      // documents keeps witnessing the exact rule for the others.
+      writeBucketed(
+        art.select(col("h"), col("t"), col("bid"), col("id")).distinct(),
+        exactTable(base), Seq("h", "t"), buckets, mode)
     } finally
       // free the checkpoint blocks even when a write fails mid-retry —
       // otherwise every failed attempt pins a dead block set until GC
       graft.exec.Partitioning.unpersistCheckpoint(art)
+    // A rebuild's commits changed the snapshot epoch, so every pending
+    // tombstone is ALREADY inert (re-ingested documents must not be
+    // masked); dropping the table is garbage collection. Crash-safe in
+    // both directions: before the commits the old corpus stays live
+    // WITH its tombstones active (a takedown never silently
+    // resurfaces), after them the stale rows are epoch-mismatched
+    // noise.
+    if (mode != SaveMode.Append)
+      BucketedTables.dropTable(corpus.sparkSession, tombsTable(base))
   }
 
   // lifecycle machinery shared with every standing index
@@ -173,65 +205,79 @@ object DedupIndex {
     BucketedTables.writeBucketed(df, table, keys, buckets, mode)
 
   /** [[BucketedTables.heal]] over this index's tables (the four corpus
-    * tables plus the two tombstone tables, which go through the same
+    * tables plus the tombstone table, which goes through the same
     * scratch-then-rename overwrites during compaction) — called on
     * entry by every index-mutating/probing API. */
   private def healInterrupted(spark: SparkSession, base: String,
                               refresh: Boolean = true): Unit =
     BucketedTables.heal(spark,
       Seq(exactTable(base), prefTable(base), shTable(base), bandTable(base),
-        tombExactTable(base), tombIdTable(base)),
+        tombsTable(base)),
       refresh)
 
-  /** Mark documents deleted — the dedup twin of
-    * [[SimilarityIndex.delete]]: an O(|docs|) tombstone append, the
-    * corpus tables are never rewritten. `docs` must carry the TEXT as
-    * well as the id — the exact rule's table is keyed (hash, text) and
-    * stores no id, so its tombstone needs both. Probes mask tombstoned
-    * rows with broadcast anti-joins (a deleted document witnesses no
-    * exact or near verdict), and the next [[compact]] folds the
-    * deletions into the rewritten snapshots and clears the tombstones
-    * it applied. Tombstones are IDEMPOTENT, so every crash window
-    * degrades to harmless re-masking; the one contract is that a
-    * deleted document re-ingested BEFORE a compact stays masked until
-    * its tombstone folds. */
-  def delete(spark: SparkSession, base: String, docs: DataFrame,
-             textCol: String, idCol: String): Unit = {
+  /** Mark documents deleted by id — the dedup twin of
+    * [[SimilarityIndex.delete]]: an O(|ids|) tombstone append in ONE
+    * table write (no partial-deletion window), the corpus tables are
+    * never rewritten. Probes mask tombstoned ids with broadcast
+    * anti-joins — the exact table stores each holder's id, so a
+    * deleted document stops witnessing the exact rule while other
+    * holders of the same text keep witnessing it — and the next
+    * [[compact]] folds the deletions into the rewritten snapshots.
+    * Each tombstone is stamped with the current snapshot EPOCH (the
+    * exact table's dir name, which every rebuild commit changes LAST):
+    * a crash anywhere can only over-mask (the old corpus stays live
+    * with its tombstones active — a takedown never silently
+    * resurfaces), never resurrect, and a completed rebuild retires
+    * pending tombstones atomically with its commit. Tombstones are
+    * IDEMPOTENT — a failed delete() is safely re-issued. A deleted
+    * document re-ingested into the SAME snapshot (appends change no
+    * epoch) stays masked until a compact folds its tombstone.
+    *
+    * Requires a current-era index (exact table stores holder ids): a
+    * legacy index must be rebuilt before per-document deletion — its
+    * exact rows cannot be attributed to holders. */
+  def delete(spark: SparkSession, base: String, ids: DataFrame,
+             idCol: String): Unit = {
+    // exact is healed too (scratch-adopt only): the epoch stamp reads
+    // its live snapshot identity
     BucketedTables.heal(spark,
-      Seq(tombExactTable(base), tombIdTable(base)), refresh = false)
+      Seq(exactTable(base), tombsTable(base)), refresh = false)
+    val exact = spark.table(exactTable(base))
+    require(exact.columns.contains("id"),
+      s"$base: the exact table predates holder-id storage — rebuild the " +
+        "index (write) before deleting documents")
+    // migrate() backfills legacy exact rows with NULL ids (their holder
+    // is unrecoverable); those rows cannot be retired per-document, so
+    // deletion on such an index would be silently incomplete — refuse.
+    // Parquet null-count stats prune this probe to metadata when the
+    // index has no legacy rows.
+    require(exact.filter(col("id").isNull).limit(1).count() == 0,
+      s"$base: the exact table carries legacy rows with no holder id — " +
+        "rebuild the index (write) before deleting documents")
     BucketedTables.writeBucketed(
-      docs.select(xxhash64(col(textCol)).as("h"), col(textCol).as("t"))
-        .distinct(),
-      tombExactTable(base), Seq("h", "t"), buckets = 4, SaveMode.Append)
-    BucketedTables.writeBucketed(
-      docs.select(col(idCol).as("id")).distinct(),
-      tombIdTable(base), Seq("id"), buckets = 4, SaveMode.Append)
+      ids.select(col(idCol).as("id")).distinct()
+        .withColumn("ep",
+          lit(BucketedTables.snapshotEpoch(spark, exactTable(base)))),
+      tombsTable(base), Seq("id"), buckets = 4, SaveMode.Append)
   }
 
-  /** Probe-time deletion masks (absent tombstone table = nothing
-    * deleted; broadcast by contract — tombstones hold only deletions
-    * since the last compaction). */
-  private def maskExact(spark: SparkSession, base: String,
-                        df: DataFrame): DataFrame =
-    if (spark.catalog.tableExists(tombExactTable(base)))
-      df.join(broadcast(spark.table(tombExactTable(base))), Seq("h", "t"),
-        "left_anti")
-    else df
-
+  /** The probe-time deletion mask: anti-join on id against the
+    * CURRENT-epoch tombstone rows (absent table = nothing deleted;
+    * stale-epoch rows are inert; a frame without an id column — the
+    * legacy exact schema — cannot be masked and is returned as-is,
+    * which [[delete]]'s era guard makes unreachable with live
+    * tombstones). Broadcast by contract — the table holds only
+    * deletions since the last compaction. */
   private def maskIds(spark: SparkSession, base: String,
                       df: DataFrame): DataFrame =
-    if (spark.catalog.tableExists(tombIdTable(base)))
-      df.join(broadcast(spark.table(tombIdTable(base))), Seq("id"),
-        "left_anti")
+    if (spark.catalog.tableExists(tombsTable(base)) &&
+        df.columns.contains("id"))
+      df.join(broadcast(spark.table(tombsTable(base))
+          .filter(col("ep") ===
+            lit(BucketedTables.snapshotEpoch(spark, exactTable(base))))
+          .select(col("id"))),
+        Seq("id"), "left_anti")
     else df
-
-  private def dropTombs(spark: SparkSession, base: String): Unit =
-    Seq(tombExactTable(base), tombIdTable(base)).foreach { t =>
-      Seq(t, s"${t}__next").foreach { n =>
-        if (spark.catalog.tableExists(n)) spark.sql(s"DROP TABLE $n")
-      }
-      BucketedTables.pruneVersions(t, keep = Set.empty)
-    }
 
   // snapshot write / atomic swap / shuffle-free per-bucket dedup are
   // shared standing-index machinery ([[BucketedTables]]); aliased here
@@ -264,28 +310,28 @@ object DedupIndex {
     * replaced). */
   def compact(spark: SparkSession, base: String): Unit = {
     healInterrupted(spark, base)
+    // the EXACT table swaps LAST: its snapshot dir is the tombstone
+    // epoch anchor, so a compaction that dies mid-way leaves the
+    // tombstones active and every unfolded table still masked; the
+    // final swap retires them atomically with the fold's completion
     val tables = Seq(
-      exactTable(base) -> Seq("h", "t"),
       prefTable(base)  -> Seq("bk"),
       shTable(base)    -> Seq("id"),
-      bandTable(base)  -> Seq("bk"))
+      bandTable(base)  -> Seq("bk"),
+      exactTable(base) -> Seq("h", "t"))
     BucketedTables.withForcedBucketedScan(spark) {
       tables.foreach { case (table, keys) =>
-        val folded = compactionFrame(spark, table)
         swapLocation(spark, table,
           writeSnapshot(spark, table, keys,
-            if (table == exactTable(base)) maskExact(spark, base, folded)
-            else maskIds(spark, base, folded)))
+            maskIds(spark, base, compactionFrame(spark, table))))
       }
-      // the tombstones applied above are folded into the new snapshots;
-      // clear them (a crash before this leaves stale tombstones that
-      // re-exclude rows already gone — harmless, the next compact clears)
-      Seq(tombExactTable(base) -> Seq("h", "t"),
-          tombIdTable(base) -> Seq("id")).foreach { case (table, keys) =>
-        if (spark.catalog.tableExists(table))
-          BucketedTables.writeBucketed(spark.table(table).limit(0), table,
-            keys, BucketedTables.bucketsOf(spark, table), SaveMode.Overwrite)
-      }
+      // the tombstones folded above are inert now (the anchor swap
+      // changed the epoch); clearing the table is garbage collection
+      if (spark.catalog.tableExists(tombsTable(base)))
+        BucketedTables.writeBucketed(
+          spark.table(tombsTable(base)).limit(0), tombsTable(base),
+          Seq("id"), BucketedTables.bucketsOf(spark, tombsTable(base)),
+          SaveMode.Overwrite)
     }
   }
 
@@ -309,24 +355,26 @@ object DedupIndex {
                        excludeBatchId: Long = Long.MinValue): DataFrame = {
     healInterrupted(spark, base)
     // Legacy (pre-bid) indexes read as all-bulk: no stamp, no exclusion.
-    // Tombstoned documents must witness no rule: the exact table masks
-    // on its (h, t) key, the id-keyed tables on id.
+    // Tombstoned documents must witness no rule: every table masks by
+    // holder id (the exact table stores one row per holder for exactly
+    // this purpose).
     def tbl(name: String) = {
       val raw = spark.table(name)
       val live =
         if (raw.columns.contains("bid"))
           raw.filter(col("bid") =!= lit(excludeBatchId)).drop("bid")
         else raw
-      if (name == exactTable(base)) maskExact(spark, base, live)
-      else maskIds(spark, base, live)
+      maskIds(spark, base, live)
     }
     val d = artifacts(delta, textCol, idCol, blockCol, shingleN)
       .withColumn("bid", lit(BulkBid)) // probe-side stamp is never stored
       .repartition(col("id")) // one artifact pass shared by all three rules
     // Exact rule: equi-join on the 64-bit text hash (the bucket key),
-    // settled by the residual full-text comparison.
+    // settled by the residual full-text comparison. The index side's
+    // holder id (used by the deletion mask inside tbl) is dropped
+    // before the join — the output id must be the DELTA's.
     val exactIds = d.select(col("id"), col("h"), col("t").as("__dt"))
-      .join(tbl(exactTable(base)), Seq("h"))
+      .join(tbl(exactTable(base)).drop("id"), Seq("h"))
       .filter(col("t") === col("__dt"))
       .select(col("id")).distinct()
       .select(col("id"), lit(true).as("__e"))
@@ -414,11 +462,25 @@ object DedupIndex {
         SaveMode.Overwrite)
       finally graft.exec.Partitioning.unpersistCheckpoint(snap)
     }
-    Seq(exactTable(base) -> Seq("h", "t"), shTable(base) -> Seq("id"),
-        bandTable(base) -> Seq("bk")).foreach { case (table, keys) =>
-      val t = spark.table(table)
-      if (!t.columns.contains("bid"))
-        rewrite(table, keys, t.withColumn("bid", lit(BulkBid)))
+    Seq(shTable(base) -> Seq("id"), bandTable(base) -> Seq("bk"))
+      .foreach { case (table, keys) =>
+        val t = spark.table(table)
+        if (!t.columns.contains("bid"))
+          rewrite(table, keys, t.withColumn("bid", lit(BulkBid)))
+      }
+    // Legacy exact rows predate holder-id storage and their holder is
+    // unrecoverable (no id↔text mapping is stored anywhere): backfill
+    // NULL — probes work unchanged (the probe drops the id column), and
+    // [[delete]] refuses per-document deletion while any NULL-id row
+    // remains (rebuild to regain it).
+    val exact = spark.table(exactTable(base))
+    if (!exact.columns.contains("bid") || !exact.columns.contains("id")) {
+      val idType = spark.table(shTable(base)).schema("id").dataType
+      val withBid = if (exact.columns.contains("bid")) exact
+                    else exact.withColumn("bid", lit(BulkBid))
+      val withId = if (withBid.columns.contains("id")) withBid
+                   else withBid.withColumn("id", lit(null).cast(idType))
+      rewrite(exactTable(base), Seq("h", "t"), withId)
     }
     val pref = spark.table(prefTable(base))
     if (rebuildPref ||
@@ -440,13 +502,15 @@ object DedupIndex {
                  blockCol: String, threshold: Double,
                  shingleN: Int = 3, batchId: Long = BulkBid): Unit = {
     healInterrupted(spark, base)
-    if (!spark.table(exactTable(base)).columns.contains("bid") ||
+    val exactCols = spark.table(exactTable(base)).columns
+    if (!exactCols.contains("bid") || !exactCols.contains("id") ||
         !spark.table(prefTable(base)).columns.contains("pos"))
       migrate(spark, base, threshold)
     val buckets = bucketsOf(spark, exactTable(base))
     val kept = batch.join(
       verdicts.filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")
-    write(kept, textCol, idCol, blockCol, base, threshold, shingleN, buckets,
-      mode = SaveMode.Append, batchId = batchId)
+    // healFirst = false: this call chain healed (with refresh) above
+    writeImpl(kept, textCol, idCol, blockCol, base, threshold, shingleN,
+      buckets, mode = SaveMode.Append, batchId = batchId, healFirst = false)
   }
 }

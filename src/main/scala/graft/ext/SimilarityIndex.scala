@@ -45,9 +45,13 @@ object SimilarityIndex {
 
   def cellsTable(base: String) = s"${base}_cells"
 
-  /** Pending deletions: ids marked deleted since the last compaction.
-    * Tiny between compactions (it holds DELTAS, never corpus rows), so
-    * probes broadcast it for their anti-join. */
+  /** Pending deletions: ids marked deleted since the last compaction,
+    * each stamped with the cells table's snapshot EPOCH (dir name) it
+    * was aimed at — a rebuild or compaction commit changes the epoch,
+    * which makes surviving tombstone rows inert atomically with the
+    * commit (no cells+tombs two-table atomicity needed in either
+    * direction). Tiny between compactions (it holds DELTAS, never
+    * corpus rows), so probes broadcast it for their anti-join. */
   def tombsTable(base: String) = s"${base}_tombs"
 
   private val QuantizerSidecar = "_quantizer"
@@ -78,18 +82,20 @@ object SimilarityIndex {
     // refresh = false: this is an overwrite — nothing reads the old state
     BucketedTables.heal(spark, Seq(cellsTable(base)), refresh = false)
     dropLegacyCentroids(spark, base)
-    // a rebuild starts a NEW logical index: pending tombstones refer to
-    // the snapshot being replaced and must not mask re-ingested ids
-    Seq(tombsTable(base), s"${tombsTable(base)}__next").foreach { t =>
-      if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE $t")
-    }
-    BucketedTables.pruneVersions(tombsTable(base), keep = Set.empty)
     val (cids, cents) = Similarity.kmeansCentroids(
       corpus, vecCol, idCol, k, iters)
     BucketedTables.writeBucketed(
       Similarity.assignCells(corpus, vecCol, idCol, cids.zip(cents)),
       cellsTable(base), Seq("cell"), buckets, SaveMode.Overwrite,
       sidecar = Seq(QuantizerSidecar -> encodeQuantizer(cids.zip(cents))))
+    // The commit above changed the snapshot epoch, so every pending
+    // tombstone is ALREADY inert (a rebuild starts a new logical index
+    // whose re-ingested ids must not be masked); dropping the table is
+    // garbage collection, and a crash on either side of it is safe —
+    // before the commit the old snapshot stays live WITH its tombstones
+    // still active (a takedown never silently resurfaces), after it the
+    // stale rows it leaves are epoch-mismatched noise.
+    BucketedTables.dropTable(spark, tombsTable(base))
   }
 
   /** An index built before the sidecar design stored its quantizer in a
@@ -97,40 +103,49 @@ object SimilarityIndex {
     * commit was the torn-pairing hazard the sidecar removed). Rebuilds
     * drop the stale entry, its crash marker, and its snapshot dirs so
     * legacy state cannot linger. */
-  private def dropLegacyCentroids(spark: SparkSession, base: String): Unit = {
-    val legacy = s"${base}_centroids"
-    Seq(legacy, s"${legacy}__next").foreach { t =>
-      if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE $t")
-    }
-    BucketedTables.pruneVersions(legacy, keep = Set.empty)
-  }
+  private def dropLegacyCentroids(spark: SparkSession, base: String): Unit =
+    BucketedTables.dropTable(spark, s"${base}_centroids")
 
   /** Mark `ids` deleted. Deletion is a TOMBSTONE append — O(|ids|), the
     * corpus is never touched: probes anti-join their probed slice
     * against the (broadcast-small) tombstone table, and the next
     * [[compact]] folds the deletions into the rewritten snapshot and
-    * clears the tombstones it applied. Tombstones are IDEMPOTENT —
-    * re-excluding an already-removed id is a no-op — which is what lets
-    * both the probe-time mask and the compaction fold stay crash-safe
-    * without any cells+tombs atomic commit. One constraint follows:
-    * re-ingesting a DELETED id resurfaces only after a compact() has
-    * folded its tombstone away (standard tombstone semantics). */
+    * clears the tombstones it applied. Each tombstone is stamped with
+    * the CURRENT snapshot epoch and masks only while that snapshot is
+    * live: a rebuild/compaction commit retires it atomically (the
+    * masking direction cannot leak — a crash before the commit leaves
+    * the old snapshot live with its tombstones still active; the
+    * unmasking direction cannot resurrect — stale rows are inert).
+    * Tombstones are also IDEMPOTENT — re-excluding an absent id is a
+    * no-op — so a failed delete() is safely re-issued. One constraint
+    * follows: re-ingesting a DELETED id into the SAME snapshot (an
+    * append changes no epoch) stays masked until a compact() folds the
+    * tombstone away (standard tombstone semantics). */
   def delete(spark: SparkSession, base: String, ids: DataFrame,
              idCol: String = "vec_id"): Unit = {
-    BucketedTables.heal(spark, Seq(tombsTable(base)), refresh = false)
+    // cells is healed too (scratch-adopt only): the epoch stamp reads
+    // its live snapshot identity
+    BucketedTables.heal(spark, Seq(cellsTable(base), tombsTable(base)),
+      refresh = false)
     BucketedTables.writeBucketed(
-      ids.select(col(idCol).as("id")).distinct(),
+      ids.select(col(idCol).as("id")).distinct()
+        .withColumn("ep",
+          lit(BucketedTables.snapshotEpoch(spark, cellsTable(base)))),
       tombsTable(base), Seq("id"), buckets = 4, SaveMode.Append)
   }
 
-  /** The probe-time deletion mask: anti-join against the tombstone
-    * table (absent table = nothing deleted). Broadcast by contract —
+  /** The probe-time deletion mask: anti-join against the CURRENT-epoch
+    * tombstone rows (absent table = nothing deleted; rows stamped with
+    * a replaced snapshot's epoch are inert). Broadcast by contract —
     * the table holds only deletions since the last compaction. */
   private def maskTombs(spark: SparkSession, base: String,
                         corpus: DataFrame): DataFrame =
     if (spark.catalog.tableExists(tombsTable(base)))
-      corpus.join(broadcast(spark.table(tombsTable(base))), Seq("id"),
-        "left_anti")
+      corpus.join(broadcast(spark.table(tombsTable(base))
+          .filter(col("ep") ===
+            lit(BucketedTables.snapshotEpoch(spark, cellsTable(base))))
+          .select(col("id"))),
+        Seq("id"), "left_anti")
     else corpus
 
   /** Compact the standing index: fold each bucket's accumulated append
@@ -143,11 +158,11 @@ object SimilarityIndex {
     * single-catalog-op swap — so probes racing the compaction see a
     * complete (cells + quantizer) snapshot on either side of the commit
     * point, and a compaction that dies mid-write leaves probes on the
-    * old snapshot. Applied tombstones are cleared AFTER the swap; a
-    * crash between the two leaves stale tombstones that re-exclude
-    * rows the swap already removed — harmless, and the next compact
-    * clears them. Run OFFLINE relative to WRITERS, like
-    * [[DedupIndex.compact]]. */
+    * old snapshot (with its tombstones still active and masking). The
+    * swap changes the snapshot EPOCH, which retires the folded
+    * tombstones atomically; the clear after it is garbage collection
+    * of rows that are already inert. Run OFFLINE relative to WRITERS,
+    * like [[DedupIndex.compact]]. */
   def compact(spark: SparkSession, base: String): Unit = {
     BucketedTables.heal(spark, Seq(cellsTable(base), tombsTable(base)))
     val quantizer =

@@ -663,8 +663,8 @@ object ExtQueries {
     val base = "graft_idx_ddel"
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     DedupIndex.write(corpus, "text", "doc_id", "lang", base, threshold = 0.5)
-    DedupIndex.delete(s, base, corpus.filter(col("doc_id") % 3 === 1),
-      "text", "doc_id")
+    DedupIndex.delete(s, base,
+      corpus.filter(col("doc_id") % 3 === 1).select(col("doc_id")), "doc_id")
     DedupIndex.dedupIncremental(s, base, docs.filter(col("doc_id") % 5 === 0),
       "text", "doc_id", "lang", threshold = 0.5)
   }

@@ -445,13 +445,27 @@ class IOSpec extends AnyFunSuite {
       "compaction must clear the tombstones it applied")
     assert(rows(SimilarityIndex.topK(spark, "t_ann_del", q,
       k = 3, nprobe = 2)) == expectDel)
-    // a full rebuild starts a NEW logical index: pending tombstones are
-    // discarded, so re-ingested ids resurface
+    // a full rebuild retires pending tombstones at its COMMIT (the
+    // snapshot epoch changes), so re-ingested ids resurface
     SimilarityIndex.delete(spark, "t_ann_del", victims)
+    val staleSchema = spark.table("t_ann_del_tombs").schema
+    val staleRows = spark.table("t_ann_del_tombs").collect()
     SimilarityIndex.write(e, "embedding", "vec_id", "t_ann_del",
       k = 4, iters = 1, buckets = 4)
     assert(rows(SimilarityIndex.topK(spark, "t_ann_del", q,
       k = 3, nprobe = 2)) == full)
+    // crash window: a rebuild that died AFTER its commit but BEFORE the
+    // tombstone GC leaves stale rows — stamped with the replaced
+    // snapshot's epoch, they must be inert
+    val staleDir =
+      java.nio.file.Files.createTempDirectory("graft_stale_vtombs").toString
+    spark.createDataFrame(
+        java.util.Arrays.asList(staleRows: _*), staleSchema)
+      .write.option("path", staleDir).saveAsTable("t_ann_del_tombs")
+    assert(rows(SimilarityIndex.topK(spark, "t_ann_del", q,
+      k = 3, nprobe = 2)) == full,
+      "stale-epoch tombstones must not mask the rebuilt corpus")
+    spark.sql("DROP TABLE t_ann_del_tombs")
   }
 
   test("dedup index deletion: tombstones mask verdicts at once; compact " +
@@ -474,9 +488,10 @@ class IOSpec extends AnyFunSuite {
       rows(DedupIndex.dedupIncremental(spark, "t_del_idx", delta,
         "text", "doc_id", "lang", threshold = 0.5, candidates = cands))
     val before = judge()
-    // deletion is an O(|docs|) tombstone append; verdicts immediately
+    // deletion is an O(|ids|) tombstone append; verdicts immediately
     // equal incremental dedup against the corpus MINUS the deleted docs
-    DedupIndex.delete(spark, "t_del_idx", victims, "text", "doc_id")
+    DedupIndex.delete(spark, "t_del_idx",
+      victims.select(col("doc_id")), "doc_id")
     val expect = rows(Dedup.dedupIncremental(
       corpus.filter(col("doc_id") % 3 =!= 1), delta,
       "text", "doc_id", "lang", threshold = 0.5))
@@ -485,7 +500,8 @@ class IOSpec extends AnyFunSuite {
     assert(after != before, "deleting a third of the corpus should flip " +
       "some verdict")
     // deleting the same docs again is a no-op (tombstones are idempotent)
-    DedupIndex.delete(spark, "t_del_idx", victims, "text", "doc_id")
+    DedupIndex.delete(spark, "t_del_idx",
+      victims.select(col("doc_id")), "doc_id")
     assert(judge() == expect)
     // the LSH candidate generator masks identically: verdicts equal a
     // fresh index built WITHOUT the deleted docs (banding is
@@ -527,16 +543,60 @@ class IOSpec extends AnyFunSuite {
     assert(spark.table("t_del_idx_sh")
       .filter(col("id") % 3 === 1).count() == 0,
       "compaction must physically remove tombstoned docs")
-    assert(spark.table("t_del_idx_tombx").count() == 0 &&
-      spark.table("t_del_idx_tombid").count() == 0,
+    assert(spark.table("t_del_idx_tombs").count() == 0,
       "compaction must clear the tombstones it applied")
     assert(judge() == expect)
-    // a full rebuild starts a NEW logical index: pending tombstones are
-    // discarded, so re-ingested docs resurface
-    DedupIndex.delete(spark, "t_del_idx", victims, "text", "doc_id")
+    // a full rebuild retires pending tombstones at its COMMIT (the
+    // epoch anchor changes), so re-ingested docs resurface
+    DedupIndex.delete(spark, "t_del_idx",
+      victims.select(col("doc_id")), "doc_id")
+    val staleSchema = spark.table("t_del_idx_tombs").schema
+    val staleRows = spark.table("t_del_idx_tombs").collect()
     DedupIndex.write(corpus, "text", "doc_id", "lang", "t_del_idx",
       threshold = 0.5, buckets = 4)
     assert(judge() == before)
+    // crash window: a rebuild that died AFTER its commits but BEFORE the
+    // tombstone GC leaves the old rows on disk — they are stamped with
+    // the REPLACED snapshot's epoch, so they must be inert
+    val staleDir =
+      java.nio.file.Files.createTempDirectory("graft_stale_tombs").toString
+    spark.createDataFrame(
+        java.util.Arrays.asList(staleRows: _*), staleSchema)
+      .write.option("path", staleDir).saveAsTable("t_del_idx_tombs")
+    assert(judge() == before,
+      "stale-epoch tombstones must not mask the rebuilt corpus")
+    spark.sql("DROP TABLE t_del_idx_tombs")
+  }
+
+  test("deleting one holder of a duplicated text keeps the other " +
+       "holder's exact witness") {
+    import graft.ext.DedupIndex
+    val corpus = Seq(
+      (1L, "en", "alpha beta gamma delta shared text body"),
+      (2L, "en", "alpha beta gamma delta shared text body"),
+      (3L, "en", "wholly unrelated other words entirely"))
+      .toDF("doc_id", "lang", "text")
+    DedupIndex.write(corpus, "text", "doc_id", "lang", "t_dup_del_idx",
+      threshold = 0.5, buckets = 4)
+    val delta = Seq((10L, "en", "alpha beta gamma delta shared text body"))
+      .toDF("doc_id", "lang", "text")
+    def judge() = DedupIndex.dedupIncremental(spark, "t_dup_del_idx", delta,
+        "text", "doc_id", "lang", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.getString(2)))).toSet
+    // doc 1 deleted, but doc 2 still HOLDS the same text: the delta copy
+    // must still be judged an exact duplicate (per-holder tombstones —
+    // a text-keyed tombstone would wrongly retire doc 2's witness too)
+    DedupIndex.delete(spark, "t_dup_del_idx", Seq(1L).toDF("doc_id"),
+      "doc_id")
+    assert(judge() == Set((10L, false, Some("exact"))))
+    // ...including PHYSICALLY after compaction folds holder 1's row
+    DedupIndex.compact(spark, "t_dup_del_idx")
+    assert(judge() == Set((10L, false, Some("exact"))))
+    // deleting the last holder retires the text entirely
+    DedupIndex.delete(spark, "t_dup_del_idx", Seq(2L).toDF("doc_id"),
+      "doc_id")
+    assert(judge() == Set((10L, true, None)))
   }
 
   test("interrupted overwrite commit heals on the next index call") {
@@ -600,7 +660,7 @@ class IOSpec extends AnyFunSuite {
         CLUSTERED BY ($bucketCols) SORTED BY ($bucketCols) INTO 4 BUCKETS
         LOCATION '$path'""")
     }
-    strip("t_legacy_idx_exact", Seq("h", "t"), Seq("bid"))
+    strip("t_legacy_idx_exact", Seq("h", "t"), Seq("bid", "id"))
     strip("t_legacy_idx_sh", Seq("id"), Seq("bid"))
     strip("t_legacy_idx_band", Seq("bk"), Seq("bid"))
     strip("t_legacy_idx_pref", Seq("bk"), Seq("bid", "pos", "sz"))
