@@ -57,6 +57,22 @@ private[ext] object BucketedTables {
   def snapshotEpoch(spark: SparkSession, table: String): String =
     new java.io.File(location(spark, table).getPath).getName
 
+  /** Remove tombstone rows whose id is being re-ingested — changelog
+    * semantics for both standing indexes (delete in one batch,
+    * re-insert in a later one must resurface): a crash-safe
+    * scratch-then-rename overwrite of the (tiny) tombstone table,
+    * skipped entirely when no arriving id overlaps a pending
+    * tombstone. Runs BEFORE the re-ingested rows land, so a crash
+    * between the two leaves the id absent entirely and the replay
+    * re-appends. */
+  def clearSuperseded(spark: SparkSession, tombs: String,
+                      incomingIds: DataFrame): Unit =
+    if (spark.catalog.tableExists(tombs) &&
+        !spark.table(tombs).join(incomingIds, Seq("id"), "left_semi").isEmpty)
+      writeBucketed(
+        spark.table(tombs).join(incomingIds, Seq("id"), "left_anti"),
+        tombs, Seq("id"), bucketsOf(spark, tombs), SaveMode.Overwrite)
+
   /** Drop a table (and its crash-marker scratch entry) from the catalog
     * and delete every snapshot dir under its root — the shared cleanup
     * for superseded standing-index artifacts. */

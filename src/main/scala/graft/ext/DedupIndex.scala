@@ -229,9 +229,10 @@ object DedupIndex {
     * with its tombstones active — a takedown never silently
     * resurfaces), never resurrect, and a completed rebuild retires
     * pending tombstones atomically with its commit. Tombstones are
-    * IDEMPOTENT — a failed delete() is safely re-issued. A deleted
-    * document re-ingested into the SAME snapshot (appends change no
-    * epoch) stays masked until a compact folds its tombstone.
+    * IDEMPOTENT — a failed delete() is safely re-issued. Re-ingesting
+    * a deleted document resurfaces it immediately: [[appendKept]]
+    * clears the superseded tombstone before its rows land (changelog
+    * delete-then-reinsert works across batches).
     *
     * Requires a current-era index (exact table stores holder ids): a
     * legacy index must be rebuilt before per-document deletion — its
@@ -509,6 +510,11 @@ object DedupIndex {
     val buckets = bucketsOf(spark, exactTable(base))
     val kept = batch.join(
       verdicts.filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")
+    // changelog semantics: a re-ingested (kept) id supersedes its
+    // pending tombstone — its verdict was already judged against the
+    // masked corpus, and from this batch on it must be visible again
+    BucketedTables.clearSuperseded(spark, tombsTable(base),
+      kept.select(col(idCol).as("id")).distinct())
     // healFirst = false: this call chain healed (with refresh) above
     writeImpl(kept, textCol, idCol, blockCol, base, threshold, shingleN,
       buckets, mode = SaveMode.Append, batchId = batchId, healFirst = false)

@@ -117,10 +117,10 @@ object SimilarityIndex {
     * the old snapshot live with its tombstones still active; the
     * unmasking direction cannot resurrect — stale rows are inert).
     * Tombstones are also IDEMPOTENT — re-excluding an absent id is a
-    * no-op — so a failed delete() is safely re-issued. One constraint
-    * follows: re-ingesting a DELETED id into the SAME snapshot (an
-    * append changes no epoch) stays masked until a compact() folds the
-    * tombstone away (standard tombstone semantics). */
+    * no-op — so a failed delete() is safely re-issued. Re-ingesting a
+    * deleted id resurfaces it immediately: [[append]] clears the
+    * superseded tombstone before its rows land (changelog
+    * delete-then-reinsert works across batches). */
   def delete(spark: SparkSession, base: String, ids: DataFrame,
              idCol: String = "vec_id"): Unit = {
     // cells is healed too (scratch-adopt only): the epoch stamp reads
@@ -187,12 +187,18 @@ object SimilarityIndex {
     * Assignment uses the STORED quantizer (the sidecar), so appended
     * rows live in the same cell space as the original build and probes
     * see them immediately; the bucket-preserving append keeps the
-    * pruning layout. Like any IVF, heavy drift degrades cell balance
-    * over time — re-train by rebuilding with [[write]] (the snapshot
-    * swap keeps probes consistent throughout). */
+    * pruning layout. An arriving id SUPERSEDES its pending tombstone
+    * (changelog semantics: delete in one batch, re-insert in a later
+    * one), cleaned up BEFORE the rows land — a crash between the two
+    * leaves the id absent entirely, and the replay re-appends. Like
+    * any IVF, heavy drift degrades cell balance over time — re-train
+    * by rebuilding with [[write]] (the snapshot swap keeps probes
+    * consistent throughout). */
   def append(spark: SparkSession, base: String, batch: DataFrame,
              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    BucketedTables.heal(spark, Seq(cellsTable(base)))
+    BucketedTables.heal(spark, Seq(cellsTable(base), tombsTable(base)))
+    BucketedTables.clearSuperseded(spark, tombsTable(base),
+      batch.select(col(idCol).as("id")).distinct())
     val cents = decodeQuantizer(
       BucketedTables.readSidecar(spark, cellsTable(base), QuantizerSidecar))
     BucketedTables.writeBucketed(

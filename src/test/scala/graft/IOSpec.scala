@@ -568,6 +568,62 @@ class IOSpec extends AnyFunSuite {
     spark.sql("DROP TABLE t_del_idx_tombs")
   }
 
+  test("a re-ingested id supersedes its pending ANN tombstone " +
+       "(changelog delete-then-reinsert)") {
+    import graft.ext.SimilarityIndex
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    SimilarityIndex.write(e, "embedding", "vec_id", "t_cdc_ann",
+      k = 4, iters = 1, buckets = 4)
+    // a TWIN of vec 7 (search excludes self-pairs): its presence is
+    // observable as probe(7)'s cosine-1 top hit
+    val twin = e.filter(col("vec_id") === 7)
+      .withColumn("vec_id", lit(88888L))
+    def top1() = SimilarityIndex.topK(spark, "t_cdc_ann",
+      e.filter(col("vec_id") === 7), k = 1, nprobe = 4)
+      .collect().head.getLong(2)
+    SimilarityIndex.append(spark, "t_cdc_ann", twin)
+    assert(top1() == 88888L)
+    SimilarityIndex.delete(spark, "t_cdc_ann", twin.select(col("vec_id")))
+    assert(top1() != 88888L, "deleted id must be masked")
+    // re-insert in a LATER batch: the append clears the superseded
+    // tombstone, so the id resurfaces immediately (no compact needed)
+    SimilarityIndex.append(spark, "t_cdc_ann", twin)
+    assert(top1() == 88888L, "re-ingested id must resurface")
+    // and compaction must keep it (its tombstone is gone), folding the
+    // two identical appended rows to one
+    SimilarityIndex.compact(spark, "t_cdc_ann")
+    assert(top1() == 88888L)
+  }
+
+  test("a re-ingested kept document supersedes its dedup tombstone " +
+       "(changelog delete-then-reinsert)") {
+    import graft.ext.DedupIndex
+    val corpus = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "en", "wholly unrelated other words entirely here"))
+      .toDF("doc_id", "lang", "text")
+    DedupIndex.write(corpus, "text", "doc_id", "lang", "t_cdc_idx",
+      threshold = 0.5, buckets = 4)
+    val delta = Seq((10L, "en", "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "lang", "text")
+    def judge() = DedupIndex.dedupIncremental(spark, "t_cdc_idx", delta,
+        "text", "doc_id", "lang", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.getString(2)))).toSet
+    assert(judge() == Set((10L, false, Some("exact"))))
+    DedupIndex.delete(spark, "t_cdc_idx", Seq(1L).toDF("doc_id"), "doc_id")
+    assert(judge() == Set((10L, true, None)), "deleted doc must not judge")
+    // re-ingest doc 1 in a later batch: appendKept clears the
+    // superseded tombstone, so its witness returns immediately
+    val doc1 = corpus.filter(col("doc_id") === 1)
+    val keepAll = doc1.select(col("doc_id"), lit(true).as("keep"),
+      lit(null).cast("string").as("reason"))
+    DedupIndex.appendKept(spark, "t_cdc_idx", doc1, keepAll,
+      "text", "doc_id", "lang", threshold = 0.5, batchId = 3L)
+    assert(judge() == Set((10L, false, Some("exact"))),
+      "re-ingested doc must witness the exact rule again")
+  }
+
   test("deleting one holder of a duplicated text keeps the other " +
        "holder's exact witness") {
     import graft.ext.DedupIndex
