@@ -431,6 +431,21 @@ class IOSpec extends AnyFunSuite {
       k = 3, nprobe = 2))
     assert(afterDel == expectDel)
     assert(afterDel != full, "deletion should change some probe result")
+    // the tombstone mask (a broadcast anti-join) must not cost the scan
+    // its bucket pruning
+    val maskedPlan = SimilarityIndex.topK(spark, "t_ann_del",
+      e.filter(col("vec_id") === 0), k = 3, nprobe = 1)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    val maskedSel = maskedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == "t_ann_del_cells") => f
+    }.head.metadata.get("SelectedBucketsCount")
+    assert(maskedSel.exists(_.startsWith("1 out of 4")),
+      s"masked probe lost bucket pruning: $maskedSel")
     // deleting the same ids again is a no-op (tombstones are idempotent)
     SimilarityIndex.delete(spark, "t_ann_del", victims)
     assert(rows(SimilarityIndex.topK(spark, "t_ann_del", q,
