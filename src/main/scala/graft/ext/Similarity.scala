@@ -90,6 +90,54 @@ object Similarity {
       .toDF("query_id", "rank", "cand_id", "sim")
   }
 
+  // ------------------------------------------------------------- SQ8
+
+  /** Per-vector 8-bit scalar quantization (the FAISS-style SQ8 recipe):
+    * `q_i = clamp_0..255(floor((v_i - mn) / scale + 0.5))` with
+    * `scale = (mx - mn) / 255`; a constant vector takes scale 0 and
+    * q_i = 0. All arithmetic in DOUBLE, and `floor(x + 0.5)` instead of
+    * `round()` — HALF_UP vs banker's rounding differs across engines,
+    * floor does not — so quantization is bit-reproducible in the oracle.
+    * Output: struct(mn DOUBLE, scale DOUBLE, q ARRAY<INT>). */
+  def sq8Quantize(v: Column): Column = {
+    val d = transform(v, x => x.cast(DoubleType))
+    val mn = array_min(d)
+    val sc = (array_max(d) - mn) / lit(255.0)
+    val q = when(sc === lit(0.0), transform(d, _ => lit(0)))
+      .otherwise(transform(d, x =>
+        least(lit(255), greatest(lit(0),
+          floor((x - mn) / sc + lit(0.5)).cast(IntegerType)))))
+    struct(mn.as("mn"), sc.as("sc"), q.as("q"))
+  }
+
+  /** Reconstruction `v̂_i = mn + scale · q_i` — the corpus side of
+    * asymmetric distance (queries stay full-precision). */
+  def sq8Reconstruct(s: Column): Column =
+    sq8Dequantize(s.getField("mn"), s.getField("sc"), s.getField("q"))
+
+  def sq8Dequantize(mn: Column, sc: Column, q: Column): Column =
+    transform(q, x => mn + sc * x.cast(DoubleType))
+
+  /** Byte packing for STORAGE: codes 0..255 shift to signed -128..127
+    * (ARRAY<TINYINT> is 1 byte/component in parquet vs 4 for the float
+    * vector — the 4× I/O cut that makes SQ8 worth it at 100 TB).
+    * Lossless round-trip with [[sq8UnpackBytes]]. */
+  def sq8PackBytes(q: Column): Column =
+    transform(q, x => (x - lit(128)).cast(ByteType))
+
+  def sq8UnpackBytes(qb: Column): Column =
+    transform(qb, x => x.cast(IntegerType) + lit(128))
+
+  /** Brute-force asymmetric SQ8 top-k: quantize + reconstruct the corpus
+    * inline, score full-precision queries against it. The oracle-exact
+    * reference for the SQ8 codec (and the honest accuracy baseline —
+    * candidate ranking degrades only by the quantization error). */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    bruteForceTopK(
+      corpus.withColumn(vecCol, sq8Reconstruct(sq8Quantize(col(vecCol)))),
+      queries, k, idCol, vecCol)
+
   /** Deterministic random hyperplanes: `tables` tables × `bits` planes of
     * dimension `dim`, fixed seed. Materialized as plan-time literals. */
   private[graft] def hyperplanes(dim: Int, bits: Int, tables: Int,

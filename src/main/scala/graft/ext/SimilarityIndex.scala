@@ -75,9 +75,19 @@ object SimilarityIndex {
     * commit cells + quantizer sidecar as one snapshot. At scale pick k
     * so a cell's vectors are a few hundred MB, and `buckets` comfortably
     * above the concurrent probe-cell count (bucket pruning reads whole
-    * buckets; fewer cells per bucket = less co-hashed contamination). */
+    * buckets; fewer cells per bucket = less co-hashed contamination).
+    *
+    * `codec = "sq8"` stores each vector 8-bit scalar-quantized
+    * (per-vector min/scale + one TINYINT per component — ~4× less cell
+    * I/O than float storage, the lever that matters when the cells
+    * table IS the 100 TB corpus). Cell ASSIGNMENT still happens on the
+    * full-precision vectors; probes reconstruct and score
+    * asymmetrically (full-precision queries), so results are exactly
+    * the IVF search over the reconstructed corpus — deterministic and
+    * oracle-checkable (q_sim_sq8_idx). */
   def write(corpus: DataFrame, vecCol: String, idCol: String, base: String,
-            k: Int, iters: Int, buckets: Int = 32): Unit = {
+            k: Int, iters: Int, buckets: Int = 32,
+            codec: String = "float"): Unit = {
     val spark = corpus.sparkSession
     // refresh = false: this is an overwrite — nothing reads the old state
     BucketedTables.heal(spark, Seq(cellsTable(base)), refresh = false)
@@ -85,7 +95,9 @@ object SimilarityIndex {
     val (cids, cents) = Similarity.kmeansCentroids(
       corpus, vecCol, idCol, k, iters)
     BucketedTables.writeBucketed(
-      Similarity.assignCells(corpus, vecCol, idCol, cids.zip(cents)),
+      encodeCells(
+        Similarity.assignCells(corpus, vecCol, idCol, cids.zip(cents)),
+        codec),
       cellsTable(base), Seq("cell"), buckets, SaveMode.Overwrite,
       sidecar = Seq(QuantizerSidecar -> encodeQuantizer(cids.zip(cents))))
     // The commit above changed the snapshot epoch, so every pending
@@ -105,6 +117,29 @@ object SimilarityIndex {
     * legacy state cannot linger. */
   private def dropLegacyCentroids(spark: SparkSession, base: String): Unit =
     BucketedTables.dropTable(spark, s"${base}_centroids")
+
+  /** Storage codec for assigned (cell, id, v) rows. The stored SCHEMA is
+    * the codec marker — `qb` present means sq8 — so appends and probes
+    * self-select the right path with no extra metadata. */
+  private def encodeCells(assigned: DataFrame, codec: String): DataFrame =
+    codec match {
+      case "float" => assigned
+      case "sq8" =>
+        assigned.withColumn("__s", Similarity.sq8Quantize(col("v")))
+          .select(col("cell"), col("id"),
+            col("__s.mn").as("mn"), col("__s.sc").as("sc"),
+            Similarity.sq8PackBytes(col("__s.q")).as("qb"))
+      case other => throw new IllegalArgumentException(
+        s"codec must be 'float' or 'sq8', got '$other'")
+    }
+
+  /** Decode a cells frame back to (cell, id, v) for scoring. */
+  private def decodeCells(cells: DataFrame): DataFrame =
+    if (cells.columns.contains("qb"))
+      cells.select(col("cell"), col("id"),
+        Similarity.sq8Dequantize(col("mn"), col("sc"),
+          Similarity.sq8UnpackBytes(col("qb"))).as("v"))
+    else cells
 
   /** Mark `ids` deleted. Deletion is a TOMBSTONE append — O(|ids|), the
     * corpus is never touched: probes anti-join their probed slice
@@ -201,8 +236,12 @@ object SimilarityIndex {
       batch.select(col(idCol).as("id")).distinct())
     val cents = decodeQuantizer(
       BucketedTables.readSidecar(spark, cellsTable(base), QuantizerSidecar))
+    // the stored schema is the codec marker: append in the same codec
+    val codec =
+      if (spark.table(cellsTable(base)).columns.contains("qb")) "sq8"
+      else "float"
     BucketedTables.writeBucketed(
-      Similarity.assignCells(batch, vecCol, idCol, cents),
+      encodeCells(Similarity.assignCells(batch, vecCol, idCol, cents), codec),
       cellsTable(base), Seq("cell"),
       BucketedTables.bucketsOf(spark, cellsTable(base)), SaveMode.Append)
   }
@@ -232,13 +271,15 @@ object SimilarityIndex {
     // occupies ONE candidate slot and top-k stays identical to the
     // ad-hoc path — searchCells' no-dedup premise holds for its other
     // caller, whose corpus frame has unique ids by construction. Dedup
-    // on the FULL row (v included), matching compactionFrame's whole-row
-    // dedup: an id re-appended with a DIFFERENT vector keeps both rows
-    // on both sides of a compaction, instead of pre-compaction results
-    // arbitrarily picking one version and changing after the rewrite
-    val corpus = spark.table(cellsTable(base))
+    // on the FULL stored row (whole-row, codec-agnostic), matching
+    // compactionFrame's whole-row dedup: an id re-appended with a
+    // DIFFERENT vector keeps both rows on both sides of a compaction,
+    // instead of pre-compaction results arbitrarily picking one version
+    // and changing after the rewrite. Decode (sq8 → reconstructed
+    // doubles) AFTER the dedup, on the probed slice only.
+    val corpus = decodeCells(spark.table(cellsTable(base))
       .filter(col("cell").isin(probedCells: _*))
-      .dropDuplicates("cell", "id", "v")
+      .dropDuplicates())
     Similarity.searchCells(maskTombs(spark, base, corpus), probes, k)
   }
 }

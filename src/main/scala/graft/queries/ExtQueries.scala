@@ -819,6 +819,37 @@ object ExtQueries {
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** Asymmetric SQ8 top-k: the corpus is 8-bit scalar-quantized
+    * (per-vector min/scale, `floor(x+0.5)` rounding — deterministic, so
+    * the whole codec is oracle-recomputable) and scored RECONSTRUCTED
+    * against full-precision queries — the 4×-less-I/O storage codec's
+    * exact reference ([[graft.ext.Similarity.sq8TopK]]). */
+  def qSimSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    Similarity.sq8TopK(e, e.filter(col("vec_id") < 10), k = 5)
+  }
+
+  val qSimSq8Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |qz AS (SELECT vec_id, v, list_min(v) AS mn,
+      |  (list_max(v) - list_min(v)) / 255.0 AS sc FROM e),
+      |rec AS (SELECT vec_id,
+      |  CASE WHEN sc = 0 THEN list_transform(v, x -> mn)
+      |       ELSE list_transform(v, x ->
+      |         mn + sc * least(255, greatest(0, floor((x - mn) / sc + 0.5))))
+      |  END AS v FROM qz),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, rec.vec_id AS cand_id,
+      |    list_sum(list_transform(list_zip(q.qv, rec.v), p -> p[1] * p[2]))
+      |      / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+      |         * sqrt(list_sum(list_transform(rec.v, x -> x * x)))) AS sim
+      |  FROM rec CROSS JOIN q WHERE rec.vec_id <> q.query_id),
+      |ranked AS (SELECT query_id, cand_id, sim,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
+      |FROM scored)
+      |SELECT query_id, rank, cand_id, sim FROM ranked WHERE rank <= 5""".stripMargin
+
   val qSimTopKSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
@@ -1105,6 +1136,7 @@ object ExtQueries {
     "q_cluster_exact"    -> (qClusterExact _),
     "q_approx_sketch"    -> (qApproxSketch _),
     "q_sim_topk"         -> (qSimTopK _),
+    "q_sim_sq8"          -> (qSimSq8 _),
     "q_vector_ops"       -> (qVectorOps _),
     "q_sim_ivf"          -> (qSimIvf _),
     "q_kmeans"           -> (qKmeans _),
@@ -1141,6 +1173,7 @@ object ExtQueries {
     "q_dedup_exact"      -> qDedupExactSql,
     "q_dedup_jaccard"    -> qDedupJaccardSql,
     "q_sim_topk"         -> qSimTopKSql,
+    "q_sim_sq8"          -> qSimSq8Sql,
     "q_vector_ops"       -> qVectorOpsSql,
     "q_sim_ivf"          -> qSimIvfSql,
     "q_kmeans"           -> qKmeansSql,

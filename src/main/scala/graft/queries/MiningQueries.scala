@@ -387,6 +387,23 @@ object MiningQueries {
       e.filter(col("vec_id") < 10), k = 5, nprobe = 2)
   }
 
+  /** The standing ANN index with SQ8 STORAGE under the oracle gate:
+    * cells store 8-bit scalar-quantized vectors (~4× less corpus I/O —
+    * the codec that matters when the cells table IS the 100 TB
+    * corpus); assignment still happens full-precision, probes
+    * reconstruct and score asymmetrically. Quantization is
+    * deterministic (`floor(x+0.5)`, per-vector min/scale in DOUBLE),
+    * so the oracle replays IVF over the reconstructed corpus and a
+    * hash-pass proves the byte-packed storage round-trips losslessly
+    * end-to-end. */
+  def qSimSq8Idx(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    graft.ext.SimilarityIndex.write(e, "embedding", "vec_id", "q_ann_sq8",
+      k = 4, iters = 1, buckets = 4, codec = "sq8")
+    graft.ext.SimilarityIndex.topK(s, "q_ann_sq8",
+      e.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+  }
+
   /** Tombstone deletion under the oracle gate: build the full index,
     * [[graft.ext.SimilarityIndex.delete]] every seventh vector (an
     * O(|ids|) tombstone append — the corpus is never rewritten), then
@@ -418,7 +435,21 @@ object MiningQueries {
     * SEARCHED corpus — a NOT-predicate replicates tombstone deletion
     * ([[qSimDelete]]). Probes always run over the full corpus. */
   private def ivfOracleSql(trainPred: String,
-                           corpusPred: String = "TRUE"): String =
+                           corpusPred: String = "TRUE",
+                           sq8: Boolean = false): String = {
+    // sq8 storage: score against the RECONSTRUCTED corpus (per-vector
+    // min/scale quantization in DOUBLE with floor(x+0.5) — the exact
+    // arithmetic of Similarity.sq8Quantize/sq8Dequantize)
+    val sq8Ctes = if (!sq8) "" else
+      """cq AS (SELECT vec_id, cell, v, list_min(v) AS mn,
+        |  (list_max(v) - list_min(v)) / 255.0 AS sc FROM cells),
+        |crec AS (SELECT vec_id, cell,
+        |  CASE WHEN sc = 0 THEN list_transform(v, x -> mn)
+        |       ELSE list_transform(v, x ->
+        |         mn + sc * least(255, greatest(0, floor((x - mn) / sc + 0.5))))
+        |  END AS v FROM cq),
+        |""".stripMargin
+    val corpusRel = if (sq8) "crec" else "cells"
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
        |  list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
@@ -442,7 +473,7 @@ object MiningQueries {
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cosSql("e.v", "c1.cv")} DESC, c1.cluster DESC) AS rn
        |  FROM e CROSS JOIN c1 WHERE $corpusPred) WHERE rn = 1),
-       |probes AS (SELECT vec_id AS query_id, v AS qv, cluster AS cell FROM (
+       |${sq8Ctes}probes AS (SELECT vec_id AS query_id, v AS qv, cluster AS cell FROM (
        |  SELECT e.vec_id, e.v, c1.cluster,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cosSql("e.v", "c1.cv")} DESC, c1.cluster DESC) AS rn
@@ -450,18 +481,21 @@ object MiningQueries {
        |scored AS (
        |  SELECT p.query_id, t.vec_id AS cand_id,
        |    ${cosSql("p.qv", "t.v")} AS sim
-       |  FROM probes p JOIN cells t ON p.cell = t.cell
+       |  FROM probes p JOIN $corpusRel t ON p.cell = t.cell
        |  WHERE t.vec_id <> p.query_id),
        |ranked AS (SELECT query_id, cand_id, sim,
        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
        |FROM scored)
        |SELECT query_id, rank, cand_id, sim FROM ranked WHERE rank <= 5""".stripMargin
+  }
 
   val qSimIvfTrainedSql: String = ivfOracleSql("TRUE")
 
   val qSimIncrIdxSql: String = ivfOracleSql("vec_id < 400")
 
   val qSimDeleteSql: String = ivfOracleSql("TRUE", "e.vec_id % 7 <> 3")
+
+  val qSimSq8IdxSql: String = ivfOracleSql("TRUE", sq8 = true)
 
   // ------------------------------------------------------ spec-as-JSON
 
@@ -581,6 +615,7 @@ object MiningQueries {
     "q_sim_ivf_trained" -> (qSimIvfTrained _),
     "q_sim_ivf_idx"     -> (qSimIvfIdx _),
     "q_sim_incr_idx"    -> (qSimIncrIdx _),
+    "q_sim_sq8_idx"     -> (qSimSq8Idx _),
     "q_sim_delete"      -> (qSimDelete _),
     "q_wrangle_json"    -> (qWrangleJson _),
     "q_attribution"     -> (qAttribution _),
@@ -599,6 +634,7 @@ object MiningQueries {
     "q_sim_ivf_trained" -> qSimIvfTrainedSql,
     "q_sim_ivf_idx"     -> qSimIvfTrainedSql,
     "q_sim_incr_idx"    -> qSimIncrIdxSql,
+    "q_sim_sq8_idx"     -> qSimSq8IdxSql,
     "q_sim_delete"      -> qSimDeleteSql,
     "q_wrangle_json"    -> qWrangleJsonSql,
     "q_attribution"     -> qAttributionSql,

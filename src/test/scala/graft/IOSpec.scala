@@ -583,6 +583,53 @@ class IOSpec extends AnyFunSuite {
     spark.sql("DROP TABLE t_del_idx_tombs")
   }
 
+  test("sq8 cells storage shrinks the corpus footprint; appends keep " +
+       "the codec; probes, deletion, and recall stay sound") {
+    import graft.ext.{Similarity, SimilarityIndex}
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    SimilarityIndex.write(e, "embedding", "vec_id", "t_sq8_ann",
+      k = 4, iters = 1, buckets = 4, codec = "sq8")
+    SimilarityIndex.write(e, "embedding", "vec_id", "t_f32_ann",
+      k = 4, iters = 1, buckets = 4)
+    def dirBytes(tbl: String) = new java.io.File(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .location.getPath).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    // 1 byte/component (+16B min/scale) vs 4 bytes/component: the cells
+    // table — the corpus itself at scale — shrinks by ~4x raw
+    val ratio = dirBytes("t_sq8_ann_cells").toDouble /
+      dirBytes("t_f32_ann_cells")
+    assert(ratio < 0.6, f"sq8 cells not smaller: ratio $ratio%.2f")
+    // recall vs the float index: top-3 sets overlap strongly (the codec
+    // only perturbs sims by the quantization error)
+    val q = e.filter(col("vec_id") < 20)
+    def top3(tbl: String) = SimilarityIndex.topK(spark, tbl, q,
+        k = 3, nprobe = 2).collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getLong(2)).toSet }
+    val f32 = top3("t_f32_ann")
+    val overlaps = top3("t_sq8_ann").map { case (qid, s) =>
+      (s intersect f32(qid)).size.toDouble / 3 }
+    val meanOverlap = overlaps.sum / overlaps.size
+    assert(meanOverlap >= 0.8, f"sq8 recall degraded: $meanOverlap%.2f")
+    // appends encode in the stored codec (schema-sniffed): a twin of
+    // vec 7 appended post-build must surface for probe 7 at sim ~1
+    val twin = e.filter(col("vec_id") === 7)
+      .withColumn("vec_id", lit(77777L))
+    SimilarityIndex.append(spark, "t_sq8_ann", twin)
+    assert(!spark.table("t_sq8_ann_cells").columns.contains("v"),
+      "append must not widen an sq8 table back to float rows")
+    val hit = SimilarityIndex.topK(spark, "t_sq8_ann",
+      e.filter(col("vec_id") === 7), k = 1, nprobe = 4).collect().head
+    assert(hit.getLong(2) == 77777L && hit.getDouble(3) > 0.999)
+    // deletion masks sq8 rows like any other
+    SimilarityIndex.delete(spark, "t_sq8_ann", twin.select(col("vec_id")))
+    assert(SimilarityIndex.topK(spark, "t_sq8_ann",
+      e.filter(col("vec_id") === 7), k = 1, nprobe = 4)
+      .collect().head.getLong(2) != 77777L)
+  }
+
   test("a re-ingested id supersedes its pending ANN tombstone " +
        "(changelog delete-then-reinsert)") {
     import graft.ext.SimilarityIndex
