@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 
 /** Shared lifecycle machinery for STANDING bucketed-table indexes
   * ([[DedupIndex]], [[SimilarityIndex]]): versioned snapshot dirs,
@@ -57,21 +58,60 @@ private[ext] object BucketedTables {
   def snapshotEpoch(spark: SparkSession, table: String): String =
     new java.io.File(location(spark, table).getPath).getName
 
-  /** Remove tombstone rows whose id is being re-ingested — changelog
-    * semantics for both standing indexes (delete in one batch,
-    * re-insert in a later one must resurface): a crash-safe
-    * scratch-then-rename overwrite of the (tiny) tombstone table,
-    * skipped entirely when no arriving id overlaps a pending
-    * tombstone. Runs BEFORE the re-ingested rows land, so a crash
-    * between the two leaves the id absent entirely and the replay
-    * re-appends. */
-  def clearSuperseded(spark: SparkSession, tombs: String,
-                      incomingIds: DataFrame): Unit =
+  /** The ACTIVE tombstone ids of a standing index, for the snapshot
+    * identified by `epoch` — shared by both indexes' probe masks and
+    * compaction folds. None = no tombstone table = nothing deleted.
+    * Rows from a pre-epoch tombstone table (no `ep` column) are
+    * treated as ALWAYS active: over-masking is the safe direction for
+    * a takedown, and [[upgradeLegacyTombs]] rewrites such a table on
+    * the next delete.
+    *
+    * READ ORDER MATTERS for the caller: compute `epoch` BEFORE
+    * resolving the corpus scan it will mask. A compaction/rebuild swap
+    * racing between the two then gives (old epoch, NEW scan) — the
+    * tombstones stay active against already-clean rows, a harmless
+    * over-mask — whereas the scan-first order could give (new epoch,
+    * OLD scan): inert tombstones against a snapshot that still holds
+    * the deleted rows, a transient resurrect. */
+  def activeTombIds(spark: SparkSession, tombs: String,
+                    epoch: String): Option[DataFrame] =
+    if (!spark.catalog.tableExists(tombs)) None
+    else {
+      val t = spark.table(tombs)
+      Some((if (t.columns.contains("ep")) t.filter(col("ep") === lit(epoch))
+            else t).select(col("id")))
+    }
+
+  /** Anti-join `df` against the active tombstones (no-op when there is
+    * no tombstone table, or when `df` cannot be masked by id — the
+    * legacy exact schema). Broadcast by contract: the tombstone table
+    * holds deletions since the last compaction, never corpus rows. */
+  def maskByTombs(df: DataFrame, tombIds: Option[DataFrame]): DataFrame =
+    tombIds match {
+      case Some(t) if df.columns.contains("id") =>
+        df.join(broadcast(t), Seq("id"), "left_anti")
+      case _ => df
+    }
+
+  /** Rewrite a pre-epoch tombstone table (no `ep` column) stamping
+    * every row with `epoch` — they were active, they stay active. A
+    * crash-safe scratch-then-rename overwrite; no-op on a current
+    * table. */
+  def upgradeLegacyTombs(spark: SparkSession, tombs: String,
+                         epoch: String): Unit =
     if (spark.catalog.tableExists(tombs) &&
-        !spark.table(tombs).join(incomingIds, Seq("id"), "left_semi").isEmpty)
+        !spark.table(tombs).columns.contains("ep"))
       writeBucketed(
-        spark.table(tombs).join(incomingIds, Seq("id"), "left_anti"),
+        spark.table(tombs).withColumn("ep", lit(epoch)),
         tombs, Seq("id"), bucketsOf(spark, tombs), SaveMode.Overwrite)
+
+  /** Truncate a bucketed table via a crash-safe overwrite — the
+    * tombstone GC both indexes run after a compaction's swaps. */
+  def truncateBucketed(spark: SparkSession, table: String,
+                       keys: Seq[String]): Unit =
+    if (spark.catalog.tableExists(table))
+      writeBucketed(spark.table(table).limit(0), table, keys,
+        bucketsOf(spark, table), SaveMode.Overwrite)
 
   /** Drop a table (and its crash-marker scratch entry) from the catalog
     * and delete every snapshot dir under its root — the shared cleanup

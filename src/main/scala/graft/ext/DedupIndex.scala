@@ -155,17 +155,28 @@ object DedupIndex {
       // The writes are independent actions over the one checkpointed
       // artifact frame — submitted concurrently so the scheduler overlaps
       // them (driver-side job-submission overhead dominates small builds;
-      // on a cluster the stages simply share the executors). The EXACT
-      // table commits LAST, sequentially: its snapshot dir is the
-      // tombstone EPOCH anchor, so pending deletions stay active until
-      // the whole (re)build has landed — a crashed rebuild can only
-      // over-mask (safe for takedowns), never resurrect.
-      val writes = Seq(
+      // on a cluster the stages simply share the executors). On an
+      // OVERWRITE (rebuild), the EXACT table commits LAST, sequentially:
+      // its snapshot dir is the tombstone EPOCH anchor, so pending
+      // deletions stay active until the whole rebuild has landed — a
+      // crashed rebuild can only over-mask (safe for takedowns), never
+      // resurrect. Appends never change the epoch, so the streaming hot
+      // path keeps all four writes concurrent.
+      // The exact table stores each holder's id (one row per DOCUMENT,
+      // not per distinct text): per-document deletion must retire
+      // exactly one holder's witness — a text shared by several live
+      // documents keeps witnessing the exact rule for the others.
+      val exactWrite = () => writeBucketed(
+        art.select(col("h"), col("t"), col("bid"), col("id")).distinct(),
+        exactTable(base), Seq("h", "t"), buckets, mode)
+      val others = Seq(
         () => writeBucketed(prefixRows(art, threshold),
           prefTable(base), Seq("bk"), buckets, mode),
         () => writeBucketed(art.select(col("id"), col("blk"), col("sh"), col("bid")),
           shTable(base), Seq("id"), buckets, mode),
         () => writeBucketed(bandRows(art), bandTable(base), Seq("bk"), buckets, mode))
+      val concurrent =
+        if (mode == SaveMode.Append) others :+ exactWrite else others
       // Wait for ALL writes to SETTLE (not fail-fast): the shared
       // localCheckpoint blocks cannot be recomputed from lineage, so
       // unpersisting while sibling writes are still running would kill
@@ -174,16 +185,10 @@ object DedupIndex {
       // unpersist in `finally`, then rethrow the first failure.
       import scala.util.{Failure, Try}
       val settled = Await.result(
-        Future.sequence(writes.map(w => Future(w()).transform(Try(_)))),
+        Future.sequence(concurrent.map(w => Future(w()).transform(Try(_)))),
         Duration.Inf)
       settled.collectFirst { case Failure(e) => e }.foreach(throw _)
-      // The exact table stores each holder's id (one row per DOCUMENT,
-      // not per distinct text): per-document deletion must retire
-      // exactly one holder's witness — a text shared by several live
-      // documents keeps witnessing the exact rule for the others.
-      writeBucketed(
-        art.select(col("h"), col("t"), col("bid"), col("id")).distinct(),
-        exactTable(base), Seq("h", "t"), buckets, mode)
+      if (mode != SaveMode.Append) exactWrite()
     } finally
       // free the checkpoint blocks even when a write fails mid-retry —
       // otherwise every failed attempt pins a dead block set until GC
@@ -229,10 +234,14 @@ object DedupIndex {
     * with its tombstones active — a takedown never silently
     * resurfaces), never resurrect, and a completed rebuild retires
     * pending tombstones atomically with its commit. Tombstones are
-    * IDEMPOTENT — a failed delete() is safely re-issued. Re-ingesting
-    * a deleted document resurfaces it immediately: [[appendKept]]
-    * clears the superseded tombstone before its rows land (changelog
-    * delete-then-reinsert works across batches).
+    * IDEMPOTENT — a failed delete() is safely re-issued. DELETE WINS
+    * over re-ingestion: the deleted document's OLD artifact rows stay
+    * physically in the corpus tables until a compaction, so a document
+    * re-ingested while its tombstone is pending stays masked
+    * (unmasking would resurrect the old content too), and the next
+    * [[compact]] removes old and re-appended rows alike. Re-ingest a
+    * deleted document AFTER a compact (or a rebuild) has retired its
+    * tombstone.
     *
     * Requires a current-era index (exact table stores holder ids): a
     * legacy index must be rebuilt before per-document deletion — its
@@ -255,30 +264,13 @@ object DedupIndex {
     require(exact.filter(col("id").isNull).limit(1).count() == 0,
       s"$base: the exact table carries legacy rows with no holder id — " +
         "rebuild the index (write) before deleting documents")
+    val epoch = BucketedTables.snapshotEpoch(spark, exactTable(base))
+    BucketedTables.upgradeLegacyTombs(spark, tombsTable(base), epoch)
     BucketedTables.writeBucketed(
       ids.select(col(idCol).as("id")).distinct()
-        .withColumn("ep",
-          lit(BucketedTables.snapshotEpoch(spark, exactTable(base)))),
+        .withColumn("ep", lit(epoch)),
       tombsTable(base), Seq("id"), buckets = 4, SaveMode.Append)
   }
-
-  /** The probe-time deletion mask: anti-join on id against the
-    * CURRENT-epoch tombstone rows (absent table = nothing deleted;
-    * stale-epoch rows are inert; a frame without an id column — the
-    * legacy exact schema — cannot be masked and is returned as-is,
-    * which [[delete]]'s era guard makes unreachable with live
-    * tombstones). Broadcast by contract — the table holds only
-    * deletions since the last compaction. */
-  private def maskIds(spark: SparkSession, base: String,
-                      df: DataFrame): DataFrame =
-    if (spark.catalog.tableExists(tombsTable(base)) &&
-        df.columns.contains("id"))
-      df.join(broadcast(spark.table(tombsTable(base))
-          .filter(col("ep") ===
-            lit(BucketedTables.snapshotEpoch(spark, exactTable(base))))
-          .select(col("id"))),
-        Seq("id"), "left_anti")
-    else df
 
   // snapshot write / atomic swap / shuffle-free per-bucket dedup are
   // shared standing-index machinery ([[BucketedTables]]); aliased here
@@ -311,6 +303,10 @@ object DedupIndex {
     * replaced). */
   def compact(spark: SparkSession, base: String): Unit = {
     healInterrupted(spark, base)
+    // epoch + tombstones read BEFORE any scan resolves (read-order
+    // contract in BucketedTables.activeTombIds)
+    val tombIds = BucketedTables.activeTombIds(spark, tombsTable(base),
+      BucketedTables.snapshotEpoch(spark, exactTable(base)))
     // the EXACT table swaps LAST: its snapshot dir is the tombstone
     // epoch anchor, so a compaction that dies mid-way leaves the
     // tombstones active and every unfolded table still masked; the
@@ -324,15 +320,12 @@ object DedupIndex {
       tables.foreach { case (table, keys) =>
         swapLocation(spark, table,
           writeSnapshot(spark, table, keys,
-            maskIds(spark, base, compactionFrame(spark, table))))
+            BucketedTables.maskByTombs(
+              compactionFrame(spark, table), tombIds)))
       }
       // the tombstones folded above are inert now (the anchor swap
       // changed the epoch); clearing the table is garbage collection
-      if (spark.catalog.tableExists(tombsTable(base)))
-        BucketedTables.writeBucketed(
-          spark.table(tombsTable(base)).limit(0), tombsTable(base),
-          Seq("id"), BucketedTables.bucketsOf(spark, tombsTable(base)),
-          SaveMode.Overwrite)
+      BucketedTables.truncateBucketed(spark, tombsTable(base), Seq("id"))
     }
   }
 
@@ -355,17 +348,22 @@ object DedupIndex {
                        candidates: String = "prefix",
                        excludeBatchId: Long = Long.MinValue): DataFrame = {
     healInterrupted(spark, base)
-    // Legacy (pre-bid) indexes read as all-bulk: no stamp, no exclusion.
     // Tombstoned documents must witness no rule: every table masks by
     // holder id (the exact table stores one row per holder for exactly
-    // this purpose).
+    // this purpose). Epoch + tombstones read ONCE, BEFORE any corpus
+    // table resolves (BucketedTables.activeTombIds' read-order
+    // contract: a racing compaction swap then over-masks, never
+    // exposes a stale snapshot unmasked).
+    val tombIds = BucketedTables.activeTombIds(spark, tombsTable(base),
+      BucketedTables.snapshotEpoch(spark, exactTable(base)))
+    // Legacy (pre-bid) indexes read as all-bulk: no stamp, no exclusion.
     def tbl(name: String) = {
       val raw = spark.table(name)
       val live =
         if (raw.columns.contains("bid"))
           raw.filter(col("bid") =!= lit(excludeBatchId)).drop("bid")
         else raw
-      maskIds(spark, base, live)
+      BucketedTables.maskByTombs(live, tombIds)
     }
     val d = artifacts(delta, textCol, idCol, blockCol, shingleN)
       .withColumn("bid", lit(BulkBid)) // probe-side stamp is never stored
@@ -510,11 +508,8 @@ object DedupIndex {
     val buckets = bucketsOf(spark, exactTable(base))
     val kept = batch.join(
       verdicts.filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")
-    // changelog semantics: a re-ingested (kept) id supersedes its
-    // pending tombstone — its verdict was already judged against the
-    // masked corpus, and from this batch on it must be visible again
-    BucketedTables.clearSuperseded(spark, tombsTable(base),
-      kept.select(col(idCol).as("id")).distinct())
+    // a kept id with a PENDING tombstone lands but stays masked: delete
+    // wins until a compaction retires the tombstone (see [[delete]])
     // healFirst = false: this call chain healed (with refresh) above
     writeImpl(kept, textCol, idCol, blockCol, base, threshold, shingleN,
       buckets, mode = SaveMode.Append, batchId = batchId, healFirst = false)

@@ -152,36 +152,26 @@ object SimilarityIndex {
     * the old snapshot live with its tombstones still active; the
     * unmasking direction cannot resurrect — stale rows are inert).
     * Tombstones are also IDEMPOTENT — re-excluding an absent id is a
-    * no-op — so a failed delete() is safely re-issued. Re-ingesting a
-    * deleted id resurfaces it immediately: [[append]] clears the
-    * superseded tombstone before its rows land (changelog
-    * delete-then-reinsert works across batches). */
+    * no-op — so a failed delete() is safely re-issued. DELETE WINS over
+    * re-ingestion: the deleted id's OLD rows stay physically in the
+    * corpus until a compaction, so an id re-appended while its
+    * tombstone is pending stays masked (unmasking it would resurrect
+    * the old content too), and the next [[compact]] removes old and
+    * re-appended rows alike. Re-ingest a deleted id AFTER a compact
+    * (or a rebuild) has retired its tombstone. */
   def delete(spark: SparkSession, base: String, ids: DataFrame,
              idCol: String = "vec_id"): Unit = {
     // cells is healed too (scratch-adopt only): the epoch stamp reads
     // its live snapshot identity
     BucketedTables.heal(spark, Seq(cellsTable(base), tombsTable(base)),
       refresh = false)
+    val epoch = BucketedTables.snapshotEpoch(spark, cellsTable(base))
+    BucketedTables.upgradeLegacyTombs(spark, tombsTable(base), epoch)
     BucketedTables.writeBucketed(
       ids.select(col(idCol).as("id")).distinct()
-        .withColumn("ep",
-          lit(BucketedTables.snapshotEpoch(spark, cellsTable(base)))),
+        .withColumn("ep", lit(epoch)),
       tombsTable(base), Seq("id"), buckets = 4, SaveMode.Append)
   }
-
-  /** The probe-time deletion mask: anti-join against the CURRENT-epoch
-    * tombstone rows (absent table = nothing deleted; rows stamped with
-    * a replaced snapshot's epoch are inert). Broadcast by contract —
-    * the table holds only deletions since the last compaction. */
-  private def maskTombs(spark: SparkSession, base: String,
-                        corpus: DataFrame): DataFrame =
-    if (spark.catalog.tableExists(tombsTable(base)))
-      corpus.join(broadcast(spark.table(tombsTable(base))
-          .filter(col("ep") ===
-            lit(BucketedTables.snapshotEpoch(spark, cellsTable(base))))
-          .select(col("id"))),
-        Seq("id"), "left_anti")
-    else corpus
 
   /** Compact the standing index: fold each bucket's accumulated append
     * files back to one, drop exact-duplicate rows a replayed append
@@ -200,21 +190,22 @@ object SimilarityIndex {
     * like [[DedupIndex.compact]]. */
   def compact(spark: SparkSession, base: String): Unit = {
     BucketedTables.heal(spark, Seq(cellsTable(base), tombsTable(base)))
+    // epoch read FIRST (see BucketedTables.activeTombIds' read-order
+    // contract), then the tombstone set, then the corpus scan
+    val epoch = BucketedTables.snapshotEpoch(spark, cellsTable(base))
+    val tombIds =
+      BucketedTables.activeTombIds(spark, tombsTable(base), epoch)
     val quantizer =
       BucketedTables.readSidecar(spark, cellsTable(base), QuantizerSidecar)
-    val hasTombs = spark.catalog.tableExists(tombsTable(base))
     BucketedTables.withForcedBucketedScan(spark) {
-      val folded = BucketedTables.compactionFrame(spark, cellsTable(base))
       BucketedTables.swapLocation(spark, cellsTable(base),
         BucketedTables.writeSnapshot(spark, cellsTable(base), Seq("cell"),
-          if (hasTombs) maskTombs(spark, base, folded) else folded,
+          BucketedTables.maskByTombs(
+            BucketedTables.compactionFrame(spark, cellsTable(base)), tombIds),
           sidecar = Seq(QuantizerSidecar -> quantizer)))
-      if (hasTombs)
-        BucketedTables.writeBucketed(
-          spark.table(tombsTable(base)).limit(0),
-          tombsTable(base), Seq("id"),
-          BucketedTables.bucketsOf(spark, tombsTable(base)),
-          SaveMode.Overwrite)
+      // the tombstones folded above are inert now (the swap changed the
+      // epoch); clearing the table is garbage collection
+      BucketedTables.truncateBucketed(spark, tombsTable(base), Seq("id"))
     }
   }
 
@@ -222,18 +213,14 @@ object SimilarityIndex {
     * Assignment uses the STORED quantizer (the sidecar), so appended
     * rows live in the same cell space as the original build and probes
     * see them immediately; the bucket-preserving append keeps the
-    * pruning layout. An arriving id SUPERSEDES its pending tombstone
-    * (changelog semantics: delete in one batch, re-insert in a later
-    * one), cleaned up BEFORE the rows land — a crash between the two
-    * leaves the id absent entirely, and the replay re-appends. Like
-    * any IVF, heavy drift degrades cell balance over time — re-train
-    * by rebuilding with [[write]] (the snapshot swap keeps probes
-    * consistent throughout). */
+    * pruning layout. An id with a PENDING tombstone stays masked even
+    * if re-appended — delete wins until a compaction retires the
+    * tombstone (see [[delete]]). Like any IVF, heavy drift degrades
+    * cell balance over time — re-train by rebuilding with [[write]]
+    * (the snapshot swap keeps probes consistent throughout). */
   def append(spark: SparkSession, base: String, batch: DataFrame,
              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    BucketedTables.heal(spark, Seq(cellsTable(base), tombsTable(base)))
-    BucketedTables.clearSuperseded(spark, tombsTable(base),
-      batch.select(col(idCol).as("id")).distinct())
+    BucketedTables.heal(spark, Seq(cellsTable(base)))
     val cents = decodeQuantizer(
       BucketedTables.readSidecar(spark, cellsTable(base), QuantizerSidecar))
     // the stored schema is the codec marker: append in the same codec
@@ -258,6 +245,13 @@ object SimilarityIndex {
            k: Int, nprobe: Int, idCol: String = "vec_id",
            vecCol: String = "embedding"): DataFrame = {
     BucketedTables.heal(spark, Seq(cellsTable(base), tombsTable(base)))
+    // epoch + tombstones read BEFORE the corpus scan resolves (see
+    // BucketedTables.activeTombIds' read-order contract): a racing
+    // compaction swap then over-masks an already-clean snapshot
+    // instead of letting inert tombstones expose a stale one
+    val epoch = BucketedTables.snapshotEpoch(spark, cellsTable(base))
+    val tombIds =
+      BucketedTables.activeTombIds(spark, tombsTable(base), epoch)
     val cents = decodeQuantizer(
       BucketedTables.readSidecar(spark, cellsTable(base), QuantizerSidecar))
     val probeFrame = Similarity.probeCells(queries, vecCol, idCol, cents, nprobe)
@@ -277,9 +271,11 @@ object SimilarityIndex {
     // instead of pre-compaction results arbitrarily picking one version
     // and changing after the rewrite. Decode (sq8 → reconstructed
     // doubles) AFTER the dedup, on the probed slice only.
-    val corpus = decodeCells(spark.table(cellsTable(base))
-      .filter(col("cell").isin(probedCells: _*))
-      .dropDuplicates())
-    Similarity.searchCells(maskTombs(spark, base, corpus), probes, k)
+    val corpus = decodeCells(BucketedTables.maskByTombs(
+      spark.table(cellsTable(base))
+        .filter(col("cell").isin(probedCells: _*))
+        .dropDuplicates(),
+      tombIds))
+    Similarity.searchCells(corpus, probes, k)
   }
 }

@@ -630,8 +630,8 @@ class IOSpec extends AnyFunSuite {
       .collect().head.getLong(2) != 77777L)
   }
 
-  test("a re-ingested id supersedes its pending ANN tombstone " +
-       "(changelog delete-then-reinsert)") {
+  test("delete wins over re-ingestion until a compact retires the ANN " +
+       "tombstone — the old vector can never resurrect") {
     import graft.ext.SimilarityIndex
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     SimilarityIndex.write(e, "embedding", "vec_id", "t_cdc_ann",
@@ -647,18 +647,24 @@ class IOSpec extends AnyFunSuite {
     assert(top1() == 88888L)
     SimilarityIndex.delete(spark, "t_cdc_ann", twin.select(col("vec_id")))
     assert(top1() != 88888L, "deleted id must be masked")
-    // re-insert in a LATER batch: the append clears the superseded
-    // tombstone, so the id resurfaces immediately (no compact needed)
+    // re-appending while the tombstone is pending must NOT unmask: the
+    // old rows are still physically present, and unmasking the id would
+    // resurrect them (the takedown contract outranks changelog reinsert)
     SimilarityIndex.append(spark, "t_cdc_ann", twin)
-    assert(top1() == 88888L, "re-ingested id must resurface")
-    // and compaction must keep it (its tombstone is gone), folding the
-    // two identical appended rows to one
+    assert(top1() != 88888L, "delete must win over re-ingestion")
+    // compaction removes old and re-appended rows alike and retires the
+    // tombstone
     SimilarityIndex.compact(spark, "t_cdc_ann")
-    assert(top1() == 88888L)
+    assert(spark.table("t_cdc_ann_cells")
+      .filter(col("id") === 88888L).count() == 0)
+    assert(top1() != 88888L)
+    // re-ingesting AFTER the tombstone is retired resurfaces the id
+    SimilarityIndex.append(spark, "t_cdc_ann", twin)
+    assert(top1() == 88888L, "post-compact re-ingest must resurface")
   }
 
-  test("a re-ingested kept document supersedes its dedup tombstone " +
-       "(changelog delete-then-reinsert)") {
+  test("delete wins over re-ingestion until a compact retires the dedup " +
+       "tombstone — the old text can never resurrect") {
     import graft.ext.DedupIndex
     val corpus = Seq(
       (1L, "en", "alpha beta gamma delta epsilon zeta eta"),
@@ -675,15 +681,26 @@ class IOSpec extends AnyFunSuite {
     assert(judge() == Set((10L, false, Some("exact"))))
     DedupIndex.delete(spark, "t_cdc_idx", Seq(1L).toDF("doc_id"), "doc_id")
     assert(judge() == Set((10L, true, None)), "deleted doc must not judge")
-    // re-ingest doc 1 in a later batch: appendKept clears the
-    // superseded tombstone, so its witness returns immediately
+    // re-ingesting doc 1 while its tombstone is pending must NOT unmask
+    // it: the old artifact rows are still physically present, and
+    // unmasking the id would resurrect the taken-down text
     val doc1 = corpus.filter(col("doc_id") === 1)
     val keepAll = doc1.select(col("doc_id"), lit(true).as("keep"),
       lit(null).cast("string").as("reason"))
     DedupIndex.appendKept(spark, "t_cdc_idx", doc1, keepAll,
       "text", "doc_id", "lang", threshold = 0.5, batchId = 3L)
+    assert(judge() == Set((10L, true, None)),
+      "delete must win over re-ingestion")
+    // compaction removes old and re-appended rows alike and retires the
+    // tombstone; re-ingesting AFTER it resurfaces the document
+    DedupIndex.compact(spark, "t_cdc_idx")
+    assert(spark.table("t_cdc_idx_sh")
+      .filter(col("id") === 1L).count() == 0)
+    assert(judge() == Set((10L, true, None)))
+    DedupIndex.appendKept(spark, "t_cdc_idx", doc1, keepAll,
+      "text", "doc_id", "lang", threshold = 0.5, batchId = 4L)
     assert(judge() == Set((10L, false, Some("exact"))),
-      "re-ingested doc must witness the exact rule again")
+      "post-compact re-ingest must witness the exact rule again")
   }
 
   test("deleting one holder of a duplicated text keeps the other " +
