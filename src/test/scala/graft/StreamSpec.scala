@@ -732,6 +732,88 @@ class StreamSpec extends AnyFunSuite {
     assert(vb == List((20L, false, Some("exact"))))
   }
 
+  test("streaming vector ingestion into an SQ8 index: appends stay " +
+       "byte-packed; two-batch split == one-shot append") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.SimilarityIndex
+    import graft.streaming.IngestVectors
+    implicit val sqlCtx = spark.sqlContext
+    val e = Tables(spark, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") < 400)
+    SimilarityIndex.write(corpus, "embedding", "vec_id", "t_stream_sq8",
+      k = 4, iters = 1, buckets = 4, codec = "sq8")
+    val extra = e.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val (b1, b2) = extra.partition(_._1 % 2 == 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sq8_vec").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = IngestVectors.run(input.toDF().toDF("vec_id", "embedding"),
+      "t_stream_sq8", checkpoint = s"$tmp/ckpt").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // micro-batch appends sniffed the stored codec — no float rows crept
+    // into the byte-packed table
+    assert(!spark.table("t_stream_sq8_cells").columns.contains("v"))
+    // quantization + assignment are deterministic, so the batch split
+    // must not change any search result vs a one-shot sq8 append
+    SimilarityIndex.write(corpus, "embedding", "vec_id", "t_oneshot_sq8",
+      k = 4, iters = 1, buckets = 4, codec = "sq8")
+    SimilarityIndex.append(spark, "t_oneshot_sq8",
+      e.filter(col("vec_id") >= 400))
+    val probes = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val streamed = rows(SimilarityIndex.topK(spark, "t_stream_sq8", probes,
+      k = 3, nprobe = 2))
+    val oneShot = rows(SimilarityIndex.topK(spark, "t_oneshot_sq8", probes,
+      k = 3, nprobe = 2))
+    assert(streamed == oneShot && streamed.nonEmpty)
+  }
+
+  test("a delete between micro-batches masks the doc for every later " +
+       "batch's verdicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.DedupIndex
+    import graft.streaming.IngestDedup
+    implicit val sqlCtx = spark.sqlContext
+    // synthetic corpus: doc 1's text has no near-dup partner in doc 2,
+    // so after doc 1's takedown an incoming copy must judge KEEP — the
+    // fixture corpus has engineered near-dups that would muddy this
+    val corpus = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "en", "wholly unrelated other words entirely here"))
+      .toDF("doc_id", "lang", "text")
+    DedupIndex.write(corpus, "text", "doc_id", "lang", "t_stream_del",
+      threshold = 0.5, buckets = 4)
+    val text1 = "alpha beta gamma delta epsilon zeta eta"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_del_stream").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = IngestDedup.run(input.toDF().toDF("doc_id", "lang", "text"),
+      "t_stream_del", "text", "doc_id", "lang", threshold = 0.5,
+      verdictPath = s"$tmp/verdicts", checkpoint = s"$tmp/ckpt",
+      updateIndex = false).start()
+    try {
+      // batch 1: a copy of doc 1's text → exact duplicate
+      input.addData(Seq((90201L, "en", text1))); q.processAllAvailable()
+      // the takedown lands between micro-batches
+      DedupIndex.delete(spark, "t_stream_del",
+        Seq(1L).toDF("doc_id"), "doc_id")
+      // batch 2: the same text again → the deleted doc witnesses
+      // nothing, so the copy is now kept
+      input.addData(Seq((90202L, "en", text1))); q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = spark.read.parquet(s"$tmp/verdicts")
+      .select("doc_id", "keep", "reason")
+      .as[(Long, Boolean, Option[String])].collect().toSet
+    assert(verdicts == Set(
+      (90201L, false, Some("exact")),
+      (90202L, true, None)))
+  }
+
   test("streaming vector ingestion: batches searchable as they commit; " +
        "two-batch split == one-shot append; periodic compaction folds files") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
