@@ -748,14 +748,19 @@ class StreamSpec extends AnyFunSuite {
     val (b1, b2) = extra.partition(_._1 % 2 == 0)
     val tmp = java.nio.file.Files.createTempDirectory("graft_sq8_vec").toString
     val input = MemoryStream[(Long, Seq[Float])]
+    // compactEvery = 2: the second batch folds the sq8-schema table
+    // through compactionFrame + snapshot swap, so the end state also
+    // proves compaction handles the byte-packed row shape
     val q = IngestVectors.run(input.toDF().toDF("vec_id", "embedding"),
-      "t_stream_sq8", checkpoint = s"$tmp/ckpt").start()
+      "t_stream_sq8", checkpoint = s"$tmp/ckpt", compactEvery = 2).start()
     try {
       input.addData(b1.toSeq); q.processAllAvailable()
       input.addData(b2.toSeq); q.processAllAvailable()
     } finally q.stop()
-    // micro-batch appends sniffed the stored codec — no float rows crept
-    // into the byte-packed table
+    // every streamed vector landed (micro-batch appends sniffed the
+    // stored codec — a float-shaped append would have failed name
+    // resolution, and a silent no-op would miss rows here)
+    assert(spark.table("t_stream_sq8_cells").count() == e.count())
     assert(!spark.table("t_stream_sq8_cells").columns.contains("v"))
     // quantization + assignment are deterministic, so the batch split
     // must not change any search result vs a one-shot sq8 append
