@@ -404,6 +404,50 @@ object MiningQueries {
       e.filter(col("vec_id") < 10), k = 5, nprobe = 2)
   }
 
+  /** Train/test SPLIT-LEAKAGE audit — the check every training-data
+    * pipeline runs before shipping a split: find near-duplicate pairs
+    * that straddle the train/test boundary (a test example with a
+    * training near-twin inflates eval). Candidates are bounded to the
+    * SAME coarse-quantizer cell (the deterministic Lloyd k=4 round —
+    * never an all-pairs cross join; at 100 TB the pair space is
+    * per-cell), then verified with exact cosine. Split assignment,
+    * clustering, and scoring are all deterministic, so the WHOLE audit
+    * is oracle-checkable: emitted pairs are (train_id, test_id, sim ≥
+    * 0.4) exactly. */
+  def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val sp = graft.exec.Sampling.assignSplit(e, "vec_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val side = sp.join(
+      Similarity.kmeans(e, "embedding", "vec_id", k = 4, iters = 1),
+      Seq("vec_id"))
+    val tr = side.filter(col("split") === "train")
+      .select(col("cluster"), col("vec_id").as("train_id"),
+        col("embedding").as("tv"))
+    val te = side.filter(col("split") === "test")
+      .select(col("cluster"), col("vec_id").as("test_id"),
+        col("embedding").as("qv"))
+    tr.join(te, Seq("cluster"))
+      .select(col("train_id"), col("test_id"),
+        Similarity.cosine(col("tv"), col("qv")).as("sim"))
+      .filter(col("sim") >= 0.4)
+  }
+
+  // lazy: cosSql/ivfCellsPrefix initialize later in the object body
+  lazy val qSplitLeakageSql: String =
+    s"""${ivfCellsPrefix("TRUE", "TRUE")}
+       |sp AS (SELECT vec_id,
+       |  CASE WHEN (vec_id % 1000000007) * 2654435761 % 10000 < 8000 THEN 'train'
+       |       WHEN (vec_id % 1000000007) * 2654435761 % 10000 < 9000 THEN 'val'
+       |       ELSE 'test' END AS split FROM e),
+       |leak AS (SELECT a.vec_id AS train_id, b.vec_id AS test_id,
+       |    ${cosSql("a.v", "b.v")} AS sim
+       |  FROM cells a JOIN cells b ON a.cell = b.cell
+       |  JOIN sp sa ON sa.vec_id = a.vec_id
+       |  JOIN sp sb ON sb.vec_id = b.vec_id
+       |  WHERE sa.split = 'train' AND sb.split = 'test')
+       |SELECT train_id, test_id, sim FROM leak WHERE sim >= 0.4""".stripMargin
+
   /** Tombstone deletion under the oracle gate: build the full index,
     * [[graft.ext.SimilarityIndex.delete]] every seventh vector (an
     * O(|ids|) tombstone append — the corpus is never rewritten), then
@@ -434,22 +478,10 @@ object MiningQueries {
     * quantizer they never influenced). `corpusPred` restricts the
     * SEARCHED corpus — a NOT-predicate replicates tombstone deletion
     * ([[qSimDelete]]). Probes always run over the full corpus. */
-  private def ivfOracleSql(trainPred: String,
-                           corpusPred: String = "TRUE",
-                           sq8: Boolean = false): String = {
-    // sq8 storage: score against the RECONSTRUCTED corpus (per-vector
-    // min/scale quantization in DOUBLE with floor(x+0.5) — the exact
-    // arithmetic of Similarity.sq8Quantize/sq8Dequantize)
-    val sq8Ctes = if (!sq8) "" else
-      """cq AS (SELECT vec_id, cell, v, list_min(v) AS mn,
-        |  (list_max(v) - list_min(v)) / 255.0 AS sc FROM cells),
-        |crec AS (SELECT vec_id, cell,
-        |  CASE WHEN sc = 0 THEN list_transform(v, x -> mn)
-        |       ELSE list_transform(v, x ->
-        |         mn + sc * least(255, greatest(0, floor((x - mn) / sc + 0.5))))
-        |  END AS v FROM cq),
-        |""".stripMargin
-    val corpusRel = if (sq8) "crec" else "cells"
+  /** The Lloyd(k=4, one round) training + full-corpus cell-assignment
+    * CTE prefix (`e` … `cells`), shared by the IVF probe oracles and
+    * the split-leakage audit. */
+  private def ivfCellsPrefix(trainPred: String, corpusPred: String): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
        |  list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
@@ -472,7 +504,25 @@ object MiningQueries {
        |  SELECT e.vec_id, e.v, c1.cluster,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cosSql("e.v", "c1.cv")} DESC, c1.cluster DESC) AS rn
-       |  FROM e CROSS JOIN c1 WHERE $corpusPred) WHERE rn = 1),
+       |  FROM e CROSS JOIN c1 WHERE $corpusPred) WHERE rn = 1),""".stripMargin
+
+  private def ivfOracleSql(trainPred: String,
+                           corpusPred: String = "TRUE",
+                           sq8: Boolean = false): String = {
+    // sq8 storage: score against the RECONSTRUCTED corpus (per-vector
+    // min/scale quantization in DOUBLE with floor(x+0.5) — the exact
+    // arithmetic of Similarity.sq8Quantize/sq8Dequantize)
+    val sq8Ctes = if (!sq8) "" else
+      """cq AS (SELECT vec_id, cell, v, list_min(v) AS mn,
+        |  (list_max(v) - list_min(v)) / 255.0 AS sc FROM cells),
+        |crec AS (SELECT vec_id, cell,
+        |  CASE WHEN sc = 0 THEN list_transform(v, x -> mn)
+        |       ELSE list_transform(v, x ->
+        |         mn + sc * least(255, greatest(0, floor((x - mn) / sc + 0.5))))
+        |  END AS v FROM cq),
+        |""".stripMargin
+    val corpusRel = if (sq8) "crec" else "cells"
+    s"""${ivfCellsPrefix(trainPred, corpusPred)}
        |${sq8Ctes}probes AS (SELECT vec_id AS query_id, v AS qv, cluster AS cell FROM (
        |  SELECT e.vec_id, e.v, c1.cluster,
        |    row_number() OVER (PARTITION BY e.vec_id
@@ -617,6 +667,7 @@ object MiningQueries {
     "q_sim_incr_idx"    -> (qSimIncrIdx _),
     "q_sim_sq8_idx"     -> (qSimSq8Idx _),
     "q_sim_delete"      -> (qSimDelete _),
+    "q_split_leakage"   -> (qSplitLeakage _),
     "q_wrangle_json"    -> (qWrangleJson _),
     "q_attribution"     -> (qAttribution _),
     "q_winsorize"       -> (qWinsorize _))
@@ -636,6 +687,7 @@ object MiningQueries {
     "q_sim_incr_idx"    -> qSimIncrIdxSql,
     "q_sim_sq8_idx"     -> qSimSq8IdxSql,
     "q_sim_delete"      -> qSimDeleteSql,
+    "q_split_leakage"   -> qSplitLeakageSql,
     "q_wrangle_json"    -> qWrangleJsonSql,
     "q_attribution"     -> qAttributionSql,
     "q_winsorize"       -> qWinsorizeSql)
