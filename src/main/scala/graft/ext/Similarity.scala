@@ -98,25 +98,27 @@ object Similarity {
     * q_i = 0. All arithmetic in DOUBLE, and `floor(x + 0.5)` instead of
     * `round()` — HALF_UP vs banker's rounding differs across engines,
     * floor does not — so quantization is bit-reproducible in the oracle.
-    * Output: struct(mn DOUBLE, scale DOUBLE, q ARRAY<INT>). */
-  def sq8Quantize(v: Column): Column = {
-    val d = transform(v, x => x.cast(DoubleType))
-    val mn = array_min(d)
-    val sc = (array_max(d) - mn) / lit(255.0)
-    val q = when(sc === lit(0.0), transform(d, _ => lit(0)))
-      .otherwise(transform(d, x =>
-        least(lit(255), greatest(lit(0),
-          floor((x - mn) / sc + lit(0.5)).cast(IntegerType)))))
-    struct(mn.as("mn"), sc.as("sc"), q.as("q"))
-  }
+    * One fused primitive pass ([[graft.functions.VectorExpressions
+    * .sq8Quantize]]) — the HOF twin (array_min/array_max + transform)
+    * runs interpreted per candidate pair once the corpus projection
+    * collapses into the scoring join; arithmetic is bit-identical.
+    * Output: struct(mn DOUBLE, sc DOUBLE, q ARRAY<INT>). */
+  def sq8Quantize(v: Column): Column =
+    graft.functions.VectorExpressions.sq8Quantize(v)
 
   /** Reconstruction `v̂_i = mn + scale · q_i` — the corpus side of
-    * asymmetric distance (queries stay full-precision). */
+    * asymmetric distance (queries stay full-precision). One fused
+    * primitive loop ([[graft.functions.VectorExpressions
+    * .sq8Reconstruct]] — accepts raw INT codes or the byte-packed
+    * storage form directly): the HOF `transform` twin runs interpreted
+    * per candidate pair once Catalyst collapses it into the scoring
+    * join, measured ~6x slower on the brute SQ8 query. Arithmetic is
+    * bit-identical to the transform formulation. */
   def sq8Reconstruct(s: Column): Column =
     sq8Dequantize(s.getField("mn"), s.getField("sc"), s.getField("q"))
 
   def sq8Dequantize(mn: Column, sc: Column, q: Column): Column =
-    transform(q, x => mn + sc * x.cast(DoubleType))
+    graft.functions.VectorExpressions.sq8Reconstruct(mn, sc, q)
 
   /** Byte packing for STORAGE: codes 0..255 shift to signed -128..127
     * (ARRAY<TINYINT> is 1 byte/component in parquet vs 4 for the float

@@ -133,12 +133,12 @@ object SimilarityIndex {
         s"codec must be 'float' or 'sq8', got '$other'")
     }
 
-  /** Decode a cells frame back to (cell, id, v) for scoring. */
+  /** Decode a cells frame back to (cell, id, v) for scoring — the fused
+    * reconstruct expression unpacks the byte codes itself. */
   private def decodeCells(cells: DataFrame): DataFrame =
     if (cells.columns.contains("qb"))
       cells.select(col("cell"), col("id"),
-        Similarity.sq8Dequantize(col("mn"), col("sc"),
-          Similarity.sq8UnpackBytes(col("qb"))).as("v"))
+        Similarity.sq8Dequantize(col("mn"), col("sc"), col("qb")).as("v"))
     else cells
 
   /** Mark `ids` deleted. Deletion is a TOMBSTONE append — O(|ids|), the

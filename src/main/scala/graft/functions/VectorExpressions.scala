@@ -266,6 +266,128 @@ case class CentroidCosines(child: Expression, centroids: Seq[Seq[Double]])
     copy(child = c)
 }
 
+/** SQ8 reconstruction `v̂_i = mn + sc · code_i` in ONE primitive loop —
+  * ARRAY<DOUBLE> from the per-vector (min, scale) and the stored codes.
+  * Accepts the byte-packed storage form directly (ARRAY<TINYINT>, codes
+  * shifted by -128) as well as the raw 0..255 ARRAY<INT> codes, fusing
+  * the unpack. Exists because the HOF formulation
+  * (`transform(transform(qb, +128), mn + sc * _)`) evaluates interpreted
+  * per CANDIDATE PAIR once Catalyst collapses the projection into the
+  * scoring join — measured ~6x on the brute SQ8 query. Arithmetic is
+  * bit-identical to the composed transforms (integer code promotes to
+  * double exactly, one multiply-add per element); a null element makes
+  * the whole result null, which downstream [[CosineSimilarity]] maps to
+  * the same null the composed form produced. */
+case class Sq8Reconstruct(first: Expression, second: Expression,
+                          third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val isByte: Boolean =
+    third.dataType.asInstanceOf[ArrayType].elementType == ByteType
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (DoubleType, DoubleType, ArrayType(ByteType | IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (f, s, t) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected (DOUBLE, DOUBLE, ARRAY<TINYINT|INT>), got " +
+            s"${f.simpleString} / ${s.simpleString} / ${t.simpleString}")
+    }
+
+  override def nullSafeEval(mn: Any, sc: Any, codes: Any): Any = {
+    val m = mn.asInstanceOf[Double]
+    val s = sc.asInstanceOf[Double]
+    val q = codes.asInstanceOf[ArrayData]
+    val n = q.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i)) return null
+      val code = if (isByte) q.getByte(i).toInt + 128 else q.getInt(i)
+      out(i) = m + s * code
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** SQ8 quantization of one vector in two primitive passes:
+  * `mn = min(v)`, `sc = (max(v) - mn) / 255`,
+  * `q_i = clamp_0..255(floor((v_i - mn) / sc + 0.5))` (all zeros when
+  * sc = 0) — STRUCT(mn DOUBLE, sc DOUBLE, q ARRAY<INT>). The fused twin
+  * of the HOF formulation (array_min/array_max + transform), which
+  * evaluates interpreted per candidate pair once Catalyst collapses the
+  * corpus projection into the scoring join. Arithmetic is bit-identical:
+  * floats widen to double before min/max exactly as the composed casts
+  * do, floor(x+0.5) runs in double, and the int cast of the bounded
+  * [0, 255] floor result is exact. A null vector — or a null element,
+  * which the codec never produces — yields null. */
+case class Sq8Quantize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("mn", DoubleType, nullable = false),
+    StructField("sc", DoubleType, nullable = false),
+    StructField("q", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = true
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected ARRAY<FLOAT|DOUBLE>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      if (xv < mn) mn = xv
+      if (xv > mx) mx = xv
+      i += 1
+    }
+    val sc = (mx - mn) / 255.0
+    val q = new Array[Int](n)
+    if (sc != 0.0) {
+      i = 0
+      while (i < n) {
+        val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val f = math.floor((xv - mn) / sc + 0.5).toInt
+        q(i) = math.min(255, math.max(0, f))
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(mn, sc,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(q))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(
@@ -282,4 +404,12 @@ object VectorExpressions {
   def centroidCosines(v: Column, centroids: Seq[Seq[Double]]): Column =
     GraftColumnBridge.column(CentroidCosines(
       GraftColumnBridge.expression(v), centroids))
+
+  def sq8Reconstruct(mn: Column, sc: Column, codes: Column): Column =
+    GraftColumnBridge.column(Sq8Reconstruct(
+      GraftColumnBridge.expression(mn), GraftColumnBridge.expression(sc),
+      GraftColumnBridge.expression(codes)))
+
+  def sq8Quantize(v: Column): Column =
+    GraftColumnBridge.column(Sq8Quantize(GraftColumnBridge.expression(v)))
 }
