@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, lit}
 
@@ -19,21 +20,60 @@ import org.apache.spark.sql.functions.{broadcast, col, lit}
   *    repeated rebuilds cannot leak one full snapshot per call. */
 private[ext] object BucketedTables {
 
-  /** External-table location root: pinned under the JVM temp dir so the
-    * index works regardless of warehouse configuration. The path is
-    * host-shared state — that is the point of a STANDING index — so
-    * concurrent writers must use distinct table names. */
-  def tableRoot(table: String): java.io.File =
-    new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft_dedup_index/$table")
+  /** External-table location root as a Hadoop filesystem URI: taken from
+    * `spark.graft.index.root` (set it to an `hdfs://`/`s3a://` prefix to
+    * put standing indexes on cluster storage), defaulting to a `file://`
+    * path under the JVM temp dir so local sessions work with zero
+    * configuration. Every lifecycle primitive below speaks the Hadoop
+    * [[FileSystem]] API against this root — never `java.io.File` — so
+    * the same snapshot/sidecar/prune machinery runs unchanged wherever
+    * the corpus lives. The root is shared state — that is the point of a
+    * STANDING index — so concurrent writers must use distinct table
+    * names. */
+  val RootConfKey = "spark.graft.index.root"
 
-  def nextVersionPath(table: String): String = {
-    val cur = Option(tableRoot(table).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+  def rootUri(spark: SparkSession): String =
+    spark.conf.getOption(RootConfKey).getOrElse(
+      "file://" + new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft_dedup_index").getAbsolutePath)
+
+  def tableRoot(spark: SparkSession, table: String): Path =
+    new Path(rootUri(spark), table)
+
+  /** The FileSystem serving `p` — resolved per path, so a `file://` temp
+    * root and an `hdfs://` production root both work with no code
+    * change. The local scheme's CRC wrapper is peeled off: the sidecar
+    * carries its OWN length+checksum frame (below), cluster filesystems
+    * bring their own integrity layer, and stray `.crc` twins would turn
+    * a frame-level corruption error into an opaque ChecksumException. */
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf()) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case fs => fs
+    }
+
+  private def listVersionDirs(fs: FileSystem, root: Path): Seq[Path] =
+    (try fs.listStatus(root).toSeq
+     catch { case _: java.io.FileNotFoundException => Nil })
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .map(_.getPath)
+
+  /** Where this table's `v<N>` snapshot dirs live. A LIVE table anchors
+    * at its catalog location's parent — so a session whose
+    * [[RootConfKey]] changed after the index was created still
+    * versions/prunes against the dirs the index actually occupies — and
+    * only a fresh create consults the configured root. */
+  private def versionRootOf(spark: SparkSession, table: String): Path =
+    if (spark.catalog.tableExists(table))
+      new Path(location(spark, table)).getParent
+    else tableRoot(spark, table)
+
+  def nextVersionPath(spark: SparkSession, table: String): String = {
+    val root = versionRootOf(spark, table)
+    val cur = listVersionDirs(fsFor(spark, root), root)
       .map(_.getName.drop(1).toLong).foldLeft(0L)(math.max)
-    new java.io.File(tableRoot(table), s"v${cur + 1}").getAbsolutePath
+    new Path(root, s"v${cur + 1}").toString
   }
 
   /** The table's bucket count from the catalog — appends and rewrites
@@ -56,7 +96,7 @@ private[ext] object BucketedTables {
     * no longer matches was aimed at a replaced snapshot and is inert,
     * atomically with the commit that replaced it. */
   def snapshotEpoch(spark: SparkSession, table: String): String =
-    new java.io.File(location(spark, table).getPath).getName
+    new Path(location(spark, table)).getName
 
   /** The ACTIVE tombstone ids of a standing index, for the snapshot
     * identified by `epoch` — shared by both indexes' probe masks and
@@ -117,10 +157,13 @@ private[ext] object BucketedTables {
     * and delete every snapshot dir under its root — the shared cleanup
     * for superseded standing-index artifacts. */
   def dropTable(spark: SparkSession, table: String): Unit = {
+    // capture the version root BEFORE the catalog entry (and with it the
+    // location this table actually lives at) disappears
+    val root = versionRootOf(spark, table)
     Seq(table, s"${table}__next").foreach { t =>
       if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE $t")
     }
-    pruneVersions(table, keep = Set.empty)
+    pruneVersionsAt(spark, root, keep = Set.empty)
   }
 
   /** `sidecar` (name → bytes) files are written INTO the new snapshot
@@ -139,7 +182,7 @@ private[ext] object BucketedTables {
     def writer(d: DataFrame, m: SaveMode) = d.write.mode(m)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-    def writeSidecar(dir: String): Unit = writeSidecarFiles(dir, sidecar)
+    def writeSidecar(dir: String): Unit = writeSidecarFiles(spark, dir, sidecar)
     if (mode == SaveMode.Append && spark.catalog.tableExists(table)) {
       // Appending WITH a sidecar has no atomic ordering: new rows would
       // go live under the old sidecar (or vice versa) — exactly the torn
@@ -156,38 +199,46 @@ private[ext] object BucketedTables {
       // complete new snapshot under a SCRATCH entry first, then commit
       // with two catalog ops; a crash between them leaves the scratch
       // holding everything and [[heal]] finishes the rename.
-      val prev = new java.io.File(location(spark, table).getPath).getName
+      val prev = new Path(location(spark, table)).getName
       val scratch = s"${table}__next"
-      val path = nextVersionPath(table)
+      val path = nextVersionPath(spark, table)
       writer(df, SaveMode.Overwrite)
         .option("path", path).format("parquet").saveAsTable(scratch)
       writeSidecar(path) // in the dir BEFORE the commit point
       spark.sql(s"DROP TABLE $table")
       spark.sql(s"ALTER TABLE $scratch RENAME TO $table") // external: keeps path
-      pruneVersions(table, Set(new java.io.File(path).getName, prev))
+      pruneVersions(spark, table, Set(new Path(path).getName, prev))
     } else {
       // fresh create claims a new version dir (older dirs from previous
       // runs are stale garbage once this commit lands)
-      val path = nextVersionPath(table)
+      val path = nextVersionPath(spark, table)
       writer(df, mode).option("path", path).format("parquet").saveAsTable(table)
       writeSidecar(path)
-      pruneVersions(table, Set(new java.io.File(path).getName))
+      pruneVersions(spark, table, Set(new Path(path).getName))
     }
   }
 
   /** Write each sidecar into `dir` framed ([[frameSidecar]]) and via
-    * temp-file + ATOMIC_MOVE: a crash mid-write can never leave a
-    * truncated sidecar in place (readSidecar also checksums — belt and
-    * braces, since the fresh-create path commits the table first). */
-  private def writeSidecarFiles(dir: String,
+    * temp-file + rename: HDFS rename is atomic, and on object stores the
+    * create itself only becomes visible on complete upload — either way
+    * a crash mid-write can never leave a truncated sidecar in place
+    * (readSidecar also checksums — belt and braces, since the
+    * fresh-create path commits the table first). */
+  private def writeSidecarFiles(spark: SparkSession, dir: String,
                                 sidecar: Seq[(String, Array[Byte])]): Unit =
     sidecar.foreach { case (name, bytes) =>
-      val target = new java.io.File(dir, name).toPath
-      val tmp = new java.io.File(dir, s"$name.tmp").toPath
-      java.nio.file.Files.write(tmp, frameSidecar(bytes))
-      java.nio.file.Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val dirPath = new Path(dir)
+      val fs = fsFor(spark, dirPath)
+      val target = new Path(dirPath, name)
+      val tmp = new Path(dirPath, s"$name.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(frameSidecar(bytes)) finally out.close()
+      // FileSystem.rename refuses an existing destination on some
+      // schemes; the delete-then-rename window can only surface as a
+      // LOUD missing-sidecar error, never a torn one.
+      if (fs.exists(target)) fs.delete(target, false)
+      require(fs.rename(tmp, target),
+        s"sidecar commit rename failed: $tmp -> $target")
     }
 
   /** Length + checksum frame around a sidecar payload, so a torn or
@@ -209,11 +260,13 @@ private[ext] object BucketedTables {
     * LOUDLY when the file is missing, truncated, or corrupt — a standing
     * index must never probe with silently-wrong metadata. */
   def readSidecar(spark: SparkSession, table: String, name: String): Array[Byte] = {
-    val f = new java.io.File(location(spark, table).getPath, name)
-    require(f.isFile,
+    val p = new Path(new Path(location(spark, table)), name)
+    val fs = fsFor(spark, p)
+    require(fs.exists(p) && fs.getFileStatus(p).isFile,
       s"$table: missing snapshot sidecar '$name' — the snapshot commit " +
         "did not complete; rebuild the index")
-    val framed = java.nio.file.Files.readAllBytes(f.toPath)
+    val in = fs.open(p)
+    val framed = try in.readAllBytes() finally in.close()
     val nl = framed.indexOf('\n'.toByte)
     require(nl > 0, s"$table: sidecar '$name' has no header — corrupt")
     val header = new String(framed, 0, nl, "UTF-8").split(" ")
@@ -259,12 +312,12 @@ private[ext] object BucketedTables {
                     df: DataFrame,
                     sidecar: Seq[(String, Array[Byte])] = Nil): String = {
     val scratch = s"${table}__snap"
-    val path = nextVersionPath(table)
+    val path = nextVersionPath(spark, table)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(bucketsOf(spark, table), keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .option("path", path).format("parquet").saveAsTable(scratch)
-    writeSidecarFiles(path, sidecar)
+    writeSidecarFiles(spark, path, sidecar)
     spark.sql(s"DROP TABLE IF EXISTS $scratch")
     path
   }
@@ -279,8 +332,8 @@ private[ext] object BucketedTables {
     val oldLoc = location(spark, table)
     spark.sql(s"ALTER TABLE $table SET LOCATION '$newPath'")
     spark.catalog.refreshTable(table)
-    pruneVersions(table, Set(new java.io.File(newPath).getName,
-      new java.io.File(oldLoc.getPath).getName))
+    pruneVersions(spark, table,
+      Set(new Path(newPath).getName, new Path(oldLoc).getName))
   }
 
   /** The per-bucket compaction frame: a SHUFFLE-FREE dedup of one table.
@@ -314,13 +367,15 @@ private[ext] object BucketedTables {
   /** Delete snapshot dirs not in `keep` — every publish path prunes, so
     * repeated rebuilds/compactions/migrations cannot leak one full
     * snapshot copy per call into the table root. */
-  def pruneVersions(table: String, keep: Set[String]): Unit =
-    Option(tableRoot(table).listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+") && !keep(f.getName))
-      .foreach(deleteRec)
+  def pruneVersions(spark: SparkSession, table: String,
+                    keep: Set[String]): Unit =
+    pruneVersionsAt(spark, versionRootOf(spark, table), keep)
 
-  private def deleteRec(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
-    f.delete(); ()
+  private def pruneVersionsAt(spark: SparkSession, root: Path,
+                              keep: Set[String]): Unit = {
+    val fs = fsFor(spark, root)
+    listVersionDirs(fs, root)
+      .filter(p => !keep(p.getName))
+      .foreach(p => fs.delete(p, true))
   }
 }

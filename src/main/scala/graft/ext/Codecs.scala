@@ -352,9 +352,12 @@ object Codecs {
       while (buf.position() + 8 <= end) {
         val id = fourCC()
         val size = buf.getInt()
-        require(size >= 0 && buf.position() + size <= end,
+        // Long arithmetic: a crafted size near Int.MaxValue must trip this
+        // guard, not wrap negative and reach the frame-payload allocation
+        // (same overflow discipline as readDib24's row math).
+        require(size >= 0 && buf.position().toLong + size <= end,
           s"AVI: chunk '$id' overruns container")
-        val next = buf.position() + size + (size & 1)
+        val next = (buf.position().toLong + size + (size & 1)).min(end.toLong).toInt
         id match {
           case "LIST" =>
             val kind = fourCC()

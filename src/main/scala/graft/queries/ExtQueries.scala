@@ -974,12 +974,16 @@ object ExtQueries {
        |SELECT s.vec_id, s.cluster, d.vec_id IS NULL AS keep
        |FROM sd s LEFT JOIN dropped d ON s.vec_id = d.vec_id""".stripMargin
 
+  /** Top-k bound shared by [[qSimLsh]] and its companion so a retune
+    * moves the verified contract with it. */
+  private val SimLshK = 5
+
   /** LSH-bucketed approximate top-k — rows-only; recall vs brute force
     * asserted in ExtSpec. */
   def qSimLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5, dim = 64,
-      bits = 4, tables = 16)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = SimLshK,
+      dim = 64, bits = 4, tables = 16)
   }
 
   /** Companion verification of [[qSimLsh]]: buckets are engine-specific,
@@ -1007,7 +1011,8 @@ object ExtQueries {
       .withColumn("__cos", cosSql)
       .withColumn("__n",
         count(lit(1)).over(Window.partitionBy(col("query_id"))))
-    scored.filter(abs(col("__cos") - col("sim")) > 1e-6 || col("__n") > 5)
+    scored.filter(abs(col("__cos") - col("sim")) > 1e-6 ||
+        col("__n") > SimLshK)
       .select(col("query_id").as("id_a"), col("cand_id").as("id_b"),
         lit("verify_breach").as("problem"))
   }

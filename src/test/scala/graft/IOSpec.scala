@@ -734,6 +734,62 @@ class IOSpec extends AnyFunSuite {
     assert(judge() == Set((10L, true, None)))
   }
 
+  test("index root is a Hadoop filesystem URI: a configured file:// root " +
+       "hosts the whole snapshot lifecycle, incl. heal and compaction") {
+    import graft.ext.{Dedup, DedupIndex}
+    val customRoot = "file://" +
+      Files.createTempDirectory("graft_hadoop_root").toAbsolutePath
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    spark.conf.set("spark.graft.index.root", customRoot)
+    try {
+      DedupIndex.write(corpus, "text", "doc_id", "lang", "t_hroot_idx",
+        threshold = 0.5, buckets = 4)
+      // every index table's snapshot dir landed under the configured root
+      for (t <- Seq("t_hroot_idx_exact", "t_hroot_idx_sh")) {
+        val loc = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString
+        assert(loc.contains("graft_hadoop_root") && loc.endsWith("/v1"),
+          s"$t not under the configured root: $loc")
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getBoolean(1),
+          Option(r.getString(2)))).toSet
+      val expect = rows(Dedup.dedupIncremental(corpus, delta,
+        "text", "doc_id", "lang", threshold = 0.5))
+      assert(rows(DedupIndex.dedupIncremental(spark, "t_hroot_idx", delta,
+        "text", "doc_id", "lang", threshold = 0.5)) == expect)
+      // crash between the overwrite's two catalog ops heals here too
+      spark.sql(
+        "ALTER TABLE t_hroot_idx_exact RENAME TO t_hroot_idx_exact__next")
+      assert(rows(DedupIndex.dedupIncremental(spark, "t_hroot_idx", delta,
+        "text", "doc_id", "lang", threshold = 0.5)) == expect)
+      // compaction's snapshot swap claims v2+ under the SAME root and
+      // prunes superseded versions there (nothing leaks to the default
+      // root, and the catalog-anchored root survives a conf change)
+      spark.conf.unset("spark.graft.index.root")
+      DedupIndex.compact(spark, "t_hroot_idx")
+      val exactLoc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("t_hroot_idx_exact"))
+        .location.toString
+      assert(exactLoc.contains("graft_hadoop_root") && !exactLoc.endsWith("/v1"),
+        s"compaction left the configured root: $exactLoc")
+      assert(rows(DedupIndex.dedupIncremental(spark, "t_hroot_idx", delta,
+        "text", "doc_id", "lang", threshold = 0.5)) == expect)
+      val vdirs = new java.io.File(
+        new java.net.URI(exactLoc)).getParentFile.listFiles()
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      assert(vdirs.length <= 2,
+        s"superseded snapshots not pruned: ${vdirs.mkString(",")}")
+    } finally {
+      spark.conf.unset("spark.graft.index.root")
+      for (sfx <- Seq("_exact", "_pref", "_sh", "_band", "_tombs");
+           t <- Seq(s"t_hroot_idx$sfx", s"t_hroot_idx${sfx}__next"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("interrupted overwrite commit heals on the next index call") {
     import graft.ext.{Dedup, DedupIndex}
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
