@@ -158,8 +158,7 @@ case class DotProduct(left: Expression, right: Expression)
   * the sign of the accumulated non-null terms — fixture vectors have no
   * null elements, and both engines of every LSH consumer share this code. */
 case class HyperplaneBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -208,6 +207,42 @@ case class HyperplaneBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  // Same loop as nullSafeEval, emitted INTO the generated stage; the
+  // plan-time plane matrix rides as a referenced double[][] constant, so
+  // the per-row cost is the arithmetic alone — no virtual eval() call,
+  // no interpreted-expression row boundary.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val matRef = ctx.addReferenceObj("planesMat", mat, "double[][]")
+      val get = if (isFloat) "getFloat" else "getDouble"
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val tp = ctx.freshName("tp")
+      val bucket = ctx.freshName("bucket"); val b = ctx.freshName("b")
+      val dot = ctx.freshName("dot"); val off = ctx.freshName("off")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $v.numElements();
+         |long[] $out = new long[${mat.length}];
+         |for (int $t = 0; $t < ${mat.length}; $t++) {
+         |  double[] $tp = $matRef[$t];
+         |  long $bucket = 0L;
+         |  for (int $b = 0; $b < $bitsPerTable; $b++) {
+         |    double $dot = 0.0;
+         |    int $off = $b * $n;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      if (!$v.isNullAt($i)) {
+         |        $dot += ((double) $v.$get($i)) * $tp[$off + $i];
+         |      }
+         |    }
+         |    if ($dot >= 0) $bucket |= 1L << $b;
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -220,8 +255,7 @@ case class HyperplaneBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
   * [[CosineSimilarity]] (left-to-right double accumulation), so results
   * are bit-equal to the compositional form. Null vector → null. */
 case class CentroidCosines(child: Expression, centroids: Seq[Seq[Double]])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -262,6 +296,38 @@ case class CentroidCosines(child: Expression, centroids: Seq[Seq[Double]])
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  // Mirror of nullSafeEval inside whole-stage codegen; the codebook is a
+  // referenced double[][] constant. Per-centroid arithmetic stays
+  // left-to-right double accumulation, bit-equal to the interpreted path.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val matRef = ctx.addReferenceObj("centroidMat", mat, "double[][]")
+      val get = if (isFloat) "getFloat" else "getDouble"
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val c = ctx.freshName("c"); val cv = ctx.freshName("cv")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv")
+      s"""
+         |int $n = $v.numElements();
+         |double[] $out = new double[${mat.length}];
+         |for (int $c = 0; $c < ${mat.length}; $c++) {
+         |  double[] $cv = $matRef[$c];
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n && $i < $cv.length; $i++) {
+         |    if (!$v.isNullAt($i)) {
+         |      double $xv = (double) $v.$get($i);
+         |      $dot += $xv * $cv[$i]; $na += $xv * $xv;
+         |      $nb += $cv[$i] * $cv[$i];
+         |    }
+         |  }
+         |  $out[$c] = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -280,8 +346,7 @@ case class CentroidCosines(child: Expression, centroids: Seq[Seq[Double]])
   * the same null the composed form produced. */
 case class Sq8Reconstruct(first: Expression, second: Expression,
                           third: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
@@ -316,6 +381,31 @@ case class Sq8Reconstruct(first: Expression, second: Expression,
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  // The same unpack-and-FMA loop inside the generated stage: one
+  // multiply-add per element straight off the ArrayData, byte codes
+  // unshifted inline. Null elements flip the expression null exactly as
+  // the interpreted path does.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, s, q) => {
+      val codeOf =
+        if (isByte) (i: String) => s"((int) $q.getByte($i)) + 128"
+        else (i: String) => s"$q.getInt($i)"
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $q.numElements();
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($q.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $out[$i] = $m + $s * (${codeOf(i)});
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
@@ -331,10 +421,13 @@ case class Sq8Reconstruct(first: Expression, second: Expression,
   * floats widen to double before min/max exactly as the composed casts
   * do, floor(x+0.5) runs in double, and the int cast of the bounded
   * [0, 255] floor result is exact. A null vector — or a null element,
-  * which the codec never produces — yields null. */
+  * which the codec never produces — yields null. Non-finite elements
+  * (NaN/±Inf) also yield null: the HOF twin and the DuckDB oracle
+  * disagree with each other on NaN ordering (NaN sorts greatest in
+  * Spark's least/greatest, propagates in DuckDB's list_min/list_max),
+  * so the fused path refuses rather than silently diverging. */
 case class Sq8Quantize(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("mn", DoubleType, nullable = false),
@@ -365,6 +458,8 @@ case class Sq8Quantize(child: Expression)
     while (i < n) {
       if (x.isNullAt(i)) return null
       val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      if (java.lang.Double.isNaN(xv) || java.lang.Double.isInfinite(xv))
+        return null
       if (xv < mn) mn = xv
       if (xv > mx) mx = xv
       i += 1
@@ -383,6 +478,49 @@ case class Sq8Quantize(child: Expression)
     org.apache.spark.sql.catalyst.InternalRow(mn, sc,
       new org.apache.spark.sql.catalyst.util.GenericArrayData(q))
   }
+
+  // Two primitive passes in the generated stage, identical arithmetic to
+  // nullSafeEval (min/max in double, floor(x+0.5), bounded int cast);
+  // null or non-finite elements flip the expression null before any
+  // allocation beyond the code array.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val get = if (isFloat) "getFloat" else "getDouble"
+      val n = ctx.freshName("n"); val mn = ctx.freshName("mn")
+      val mx = ctx.freshName("mx"); val sc = ctx.freshName("sc")
+      val q = ctx.freshName("q"); val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv"); val f = ctx.freshName("f")
+      s"""
+         |int $n = $v.numElements();
+         |double $mn = Double.POSITIVE_INFINITY;
+         |double $mx = Double.NEGATIVE_INFINITY;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $xv = (double) $v.$get($i);
+         |  if (Double.isNaN($xv) || Double.isInfinite($xv)) {
+         |    ${ev.isNull} = true; break;
+         |  }
+         |  if ($xv < $mn) $mn = $xv;
+         |  if ($xv > $mx) $mx = $xv;
+         |}
+         |if (!${ev.isNull}) {
+         |  double $sc = ($mx - $mn) / 255.0;
+         |  int[] $q = new int[$n];
+         |  if ($sc != 0.0) {
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $xv = (double) $v.$get($i);
+         |      int $f = (int) java.lang.Math.floor(($xv - $mn) / $sc + 0.5);
+         |      $q[$i] = java.lang.Math.min(255, java.lang.Math.max(0, $f));
+         |    }
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |      new Object[] { java.lang.Double.valueOf($mn),
+         |        java.lang.Double.valueOf($sc),
+         |        new org.apache.spark.sql.catalyst.util.GenericArrayData($q) });
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
