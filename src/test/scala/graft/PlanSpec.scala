@@ -145,6 +145,69 @@ class PlanSpec extends AnyFunSuite {
       s"each superstep should scan the materialized edges:\n$p")
   }
 
+  test("vector expressions all participate in whole-stage codegen: no " +
+       "CodegenFallback anywhere in the SQ8 / LSH / semdedup plans") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    def fallbacks(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val root = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      root.collect { case p =>
+        p.expressions.flatMap(_.collect {
+          case e: CodegenFallback => e.getClass.getSimpleName
+        })
+      }.flatten.distinct
+    }
+    // each plan exercises one of the four formerly-interpreted
+    // expressions (plus CosineSimilarity/DotProduct on the same path)
+    val plans = Seq(
+      "sq8" -> graft.queries.ExtQueries.qSimSq8(spark, dir),
+      "lsh" -> graft.queries.ExtQueries.qSimLsh(spark, dir),
+      "semdedup" -> graft.queries.ExtQueries.qSemDedup(spark, dir),
+      "kmeans" -> graft.queries.ExtQueries.qKmeans(spark, dir))
+    for ((name, df) <- plans) {
+      val bad = fallbacks(df).filter(_.startsWith("Sq8")) ++
+        fallbacks(df).filter(n =>
+          n == "HyperplaneBuckets" || n == "CentroidCosines" ||
+            n == "CosineSimilarity" || n == "DotProduct")
+      assert(bad.isEmpty,
+        s"[$name] interpreted vector expressions in the plan: $bad")
+    }
+    // and the generated path computes the same thing the interpreted
+    // path did: evaluate one quantize+reconstruct round-trip both ways
+    import spark.implicits._
+    import graft.functions.VectorExpressions._
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables(spark, dir, "embeddings").select(col("embedding"))
+    val both = vecs
+      .withColumn("s", sq8Quantize(col("embedding")))
+      .withColumn("r", sq8Reconstruct(col("s.mn"), col("s.sc"), col("s.q")))
+      .withColumn("c", cosineSim(col("embedding"), col("r")))
+      .withColumn("h", hyperplaneBuckets(col("embedding"),
+        Seq(Seq(Seq.tabulate(64)(i => math.sin(i + 1.0)),
+          Seq.tabulate(64)(i => math.cos(2.0 * i))))))
+      .withColumn("cc", centroidCosines(col("embedding"),
+        Seq(Seq.tabulate(64)(i => 1.0 / (i + 1)))))
+    val viaCodegen = both.collect()
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interpreted = both.collect()
+      assert(viaCodegen.sameElements(interpreted),
+        "generated and interpreted vector expression results diverge")
+    }
+  }
+
+  private def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("auto-scaled packing tokenizes the corpus exactly once") {
     // The total-token scalar and the windowed branch both need the token
     // counts; the checkpoint in packSequences must make the windowed plan
