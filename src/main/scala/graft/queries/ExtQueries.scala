@@ -587,13 +587,77 @@ object ExtQueries {
 
   // ------------------------------------------------------ similarity
 
+  /** Threshold shared by [[qDedupClusters]] and its companion so a
+    * retune moves the verified contract with it. */
+  private val DedupClustersThreshold = 0.8
+
   /** Full near-duplicate removal: LSH-verified pairs → connected
     * components → keep each cluster's min-id representative. Rows-only
     * (LSH prefilter); cluster assignment is union-find-verified in
     * ExtSpec. */
   def qDedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupNear(Tables(s, dir, "documents"), "text", "doc_id",
-      threshold = 0.8).select(col("doc_id"))
+      threshold = DedupClustersThreshold).select(col("doc_id"))
+
+  /** Companion verification of [[qDedupClusters]]: the candidate set is
+    * engine-specific (LSH), but the emitted KEEP-SET's contract is
+    * checkable against the production pair generator. Breach rows:
+    *  - `edge_below_threshold` — a production cluster edge whose exact
+    *    Jaccard, recomputed from Catalyst BUILT-INS only
+    *    ([[sqlJaccard]]), misses the threshold or its emitted score;
+    *  - `rep_not_min` — a component label that is not its component's
+    *    min id;
+    *  - `member_without_intra_cluster_edge` — a non-representative
+    *    member with NO edge into its own cluster (a torn label: every
+    *    legitimate non-self label arrives through an edge);
+    *  - `kept_not_representative` / `representative_dropped` — the
+    *    emitted keep-set differs from the representative set.
+    * Full-path reachability (member → representative) is the recursive
+    * closure q_cluster_exact already hash-verifies against DuckDB's
+    * recursive CTE on the exact twin; this companion closes the
+    * remaining classes on the LSH path. Oracle = empty set. */
+  def qDedupClustersVerified(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val kept = qDedupClusters(s, dir) // the PRODUCTION emitted set
+      .select(col("doc_id").as("id"))
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id",
+      threshold = DedupClustersThreshold) // the production pair generator
+    val edgeBreach = pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
+      .withColumn("__j", sqlJaccard(col("__ta"), col("__tb")))
+      .filter(col("__j") < DedupClustersThreshold ||
+        abs(col("__j") - col("jaccard")) > 1e-12)
+      .select(col("id_a").as("id"), lit("edge_below_threshold").as("problem"))
+    val cl = Dedup.clusters(docs.select(col("doc_id").as("id")), pairs)
+    val repNotMin = cl.groupBy(col("cluster"))
+      .agg(min(col("id")).as("__min"))
+      .filter(col("cluster") =!= col("__min"))
+      .select(col("cluster").as("id"), lit("rep_not_min").as("problem"))
+    val undirected = pairs.select(col("id_a").as("id"), col("id_b").as("__peer"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("__peer")))
+    val intraEdges = undirected
+      .join(cl, Seq("id"))
+      .join(cl.select(col("id").as("__peer"), col("cluster").as("__pc")),
+        Seq("__peer"))
+      .filter(col("cluster") === col("__pc"))
+      .select(col("id")).distinct()
+    val tornMembers = cl.filter(col("id") =!= col("cluster"))
+      .join(intraEdges, Seq("id"), "left_anti")
+      .select(col("id"),
+        lit("member_without_intra_cluster_edge").as("problem"))
+    val reps = cl.filter(col("id") === col("cluster")).select(col("id"))
+    val keptNotRep = kept.join(reps, Seq("id"), "left_anti")
+      .select(col("id"), lit("kept_not_representative").as("problem"))
+    val repNotKept = reps.join(kept, Seq("id"), "left_anti")
+      .select(col("id"), lit("representative_dropped").as("problem"))
+    edgeBreach.unionByName(repNotMin).unionByName(tornMembers)
+      .unionByName(keptNotRep).unionByName(repNotKept)
+  }
+
+  val qDedupClustersVerifiedSql: String =
+    """SELECT CAST(NULL AS BIGINT) AS id,
+      |  CAST(NULL AS VARCHAR) AS problem WHERE false""".stripMargin
 
   /** Incremental (delta-vs-corpus) dedup: doc_id % 5 == 0 is the incoming
     * batch, the rest the standing corpus. No corpus×corpus work — exact
@@ -1153,6 +1217,7 @@ object ExtQueries {
     "q_emb_near_dup_verified"  -> (qEmbNearDupVerified _),
     "q_dedup_simhash_verified" -> (qDedupSimhashVerified _),
     "q_approx_sketch_verified" -> (qApproxSketchVerified _),
+    "q_dedup_clusters_verified" -> (qDedupClustersVerified _),
     "q_emb_near_dup"     -> (qEmbNearDup _))
 
   val oracle: Map[String, String] = Map(
@@ -1193,5 +1258,6 @@ object ExtQueries {
     "q_emb_near_dup_verified"  -> qEmbNearDupVerifiedSql,
     "q_dedup_simhash_verified" -> qDedupSimhashVerifiedSql,
     "q_approx_sketch_verified" -> qApproxSketchVerifiedSql,
+    "q_dedup_clusters_verified" -> qDedupClustersVerifiedSql,
     "q_cluster_exact"    -> qClusterExactSql)
 }
