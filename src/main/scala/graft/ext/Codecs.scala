@@ -410,6 +410,243 @@ object Codecs {
       case _      => decodeImage(video.frames(idx))
     }
 
+  // ----------------------------------------------------- MP4 (ISO-BMFF)
+
+  /** A parsed MP4 video track: dimensions, timing, the sample-entry
+    * codec, and the sample TABLE (absolute byte ranges into the original
+    * buffer) — frames are sliced on demand by [[mp4SampleBytes]], so
+    * sampling every Nth frame of a long video never materializes the
+    * unsampled payloads (the point of ISO-BMFF's `stbl`: the container
+    * walk is table arithmetic, not a scan of `mdat`). */
+  final case class Mp4Video(width: Int, height: Int, timescale: Long,
+                            sampleDelta: Long, fourcc: String,
+                            sampleOffsets: Array[Long],
+                            sampleSizes: Array[Int],
+                            bytes: Array[Byte]) {
+    def numSamples: Int = sampleSizes.length
+    def msPerFrame: Long =
+      math.max(sampleDelta * 1000L / math.max(timescale, 1L), 1L)
+  }
+
+  /** Slice sample `idx`'s bytes out of `mdat` by the sample table. */
+  def mp4SampleBytes(video: Mp4Video, idx: Int): Array[Byte] = {
+    val off = video.sampleOffsets(idx)
+    val len = video.sampleSizes(idx)
+    require(off >= 0 && len >= 0 && off + len <= video.bytes.length,
+      s"MP4: sample $idx range [$off, ${off + len}) outside file")
+    java.util.Arrays.copyOfRange(video.bytes, off.toInt, (off + len).toInt)
+  }
+
+  /** Decode one MP4 sample by the track's sample-entry fourcc: per-frame
+    * still-image codecs (`jpeg`/`mjpa`/`mjpb`/`png `) decode through the
+    * existing ImageIO path; inter-frame codecs (avc1/hev1/vp09…) have no
+    * pure-JVM decoder and fail LOUDLY here — route those payloads to
+    * [[Multimodal.byteStats]] instead, like WebP. */
+  def decodeMp4Frame(video: Mp4Video, idx: Int): BmpImage =
+    video.fourcc match {
+      case "jpeg" | "mjpa" | "mjpb" | "png " =>
+        decodeImage(mp4SampleBytes(video, idx))
+      case other => throw new IllegalArgumentException(
+        s"MP4: no pure-JVM decoder for sample codec '$other' — " +
+          "use byteStats for inter-frame codecs")
+    }
+
+  /** Encode a minimal valid ISO-BMFF MP4: `ftyp`, `mdat` holding the
+    * concatenated samples, then `moov` with one video `trak` —
+    * `tkhd` (dimensions), `mdhd` (timescale), `hdlr` (vide), and a full
+    * `stbl` sample table (`stsd` visual sample entry with the given
+    * codec fourcc, `stts` constant delta, `stsc` single chunk, `stsz`
+    * per-sample sizes, `stco` absolute chunk offset). `mdat` precedes
+    * `moov` so the chunk offset is known before the table is written —
+    * the layout real muxers emit for the same reason. */
+  def encodeMp4(width: Int, height: Int, timescale: Long, sampleDelta: Long,
+                fourcc: String, samples: Seq[Array[Byte]]): Array[Byte] = {
+    def be(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def u32(v: Long): Array[Byte] = ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def u16(v: Int): Array[Byte] = ByteBuffer.allocate(2).putShort(v.toShort).array()
+    def box(tp: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be(u32(8L + body.length), fourCCBytes(tp), body)
+    }
+    def full(tp: String, payload: Array[Byte]*): Array[Byte] =
+      box(tp, (u32(0) +: payload): _*) // version 0, flags 0
+    val identityMatrix = be(u32(0x10000), u32(0), u32(0), u32(0), u32(0x10000),
+      u32(0), u32(0), u32(0), u32(0x40000000L))
+    val duration = sampleDelta * samples.length
+    val ftyp = box("ftyp", fourCCBytes("isom"), u32(0x200),
+      fourCCBytes("isom"), fourCCBytes("iso2"))
+    val mdat = box("mdat", samples.flatten.toArray)
+    val firstSampleOffset = ftyp.length + 8L // past mdat's own header
+    val stsd = full("stsd", u32(1), {
+      // VisualSampleEntry: 8 header + 6 reserved + 2 dataref + 16
+      // predefined/reserved + w/h + 72 dpi + reserved + frame_count +
+      // 32-byte compressorname + depth + predefined(-1) = 86 bytes
+      val entry = be(fourCCBytes(fourcc), new Array[Byte](6), u16(1),
+        new Array[Byte](16), u16(width), u16(height),
+        u32(0x480000), u32(0x480000), u32(0), u16(1),
+        new Array[Byte](32), u16(24), u16(0xFFFF))
+      be(u32(8L + entry.length), entry)
+    })
+    val stbl = box("stbl", stsd,
+      full("stts", u32(1), u32(samples.length), u32(sampleDelta)),
+      full("stsc", u32(1), u32(1), u32(samples.length), u32(1)),
+      full("stsz", u32(0), u32(samples.length),
+        be(samples.map(s => u32(s.length)): _*)),
+      full("stco", u32(1), u32(firstSampleOffset)))
+    val minf = box("minf",
+      full("vmhd", new Array[Byte](8)), // flags should be 1; readers don't care
+      box("dinf", full("dref", u32(1), be(u32(12), fourCCBytes("url "), u32(1)))),
+      stbl)
+    val mdia = box("mdia",
+      full("mdhd", u32(0), u32(0), u32(timescale), u32(duration),
+        u16(0x55c4), u16(0)),
+      full("hdlr", u32(0), fourCCBytes("vide"), new Array[Byte](12),
+        Array[Byte](0)),
+      minf)
+    val tkhd = full("tkhd", u32(0), u32(0), u32(1), u32(0), u32(duration),
+      new Array[Byte](8), u16(0), u16(0), u16(0), u16(0), identityMatrix,
+      u32(width.toLong << 16), u32(height.toLong << 16))
+    val moov = box("moov",
+      full("mvhd", u32(0), u32(0), u32(timescale), u32(duration),
+        u32(0x10000), u16(0x100), u16(0), new Array[Byte](8),
+        identityMatrix, new Array[Byte](24), u32(2)),
+      box("trak", tkhd, mdia))
+    be(ftyp, mdat, moov)
+  }
+
+  /** Parse an ISO-BMFF MP4: box walk (32-bit and 64-bit `largesize`
+    * forms), first `vide`-handler track wins; dimensions from its sample
+    * entry (tkhd's 16.16 values as fallback), timing from `mdhd`+`stts`,
+    * and the per-sample byte ranges reconstructed from
+    * `stsc`×`stco`/`co64`×`stsz` exactly as the spec's chunk-run
+    * arithmetic defines them. Unknown boxes skip (like the AVI walk);
+    * all size arithmetic runs in Long against untrusted headers. */
+  def decodeMp4(bytes: Array[Byte]): Mp4Video = {
+    require(bytes != null && bytes.length >= 16, "MP4: truncated file")
+    val buf = ByteBuffer.wrap(bytes) // ISO-BMFF is big-endian
+    def typeAt(off: Long): String =
+      new String(bytes, off.toInt + 4, 4, "US-ASCII")
+    // (boxType, payloadStart, payloadEnd) for each box in [start, end)
+    def children(start: Long, end: Long): Seq[(String, Long, Long)] = {
+      val out = Seq.newBuilder[(String, Long, Long)]
+      var off = start
+      while (off + 8 <= end) {
+        val size32 = buf.getInt(off.toInt).toLong & 0xFFFFFFFFL
+        val tp = typeAt(off)
+        val (size, headerLen) =
+          if (size32 == 1) {
+            require(off + 16 <= end, s"MP4: truncated largesize box '$tp'")
+            (buf.getLong(off.toInt + 8), 16L)
+          } else if (size32 == 0) (end - off, 8L)
+          else (size32, 8L)
+        require(size >= headerLen && off + size <= end,
+          s"MP4: box '$tp' overruns container")
+        out += ((tp, off + headerLen, off + size))
+        off += size
+      }
+      out.result()
+    }
+    def child(boxes: Seq[(String, Long, Long)], tp: String): Option[(Long, Long)] =
+      boxes.collectFirst { case (`tp`, s, e) => (s, e) }
+    require(children(0L, bytes.length.toLong).exists(_._1 == "ftyp") ||
+        typeAt(0) == "moov", "MP4: missing ftyp/moov — not ISO-BMFF")
+    val (moovS, moovE) = child(children(0L, bytes.length.toLong), "moov")
+      .getOrElse(throw new IllegalArgumentException("MP4: no moov box"))
+    val videoTrak = children(moovS, moovE)
+      .collect { case ("trak", s, e) => children(s, e) }
+      .find { trakKids =>
+        child(trakKids, "mdia").exists { case (ms, me) =>
+          child(children(ms, me), "hdlr").exists { case (hs, _) =>
+            new String(bytes, hs.toInt + 8, 4, "US-ASCII") == "vide"
+          }
+        }
+      }
+      .getOrElse(throw new IllegalArgumentException("MP4: no video track"))
+    val (mdiaS, mdiaE) = child(videoTrak, "mdia").get
+    val mdiaKids = children(mdiaS, mdiaE)
+    val timescale = child(mdiaKids, "mdhd").map { case (s, _) =>
+      val version = bytes(s.toInt) & 0xFF
+      // v0: creation/modification are u32 → timescale at +12; v1: u64s → +20
+      val off = if (version == 1) s + 20 else s + 12
+      buf.getInt(off.toInt).toLong & 0xFFFFFFFFL
+    }.getOrElse(throw new IllegalArgumentException("MP4: no mdhd box"))
+    val (minfS, minfE) = child(mdiaKids, "minf")
+      .getOrElse(throw new IllegalArgumentException("MP4: no minf box"))
+    val (stblS, stblE) = child(children(minfS, minfE), "stbl")
+      .getOrElse(throw new IllegalArgumentException("MP4: no stbl box"))
+    val stbl = children(stblS, stblE)
+    def table(tp: String): (Long, Long) = child(stbl, tp).getOrElse(
+      throw new IllegalArgumentException(s"MP4: no $tp box"))
+    // stsd: first visual sample entry → codec fourcc + exact dimensions
+    val (stsdS, stsdE) = table("stsd")
+    require(buf.getInt(stsdS.toInt + 4) >= 1, "MP4: empty stsd")
+    val entryS = stsdS + 8
+    require(entryS + 36 <= stsdE, "MP4: stsd entry truncated")
+    val fourcc = typeAt(entryS)
+    val width = buf.getShort(entryS.toInt + 32).toInt & 0xFFFF
+    val height = buf.getShort(entryS.toInt + 34).toInt & 0xFFFF
+    // stts: constant frame period = the FIRST run's delta (variable
+    // rate keeps frame 0's pacing, same contract as AVI usecPerFrame)
+    val (sttsS, sttsE) = table("stts")
+    require(buf.getInt(sttsS.toInt + 4) >= 1 && sttsS + 16 <= sttsE,
+      "MP4: empty stts")
+    val sampleDelta = buf.getInt(sttsS.toInt + 12).toLong & 0xFFFFFFFFL
+    // stsz: per-sample sizes (or one constant size)
+    val (stszS, stszE) = table("stsz")
+    val constSize = buf.getInt(stszS.toInt + 4).toLong & 0xFFFFFFFFL
+    val nSamples = buf.getInt(stszS.toInt + 8)
+    require(nSamples >= 0 && (constSize > 0 ||
+        stszS + 12 + 4L * nSamples <= stszE), "MP4: stsz table truncated")
+    val sizes = Array.tabulate(nSamples) { i =>
+      val sz = if (constSize > 0) constSize
+               else buf.getInt((stszS + 12 + 4L * i).toInt).toLong & 0xFFFFFFFFL
+      require(sz <= Int.MaxValue, s"MP4: sample $i size $sz unsupported")
+      sz.toInt
+    }
+    // chunk offsets: stco (u32) or co64 (u64)
+    val offsets: Array[Long] = child(stbl, "stco") match {
+      case Some((s, e)) =>
+        val n = buf.getInt(s.toInt + 4)
+        require(n >= 0 && s + 8 + 4L * n <= e, "MP4: stco truncated")
+        Array.tabulate(n)(i => buf.getInt((s + 8 + 4L * i).toInt).toLong & 0xFFFFFFFFL)
+      case None =>
+        val (s, e) = table("co64")
+        val n = buf.getInt(s.toInt + 4)
+        require(n >= 0 && s + 8 + 8L * n <= e, "MP4: co64 truncated")
+        Array.tabulate(n)(i => buf.getLong((s + 8 + 8L * i).toInt))
+    }
+    // stsc: chunk runs → samples per chunk; walk runs accumulating each
+    // sample's absolute offset (chunk base + preceding sizes in chunk)
+    val (stscS, stscE) = table("stsc")
+    val nRuns = buf.getInt(stscS.toInt + 4)
+    require(nRuns >= 1 && stscS + 8 + 12L * nRuns <= stscE,
+      "MP4: stsc truncated")
+    val runs = Array.tabulate(nRuns) { i =>
+      val base = (stscS + 8 + 12L * i).toInt
+      (buf.getInt(base).toLong & 0xFFFFFFFFL,      // first_chunk (1-based)
+       buf.getInt(base + 4).toLong & 0xFFFFFFFFL)  // samples_per_chunk
+    }
+    val sampleOffsets = new Array[Long](nSamples)
+    var sample = 0
+    var chunk = 0
+    while (sample < nSamples && chunk < offsets.length) {
+      val runIdx = runs.lastIndexWhere(_._1 <= chunk + 1)
+      val perChunk = runs(math.max(runIdx, 0))._2.toInt
+      var within = 0
+      var off = offsets(chunk)
+      while (within < perChunk && sample < nSamples) {
+        sampleOffsets(sample) = off
+        off += sizes(sample)
+        sample += 1; within += 1
+      }
+      chunk += 1
+    }
+    require(sample == nSamples,
+      s"MP4: sample table maps only $sample of $nSamples samples")
+    Mp4Video(width, height, timescale, sampleDelta, fourcc,
+      sampleOffsets, sizes, bytes)
+  }
+
   // --------------------------------------------------------- ImageIO
 
   /** Encode a pixel grid losslessly as PNG via the JDK's `javax.imageio`

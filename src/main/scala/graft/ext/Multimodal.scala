@@ -184,13 +184,30 @@ object Multimodal {
         fourcc = "DIB ", frames = frames.toSeq)
     })
 
-  /** REAL sampled-frame video decode: parse each AVI container, pick the
-    * frame under every `everyMs` timestamp (0, everyMs, … < duration),
-    * decode ONLY those frames ([[Codecs.decodeVideoFrame]] — raw DIB or
-    * MJPEG-via-ImageIO by the stream's fourcc), and reduce each to
-    * channel sums. One output row per sampled frame — frames of one
-    * video scatter across tasks downstream, and unsampled frames never
-    * pay a decode (the payload walk is chunk-offset arithmetic). */
+  /** Synthesize REAL MP4 videos: a valid ISO-BMFF container
+    * ([[Codecs.encodeMp4]] — ftyp/mdat/moov with a full stbl sample
+    * table) whose samples are whole baseline JPEGs over the shared grid
+    * seeded with `doc_id + f`, `1 + doc_id % 5` frames at 25 fps. JPEG
+    * samples are lossy, so the oracle-checkable surface is the lossless
+    * properties (sample schedule, dimensions, pixel counts) — same
+    * contract as [[jpegTable]]. */
+  def mp4Table(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    gridMediaTable(docs, idCol, (id, w, h) => {
+      val frames = Array.tabulate((1 + id % 5).toInt)(f =>
+        Codecs.encodeJpeg(w, h, gridPixel(id + f)))
+      Codecs.encodeMp4(w, h, timescale = 1000, sampleDelta = 40,
+        fourcc = "jpeg", samples = frames.toSeq)
+    })
+
+  /** REAL sampled-frame video decode: parse each container — RIFF/AVI or
+    * ISO-BMFF/MP4, dispatched on the magic bytes — pick the frame under
+    * every `everyMs` timestamp (0, everyMs, … < duration), decode ONLY
+    * those frames ([[Codecs.decodeVideoFrame]] / [[Codecs.decodeMp4Frame]]
+    * — raw DIB via the byte kernel, JPEG-family samples via ImageIO),
+    * and reduce each to channel sums. One output row per sampled frame —
+    * frames of one video scatter across tasks downstream, and unsampled
+    * frames never pay a decode (the AVI walk is chunk-offset arithmetic;
+    * the MP4 `stbl` walk never slices unsampled `mdat` ranges). */
   def videoFrameFeatures(media: DataFrame, everyMs: Long,
                          idCol: String = "doc_id"): DataFrame = {
     val outSchema = StructType(Seq(
@@ -212,12 +229,26 @@ object Multimodal {
         if (bytes == null || bytes.isEmpty) Iterator.empty
         else {
           val id = r.getLong(idIdx)
-          val video = Codecs.decodeAvi(bytes)
-          val periodMs = math.max(video.usecPerFrame / 1000L, 1L)
-          val durationMs = video.frames.length * periodMs
+          // container dispatch: RIFF magic → AVI; anything else → MP4
+          // (decodeMp4 validates ftyp/moov and fails loudly otherwise)
+          val isAvi = bytes.length >= 4 && bytes(0) == 'R'.toByte &&
+            bytes(1) == 'I'.toByte && bytes(2) == 'F'.toByte &&
+            bytes(3) == 'F'.toByte
+          val (periodMs, nFrames, decode) =
+            if (isAvi) {
+              val video = Codecs.decodeAvi(bytes)
+              (math.max(video.usecPerFrame / 1000L, 1L),
+                video.frames.length,
+                (fi: Int) => Codecs.decodeVideoFrame(video, fi))
+            } else {
+              val video = Codecs.decodeMp4(bytes)
+              (video.msPerFrame, video.numSamples,
+                (fi: Int) => Codecs.decodeMp4Frame(video, fi))
+            }
+          val durationMs = nFrames * periodMs
           Iterator.range(0L, durationMs, everyMs).map { t =>
             val fi = (t / periodMs).toInt
-            val img = Codecs.decodeVideoFrame(video, fi)
+            val img = decode(fi)
             var sr = 0L; var sg = 0L; var sb = 0L
             var i = 0
             while (i < img.rgb.length) {

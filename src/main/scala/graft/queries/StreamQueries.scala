@@ -223,6 +223,28 @@ object StreamQueries {
       |  CAST(sum((doc_id + fi + x * y) % 256) AS BIGINT) AS sum_b
       |FROM px GROUP BY doc_id, frame_ms, fi, w, h""".stripMargin
 
+  /** REAL MP4 decode: synthesize a valid ISO-BMFF container per document
+    * (ftyp/mdat/moov box walk, full stbl sample table) holding whole-
+    * JPEG samples, then sample a frame every 80 ms via the SAMPLE TABLE
+    * (unsampled mdat ranges are never sliced) and ImageIO-decode only
+    * the sampled frames. JPEG samples are lossy, so the oracle checks
+    * the losslessly-preserved surface: the sample schedule the stbl
+    * arithmetic produces, and each decoded frame's exact dimensions and
+    * pixel count — same contract as q_multimodal_jpeg. Inter-frame
+    * codecs (avc1/vp09) stay honestly opaque ([[qMediaBytestats]]). */
+  def qMultimodalMp4(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoFrameFeatures(
+      Multimodal.mp4Table(Tables(s, dir, "documents")), everyMs = 80)
+      .select(col("doc_id"), col("frame_idx"), col("frame_ms"),
+        col("width"), col("height"), col("n_pixels"))
+
+  val qMultimodalMp4Sql: String =
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 12 AS w, 4 + doc_id % 7 AS h,
+      |  1 + doc_id % 5 AS nf FROM documents)
+      |SELECT doc_id, (t // 40)::INT AS frame_idx, t::BIGINT AS frame_ms,
+      |  w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels
+      |FROM d, UNNEST(range(0, nf * 40, 80)) AS tt(t)""".stripMargin
+
   /** Byte statistics over opaque payloads (formats with no JVM decoder).
     * Oracle exploits the fixture texts being pure ASCII: byte stream ==
     * codepoint stream. */
@@ -367,6 +389,7 @@ object StreamQueries {
     "q_multimodal_jpeg"   -> (qMultimodalJpeg _),
     "q_multimodal_resize_png" -> (qMultimodalResizePng _),
     "q_multimodal_video"  -> (qMultimodalVideo _),
+    "q_multimodal_mp4"    -> (qMultimodalMp4 _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_resize_real" -> (qMultimodalResizeReal _),
@@ -388,6 +411,7 @@ object StreamQueries {
     "q_multimodal_jpeg"   -> qMultimodalJpegSql,
     "q_multimodal_resize_png" -> qMultimodalResizeRealSql,
     "q_multimodal_video"  -> qMultimodalVideoSql,
+    "q_multimodal_mp4"    -> qMultimodalMp4Sql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
     "q_multimodal_resize" -> qMultimodalResizeSql,
     "q_multimodal_resize_real" -> qMultimodalResizeRealSql,

@@ -260,6 +260,66 @@ class CodecSpec extends AnyFunSuite {
       Codecs.decodeAvi(good.dropRight(10)))
   }
 
+  test("MP4 JPEG-sample roundtrip: stbl arithmetic exact, sampled decode " +
+       "via ImageIO; largesize/co64/multi-chunk forms parse") {
+    val w = 12; val h = 6
+    val px = (f: Int) => (x: Int, y: Int) =>
+      ((x * 31 + f) % 256 << 16) | ((y * 17 + f) % 256 << 8) | ((x + y + f) % 256)
+    val samples = (0 until 4).map(f => Codecs.encodeJpeg(w, h, px(f)))
+    val mp4 = Codecs.encodeMp4(w, h, timescale = 1000, sampleDelta = 40,
+      fourcc = "jpeg", samples = samples)
+    val v = Codecs.decodeMp4(mp4)
+    assert(v.width == w && v.height == h && v.fourcc == "jpeg")
+    assert(v.timescale == 1000 && v.sampleDelta == 40 && v.msPerFrame == 40)
+    assert(v.numSamples == 4)
+    // the sample table slices each sample back byte-identical to what
+    // the muxer wrote into mdat
+    for (f <- 0 until 4)
+      assert(java.util.Arrays.equals(Codecs.mp4SampleBytes(v, f),
+        samples(f).toArray), s"sample $f bytes")
+    val img = Codecs.decodeMp4Frame(v, 2)
+    assert(img.width == w && img.height == h && img.rgb.length == w * h)
+    // 64-bit largesize form of mdat: size=1 marker + u64; offsets shift
+    // by the 8 extra header bytes
+    val buf = java.nio.ByteBuffer.wrap(mp4)
+    val ftypSize = buf.getInt(0)
+    val mdatSize = buf.getInt(ftypSize)
+    val big = new java.io.ByteArrayOutputStream()
+    big.write(mp4, 0, ftypSize)
+    big.write(java.nio.ByteBuffer.allocate(16).putInt(1)
+      .put("mdat".getBytes("US-ASCII")).putLong(mdatSize + 8L).array())
+    big.write(mp4, ftypSize + 8, mdatSize - 8)
+    val moovStart = ftypSize + mdatSize
+    // rewrite stco's single chunk offset (+8) inside the copied moov
+    val moov = java.util.Arrays.copyOfRange(mp4, moovStart, mp4.length)
+    val stcoIdx = {
+      def find(a: Array[Byte], s: String): Int = {
+        val pat = s.getBytes("US-ASCII")
+        (0 to a.length - pat.length).find(i =>
+          pat.indices.forall(j => a(i + j) == pat(j))).get
+      }
+      find(moov, "stco")
+    }
+    val mb = java.nio.ByteBuffer.wrap(moov)
+    mb.putInt(stcoIdx + 12, mb.getInt(stcoIdx + 12) + 8)
+    big.write(moov)
+    val vb = Codecs.decodeMp4(big.toByteArray)
+    assert(vb.numSamples == 4 &&
+      java.util.Arrays.equals(Codecs.mp4SampleBytes(vb, 3), samples(3).toArray),
+      "largesize mdat must parse with shifted offsets")
+    // malformed input fails loudly
+    val e1 = intercept[IllegalArgumentException](
+      Codecs.decodeMp4("this is not an iso-bmff file at all!".getBytes))
+    assert(e1.getMessage.contains("MP4"))
+    val e2 = intercept[IllegalArgumentException](
+      Codecs.decodeMp4(java.util.Arrays.copyOfRange(mp4, 0, ftypSize + 12)))
+    assert(e2.getMessage.contains("MP4"))
+    // inter-frame codec: loud refusal, not a wrong decode
+    val avc = Codecs.decodeMp4(Codecs.encodeMp4(w, h, 1000, 40, "avc1", samples))
+    val e3 = intercept[IllegalArgumentException](Codecs.decodeMp4Frame(avc, 0))
+    assert(e3.getMessage.contains("avc1"))
+  }
+
   test("NormalizeText: NFC composes combining marks and compatibility singletons") {
     import org.apache.spark.sql.functions.col
     import graft.functions.TextExpressions
