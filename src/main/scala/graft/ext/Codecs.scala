@@ -660,6 +660,48 @@ object Codecs {
   def encodeJpeg(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] =
     encodeImageIO(width, height, pixel, "jpg")
 
+  /** Encode a pixel grid losslessly as TIFF — the JDK bundles a TIFF
+    * ImageIO plugin since Java 9, so the archival-scan format decodes
+    * for real in any stock JVM. */
+  def encodeTiff(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] =
+    encodeImageIO(width, height, pixel, "tiff")
+
+  /** Encode a GRAYSCALE pixel grid losslessly as GIF: the image is built
+    * TYPE_BYTE_INDEXED over an explicit 256-entry gray palette, so the
+    * writer's palette step is the identity and GIF's LZW (lossless)
+    * round-trips every sample exactly — whereas an arbitrary RGB grid
+    * would be quantized to 256 colors and stop being oracle-checkable.
+    * `gray` returns 0..255; the decoded RGB is (g, g, g). */
+  def encodeGifGray(width: Int, height: Int,
+                    gray: (Int, Int) => Int): Array[Byte] = {
+    val ramp = Array.tabulate[Byte](256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, gray(x, y) & 0xFF); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "image: no ImageIO writer for 'gif'")
+    val writer = writers.next()
+    // the JDK writer interlaces by default, and its own reader
+    // de-interlaces heights < 8 incorrectly — write sequential rows
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(out)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); out.close() }
+    bos.toByteArray
+  }
+
   private def encodeImageIO(width: Int, height: Int,
                             pixel: (Int, Int) => Int, fmt: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(

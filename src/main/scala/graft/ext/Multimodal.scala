@@ -184,6 +184,21 @@ object Multimodal {
         fourcc = "DIB ", frames = frames.toSeq)
     })
 
+  /** Synthesize REAL TIFF payloads ([[Codecs.encodeTiff]], the JDK's
+    * bundled TIFF plugin) over the same closed-form grid — TIFF is
+    * lossless RGB, so the SAME oracle as BMP/PNG checks it. */
+  def tiffTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    gridImageTable(docs, idCol, Codecs.encodeTiff)
+
+  /** Synthesize REAL GIF payloads ([[Codecs.encodeGifGray]]) — GIF's
+    * palette limit makes arbitrary RGB lossy, so the grid is the GRAY
+    * projection of the shared formula's red channel: every decoded
+    * channel equals `(doc_id + 3x + 7y) % 256` exactly. */
+  def gifTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    gridMediaTable(docs, idCol, (id, w, h) =>
+      Codecs.encodeGifGray(w, h,
+        (x, y) => ((id + 3 * x + 7 * y) % 256).toInt))
+
   /** Synthesize REAL MP4 videos: a valid ISO-BMFF container
     * ([[Codecs.encodeMp4]] — ftyp/mdat/moov with a full stbl sample
     * table) whose samples are whole baseline JPEGs over the shared grid

@@ -223,6 +223,31 @@ object StreamQueries {
       |  CAST(sum((doc_id + fi + x * y) % 256) AS BIGINT) AS sum_b
       |FROM px GROUP BY doc_id, frame_ms, fi, w, h""".stripMargin
 
+  /** REAL TIFF decode via the JDK's bundled TIFF plugin: lossless RGB
+    * over the shared grid, so the SAME closed-form oracle as BMP/PNG
+    * proves the round-trip bit-exact on the archival-scan format. */
+  def qMultimodalTiff(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageFeatures(Multimodal.tiffTable(Tables(s, dir, "documents")))
+
+  val qMultimodalTiffSql: String = qMultimodalDecodeSql
+
+  /** REAL GIF decode: indexed 256-gray palette keeps GIF's LZW round
+    * trip exact (an RGB grid would be palette-quantized), so each
+    * decoded channel is closed-form `(doc_id + 3x + 7y) % 256`. */
+  def qMultimodalGif(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageFeatures(Multimodal.gifTable(Tables(s, dir, "documents")))
+
+  val qMultimodalGifSql: String =
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 12 AS w, 4 + doc_id % 7 AS h
+      |  FROM documents)
+      |SELECT doc_id, w::INT AS width, h::INT AS height,
+      |  (w * h)::BIGINT AS n_pixels,
+      |  CAST(sum((doc_id + 3 * x + 7 * y) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((doc_id + 3 * x + 7 * y) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((doc_id + 3 * x + 7 * y) % 256) AS BIGINT) AS sum_b
+      |FROM d, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y)
+      |GROUP BY doc_id, w, h""".stripMargin
+
   /** REAL MP4 decode: synthesize a valid ISO-BMFF container per document
     * (ftyp/mdat/moov box walk, full stbl sample table) holding whole-
     * JPEG samples, then sample a frame every 80 ms via the SAMPLE TABLE
@@ -390,6 +415,8 @@ object StreamQueries {
     "q_multimodal_resize_png" -> (qMultimodalResizePng _),
     "q_multimodal_video"  -> (qMultimodalVideo _),
     "q_multimodal_mp4"    -> (qMultimodalMp4 _),
+    "q_multimodal_tiff"   -> (qMultimodalTiff _),
+    "q_multimodal_gif"    -> (qMultimodalGif _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_multimodal_resize" -> (qMultimodalResize _),
     "q_multimodal_resize_real" -> (qMultimodalResizeReal _),
@@ -412,6 +439,8 @@ object StreamQueries {
     "q_multimodal_resize_png" -> qMultimodalResizeRealSql,
     "q_multimodal_video"  -> qMultimodalVideoSql,
     "q_multimodal_mp4"    -> qMultimodalMp4Sql,
+    "q_multimodal_tiff"   -> qMultimodalTiffSql,
+    "q_multimodal_gif"    -> qMultimodalGifSql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
     "q_multimodal_resize" -> qMultimodalResizeSql,
     "q_multimodal_resize_real" -> qMultimodalResizeRealSql,

@@ -260,6 +260,28 @@ class CodecSpec extends AnyFunSuite {
       Codecs.decodeAvi(good.dropRight(10)))
   }
 
+  test("GIF indexed-gray and TIFF RGB roundtrips are pixel-exact") {
+    // 4x4 is the interlace regression case: the JDK GIF writer's default
+    // progressive mode mis-round-trips heights < 8, so encodeGifGray
+    // must write sequential rows
+    for ((w, h) <- Seq((4, 4), (16, 10))) {
+      val gray = (x: Int, y: Int) => (3 * x + 7 * y) % 256
+      val img = Codecs.decodeImage(Codecs.encodeGifGray(w, h, gray))
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = gray(x, y)
+        assert(img.rgb(y * w + x) == ((g << 16) | (g << 8) | g),
+          s"gif ${w}x$h pixel ($x,$y)")
+      }
+    }
+    val px = (x: Int, y: Int) =>
+      ((x * 31) % 256 << 16) | ((y * 17) % 256 << 8) | ((x + y) % 256)
+    val tiff = Codecs.decodeImage(Codecs.encodeTiff(9, 7, px))
+    assert(tiff.width == 9 && tiff.height == 7)
+    for (y <- 0 until 7; x <- 0 until 9)
+      assert(tiff.rgb(y * 9 + x) == px(x, y), s"tiff pixel ($x,$y)")
+  }
+
   test("MP4 JPEG-sample roundtrip: stbl arithmetic exact, sampled decode " +
        "via ImageIO; largesize/co64/multi-chunk forms parse") {
     val w = 12; val h = 6
