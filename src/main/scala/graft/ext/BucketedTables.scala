@@ -241,6 +241,24 @@ private[ext] object BucketedTables {
         s"sidecar commit rename failed: $tmp -> $target")
     }
 
+  /** Add a sidecar to the table's CURRENT snapshot dir (temp-file +
+    * rename, like the commit-time path). For ADVISORY metadata only —
+    * written after the snapshot commit, so a crash in between leaves the
+    * snapshot without it, which readers must surface loudly (the
+    * missing-sidecar error) rather than pair with stale data. Metadata
+    * the index's CORRECTNESS depends on (e.g. the quantizer) must ride
+    * the commit itself via `writeBucketed`/`writeSnapshot`'s `sidecar`
+    * parameter instead. */
+  def addSidecar(spark: SparkSession, table: String, name: String,
+                 bytes: Array[Byte]): Unit =
+    writeSidecarFiles(spark, new Path(location(spark, table)).toString,
+      Seq(name -> bytes))
+
+  def sidecarExists(spark: SparkSession, table: String, name: String): Boolean = {
+    val p = new Path(new Path(location(spark, table)), name)
+    fsFor(spark, p).exists(p)
+  }
+
   /** Length + checksum frame around a sidecar payload, so a torn or
     * bit-rotted file can NEVER be decoded as valid metadata: header line
     * `<payload length> <xxhash-like checksum>\n`, then the payload. */

@@ -56,6 +56,23 @@ object SimilarityIndex {
 
   private val QuantizerSidecar = "_quantizer"
 
+  /** Build-time per-cell occupancy, the drift baseline [[needsRetrain]]
+    * compares against. ADVISORY metadata: written into the snapshot dir
+    * right AFTER the build commit (a crash in between degrades loudly to
+    * "no drift baseline", never to wrong neighbors), carried forward by
+    * [[compact]], untouched by [[append]] — so it keeps describing the
+    * distribution the quantizer was TRAINED on while the live occupancy
+    * drifts away from it. */
+  private val CellStatsSidecar = "_cellstats"
+
+  private def encodeCellStats(counts: Seq[(Long, Long)]): Array[Byte] =
+    counts.map { case (cell, n) => s"$cell $n" }.mkString("\n").getBytes("UTF-8")
+
+  private def decodeCellStats(bytes: Array[Byte]): Seq[(Long, Long)] =
+    new String(bytes, "UTF-8").split("\n").toSeq.map { line =>
+      val p = line.split(" "); (p(0).toLong, p(1).toLong)
+    }
+
   /** Bit-exact text codec for the quantizer: one line per centroid,
     * cell id then each component's raw long bits, space-separated. */
   private def encodeQuantizer(cents: Seq[(Long, Seq[Double])]): Array[Byte] =
@@ -108,6 +125,14 @@ object SimilarityIndex {
     // still active (a takedown never silently resurfaces), after it the
     // stale rows it leaves are epoch-mismatched noise.
     BucketedTables.dropTable(spark, tombsTable(base))
+    // drift baseline: per-cell counts read back from the COMMITTED
+    // bucketed table (a column-pruned count, not a second assignment
+    // pass over the corpus), added as an advisory post-commit sidecar
+    val counts = spark.table(cellsTable(base)).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    BucketedTables.addSidecar(spark, cellsTable(base), CellStatsSidecar,
+      encodeCellStats(counts))
   }
 
   /** An index built before the sidecar design stored its quantizer in a
@@ -197,12 +222,20 @@ object SimilarityIndex {
       BucketedTables.activeTombIds(spark, tombsTable(base), epoch)
     val quantizer =
       BucketedTables.readSidecar(spark, cellsTable(base), QuantizerSidecar)
+    // the drift BASELINE rides along unchanged (it describes what the
+    // quantizer was trained on, which a compaction does not change);
+    // absent on pre-baseline snapshots, and stays absent then
+    val carried = Seq(QuantizerSidecar -> quantizer) ++
+      (if (BucketedTables.sidecarExists(spark, cellsTable(base), CellStatsSidecar))
+         Seq(CellStatsSidecar ->
+           BucketedTables.readSidecar(spark, cellsTable(base), CellStatsSidecar))
+       else Nil)
     BucketedTables.withForcedBucketedScan(spark) {
       BucketedTables.swapLocation(spark, cellsTable(base),
         BucketedTables.writeSnapshot(spark, cellsTable(base), Seq("cell"),
           BucketedTables.maskByTombs(
             BucketedTables.compactionFrame(spark, cellsTable(base)), tombIds),
-          sidecar = Seq(QuantizerSidecar -> quantizer)))
+          sidecar = carried))
       // the tombstones folded above are inert now (the swap changed the
       // epoch); clearing the table is garbage collection
       BucketedTables.truncateBucketed(spark, tombsTable(base), Seq("id"))
@@ -277,5 +310,72 @@ object SimilarityIndex {
         .dropDuplicates(),
       tombIds))
     Similarity.searchCells(corpus, probes, k)
+  }
+
+  /** Occupancy + bucket co-residency of the standing index — makes the
+    * header's sizing contract ("probe I/O is the probed BUCKETS' total
+    * rows, not the probed cells'") measurable. One row per cell:
+    *
+    *  - `n_rows` / `share` — the cell's PHYSICAL rows (tombstoned rows
+    *    still get read, so they count) and fraction of the corpus;
+    *  - `bucket` — the bucket the cell hashes to (the same Murmur3+pmod
+    *    Spark's bucketed write used, so this IS the file set a probe of
+    *    this cell reads);
+    *  - `bucket_rows` / `cells_in_bucket` — that bucket's total load;
+    *  - `probe_amplification` — bucket_rows / n_rows: 1.0 means the cell
+    *    owns its bucket, larger means co-hashed cells inflate this
+    *    cell's probe I/O (the hash-collision cost the header documents;
+    *    rebuild with more buckets to push it back toward 1).
+    *
+    * One map-side-combinable aggregation over the cells table to k rows;
+    * the window passes run over those k rows on one partition. */
+  def stats(spark: SparkSession, base: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    BucketedTables.heal(spark, Seq(cellsTable(base)))
+    val buckets = BucketedTables.bucketsOf(spark, cellsTable(base))
+    val byBucket = Window.partitionBy(col("bucket"))
+    spark.table(cellsTable(base))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("share",
+        col("n_rows") / sum(col("n_rows")).over(Window.partitionBy(lit(1))))
+      .withColumn("bucket", pmod(hash(col("cell")), lit(buckets)))
+      .withColumn("bucket_rows", sum(col("n_rows")).over(byBucket))
+      .withColumn("cells_in_bucket", count(lit(1)).over(byBucket))
+      .withColumn("probe_amplification", col("bucket_rows") / col("n_rows"))
+  }
+
+  /** Worst-case rows ONE query's probe reads at `nprobe`: the `nprobe`
+    * largest buckets' combined rows (each probed cell drags in its whole
+    * bucket — the pruning unit is the bucket, not the cell). */
+  def probeIoUpperBound(spark: SparkSession, base: String,
+                        nprobe: Int): Long =
+    stats(spark, base).select(col("bucket"), col("bucket_rows")).distinct()
+      .orderBy(col("bucket_rows").desc).limit(nprobe)
+      .agg(coalesce(sum(col("bucket_rows")), lit(0L))).collect()(0).getLong(0)
+
+  /** Advisory drift trigger: true when the hottest cell's share of the
+    * live corpus has grown to `factor`× the hottest BUILD-time share —
+    * appends under the stored quantizer concentrating into few cells is
+    * exactly how IVF degrades, and the fix is a rebuild ([[write]]
+    * retrains; its snapshot swap keeps probes consistent throughout).
+    * Requires the build-time baseline sidecar — an index built before
+    * drift tracking reports loudly; rebuild once to start tracking. */
+  def needsRetrain(spark: SparkSession, base: String,
+                   factor: Double = 2.0): Boolean = {
+    BucketedTables.heal(spark, Seq(cellsTable(base)))
+    require(
+      BucketedTables.sidecarExists(spark, cellsTable(base), CellStatsSidecar),
+      s"$base: no build-time cell-stats baseline in the current snapshot " +
+        "(index predates drift tracking, or the post-commit stats write " +
+        "crashed) — rebuild with write() to establish one")
+    val build = decodeCellStats(
+      BucketedTables.readSidecar(spark, cellsTable(base), CellStatsSidecar))
+    val buildTotal = build.map(_._2).sum.toDouble
+    val buildMaxShare = build.map(_._2).max / math.max(buildTotal, 1.0)
+    val current = spark.table(cellsTable(base))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
+    val total = current.map(_.getLong(1)).sum.toDouble
+    val maxShare = current.map(_.getLong(1)).max / math.max(total, 1.0)
+    maxShare >= factor * buildMaxShare
   }
 }

@@ -404,6 +404,32 @@ object MiningQueries {
       e.filter(col("vec_id") < 10), k = 5, nprobe = 2)
   }
 
+  /** The ANN index's OBSERVABILITY surface under the oracle gate:
+    * build the standing index, then read back its per-cell occupancy
+    * ([[graft.ext.SimilarityIndex.stats]] — the operator that makes the
+    * bucket co-residency contract measurable). Cell assignment is the
+    * deterministic Lloyd round, so the occupancy is exact: the oracle
+    * recomputes every cell's row count and corpus share from scratch.
+    * (The bucket-level columns are Spark's own hash layout — asserted
+    * against a crafted hot cell in IOSpec, where the layout is
+    * observable, rather than here where DuckDB cannot recompute it.) */
+  def qAnnStats(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    graft.ext.SimilarityIndex.write(e, "embedding", "vec_id", "q_ann_stats",
+      k = 4, iters = 1, buckets = 4)
+    graft.ext.SimilarityIndex.stats(s, "q_ann_stats")
+      .select(col("cell"), col("n_rows"), col("share"))
+  }
+
+  // lazy: ivfCellsPrefix reads cosSql, declared later in this object —
+  // an eager val here NPEs at <clinit>
+  lazy val qAnnStatsSql: String =
+    s"""${ivfCellsPrefix("TRUE", "TRUE")}
+       |tot AS (SELECT count(*) AS n FROM cells)
+       |SELECT cell, count(*)::BIGINT AS n_rows,
+       |  count(*)::DOUBLE / (SELECT n FROM tot) AS share
+       |FROM cells GROUP BY cell""".stripMargin
+
   /** Train/test SPLIT-LEAKAGE audit — the check every training-data
     * pipeline runs before shipping a split: find near-duplicate pairs
     * that straddle the train/test boundary (a test example with a
@@ -667,6 +693,7 @@ object MiningQueries {
     "q_sim_incr_idx"    -> (qSimIncrIdx _),
     "q_sim_sq8_idx"     -> (qSimSq8Idx _),
     "q_sim_delete"      -> (qSimDelete _),
+    "q_ann_stats"       -> (qAnnStats _),
     "q_split_leakage"   -> (qSplitLeakage _),
     "q_wrangle_json"    -> (qWrangleJson _),
     "q_attribution"     -> (qAttribution _),
@@ -687,6 +714,7 @@ object MiningQueries {
     "q_sim_incr_idx"    -> qSimIncrIdxSql,
     "q_sim_sq8_idx"     -> qSimSq8IdxSql,
     "q_sim_delete"      -> qSimDeleteSql,
+    "q_ann_stats"       -> qAnnStatsSql,
     "q_split_leakage"   -> qSplitLeakageSql,
     "q_wrangle_json"    -> qWrangleJsonSql,
     "q_attribution"     -> qAttributionSql,

@@ -284,6 +284,77 @@ class IOSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ANN index stats expose bucket co-residency; a drifted append " +
+       "flips needsRetrain; a rebuild resets the baseline and more " +
+       "buckets restore the probe bound") {
+    import graft.ext.SimilarityIndex
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = e.count()
+    SimilarityIndex.write(e, "embedding", "vec_id", "t_stats_idx",
+      k = 4, iters = 1, buckets = 4)
+    val s0 = SimilarityIndex.stats(spark, "t_stats_idx").collect()
+    // occupancy is exact and internally consistent
+    assert(s0.map(_.getAs[Long]("n_rows")).sum == n)
+    assert(math.abs(s0.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    val byBucket = s0.groupBy(_.getAs[Int]("bucket"))
+    for (r <- s0) {
+      val mates = byBucket(r.getAs[Int]("bucket"))
+      assert(r.getAs[Long]("bucket_rows") ==
+        mates.map(_.getAs[Long]("n_rows")).sum)
+      assert(r.getAs[Long]("cells_in_bucket") == mates.length)
+      assert(r.getAs[Double]("probe_amplification") >= 1.0)
+    }
+    assert(SimilarityIndex.probeIoUpperBound(spark, "t_stats_idx", 1) ==
+      s0.map(_.getAs[Long]("bucket_rows")).max)
+    // fresh build: occupancy IS the baseline, no drift
+    assert(!SimilarityIndex.needsRetrain(spark, "t_stats_idx"))
+    // drifted append stream: 3x the corpus, all copies of one vector —
+    // they all land in one cell under the STORED quantizer
+    val drift = spark.range(3 * n)
+      .select((col("id") + 100000L).as("vec_id"))
+      .crossJoin(broadcast(e.filter(col("vec_id") === 0).select(col("embedding"))))
+    SimilarityIndex.append(spark, "t_stats_idx", drift)
+    val s1 = SimilarityIndex.stats(spark, "t_stats_idx").collect()
+    val hotShare = s1.map(_.getAs[Double]("share")).max
+    assert(hotShare > 0.7, s"drift did not concentrate: $hotShare")
+    assert(SimilarityIndex.needsRetrain(spark, "t_stats_idx"),
+      "a 3x single-cell drift must flip the advisory retrain predicate")
+    // the hot cell's probe cost is measurable, not silent: the upper
+    // bound now carries the drifted mass
+    assert(SimilarityIndex.probeIoUpperBound(spark, "t_stats_idx", 1) >= 3 * n)
+    // rebuild = retrain on the drifted corpus: the baseline resets, so
+    // the predicate clears even though the DATA is genuinely skewed
+    // (needsRetrain measures drift SINCE build, not imbalance)
+    val grown = e.select(col("vec_id"), col("embedding"))
+      .unionByName(drift.select(col("vec_id"), col("embedding")))
+    // pick a bucket count that hashes the k cells collision-free (the
+    // hash layout is deterministic, so this is a fixed small search)
+    val cells0 = s1.map(_.getAs[Long]("cell")).distinct.toSeq
+    val cellHash = cells0.map(c =>
+      c -> spark.range(1).select(hash(lit(c))).head.getInt(0)).toMap
+    def bucketOf(c: Long, b: Int) = {
+      val m = cellHash(c) % b; if (m < 0) m + b else m
+    }
+    // bucket counts need not be powers of two; the fixture's cell ids
+    // happen to collide mod every power of two up to 64
+    val buckets = (8 to 200).find { b =>
+      val ids = cells0.map(bucketOf(_, b))
+      ids.distinct.length == ids.length
+    }.get
+    SimilarityIndex.write(grown, "embedding", "vec_id", "t_stats_idx",
+      k = 4, iters = 1, buckets = buckets)
+    assert(!SimilarityIndex.needsRetrain(spark, "t_stats_idx"),
+      "rebuild must reset the drift baseline")
+    // with collision-free buckets every cell owns its bucket: the
+    // documented probe bound tightens back to the probed CELL's rows
+    val s2 = SimilarityIndex.stats(spark, "t_stats_idx").collect()
+    for (r <- s2)
+      assert(r.getAs[Double]("probe_amplification") == 1.0,
+        s"cell ${r.getAs[Long]("cell")} shares bucket ${r.getAs[Int]("bucket")}")
+    assert(SimilarityIndex.probeIoUpperBound(spark, "t_stats_idx", 1) ==
+      s2.map(_.getAs[Long]("n_rows")).max)
+  }
+
   test("standing ANN index: probes bucket-prune to probed cells; results == ad-hoc IVF") {
     import graft.ext.{Similarity, SimilarityIndex}
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
