@@ -164,6 +164,8 @@ private[ext] object BucketedTables {
       if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE $t")
     }
     pruneVersionsAt(spark, root, keep = Set.empty)
+    fsFor(spark, root).delete(new Path(root, "_lease"), false)
+    ()
   }
 
   /** `sidecar` (name → bytes) files are written INTO the new snapshot
@@ -240,6 +242,57 @@ private[ext] object BucketedTables {
       require(fs.rename(tmp, target),
         s"sidecar commit rename failed: $tmp -> $target")
     }
+
+  /** Exclusive WRITER lease for a standing index, anchored at the index's
+    * anchor table. "Run compactions OFFLINE relative to writers" used to
+    * be documented-but-unenforced: an append racing a compaction can land
+    * its rows in the snapshot dir the swap is about to replace — silent
+    * row loss — and a delete can stamp an epoch the racing swap just
+    * retired — a silently lost takedown. The lease turns both races into
+    * LOUD failures: every mutating index API runs inside
+    * [[withWriterLease]], which claims `<table root>/_lease` via the
+    * filesystem's atomic create-if-absent (HDFS create is atomic; the
+    * local scheme's is too) and releases it when the body finishes.
+    * A second writer finds the file and throws, naming the holder.
+    * Readers take no lease (probe consistency comes from the snapshot
+    * epoch protocol, not locking). A writer that DIED holding the lease
+    * leaves it behind — deliberately: the filesystem cannot tell a crash
+    * from a slow compaction, so un-wedging is an operator decision
+    * ([[clearLease]]) after verifying the holder is gone. */
+  def withWriterLease[A](spark: SparkSession, table: String,
+                         op: String)(body: => A): A = {
+    val root = versionRootOf(spark, table)
+    val fs = fsFor(spark, root)
+    val lease = new Path(root, "_lease")
+    val token = s"$op by ${
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
+    val out =
+      try fs.create(lease, false)
+      catch { case _: java.io.IOException =>
+        val holder =
+          try {
+            val in = fs.open(lease)
+            try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          } catch { case _: java.io.IOException => "<unreadable>" }
+        throw new IllegalStateException(
+          s"$table: writer lease held by [$holder] — standing-index " +
+            "writers are exclusive (an append racing a compaction would " +
+            "vanish with the replaced snapshot; a racing delete would be " +
+            "silently retired). Wait for the holder, or clearLease() " +
+            "after verifying it is dead.")
+      }
+    try { out.write(token.getBytes("UTF-8")); out.close(); body }
+    finally fs.delete(lease, false)
+  }
+
+  /** Operator escape hatch: remove a lease left by a writer that died
+    * holding it. Only after verifying the holder is actually gone — the
+    * lease cannot distinguish a crash from a slow compaction. */
+  def clearLease(spark: SparkSession, table: String): Unit = {
+    val root = versionRootOf(spark, table)
+    fsFor(spark, root).delete(new Path(root, "_lease"), false)
+    ()
+  }
 
   /** Add a sidecar to the table's CURRENT snapshot dir (temp-file +
     * rename, like the commit-time path). For ADVISORY metadata only —

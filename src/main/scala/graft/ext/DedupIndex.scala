@@ -124,8 +124,11 @@ object DedupIndex {
             shingleN: Int = 3, buckets: Int = 32,
             mode: SaveMode = SaveMode.Overwrite,
             batchId: Long = BulkBid): Unit =
-    writeImpl(corpus, textCol, idCol, blockCol, base, threshold, shingleN,
-      buckets, mode, batchId, healFirst = true)
+    BucketedTables.withWriterLease(corpus.sparkSession, exactTable(base),
+        "write") {
+      writeImpl(corpus, textCol, idCol, blockCol, base, threshold, shingleN,
+        buckets, mode, batchId, healFirst = true)
+    }
 
   /** [[write]] body; `healFirst = false` skips the entry heal for
     * callers that already healed this call chain ([[appendKept]]) —
@@ -247,7 +250,10 @@ object DedupIndex {
     * legacy index must be rebuilt before per-document deletion — its
     * exact rows cannot be attributed to holders. */
   def delete(spark: SparkSession, base: String, ids: DataFrame,
-             idCol: String): Unit = {
+             idCol: String): Unit =
+   // leased: a delete racing a compaction swap would stamp an epoch the
+   // swap just retired — a silently lost takedown
+   BucketedTables.withWriterLease(spark, exactTable(base), "delete") {
     // exact is healed too (scratch-adopt only): the epoch stamp reads
     // its live snapshot identity
     BucketedTables.heal(spark,
@@ -270,7 +276,7 @@ object DedupIndex {
       ids.select(col(idCol).as("id")).distinct()
         .withColumn("ep", lit(epoch)),
       tombsTable(base), Seq("id"), buckets = 4, SaveMode.Append)
-  }
+   }
 
   // snapshot write / atomic swap / shuffle-free per-bucket dedup are
   // shared standing-index machinery ([[BucketedTables]]); aliased here
@@ -300,8 +306,10 @@ object DedupIndex {
     * by their tombstones (cleared only after ALL four fold). Run it
     * OFFLINE relative to WRITERS (probes racing the swap re-plan
     * safely; a concurrent append could land in the dir being
-    * replaced). */
-  def compact(spark: SparkSession, base: String): Unit = {
+    * replaced) — ENFORCED by the writer lease: a racing append/delete
+    * fails loudly instead of losing rows. */
+  def compact(spark: SparkSession, base: String): Unit =
+   BucketedTables.withWriterLease(spark, exactTable(base), "compaction") {
     healInterrupted(spark, base)
     // epoch + tombstones read BEFORE any scan resolves (read-order
     // contract in BucketedTables.activeTombIds)
@@ -327,7 +335,7 @@ object DedupIndex {
       // changed the epoch); clearing the table is garbage collection
       BucketedTables.truncateBucketed(spark, tombsTable(base), Seq("id"))
     }
-  }
+   }
 
   /** Judge `delta` against the standing index — same output contract as
     * [[Dedup.dedupIncremental]] (every delta row with `keep` + drop
@@ -453,7 +461,16 @@ object DedupIndex {
     * cut the stored prefixes, and a too-short stored prefix silently
     * weakens recall. */
   def migrate(spark: SparkSession, base: String, threshold: Double,
-              rebuildPref: Boolean = false): Unit = {
+              rebuildPref: Boolean = false): Unit =
+    BucketedTables.withWriterLease(spark, exactTable(base), "migration") {
+      migrateImpl(spark, base, threshold, rebuildPref)
+    }
+
+  /** [[migrate]] body, unleased — [[appendKept]] calls it while already
+    * holding the writer lease (the lease is not reentrant). */
+  private def migrateImpl(spark: SparkSession, base: String,
+                          threshold: Double,
+                          rebuildPref: Boolean = false): Unit = {
     healInterrupted(spark, base)
     def rewrite(table: String, keys: Seq[String], df: DataFrame): Unit = {
       val snap = df.localCheckpoint()
@@ -499,12 +516,15 @@ object DedupIndex {
   def appendKept(spark: SparkSession, base: String, batch: DataFrame,
                  verdicts: DataFrame, textCol: String, idCol: String,
                  blockCol: String, threshold: Double,
-                 shingleN: Int = 3, batchId: Long = BulkBid): Unit = {
+                 shingleN: Int = 3, batchId: Long = BulkBid): Unit =
+   // leased: rows appended while a compaction is writing its snapshots
+   // would land in a dir the swaps are about to replace and vanish
+   BucketedTables.withWriterLease(spark, exactTable(base), "append") {
     healInterrupted(spark, base)
     val exactCols = spark.table(exactTable(base)).columns
     if (!exactCols.contains("bid") || !exactCols.contains("id") ||
         !spark.table(prefTable(base)).columns.contains("pos"))
-      migrate(spark, base, threshold)
+      migrateImpl(spark, base, threshold)
     val buckets = bucketsOf(spark, exactTable(base))
     val kept = batch.join(
       verdicts.filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")

@@ -104,7 +104,9 @@ object SimilarityIndex {
     * oracle-checkable (q_sim_sq8_idx). */
   def write(corpus: DataFrame, vecCol: String, idCol: String, base: String,
             k: Int, iters: Int, buckets: Int = 32,
-            codec: String = "float"): Unit = {
+            codec: String = "float"): Unit =
+   BucketedTables.withWriterLease(corpus.sparkSession, cellsTable(base),
+       "rebuild") {
     val spark = corpus.sparkSession
     // refresh = false: this is an overwrite — nothing reads the old state
     BucketedTables.heal(spark, Seq(cellsTable(base)), refresh = false)
@@ -133,7 +135,7 @@ object SimilarityIndex {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
     BucketedTables.addSidecar(spark, cellsTable(base), CellStatsSidecar,
       encodeCellStats(counts))
-  }
+   }
 
   /** An index built before the sidecar design stored its quantizer in a
     * separate `<base>_centroids` table — superseded (and its separate
@@ -185,7 +187,10 @@ object SimilarityIndex {
     * re-appended rows alike. Re-ingest a deleted id AFTER a compact
     * (or a rebuild) has retired its tombstone. */
   def delete(spark: SparkSession, base: String, ids: DataFrame,
-             idCol: String = "vec_id"): Unit = {
+             idCol: String = "vec_id"): Unit =
+   // leased: a delete racing a compaction swap would stamp an epoch the
+   // swap just retired — a silently lost takedown
+   BucketedTables.withWriterLease(spark, cellsTable(base), "delete") {
     // cells is healed too (scratch-adopt only): the epoch stamp reads
     // its live snapshot identity
     BucketedTables.heal(spark, Seq(cellsTable(base), tombsTable(base)),
@@ -196,7 +201,7 @@ object SimilarityIndex {
       ids.select(col(idCol).as("id")).distinct()
         .withColumn("ep", lit(epoch)),
       tombsTable(base), Seq("id"), buckets = 4, SaveMode.Append)
-  }
+   }
 
   /** Compact the standing index: fold each bucket's accumulated append
     * files back to one, drop exact-duplicate rows a replayed append
@@ -213,7 +218,8 @@ object SimilarityIndex {
     * tombstones atomically; the clear after it is garbage collection
     * of rows that are already inert. Run OFFLINE relative to WRITERS,
     * like [[DedupIndex.compact]]. */
-  def compact(spark: SparkSession, base: String): Unit = {
+  def compact(spark: SparkSession, base: String): Unit =
+   BucketedTables.withWriterLease(spark, cellsTable(base), "compaction") {
     BucketedTables.heal(spark, Seq(cellsTable(base), tombsTable(base)))
     // epoch read FIRST (see BucketedTables.activeTombIds' read-order
     // contract), then the tombstone set, then the corpus scan
@@ -240,7 +246,7 @@ object SimilarityIndex {
       // epoch); clearing the table is garbage collection
       BucketedTables.truncateBucketed(spark, tombsTable(base), Seq("id"))
     }
-  }
+   }
 
   /** Fold a batch of NEW vectors into the index — continuous ingestion.
     * Assignment uses the STORED quantizer (the sidecar), so appended
@@ -252,7 +258,10 @@ object SimilarityIndex {
     * cell balance over time — re-train by rebuilding with [[write]]
     * (the snapshot swap keeps probes consistent throughout). */
   def append(spark: SparkSession, base: String, batch: DataFrame,
-             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+             idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+   // leased: rows appended while a compaction is writing its snapshot
+   // would land in the dir the swap is about to replace and vanish
+   BucketedTables.withWriterLease(spark, cellsTable(base), "append") {
     BucketedTables.heal(spark, Seq(cellsTable(base)))
     val cents = decodeQuantizer(
       BucketedTables.readSidecar(spark, cellsTable(base), QuantizerSidecar))

@@ -861,6 +861,61 @@ class IOSpec extends AnyFunSuite {
     }
   }
 
+  test("writer lease: mutating index calls racing a held compaction " +
+       "fail loudly with no silent row loss; release unblocks") {
+    import graft.ext.DedupIndex
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    DedupIndex.write(docs, "text", "doc_id", "lang", "t_lease_idx",
+      threshold = 0.5, buckets = 4)
+    // simulate an in-flight compaction from another session: the lease
+    // file sits at the anchor table's version root, exactly where the
+    // engine's atomic create-if-absent claims it
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("t_lease_idx_exact"))
+      .location
+    val leaseFile = new java.io.File(
+      new java.io.File(loc).getParentFile, "_lease")
+    java.nio.file.Files.writeString(leaseFile.toPath,
+      "compaction by test-harness@999")
+    try {
+      val before = spark.table("t_lease_idx_exact").count()
+      val extra = Seq((777001L, "en", "lease test totally new words"))
+        .toDF("doc_id", "lang", "text")
+      val keepAll = extra.select(col("doc_id"), lit(true).as("keep"),
+        lit(null).cast("string").as("reason"))
+      // append, delete, compact, migrate: all refuse, naming the holder
+      val e1 = intercept[IllegalStateException](DedupIndex.appendKept(
+        spark, "t_lease_idx", extra, keepAll, "text", "doc_id", "lang",
+        threshold = 0.5, batchId = 11L))
+      assert(e1.getMessage.contains("lease") &&
+        e1.getMessage.contains("test-harness"))
+      intercept[IllegalStateException](DedupIndex.delete(
+        spark, "t_lease_idx", extra.select(col("doc_id")), "doc_id"))
+      intercept[IllegalStateException](
+        DedupIndex.compact(spark, "t_lease_idx"))
+      intercept[IllegalStateException](
+        DedupIndex.migrate(spark, "t_lease_idx", threshold = 0.5))
+      // nothing landed anywhere — the refused append lost no rows into
+      // a dir a racing swap would replace
+      assert(spark.table("t_lease_idx_exact").count() == before)
+      // release (the operator's clearLease decision) unblocks writers,
+      // and a successful leased op releases its own lease on the way out
+      leaseFile.delete()
+      DedupIndex.appendKept(spark, "t_lease_idx", extra, keepAll,
+        "text", "doc_id", "lang", threshold = 0.5, batchId = 11L)
+      assert(spark.table("t_lease_idx_exact").count() == before + 1)
+      DedupIndex.compact(spark, "t_lease_idx")
+      assert(!leaseFile.exists(),
+        "a completed compaction must release its lease")
+      assert(spark.table("t_lease_idx_exact").count() == before + 1)
+    } finally {
+      leaseFile.delete()
+      for (sfx <- Seq("_exact", "_pref", "_sh", "_band", "_tombs");
+           t <- Seq(s"t_lease_idx$sfx", s"t_lease_idx${sfx}__next"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("interrupted overwrite commit heals on the next index call") {
     import graft.ext.{Dedup, DedupIndex}
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
