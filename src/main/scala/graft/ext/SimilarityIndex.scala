@@ -128,10 +128,17 @@ object SimilarityIndex {
     // stale rows it leaves are epoch-mismatched noise.
     BucketedTables.dropTable(spark, tombsTable(base))
     // drift baseline: per-cell counts read back from the COMMITTED
-    // bucketed table (a column-pruned count, not a second assignment
-    // pass over the corpus), added as an advisory post-commit sidecar
-    val counts = spark.table(cellsTable(base)).groupBy(col("cell"))
-      .agg(count(lit(1)).as("n")).collect()
+    // snapshot dir (a column-pruned count, not a second assignment pass
+    // over the corpus), added as an advisory post-commit sidecar. Read
+    // by PATH, not table name: resolving the table here would prime
+    // this session's relation cache with the fresh build's listing, and
+    // that cached listing would then mask later appends/swaps from
+    // OTHER sessions for any caller counting the table directly
+    // (cross-session visibility is heal()'s job on the engine's own
+    // read paths, but write() must not plant the trap).
+    val counts = spark.read.parquet(
+        BucketedTables.location(spark, cellsTable(base)).toString)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
     BucketedTables.addSidecar(spark, cellsTable(base), CellStatsSidecar,
       encodeCellStats(counts))
