@@ -350,10 +350,13 @@ object SimilarityIndex {
     BucketedTables.heal(spark, Seq(cellsTable(base)))
     val buckets = BucketedTables.bucketsOf(spark, cellsTable(base))
     val byBucket = Window.partitionBy(col("bucket"))
-    spark.table(cellsTable(base))
+    val perCell = spark.table(cellsTable(base))
       .groupBy(col("cell")).agg(count(lit(1)).as("n_rows"))
-      .withColumn("share",
-        col("n_rows") / sum(col("n_rows")).over(Window.partitionBy(lit(1))))
+    // corpus total as a broadcast one-row frame (a whole-frame window
+    // would warn and single-partition; the k-row windows below are fine)
+    val total = perCell.agg(sum(col("n_rows")).as("__total"))
+    perCell.crossJoin(broadcast(total))
+      .withColumn("share", col("n_rows") / col("__total")).drop("__total")
       .withColumn("bucket", pmod(hash(col("cell")), lit(buckets)))
       .withColumn("bucket_rows", sum(col("n_rows")).over(byBucket))
       .withColumn("cells_in_bucket", count(lit(1)).over(byBucket))
