@@ -620,8 +620,11 @@ object ExtQueries {
     val docs = Tables(s, dir, "documents")
     val kept = qDedupClusters(s, dir) // the PRODUCTION emitted set
       .select(col("doc_id").as("id"))
+    // the production pair generator, materialized ONCE: the edge-breach
+    // scan and the cluster recomputation below would otherwise each
+    // re-run the LSH+verify pipeline from the parquet scan up
     val pairs = Dedup.nearDupPairs(docs, "text", "doc_id",
-      threshold = DedupClustersThreshold) // the production pair generator
+      threshold = DedupClustersThreshold).localCheckpoint()
     val edgeBreach = pairs
       .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
