@@ -250,15 +250,38 @@ private[ext] object BucketedTables {
     * row loss — and a delete can stamp an epoch the racing swap just
     * retired — a silently lost takedown. The lease turns both races into
     * LOUD failures: every mutating index API runs inside
-    * [[withWriterLease]], which claims `<table root>/_lease` via the
-    * filesystem's atomic create-if-absent (HDFS create is atomic; the
-    * local scheme's is too) and releases it when the body finishes.
+    * [[withWriterLease]], which claims `<table root>/_lease` via an
+    * atomic create-if-absent and releases it when the body finishes.
     * A second writer finds the file and throws, naming the holder.
     * Readers take no lease (probe consistency comes from the snapshot
-    * epoch protocol, not locking). A writer that DIED holding the lease
-    * leaves it behind — deliberately: the filesystem cannot tell a crash
-    * from a slow compaction, so un-wedging is an operator decision
-    * ([[clearLease]]) after verifying the holder is gone. */
+    * epoch protocol, not locking).
+    *
+    * THE CREATE MUST ACTUALLY BE ATOMIC, and which primitive is depends
+    * on the scheme — [[acquireLease]] capability-gates instead of
+    * assuming:
+    *  - `file://` — `RawLocalFileSystem.create(overwrite = false)` is an
+    *    exists-check-then-create (a TOCTOU window), so the local scheme
+    *    uses `java.nio` `CREATE_NEW` (O_EXCL), which the OS makes atomic;
+    *  - `hdfs://` (and viewfs/webhdfs fronting it) — `create(overwrite =
+    *    false)` is atomic at the NameNode;
+    *  - stores advertising the Hadoop 3.4+ conditional-create capability
+    *    (S3A with conditional writes enabled) — `createFile().overwrite(
+    *    false).must(conditional-overwrite)`, enforced by the store at
+    *    stream CLOSE (If-None-Match semantics), which the acquire treats
+    *    as the commit point;
+    *  - anything else REFUSES loudly ("lease unsupported on <scheme>")
+    *    rather than silently not excluding — an operator who has verified
+    *    their store's plain create is atomic can vouch for the scheme via
+    *    [[LeaseTrustConfKey]].
+    *
+    * A writer that DIED holding the lease leaves it behind —
+    * deliberately: the filesystem cannot tell a crash from a slow
+    * compaction, so un-wedging is an operator decision ([[clearLease]]).
+    * What MAKES that decision possible is the liveness heartbeat: a live
+    * writer refreshes the lease file's mtime at phase boundaries
+    * (snapshot written, pre-swap — [[renewLease]]), so [[leaseInfo]]'s
+    * (holder, mtime) distinguishes a writer that is still advancing from
+    * one whose heartbeat stopped long ago. */
   def withWriterLease[A](spark: SparkSession, table: String,
                          op: String)(body: => A): A = {
     val root = versionRootOf(spark, table)
@@ -266,28 +289,137 @@ private[ext] object BucketedTables {
     val lease = new Path(root, "_lease")
     val token = s"$op by ${
       java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
-    val out =
-      try fs.create(lease, false)
-      catch { case _: java.io.IOException =>
-        val holder =
-          try {
-            val in = fs.open(lease)
-            try new String(in.readAllBytes(), "UTF-8") finally in.close()
-          } catch { case _: java.io.IOException => "<unreadable>" }
+    acquireLease(spark, fs, lease, token, table)
+    try body finally fs.delete(lease, false)
+  }
+
+  /** Schemes whose `FileSystem.create(path, overwrite = false)` is a true
+    * atomic create-if-absent, enforced by a central metadata service (the
+    * HDFS NameNode — viewfs/webhdfs are fronts over it). NOT the local
+    * scheme: `RawLocalFileSystem` emulates the flag with a non-atomic
+    * exists check, so `file://` takes the O_EXCL path instead. */
+  private val AtomicCreateSchemes = Set("hdfs", "viewfs", "webhdfs", "swebhdfs")
+
+  /** Comma-separated extra schemes the OPERATOR vouches for: their plain
+    * `create(overwrite = false)` is trusted as atomic create-if-absent.
+    * The escape hatch for stores the capability gate cannot recognize —
+    * setting it for a store where create is check-then-act re-opens the
+    * silent-row-loss race the lease exists to close, so vouch only after
+    * verifying the store's semantics. */
+  val LeaseTrustConfKey = "spark.graft.index.lease.trustedSchemes"
+
+  private def trustedSchemes(spark: SparkSession): Set[String] =
+    spark.conf.getOption(LeaseTrustConfKey)
+      .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  private val CondCreateCapability =
+    org.apache.hadoop.fs.Options.CreateFileOptionKeys
+      .FS_OPTION_CREATE_CONDITIONAL_OVERWRITE
+
+  /** Claim `lease` with token `token`, or throw: `IllegalStateException`
+    * naming the holder when the lease is demonstrably held, the
+    * unsupported-scheme refusal when no atomic primitive exists for this
+    * filesystem, and the ORIGINAL `IOException` otherwise — a permission
+    * error or an unreachable filesystem must not masquerade as "held by
+    * <holder>" and send the operator chasing a writer that isn't there. */
+  private def acquireLease(spark: SparkSession, fs: FileSystem, lease: Path,
+                           token: String, table: String): Unit = {
+    def held(): Nothing = {
+      val holder =
+        try {
+          val in = fs.open(lease)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        } catch { case _: java.io.IOException => "<unreadable>" }
+      throw new IllegalStateException(
+        s"$table: writer lease held by [$holder] — standing-index " +
+          "writers are exclusive (an append racing a compaction would " +
+          "vanish with the replaced snapshot; a racing delete would be " +
+          "silently retired). Wait for the holder, or clearLease() " +
+          "after verifying it is dead (leaseInfo() shows the holder and " +
+          "its last heartbeat).")
+    }
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
+    val bytes = token.getBytes("UTF-8")
+    try {
+      if (scheme == "file") {
+        val p = java.nio.file.Paths.get(lease.toUri.getPath)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        ()
+      } else if (AtomicCreateSchemes(scheme) || trustedSchemes(spark)(scheme)) {
+        val out = fs.create(lease, false)
+        try out.write(bytes) finally out.close()
+      } else if (fs.hasPathCapability(lease, CondCreateCapability)) {
+        // the store enforces exclusivity at stream close (conditional
+        // PUT) — close() inside this try IS the acquisition commit point
+        val out = fs.createFile(lease).overwrite(false)
+          .must(CondCreateCapability, true).build()
+        try out.write(bytes) finally out.close()
+      } else {
         throw new IllegalStateException(
-          s"$table: writer lease held by [$holder] — standing-index " +
-            "writers are exclusive (an append racing a compaction would " +
-            "vanish with the replaced snapshot; a racing delete would be " +
-            "silently retired). Wait for the holder, or clearLease() " +
-            "after verifying it is dead.")
+          s"$table: writer lease unsupported on filesystem scheme " +
+            s"'$scheme' — its create is not an atomic create-if-absent, " +
+            "so a lease there could not actually exclude a concurrent " +
+            "writer (two racing writers would both \"acquire\" it, " +
+            "re-opening the silent-row-loss race). Host the index on " +
+            "HDFS or a store with conditional create, or set " +
+            s"$LeaseTrustConfKey=$scheme after verifying this store's " +
+            "create(overwrite=false) is atomic.")
       }
-    try { out.write(token.getBytes("UTF-8")); out.close(); body }
-    finally fs.delete(lease, false)
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => held()
+      case _: java.nio.file.FileAlreadyExistsException => held()
+      case e: java.io.IOException =>
+        // only diagnose "held" when the lease file demonstrably exists
+        val exists =
+          try fs.exists(lease)
+          catch { case _: java.io.IOException => false }
+        if (exists) held() else throw e
+    }
+  }
+
+  /** Liveness heartbeat: refresh the anchor table's lease mtime so an
+    * operator can tell a live writer from a dead one ([[leaseInfo]]).
+    * ADVISORY — called at phase boundaries by the index lifecycles, a
+    * no-op when this table holds no lease (the non-anchor tables of a
+    * multi-table index), and never fails the writer over a heartbeat. */
+  def renewLease(spark: SparkSession, table: String): Unit = {
+    val root = versionRootOf(spark, table)
+    val fs = fsFor(spark, root)
+    val lease = new Path(root, "_lease")
+    try if (fs.exists(lease))
+      fs.setTimes(lease, System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException => () }
+  }
+
+  /** The current lease holder's token and last-heartbeat mtime (millis),
+    * None when no lease is held — what [[clearLease]]'s "verify the
+    * holder is dead" actually looks at: a holder whose mtime stopped
+    * advancing phases ago is dead; one that advanced recently is a slow
+    * writer, not a crash. */
+  def leaseInfo(spark: SparkSession, table: String): Option[(String, Long)] = {
+    val root = versionRootOf(spark, table)
+    val fs = fsFor(spark, root)
+    val lease = new Path(root, "_lease")
+    try {
+      if (!fs.exists(lease)) None
+      else {
+        val mtime = fs.getFileStatus(lease).getModificationTime
+        val in = fs.open(lease)
+        val holder = try new String(in.readAllBytes(), "UTF-8")
+                     finally in.close()
+        Some((holder, mtime))
+      }
+    } catch { case _: java.io.IOException => None }
   }
 
   /** Operator escape hatch: remove a lease left by a writer that died
     * holding it. Only after verifying the holder is actually gone — the
-    * lease cannot distinguish a crash from a slow compaction. */
+    * lease cannot distinguish a crash from a slow compaction; use
+    * [[leaseInfo]]'s heartbeat mtime as the staleness signal. */
   def clearLease(spark: SparkSession, table: String): Unit = {
     val root = versionRootOf(spark, table)
     fsFor(spark, root).delete(new Path(root, "_lease"), false)

@@ -191,6 +191,9 @@ object DedupIndex {
         Future.sequence(concurrent.map(w => Future(w()).transform(Try(_)))),
         Duration.Inf)
       settled.collectFirst { case Failure(e) => e }.foreach(throw _)
+      // liveness heartbeat: the satellite snapshots have landed — the
+      // longest phase of a build/append is behind us
+      BucketedTables.renewLease(corpus.sparkSession, exactTable(base))
       if (mode != SaveMode.Append) exactWrite()
     } finally
       // free the checkpoint blocks even when a write fails mid-retry —
@@ -326,10 +329,13 @@ object DedupIndex {
       exactTable(base) -> Seq("h", "t"))
     BucketedTables.withForcedBucketedScan(spark) {
       tables.foreach { case (table, keys) =>
-        swapLocation(spark, table,
-          writeSnapshot(spark, table, keys,
-            BucketedTables.maskByTombs(
-              compactionFrame(spark, table), tombIds)))
+        val snap = writeSnapshot(spark, table, keys,
+          BucketedTables.maskByTombs(
+            compactionFrame(spark, table), tombIds))
+        // liveness heartbeat at the phase boundary (snapshot written,
+        // about to swap) — what leaseInfo's staleness check observes
+        BucketedTables.renewLease(spark, exactTable(base))
+        swapLocation(spark, table, snap)
       }
       // the tombstones folded above are inert now (the anchor swap
       // changed the epoch); clearing the table is garbage collection

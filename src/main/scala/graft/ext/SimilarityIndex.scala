@@ -127,6 +127,9 @@ object SimilarityIndex {
     // still active (a takedown never silently resurfaces), after it the
     // stale rows it leaves are epoch-mismatched noise.
     BucketedTables.dropTable(spark, tombsTable(base))
+    // liveness heartbeat: the cells snapshot has committed — the long
+    // phase (train + assign + write) of a rebuild is behind us
+    BucketedTables.renewLease(spark, cellsTable(base))
     // drift baseline: per-cell counts read back from the COMMITTED
     // snapshot dir (a column-pruned count, not a second assignment pass
     // over the corpus), added as an advisory post-commit sidecar. Read
@@ -244,11 +247,15 @@ object SimilarityIndex {
            BucketedTables.readSidecar(spark, cellsTable(base), CellStatsSidecar))
        else Nil)
     BucketedTables.withForcedBucketedScan(spark) {
-      BucketedTables.swapLocation(spark, cellsTable(base),
+      val snap =
         BucketedTables.writeSnapshot(spark, cellsTable(base), Seq("cell"),
           BucketedTables.maskByTombs(
             BucketedTables.compactionFrame(spark, cellsTable(base)), tombIds),
-          sidecar = carried))
+          sidecar = carried)
+      // liveness heartbeat at the phase boundary (snapshot written,
+      // about to swap) — what leaseInfo's staleness check observes
+      BucketedTables.renewLease(spark, cellsTable(base))
+      BucketedTables.swapLocation(spark, cellsTable(base), snap)
       // the tombstones folded above are inert now (the swap changed the
       // epoch); clearing the table is garbage collection
       BucketedTables.truncateBucketed(spark, tombsTable(base), Seq("id"))
