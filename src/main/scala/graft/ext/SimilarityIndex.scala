@@ -65,13 +65,31 @@ object SimilarityIndex {
     * drifts away from it. */
   private val CellStatsSidecar = "_cellstats"
 
+  /** RUNNING per-cell occupancy, maintained incrementally so the drift
+    * check never costs a corpus scan: [[write]] seeds it equal to the
+    * baseline, [[append]] folds each batch's per-cell counts in (the
+    * append already assigned the batch its cells — the fold reuses that
+    * batch-sized frame), and [[compact]] re-bases it exactly from the
+    * folded snapshot. Counts are PHYSICAL rows (tombstoned rows still
+    * occupy their cells until a compaction removes them), matching both
+    * [[stats]] and what a probe actually reads. ADVISORY: a crash
+    * between an append's row commit and its sidecar fold leaves it
+    * stale-low; [[needsRetrain]] self-heals a MISSING sidecar with one
+    * establishing scan, and the next compaction re-bases any staleness
+    * away. */
+  private val OccupancySidecar = "_occupancy"
+
   private def encodeCellStats(counts: Seq[(Long, Long)]): Array[Byte] =
     counts.map { case (cell, n) => s"$cell $n" }.mkString("\n").getBytes("UTF-8")
 
+  /** Inverse of [[encodeCellStats]]; an empty payload (an index built
+    * from zero rows) decodes to the empty occupancy rather than a
+    * NumberFormatException naming neither index nor condition. */
   private def decodeCellStats(bytes: Array[Byte]): Seq[(Long, Long)] =
-    new String(bytes, "UTF-8").split("\n").toSeq.map { line =>
-      val p = line.split(" "); (p(0).toLong, p(1).toLong)
-    }
+    new String(bytes, "UTF-8").split("\n").toSeq
+      .filter(_.nonEmpty).map { line =>
+        val p = line.split(" "); (p(0).toLong, p(1).toLong)
+      }
 
   /** Bit-exact text codec for the quantizer: one line per centroid,
     * cell id then each component's raw long bits, space-separated. */
@@ -144,6 +162,9 @@ object SimilarityIndex {
       .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
     BucketedTables.addSidecar(spark, cellsTable(base), CellStatsSidecar,
+      encodeCellStats(counts))
+    // the running occupancy starts out identical to the baseline
+    BucketedTables.addSidecar(spark, cellsTable(base), OccupancySidecar,
       encodeCellStats(counts))
    }
 
@@ -259,6 +280,18 @@ object SimilarityIndex {
       // the tombstones folded above are inert now (the swap changed the
       // epoch); clearing the table is garbage collection
       BucketedTables.truncateBucketed(spark, tombsTable(base), Seq("id"))
+      // re-base the running occupancy EXACTLY from the folded snapshot
+      // (tombstoned + replay-duplicate rows just left; any staleness an
+      // append-crash window accumulated is corrected here too). Read by
+      // PATH — a write path must not prime this session's relation
+      // cache. Not carried through the swap like the quantizer: a crash
+      // before this line leaves the sidecar MISSING (needsRetrain
+      // self-heals with one establishing scan), never silently stale.
+      BucketedTables.addSidecar(spark, cellsTable(base), OccupancySidecar,
+        encodeCellStats(
+          spark.read.parquet(snap)
+            .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)))
     }
    }
 
@@ -283,11 +316,38 @@ object SimilarityIndex {
     val codec =
       if (spark.table(cellsTable(base)).columns.contains("qb")) "sq8"
       else "float"
-    BucketedTables.writeBucketed(
-      encodeCells(Similarity.assignCells(batch, vecCol, idCol, cents), codec),
-      cellsTable(base), Seq("cell"),
-      BucketedTables.bucketsOf(spark, cellsTable(base)), SaveMode.Append)
+    // checkpoint the batch-sized assigned frame so the occupancy fold
+    // below reuses THIS assignment instead of re-running it
+    val enc = encodeCells(
+      Similarity.assignCells(batch, vecCol, idCol, cents), codec)
+      .localCheckpoint()
+    try {
+      BucketedTables.writeBucketed(enc, cellsTable(base), Seq("cell"),
+        BucketedTables.bucketsOf(spark, cellsTable(base)), SaveMode.Append)
+      // fold the batch's per-cell counts into the running occupancy —
+      // the append path already knows each batch's cells, so the drift
+      // check never has to rediscover them with a corpus scan
+      foldOccupancy(spark, base,
+        enc.groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    } finally graft.exec.Partitioning.unpersistCheckpoint(enc)
   }
+
+  /** Merge `delta` per-cell counts into the [[OccupancySidecar]]. A
+    * missing sidecar (a pre-occupancy legacy index) is left missing —
+    * folding a delta into an unknown base would record a lie;
+    * [[needsRetrain]]'s establishing scan or [[migrate]] creates it. */
+  private def foldOccupancy(spark: SparkSession, base: String,
+                            delta: Seq[(Long, Long)]): Unit =
+    if (BucketedTables.sidecarExists(spark, cellsTable(base), OccupancySidecar)) {
+      val cur = decodeCellStats(BucketedTables.readSidecar(
+        spark, cellsTable(base), OccupancySidecar)).toMap
+      val d = delta.toMap
+      val merged = (cur.keySet ++ d.keySet).toSeq.sorted
+        .map(c => (c, cur.getOrElse(c, 0L) + d.getOrElse(c, 0L)))
+      BucketedTables.addSidecar(spark, cellsTable(base), OccupancySidecar,
+        encodeCellStats(merged))
+    }
 
   /** Top-k cosine neighbors for `queries` against the standing index.
     * The quantizer comes from the current snapshot's sidecar (k×dim on
@@ -385,7 +445,17 @@ object SimilarityIndex {
     * exactly how IVF degrades, and the fix is a rebuild ([[write]]
     * retrains; its snapshot swap keeps probes consistent throughout).
     * Requires the build-time baseline sidecar — an index built before
-    * drift tracking reports loudly; rebuild once to start tracking. */
+    * drift tracking reports loudly; [[migrate]] synthesizes a re-based
+    * one without a rebuild.
+    *
+    * The CURRENT occupancy comes from the [[OccupancySidecar]] the write
+    * paths maintain — two sidecar reads, ZERO Spark jobs: at 100 TB an
+    * advisory check must not cost a corpus scan when every append
+    * already knew its own cell counts. Only when the sidecar is missing
+    * (pre-occupancy index that was appended to before upgrading; the
+    * compaction crash window) does ONE establishing scan run — and it
+    * writes the sidecar, so the scan never repeats. An EMPTY index
+    * (either side) reports false: no rows is no drift evidence. */
   def needsRetrain(spark: SparkSession, base: String,
                    factor: Double = 2.0): Boolean = {
     BucketedTables.heal(spark, Seq(cellsTable(base)))
@@ -393,15 +463,63 @@ object SimilarityIndex {
       BucketedTables.sidecarExists(spark, cellsTable(base), CellStatsSidecar),
       s"$base: no build-time cell-stats baseline in the current snapshot " +
         "(index predates drift tracking, or the post-commit stats write " +
-        "crashed) — rebuild with write() to establish one")
+        "crashed) — rebuild with write(), or migrate() to synthesize a " +
+        "re-based baseline from the current occupancy")
     val build = decodeCellStats(
       BucketedTables.readSidecar(spark, cellsTable(base), CellStatsSidecar))
-    val buildTotal = build.map(_._2).sum.toDouble
-    val buildMaxShare = build.map(_._2).max / math.max(buildTotal, 1.0)
-    val current = spark.table(cellsTable(base))
-      .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
-    val total = current.map(_.getLong(1)).sum.toDouble
-    val maxShare = current.map(_.getLong(1)).max / math.max(total, 1.0)
-    maxShare >= factor * buildMaxShare
+    val current =
+      if (BucketedTables.sidecarExists(spark, cellsTable(base), OccupancySidecar))
+        decodeCellStats(BucketedTables.readSidecar(
+          spark, cellsTable(base), OccupancySidecar))
+      else {
+        val scanned = scanOccupancy(spark, base)
+        BucketedTables.addSidecar(spark, cellsTable(base), OccupancySidecar,
+          encodeCellStats(scanned))
+        scanned
+      }
+    if (build.isEmpty || current.isEmpty) false
+    else {
+      val buildTotal = build.map(_._2).sum.toDouble
+      val buildMaxShare = build.map(_._2).max / math.max(buildTotal, 1.0)
+      val total = current.map(_._2).sum.toDouble
+      val maxShare = current.map(_._2).max / math.max(total, 1.0)
+      maxShare >= factor * buildMaxShare
+    }
   }
+
+  /** One establishing per-cell count over the live snapshot — the only
+    * corpus scan in the drift machinery, run once per index that
+    * predates the occupancy sidecar. Reads by PATH so this (write-ish)
+    * path never primes the session relation cache. */
+  private def scanOccupancy(spark: SparkSession,
+                            base: String): Seq[(Long, Long)] =
+    spark.read.parquet(
+        BucketedTables.location(spark, cellsTable(base)).toString)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+
+  /** Upgrade a LEGACY standing ANN index in place so drift tracking
+    * works without a full rebuild: synthesizes the missing baseline
+    * and running-occupancy sidecars from the CURRENT per-cell counts
+    * (one scan). The synthesized baseline is RE-BASED — it describes
+    * the corpus at migration time, not what the quantizer was trained
+    * on, so [[needsRetrain]] measures drift relative to the migration
+    * point; an index that had already drifted badly will read as
+    * balanced until it drifts further (rebuild with [[write]] to get a
+    * true training-time baseline). A no-op on a current-era index. */
+  def migrate(spark: SparkSession, base: String): Unit =
+   BucketedTables.withWriterLease(spark, cellsTable(base), "migration") {
+    BucketedTables.heal(spark, Seq(cellsTable(base)))
+    val needBase = !BucketedTables.sidecarExists(
+      spark, cellsTable(base), CellStatsSidecar)
+    val needOcc = !BucketedTables.sidecarExists(
+      spark, cellsTable(base), OccupancySidecar)
+    if (needBase || needOcc) {
+      val occ = encodeCellStats(scanOccupancy(spark, base))
+      if (needBase)
+        BucketedTables.addSidecar(spark, cellsTable(base), CellStatsSidecar, occ)
+      if (needOcc)
+        BucketedTables.addSidecar(spark, cellsTable(base), OccupancySidecar, occ)
+    }
+   }
 }
