@@ -67,6 +67,17 @@ object DedupIndex {
   val LshBands = 16
   val LshSeed = 42L
 
+  /** Advisory append-pressure sidecar on the anchor (exact) table:
+    * payload `"<docs appended since last fold> <docs in the snapshot>"`.
+    * [[write]] seeds `0 <n>`, each append folds its batch's doc count
+    * in, [[compact]] re-bases to `0 <folded n>` — so [[needsCompact]]
+    * can weigh accumulated append mass against the snapshot without
+    * scanning anything. Same crash contract as the ANN occupancy
+    * sidecar: a crash between an append's row commit and the sidecar
+    * fold leaves it stale-low; missing on a legacy index (appends then
+    * skip the fold and [[appendedSinceSnapshot]] reports unknown). */
+  private val AppendedSidecar = "_appended"
+
   /** The per-document index artifacts for one frame: id, block, text hash,
     * text, and the hash-sorted shingle array ([[Dedup.prefixJaccardPairs]]'
     * representation — prefix-filter theory only needs a consistent global
@@ -195,6 +206,13 @@ object DedupIndex {
       // longest phase of a build/append is behind us
       BucketedTables.renewLease(corpus.sparkSession, exactTable(base))
       if (mode != SaveMode.Append) exactWrite()
+      // append-pressure sidecar: count from the checkpointed artifact
+      // blocks (one doc per row), no second pass over the corpus
+      val nDocs = art.count()
+      val spark = corpus.sparkSession
+      if (mode == SaveMode.Append) foldAppended(spark, base, nDocs)
+      else BucketedTables.addSidecar(spark, exactTable(base),
+        AppendedSidecar, s"0 $nDocs".getBytes("UTF-8"))
     } finally
       // free the checkpoint blocks even when a write fails mid-retry —
       // otherwise every failed attempt pins a dead block set until GC
@@ -340,8 +358,129 @@ object DedupIndex {
       // the tombstones folded above are inert now (the anchor swap
       // changed the epoch); clearing the table is garbage collection
       BucketedTables.truncateBucketed(spark, tombsTable(base), Seq("id"))
+      // re-base the append-pressure sidecar from the folded snapshot
+      // (read by PATH — a write path must not prime the relation cache)
+      val folded = spark.read.parquet(
+        BucketedTables.location(spark, exactTable(base)).toString).count()
+      BucketedTables.addSidecar(spark, exactTable(base), AppendedSidecar,
+        s"0 $folded".getBytes("UTF-8"))
     }
    }
+
+  /** Fold an append's doc count into the [[AppendedSidecar]]. Missing
+    * sidecar (legacy index) stays missing — folding into an unknown
+    * base would record a lie; the next [[compact]] establishes it. */
+  private def foldAppended(spark: SparkSession, base: String,
+                           nDocs: Long): Unit =
+    if (BucketedTables.sidecarExists(spark, exactTable(base), AppendedSidecar)) {
+      val p = new String(BucketedTables.readSidecar(
+        spark, exactTable(base), AppendedSidecar), "UTF-8").split(" ")
+      BucketedTables.addSidecar(spark, exactTable(base), AppendedSidecar,
+        s"${p(0).toLong + nDocs} ${p(1)}".getBytes("UTF-8"))
+    }
+
+  /** Docs appended since the last snapshot fold, with the snapshot's doc
+    * count — None on a legacy index that predates the sidecar (run a
+    * [[compact]] once to establish it). */
+  def appendedSinceSnapshot(spark: SparkSession,
+                            base: String): Option[(Long, Long)] = {
+    healInterrupted(spark, base)
+    if (!BucketedTables.sidecarExists(spark, exactTable(base), AppendedSidecar))
+      None
+    else {
+      val p = new String(BucketedTables.readSidecar(
+        spark, exactTable(base), AppendedSidecar), "UTF-8").split(" ")
+      Some((p(0).toLong, p(1).toLong))
+    }
+  }
+
+  /** ACTIVE pending deletions (epoch-matched tombstones the next
+    * compaction will fold) — the tombstone table is delta-sized by
+    * contract, so this count is never a corpus scan. */
+  def pendingTombstones(spark: SparkSession, base: String): Long = {
+    healInterrupted(spark, base)
+    BucketedTables.activeTombIds(spark, tombsTable(base),
+        BucketedTables.snapshotEpoch(spark, exactTable(base)))
+      .map(_.count()).getOrElse(0L)
+  }
+
+  /** Occupancy of the standing dedup index — the observability twin of
+    * [[SimilarityIndex.stats]]: one row per (table, bucket) across the
+    * four corpus tables, so an operator can SEE the state the probes'
+    * exchange-free contract depends on instead of trusting it:
+    *
+    *  - `tbl` — `exact` / `pref` / `sh` / `band`;
+    *  - `bucket` — the catalog bucket (the same Murmur3+pmod layout the
+    *    bucketed writes used, recomputed from each table's bucket keys
+    *    — so these rows ARE the file sets a probe's equi-join reads);
+    *  - `n_rows` — the bucket's physical rows (tombstone-masked rows
+    *    still get read, so they count);
+    *  - `share` — fraction of the TABLE's rows in this bucket (skew in
+    *    this column = one bucket dominating that table's probe I/O);
+    *  - `files` — parquet files in the bucket: a freshly compacted
+    *    bucket is one file, and every append adds more, so this is the
+    *    small-file/compaction-pressure signal per bucket.
+    *
+    * One map-side-combinable aggregation per table down to ≤ buckets
+    * rows; the file counts come from the snapshot dir listing (driver
+    * metadata, no data read). */
+  def stats(spark: SparkSession, base: String): DataFrame = {
+    healInterrupted(spark, base)
+    val tables = Seq(
+      ("exact", exactTable(base), Seq("h", "t")),
+      ("pref",  prefTable(base),  Seq("bk")),
+      ("sh",    shTable(base),    Seq("id")),
+      ("band",  bandTable(base),  Seq("bk")))
+    val perBucket = tables.map { case (label, table, keys) =>
+      val buckets = bucketsOf(spark, table)
+      spark.table(table)
+        .groupBy(pmod(hash(keys.map(col): _*), lit(buckets)).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(label).as("tbl"), col("bucket"), col("n_rows"))
+    }.reduce(_.unionByName(_))
+    val fileCounts = tables.flatMap { case (label, table, _) =>
+      bucketFileCounts(spark, table).map { case (b, n) => (label, b, n) }
+    }
+    val filesDf = spark.createDataFrame(fileCounts)
+      .toDF("tbl", "bucket", "files")
+    val byTbl = org.apache.spark.sql.expressions.Window.partitionBy(col("tbl"))
+    perBucket
+      .join(filesDf, Seq("tbl", "bucket"), "left")
+      .withColumn("files", coalesce(col("files"), lit(0L)))
+      .withColumn("share", col("n_rows") / sum(col("n_rows")).over(byTbl))
+      .select(col("tbl"), col("bucket"), col("n_rows"), col("share"),
+        col("files"))
+  }
+
+  /** Parquet files per bucket in `table`'s live snapshot dir, parsed
+    * from Spark's bucketed file naming (`..._<bucket id>.c...`). */
+  private def bucketFileCounts(spark: SparkSession,
+                               table: String): Seq[(Int, Long)] = {
+    val loc = new org.apache.hadoop.fs.Path(
+      BucketedTables.location(spark, table))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val pat = ".*_(\\d{5})(?:\\.c\\d+)?\\..*parquet$".r
+    fs.listStatus(loc).toSeq.filter(_.isFile).map(_.getPath.getName)
+      .collect { case pat(b) => b.toInt }
+      .groupBy(identity).map { case (b, fs0) => (b, fs0.size.toLong) }.toSeq
+  }
+
+  /** Advisory compaction trigger: true when deletions are pending (the
+    * fold is what physically applies a takedown) or when the appended
+    * doc mass since the last fold has reached `appendedRatio` of the
+    * snapshot (append files accumulate per batch — the fold restores
+    * one-file-per-bucket scans). An unknown append counter (legacy
+    * index, pre-sidecar) decides on tombstones alone. Deliberately NOT
+    * triggered by [[stats]]' `files` column: a fresh parallel build
+    * legitimately writes many files per bucket, and deciding on file
+    * counts would cry wolf right after every rebuild — the per-bucket
+    * file signal is surfaced for the operator instead. */
+  def needsCompact(spark: SparkSession, base: String,
+                   appendedRatio: Double = 0.5): Boolean =
+    pendingTombstones(spark, base) > 0 ||
+      appendedSinceSnapshot(spark, base).exists { case (appended, snap) =>
+        appended >= appendedRatio * math.max(snap, 1L)
+      }
 
   /** Judge `delta` against the standing index — same output contract as
     * [[Dedup.dedupIncremental]] (every delta row with `keep` + drop

@@ -736,6 +736,59 @@ object ExtQueries {
       "text", "doc_id", "lang", threshold = 0.5)
   }
 
+  /** The standing dedup index's OBSERVABILITY surface under the oracle
+    * gate — the twin of q_ann_stats: build the index, then read back
+    * per-table occupancy with [[graft.ext.DedupIndex.stats]] plus the
+    * [[graft.ext.DedupIndex.pendingTombstones]] /
+    * [[graft.ext.DedupIndex.appendedSinceSnapshot]] advisories that
+    * feed `needsCompact`. Every emitted number is recomputable from the
+    * shingle rule alone, so the oracle derives each table's expected
+    * row count from documents.parquet from scratch: `exact`/`sh` are
+    * one row per corpus doc, `band` is one row per MinHash band
+    * (16/doc), and `pref` is the PPJoin prefix explode — per doc
+    * `|t| - ceil(0.5·|t| - eps) + 1` distinct-shingle rows. A
+    * hash-pass proves the observability surface reports the index's
+    * PHYSICAL state exactly, not an estimate of it. (The per-BUCKET
+    * layout columns are Spark's own hash assignment — asserted against
+    * the real file layout in IOSpec, where it is observable, rather
+    * than here where DuckDB cannot recompute it.) */
+  def qDedupStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val base = "graft_idx_dstats"
+    DedupIndex.write(docs.filter(col("doc_id") % 5 =!= 0),
+      "text", "doc_id", "lang", base, threshold = 0.5, buckets = 4)
+    val totals = DedupIndex.stats(s, base)
+      .groupBy(col("tbl")).agg(sum(col("n_rows")).as("n_rows"))
+    // index-wide total as a broadcast one-row frame (the qAnnStats
+    // pattern — a whole-frame window would single-partition)
+    val tot = totals.agg(sum(col("n_rows")).as("__t"))
+    totals.crossJoin(broadcast(tot))
+      .select(col("tbl"), col("n_rows"),
+        (col("n_rows") / col("__t")).as("share"),
+        lit(DedupIndex.pendingTombstones(s, base)).as("pending_tombstones"),
+        lit(DedupIndex.appendedSinceSnapshot(s, base).map(_._1)
+          .getOrElse(-1L)).as("appended_docs"))
+  }
+
+  val qDedupStatsSql: String =
+    """WITH w AS (SELECT doc_id,
+      |  string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS w
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+      |    i -> array_to_string(w[i+1:i+3], ' '))) AS t FROM w),
+      |tc AS (
+      |  SELECT 'exact' AS tbl, count(*)::BIGINT AS n_rows FROM sh
+      |  UNION ALL SELECT 'sh', count(*)::BIGINT FROM sh
+      |  UNION ALL SELECT 'band', (16 * count(*))::BIGINT FROM sh
+      |  UNION ALL SELECT 'pref', coalesce(sum(CASE WHEN len(t) = 0 THEN 0
+      |    ELSE len(t) - CAST(ceil(0.5 * len(t) - 0.000000001) AS INT) + 1
+      |    END), 0)::BIGINT FROM sh),
+      |tot AS (SELECT sum(n_rows)::BIGINT AS n FROM tc)
+      |SELECT tbl, n_rows, n_rows::DOUBLE / (SELECT n FROM tot) AS share,
+      |  0::BIGINT AS pending_tombstones, 0::BIGINT AS appended_docs
+      |FROM tc""".stripMargin
+
   /** End-to-end corpus preparation — the pipeline a training-data user
     * actually runs, composed from the engine's own operators with one
     * composed oracle: quality gate → exact dedup (min-id per text) →
@@ -1203,6 +1256,7 @@ object ExtQueries {
     "q_dedup_clusters"   -> (qDedupClusters _),
     "q_dedup_incr"       -> (qDedupIncr _),
     "q_dedup_incr_idx"   -> (qDedupIncrIdx _),
+    "q_dedup_stats"      -> (qDedupStats _),
     "q_dedup_delete"     -> (qDedupDelete _),
     "q_corpus_prep"      -> (qCorpusPrep _),
     "q_cluster_exact"    -> (qClusterExact _),
@@ -1253,6 +1307,7 @@ object ExtQueries {
     "q_semdedup"         -> qSemDedupSql,
     "q_dedup_incr"       -> qDedupIncrSql,
     "q_dedup_incr_idx"   -> qDedupIncrSql,
+    "q_dedup_stats"      -> qDedupStatsSql,
     "q_dedup_delete"     -> qDedupDeleteSql,
     "q_corpus_prep"      -> qCorpusPrepSql,
     "q_near_dup_verified"      -> qNearDupVerifiedSql,

@@ -1007,6 +1007,94 @@ class IOSpec extends AnyFunSuite {
     assert(mixed == rebuilt)
   }
 
+  test("dedup index stats report the PHYSICAL bucket layout exactly; " +
+       "needsCompact advises on pending tombstones and append mass") {
+    import graft.ext.DedupIndex
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val corpusN = corpus.count()
+    val base = "t_dstats_idx"
+    DedupIndex.write(corpus, "text", "doc_id", "lang", base,
+      threshold = 0.5, buckets = 4)
+    def tableLoc(t: String) = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString))
+    try {
+      val st = DedupIndex.stats(spark, base).collect()
+      // per-table totals and shares are exact
+      for ((tbl, t) <- Seq("exact" -> s"${base}_exact", "pref" -> s"${base}_pref",
+          "sh" -> s"${base}_sh", "band" -> s"${base}_band")) {
+        val rows = st.filter(_.getAs[String]("tbl") == tbl)
+        assert(rows.map(_.getAs[Long]("n_rows")).sum == spark.table(t).count(),
+          s"$tbl occupancy must sum to the table's physical rows")
+        assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+      }
+      // the `files` column matches the real dir listing, and the
+      // `bucket` column IS the file layout: every row in a
+      // bucket-suffixed file hashes to that bucket id
+      val bucketPat = ".*_(\\d{5})(?:\\.c\\d+)?\\..*parquet$".r
+      val prefFiles = tableLoc(s"${base}_pref").listFiles()
+        .filter(_.isFile).flatMap(f => f.getName match {
+          case bucketPat(b) => Some((b.toInt, f))
+          case _ => None
+        })
+      val listed = prefFiles.groupBy(_._1).map { case (b, fs) => (b, fs.length.toLong) }
+      val reported = st.filter(_.getAs[String]("tbl") == "pref")
+        .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("files"))).toMap
+      assert(listed == reported.filter(_._2 > 0),
+        s"files per bucket: listed $listed vs reported $reported")
+      for ((b, f) <- prefFiles.take(4)) {
+        val bad = spark.read.parquet(f.getAbsolutePath)
+          .filter(pmod(hash(col("bk")), lit(4)) =!= lit(b)).count()
+        assert(bad == 0, s"file ${f.getName} holds rows outside bucket $b")
+      }
+      // advisory lifecycle: fresh build = zero pressure
+      assert(DedupIndex.appendedSinceSnapshot(spark, base)
+        .contains((0L, corpusN)))
+      assert(!DedupIndex.needsCompact(spark, base))
+      // append the delta (a fifth of the corpus): counted exactly, and
+      // the ratio trigger fires only below that mass
+      val delta = docs.filter(col("doc_id") % 5 === 0)
+      val deltaN = delta.count()
+      val keepAll = delta.select(col("doc_id"), lit(true).as("keep"),
+        lit(null).cast("string").as("reason"))
+      DedupIndex.appendKept(spark, base, delta, keepAll,
+        "text", "doc_id", "lang", threshold = 0.5, batchId = 7L)
+      assert(DedupIndex.appendedSinceSnapshot(spark, base)
+        .contains((deltaN, corpusN)))
+      assert(!DedupIndex.needsCompact(spark, base),
+        "a fifth of the corpus appended must not trip the default ratio")
+      assert(DedupIndex.needsCompact(spark, base,
+        appendedRatio = deltaN.toDouble / corpusN / 2),
+        "the ratio trigger must fire once appended mass crosses it")
+      // a pending tombstone alone advises compaction (the fold is what
+      // physically applies a takedown)
+      DedupIndex.delete(spark, base,
+        corpus.limit(1).select(col("doc_id")), "doc_id")
+      assert(DedupIndex.pendingTombstones(spark, base) == 1L)
+      assert(DedupIndex.needsCompact(spark, base))
+      // compaction re-bases: pressure back to zero, snapshot count folded
+      DedupIndex.compact(spark, base)
+      assert(DedupIndex.pendingTombstones(spark, base) == 0L)
+      val folded = spark.table(s"${base}_exact").count()
+      assert(DedupIndex.appendedSinceSnapshot(spark, base)
+        .contains((0L, folded)))
+      assert(!DedupIndex.needsCompact(spark, base))
+      // legacy index (no sidecar): appends report unknown, the advisory
+      // decides on tombstones alone, and a compact re-establishes
+      assert(new java.io.File(tableLoc(s"${base}_exact"), "_appended").delete())
+      assert(DedupIndex.appendedSinceSnapshot(spark, base).isEmpty)
+      assert(!DedupIndex.needsCompact(spark, base))
+      DedupIndex.compact(spark, base)
+      assert(DedupIndex.appendedSinceSnapshot(spark, base)
+        .contains((0L, folded)))
+    } finally {
+      for (sfx <- Seq("_exact", "_pref", "_sh", "_band", "_tombs");
+           t <- Seq(s"$base$sfx", s"$base${sfx}__next"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("streaming upsert sink maintains a keyed dimension across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
