@@ -27,13 +27,26 @@ class StreamSpec extends AnyFunSuite {
   }
 
   private def eventStream() = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+    // Mirror Tables.events' schema dispatch: readStream needs an explicit
+    // schema, so resolve the batch schema first and request the matching
+    // physical type, then normalize ts to the session TimestampType.
+    val tsPhys = scala.util.Try(
+      spark.read.parquet(s"$streamDir/events.parquet").schema("ts").dataType)
+    def schemaWith(ts: DataType) = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", ts),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsPhys match {
+      case scala.util.Success(TimestampType) =>
+        spark.readStream.schema(schemaWith(TimestampType)).parquet(streamDir)
+      case scala.util.Success(TimestampNTZType) =>
+        spark.readStream.schema(schemaWith(TimestampNTZType)).parquet(streamDir)
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ => // raw int64 nanos, or TIMESTAMP(NANOS) needing the legacy flag
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.readStream.schema(schemaWith(LongType)).parquet(streamDir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   }
 
   test("tumbling window agg: streaming (complete mode) == batch") {
