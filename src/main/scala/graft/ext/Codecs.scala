@@ -451,67 +451,156 @@ object Codecs {
           "use byteStats for inter-frame codecs")
     }
 
+  // --- ISO-BMFF muxer primitives shared by encodeMp4 / encodeFmp4 ---
+  private def be(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+  private def u32(v: Long): Array[Byte] =
+    ByteBuffer.allocate(4).putInt(v.toInt).array()
+  private def u64(v: Long): Array[Byte] =
+    ByteBuffer.allocate(8).putLong(v).array()
+  private def u16(v: Int): Array[Byte] =
+    ByteBuffer.allocate(2).putShort(v.toShort).array()
+  private def isoBox(tp: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be(u32(8L + body.length), fourCCBytes(tp), body)
+  }
+  private def isoFull(tp: String, payload: Array[Byte]*): Array[Byte] =
+    isoBox(tp, (u32(0) +: payload): _*) // version 0, flags 0
+  private def isoFullF(tp: String, flags: Int, payload: Array[Byte]*): Array[Byte] =
+    isoBox(tp, (u32(flags.toLong & 0xFFFFFF) +: payload): _*) // version 0
+  private val identityMatrix = be(u32(0x10000), u32(0), u32(0), u32(0),
+    u32(0x10000), u32(0), u32(0), u32(0), u32(0x40000000L))
+  /** VisualSampleEntry: 8 header + 6 reserved + 2 dataref + 16
+    * predefined/reserved + w/h + 72 dpi + reserved + frame_count +
+    * 32-byte compressorname + depth + predefined(-1) = 86 bytes */
+  private def visualSampleEntry(fourcc: String, width: Int, height: Int): Array[Byte] = {
+    val entry = be(fourCCBytes(fourcc), new Array[Byte](6), u16(1),
+      new Array[Byte](16), u16(width), u16(height),
+      u32(0x480000), u32(0x480000), u32(0), u16(1),
+      new Array[Byte](32), u16(24), u16(0xFFFF))
+    be(u32(8L + entry.length), entry)
+  }
+  private def isoTrakBoxes(width: Int, height: Int, timescale: Long,
+                           duration: Long, stbl: Array[Byte]): Array[Byte] = {
+    val minf = isoBox("minf",
+      isoFull("vmhd", new Array[Byte](8)), // flags should be 1; readers don't care
+      isoBox("dinf", isoFull("dref", u32(1), be(u32(12), fourCCBytes("url "), u32(1)))),
+      stbl)
+    val mdia = isoBox("mdia",
+      isoFull("mdhd", u32(0), u32(0), u32(timescale), u32(duration),
+        u16(0x55c4), u16(0)),
+      isoFull("hdlr", u32(0), fourCCBytes("vide"), new Array[Byte](12),
+        Array[Byte](0)),
+      minf)
+    val tkhd = isoFull("tkhd", u32(0), u32(0), u32(1), u32(0), u32(duration),
+      new Array[Byte](8), u16(0), u16(0), u16(0), u16(0), identityMatrix,
+      u32(width.toLong << 16), u32(height.toLong << 16))
+    isoBox("trak", tkhd, mdia)
+  }
+  private def isoMvhd(timescale: Long, duration: Long): Array[Byte] =
+    isoFull("mvhd", u32(0), u32(0), u32(timescale), u32(duration),
+      u32(0x10000), u16(0x100), u16(0), new Array[Byte](8),
+      identityMatrix, new Array[Byte](24), u32(2))
+
   /** Encode a minimal valid ISO-BMFF MP4: `ftyp`, `mdat` holding the
     * concatenated samples, then `moov` with one video `trak` —
     * `tkhd` (dimensions), `mdhd` (timescale), `hdlr` (vide), and a full
     * `stbl` sample table (`stsd` visual sample entry with the given
-    * codec fourcc, `stts` constant delta, `stsc` single chunk, `stsz`
-    * per-sample sizes, `stco` absolute chunk offset). `mdat` precedes
-    * `moov` so the chunk offset is known before the table is written —
-    * the layout real muxers emit for the same reason. */
+    * codec fourcc, `stts` constant delta, `stsc` chunk runs, `stsz`
+    * per-sample sizes, `stco`/`co64` absolute chunk offsets). `mdat`
+    * precedes `moov` so the chunk offsets are known before the table is
+    * written — the layout real muxers emit for the same reason.
+    *
+    * `samplesPerChunk` splits the samples into chunks (must sum to
+    * `samples.length`; empty = one chunk) — consecutive equal counts
+    * compress into one `stsc` run exactly as the spec prescribes, so a
+    * layout like Seq(2,1,1) emits the multi-run table real muxers do.
+    * `co64 = true` writes 64-bit chunk offsets instead of `stco`. */
   def encodeMp4(width: Int, height: Int, timescale: Long, sampleDelta: Long,
-                fourcc: String, samples: Seq[Array[Byte]]): Array[Byte] = {
-    def be(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
-    def u32(v: Long): Array[Byte] = ByteBuffer.allocate(4).putInt(v.toInt).array()
-    def u16(v: Int): Array[Byte] = ByteBuffer.allocate(2).putShort(v.toShort).array()
-    def box(tp: String, payload: Array[Byte]*): Array[Byte] = {
-      val body = payload.flatten.toArray
-      be(u32(8L + body.length), fourCCBytes(tp), body)
-    }
-    def full(tp: String, payload: Array[Byte]*): Array[Byte] =
-      box(tp, (u32(0) +: payload): _*) // version 0, flags 0
-    val identityMatrix = be(u32(0x10000), u32(0), u32(0), u32(0), u32(0x10000),
-      u32(0), u32(0), u32(0), u32(0x40000000L))
+                fourcc: String, samples: Seq[Array[Byte]],
+                samplesPerChunk: Seq[Int] = Nil,
+                co64: Boolean = false): Array[Byte] = {
+    val layout = if (samplesPerChunk.isEmpty) Seq(samples.length)
+                 else samplesPerChunk
+    require(layout.sum == samples.length && layout.forall(_ > 0),
+      s"MP4: chunk layout $layout must partition ${samples.length} samples")
     val duration = sampleDelta * samples.length
-    val ftyp = box("ftyp", fourCCBytes("isom"), u32(0x200),
+    val ftyp = isoBox("ftyp", fourCCBytes("isom"), u32(0x200),
       fourCCBytes("isom"), fourCCBytes("iso2"))
-    val mdat = box("mdat", samples.flatten.toArray)
+    val mdat = isoBox("mdat", samples.flatten.toArray)
     val firstSampleOffset = ftyp.length + 8L // past mdat's own header
-    val stsd = full("stsd", u32(1), {
-      // VisualSampleEntry: 8 header + 6 reserved + 2 dataref + 16
-      // predefined/reserved + w/h + 72 dpi + reserved + frame_count +
-      // 32-byte compressorname + depth + predefined(-1) = 86 bytes
-      val entry = be(fourCCBytes(fourcc), new Array[Byte](6), u16(1),
-        new Array[Byte](16), u16(width), u16(height),
-        u32(0x480000), u32(0x480000), u32(0), u16(1),
-        new Array[Byte](32), u16(24), u16(0xFFFF))
-      be(u32(8L + entry.length), entry)
-    })
-    val stbl = box("stbl", stsd,
-      full("stts", u32(1), u32(samples.length), u32(sampleDelta)),
-      full("stsc", u32(1), u32(1), u32(samples.length), u32(1)),
-      full("stsz", u32(0), u32(samples.length),
+    // chunk byte offsets: cumulative sample bytes at each chunk boundary
+    val chunkFirstSample = layout.scanLeft(0)(_ + _).init
+    val chunkOffsets = chunkFirstSample.map(fs =>
+      firstSampleOffset + samples.take(fs).map(_.length.toLong).sum)
+    // stsc runs: RLE over samples-per-chunk, 1-based first_chunk
+    val runs = layout.zipWithIndex.foldLeft(Vector.empty[(Int, Int)]) {
+      case (acc, (spc, i)) =>
+        if (acc.nonEmpty && acc.last._2 == spc) acc
+        else acc :+ ((i + 1, spc))
+    }
+    val stbl = isoBox("stbl",
+      isoFull("stsd", u32(1), visualSampleEntry(fourcc, width, height)),
+      isoFull("stts", u32(1), u32(samples.length), u32(sampleDelta)),
+      isoFull("stsc", u32(runs.length),
+        be(runs.map { case (fc, spc) => be(u32(fc), u32(spc), u32(1)) }: _*)),
+      isoFull("stsz", u32(0), u32(samples.length),
         be(samples.map(s => u32(s.length)): _*)),
-      full("stco", u32(1), u32(firstSampleOffset)))
-    val minf = box("minf",
-      full("vmhd", new Array[Byte](8)), // flags should be 1; readers don't care
-      box("dinf", full("dref", u32(1), be(u32(12), fourCCBytes("url "), u32(1)))),
-      stbl)
-    val mdia = box("mdia",
-      full("mdhd", u32(0), u32(0), u32(timescale), u32(duration),
-        u16(0x55c4), u16(0)),
-      full("hdlr", u32(0), fourCCBytes("vide"), new Array[Byte](12),
-        Array[Byte](0)),
-      minf)
-    val tkhd = full("tkhd", u32(0), u32(0), u32(1), u32(0), u32(duration),
-      new Array[Byte](8), u16(0), u16(0), u16(0), u16(0), identityMatrix,
-      u32(width.toLong << 16), u32(height.toLong << 16))
-    val moov = box("moov",
-      full("mvhd", u32(0), u32(0), u32(timescale), u32(duration),
-        u32(0x10000), u16(0x100), u16(0), new Array[Byte](8),
-        identityMatrix, new Array[Byte](24), u32(2)),
-      box("trak", tkhd, mdia))
+      if (co64) isoFull("co64", u32(chunkOffsets.length),
+        be(chunkOffsets.map(u64): _*))
+      else isoFull("stco", u32(chunkOffsets.length),
+        be(chunkOffsets.map(u32): _*)))
+    val moov = isoBox("moov", isoMvhd(timescale, duration),
+      isoTrakBoxes(width, height, timescale, duration, stbl))
     be(ftyp, mdat, moov)
+  }
+
+  /** Encode a fragmented (DASH-style) MP4: `ftyp`, a `moov` whose `stbl`
+    * is EMPTY (zero-entry stts/stsc/stsz/stco) plus `mvex`/`trex` declaring
+    * the movie fragmented, then one `moof`+`mdat` pair per fragment. Each
+    * `moof` carries `mfhd` (sequence number) and one `traf` with `tfhd`
+    * (default-base-is-moof + default-sample-duration) and a `trun` holding
+    * the data offset and per-sample sizes — the exact layout DASH segment
+    * muxers emit. */
+  def encodeFmp4(width: Int, height: Int, timescale: Long, sampleDelta: Long,
+                 fourcc: String, samples: Seq[Array[Byte]],
+                 samplesPerFragment: Int): Array[Byte] = {
+    require(samplesPerFragment > 0, "MP4: samplesPerFragment must be positive")
+    val ftyp = isoBox("ftyp", fourCCBytes("iso5"), u32(0x200),
+      fourCCBytes("iso5"), fourCCBytes("dash"))
+    val emptyStbl = isoBox("stbl",
+      isoFull("stsd", u32(1), visualSampleEntry(fourcc, width, height)),
+      isoFull("stts", u32(0)),
+      isoFull("stsc", u32(0)),
+      isoFull("stsz", u32(0), u32(0)),
+      isoFull("stco", u32(0)))
+    val mvex = isoBox("mvex",
+      // trex: track_ID=1, default_sample_description_index=1,
+      // default duration/size/flags
+      isoFull("trex", u32(1), u32(1), u32(sampleDelta), u32(0), u32(0)))
+    val moov = isoBox("moov", isoMvhd(timescale, 0L),
+      mvex, isoTrakBoxes(width, height, timescale, 0L, emptyStbl))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp); out.write(moov)
+    var decodeTime = 0L
+    for ((frag, seq) <- samples.grouped(samplesPerFragment).zipWithIndex) {
+      // tfhd: default-base-is-moof (0x020000) + default-sample-duration (0x08)
+      val tfhd = isoFullF("tfhd", 0x020008, u32(1), u32(sampleDelta))
+      val tfdt = isoFull("tfdt", u32(decodeTime))
+      // trun: data-offset-present (0x01) + sample-size-present (0x200);
+      // the offset is patched below once the moof size is known
+      def trun(dataOff: Long) = isoFullF("trun", 0x201, u32(frag.length),
+        u32(dataOff), be(frag.map(s => u32(s.length)): _*))
+      def moofOf(dataOff: Long) = isoBox("moof",
+        isoFull("mfhd", u32(seq + 1L)),
+        isoBox("traf", tfhd, tfdt, trun(dataOff)))
+      // data starts right after moof + mdat's 8-byte header, relative to
+      // moof start (default-base-is-moof); size is offset-independent
+      val moofSize = moofOf(0L).length
+      out.write(moofOf(moofSize + 8L))
+      out.write(isoBox("mdat", frag.flatten.toArray))
+      decodeTime += sampleDelta.toLong * frag.length
+    }
+    out.toByteArray
   }
 
   /** Parse an ISO-BMFF MP4: box walk (32-bit and 64-bit `largesize`
@@ -523,12 +612,16 @@ object Codecs {
     * all size arithmetic runs in Long against untrusted headers. */
   def decodeMp4(bytes: Array[Byte]): Mp4Video = {
     require(bytes != null && bytes.length >= 16, "MP4: truncated file")
+    require(!(bytes(0) == 0x1A.toByte && bytes(1) == 0x45.toByte &&
+              bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte),
+      "MP4: EBML magic — WebM/Matroska container unsupported, route the " +
+        "payload to byteStats")
     val buf = ByteBuffer.wrap(bytes) // ISO-BMFF is big-endian
     def typeAt(off: Long): String =
       new String(bytes, off.toInt + 4, 4, "US-ASCII")
-    // (boxType, payloadStart, payloadEnd) for each box in [start, end)
-    def children(start: Long, end: Long): Seq[(String, Long, Long)] = {
-      val out = Seq.newBuilder[(String, Long, Long)]
+    // (boxType, boxStart, payloadStart, payloadEnd) for each box in [start, end)
+    def children(start: Long, end: Long): Seq[(String, Long, Long, Long)] = {
+      val out = Seq.newBuilder[(String, Long, Long, Long)]
       var off = start
       while (off + 8 <= end) {
         val size32 = buf.getInt(off.toInt).toLong & 0xFFFFFFFFL
@@ -541,19 +634,22 @@ object Codecs {
           else (size32, 8L)
         require(size >= headerLen && off + size <= end,
           s"MP4: box '$tp' overruns container")
-        out += ((tp, off + headerLen, off + size))
+        out += ((tp, off, off + headerLen, off + size))
         off += size
       }
       out.result()
     }
-    def child(boxes: Seq[(String, Long, Long)], tp: String): Option[(Long, Long)] =
-      boxes.collectFirst { case (`tp`, s, e) => (s, e) }
-    require(children(0L, bytes.length.toLong).exists(_._1 == "ftyp") ||
-        typeAt(0) == "moov", "MP4: missing ftyp/moov — not ISO-BMFF")
-    val (moovS, moovE) = child(children(0L, bytes.length.toLong), "moov")
+    def child(boxes: Seq[(String, Long, Long, Long)], tp: String): Option[(Long, Long)] =
+      boxes.collectFirst { case (`tp`, _, s, e) => (s, e) }
+    def u32At(off: Long): Long = buf.getInt(off.toInt).toLong & 0xFFFFFFFFL
+    val topBoxes = children(0L, bytes.length.toLong)
+    require(topBoxes.exists(_._1 == "ftyp") || typeAt(0) == "moov",
+      "MP4: missing ftyp/moov — not ISO-BMFF")
+    val (moovS, moovE) = child(topBoxes, "moov")
       .getOrElse(throw new IllegalArgumentException("MP4: no moov box"))
-    val videoTrak = children(moovS, moovE)
-      .collect { case ("trak", s, e) => children(s, e) }
+    val moovKids = children(moovS, moovE)
+    val videoTrak = moovKids
+      .collect { case ("trak", _, s, e) => children(s, e) }
       .find { trakKids =>
         child(trakKids, "mdia").exists { case (ms, me) =>
           child(children(ms, me), "hdlr").exists { case (hs, _) =>
@@ -562,13 +658,17 @@ object Codecs {
         }
       }
       .getOrElse(throw new IllegalArgumentException("MP4: no video track"))
+    // track_ID — fragments address their track by it (tkhd v0: +12, v1: +20)
+    val trackId = child(videoTrak, "tkhd").map { case (s, _) =>
+      val version = bytes(s.toInt) & 0xFF
+      u32At(if (version == 1) s + 20 else s + 12)
+    }.getOrElse(1L)
     val (mdiaS, mdiaE) = child(videoTrak, "mdia").get
     val mdiaKids = children(mdiaS, mdiaE)
     val timescale = child(mdiaKids, "mdhd").map { case (s, _) =>
       val version = bytes(s.toInt) & 0xFF
       // v0: creation/modification are u32 → timescale at +12; v1: u64s → +20
-      val off = if (version == 1) s + 20 else s + 12
-      buf.getInt(off.toInt).toLong & 0xFFFFFFFFL
+      u32At(if (version == 1) s + 20 else s + 12)
     }.getOrElse(throw new IllegalArgumentException("MP4: no mdhd box"))
     val (minfS, minfE) = child(mdiaKids, "minf")
       .getOrElse(throw new IllegalArgumentException("MP4: no minf box"))
@@ -585,21 +685,99 @@ object Codecs {
     val fourcc = typeAt(entryS)
     val width = buf.getShort(entryS.toInt + 32).toInt & 0xFFFF
     val height = buf.getShort(entryS.toInt + 34).toInt & 0xFFFF
+    // stsz sample count decides the path: a zero-sample stbl next to
+    // mvex/moof is a FRAGMENTED movie whose samples live in moof/trun
+    val (stszS, stszE) = table("stsz")
+    val constSize = u32At(stszS + 4)
+    val nSamples = buf.getInt(stszS.toInt + 8)
+    val mvex = child(moovKids, "mvex")
+    val hasMoof = topBoxes.exists(_._1 == "moof")
+    if (nSamples == 0 && (mvex.isDefined || hasMoof)) {
+      require(hasMoof,
+        "MP4: fragmented movie (mvex) with no moof fragments — nothing to decode")
+      // trex: per-track defaults the fragments inherit
+      val (trexDur, trexSize) = mvex.flatMap { case (s, e) =>
+        children(s, e).collectFirst {
+          case ("trex", _, ts, _) if u32At(ts + 4) == trackId =>
+            (u32At(ts + 12), u32At(ts + 16))
+        }
+      }.getOrElse((0L, 0L))
+      val offB = Array.newBuilder[Long]
+      val szB = Array.newBuilder[Int]
+      var firstDelta = 0L
+      for ((tp, moofStart, moofPS, moofPE) <- topBoxes if tp == "moof") {
+        for ((trafS, trafE) <- children(moofPS, moofPE)
+               .collect { case ("traf", _, s, e) => (s, e) }) {
+          val kids = children(trafS, trafE)
+          val (tfhdS, _) = child(kids, "tfhd").getOrElse(
+            throw new IllegalArgumentException("MP4: traf missing tfhd"))
+          val tfFlags = buf.getInt(tfhdS.toInt) & 0xFFFFFF
+          if (u32At(tfhdS + 4) == trackId) {
+            var p = tfhdS + 8
+            // base-data-offset-present beats default-base-is-moof; both
+            // absent defaults to moof start for the first traf (spec 8.8.7)
+            var base = moofStart
+            if ((tfFlags & 0x01) != 0) { base = buf.getLong(p.toInt); p += 8 }
+            if ((tfFlags & 0x02) != 0) p += 4 // sample-description-index
+            var defDur = trexDur
+            var defSize = trexSize
+            if ((tfFlags & 0x08) != 0) { defDur = u32At(p); p += 4 }
+            if ((tfFlags & 0x10) != 0) { defSize = u32At(p); p += 4 }
+            // 0x20 default-sample-flags: skipped (no field to consume after)
+            var running = base // truns without data-offset continue the last
+            for ((trunS, _) <- kids.collect { case ("trun", _, s, e) => (s, e) }) {
+              val trFlags = buf.getInt(trunS.toInt) & 0xFFFFFF
+              val n = buf.getInt(trunS.toInt + 4)
+              require(n >= 0, "MP4: trun sample count negative")
+              var q = trunS + 8
+              var off = running
+              if ((trFlags & 0x01) != 0) {
+                off = base + buf.getInt(q.toInt); q += 4 // SIGNED data offset
+              }
+              if ((trFlags & 0x04) != 0) q += 4 // first-sample-flags
+              var i = 0
+              while (i < n) {
+                var dur = defDur
+                var sz = defSize
+                if ((trFlags & 0x100) != 0) { dur = u32At(q); q += 4 }
+                if ((trFlags & 0x200) != 0) { sz = u32At(q); q += 4 }
+                if ((trFlags & 0x400) != 0) q += 4 // sample-flags
+                if ((trFlags & 0x800) != 0) q += 4 // composition offset
+                require(sz > 0 && sz <= Int.MaxValue,
+                  "MP4: fragment sample has no size (trun, tfhd and trex all silent)")
+                require(off >= 0 && off + sz <= bytes.length,
+                  s"MP4: fragment sample [$off, ${off + sz}) overruns file")
+                if (firstDelta == 0L) firstDelta = dur
+                offB += off
+                szB += sz.toInt
+                off += sz
+                i += 1
+              }
+              running = off
+            }
+          }
+        }
+      }
+      val sampleOffsets = offB.result()
+      val sizes = szB.result()
+      require(sampleOffsets.nonEmpty,
+        "MP4: fragmented movie has no samples for the video track")
+      return Mp4Video(width, height, timescale,
+        if (firstDelta > 0) firstDelta else 1L, fourcc,
+        sampleOffsets, sizes, bytes)
+    }
+    // --- progressive (non-fragmented) path ---
     // stts: constant frame period = the FIRST run's delta (variable
     // rate keeps frame 0's pacing, same contract as AVI usecPerFrame)
     val (sttsS, sttsE) = table("stts")
     require(buf.getInt(sttsS.toInt + 4) >= 1 && sttsS + 16 <= sttsE,
       "MP4: empty stts")
-    val sampleDelta = buf.getInt(sttsS.toInt + 12).toLong & 0xFFFFFFFFL
+    val sampleDelta = u32At(sttsS + 12)
     // stsz: per-sample sizes (or one constant size)
-    val (stszS, stszE) = table("stsz")
-    val constSize = buf.getInt(stszS.toInt + 4).toLong & 0xFFFFFFFFL
-    val nSamples = buf.getInt(stszS.toInt + 8)
     require(nSamples >= 0 && (constSize > 0 ||
         stszS + 12 + 4L * nSamples <= stszE), "MP4: stsz table truncated")
     val sizes = Array.tabulate(nSamples) { i =>
-      val sz = if (constSize > 0) constSize
-               else buf.getInt((stszS + 12 + 4L * i).toInt).toLong & 0xFFFFFFFFL
+      val sz = if (constSize > 0) constSize else u32At(stszS + 12 + 4L * i)
       require(sz <= Int.MaxValue, s"MP4: sample $i size $sz unsupported")
       sz.toInt
     }
@@ -608,7 +786,7 @@ object Codecs {
       case Some((s, e)) =>
         val n = buf.getInt(s.toInt + 4)
         require(n >= 0 && s + 8 + 4L * n <= e, "MP4: stco truncated")
-        Array.tabulate(n)(i => buf.getInt((s + 8 + 4L * i).toInt).toLong & 0xFFFFFFFFL)
+        Array.tabulate(n)(i => u32At(s + 8 + 4L * i))
       case None =>
         val (s, e) = table("co64")
         val n = buf.getInt(s.toInt + 4)

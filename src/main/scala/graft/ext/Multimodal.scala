@@ -214,6 +214,20 @@ object Multimodal {
         fourcc = "jpeg", samples = frames.toSeq)
     })
 
+  /** Synthesize FRAGMENTED (DASH-style) MP4s: same frame content and
+    * timing as [[mp4Table]], but muxed as `ftyp`/`moov`(+`mvex`) followed
+    * by `moof`+`mdat` segment pairs of 2 samples each
+    * ([[Codecs.encodeFmp4]]) — the layout crawl video overwhelmingly
+    * ships in. The decode surface (sample schedule, dimensions, pixel
+    * counts) is identical, so the same closed-form oracle applies. */
+  def fmp4Table(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    gridMediaTable(docs, idCol, (id, w, h) => {
+      val frames = Array.tabulate((1 + id % 5).toInt)(f =>
+        Codecs.encodeJpeg(w, h, gridPixel(id + f)))
+      Codecs.encodeFmp4(w, h, timescale = 1000, sampleDelta = 40,
+        fourcc = "jpeg", samples = frames.toSeq, samplesPerFragment = 2)
+    })
+
   /** REAL sampled-frame video decode: parse each container — RIFF/AVI or
     * ISO-BMFF/MP4, dispatched on the magic bytes — pick the frame under
     * every `everyMs` timestamp (0, everyMs, … < duration), decode ONLY

@@ -270,6 +270,18 @@ object StreamQueries {
       |  w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_pixels
       |FROM d, UNNEST(range(0, nf * 40, 80)) AS tt(t)""".stripMargin
 
+  /** Fragmented-MP4 twin of [[qMultimodalMp4]]: same frames and timing,
+    * DASH segment layout (`moof`/`trun` + `mvex`, empty `stbl`). The
+    * fragment walk reconstructs the identical sample schedule, so the
+    * oracle is the same closed form. */
+  def qMultimodalFmp4(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoFrameFeatures(
+      Multimodal.fmp4Table(Tables(s, dir, "documents")), everyMs = 80)
+      .select(col("doc_id"), col("frame_idx"), col("frame_ms"),
+        col("width"), col("height"), col("n_pixels"))
+
+  val qMultimodalFmp4Sql: String = qMultimodalMp4Sql
+
   /** Byte statistics over opaque payloads (formats with no JVM decoder).
     * Oracle exploits the fixture texts being pure ASCII: byte stream ==
     * codepoint stream. */
@@ -415,6 +427,7 @@ object StreamQueries {
     "q_multimodal_resize_png" -> (qMultimodalResizePng _),
     "q_multimodal_video"  -> (qMultimodalVideo _),
     "q_multimodal_mp4"    -> (qMultimodalMp4 _),
+    "q_multimodal_fmp4"   -> (qMultimodalFmp4 _),
     "q_multimodal_tiff"   -> (qMultimodalTiff _),
     "q_multimodal_gif"    -> (qMultimodalGif _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -439,6 +452,7 @@ object StreamQueries {
     "q_multimodal_resize_png" -> qMultimodalResizeRealSql,
     "q_multimodal_video"  -> qMultimodalVideoSql,
     "q_multimodal_mp4"    -> qMultimodalMp4Sql,
+    "q_multimodal_fmp4"   -> qMultimodalFmp4Sql,
     "q_multimodal_tiff"   -> qMultimodalTiffSql,
     "q_multimodal_gif"    -> qMultimodalGifSql,
     "q_multimodal_frames" -> qMultimodalFramesSql,

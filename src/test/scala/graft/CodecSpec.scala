@@ -283,7 +283,7 @@ class CodecSpec extends AnyFunSuite {
   }
 
   test("MP4 JPEG-sample roundtrip: stbl arithmetic exact, sampled decode " +
-       "via ImageIO; largesize/co64/multi-chunk forms parse") {
+       "via ImageIO; largesize mdat parses") {
     val w = 12; val h = 6
     val px = (f: Int) => (x: Int, y: Int) =>
       ((x * 31 + f) % 256 << 16) | ((y * 17 + f) % 256 << 8) | ((x + y + f) % 256)
@@ -340,6 +340,75 @@ class CodecSpec extends AnyFunSuite {
     val avc = Codecs.decodeMp4(Codecs.encodeMp4(w, h, 1000, 40, "avc1", samples))
     val e3 = intercept[IllegalArgumentException](Codecs.decodeMp4Frame(avc, 0))
     assert(e3.getMessage.contains("avc1"))
+  }
+
+  test("MP4 co64 offsets and multi-run stsc: chunk-run arithmetic maps " +
+       "every sample across differing samples_per_chunk") {
+    val w = 10; val h = 5
+    val px = (f: Int) => (x: Int, y: Int) =>
+      ((x * 13 + f) % 256 << 16) | ((y * 7 + f) % 256 << 8) | ((x * y + f) % 256)
+    val samples = (0 until 4).map(f => Codecs.encodeJpeg(w, h, px(f)))
+    // layout (1, 3): two chunks with DIFFERENT samples_per_chunk → two stsc
+    // runs, so the decoder's lastIndexWhere run lookup must switch runs
+    // mid-walk; co64 = true exercises the 64-bit offset branch
+    val v1 = Codecs.decodeMp4(Codecs.encodeMp4(w, h, 1000, 40, "jpeg",
+      samples, samplesPerChunk = Seq(1, 3), co64 = true))
+    assert(v1.numSamples == 4)
+    for (f <- 0 until 4)
+      assert(java.util.Arrays.equals(Codecs.mp4SampleBytes(v1, f),
+        samples(f).toArray), s"co64/two-run sample $f bytes")
+    // layout (2, 1, 1): the trailing equal-count chunks COMPRESS into one
+    // run (first_chunk=2 covers chunks 2 and 3) — the runIdx fallback walk
+    // must reuse the last run for chunk 3
+    val v2 = Codecs.decodeMp4(Codecs.encodeMp4(w, h, 1000, 40, "jpeg",
+      samples, samplesPerChunk = Seq(2, 1, 1)))
+    assert(v2.numSamples == 4)
+    for (f <- 0 until 4)
+      assert(java.util.Arrays.equals(Codecs.mp4SampleBytes(v2, f),
+        samples(f).toArray), s"multi-chunk sample $f bytes")
+    // decoded frames are real decodes, not just byte slices
+    val img = Codecs.decodeMp4Frame(v1, 3)
+    assert(img.width == w && img.height == h)
+  }
+
+  test("fragmented MP4 (moof/trun): DASH-style segments decode; " +
+       "empty-stbl-without-fragments and WebM reject loudly") {
+    val w = 8; val h = 4
+    val px = (f: Int) => (x: Int, y: Int) =>
+      ((x * 19 + f) % 256 << 16) | ((y * 29 + f) % 256 << 8) | ((x + 3 * y + f) % 256)
+    val samples = (0 until 5).map(f => Codecs.encodeJpeg(w, h, px(f)))
+    val fmp4 = Codecs.encodeFmp4(w, h, timescale = 1000, sampleDelta = 40,
+      fourcc = "jpeg", samples = samples, samplesPerFragment = 2)
+    val v = Codecs.decodeMp4(fmp4)
+    assert(v.width == w && v.height == h && v.fourcc == "jpeg")
+    assert(v.timescale == 1000 && v.sampleDelta == 40)
+    assert(v.numSamples == 5, "3 fragments (2+2+1) must map all 5 samples")
+    for (f <- 0 until 5)
+      assert(java.util.Arrays.equals(Codecs.mp4SampleBytes(v, f),
+        samples(f).toArray), s"fragment sample $f bytes")
+    val img = Codecs.decodeMp4Frame(v, 4)
+    assert(img.width == w && img.height == h && img.rgb.length == w * h)
+    // a fragmented HEADER with its moof/mdat segments stripped (a bare DASH
+    // init segment) names the failure precisely
+    val moofStart = {
+      def findBox(a: Array[Byte], tp: String): Int = {
+        val pat = tp.getBytes("US-ASCII")
+        (0 to a.length - 4).find(i =>
+          pat.indices.forall(j => a(i + j) == pat(j))).get - 4
+      }
+      findBox(fmp4, "moof")
+    }
+    val init = java.util.Arrays.copyOfRange(fmp4, 0, moofStart)
+    val e1 = intercept[IllegalArgumentException](Codecs.decodeMp4(init))
+    assert(e1.getMessage.contains("moof"),
+      s"init-segment rejection must name the missing fragments: ${e1.getMessage}")
+    // WebM/Matroska: EBML magic gets a NAMED rejection, not a generic
+    // box-walk failure
+    val webm = Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte) ++
+      new Array[Byte](64)
+    val e2 = intercept[IllegalArgumentException](Codecs.decodeMp4(webm))
+    assert(e2.getMessage.contains("WebM"),
+      s"EBML payload must be rejected by name: ${e2.getMessage}")
   }
 
   test("NormalizeText: NFC composes combining marks and compatibility singletons") {
