@@ -204,8 +204,68 @@ object CoreQueries {
       |     ELSE '[]' END AS "_errors"
       |FROM events""".stripMargin
 
+  /** Permissive twin on `lineitem` — the §1.3 error channel must never hang
+    * off a single fixture table (the events regeneration blacked it out for a
+    * whole round). Same contract: row-dependent bad cast → NULL + provenance
+    * triple in `_errors`, job keeps running. */
+  def qPermissiveLineitem(s: SparkSession, dir: String): DataFrame = {
+    val shaped = Tables(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_orderkey") % 5 === 0, lit("bad"))
+        .otherwise(col("l_linenumber").cast(StringType)).as("s"),
+      col("l_quantity"))
+    val spec = PipelineSpec(
+      Model("Line")(
+        "okey" -> Get("l_orderkey"),
+        "lnum" -> Get("l_linenumber"),
+        "n"    -> (Get("s") | CastTo(LongType)),
+        "qty"  -> Get("l_quantity")))
+    Wrangle.wrangle(shaped, spec, "Line", Wrangle.Permissive)
+      .withColumn(Wrangle.ErrorsCol, to_json(col(Wrangle.ErrorsCol)))
+  }
+
+  val qPermissiveLineitemSql: String =
+    """SELECT l_orderkey AS okey, l_linenumber AS lnum,
+      |CASE WHEN l_orderkey % 5 = 0 THEN NULL ELSE l_linenumber END AS n,
+      |l_quantity AS qty,
+      |CASE WHEN l_orderkey % 5 = 0
+      |     THEN to_json([{'model': 'Line', 'field': 'n', 'op': 'CastTo'}])
+      |     ELSE '[]' END AS "_errors"
+      |FROM lineitem""".stripMargin
+
+  /** Default/If twin on `orders` — ops §2.3 #5/#17 likewise get a second
+    * fixture table so one regeneration can't zero their driver coverage.
+    * The shaping synthesizes NULL and 0 rows to exercise BOTH truthiness
+    * fallbacks. */
+  def qDefaultIfOrders(s: SparkSession, dir: String): DataFrame = {
+    val shaped = Tables(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast(DoubleType))
+        .when(col("o_orderkey") % 7 === 1, lit(0.0))
+        .otherwise(col("o_totalprice")).as("maybe"))
+    val spec = PipelineSpec(
+      Model("Ord")(
+        "okey"   -> Get("o_orderkey"),
+        "v"      -> (Get("maybe") | Default(-1.0)),
+        "bucket" -> (Get("o_totalprice") | If(Cmp(">", 150000.0),
+                       Constant("big"), Some(Constant("small")))),
+        "flag"   -> (Get("o_orderstatus") | If(Cmp("==", "F"), Constant(1L)))))
+    Wrangle.wrangle(shaped, spec, "Ord")
+  }
+
+  val qDefaultIfOrdersSql: String =
+    """SELECT o_orderkey AS okey,
+      |CASE WHEN o_orderkey % 7 = 0 THEN -1.0
+      |     WHEN o_orderkey % 7 = 1 THEN -1.0
+      |     ELSE o_totalprice END AS v,
+      |CASE WHEN o_totalprice > 150000.0 THEN 'big' ELSE 'small' END AS bucket,
+      |CASE WHEN o_orderstatus = 'F' THEN 1 END AS flag
+      |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_permissive"    -> (qPermissive _),
+    "q_permissive_li" -> (qPermissiveLineitem _),
+    "q_default_if_ord" -> (qDefaultIfOrders _),
     "q1_agg"          -> (q1 _),
     "q_scalar"        -> (qScalar _),
     "q_get_json"      -> (qGetJson _),
@@ -215,6 +275,8 @@ object CoreQueries {
 
   val oracle: Map[String, String] = Map(
     "q_permissive"    -> qPermissiveSql,
+    "q_permissive_li" -> qPermissiveLineitemSql,
+    "q_default_if_ord" -> qDefaultIfOrdersSql,
     "q1_agg"          -> q1Sql,
     "q_scalar"        -> qScalarSql,
     "q_get_json"      -> qGetJsonSql,
