@@ -825,6 +825,198 @@ object Codecs {
       sampleOffsets, sizes, bytes)
   }
 
+  // ----------------------------------------------- WebM (EBML/Matroska)
+
+  /** Parsed WebM/Matroska header metadata. Frame payloads are VP8/VP9/AV1
+    * — no pure-JVM decoder exists, so (like WebP) the honest surface is
+    * the container metadata plus [[Multimodal.byteStats]] over the bytes:
+    * codec id, exact dimensions, and duration from the EBML walk. */
+  final case class WebmMeta(codecId: String, width: Int, height: Int,
+                            durationMs: Long, timecodeScaleNs: Long)
+
+  // EBML ids (with their length-marker bits, as they appear on the wire)
+  private val EbmlHeader = 0x1A45DFA3L
+  private val EbmlDocType = 0x4282L
+  private val MkvSegment = 0x18538067L
+  private val MkvInfo = 0x1549A966L
+  private val MkvTimecodeScale = 0x2AD7B1L
+  private val MkvDuration = 0x4489L
+  private val MkvTracks = 0x1654AE6BL
+  private val MkvTrackEntry = 0xAEL
+  private val MkvTrackType = 0x83L
+  private val MkvCodecId = 0x86L
+  private val MkvVideo = 0xE0L
+  private val MkvPixelWidth = 0xB0L
+  private val MkvPixelHeight = 0xBAL
+
+  /** An element id's on-wire bytes: the literal's minimal big-endian
+    * form (ids carry their own length marker, unlike sizes). */
+  private def ebmlIdBytes(id: Long): Array[Byte] = {
+    var n = 1
+    while (n < 8 && (id >>> (8 * n)) != 0) n += 1
+    Array.tabulate[Byte](n)(i => ((id >>> (8 * (n - 1 - i))) & 0xFF).toByte)
+  }
+
+  /** A size VINT: marker bit in the first byte, 7 value bits per byte.
+    * The all-ones pattern means "unknown size", so a value must not
+    * collide with it — bump the length when it would. */
+  private def ebmlSizeBytes(v: Long): Array[Byte] = {
+    require(v >= 0, s"EBML: negative size $v")
+    var n = 1
+    while (n < 8 && v >= (1L << (7 * n)) - 1) n += 1
+    val out = new Array[Byte](n)
+    var x = v | (1L << (7 * n))
+    var i = n - 1
+    while (i >= 0) { out(i) = (x & 0xFF).toByte; x >>>= 8; i -= 1 }
+    out
+  }
+
+  private def ebmlEl(id: Long, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be(ebmlIdBytes(id), ebmlSizeBytes(body.length.toLong), body)
+  }
+
+  private def ebmlUint(v: Long): Array[Byte] = {
+    var n = 1
+    while (n < 8 && (v >>> (8 * n)) != 0) n += 1
+    Array.tabulate[Byte](n)(i => ((v >>> (8 * (n - 1 - i))) & 0xFF).toByte)
+  }
+
+  /** Encode a minimal valid WebM: EBML header (DocType "webm"), then one
+    * Segment with Info (TimecodeScale 1 ms, Duration) and Tracks holding
+    * a single video TrackEntry (TrackType 1, CodecID, PixelWidth/Height).
+    * No Clusters — this is the DASH-init-segment shape, which carries
+    * everything the metadata walk reads; frame data would be opaque
+    * VP8/VP9 anyway. */
+  def encodeWebm(width: Int, height: Int, durationMs: Long,
+                 codecId: String = "V_VP9"): Array[Byte] = {
+    val header = ebmlEl(EbmlHeader,
+      ebmlEl(0x4286L, ebmlUint(1)),  // EBMLVersion
+      ebmlEl(0x42F7L, ebmlUint(1)),  // EBMLReadVersion
+      ebmlEl(0x42F2L, ebmlUint(4)),  // EBMLMaxIDLength
+      ebmlEl(0x42F3L, ebmlUint(8)),  // EBMLMaxSizeLength
+      ebmlEl(EbmlDocType, "webm".getBytes("US-ASCII")),
+      ebmlEl(0x4287L, ebmlUint(4)),  // DocTypeVersion
+      ebmlEl(0x4285L, ebmlUint(2)))  // DocTypeReadVersion
+    val info = ebmlEl(MkvInfo,
+      ebmlEl(MkvTimecodeScale, ebmlUint(1000000L)), // 1 ms units
+      ebmlEl(MkvDuration,
+        ByteBuffer.allocate(8).putDouble(durationMs.toDouble).array()))
+    val track = ebmlEl(MkvTrackEntry,
+      ebmlEl(0xD7L, ebmlUint(1)),    // TrackNumber
+      ebmlEl(0x73C5L, ebmlUint(1)),  // TrackUID
+      ebmlEl(MkvTrackType, ebmlUint(1)), // 1 = video
+      ebmlEl(MkvCodecId, codecId.getBytes("US-ASCII")),
+      ebmlEl(MkvVideo,
+        ebmlEl(MkvPixelWidth, ebmlUint(width)),
+        ebmlEl(MkvPixelHeight, ebmlUint(height))))
+    be(header, ebmlEl(MkvSegment, info, ebmlEl(MkvTracks, track)))
+  }
+
+  /** Walk a WebM/Matroska file's EBML tree and extract the video-track
+    * metadata. Handles the unknown-size Segment real stream muxers emit
+    * (size VINT all ones ⇒ element extends to end of file). All length
+    * arithmetic in Long against untrusted headers; every malformed shape
+    * fails with a named error. */
+  def decodeWebmMeta(bytes: Array[Byte]): WebmMeta = {
+    require(bytes != null && bytes.length >= 8, "WebM: truncated file")
+    require(bytes(0) == 0x1A.toByte && bytes(1) == 0x45.toByte &&
+        bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte,
+      "WebM: missing EBML magic — not a Matroska container")
+    // VINT length = leading-zero count of the first byte, plus one
+    def vintLen(b: Byte): Int = {
+      val u = b & 0xFF
+      require(u != 0, "WebM: invalid VINT (zero lead byte)")
+      var n = 1
+      while ((u & (0x100 >> n)) == 0) n += 1
+      n
+    }
+    def readId(off: Long): (Long, Int) = {
+      require(off < bytes.length, "WebM: id past end of file")
+      val n = vintLen(bytes(off.toInt))
+      require(off + n <= bytes.length, "WebM: truncated element id")
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (bytes((off + i).toInt) & 0xFF); i += 1 }
+      (v, n) // ids keep their marker bits — compared against literals
+    }
+    def readSize(off: Long): (Long, Int) = {
+      require(off < bytes.length, "WebM: size past end of file")
+      val n = vintLen(bytes(off.toInt))
+      require(off + n <= bytes.length, "WebM: truncated element size")
+      var v = (bytes(off.toInt) & 0xFF & (0xFF >>> n)).toLong
+      var i = 1
+      while (i < n) { v = (v << 8) | (bytes((off + i).toInt) & 0xFF); i += 1 }
+      val unknown = v == (1L << (7 * n)) - 1
+      (if (unknown) -1L else v, n)
+    }
+    // (id, payloadStart, payloadEnd) for each element in [start, end)
+    def children(start: Long, end: Long): Seq[(Long, Long, Long)] = {
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      var off = start
+      while (off < end) {
+        val (id, idLen) = readId(off)
+        val (size, szLen) = readSize(off + idLen)
+        val ps = off + idLen + szLen
+        val pe = if (size < 0) end else ps + size
+        require(pe <= end, f"WebM: element 0x$id%X overruns container")
+        out += ((id, ps, pe))
+        off = pe
+      }
+      out.result()
+    }
+    def uintAt(s: Long, e: Long): Long = {
+      require(e - s <= 8, "WebM: oversized uint")
+      var v = 0L
+      var i = s
+      while (i < e) { v = (v << 8) | (bytes(i.toInt) & 0xFF); i += 1 }
+      v
+    }
+    val top = children(0L, bytes.length.toLong)
+    val (_, hs, he) = top.find(_._1 == EbmlHeader).get // magic checked above
+    val docType = children(hs, he).collectFirst {
+      case (EbmlDocType, s, e) => new String(bytes, s.toInt, (e - s).toInt, "US-ASCII")
+    }.getOrElse("matroska")
+    require(docType == "webm" || docType == "matroska",
+      s"WebM: unexpected DocType '$docType'")
+    val (_, segS, segE) = top.find(_._1 == MkvSegment).getOrElse(
+      throw new IllegalArgumentException("WebM: no Segment element"))
+    val seg = children(segS, segE)
+    val (tcScale, durationUnits) = seg.collectFirst {
+      case (MkvInfo, s, e) =>
+        val kids = children(s, e)
+        val scale = kids.collectFirst {
+          case (MkvTimecodeScale, ss, se) => uintAt(ss, se)
+        }.getOrElse(1000000L) // spec default: 1 ms
+        val dur = kids.collectFirst { case (MkvDuration, ss, se) =>
+          require(se - ss == 4 || se - ss == 8, "WebM: Duration not a float")
+          if (se - ss == 8) ByteBuffer.wrap(bytes, ss.toInt, 8).getDouble
+          else ByteBuffer.wrap(bytes, ss.toInt, 4).getFloat.toDouble
+        }.getOrElse(0.0)
+        (scale, dur)
+    }.getOrElse(throw new IllegalArgumentException("WebM: no Info element"))
+    val videoEntry = seg.collectFirst { case (MkvTracks, s, e) =>
+      children(s, e).collect { case (MkvTrackEntry, ts, te) => children(ts, te) }
+        .find(_.exists { case (id, s2, e2) =>
+          id == MkvTrackType && uintAt(s2, e2) == 1L })
+    }.flatten.getOrElse(
+      throw new IllegalArgumentException("WebM: no video TrackEntry"))
+    val codecId = videoEntry.collectFirst { case (MkvCodecId, s, e) =>
+      new String(bytes, s.toInt, (e - s).toInt, "US-ASCII")
+    }.getOrElse(throw new IllegalArgumentException("WebM: video track has no CodecID"))
+    val videoKids = videoEntry.collectFirst { case (MkvVideo, s, e) =>
+      children(s, e)
+    }.getOrElse(throw new IllegalArgumentException("WebM: video track has no Video element"))
+    val width = videoKids.collectFirst { case (MkvPixelWidth, s, e) => uintAt(s, e) }
+      .getOrElse(throw new IllegalArgumentException("WebM: no PixelWidth"))
+    val height = videoKids.collectFirst { case (MkvPixelHeight, s, e) => uintAt(s, e) }
+      .getOrElse(throw new IllegalArgumentException("WebM: no PixelHeight"))
+    require(width > 0 && width <= Int.MaxValue &&
+      height > 0 && height <= Int.MaxValue, "WebM: bad pixel dimensions")
+    val durationMs = math.round(durationUnits * tcScale / 1e6)
+    WebmMeta(codecId, width.toInt, height.toInt, durationMs, tcScale)
+  }
+
   // --------------------------------------------------------- ImageIO
 
   /** Encode a pixel grid losslessly as PNG via the JDK's `javax.imageio`

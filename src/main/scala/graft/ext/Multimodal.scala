@@ -228,6 +228,39 @@ object Multimodal {
         fourcc = "jpeg", samples = frames.toSeq, samplesPerFragment = 2)
     })
 
+  /** Synthesize REAL WebM headers ([[Codecs.encodeWebm]] — EBML walk,
+    * DocType webm, one VP9 video track) over the shared grid dimensions,
+    * duration matching [[mp4Table]]'s frame schedule. VP9 payloads have
+    * no JVM decoder, so frames stay honestly opaque; the oracle surface
+    * is the container metadata. */
+  def webmTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    gridMediaTable(docs, idCol, (id, w, h) =>
+      Codecs.encodeWebm(w, h, durationMs = (1 + id % 5) * 40))
+
+  /** REAL WebM/Matroska metadata extraction: the EBML tree walk
+    * ([[Codecs.decodeWebmMeta]]) yields the video track's codec id,
+    * exact pixel dimensions, and the Info duration — the full honest
+    * surface for a container whose frame payloads (VP8/VP9/AV1) have no
+    * pure-JVM decoder. Pure per-row projection: no shuffle, columns
+    * pruned to (id, media) at the scan. */
+  def webmMeta(media: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("codec", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val m = Codecs.decodeWebmMeta(r.getAs[Array[Byte]](mIdx))
+        Row(r.getLong(idIdx), m.codecId, m.width, m.height, m.durationMs)
+      }
+    }(enc)
+  }
+
   /** REAL sampled-frame video decode: parse each container — RIFF/AVI or
     * ISO-BMFF/MP4, dispatched on the magic bytes — pick the frame under
     * every `everyMs` timestamp (0, everyMs, … < duration), decode ONLY

@@ -282,6 +282,18 @@ object StreamQueries {
 
   val qMultimodalFmp4Sql: String = qMultimodalMp4Sql
 
+  /** WebM container metadata over the documents grid: the EBML tree walk
+    * recovers codec, dimensions and duration — closed-form in doc_id, so
+    * the oracle is exact even though VP9 frames are undecodable. */
+  def qMultimodalWebm(s: SparkSession, dir: String): DataFrame =
+    Multimodal.webmMeta(Multimodal.webmTable(Tables(s, dir, "documents")))
+
+  val qMultimodalWebmSql: String =
+    """SELECT doc_id, 'V_VP9' AS codec,
+      |(4 + doc_id % 12)::INT AS width, (4 + doc_id % 7)::INT AS height,
+      |((1 + doc_id % 5) * 40)::BIGINT AS duration_ms
+      |FROM documents""".stripMargin
+
   /** Byte statistics over opaque payloads (formats with no JVM decoder).
     * Oracle exploits the fixture texts being pure ASCII: byte stream ==
     * codepoint stream. */
@@ -428,6 +440,7 @@ object StreamQueries {
     "q_multimodal_video"  -> (qMultimodalVideo _),
     "q_multimodal_mp4"    -> (qMultimodalMp4 _),
     "q_multimodal_fmp4"   -> (qMultimodalFmp4 _),
+    "q_multimodal_webm"   -> (qMultimodalWebm _),
     "q_multimodal_tiff"   -> (qMultimodalTiff _),
     "q_multimodal_gif"    -> (qMultimodalGif _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -453,6 +466,7 @@ object StreamQueries {
     "q_multimodal_video"  -> qMultimodalVideoSql,
     "q_multimodal_mp4"    -> qMultimodalMp4Sql,
     "q_multimodal_fmp4"   -> qMultimodalFmp4Sql,
+    "q_multimodal_webm"   -> qMultimodalWebmSql,
     "q_multimodal_tiff"   -> qMultimodalTiffSql,
     "q_multimodal_gif"    -> qMultimodalGifSql,
     "q_multimodal_frames" -> qMultimodalFramesSql,

@@ -411,6 +411,42 @@ class CodecSpec extends AnyFunSuite {
       s"EBML payload must be rejected by name: ${e2.getMessage}")
   }
 
+  test("WebM EBML walk: header metadata round-trips; truncation, wrong " +
+       "DocType and non-EBML payloads fail with named errors") {
+    val bytes = Codecs.encodeWebm(640, 360, durationMs = 12345L)
+    val m = Codecs.decodeWebmMeta(bytes)
+    assert(m.codecId == "V_VP9" && m.width == 640 && m.height == 360)
+    assert(m.durationMs == 12345L && m.timecodeScaleNs == 1000000L)
+    // VINT boundary dimensions: sizes that need multi-byte uints and push
+    // element sizes past one VINT septet
+    val big = Codecs.decodeWebmMeta(
+      Codecs.encodeWebm(3840, 2160, durationMs = 3600000L, codecId = "V_AV1"))
+    assert(big.codecId == "V_AV1" && big.width == 3840 && big.height == 2160)
+    assert(big.durationMs == 3600000L)
+    // truncation mid-tree: named, not an index crash
+    val e1 = intercept[IllegalArgumentException](
+      Codecs.decodeWebmMeta(java.util.Arrays.copyOfRange(bytes, 0, 20)))
+    assert(e1.getMessage.contains("WebM"), e1.getMessage)
+    // not EBML at all
+    val e2 = intercept[IllegalArgumentException](
+      Codecs.decodeWebmMeta("RIFFxxxxWEBPVP8 ".getBytes("US-ASCII")))
+    assert(e2.getMessage.contains("EBML"), e2.getMessage)
+    // a Segment with no video track is named too
+    val audioOnly = {
+      // re-encode, then surgically flip TrackType 1 -> 2 (audio): the
+      // element is ebml id 0x83, size 0x81, value 0x01
+      val b = Codecs.encodeWebm(8, 8, 40L).clone()
+      val i = (0 until b.length - 2).find(i =>
+        (b(i) & 0xFF) == 0x83 && (b(i + 1) & 0xFF) == 0x81 &&
+        (b(i + 2) & 0xFF) == 0x01).get
+      b(i + 2) = 0x02
+      b
+    }
+    val e3 = intercept[IllegalArgumentException](
+      Codecs.decodeWebmMeta(audioOnly))
+    assert(e3.getMessage.contains("video"), e3.getMessage)
+  }
+
   test("NormalizeText: NFC composes combining marks and compatibility singletons") {
     import org.apache.spark.sql.functions.col
     import graft.functions.TextExpressions
