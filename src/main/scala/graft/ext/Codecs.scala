@@ -1017,6 +1017,110 @@ object Codecs {
     WebmMeta(codecId, width.toInt, height.toInt, durationMs, tcScale)
   }
 
+  // ------------------------------------------------- MP3 (MPEG-1 audio)
+
+  /** Parsed MP3 stream metadata from the frame-header walk — sample
+    * rate, frame count, exact duration, mean bitrate, VBR flag. No audio
+    * decode (no pure-JVM MP3 decoder exists); like WebM, the honest
+    * surface is the container arithmetic: each MPEG-1 Layer III frame is
+    * `144000·kbps/rate + padding` bytes and 1152 samples, so the walk is
+    * O(frames) header reads, never a payload scan. */
+  final case class Mp3Meta(sampleRate: Int, nFrames: Int, durationMs: Long,
+                           meanBitrateKbps: Double, vbr: Boolean)
+
+  // MPEG-1 Layer III side tables (ISO/IEC 11172-3): bitrate index → kbps
+  // (0 = free, 15 = bad), sample-rate index → Hz (3 = reserved)
+  private val Mp3BitrateKbps =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3SampleRates = Array(44100, 48000, 32000)
+
+  /** Encode a constant-bitrate MPEG-1 Layer III stream: `nFrames` frames
+    * of the exact tabulated size, headers real, payload deterministic
+    * filler (frame payloads would need a real psychoacoustic encoder —
+    * irrelevant to the metadata walk, which never reads them). */
+  def encodeMp3Cbr(sampleRate: Int, bitrateKbps: Int, nFrames: Int,
+                   seed: Long = 0L): Array[Byte] = {
+    val rateIdx = Mp3SampleRates.indexOf(sampleRate)
+    val brIdx = Mp3BitrateKbps.indexOf(bitrateKbps)
+    require(rateIdx >= 0, s"MP3: unsupported sample rate $sampleRate")
+    require(brIdx >= 1, s"MP3: unsupported bitrate $bitrateKbps kbps")
+    val frameLen = 144000 * bitrateKbps / sampleRate // padding bit 0
+    val out = new Array[Byte](frameLen * nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val base = f * frameLen
+      out(base) = 0xFF.toByte
+      out(base + 1) = 0xFB.toByte // sync | MPEG-1 | Layer III | no CRC
+      out(base + 2) = ((brIdx << 4) | (rateIdx << 2)).toByte
+      out(base + 3) = 0x00 // stereo, no mode ext, no copyright bits
+      var i = 4
+      while (i < frameLen) {
+        out(base + i) = ((seed + f * 131L + i * 7L) % 251L).toByte
+        i += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** Walk an MP3 stream's frame headers. Skips a leading ID3v2 tag
+    * (synchsafe size) and a trailing 128-byte ID3v1 "TAG" block; every
+    * other byte must be frame-aligned — a lost sync fails loudly with
+    * the offset rather than resyncing silently past corrupt data. */
+  def decodeMp3Meta(bytes: Array[Byte]): Mp3Meta = {
+    require(bytes != null && bytes.length >= 4, "MP3: truncated file")
+    var pos = 0
+    // ID3v2 prefix: "ID3" + version(2) + flags + 4-byte synchsafe size
+    if (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      require(bytes.length >= 10, "MP3: truncated ID3v2 header")
+      val size = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+      pos = 10 + size
+      require(pos < bytes.length, "MP3: ID3v2 tag swallows the whole file")
+    }
+    // ID3v1 trailer: fixed 128 bytes at EOF starting "TAG"
+    var end = bytes.length
+    if (end - pos >= 128 && bytes(end - 128) == 'T' &&
+        bytes(end - 127) == 'A' && bytes(end - 126) == 'G')
+      end -= 128
+    var nFrames = 0
+    var sampleRate = 0
+    var kbpsSum = 0L
+    var kbpsFirst = -1
+    var vbr = false
+    while (pos < end) {
+      require(pos + 4 <= end, s"MP3: truncated frame header at $pos")
+      val b1 = bytes(pos) & 0xFF
+      val b2 = bytes(pos + 1) & 0xFF
+      require(b1 == 0xFF && (b2 & 0xE0) == 0xE0,
+        s"MP3: lost frame sync at $pos")
+      require((b2 >> 3 & 3) == 3 && (b2 >> 1 & 3) == 1,
+        "MP3: only MPEG-1 Layer III supported")
+      val b3 = bytes(pos + 2) & 0xFF
+      val brIdx = b3 >> 4
+      val rateIdx = b3 >> 2 & 3
+      val padding = b3 >> 1 & 1
+      require(brIdx >= 1 && brIdx <= 14, s"MP3: bad bitrate index $brIdx")
+      require(rateIdx < 3, "MP3: reserved sample-rate index")
+      val rate = Mp3SampleRates(rateIdx)
+      require(sampleRate == 0 || rate == sampleRate,
+        "MP3: sample rate changes mid-stream")
+      sampleRate = rate
+      val kbps = Mp3BitrateKbps(brIdx)
+      if (kbpsFirst < 0) kbpsFirst = kbps else if (kbps != kbpsFirst) vbr = true
+      kbpsSum += kbps
+      val frameLen = 144000 * kbps / rate + padding
+      require(frameLen > 4, "MP3: degenerate frame length")
+      require(pos + frameLen <= end, s"MP3: frame at $pos overruns file")
+      pos += frameLen
+      nFrames += 1
+    }
+    require(nFrames > 0, "MP3: no frames")
+    Mp3Meta(sampleRate, nFrames,
+      nFrames.toLong * 1152000L / sampleRate,
+      kbpsSum.toDouble / nFrames, vbr)
+  }
+
   // --------------------------------------------------------- ImageIO
 
   /** Encode a pixel grid losslessly as PNG via the JDK's `javax.imageio`

@@ -87,6 +87,43 @@ object Multimodal {
     }(enc)
   }
 
+  /** Permissive decode — the §1.3 error contract applied to media: a
+    * payload that fails its codec yields `ok = false` + a coarse reason
+    * instead of killing the job. At crawl scale corrupt media is routine
+    * (truncated downloads, mislabeled content types), so a fail-fast
+    * decode over 100 TB would abort on the first bad row of billions;
+    * this is the quarantine path — downstream splits on `ok` to route
+    * failures to a dead-letter sink. Same mapPartitions shape as the
+    * strict decodes; the try/catch is per-row so one bad payload cannot
+    * poison its partition. The reason is a STABLE class ("undecodable"),
+    * not an exception message, so oracles and dedup-on-reason stay
+    * engine-portable. */
+  def imageFeaturesPermissive(media: DataFrame,
+                              idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("ok", BooleanType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_pixels", LongType),
+      StructField("reason", StringType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        try {
+          val img = Codecs.decodeImage(r.getAs[Array[Byte]](mIdx))
+          Row(id, true, img.width, img.height,
+            img.width.toLong * img.height, null)
+        } catch { case scala.util.control.NonFatal(_) =>
+          Row(id, false, null, null, null, "undecodable")
+        }
+      }
+    }(enc)
+  }
+
   // ------------------------------------------------ real-codec tables
 
   /** Synthesize a REAL RIFF/WAVE PCM16 payload per document — a valid
@@ -236,6 +273,52 @@ object Multimodal {
   def webmTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
     gridMediaTable(docs, idCol, (id, w, h) =>
       Codecs.encodeWebm(w, h, durationMs = (1 + id % 5) * 40))
+
+  /** Synthesize REAL MPEG-1 Layer III (MP3) streams: valid frame headers
+    * with tabulated sizes ([[Codecs.encodeMp3Cbr]]), deterministic filler
+    * payloads. Rate/bitrate/length are closed-form in doc_id:
+    * `rate = [44100,48000,32000][id%3]`, `kbps = [96,128,192,320][id%4]`,
+    * `frames = 5 + id%20`. */
+  def mp3Table(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("media", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = docs.schema.fieldIndex(idCol)
+    val rates = Array(44100, 48000, 32000)
+    val kbps = Array(96, 128, 192, 320)
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        Row(id, Codecs.encodeMp3Cbr(rates((id % 3).toInt),
+          kbps((id % 4).toInt), (5 + id % 20).toInt, seed = id))
+      }
+    }(enc)
+  }
+
+  /** REAL MP3 metadata extraction: the frame-header walk
+    * ([[Codecs.decodeMp3Meta]]) yields sample rate, frame count, exact
+    * duration and mean bitrate — audio samples stay honestly opaque (no
+    * pure-JVM MP3 decoder). Pure per-row projection, no shuffle. */
+  def mp3Meta(media: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("mean_kbps", DoubleType),
+      StructField("vbr", BooleanType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val m = Codecs.decodeMp3Meta(r.getAs[Array[Byte]](mIdx))
+        Row(r.getLong(idIdx), m.sampleRate, m.nFrames, m.durationMs,
+          m.meanBitrateKbps, m.vbr)
+      }
+    }(enc)
+  }
 
   /** REAL WebM/Matroska metadata extraction: the EBML tree walk
     * ([[Codecs.decodeWebmMeta]]) yields the video track's codec id,

@@ -294,6 +294,44 @@ object StreamQueries {
       |((1 + doc_id % 5) * 40)::BIGINT AS duration_ms
       |FROM documents""".stripMargin
 
+  /** MP3 metadata over the documents grid: the frame-header walk
+    * recovers rate, frame count, exact duration and bitrate — closed
+    * form in doc_id, exact even though the audio frames are opaque. */
+  def qMultimodalMp3(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mp3Meta(Multimodal.mp3Table(Tables(s, dir, "documents")))
+
+  val qMultimodalMp3Sql: String =
+    """WITH d AS (SELECT doc_id,
+      |  list_extract([44100,48000,32000], (doc_id % 3 + 1)::INT) AS rate,
+      |  list_extract([96,128,192,320], (doc_id % 4 + 1)::INT) AS kbps,
+      |  5 + doc_id % 20 AS nf FROM documents)
+      |SELECT doc_id, rate::INT AS sample_rate, nf::INT AS n_frames,
+      |  (nf * 1152000 // rate)::BIGINT AS duration_ms,
+      |  kbps::DOUBLE AS mean_kbps, false AS vbr
+      |FROM d""".stripMargin
+
+  /** Permissive media decode (§1.3 error contract on the multimodal
+    * surface): every 7th payload is replaced with non-image junk; the
+    * quarantine path must mark exactly those rows undecodable and decode
+    * the rest — the job must NOT die on the corrupt rows, which is what
+    * the strict decode would do at crawl scale. */
+  def qMultimodalQuarantine(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageFeaturesPermissive(
+      Multimodal.pngTable(Tables(s, dir, "documents"))
+        .withColumn("media",
+          when(col("doc_id") % 7 === 0,
+            encode(lit("deliberately not an image payload"), "UTF-8"))
+            .otherwise(col("media"))))
+
+  val qMultimodalQuarantineSql: String =
+    """SELECT doc_id, (doc_id % 7 <> 0) AS ok,
+      |CASE WHEN doc_id % 7 <> 0 THEN (4 + doc_id % 12)::INT END AS width,
+      |CASE WHEN doc_id % 7 <> 0 THEN (4 + doc_id % 7)::INT END AS height,
+      |CASE WHEN doc_id % 7 <> 0
+      |  THEN ((4 + doc_id % 12) * (4 + doc_id % 7))::BIGINT END AS n_pixels,
+      |CASE WHEN doc_id % 7 = 0 THEN 'undecodable' END AS reason
+      |FROM documents""".stripMargin
+
   /** Byte statistics over opaque payloads (formats with no JVM decoder).
     * Oracle exploits the fixture texts being pure ASCII: byte stream ==
     * codepoint stream. */
@@ -441,6 +479,8 @@ object StreamQueries {
     "q_multimodal_mp4"    -> (qMultimodalMp4 _),
     "q_multimodal_fmp4"   -> (qMultimodalFmp4 _),
     "q_multimodal_webm"   -> (qMultimodalWebm _),
+    "q_multimodal_quarantine" -> (qMultimodalQuarantine _),
+    "q_multimodal_mp3"    -> (qMultimodalMp3 _),
     "q_multimodal_tiff"   -> (qMultimodalTiff _),
     "q_multimodal_gif"    -> (qMultimodalGif _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -467,6 +507,8 @@ object StreamQueries {
     "q_multimodal_mp4"    -> qMultimodalMp4Sql,
     "q_multimodal_fmp4"   -> qMultimodalFmp4Sql,
     "q_multimodal_webm"   -> qMultimodalWebmSql,
+    "q_multimodal_quarantine" -> qMultimodalQuarantineSql,
+    "q_multimodal_mp3"    -> qMultimodalMp3Sql,
     "q_multimodal_tiff"   -> qMultimodalTiffSql,
     "q_multimodal_gif"    -> qMultimodalGifSql,
     "q_multimodal_frames" -> qMultimodalFramesSql,

@@ -432,7 +432,7 @@ class CodecSpec extends AnyFunSuite {
       Codecs.decodeWebmMeta("RIFFxxxxWEBPVP8 ".getBytes("US-ASCII")))
     assert(e2.getMessage.contains("EBML"), e2.getMessage)
     // a Segment with no video track is named too
-    val audioOnly = {
+    val audioOnlyWebm = {
       // re-encode, then surgically flip TrackType 1 -> 2 (audio): the
       // element is ebml id 0x83, size 0x81, value 0x01
       val b = Codecs.encodeWebm(8, 8, 40L).clone()
@@ -443,8 +443,68 @@ class CodecSpec extends AnyFunSuite {
       b
     }
     val e3 = intercept[IllegalArgumentException](
-      Codecs.decodeWebmMeta(audioOnly))
+      Codecs.decodeWebmMeta(audioOnlyWebm))
     assert(e3.getMessage.contains("video"), e3.getMessage)
+  }
+
+  test("MP3 frame-header walk: CBR timing exact; ID3v2/v1 tags skipped; " +
+       "lost sync, mid-stream rate change and truncation fail loudly") {
+    val bytes = Codecs.encodeMp3Cbr(44100, 128, nFrames = 38)
+    val m = Codecs.decodeMp3Meta(bytes)
+    assert(m.sampleRate == 44100 && m.nFrames == 38 && !m.vbr)
+    assert(m.meanBitrateKbps == 128.0)
+    // 38 frames * 1152 samples at 44100 Hz = 992.6... ms, floored in Long
+    assert(m.durationMs == 38L * 1152000L / 44100L)
+    // every (rate, kbps) pair the table synthesizes walks exactly
+    for (rate <- Seq(44100, 48000, 32000); kbps <- Seq(96, 128, 192, 320)) {
+      val mm = Codecs.decodeMp3Meta(Codecs.encodeMp3Cbr(rate, kbps, 7))
+      assert(mm.sampleRate == rate && mm.nFrames == 7 &&
+        mm.meanBitrateKbps == kbps.toDouble, s"($rate, $kbps)")
+    }
+    // ID3v2 prefix (synchsafe size) and ID3v1 trailer are skipped
+    val id3v2 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 1, 5) ++
+      new Array[Byte](128 + 5) // size = 1<<7 | 5 = 133 payload bytes
+    val id3v1 = Array[Byte]('T', 'A', 'G') ++ new Array[Byte](125)
+    val tagged = id3v2 ++ bytes ++ id3v1
+    val mt = Codecs.decodeMp3Meta(tagged)
+    assert(mt.nFrames == 38 && mt.sampleRate == 44100)
+    // VBR: frames at two bitrates → mean between them, vbr flag set
+    val vbr = Codecs.encodeMp3Cbr(44100, 96, 5) ++
+      Codecs.encodeMp3Cbr(44100, 192, 5)
+    val mv = Codecs.decodeMp3Meta(vbr)
+    assert(mv.vbr && mv.nFrames == 10 && mv.meanBitrateKbps == 144.0)
+    // lost sync: named error with the offset, no silent resync
+    val bad = bytes.clone(); bad(0) = 0x00
+    val e1 = intercept[IllegalArgumentException](Codecs.decodeMp3Meta(bad))
+    assert(e1.getMessage.contains("sync"), e1.getMessage)
+    // truncated final frame: named
+    val e2 = intercept[IllegalArgumentException](Codecs.decodeMp3Meta(
+      java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 10)))
+    assert(e2.getMessage.contains("MP3"), e2.getMessage)
+    // a mid-stream sample-rate change is corruption, not a feature
+    val mixed = Codecs.encodeMp3Cbr(44100, 128, 3) ++
+      Codecs.encodeMp3Cbr(48000, 128, 3)
+    val e3 = intercept[IllegalArgumentException](Codecs.decodeMp3Meta(mixed))
+    assert(e3.getMessage.contains("sample rate"), e3.getMessage)
+  }
+
+  test("permissive image decode quarantines corrupt payloads per-row") {
+    val spark0 = SparkTest.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "x"), (7L, "y"), (14L, "z"))
+      .toDF("doc_id", "text")
+    val media = graft.ext.Multimodal.pngTable(docs)
+      .withColumn("media",
+        when(col("doc_id") % 7 === 0, encode(lit("junk"), "UTF-8"))
+          .otherwise(col("media")))
+    val out = graft.ext.Multimodal.imageFeaturesPermissive(media)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)), Option(r.getString(5)))).toMap
+    assert(out(1L)._1 && out(1L)._2.contains(5) && out(1L)._3.isEmpty)
+    assert(!out(7L)._1 && out(7L)._2.isEmpty &&
+      out(7L)._3.contains("undecodable"))
+    assert(!out(14L)._1)
   }
 
   test("NormalizeText: NFC composes combining marks and compatibility singletons") {
