@@ -140,6 +140,96 @@ object Similarity {
       corpus.withColumn(vecCol, sq8Reconstruct(sq8Quantize(col(vecCol)))),
       queries, k, idCol, vecCol)
 
+  // ------------------------------------------- product quantization (PQ)
+
+  /** Index (0-based) of the L2-nearest codeword for a subvector. Distances
+    * come from one HOF pass over the codebook literal; the winner is the
+    * FIRST index attaining the minimum (`array_position` semantics), so
+    * ties break deterministically and identically on every engine pass.
+    * All arithmetic in double (float components promote), bit-stable. */
+  private def l2ArgMin(sub: Column, codebook: Seq[Seq[Double]]): Column = {
+    val dists = transform(typedLit(codebook), c =>
+      aggregate(zip_with(sub, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Train `m` product-quantization codebooks of `k2` codewords each —
+    * the FAISS IVF-PQ recipe's fine quantizer. Each subspace runs the
+    * same deterministic quantized-mean Lloyd loop as [[kmeansCentroids]]
+    * but under the L2 objective the ENCODER uses (cosine is meaningless
+    * on subvectors — direction alone drops the magnitude information PQ
+    * exists to keep). Seeds are the first `k2` subvectors by id; a
+    * codeword that loses all members KEEPS its previous value so code
+    * positions stay stable across iterations. Only m·k2·(dim/m) = k2·dim
+    * doubles ever reach the driver — same memory contract as the coarse
+    * quantizer. Corpus is scanned once per (subspace × iteration); at
+    * build time that is the standard PQ training cost and `df` should be
+    * a (cached) sample at extreme scale. */
+  def pqTrainCodebooks(df: DataFrame, vecCol: String, idCol: String,
+                       m: Int, k2: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    require(k2 >= 1 && k2 <= 256, s"PQ codes are one byte: k2 $k2 not in 1..256")
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"PQ: dim $dim not divisible by m $m")
+    val d = dim / m
+    (0 until m).map { j =>
+      val sub = df.select(col(idCol).cast(LongType).as("id"),
+        slice(col(vecCol), j * d + 1, d).as("sv"))
+      var book: Seq[Seq[Double]] = sub.orderBy(col("id")).limit(k2)
+        .collect().sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      for (_ <- 1 to iters) {
+        val means = sub
+          .select(l2ArgMin(col("sv"), book).as("c"),
+            posexplode(transform(col("sv"),
+              x => floor(x.cast(DoubleType) * 1000000.0).cast(LongType))))
+          .groupBy(col("c"), col("pos"))
+          .agg(sum(col("col").cast(DecimalType(38, 0))).cast(DoubleType).as("s"),
+            count(lit(1)).cast(DoubleType).as("n"))
+          .select(col("c"), col("pos"),
+            (col("s") / (col("n") * 1000000.0)).as("m"))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+          .groupBy(_._1)
+          .map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3).toSeq }
+        book = book.indices.map(i => means.getOrElse(i, book(i)))
+      }
+      book
+    }
+  }
+
+  /** Encode a vector to `m` one-byte codes (stored shifted to TINYINT
+    * like [[sq8PackBytes]] — 1 byte/subspace in parquet, the 8×-vs-SQ8 /
+    * 32×-vs-float corpus compression that makes IVF-PQ the standard
+    * billion-scale layout). */
+  def pqEncode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val d = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (book, j) =>
+      (l2ArgMin(slice(v, j * d + 1, d), book) - lit(128)).cast("byte")
+    }: _*)
+  }
+
+  /** Reconstruction: concatenate each code's codeword — m table lookups
+    * into the codebook literal, no arithmetic (the PQ decode property).
+    * Queries stay full-precision; scoring is asymmetric like SQ8. */
+  def pqReconstruct(codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    flatten(zip_with(typedLit(codebooks), codes,
+      (book, code) => element_at(book, code.cast("int") + lit(129))))
+
+  /** Ad-hoc IVF-PQ search: coarse cells assigned on FULL-PRECISION
+    * vectors (like the index build), scoring against the PQ
+    * reconstruction. The independent formulation [[graft.queries]] pits
+    * against the standing index in the q_sim_pq_verified contract. */
+  def pqTopKWith(corpus: DataFrame, queries: DataFrame,
+                 cents: Seq[(Long, Seq[Double])],
+                 codebooks: Seq[Seq[Seq[Double]]], k: Int, nprobe: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame =
+    searchCells(
+      assignCells(corpus, vecCol, idCol, cents)
+        .withColumn("v", pqReconstruct(pqEncode(col("v"), codebooks), codebooks)),
+      probeCells(queries, vecCol, idCol, cents, nprobe), k)
+
   /** Deterministic random hyperplanes: `tables` tables × `bits` planes of
     * dimension `dim`, fixed seed. Materialized as plan-time literals. */
   private[graft] def hyperplanes(dim: Int, bits: Int, tables: Int,

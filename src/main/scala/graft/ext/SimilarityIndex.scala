@@ -56,6 +56,12 @@ object SimilarityIndex {
 
   private val QuantizerSidecar = "_quantizer"
 
+  /** PQ codebooks (codec = "pq" only): the fine quantizer rides in the
+    * snapshot dir beside the coarse one, carried by [[compact]] like the
+    * quantizer — a snapshot is always complete (cells + every sidecar
+    * reconstruction needs) on either side of a swap. */
+  private val PqSidecar = "_pqcodebook"
+
   /** Build-time per-cell occupancy, the drift baseline [[needsRetrain]]
     * compares against. ADVISORY metadata: written into the snapshot dir
     * right AFTER the build commit (a crash in between degrades loudly to
@@ -105,6 +111,29 @@ object SimilarityIndex {
         parts.tail.toSeq.map(b => java.lang.Double.longBitsToDouble(b.toLong)))
     }
 
+  /** Bit-exact text codec for the PQ codebooks: one line per codeword —
+    * subspace index, codeword index, then each component's raw long bits
+    * (same determinism contract as the quantizer sidecar: the bytes
+    * round-trip the doubles exactly, so a compaction carrying the file
+    * preserves reconstruction bit-for-bit). */
+  private def encodePqCodebooks(books: Seq[Seq[Seq[Double]]]): Array[Byte] =
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cw, i) =>
+        (Seq(j.toLong, i.toLong) ++
+          cw.map(java.lang.Double.doubleToRawLongBits)).mkString(" ")
+      }
+    }.mkString("\n").getBytes("UTF-8")
+
+  private def decodePqCodebooks(bytes: Array[Byte]): Seq[Seq[Seq[Double]]] =
+    new String(bytes, "UTF-8").split("\n").toSeq
+      .map { line =>
+        val parts = line.split(" ")
+        (parts(0).toInt, parts(1).toInt,
+          parts.drop(2).toSeq.map(b => java.lang.Double.longBitsToDouble(b.toLong)))
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
+
   /** Build (overwrite) the standing index: train the coarse quantizer
     * with `iters` Lloyd rounds, assign every corpus vector its cell, and
     * commit cells + quantizer sidecar as one snapshot. At scale pick k
@@ -119,10 +148,18 @@ object SimilarityIndex {
     * full-precision vectors; probes reconstruct and score
     * asymmetrically (full-precision queries), so results are exactly
     * the IVF search over the reconstructed corpus — deterministic and
-    * oracle-checkable (q_sim_sq8_idx). */
+    * oracle-checkable (q_sim_sq8_idx).
+    *
+    * `codec = "pq"` stores each vector as `pqM` one-byte codes into
+    * trained per-subspace codebooks (`pqK` codewords each) — the FAISS
+    * IVF-PQ layout: dim/pqM× less I/O than SQ8, 4·dim/pqM× less than
+    * float. The codebooks ride in the `_pqcodebook` sidecar; assignment
+    * is full-precision and scoring asymmetric exactly like SQ8, so the
+    * index search equals [[Similarity.pqTopKWith]] bit-for-bit
+    * (q_sim_pq_verified's contract). */
   def write(corpus: DataFrame, vecCol: String, idCol: String, base: String,
             k: Int, iters: Int, buckets: Int = 32,
-            codec: String = "float"): Unit =
+            codec: String = "float", pqM: Int = 8, pqK: Int = 16): Unit =
    BucketedTables.withWriterLease(corpus.sparkSession, cellsTable(base),
        "rebuild") {
     val spark = corpus.sparkSession
@@ -131,12 +168,18 @@ object SimilarityIndex {
     dropLegacyCentroids(spark, base)
     val (cids, cents) = Similarity.kmeansCentroids(
       corpus, vecCol, idCol, k, iters)
+    val books =
+      if (codec == "pq")
+        Similarity.pqTrainCodebooks(corpus, vecCol, idCol, pqM, pqK, iters)
+      else Nil
     BucketedTables.writeBucketed(
       encodeCells(
         Similarity.assignCells(corpus, vecCol, idCol, cids.zip(cents)),
-        codec),
+        codec, books),
       cellsTable(base), Seq("cell"), buckets, SaveMode.Overwrite,
-      sidecar = Seq(QuantizerSidecar -> encodeQuantizer(cids.zip(cents))))
+      sidecar = Seq(QuantizerSidecar -> encodeQuantizer(cids.zip(cents))) ++
+        (if (codec == "pq") Seq(PqSidecar -> encodePqCodebooks(books))
+         else Nil))
     // The commit above changed the snapshot epoch, so every pending
     // tombstone is ALREADY inert (a rebuild starts a new logical index
     // whose re-ingested ids must not be masked); dropping the table is
@@ -177,9 +220,11 @@ object SimilarityIndex {
     BucketedTables.dropTable(spark, s"${base}_centroids")
 
   /** Storage codec for assigned (cell, id, v) rows. The stored SCHEMA is
-    * the codec marker — `qb` present means sq8 — so appends and probes
-    * self-select the right path with no extra metadata. */
-  private def encodeCells(assigned: DataFrame, codec: String): DataFrame =
+    * the codec marker — `qb` present means sq8, `pqc` means pq — so
+    * appends and probes self-select the right path with no extra
+    * metadata. */
+  private def encodeCells(assigned: DataFrame, codec: String,
+                          pqBooks: Seq[Seq[Seq[Double]]] = Nil): DataFrame =
     codec match {
       case "float" => assigned
       case "sq8" =>
@@ -187,16 +232,25 @@ object SimilarityIndex {
           .select(col("cell"), col("id"),
             col("__s.mn").as("mn"), col("__s.sc").as("sc"),
             Similarity.sq8PackBytes(col("__s.q")).as("qb"))
+      case "pq" =>
+        require(pqBooks.nonEmpty, "pq codec needs trained codebooks")
+        assigned.select(col("cell"), col("id"),
+          Similarity.pqEncode(col("v"), pqBooks).as("pqc"))
       case other => throw new IllegalArgumentException(
-        s"codec must be 'float' or 'sq8', got '$other'")
+        s"codec must be 'float', 'sq8' or 'pq', got '$other'")
     }
 
   /** Decode a cells frame back to (cell, id, v) for scoring — the fused
-    * reconstruct expression unpacks the byte codes itself. */
-  private def decodeCells(cells: DataFrame): DataFrame =
+    * sq8 reconstruct expression unpacks the byte codes itself; pq looks
+    * codes up in the codebook literal. */
+  private def decodeCells(cells: DataFrame,
+                          pqBooks: => Seq[Seq[Seq[Double]]] = Nil): DataFrame =
     if (cells.columns.contains("qb"))
       cells.select(col("cell"), col("id"),
         Similarity.sq8Dequantize(col("mn"), col("sc"), col("qb")).as("v"))
+    else if (cells.columns.contains("pqc"))
+      cells.select(col("cell"), col("id"),
+        Similarity.pqReconstruct(col("pqc"), pqBooks).as("v"))
     else cells
 
   /** Mark `ids` deleted. Deletion is a TOMBSTONE append — O(|ids|), the
@@ -263,10 +317,10 @@ object SimilarityIndex {
     // quantizer was trained on, which a compaction does not change);
     // absent on pre-baseline snapshots, and stays absent then
     val carried = Seq(QuantizerSidecar -> quantizer) ++
-      (if (BucketedTables.sidecarExists(spark, cellsTable(base), CellStatsSidecar))
-         Seq(CellStatsSidecar ->
-           BucketedTables.readSidecar(spark, cellsTable(base), CellStatsSidecar))
-       else Nil)
+      Seq(CellStatsSidecar, PqSidecar).collect {
+        case sc if BucketedTables.sidecarExists(spark, cellsTable(base), sc) =>
+          sc -> BucketedTables.readSidecar(spark, cellsTable(base), sc)
+      }
     BucketedTables.withForcedBucketedScan(spark) {
       val snap =
         BucketedTables.writeSnapshot(spark, cellsTable(base), Seq("cell"),
@@ -313,13 +367,19 @@ object SimilarityIndex {
     val cents = decodeQuantizer(
       BucketedTables.readSidecar(spark, cellsTable(base), QuantizerSidecar))
     // the stored schema is the codec marker: append in the same codec
+    val cols = spark.table(cellsTable(base)).columns
     val codec =
-      if (spark.table(cellsTable(base)).columns.contains("qb")) "sq8"
+      if (cols.contains("qb")) "sq8"
+      else if (cols.contains("pqc")) "pq"
       else "float"
+    val books =
+      if (codec == "pq") decodePqCodebooks(
+        BucketedTables.readSidecar(spark, cellsTable(base), PqSidecar))
+      else Nil
     // checkpoint the batch-sized assigned frame so the occupancy fold
     // below reuses THIS assignment instead of re-running it
     val enc = encodeCells(
-      Similarity.assignCells(batch, vecCol, idCol, cents), codec)
+      Similarity.assignCells(batch, vecCol, idCol, cents), codec, books)
       .localCheckpoint()
     try {
       BucketedTables.writeBucketed(enc, cellsTable(base), Seq("cell"),
@@ -387,11 +447,15 @@ object SimilarityIndex {
     // instead of pre-compaction results arbitrarily picking one version
     // and changing after the rewrite. Decode (sq8 → reconstructed
     // doubles) AFTER the dedup, on the probed slice only.
-    val corpus = decodeCells(BucketedTables.maskByTombs(
-      spark.table(cellsTable(base))
-        .filter(col("cell").isin(probedCells: _*))
-        .dropDuplicates(),
-      tombIds))
+    val corpus = decodeCells(
+      BucketedTables.maskByTombs(
+        spark.table(cellsTable(base))
+          .filter(col("cell").isin(probedCells: _*))
+          .dropDuplicates(),
+        tombIds),
+      // by-name: the sidecar read only happens for a pq-codec table
+      decodePqCodebooks(
+        BucketedTables.readSidecar(spark, cellsTable(base), PqSidecar)))
     Similarity.searchCells(corpus, probes, k)
   }
 

@@ -404,6 +404,53 @@ object MiningQueries {
       e.filter(col("vec_id") < 10), k = 5, nprobe = 2)
   }
 
+  /** The standing ANN index with PRODUCT-QUANTIZED storage (IVF-PQ, the
+    * FAISS billion-scale layout): each vector stores as 8 one-byte codes
+    * into trained per-subspace codebooks — 8× less corpus I/O than SQ8,
+    * 32× less than float. Codebook training is data-dependent (Lloyd on
+    * subvectors), so no SQL oracle can replay it; the driver records
+    * rows-only here and [[qSimPqVerified]] carries the exactness
+    * contract. */
+  def qSimPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    graft.ext.SimilarityIndex.write(e, "embedding", "vec_id", "q_ann_pq",
+      k = 4, iters = 1, buckets = 4, codec = "pq", pqM = 8, pqK = 16)
+    graft.ext.SimilarityIndex.topK(s, "q_ann_pq",
+      e.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+  }
+
+  /** Companion verification of [[qSimPq]]: the index-backed search must
+    * equal [[Similarity.pqTopKWith]] — the same trained coarse centroids
+    * and codebooks driven through the AD-HOC in-memory path instead of
+    * the standing tables + sidecars + byte-packed storage. Both sides
+    * assign cells full-precision and score the identical reconstruction
+    * arithmetic, so any storage/sidecar/codec corruption surfaces as a
+    * breach row: a pair emitted on one side only, or a sim that moved.
+    * Oracle = empty set. */
+  def qSimPqVerified(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val fromIndex = qSimPq(s, dir)
+    val (cids, cents) = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+      k = 4, iters = 1)
+    val books = Similarity.pqTrainCodebooks(e, "embedding", "vec_id",
+      m = 8, k2 = 16, iters = 1)
+    val adhoc = Similarity.pqTopKWith(e, e.filter(col("vec_id") < 10),
+      cids.zip(cents), books, k = 5, nprobe = 2)
+    def keyed(df: DataFrame, simName: String) =
+      df.select(col("query_id"), col("cand_id"), col("sim").as(simName))
+    val idx = keyed(fromIndex, "sim_idx")
+    val ad = keyed(adhoc, "sim_ad")
+    idx.join(ad, Seq("query_id", "cand_id"), "full_outer")
+      .filter(col("sim_idx").isNull || col("sim_ad").isNull ||
+        abs(col("sim_idx") - col("sim_ad")) > 1e-12)
+      .select(col("query_id").as("id_a"), col("cand_id").as("id_b"),
+        lit("verify_breach").as("problem"))
+  }
+
+  val qSimPqVerifiedSql: String =
+    """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+      |  CAST(NULL AS VARCHAR) AS problem WHERE false""".stripMargin
+
   /** The ANN index's OBSERVABILITY surface under the oracle gate:
     * build the standing index, then read back its per-cell occupancy
     * ([[graft.ext.SimilarityIndex.stats]] — the operator that makes the
@@ -692,6 +739,8 @@ object MiningQueries {
     "q_sim_ivf_idx"     -> (qSimIvfIdx _),
     "q_sim_incr_idx"    -> (qSimIncrIdx _),
     "q_sim_sq8_idx"     -> (qSimSq8Idx _),
+    "q_sim_pq"          -> (qSimPq _),
+    "q_sim_pq_verified" -> (qSimPqVerified _),
     "q_sim_delete"      -> (qSimDelete _),
     "q_ann_stats"       -> (qAnnStats _),
     "q_split_leakage"   -> (qSplitLeakage _),
@@ -713,6 +762,7 @@ object MiningQueries {
     "q_sim_ivf_idx"     -> qSimIvfTrainedSql,
     "q_sim_incr_idx"    -> qSimIncrIdxSql,
     "q_sim_sq8_idx"     -> qSimSq8IdxSql,
+    "q_sim_pq_verified" -> qSimPqVerifiedSql,
     "q_sim_delete"      -> qSimDeleteSql,
     "q_ann_stats"       -> qAnnStatsSql,
     "q_split_leakage"   -> qSplitLeakageSql,

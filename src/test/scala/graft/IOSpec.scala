@@ -701,6 +701,90 @@ class IOSpec extends AnyFunSuite {
       .collect().head.getLong(2) != 77777L)
   }
 
+  test("pq cells storage shrinks below sq8; probes equal the ad-hoc " +
+       "IVF-PQ; appends keep codec and codebook; compaction carries the " +
+       "codebook sidecar byte-identical") {
+    import graft.ext.{Similarity, SimilarityIndex}
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    SimilarityIndex.write(e, "embedding", "vec_id", "t_pq_ann",
+      k = 4, iters = 1, buckets = 4, codec = "pq", pqM = 8, pqK = 16)
+    SimilarityIndex.write(e, "embedding", "vec_id", "t_pq_sq8cmp",
+      k = 4, iters = 1, buckets = 4, codec = "sq8")
+    def dirBytes(tbl: String) = new java.io.File(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .location.getPath).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    // 8 code bytes/vector vs sq8's 64 bytes + min/scale: parquet overhead
+    // dampens the raw 8x, but the cells table must still shrink hard
+    val ratio = dirBytes("t_pq_ann_cells").toDouble /
+      dirBytes("t_pq_sq8cmp_cells")
+    assert(ratio < 0.55, f"pq cells not smaller than sq8: ratio $ratio%.2f")
+    // exactness: the index-backed search (tables + sidecars + byte-packed
+    // codes) equals the ad-hoc IVF-PQ over the same trained artifacts
+    val (cids, cents) = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+      k = 4, iters = 1)
+    val books = Similarity.pqTrainCodebooks(e, "embedding", "vec_id",
+      m = 8, k2 = 16, iters = 1)
+    val q = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val got = rows(SimilarityIndex.topK(spark, "t_pq_ann", q, k = 3, nprobe = 2))
+    assert(got == rows(Similarity.pqTopKWith(e, q, cids.zip(cents), books,
+      k = 3, nprobe = 2)) && got.nonEmpty)
+    // a probe still bucket-prunes to the probed cell under pq storage
+    val one = SimilarityIndex.topK(spark, "t_pq_ann",
+      e.filter(col("vec_id") === 0), k = 3, nprobe = 1)
+    val root = one.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val sel = root.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == "t_pq_ann_cells") => f
+    }.head.metadata.get("SelectedBucketsCount")
+    assert(sel.exists(_.startsWith("1 out of 4")),
+      s"pq probe should read exactly the probed bucket: $sel")
+    // appends sniff the codec from the schema and encode with the STORED
+    // codebooks; results stay equal to the ad-hoc path over the grown
+    // corpus (same centroids + codebooks — appends never retrain)
+    val extra = e.filter(col("vec_id") >= 490)
+      .withColumn("vec_id", col("vec_id") + 10000)
+    SimilarityIndex.append(spark, "t_pq_ann", extra)
+    assert(!spark.table("t_pq_ann_cells").columns.contains("v") &&
+      !spark.table("t_pq_ann_cells").columns.contains("qb"),
+      "append must keep the pq layout")
+    val grownExpect = rows(Similarity.pqTopKWith(e.unionByName(extra), q,
+      cids.zip(cents), books, k = 3, nprobe = 2))
+    assert(rows(SimilarityIndex.topK(spark, "t_pq_ann", q,
+      k = 3, nprobe = 2)) == grownExpect)
+    // deletion masks pq rows like any other codec's
+    val victim = extra.select(col("vec_id")).limit(1)
+    SimilarityIndex.delete(spark, "t_pq_ann", victim)
+    val victimId = victim.collect().head.getLong(0)
+    assert(!SimilarityIndex.topK(spark, "t_pq_ann", q, k = 3, nprobe = 4)
+      .collect().exists(_.getLong(2) == victimId))
+    // compaction folds the tombstone and carries the codebook sidecar
+    // byte-identical; probe results equal the ad-hoc search minus the
+    // deleted row
+    def codebookBytes() = java.nio.file.Files.readAllBytes(
+      new java.io.File(new java.io.File(spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("t_pq_ann_cells"))
+        .location.getPath), "_pqcodebook").toPath)
+    val before = codebookBytes()
+    SimilarityIndex.compact(spark, "t_pq_ann")
+    assert(java.util.Arrays.equals(codebookBytes(), before),
+      "compaction must carry the codebook sidecar unchanged")
+    val afterExpect = rows(Similarity.pqTopKWith(
+      e.unionByName(extra).filter(col("vec_id") =!= victimId), q,
+      cids.zip(cents), books, k = 3, nprobe = 2))
+    assert(rows(SimilarityIndex.topK(spark, "t_pq_ann", q,
+      k = 3, nprobe = 2)) == afterExpect)
+  }
+
   test("delete wins over re-ingestion until a compact retires the ANN " +
        "tombstone — the old vector can never resurrect") {
     import graft.ext.SimilarityIndex
