@@ -83,6 +83,42 @@ object TextAnalysis {
       lit(0.2) * (lit(1.0) - least(punct * 5.0, lit(1.0)))
   }
 
+  /** Classic UTF-8-decoded-as-Latin-1 mojibake digraphs (café → cafÃ©,
+    * ’ → â€™, ° → Â°). A literal alternation, NO character classes — the
+    * pattern means the same thing in Java regex and RE2, so the DuckDB
+    * oracle interpolates this exact constant. */
+  val MojibakeMarkers: String = Seq(
+    "Ã©", "Ã¨", "Ã¤", "Ã¶",
+    "Ã¼", "Ã±", "Ã§", "Ã ",
+    "â", "â", "â",
+    "â", "â",
+    "Â°", "Â»", "Â«").mkString("|")
+
+  /** U+FFFD replacement characters — the bytes-were-already-lost signal
+    * every lossy transcode leaves behind. */
+  def replacementCount(text: Column): Column =
+    regexp_count(text, lit("�"))
+
+  /** Stray C0/C1 control characters (excluding \t \n \r) — binary
+    * content mis-sniffed as text. */
+  def controlCount(text: Column): Column =
+    regexp_count(text, lit("[\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F]"))
+
+  def mojibakeCount(text: Column): Column =
+    regexp_count(text, lit(MojibakeMarkers))
+
+  /** Encoding quality in [0,1]: 1 minus the (clamped, 5×-weighted) share
+    * of characters lost to replacement chars, stray controls, or
+    * mojibake digraphs — the standard pre-training filter for
+    * transcoding damage, dual to [[qualityScore]]'s linguistic signals.
+    * Pure Column arithmetic: no UDF, no shuffle. */
+  def encodingQuality(text: Column): Column =
+    lit(1.0) - least(
+      (replacementCount(text) + controlCount(text) + mojibakeCount(text))
+        .cast(DoubleType) * 5.0 /
+        greatest(length(text), lit(1)).cast(DoubleType),
+      lit(1.0))
+
   /** Marker-word profiles for the n-gram/stopword language-ID heuristic.
     * Kept alphabetical by language code: ties resolve to the first
     * strictly-greater score, i.e. the alphabetically-first language wins. */

@@ -78,6 +78,43 @@ object ExtQueries {
        |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
        |FROM mx""".stripMargin
 
+  /** Encoding-damage signals (replacement chars, stray controls,
+    * UTF-8-as-Latin-1 mojibake digraphs) plus the [0,1] encoding-quality
+    * score — the transcoding-damage twin of [[qQualityFilter]]'s
+    * linguistic gate. Fixture texts are clean ASCII, so every 5th doc is
+    * deterministically corrupted in BOTH engines with the same junk
+    * (interpolated from one shared constant) to exercise all three
+    * counters. */
+  def qEncodingQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(EncodingJunk))).otherwise(col("text")).as("t"))
+    d.select(col("doc_id"),
+      TextAnalysis.replacementCount(col("t")).as("n_repl"),
+      TextAnalysis.controlCount(col("t")).as("n_ctrl"),
+      TextAnalysis.mojibakeCount(col("t")).as("n_moji"),
+      TextAnalysis.encodingQuality(col("t")).as("enc_q"))
+  }
+
+  /** The injected damage: one replacement char, one BEL control, three
+    * mojibake digraphs — shared verbatim with the oracle SQL below. */
+  private val EncodingJunk: String =
+    " caf\u00C3\u00A9 bad\uFFFD\u0007 25\u00C2\u00B0 q\u00E2\u0080\u0099"
+
+  val qEncodingQualitySql: String =
+    s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+       |  THEN text || '$EncodingJunk' ELSE text END AS t FROM documents),
+       |m AS (SELECT doc_id,
+       |  len(regexp_extract_all(t, '�'))::INT AS n_repl,
+       |  len(regexp_extract_all(t,
+       |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]'))::INT AS n_ctrl,
+       |  len(regexp_extract_all(t,
+       |    '${TextAnalysis.MojibakeMarkers}'))::INT AS n_moji,
+       |  greatest(length(t), 1) AS n FROM d)
+       |SELECT doc_id, n_repl, n_ctrl, n_moji,
+       |  1.0 - least((n_repl + n_ctrl + n_moji) * 5.0 / n, 1.0) AS enc_q
+       |FROM m""".stripMargin
+
   /** Training-data filter stage: keep documents passing the quality gate
     * and a minimum length — the shape of a corpus-cleaning step. */
   def qQualityFilter(s: SparkSession, dir: String): DataFrame = {
@@ -1246,6 +1283,7 @@ object ExtQueries {
     "q_inverted_index"   -> (qInvertedIndex _),
     "q_lang_fingerprint" -> (qLangFingerprint _),
     "q_quality_filter"   -> (qQualityFilter _),
+    "q_encoding_quality" -> (qEncodingQuality _),
     "q_repetition"       -> (qRepetition _),
     "q_contamination"    -> (qContamination _),
     "q_dedup_exact"      -> (qDedupExact _),
@@ -1295,6 +1333,7 @@ object ExtQueries {
     "q_inverted_index"   -> qInvertedIndexSql,
     "q_lang_fingerprint" -> qLangFingerprintSql,
     "q_quality_filter"   -> qQualityFilterSql,
+    "q_encoding_quality" -> qEncodingQualitySql,
     "q_repetition"       -> qRepetitionSql,
     "q_contamination"    -> qContaminationSql,
     "q_dedup_exact"      -> qDedupExactSql,
