@@ -170,32 +170,47 @@ object Similarity {
                        m: Int, k2: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     require(k2 >= 1 && k2 <= 256, s"PQ codes are one byte: k2 $k2 not in 1..256")
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    // one collect seeds EVERY subspace: the first k2 vectors by id,
+    // sliced driver-side
+    val seeds = df.orderBy(col(idCol)).limit(k2)
+      .select(col(idCol).cast(LongType), col(vecCol)).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    require(seeds.nonEmpty, "PQ: empty training frame")
+    val dim = seeds.head.length
     require(dim % m == 0, s"PQ: dim $dim not divisible by m $m")
     val d = dim / m
-    (0 until m).map { j =>
-      val sub = df.select(col(idCol).cast(LongType).as("id"),
-        slice(col(vecCol), j * d + 1, d).as("sv"))
-      var book: Seq[Seq[Double]] = sub.orderBy(col("id")).limit(k2)
-        .collect().sortBy(_.getLong(0))
-        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
-      for (_ <- 1 to iters) {
-        val means = sub
-          .select(l2ArgMin(col("sv"), book).as("c"),
-            posexplode(transform(col("sv"),
-              x => floor(x.cast(DoubleType) * 1000000.0).cast(LongType))))
-          .groupBy(col("c"), col("pos"))
-          .agg(sum(col("col").cast(DecimalType(38, 0))).cast(DoubleType).as("s"),
-            count(lit(1)).cast(DoubleType).as("n"))
-          .select(col("c"), col("pos"),
-            (col("s") / (col("n") * 1000000.0)).as("m"))
-          .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-          .groupBy(_._1)
-          .map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3).toSeq }
-        book = book.indices.map(i => means.getOrElse(i, book(i)))
+    var books: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => seeds.map(_.slice(j * d, j * d + d)))
+    // each Lloyd round is ONE distributed pass: a single projection
+    // assigns all m subspaces (posexplode over the per-subspace structs),
+    // and one grouped aggregation yields every (subspace, codeword,
+    // component) quantized mean — job count is `iters`, not m × iters
+    for (_ <- 1 to iters) {
+      val perSub = df.select(posexplode(array((0 until m).map { j =>
+          struct(l2ArgMin(slice(col(vecCol), j * d + 1, d), books(j)).as("c"),
+            slice(col(vecCol), j * d + 1, d).as("sv"))
+        }: _*)))
+        .select(col("pos").as("j"), col("col.c").as("c"),
+          posexplode(transform(col("col.sv"),
+            x => floor(x.cast(DoubleType) * 1000000.0).cast(LongType))))
+      val means = perSub
+        .groupBy(col("j"), col("c"), col("pos"))
+        .agg(sum(col("col").cast(DecimalType(38, 0))).cast(DoubleType).as("s"),
+          count(lit(1)).cast(DoubleType).as("n"))
+        .select(col("j"), col("c"), col("pos"),
+          (col("s") / (col("n") * 1000000.0)).as("m"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+        .groupBy(_._1)
+        .map { case (k, rows) => k -> rows.map(_._2).sortBy(_._1).map(_._2).toSeq }
+      books = books.zipWithIndex.map { case (book, j) =>
+        // a codeword that lost all members keeps its previous value so
+        // code positions stay stable
+        book.indices.map(i => means.getOrElse((j, i), book(i)))
       }
-      book
     }
+    books
   }
 
   /** Encode a vector to `m` one-byte codes (stored shifted to TINYINT
