@@ -137,10 +137,10 @@ object Multimodal {
       StructField(idCol, LongType),
       StructField("media", BinaryType)))
     val enc = RowEncoder.encoderFor(outSchema)
-    val idIdx = docs.schema.fieldIndex(idCol)
-    docs.mapPartitions { rows =>
+    // id-only projection: prune the scan before the opaque mapPartitions
+    docs.select(col(idCol)).mapPartitions { rows =>
       rows.map { r =>
-        val id = r.getLong(idIdx)
+        val id = r.getLong(0)
         val n = (200 + id % 400).toInt
         val samples = Array.tabulate(n) { i =>
           ((id * 31 + i * 17) % 4001 - 2000).toShort
@@ -180,10 +180,12 @@ object Multimodal {
       StructField(idCol, LongType),
       StructField("media", BinaryType)))
     val enc = RowEncoder.encoderFor(outSchema)
-    val idIdx = docs.schema.fieldIndex(idCol)
-    docs.mapPartitions { rows =>
+    // the synthesis is a pure function of the id: project BEFORE the
+    // opaque mapPartitions so the scan prunes to one column instead of
+    // deserializing the (large) text of every document row
+    docs.select(col(idCol)).mapPartitions { rows =>
       rows.map { r =>
-        val id = r.getLong(idIdx)
+        val id = r.getLong(0)
         Row(id, make(id, (4 + id % 12).toInt, (4 + id % 7).toInt))
       }
     }(enc)
@@ -284,12 +286,12 @@ object Multimodal {
       StructField(idCol, LongType),
       StructField("media", BinaryType)))
     val enc = RowEncoder.encoderFor(outSchema)
-    val idIdx = docs.schema.fieldIndex(idCol)
     val rates = Array(44100, 48000, 32000)
     val kbps = Array(96, 128, 192, 320)
-    docs.mapPartitions { rows =>
+    // id-only projection: prune the scan before the opaque mapPartitions
+    docs.select(col(idCol)).mapPartitions { rows =>
       rows.map { r =>
-        val id = r.getLong(idIdx)
+        val id = r.getLong(0)
         Row(id, Codecs.encodeMp3Cbr(rates((id % 3).toInt),
           kbps((id % 4).toInt), (5 + id % 20).toInt, seed = id))
       }
