@@ -792,6 +792,50 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed == oneShot && streamed.nonEmpty)
   }
 
+  test("streaming vector ingestion into a PQ index: appends encode with " +
+       "the stored codebooks; two-batch split == one-shot append") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.SimilarityIndex
+    import graft.streaming.IngestVectors
+    implicit val sqlCtx = spark.sqlContext
+    val e = Tables(spark, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") < 400)
+    SimilarityIndex.write(corpus, "embedding", "vec_id", "t_stream_pq",
+      k = 4, iters = 1, buckets = 4, codec = "pq", pqM = 8, pqK = 16)
+    val extra = e.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val (b1, b2) = extra.partition(_._1 % 2 == 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_vec").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    // compactEvery = 2: the second batch folds the code-packed table
+    // through compactionFrame + snapshot swap WITH the codebook sidecar
+    val q = IngestVectors.run(input.toDF().toDF("vec_id", "embedding"),
+      "t_stream_pq", checkpoint = s"$tmp/ckpt", compactEvery = 2).start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("t_stream_pq_cells").count() == e.count())
+    assert(spark.table("t_stream_pq_cells").columns.toSet ==
+      Set("cell", "id", "pqc"), "streamed appends must keep the pq layout")
+    // codebooks are stored artifacts, so the batch split cannot change
+    // any search result vs a one-shot pq append
+    SimilarityIndex.write(corpus, "embedding", "vec_id", "t_oneshot_pq",
+      k = 4, iters = 1, buckets = 4, codec = "pq", pqM = 8, pqK = 16)
+    SimilarityIndex.append(spark, "t_oneshot_pq",
+      e.filter(col("vec_id") >= 400))
+    val probes = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val streamed = rows(SimilarityIndex.topK(spark, "t_stream_pq", probes,
+      k = 3, nprobe = 2))
+    val oneShot = rows(SimilarityIndex.topK(spark, "t_oneshot_pq", probes,
+      k = 3, nprobe = 2))
+    assert(streamed == oneShot && streamed.nonEmpty)
+  }
+
   test("a delete between micro-batches masks the doc for every later " +
        "batch's verdicts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
