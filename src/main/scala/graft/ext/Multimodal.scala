@@ -137,8 +137,10 @@ object Multimodal {
       StructField(idCol, LongType),
       StructField("media", BinaryType)))
     val enc = RowEncoder.encoderFor(outSchema)
-    // id-only projection: prune the scan before the opaque mapPartitions
-    docs.select(col(idCol)).mapPartitions { rows =>
+    // id-only projection + repartition: prune the scan, then spread the
+    // 8-byte ids so the per-row synthesis parallelizes even off a
+    // single-row-group source (see gridMediaTable)
+    docs.select(col(idCol)).repartition(col(idCol)).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val n = (200 + id % 400).toInt
@@ -182,8 +184,14 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     // the synthesis is a pure function of the id: project BEFORE the
     // opaque mapPartitions so the scan prunes to one column instead of
-    // deserializing the (large) text of every document row
-    docs.select(col(idCol)).mapPartitions { rows =>
+    // deserializing the (large) text of every document row. Then
+    // REPARTITION the pruned 8-byte ids before the encode: the per-row
+    // work downstream (JPEG/PNG encode, container mux, frame decode) is
+    // the CPU-bound part, and a source that arrives as one parquet row
+    // group would otherwise pin the whole pipeline to a single task —
+    // the same spread-before-per-row-media-work rule as
+    // [[repartitionBySize]], bought here for an id-column-only shuffle.
+    docs.select(col(idCol)).repartition(col(idCol)).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         Row(id, make(id, (4 + id % 12).toInt, (4 + id % 7).toInt))

@@ -245,6 +245,41 @@ object Similarity {
         .withColumn("v", pqReconstruct(pqEncode(col("v"), codebooks), codebooks)),
       probeCells(queries, vecCol, idCol, cents, nprobe), k)
 
+  /** Exact re-rank refinement — the second stage of the standard
+    * IVFPQ-with-refine recipe (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011; FAISS `IndexRefineFlat`): an
+    * approximate searcher proposes a `shortlist` of candidates per
+    * query under lossy (PQ/SQ8) scores, then exact cosine is recomputed
+    * for ONLY the shortlisted pairs against a full-precision vector
+    * source and the final top-k re-sorts under the exact scores.
+    *
+    * Scale shape (the 100 TB path): `candidates` is |queries|·shortlist
+    * id-pairs — driver-small by the same contract that makes `queries`
+    * broadcastable — so the exact pass is ONE scan of the raw corpus
+    * with the (pair, query-vector) frame broadcast against it: the
+    * corpus is never shuffled and never carries vectors into an
+    * exchange; only the bounded per-query top-k aggregation moves
+    * (query_id, cand_id, sim) triples. The byte-packed codes stay in
+    * the index; the raw vectors stay in cold parquet and are decoded
+    * only for shortlisted rows. Output shape matches [[bruteForceTopK]];
+    * `sim` is the EXACT cosine (the refinement contract the _verified
+    * companion asserts). */
+  def rerankExact(candidates: DataFrame, corpus: DataFrame,
+                  queries: DataFrame, k: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val pairs = candidates.select(col("query_id"), col("cand_id"))
+    val q = queries.select(col(idCol).cast(LongType).as("query_id"),
+      col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).cast(LongType).as("cand_id"),
+      col(vecCol).as("cv"))
+    topKPerKey(
+      c.join(broadcast(pairs.join(q, "query_id")), Seq("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          cosine(col("qv"), col("cv")).as("sim")),
+      k)
+  }
+
   /** Deterministic random hyperplanes: `tables` tables × `bits` planes of
     * dimension `dim`, fixed seed. Materialized as plan-time literals. */
   private[graft] def hyperplanes(dim: Int, bits: Int, tables: Int,

@@ -459,6 +459,29 @@ object SimilarityIndex {
     Similarity.searchCells(corpus, probes, k)
   }
 
+  /** Two-stage search with exact refinement (FAISS `IndexRefineFlat`
+    * over an IVF/PQ base): stage 1 probes the standing index for a
+    * `shortlist`-sized candidate set per query under the index's lossy
+    * (sq8/pq) scores; stage 2 recomputes EXACT cosine for only those
+    * |queries|·shortlist pairs against `rawCorpus` — the full-precision
+    * vector source the index was built from — and re-sorts to the final
+    * top-k. This is how a PQ index answers precisely at 100 TB: the
+    * compressed codes bound the candidate generation I/O, the raw
+    * vectors are touched only for the shortlist (one broadcast-shaped
+    * scan, see [[Similarity.rerankExact]]), and a larger `shortlist`
+    * buys recall with linear — not quadratic — exact-scoring cost.
+    * Tombstone masking happens in stage 1, so a deleted id can never
+    * re-enter through the raw-corpus join: stage 2 only rescores pairs
+    * stage 1 emitted. */
+  def topKRerank(spark: SparkSession, base: String, queries: DataFrame,
+                 rawCorpus: DataFrame, k: Int, shortlist: Int, nprobe: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cands = topK(spark, base, queries, shortlist, nprobe, idCol, vecCol)
+    Similarity.rerankExact(cands, rawCorpus, queries, k, idCol, vecCol)
+  }
+
   /** Occupancy + bucket co-residency of the standing index — makes the
     * header's sizing contract ("probe I/O is the probed BUCKETS' total
     * rows, not the probed cells'") measurable. One row per cell:

@@ -451,6 +451,64 @@ object MiningQueries {
     """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
       |  CAST(NULL AS VARCHAR) AS problem WHERE false""".stripMargin
 
+  /** Two-stage PQ search with exact refinement ([[graft.ext
+    * .SimilarityIndex.topKRerank]]): the PQ index proposes a 15-deep
+    * shortlist per query under lossy codes, then exact cosine re-sorts
+    * the shortlist against the raw corpus to the final top-5 — the
+    * FAISS IndexRefineFlat recipe. Codebook training is data-dependent
+    * (no SQL replay); rows-only here, exactness in
+    * [[qSimPqRerankVerified]]. */
+  def qSimPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    graft.ext.SimilarityIndex.write(e, "embedding", "vec_id", "q_ann_pqr",
+      k = 4, iters = 1, buckets = 4, codec = "pq", pqM = 8, pqK = 16)
+    graft.ext.SimilarityIndex.topKRerank(s, "q_ann_pqr",
+      e.filter(col("vec_id") < 10), e, k = 5, shortlist = 15, nprobe = 2)
+  }
+
+  /** Companion verification of [[qSimPqRerank]] — an INDEPENDENT
+    * two-stage twin: the ad-hoc in-memory PQ path proposes the same
+    * 15-deep shortlist, and the refine stage is re-derived with the
+    * window formulation over the interpreted HOF cosine (vs the
+    * index's bounded aggregator over the codegen'd expression). A
+    * breach row means the index storage, the broadcast refine join, or
+    * the top-k aggregator re-ranked differently from first principles.
+    * Oracle = empty set. */
+  def qSimPqRerankVerified(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val fromIndex = qSimPqRerank(s, dir)
+    val (cids, cents) = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+      k = 4, iters = 1)
+    val books = Similarity.pqTrainCodebooks(e, "embedding", "vec_id",
+      m = 8, k2 = 16, iters = 1)
+    val queries = e.filter(col("vec_id") < 10)
+    val shortlist = Similarity.pqTopKWith(e, queries, cids.zip(cents), books,
+      k = 15, nprobe = 2).select(col("query_id"), col("cand_id"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    val adhoc = shortlist.join(q, "query_id").join(c, "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        Similarity.cosineHof(col("qv"), col("cv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("cand_id"), col("sim"))
+    def keyed(df: DataFrame, simName: String) =
+      df.select(col("query_id"), col("cand_id"), col("sim").as(simName))
+    keyed(fromIndex, "sim_idx")
+      .join(keyed(adhoc, "sim_ad"), Seq("query_id", "cand_id"), "full_outer")
+      .filter(col("sim_idx").isNull || col("sim_ad").isNull ||
+        abs(col("sim_idx") - col("sim_ad")) > 1e-12)
+      .select(col("query_id").as("id_a"), col("cand_id").as("id_b"),
+        lit("verify_breach").as("problem"))
+  }
+
+  val qSimPqRerankVerifiedSql: String =
+    """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+      |  CAST(NULL AS VARCHAR) AS problem WHERE false""".stripMargin
+
   /** The ANN index's OBSERVABILITY surface under the oracle gate:
     * build the standing index, then read back its per-cell occupancy
     * ([[graft.ext.SimilarityIndex.stats]] — the operator that makes the
@@ -741,6 +799,8 @@ object MiningQueries {
     "q_sim_sq8_idx"     -> (qSimSq8Idx _),
     "q_sim_pq"          -> (qSimPq _),
     "q_sim_pq_verified" -> (qSimPqVerified _),
+    "q_sim_pq_rerank"   -> (qSimPqRerank _),
+    "q_sim_pq_rerank_verified" -> (qSimPqRerankVerified _),
     "q_sim_delete"      -> (qSimDelete _),
     "q_ann_stats"       -> (qAnnStats _),
     "q_split_leakage"   -> (qSplitLeakage _),
@@ -763,6 +823,7 @@ object MiningQueries {
     "q_sim_incr_idx"    -> qSimIncrIdxSql,
     "q_sim_sq8_idx"     -> qSimSq8IdxSql,
     "q_sim_pq_verified" -> qSimPqVerifiedSql,
+    "q_sim_pq_rerank_verified" -> qSimPqRerankVerifiedSql,
     "q_sim_delete"      -> qSimDeleteSql,
     "q_ann_stats"       -> qAnnStatsSql,
     "q_split_leakage"   -> qSplitLeakageSql,

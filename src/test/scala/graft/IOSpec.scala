@@ -785,6 +785,53 @@ class IOSpec extends AnyFunSuite {
       k = 3, nprobe = 2)) == afterExpect)
   }
 
+  test("exact re-rank over a PQ shortlist: a full-coverage shortlist " +
+       "equals brute force, sims are exact cosines, no shuffle join in " +
+       "the refine plan, and tombstones survive the raw-corpus join") {
+    import graft.ext.{Similarity, SimilarityIndex}
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    SimilarityIndex.write(e, "embedding", "vec_id", "t_rr_ann",
+      k = 4, iters = 1, buckets = 4, codec = "pq", pqM = 8, pqK = 16)
+    val q = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // refinement limit: shortlist covering the whole corpus with every
+    // cell probed == exact brute-force top-k (PQ distortion fully undone)
+    val full = rows(SimilarityIndex.topKRerank(spark, "t_rr_ann", q, e,
+      k = 3, shortlist = 10000, nprobe = 4))
+    assert(full == rows(Similarity.bruteForceTopK(e, q, 3)) && full.nonEmpty)
+    // a realistic shortlist: every reported sim is the EXACT cosine of
+    // the raw vectors (the refine contract — PQ scores never leak out)
+    val reranked = SimilarityIndex.topKRerank(spark, "t_rr_ann", q, e,
+      k = 3, shortlist = 15, nprobe = 2)
+    val vecs = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.lazyZip(b).map(_ * _).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    reranked.collect().foreach { r =>
+      val exact = cos(vecs(r.getLong(0)), vecs(r.getLong(2)))
+      assert(math.abs(r.getDouble(3) - exact) < 1e-9,
+        s"rerank sim not exact for ${r.getLong(0)}->${r.getLong(2)}")
+    }
+    // scale shape: the two-stage plan has no shuffle join — candidates
+    // and queries broadcast against the single corpus scan
+    val planStr = reranked.queryExecution.executedPlan.toString
+    assert(!planStr.contains("SortMergeJoin") &&
+      !planStr.contains("ShuffledHashJoin"),
+      "refine stage must not shuffle-join the corpus")
+    // tombstones mask in stage 1, so a deleted id cannot re-enter
+    // through the raw-corpus refine join even though rawCorpus still
+    // contains its vector
+    val victimId = full.head._3
+    SimilarityIndex.delete(spark, "t_rr_ann",
+      e.filter(col("vec_id") === victimId).select(col("vec_id")))
+    assert(!rows(SimilarityIndex.topKRerank(spark, "t_rr_ann", q, e,
+      k = 3, shortlist = 10000, nprobe = 4)).exists(_._3 == victimId))
+  }
+
   test("delete wins over re-ingestion until a compact retires the ANN " +
        "tombstone — the old vector can never resurrect") {
     import graft.ext.SimilarityIndex
