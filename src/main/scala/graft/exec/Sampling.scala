@@ -74,6 +74,61 @@ object Sampling {
       .drop("__wmax")
   }
 
+  /** EXACT-k per-stratum sampling under a reproducible total order.
+    *
+    * Spec: within each stratum, take the first `n` rows ordered by
+    * (hashBucket(key), md5(key), key). The naive plan — one row_number
+    * window per stratum — sorts EVERY row of the stratum on one task:
+    * a corpus that is half English puts half of 100 TB through a single
+    * partition's sort. This plan makes the same selection with the
+    * per-stratum sort bounded to ONE bucket's rows (~1/10000 of the
+    * stratum):
+    *
+    *  1. count rows per (stratum, bucket) — map-side-combinable agg to
+    *     at most |strata| × 10000 rows;
+    *  2. a cumulative sum over that tiny aggregate finds each stratum's
+    *     BOUNDARY bucket (first bucket where the running count reaches
+    *     n) and how many rows the boundary still owes;
+    *  3. rows in buckets below the boundary pass with a broadcast-join
+    *     filter — no sort; only the boundary bucket's rows enter the
+    *     md5-ordered row_number window; buckets above drop.
+    *
+    * All arithmetic is integer/hex-string comparison, so the naive
+    * window IS the oracle: hash-matching it proves the two-phase plan
+    * selects identical rows. A stratum with fewer than n rows is kept
+    * whole (no boundary exists). */
+  def exactStratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                            n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"sample size must be positive: $n")
+    val withB = df.withColumn("__b", hashBucket(col(keyCol)))
+    val counts = withB.groupBy(col(strataCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val cumW = Window.partitionBy(col(strataCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("__cum", sum(col("__c")).over(cumW))
+    // per stratum: the first bucket whose cumulative count reaches n,
+    // and how many of its rows to take. Buckets are unique per stratum,
+    // so min(struct) picks the boundary deterministically. Strata that
+    // never reach n simply have no row here (left join keeps them whole).
+    val bounds = cum.filter(col("__cum") >= n)
+      .groupBy(col(strataCol))
+      .agg(min(struct(col("__b"), (col("__cum") - col("__c")).as("__before")))
+        .as("__m"))
+      .select(col(strataCol), col("__m.__b").as("__bb"),
+        (lit(n.toLong) - col("__m.__before")).as("__take"))
+    val joined = withB.join(broadcast(bounds), Seq(strataCol), "left")
+    val below = joined.filter(col("__bb").isNull || col("__b") < col("__bb"))
+    // the boundary window sees ONLY the boundary bucket's rows — the
+    // bounded sort that replaces the naive whole-stratum sort
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    val atBoundary = joined.filter(col("__b") === col("__bb"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__take")).drop("__rn")
+    below.unionByName(atBoundary).drop("__b", "__bb", "__take")
+  }
+
   /** Stable train/val/test (or any) split assignment: consecutive hash-
     * bucket ranges sized by the given fractions. A row's split never
     * changes when data is added, removed, or repartitioned — the property

@@ -367,6 +367,24 @@ object ExtQueries {
       |SELECT doc_id, d.lang FROM documents d JOIN th ON d.lang = th.lang
       |WHERE (doc_id % 1000000007) * 2654435761 % 10000 < thr""".stripMargin
 
+  /** EXACT-k stratified sampling ([[graft.exec.Sampling
+    * .exactStratifiedSample]]): 50 documents per language under the
+    * reproducible (hash-bucket, md5, id) order. The ORACLE is the naive
+    * per-stratum window — the spec — while the engine runs the two-phase
+    * plan (bucket-count prefix + boundary-bucket-only sort), so the
+    * hash-match proves the scalable plan selects identical rows. */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.exec.Sampling.exactStratifiedSample(
+      Tables(s, dir, "documents"), "doc_id", "lang", n = 50)
+      .select(col("doc_id"), col("lang"))
+
+  val qStratifiedSampleSql: String =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+      |    ORDER BY (doc_id % 1000000007) * 2654435761 % 10000,
+      |             md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) t WHERE rn <= 50""".stripMargin
+
   /** CCNet-style sub-document dedup: 10-token segments deduped corpus-wide
     * (keep-first by doc/position), documents reassembled from survivors. */
   def qDedupLines(s: SparkSession, dir: String): DataFrame =
@@ -1277,6 +1295,7 @@ object ExtQueries {
     "q_balance"          -> (qBalance _),
     "q_mixture"          -> (qMixture _),
     "q_sample"           -> (qSample _),
+    "q_stratified_sample" -> (qStratifiedSample _),
     "q_split"            -> (qSplit _),
     "q_pack"             -> (qPack _),
     "q_pack_concat"      -> (qPackConcat _),
@@ -1327,6 +1346,7 @@ object ExtQueries {
     "q_balance"          -> qBalanceSql,
     "q_mixture"          -> qMixtureSql,
     "q_sample"           -> qSampleSql,
+    "q_stratified_sample" -> qStratifiedSampleSql,
     "q_split"            -> qSplitSql,
     "q_pack"             -> qPackSql,
     "q_pack_concat"      -> qPackConcatSql,

@@ -367,6 +367,39 @@ class ExtSpec extends AnyFunSuite {
     assert(a.size > n * 0.15 && a.size < n * 0.45, s"rate off: ${a.size / n}")
   }
 
+  test("exact stratified sample == naive per-stratum window for every " +
+       "boundary shape, and is partitioning-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, md5, row_number}
+    val docs = Tables(spark, dir, "documents")
+    def naive(n: Int): Set[(Long, String)] = {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(graft.exec.Sampling.hashBucket(col("doc_id")),
+          md5(col("doc_id").cast("string")), col("doc_id"))
+      docs.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+        .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    }
+    def twoPhase(df: org.apache.spark.sql.DataFrame, n: Int): Set[(Long, String)] =
+      graft.exec.Sampling.exactStratifiedSample(df, "doc_id", "lang", n)
+        .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    // n=1 (boundary is the very first bucket), a mid value, and one
+    // larger than every stratum (keep-whole path: no boundary row)
+    for (n <- Seq(1, 7, 37, 100000)) {
+      val got = twoPhase(docs, n)
+      assert(got == naive(n), s"two-phase != naive spec at n=$n")
+      assert(got == twoPhase(docs.repartition(7), n),
+        s"selection depends on partitioning at n=$n")
+    }
+    // exact size: min(n, stratum size) rows per stratum
+    val sizes = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val got37 = twoPhase(docs, 37).groupBy(_._2).view.mapValues(_.size).toMap
+    sizes.foreach { case (lang, total) =>
+      assert(got37(lang) == math.min(37L, total).toInt,
+        s"$lang: expected min(37, $total), got ${got37(lang)}")
+    }
+  }
+
   test("text analysis basics") {
     val df = Seq("The cat and the dog!", "").toDF("t")
     val r = df.select(
