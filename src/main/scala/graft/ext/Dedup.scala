@@ -533,6 +533,117 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  // ------------------------------------------------------ duplicated spans
+
+  /** Token-window fingerprints of every position: (id, pos, n_tokens, h)
+    * with 1-based `pos` and `h = xxhash64(w-token window at pos)`. The
+    * scalable stand-in for suffix-array substring dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * duplicated substring of ≥ w tokens is a run of duplicated w-windows,
+    * so window-hash collisions find exactly the spans a suffix array
+    * would, at minimum length w, without the global sort a distributed
+    * suffix array needs. The shuffle key is the 8-byte hash, never the
+    * window text. Docs shorter than w contribute one truncated window
+    * (the whole doc), so short exact dups still collide. */
+  private def spanWindows(df: DataFrame, textCol: String, idCol: String,
+                          w: Int): DataFrame = {
+    val t = TextAnalysis.tokens(col(textCol))
+    val wins = transform(sequence(lit(1), greatest(size(t) - (w - 1), lit(1))),
+      i => concat_ws(" ", slice(t, i, lit(w))))
+    df.select(col(idCol).as("id"), size(t).as("n_tokens"),
+        posexplode(wins).as(Seq("p0", "win")))
+      .select(col("id"), col("n_tokens"), (col("p0") + 1).as("pos"),
+        xxhash64(col("win")).as("h"))
+  }
+
+  /** Merge the fixed-width dup windows of one doc into disjoint islands:
+    * input must have (id, n_tokens, pos); output (id, n_tokens, s, e)
+    * token spans, end clamped to the doc. Classic gaps-and-islands: a new
+    * island starts when the previous window (pos-1 … pos-1+w-1) no longer
+    * touches this one. */
+  private def mergeIslands(dupPos: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    dupPos
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) < w, 0).otherwise(1))
+      .withColumn("island", sum("brk").over(byDoc))
+      .groupBy("id", "island")
+      .agg(first("n_tokens").as("n_tokens"), min("pos").as("s"),
+        least(max("pos") + (w - 1), first("n_tokens")).as("e"))
+      .select(col("id"), col("n_tokens"), col("s"), col("e"))
+  }
+
+  /** Per-document duplicated-span stats: how many of each doc's tokens sit
+    * inside a ≥w-token span that occurs more than once in the corpus
+    * (counting both copies — this measures exposure to duplication, the
+    * usual filter signal; [[trimSpans]] is the asymmetric keep-one-copy
+    * editor). Output: (id, n_tokens, dup_tokens, dup_frac).
+    *
+    * Cost shape at 100 TB: one shuffle on the 8-byte window hash for the
+    * occurrence count, one on doc id for the island merge — both linear in
+    * corpus token count; no pair join, no global sort. */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     w: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val we = spanWindows(df, textCol, idCol, w)
+    val dup = we
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("n_occ") > 1)
+      .select(col("id"), col("n_tokens"), col("pos"))
+    val perDoc = mergeIslands(dup, w)
+      .groupBy("id")
+      .agg(sum(col("e") - col("s") + 1).as("dup_tokens"))
+    df.select(col(idCol).as("id"),
+        size(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) /
+          greatest(col("n_tokens"), lit(1))).as("dup_frac"))
+  }
+
+  /** Remove every duplicated ≥w-token span except its canonical (first by
+    * (id, pos)) occurrence and reassemble the surviving tokens — the
+    * trim step of substring-level dedup. Every doc comes back (an exact
+    * duplicate of an earlier doc comes back empty). Output:
+    * (id, kept_tokens, trimmed_text).
+    *
+    * Three shuffles, all linear: window-hash (rank occurrences), doc id
+    * (island merge), doc id (reassembly of the token branch against the
+    * covered positions — AQE broadcasts the covered side when it is small,
+    * else it is a shuffled anti join on (id, pos)). Covered positions are
+    * exploded from disjoint islands, so that explode is bounded by the
+    * doc's own token count. */
+  def trimSpans(df: DataFrame, textCol: String, idCol: String,
+                w: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val we = spanWindows(df, textCol, idCol, w)
+    val extra = we
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("h")))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("h").orderBy("id", "pos")))
+      .filter(col("n_occ") > 1 && col("rn") > 1)
+      .select(col("id"), col("n_tokens"), col("pos"))
+    val covered = mergeIslands(extra, w)
+      .select(col("id"), explode(sequence(col("s"), col("e"))).as("pos"))
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("tok"))
+    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("trimmed_text"))
+    df.select(col(idCol).as("id"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("trimmed_text"), lit("")).as("trimmed_text"))
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

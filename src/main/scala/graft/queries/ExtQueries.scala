@@ -512,6 +512,83 @@ object ExtQueries {
       |  COALESCE(h.n, 0) >= 5 AS contaminated
       |FROM docs d LEFT JOIN hits h USING (doc_id)""".stripMargin
 
+  /** Duplicated-span exposure per document (substring-level dedup signal):
+    * tokens inside any ≥6-token window occurring more than once anywhere
+    * in the corpus. Planted duplicates (full copies) plus natural template
+    * overlap give the operator real work at every sf. */
+  def qSpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    Dedup.duplicateSpans(d.unionAll(planted), "text", "doc_id", w = 6)
+  }
+
+  private val spanWinSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50),
+      |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS toks
+      |      FROM corpus),
+      |p AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+      |        unnest(range(1, greatest(len(toks) - 5, 1) + 1)) AS pos FROM t),
+      |w AS (SELECT doc_id, n_tokens, pos,
+      |        array_to_string(toks[pos:pos+5], ' ') AS win FROM p)""".stripMargin
+
+  val qSpanDedupSql: String =
+    s"""WITH $spanWinSql,
+       |o AS (SELECT doc_id, n_tokens, pos,
+       |        count(*) OVER (PARTITION BY win) AS n_occ FROM w),
+       |m AS (SELECT doc_id, n_tokens, pos FROM o WHERE n_occ > 1),
+       |i AS (SELECT *, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 6
+       |                     THEN 0 ELSE 1 END AS brk FROM m),
+       |isl AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i),
+       |sp AS (SELECT doc_id, island, min(pos) AS s,
+       |         least(max(pos) + 5, any_value(n_tokens)) AS e
+       |       FROM isl GROUP BY doc_id, island),
+       |d AS (SELECT doc_id, sum(e - s + 1) AS dup_tokens FROM sp GROUP BY doc_id),
+       |base AS (SELECT doc_id, len(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+')) AS n_tokens
+       |         FROM corpus)
+       |SELECT b.doc_id, b.n_tokens, coalesce(d.dup_tokens, 0)::BIGINT AS dup_tokens,
+       |  coalesce(d.dup_tokens, 0)::DOUBLE / greatest(b.n_tokens, 1) AS dup_frac
+       |FROM base b LEFT JOIN d USING (doc_id)""".stripMargin
+
+  /** Span-level trim: drop every duplicated ≥6-token span except its first
+    * (doc_id, pos) occurrence and reassemble the survivors — planted full
+    * copies come back empty, partially-templated docs lose only the
+    * repeated region. */
+  def qSpanTrim(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    Dedup.trimSpans(d.unionAll(planted), "text", "doc_id", w = 6)
+  }
+
+  val qSpanTrimSql: String =
+    s"""WITH $spanWinSql,
+       |o AS (SELECT doc_id, n_tokens, pos,
+       |        count(*) OVER (PARTITION BY win) AS n_occ,
+       |        row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM w),
+       |m AS (SELECT doc_id, n_tokens, pos FROM o WHERE n_occ > 1 AND rn > 1),
+       |i AS (SELECT *, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 6
+       |                     THEN 0 ELSE 1 END AS brk FROM m),
+       |isl AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i),
+       |sp AS (SELECT doc_id, island, min(pos) AS s,
+       |         least(max(pos) + 5, any_value(n_tokens)) AS e
+       |       FROM isl GROUP BY doc_id, island),
+       |cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM sp),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok,
+       |          unnest(range(1, len(toks) + 1)) AS pos FROM t),
+       |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+       |         LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos
+       |         WHERE c.pos IS NULL),
+       |agg AS (SELECT doc_id, count(*) AS kept_tokens,
+       |          string_agg(tok, ' ' ORDER BY pos) AS trimmed_text
+       |        FROM kept GROUP BY doc_id)
+       |SELECT c.doc_id, coalesce(a.kept_tokens, 0) AS kept_tokens,
+       |  coalesce(a.trimmed_text, '') AS trimmed_text
+       |FROM corpus c LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   // ----------------------------------------------------------- dedup
 
   /** Exact dedup over documents augmented with planted duplicates
@@ -1305,6 +1382,8 @@ object ExtQueries {
     "q_encoding_quality" -> (qEncodingQuality _),
     "q_repetition"       -> (qRepetition _),
     "q_contamination"    -> (qContamination _),
+    "q_span_dedup"       -> (qSpanDedup _),
+    "q_span_trim"        -> (qSpanTrim _),
     "q_dedup_exact"      -> (qDedupExact _),
     "q_dedup_jaccard"    -> (qDedupJaccard _),
     "q_dedup_minhash"    -> (qDedupMinhash _),
@@ -1356,6 +1435,8 @@ object ExtQueries {
     "q_encoding_quality" -> qEncodingQualitySql,
     "q_repetition"       -> qRepetitionSql,
     "q_contamination"    -> qContaminationSql,
+    "q_span_dedup"       -> qSpanDedupSql,
+    "q_span_trim"        -> qSpanTrimSql,
     "q_dedup_exact"      -> qDedupExactSql,
     "q_dedup_jaccard"    -> qDedupJaccardSql,
     "q_sim_topk"         -> qSimTopKSql,

@@ -491,4 +491,47 @@ class ExtSpec extends AnyFunSuite {
     // the same exact jaccard, so it can only MISS drops, never add them
     lsh.foreach { case (id, (keep, _)) => if (!keep) assert(!pref(id)._1) }
   }
+
+  test("duplicateSpans: exposure stats on a hand-built corpus") {
+    // doc 1 and doc 2 share the 4-token run "p q r s" embedded at
+    // different offsets; doc 3 shares nothing. w=3 -> windows "p q r"
+    // and "q r s" collide, merging into one island of 4 tokens per doc.
+    val df = Seq(
+      (1L, "a b p q r s c d"),
+      (2L, "x p q r s y z w"),
+      (3L, "m n o t u v h k")).toDF("doc_id", "text")
+    val r = Dedup.duplicateSpans(df, "text", "doc_id", w = 3)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, 8, 4L), (2L, 8, 4L), (3L, 8, 0L)))
+  }
+
+  test("duplicateSpans: within-doc repetition counts, short exact dups collide") {
+    val df = Seq(
+      (1L, "a b c a b c"),     // "a b c" twice within one doc
+      (2L, "hi"), (3L, "hi"),  // shorter than w: whole-doc window still collides
+      (4L, "solo words only here")).toDF("doc_id", "text")
+    val r = Dedup.duplicateSpans(df, "text", "doc_id", w = 3)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSeq
+    // doc 1: windows at pos 1 ("a b c") and 4 ("a b c" truncated? no — pos 4
+    // gives "a b c" exactly); both occurrences dup -> islands [1..3],[4..6]
+    assert(r == Seq((1L, 6L), (2L, 1L), (3L, 1L), (4L, 0L)))
+  }
+
+  test("trimSpans keeps the canonical occurrence and reassembles the rest") {
+    val df = Seq(
+      (1L, "a b p q r s c d"),
+      (2L, "x p q r s y z w"),
+      (3L, "a b p q r s c d")).toDF("doc_id", "text")
+    val r = Dedup.trimSpans(df, "text", "doc_id", w = 3)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq
+    // doc 1 is canonical everywhere -> untouched; doc 2 loses only the
+    // shared run; doc 3 is a full copy of doc 1 -> trimmed to empty.
+    assert(r == Seq(
+      (1L, 8L, "a b p q r s c d"),
+      (2L, 4L, "x y z w"),
+      (3L, 0L, "")))
+  }
 }
