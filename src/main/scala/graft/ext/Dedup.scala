@@ -582,14 +582,19 @@ object Dedup {
     *
     * Cost shape at 100 TB: one shuffle on the 8-byte window hash for the
     * occurrence count, one on doc id for the island merge — both linear in
-    * corpus token count; no pair join, no global sort. */
+    * corpus token count; no pair join, no global sort. Occurrence counts
+    * come from a groupBy, not an analytic window over `h`: partial
+    * aggregation combines map-side, the join-back carries one row per
+    * duplicated hash, and a boilerplate window occurring a billion times
+    * streams through the sort-merge join (and is AQE-skew-splittable)
+    * instead of buffering in a single window task. */
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
                      w: Int = 6): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val we = spanWindows(df, textCol, idCol, w)
-    val dup = we
-      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("h")))
+    val dupHashes = we.groupBy("h").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1)
+      .select("h")
+    val dup = we.join(dupHashes, Seq("h"))
       .select(col("id"), col("n_tokens"), col("pos"))
     val perDoc = mergeIslands(dup, w)
       .groupBy("id")
@@ -618,13 +623,17 @@ object Dedup {
     * doc's own token count. */
   def trimSpans(df: DataFrame, textCol: String, idCol: String,
                 w: Int = 6): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val we = spanWindows(df, textCol, idCol, w)
-    val extra = we
-      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("h")))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("h").orderBy("id", "pos")))
-      .filter(col("n_occ") > 1 && col("rn") > 1)
+    // Canonical occurrence per duplicated hash via groupBy (min over the
+    // (id, pos) struct), not row_number over an analytic window — same
+    // skew-robustness argument as in duplicateSpans.
+    val canon = we.groupBy("h")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("id"), col("pos"))).as("canon"))
+      .filter(col("n_occ") > 1)
+      .select(col("h"), col("canon"))
+    val extra = we.join(canon, Seq("h"))
+      .filter(struct(col("id"), col("pos")) =!= col("canon"))
       .select(col("id"), col("n_tokens"), col("pos"))
     val covered = mergeIslands(extra, w)
       .select(col("id"), explode(sequence(col("s"), col("e"))).as("pos"))
