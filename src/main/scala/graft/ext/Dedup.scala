@@ -653,6 +653,77 @@ object Dedup {
         coalesce(col("trimmed_text"), lit("")).as("trimmed_text"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD
+    * 2003): from every k consecutive window hashes keep the minimum, so
+    * ~2/(k+1) of positions survive while any shared run of ≥ w+k-1 tokens
+    * is still guaranteed to leave a selected fingerprint in BOTH copies
+    * (the k-window fully inside the run sees identical hashes in both
+    * docs, so both select the same minimum — context outside the run
+    * cannot veto it, because a window's min is selected wherever that
+    * window fits in the doc). Selection is value-equality based ("h equals
+    * the best window-min of any k-window containing it"), which both
+    * engines can mirror; 64-bit hashes make value ties negligible.
+    * Input: (id, pos, h) per [[spanWindows]]; output: selected (id, h). */
+  private def winnowed(we: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    we.withColumn("m", min("h").over(byDoc.rowsBetween(0, k - 1)))
+      .withColumn("selmax", max(col("m")).over(byDoc.rowsBetween(-(k - 1), 0)))
+      .filter(col("selmax") === col("h"))
+      .select(col("id"), col("h"))
+  }
+
+  /** Document pairs sharing a verbatim run of at least `minRun` tokens,
+    * with the exact length of their longest shared run — the
+    * plagiarism/contamination pair primitive. Candidates come from
+    * winnowed fingerprints (k = minRun-w+1, so the winnowing guarantee
+    * length equals `minRun` and no qualifying pair can be missed);
+    * verification then joins the candidates' FULL window sets and measures
+    * the longest diagonal run of colliding windows (positions (pa, pb)
+    * with equal hashes on one diagonal pa-pb, merged gaps-and-islands
+    * style; a shared run of R tokens is R-w+1 consecutive windows, so
+    * max_run = island length + w - 1). Output: (id_a, id_b, max_run),
+    * id_a < id_b.
+    *
+    * 100 TB shape: the expensive all-window self-join never happens —
+    * only selected fingerprints (~2/(k+1) of windows) join to find
+    * candidates, and only candidate documents' windows are re-joined to
+    * verify. `maxBucket` caps a degenerate fingerprint bucket (same
+    * documented recall tradeoff as [[minhashPairs]]); the default never
+    * triggers at fixture scale so oracle parity holds exactly. */
+  def sharedRunPairs(df: DataFrame, textCol: String, idCol: String,
+                     minRun: Int = 8, w: Int = 6,
+                     maxBucket: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minRun >= w, s"minRun ($minRun) must be >= window width ($w)")
+    val k = minRun - w + 1
+    val we = spanWindows(df, textCol, idCol, w)
+    val sel = winnowed(we, k)
+      .withColumn("n_sel", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("n_sel") <= maxBucket)
+    val pairs = sel.select(col("h"), col("id").as("id_a"))
+      .join(sel.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val candDocs = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val wf = we.join(candDocs, Seq("id"), "left_semi")
+    val shared = wf.select(col("h"), col("id").as("id_a"), col("pos").as("pa"))
+      .join(wf.select(col("h"), col("id").as("id_b"), col("pos").as("pb")), Seq("h"))
+      .join(pairs, Seq("id_a", "id_b"), "left_semi")
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"))
+    val byDiag = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    shared.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("brk",
+        when(col("pa") - lag("pa", 1).over(byDiag) === 1, 0).otherwise(1))
+      .withColumn("isl", sum("brk").over(byDiag))
+      .groupBy("id_a", "id_b", "diag", "isl")
+      .agg((max("pa") - min("pa") + w).as("run"))
+      .groupBy("id_a", "id_b")
+      .agg(max("run").as("max_run"))
+      .filter(col("max_run") >= minRun)
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -589,6 +589,32 @@ object ExtQueries {
        |  coalesce(a.trimmed_text, '') AS trimmed_text
        |FROM corpus c LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Document pairs sharing a ≥8-token verbatim run, with the exact
+    * longest-run length. Spark side finds candidates via winnowed
+    * fingerprints (guarantee length exactly 8, so nothing the oracle
+    * finds can be missed); the DuckDB oracle is the honest brute force —
+    * every window self-joined — proving candidate generation lossless. */
+  def qSpanPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    Dedup.sharedRunPairs(d.unionAll(planted), "text", "doc_id",
+      minRun = 8, w = 6)
+  }
+
+  val qSpanPairsSql: String =
+    s"""WITH $spanWinSql,
+       |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+       |      FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id),
+       |d AS (SELECT *, pa - pb AS diag FROM j),
+       |i AS (SELECT *, CASE WHEN pa - lag(pa) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) = 1
+       |                     THEN 0 ELSE 1 END AS brk FROM d),
+       |isl AS (SELECT *, sum(brk) OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS island FROM i),
+       |r AS (SELECT id_a, id_b, max(pa) - min(pa) + 6 AS run
+       |      FROM isl GROUP BY id_a, id_b, diag, island)
+       |SELECT id_a, id_b, max(run) AS max_run
+       |FROM r GROUP BY id_a, id_b HAVING max(run) >= 8""".stripMargin
+
   // ----------------------------------------------------------- dedup
 
   /** Exact dedup over documents augmented with planted duplicates
@@ -1384,6 +1410,7 @@ object ExtQueries {
     "q_contamination"    -> (qContamination _),
     "q_span_dedup"       -> (qSpanDedup _),
     "q_span_trim"        -> (qSpanTrim _),
+    "q_span_pairs"       -> (qSpanPairs _),
     "q_dedup_exact"      -> (qDedupExact _),
     "q_dedup_jaccard"    -> (qDedupJaccard _),
     "q_dedup_minhash"    -> (qDedupMinhash _),
@@ -1437,6 +1464,7 @@ object ExtQueries {
     "q_contamination"    -> qContaminationSql,
     "q_span_dedup"       -> qSpanDedupSql,
     "q_span_trim"        -> qSpanTrimSql,
+    "q_span_pairs"       -> qSpanPairsSql,
     "q_dedup_exact"      -> qDedupExactSql,
     "q_dedup_jaccard"    -> qDedupJaccardSql,
     "q_sim_topk"         -> qSimTopKSql,

@@ -519,6 +519,32 @@ class ExtSpec extends AnyFunSuite {
     assert(r == Seq((1L, 6L), (2L, 1L), (3L, 1L), (4L, 0L)))
   }
 
+  test("sharedRunPairs: exact longest-run threshold, winnowing misses nothing") {
+    // docs 1,2 share exactly 8 tokens (p1..p8); doc 3 shares only 7 with
+    // each -> below minRun=8, must be excluded even though it produces
+    // window collisions (w=6 candidates that verification rejects).
+    val df = Seq(
+      (1L, "a1 a2 p1 p2 p3 p4 p5 p6 p7 p8 z1 z2"),
+      (2L, "b1 p1 p2 p3 p4 p5 p6 p7 p8 c1 c2 c3"),
+      (3L, "q1 p1 p2 p3 p4 p5 p6 p7 q2 q3")).toDF("doc_id", "text")
+    val r = Dedup.sharedRunPairs(df, "text", "doc_id", minRun = 8, w = 6)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSeq
+    assert(r == Seq((1L, 2L, 8)))
+  }
+
+  test("sharedRunPairs winnowed == brute force (k=1) on fixture documents") {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // minRun = w makes k = 1: winnowing selects every window, so the
+    // candidate set is the full collision set — the brute-force reference.
+    val brute = Dedup.sharedRunPairs(docs, "text", "doc_id", minRun = 6, w = 6)
+      .filter(col("max_run") >= 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val winnowedR = Dedup.sharedRunPairs(docs, "text", "doc_id", minRun = 8, w = 6)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(brute.nonEmpty, "fixture should contain shared runs")
+    assert(winnowedR == brute)
+  }
+
   test("trimSpans keeps the canonical occurrence and reassembles the rest") {
     val df = Seq(
       (1L, "a b p q r s c d"),
