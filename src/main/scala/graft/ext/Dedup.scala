@@ -635,7 +635,15 @@ object Dedup {
     val extra = we.join(canon, Seq("h"))
       .filter(struct(col("id"), col("pos")) =!= col("canon"))
       .select(col("id"), col("n_tokens"), col("pos"))
-    val covered = mergeIslands(extra, w)
+    removeCovered(df, textCol, idCol, mergeIslands(extra, w))
+  }
+
+  /** Drop every token of `df` covered by an island span and reassemble
+    * the survivors in order; every input doc comes back (fully-covered
+    * docs come back empty). `islands`: (id, s, e) disjoint token spans. */
+  private def removeCovered(df: DataFrame, textCol: String, idCol: String,
+                            islands: DataFrame): DataFrame = {
+    val covered = islands
       .select(col("id"), explode(sequence(col("s"), col("e"))).as("pos"))
     val toks = df.select(col(idCol).as("id"),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("p0", "tok")))
@@ -651,6 +659,31 @@ object Dedup {
       .select(col("id").as(idCol),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
         coalesce(col("trimmed_text"), lit("")).as("trimmed_text"))
+  }
+
+  /** Span-level decontamination: cut every ≥w-token window of `df` that
+    * appears verbatim anywhere in `ref` (a benchmark/eval corpus) and
+    * reassemble the rest — the surgical alternative to dropping whole
+    * contaminated documents ([[TextAnalysis.contamination]] is the
+    * flagging view). Output: (id, kept_tokens, trimmed_text), every doc
+    * present.
+    *
+    * 100 TB shape: the reference fingerprint set is distinct window
+    * hashes of the (small) benchmark side — broadcast to the corpus scan
+    * like a bloom probe, so the corpus never shuffles for matching; the
+    * only corpus-keyed shuffles are the per-doc island merge and
+    * reassembly. */
+  def trimMatchingSpans(df: DataFrame, textCol: String, idCol: String,
+                        ref: DataFrame, refTextCol: String,
+                        w: Int = 6): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val refH = spanWindows(ref.select(lit(0L).as("rid"), col(refTextCol)),
+        refTextCol, "rid", w)
+      .select(col("h")).distinct()
+    val hit = spanWindows(df, textCol, idCol, w)
+      .join(broadcast(refH), Seq("h"))
+      .select(col("id"), col("n_tokens"), col("pos"))
+    removeCovered(df, textCol, idCol, mergeIslands(hit, w))
   }
 
   /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD

@@ -615,6 +615,48 @@ object ExtQueries {
        |SELECT id_a, id_b, max(run) AS max_run
        |FROM r GROUP BY id_a, id_b HAVING max(run) >= 8""".stripMargin
 
+  /** Surgical decontamination: same benchmark split as q_contamination
+    * (doc_id % 10 == 0 is the "benchmark"), but instead of flagging the
+    * document, every ≥6-token run that appears verbatim in the benchmark
+    * is cut out and the rest of the text reassembled. */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    Dedup.trimMatchingSpans(
+      d.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text")),
+      "text", "doc_id",
+      d.filter(col("doc_id") % 10 === 0), "text", w = 6)
+  }
+
+  val qDecontaminateSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS toks
+      |           FROM documents),
+      |p AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+      |        unnest(range(1, greatest(len(toks) - 5, 1) + 1)) AS pos FROM t),
+      |w AS (SELECT doc_id, n_tokens, pos,
+      |        array_to_string(toks[pos:pos+5], ' ') AS win FROM p),
+      |ref AS (SELECT DISTINCT win FROM w WHERE doc_id % 10 = 0),
+      |m AS (SELECT doc_id, n_tokens, pos FROM w
+      |      WHERE doc_id % 10 <> 0 AND win IN (SELECT win FROM ref)),
+      |i AS (SELECT *, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 6
+      |                     THEN 0 ELSE 1 END AS brk FROM m),
+      |isl AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i),
+      |sp AS (SELECT doc_id, island, min(pos) AS s,
+      |         least(max(pos) + 5, any_value(n_tokens)) AS e
+      |       FROM isl GROUP BY doc_id, island),
+      |cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM sp),
+      |tok AS (SELECT doc_id, unnest(toks) AS tok,
+      |          unnest(range(1, len(toks) + 1)) AS pos FROM t WHERE doc_id % 10 <> 0),
+      |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+      |         LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos
+      |         WHERE c.pos IS NULL),
+      |agg AS (SELECT doc_id, count(*) AS kept_tokens,
+      |          string_agg(tok, ' ' ORDER BY pos) AS trimmed_text
+      |        FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.kept_tokens, 0) AS kept_tokens,
+      |  coalesce(a.trimmed_text, '') AS trimmed_text
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+      |LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   // ----------------------------------------------------------- dedup
 
   /** Exact dedup over documents augmented with planted duplicates
@@ -1411,6 +1453,7 @@ object ExtQueries {
     "q_span_dedup"       -> (qSpanDedup _),
     "q_span_trim"        -> (qSpanTrim _),
     "q_span_pairs"       -> (qSpanPairs _),
+    "q_decontaminate"    -> (qDecontaminate _),
     "q_dedup_exact"      -> (qDedupExact _),
     "q_dedup_jaccard"    -> (qDedupJaccard _),
     "q_dedup_minhash"    -> (qDedupMinhash _),
@@ -1465,6 +1508,7 @@ object ExtQueries {
     "q_span_dedup"       -> qSpanDedupSql,
     "q_span_trim"        -> qSpanTrimSql,
     "q_span_pairs"       -> qSpanPairsSql,
+    "q_decontaminate"    -> qDecontaminateSql,
     "q_dedup_exact"      -> qDedupExactSql,
     "q_dedup_jaccard"    -> qDedupJaccardSql,
     "q_sim_topk"         -> qSimTopKSql,

@@ -545,6 +545,21 @@ class ExtSpec extends AnyFunSuite {
     assert(winnowedR == brute)
   }
 
+  test("trimMatchingSpans cuts benchmark runs, leaves clean docs whole") {
+    val docs = Seq(
+      (1L, "intro words the quick brown fox jumps over it ending here"),
+      (2L, "totally clean document with no benchmark overlap at all")).toDF("doc_id", "text")
+    val ref = Seq("prefix the quick brown fox jumps over it suffix").toDF("text")
+    val r = Dedup.trimMatchingSpans(docs, "text", "doc_id", ref, "text", w = 6)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq
+    // doc 1: the 8-token run shared with ref ("the quick ... over it") is
+    // cut; doc 2 untouched.
+    assert(r == Seq(
+      (1L, 4L, "intro words ending here"),
+      (2L, 9L, "totally clean document with no benchmark overlap at all")))
+  }
+
   test("trimSpans keeps the canonical occurrence and reassembles the rest") {
     val df = Seq(
       (1L, "a b p q r s c d"),
