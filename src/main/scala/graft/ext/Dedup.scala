@@ -640,25 +640,33 @@ object Dedup {
 
   /** Drop every token of `df` covered by an island span and reassemble
     * the survivors in order; every input doc comes back (fully-covered
-    * docs come back empty). `islands`: (id, s, e) disjoint token spans. */
+    * docs come back empty). `islands`: (id, s, e) disjoint token spans.
+    *
+    * The cut itself is a per-row expression: the islands collapse to one
+    * small spans-array row per affected doc, join back to the UNEXPLODED
+    * corpus (AQE broadcasts the spans side when contamination is rare),
+    * and a positional filter rebuilds the text in place. The corpus is
+    * never exploded to token rows, so reassembly costs no corpus-wide
+    * shuffle — the spans aggregation (bounded by island count) is the
+    * only exchange. The per-token `exists` over a doc's spans is cheap
+    * because islands are disjoint and few. */
   private def removeCovered(df: DataFrame, textCol: String, idCol: String,
                             islands: DataFrame): DataFrame = {
-    val covered = islands
-      .select(col("id"), explode(sequence(col("s"), col("e"))).as("pos"))
-    val toks = df.select(col(idCol).as("id"),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("p0", "tok")))
-      .select(col("id"), (col("p0") + 1).as("pos"), col("tok"))
-    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
-      .groupBy("id")
-      .agg(count(lit(1)).as("kept_tokens"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok")), " ").as("trimmed_text"))
-    df.select(col(idCol).as("id"))
-      .join(kept, Seq("id"), "left")
+    val spans = islands.groupBy("id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    val t = TextAnalysis.tokens(col(textCol))
+    val keep = (i: Column) => col("spans").isNull ||
+      !exists(col("spans"),
+        x => x.getField("s") <= i && i <= x.getField("e"))
+    val kept = filter(
+      transform(sequence(lit(1), size(t)),
+        i => when(keep(i), element_at(t, i))),
+      x => x.isNotNull)
+    df.select(col(idCol).as("id"), col(textCol))
+      .join(spans, Seq("id"), "left")
       .select(col("id").as(idCol),
-        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
-        coalesce(col("trimmed_text"), lit("")).as("trimmed_text"))
+        size(kept).cast(LongType).as("kept_tokens"),
+        array_join(kept, " ").as("trimmed_text"))
   }
 
   /** Span-level decontamination: cut every ≥w-token window of `df` that
