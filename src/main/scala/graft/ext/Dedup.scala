@@ -545,7 +545,7 @@ object Dedup {
     * suffix array needs. The shuffle key is the 8-byte hash, never the
     * window text. Docs shorter than w contribute one truncated window
     * (the whole doc), so short exact dups still collide. */
-  private def spanWindows(df: DataFrame, textCol: String, idCol: String,
+  private[ext] def spanWindows(df: DataFrame, textCol: String, idCol: String,
                           w: Int): DataFrame = {
     val t = TextAnalysis.tokens(col(textCol))
     val wins = transform(sequence(lit(1), greatest(size(t) - (w - 1), lit(1))),
@@ -561,7 +561,7 @@ object Dedup {
     * token spans, end clamped to the doc. Classic gaps-and-islands: a new
     * island starts when the previous window (pos-1 … pos-1+w-1) no longer
     * touches this one. */
-  private def mergeIslands(dupPos: DataFrame, w: Int): DataFrame = {
+  private[ext] def mergeIslands(dupPos: DataFrame, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("id").orderBy("pos")
     dupPos
@@ -650,7 +650,7 @@ object Dedup {
     * shuffle — the spans aggregation (bounded by island count) is the
     * only exchange. The per-token `exists` over a doc's spans is cheap
     * because islands are disjoint and few. */
-  private def removeCovered(df: DataFrame, textCol: String, idCol: String,
+  private[ext] def removeCovered(df: DataFrame, textCol: String, idCol: String,
                             islands: DataFrame): DataFrame = {
     val spans = islands.groupBy("id")
       .agg(collect_list(struct(col("s"), col("e"))).as("spans"))

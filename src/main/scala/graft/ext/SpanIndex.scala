@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Standing substring-dedup index: the distinct ≥w-token window hashes of
+  * everything ingested so far, bucketed + sorted by hash, so each new
+  * batch can be span-trimmed against 100 TB of history without
+  * rescanning or reshuffling that history.
+  *
+  * [[Dedup.trimSpans]] dedups one static corpus; ingestion pipelines see
+  * a stream of batches instead, and each batch must lose (a) every span
+  * the corpus already owns and (b) every within-batch duplicate span
+  * except its first occurrence — after which the batch's surviving spans
+  * join the index. Storing only distinct 8-byte hashes keeps the index a
+  * small fraction of corpus bytes; bucketing by `h` makes the probe a
+  * bucket-local sort-merge join in which only the delta shuffles.
+  *
+  * Extension surface — the reference (timfi/wrangle_pypes) holds no
+  * standing state; conventions follow [[DedupIndex]]/[[SimilarityIndex]]
+  * (versioned snapshots, writer lease, sidecar-pinned parameters). The
+  * window width `w` is pinned in a snapshot sidecar at build time so a
+  * probe can never silently fingerprint with a different width than the
+  * index was built with. */
+object SpanIndex {
+  def hashTable(base: String) = s"${base}_spanh"
+  // leading underscore: Spark's file listing skips it, so the bucketed
+  // scan never mistakes the sidecar for a bucket file
+  private val WSidecar = "_span_w"
+
+  /** Build the index over an already-deduped corpus. */
+  def write(corpus: DataFrame, textCol: String, idCol: String, base: String,
+            w: Int = 6, buckets: Int = 8): Unit = {
+    val h = Dedup.spanWindows(corpus, textCol, idCol, w)
+      .select("h").distinct()
+    BucketedTables.writeBucketed(h, hashTable(base), Seq("h"), buckets,
+      SaveMode.Overwrite,
+      sidecar = Seq(WSidecar -> w.toString.getBytes("UTF-8")))
+  }
+
+  /** The window width the index was built with (sidecar-pinned). */
+  def windowWidth(spark: SparkSession, base: String): Int =
+    new String(BucketedTables.readSidecar(spark, hashTable(base), WSidecar),
+      "UTF-8").toInt
+
+  /** Span-trim a delta batch against the standing corpus and itself.
+    * A window hash present in the index removes every batch occurrence
+    * (the corpus owns the canonical copy); a hash new to this batch but
+    * duplicated within it keeps its first (id, pos) occurrence — the
+    * same canonical rule as [[Dedup.trimSpans]]. Every delta doc comes
+    * back: (idCol, kept_tokens, trimmed_text). */
+  def trimIncremental(spark: SparkSession, base: String, delta: DataFrame,
+                      textCol: String, idCol: String): DataFrame = {
+    val w = windowWidth(spark, base)
+    val we = Dedup.spanWindows(delta, textCol, idCol, w)
+    val idx = spark.table(hashTable(base)).select(col("h"))
+    val fromIndex = we.join(idx, Seq("h"), "left_semi")
+      .select(col("id"), col("n_tokens"), col("pos"))
+    val canon = we.groupBy("h")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("id"), col("pos"))).as("canon"))
+      .filter(col("n_occ") > 1)
+      .select(col("h"), col("canon"))
+    val withinDelta = we.join(canon, Seq("h"))
+      .filter(struct(col("id"), col("pos")) =!= col("canon"))
+      .select(col("id"), col("n_tokens"), col("pos"))
+    val hits = fromIndex.unionAll(withinDelta).distinct()
+    Dedup.removeCovered(delta, textCol, idCol, Dedup.mergeIslands(hits, w))
+  }
+
+  /** Publish a trimmed batch: append its surviving window hashes, minus
+    * the ones already indexed (the anti join keeps the table duplicate-
+    * free so probe fan-out never grows). Leased, like every mutation of
+    * a bucketed index table, so rows cannot land in a snapshot dir a
+    * concurrent rewrite is about to replace. */
+  def append(spark: SparkSession, base: String, trimmed: DataFrame,
+             textCol: String, idCol: String): Unit =
+    BucketedTables.withWriterLease(spark, hashTable(base), "append") {
+      val w = windowWidth(spark, base)
+      val fresh = Dedup.spanWindows(
+          trimmed.filter(length(trim(col(textCol))) > 0), textCol, idCol, w)
+        .select("h").distinct()
+        .join(spark.table(hashTable(base)).select("h"), Seq("h"), "left_anti")
+      BucketedTables.writeBucketed(fresh, hashTable(base), Seq("h"),
+        bucketsOf(spark, hashTable(base)), SaveMode.Append)
+    }
+
+  private def bucketsOf(spark: SparkSession, table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(sys.error(s"$table: not bucketed — rebuild the index"))
+}

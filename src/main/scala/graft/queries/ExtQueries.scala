@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, DedupIndex, Packing, Similarity, TextAnalysis}
+import graft.ext.{Dedup, DedupIndex, Packing, Similarity, SpanIndex, TextAnalysis}
 
 /** Driver-checked queries for the north-star training-data operators:
   * text analysis, dedup (exact / exact-Jaccard / MinHash / SimHash),
@@ -656,6 +656,61 @@ object ExtQueries {
       |  coalesce(a.trimmed_text, '') AS trimmed_text
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
       |LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** Standing span-index lifecycle under the oracle gate: build the
+    * window-hash index over the corpus split, then span-trim a delta
+    * (fifth of the docs plus planted full copies of corpus docs) against
+    * it. The oracle recomputes the same trim from scratch in SQL, so a
+    * hash-pass proves the indexed probe equals the logical definition. */
+  def qSpanIncrIdx(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val base = "graft_idx_span"
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+      .unionAll(corpus.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    SpanIndex.write(corpus, "text", "doc_id", base, w = 6)
+    SpanIndex.trimIncremental(s, base, delta, "text", "doc_id")
+  }
+
+  val qSpanIncrIdxSql: String =
+    """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      |delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |          UNION ALL
+      |          SELECT doc_id + 10000 AS doc_id, text FROM documents
+      |          WHERE doc_id % 5 <> 0 AND doc_id < 30),
+      |tc AS (SELECT string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS toks FROM corpus),
+      |pc AS (SELECT toks, unnest(range(1, greatest(len(toks) - 5, 1) + 1)) AS pos FROM tc),
+      |ref AS (SELECT DISTINCT array_to_string(toks[pos:pos+5], ' ') AS win FROM pc),
+      |td AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS toks FROM delta),
+      |pd AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+      |         unnest(range(1, greatest(len(toks) - 5, 1) + 1)) AS pos FROM td),
+      |wd AS (SELECT doc_id, n_tokens, pos,
+      |         array_to_string(toks[pos:pos+5], ' ') AS win FROM pd),
+      |o AS (SELECT doc_id, n_tokens, pos, win,
+      |        count(*) OVER (PARTITION BY win) AS n_occ,
+      |        row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM wd),
+      |m AS (SELECT doc_id, n_tokens, pos FROM o WHERE win IN (SELECT win FROM ref)
+      |      UNION
+      |      SELECT doc_id, n_tokens, pos FROM o WHERE n_occ > 1 AND rn > 1),
+      |i AS (SELECT *, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 6
+      |                     THEN 0 ELSE 1 END AS brk FROM m),
+      |isl AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i),
+      |sp AS (SELECT doc_id, island, min(pos) AS s,
+      |         least(max(pos) + 5, any_value(n_tokens)) AS e
+      |       FROM isl GROUP BY doc_id, island),
+      |cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM sp),
+      |tok AS (SELECT doc_id, unnest(toks) AS tok,
+      |          unnest(range(1, len(toks) + 1)) AS pos FROM td),
+      |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+      |         LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos
+      |         WHERE c.pos IS NULL),
+      |agg AS (SELECT doc_id, count(*) AS kept_tokens,
+      |          string_agg(tok, ' ' ORDER BY pos) AS trimmed_text
+      |        FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.kept_tokens, 0) AS kept_tokens,
+      |  coalesce(a.trimmed_text, '') AS trimmed_text
+      |FROM (SELECT doc_id FROM delta) d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   // ----------------------------------------------------------- dedup
 
@@ -1454,6 +1509,7 @@ object ExtQueries {
     "q_span_trim"        -> (qSpanTrim _),
     "q_span_pairs"       -> (qSpanPairs _),
     "q_decontaminate"    -> (qDecontaminate _),
+    "q_span_incr_idx"    -> (qSpanIncrIdx _),
     "q_dedup_exact"      -> (qDedupExact _),
     "q_dedup_jaccard"    -> (qDedupJaccard _),
     "q_dedup_minhash"    -> (qDedupMinhash _),
@@ -1509,6 +1565,7 @@ object ExtQueries {
     "q_span_trim"        -> qSpanTrimSql,
     "q_span_pairs"       -> qSpanPairsSql,
     "q_decontaminate"    -> qDecontaminateSql,
+    "q_span_incr_idx"    -> qSpanIncrIdxSql,
     "q_dedup_exact"      -> qDedupExactSql,
     "q_dedup_jaccard"    -> qDedupJaccardSql,
     "q_sim_topk"         -> qSimTopKSql,

@@ -560,6 +560,36 @@ class ExtSpec extends AnyFunSuite {
       (2L, 9L, "totally clean document with no benchmark overlap at all")))
   }
 
+  test("SpanIndex lifecycle: write, trim a delta, append, trim again") {
+    import graft.ext.SpanIndex
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    SpanIndex.write(corpus, "text", "doc_id", "t_span_idx", w = 6, buckets = 2)
+    assert(SpanIndex.windowWidth(spark, "t_span_idx") == 6)
+
+    val delta1 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),        // corpus copy
+      (11L, "fresh tokens one two three four five six"),   // new content
+      (12L, "fresh tokens one two three four five six"))   // within-delta dup
+      .toDF("doc_id", "text")
+    val t1 = SpanIndex.trimIncremental(spark, "t_span_idx", delta1, "text", "doc_id")
+    val r1 = t1.orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq
+    assert(r1 == Seq(
+      (10L, 0L, ""),
+      (11L, 8L, "fresh tokens one two three four five six"),
+      (12L, 0L, "")))
+
+    // publish the survivors; a later batch repeating doc 11's content
+    // must now be trimmed by the index, not kept as "new"
+    SpanIndex.append(spark, "t_span_idx", t1, "trimmed_text", "doc_id")
+    val delta2 = Seq(
+      (20L, "fresh tokens one two three four five six")).toDF("doc_id", "text")
+    val r2 = SpanIndex.trimIncremental(spark, "t_span_idx", delta2, "text", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq
+    assert(r2 == Seq((20L, 0L, "")))
+  }
+
   test("trimSpans keeps the canonical occurrence and reassembles the rest") {
     val df = Seq(
       (1L, "a b p q r s c d"),
