@@ -28,11 +28,18 @@ object SpanIndex {
   // scan never mistakes the sidecar for a bucket file
   private val WSidecar = "_span_w"
 
+  /** Batch stamp of bulk (non-streaming) writes. Streaming appends stamp
+    * rows with a per-micro-batch id instead, so a replayed batch can
+    * probe with its own first attempt's rows EXCLUDED and reproduce the
+    * original trim verdicts (same protocol as [[DedupIndex]]). */
+  val BulkBid = 0L
+
   /** Build the index over an already-deduped corpus. */
   def write(corpus: DataFrame, textCol: String, idCol: String, base: String,
             w: Int = 6, buckets: Int = 8): Unit = {
     val h = Dedup.spanWindows(corpus, textCol, idCol, w)
       .select("h").distinct()
+      .withColumn("bid", lit(BulkBid))
     BucketedTables.writeBucketed(h, hashTable(base), Seq("h"), buckets,
       SaveMode.Overwrite,
       sidecar = Seq(WSidecar -> w.toString.getBytes("UTF-8")))
@@ -50,10 +57,13 @@ object SpanIndex {
     * same canonical rule as [[Dedup.trimSpans]]. Every delta doc comes
     * back: (idCol, kept_tokens, trimmed_text). */
   def trimIncremental(spark: SparkSession, base: String, delta: DataFrame,
-                      textCol: String, idCol: String): DataFrame = {
+                      textCol: String, idCol: String,
+                      excludeBid: Option[Long] = None): DataFrame = {
     val w = windowWidth(spark, base)
     val we = Dedup.spanWindows(delta, textCol, idCol, w)
-    val idx = spark.table(hashTable(base)).select(col("h"))
+    val idx = excludeBid
+      .foldLeft(spark.table(hashTable(base)))((t, b) => t.filter(col("bid") =!= b))
+      .select(col("h"))
     val fromIndex = we.join(idx, Seq("h"), "left_semi")
       .select(col("id"), col("n_tokens"), col("pos"))
     val canon = we.groupBy("h")
@@ -74,13 +84,17 @@ object SpanIndex {
     * a bucketed index table, so rows cannot land in a snapshot dir a
     * concurrent rewrite is about to replace. */
   def append(spark: SparkSession, base: String, trimmed: DataFrame,
-             textCol: String, idCol: String): Unit =
+             textCol: String, idCol: String, bid: Long = BulkBid): Unit =
     BucketedTables.withWriterLease(spark, hashTable(base), "append") {
       val w = windowWidth(spark, base)
+      // anti join against EVERY visible row (all bids): a replayed batch
+      // finds its first attempt's rows already present and appends
+      // nothing, so append is idempotent under restart-replay
       val fresh = Dedup.spanWindows(
           trimmed.filter(length(trim(col(textCol))) > 0), textCol, idCol, w)
         .select("h").distinct()
         .join(spark.table(hashTable(base)).select("h"), Seq("h"), "left_anti")
+        .withColumn("bid", lit(bid))
       BucketedTables.writeBucketed(fresh, hashTable(base), Seq("h"),
         bucketsOf(spark, hashTable(base)), SaveMode.Append)
     }

@@ -937,4 +937,52 @@ class StreamSpec extends AnyFunSuite {
       f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
     assert(dataFiles <= 4, s"compaction did not run/merge: $dataFiles files")
   }
+
+  test("streaming span ingestion trims against index and earlier batches; " +
+       "replay reproduces verdicts without duplicating output") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.SpanIndex
+    import graft.streaming.IngestSpans
+    implicit val sqlCtx = spark.sqlContext
+    SpanIndex.write(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text"),
+      "text", "doc_id", "t_span_stream", w = 6, buckets = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spans").toString
+    val input = MemoryStream[(Long, String)]
+    val q = IngestSpans.run(input.toDF().toDF("doc_id", "text"),
+      "t_span_stream", "text", "doc_id",
+      outPath = s"$tmp/out", checkpoint = s"$tmp/ckpt").start()
+    try {
+      input.addData(Seq(
+        (10L, "alpha beta gamma delta epsilon zeta eta"), // corpus copy
+        (11L, "one two three four five six seven eight"))) // new content
+      q.processAllAvailable()
+      input.addData(Seq(
+        (20L, "one two three four five six seven eight"), // batch-1 copy
+        (21L, "nine ten eleven twelve thirteen fourteen"))) // new content
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("doc_id", "kept_tokens", "trimmed_text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(out == Set(
+      (10L, 0L, ""),
+      (11L, 8L, "one two three four five six seven eight"),
+      (20L, 0L, ""), // trimmed by batch 1's appended survivors
+      (21L, 6L, "nine ten eleven twelve thirteen fourteen")))
+    // restart-replay of a micro-batch: same batchId + runTag must judge
+    // against the pre-append state (own stamp excluded) and leave one
+    // output copy with the original values
+    val replayBatch = Seq(
+      (30L, "replay words aa bb cc dd ee ff gg")).toDF("doc_id", "text")
+    def step() = IngestSpans.processBatch(replayBatch, batchId = 7L,
+      "t_span_stream", "text", "doc_id", outPath = s"$tmp/replay",
+      updateIndex = true, runTag = "spanRun")
+    step()
+    step()
+    val replayed = spark.read.parquet(s"$tmp/replay")
+      .select("doc_id", "kept_tokens", "trimmed_text")
+      .as[(Long, Long, String)].collect().toList
+    assert(replayed == List((30L, 9L, "replay words aa bb cc dd ee ff gg")))
+  }
 }
