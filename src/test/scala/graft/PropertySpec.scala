@@ -261,4 +261,34 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("span dedup: unique corpus scores zero; a planted run is measured exactly") =
+    forAll(Gen.choose(6, 12), Gen.choose(0, 4), Gen.choose(0, 4)) { (r, off1, off2) =>
+      val w = 6
+      // every non-run token is globally unique, so the ONLY window
+      // collisions are the run's interior windows — the islands must
+      // cover exactly the r run tokens in docs 1 and 2, nothing in doc 3
+      val run = (0 until r).map(i => s"r$i")
+      val d1 = (0 until off1).map(i => s"a$i") ++ run ++ (0 until 5).map(i => s"b$i")
+      val d2 = (0 until off2).map(i => s"c$i") ++ run ++ (0 until 5).map(i => s"d$i")
+      val d3 = (0 until 8).map(i => s"e$i")
+      val df = Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" ")),
+        (3L, d3.mkString(" "))).toDF("doc_id", "text")
+      val dup = graft.ext.Dedup.duplicateSpans(df, "text", "doc_id", w)
+        .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+      val pairs = graft.ext.Dedup.sharedRunPairs(df, "text", "doc_id",
+          minRun = 8, w = w)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSeq
+      dup == Map(1L -> r.toLong, 2L -> r.toLong, 3L -> 0L) &&
+        pairs == (if (r >= 8) Seq((1L, 2L, r)) else Seq.empty)
+    }
+
+  property("decontaminating a corpus against itself empties every doc") =
+    forAll(Gen.listOfN(3, Gen.choose(1, 12))) { lens =>
+      val df = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (0 until n).map(j => s"t${i}_$j").mkString(" "))
+      }.toDF("doc_id", "text")
+      graft.ext.Dedup.trimMatchingSpans(df, "text", "doc_id", df, "text", w = 6)
+        .collect().forall(x => x.getLong(1) == 0L && x.getString(2).isEmpty)
+    }
+
 }
