@@ -547,13 +547,23 @@ object Dedup {
     * (the whole doc), so short exact dups still collide. */
   private[ext] def spanWindows(df: DataFrame, textCol: String, idCol: String,
                           w: Int): DataFrame = {
+    // Tight-loop kernel (one pass per doc, no window-string array through
+    // the plan); bit-identical to the HOF construction
+    // xxhash64(concat_ws(" ", slice(tokens, pos, w))) — twin-tested — so
+    // stored span-index fingerprints stay valid across the swap.
     val t = TextAnalysis.tokens(col(textCol))
-    val wins = transform(sequence(lit(1), greatest(size(t) - (w - 1), lit(1))),
-      i => concat_ws(" ", slice(t, i, lit(w))))
     df.select(col(idCol).as("id"), size(t).as("n_tokens"),
-        posexplode(wins).as(Seq("p0", "win")))
-      .select(col("id"), col("n_tokens"), (col("p0") + 1).as("pos"),
-        xxhash64(col("win")).as("h"))
+        posexplode(graft.functions.TextExpressions
+          .positionalWindowHashes(col(textCol), w)).as(Seq("p0", "h")))
+      .select(col("id"), col("n_tokens"), (col("p0") + 1).as("pos"), col("h"))
+  }
+
+  /** Interpreted HOF twin of the window fingerprint path, kept for parity
+    * tests (same convention as [[shinglesHof]]). */
+  private[graft] def spanWindowHashesHof(text: Column, w: Int): Column = {
+    val t = TextAnalysis.tokens(text)
+    transform(sequence(lit(1), greatest(size(t) - (w - 1), lit(1))),
+      i => xxhash64(concat_ws(" ", slice(t, i, lit(w)))))
   }
 
   /** Merge the fixed-width dup windows of one doc into disjoint islands:

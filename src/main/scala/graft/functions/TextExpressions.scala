@@ -260,6 +260,38 @@ case class SortedShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Per-position w-token window hashes for substring-level dedup
+  * (graft.ext.Dedup.spanWindows): output[i] = xxhash64 of the window
+  * starting at token i (0-based; the last window truncates for docs
+  * shorter than w, so a short doc yields one whole-doc window). Hashes
+  * are bit-identical to `xxhash64(concat_ws(" ", slice(tokens, pos, w)))`
+  * — same seed 42, same lower/trim/split bytes — so the tight loop can
+  * replace the HOF pipeline under any already-built span index without
+  * invalidating its stored fingerprints (twin-tested in ExtSpec). Unlike
+  * [[SortedShingleHashes]] this keeps every position, in order: span
+  * operators need (pos → hash), not the distinct set. */
+case class PositionalWindowHashes(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextHash.WsPattern.split(
+      input.asInstanceOf[UTF8String].trim().toLowerCase.toString)
+    val count = math.max(toks.length - w, 0) + 1
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + w, toks.length)
+      out(i) = TextHash.xxhash(
+        UTF8String.fromString(toks.slice(i, end).mkString(" ")))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Exact Jaccard of two SORTED distinct long arrays by merge intersection —
   * zero allocation, no hashing; the verify-stage kernel when shingles are
   * pre-hashed with [[SortedShingleHashes]]. Fully codegen'd (`doGenCode`):
@@ -336,6 +368,10 @@ object TextExpressions {
   def sortedShingleHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(
       SortedShingleHashes(GraftColumnBridge.expression(text), n))
+
+  def positionalWindowHashes(text: Column, w: Int): Column =
+    GraftColumnBridge.column(
+      PositionalWindowHashes(GraftColumnBridge.expression(text), w))
 
   def jaccardSortedLongs(a: Column, b: Column): Column =
     GraftColumnBridge.column(JaccardSortedLongs(

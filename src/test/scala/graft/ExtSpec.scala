@@ -492,6 +492,21 @@ class ExtSpec extends AnyFunSuite {
     lsh.foreach { case (id, (keep, _)) => if (!keep) assert(!pref(id)._1) }
   }
 
+  test("positionalWindowHashes == HOF window-hash twin, incl. edge shapes") {
+    import graft.functions.TextExpressions
+    val df = (Seq("", "a", "a b", "one two three four five six",
+        "one two three four five six seven eight nine",
+        "  Mixed   CASE \t tokens  here  ") ++
+        Tables(spark, dir, "documents").select("text")
+          .limit(50).collect().map(_.getString(0)))
+      .toDF("text")
+    val r = df.select(
+      TextExpressions.positionalWindowHashes(col("text"), 6).as("fast"),
+      graft.ext.Dedup.spanWindowHashesHof(col("text"), 6).as("hof"))
+      .collect()
+    r.foreach(x => assert(x.getSeq[Long](0) == x.getSeq[Long](1)))
+  }
+
   test("duplicateSpans: exposure stats on a hand-built corpus") {
     // doc 1 and doc 2 share the 4-token run "p q r s" embedded at
     // different offsets; doc 3 shares nothing. w=3 -> windows "p q r"
