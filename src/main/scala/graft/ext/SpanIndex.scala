@@ -99,6 +99,32 @@ object SpanIndex {
         bucketsOf(spark, hashTable(base)), SaveMode.Append)
     }
 
+  /** Observability surface (the [[DedupIndex.stats]] twin): occupancy and
+    * provenance of the hash table as (metric, value) rows — total rows,
+    * distinct hashes (equal to total unless an append protocol violation
+    * slipped duplicates in: a drift indicator, like the ANN index's
+    * occupancy sidecar check), bulk-vs-appended split, bucket count and
+    * the sidecar-pinned window width. The aggregate collects one row of
+    * counters — driver-sized by construction. */
+  def stats(spark: SparkSession, base: String): DataFrame = {
+    import spark.implicits._
+    val row = spark.table(hashTable(base)).agg(
+      count(lit(1)).as("hashes"),
+      count_distinct(col("h")).as("distinct_hashes"),
+      sum(when(col("bid") === BulkBid, 1L).otherwise(0L)).as("bulk"),
+      sum(when(col("bid") =!= BulkBid, 1L).otherwise(0L)).as("appended"))
+      .collect().head
+    def longAt(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+    Seq(
+      ("hashes", longAt(0)),
+      ("distinct_hashes", longAt(1)),
+      ("bulk_hashes", longAt(2)),
+      ("appended_hashes", longAt(3)),
+      ("buckets", bucketsOf(spark, hashTable(base)).toLong),
+      ("w", windowWidth(spark, base).toLong))
+      .toDF("metric", "value")
+  }
+
   private def bucketsOf(spark: SparkSession, table: String): Int =
     spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))

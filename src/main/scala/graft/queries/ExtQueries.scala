@@ -712,6 +712,40 @@ object ExtQueries {
       |  coalesce(a.trimmed_text, '') AS trimmed_text
       |FROM (SELECT doc_id FROM delta) d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Span-index observability under the oracle gate: build over the
+    * corpus split, bulk-append the complement as a tagged batch, then
+    * read back occupancy/provenance. The oracle recomputes every counter
+    * from the fixture (appended = delta windows the corpus didn't already
+    * own), so a hash-pass proves the append's anti-join dedup and the
+    * stamp bookkeeping are exact. */
+  def qSpanStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val base = "graft_idx_sstats"
+    SpanIndex.write(docs.filter(col("doc_id") % 5 =!= 0),
+      "text", "doc_id", base, w = 6, buckets = 8)
+    SpanIndex.append(s, base, docs.filter(col("doc_id") % 5 === 0),
+      "text", "doc_id", bid = 7L)
+    SpanIndex.stats(s, base)
+  }
+
+  val qSpanStatsSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS toks
+      |           FROM documents),
+      |p AS (SELECT doc_id, toks,
+      |        unnest(range(1, greatest(len(toks) - 5, 1) + 1)) AS pos FROM t),
+      |w AS (SELECT doc_id, array_to_string(toks[pos:pos+5], ' ') AS win FROM p),
+      |c AS (SELECT DISTINCT win FROM w WHERE doc_id % 5 <> 0),
+      |d AS (SELECT DISTINCT win FROM w WHERE doc_id % 5 = 0),
+      |newd AS (SELECT win FROM d WHERE win NOT IN (SELECT win FROM c)),
+      |nc AS (SELECT count(*)::BIGINT AS n FROM c),
+      |nn AS (SELECT count(*)::BIGINT AS n FROM newd)
+      |SELECT 'hashes' AS metric, (SELECT n FROM nc) + (SELECT n FROM nn) AS value
+      |UNION ALL SELECT 'distinct_hashes', (SELECT n FROM nc) + (SELECT n FROM nn)
+      |UNION ALL SELECT 'bulk_hashes', (SELECT n FROM nc)
+      |UNION ALL SELECT 'appended_hashes', (SELECT n FROM nn)
+      |UNION ALL SELECT 'buckets', 8
+      |UNION ALL SELECT 'w', 6""".stripMargin
+
   // ----------------------------------------------------------- dedup
 
   /** Exact dedup over documents augmented with planted duplicates
@@ -1510,6 +1544,7 @@ object ExtQueries {
     "q_span_pairs"       -> (qSpanPairs _),
     "q_decontaminate"    -> (qDecontaminate _),
     "q_span_incr_idx"    -> (qSpanIncrIdx _),
+    "q_span_stats"       -> (qSpanStats _),
     "q_dedup_exact"      -> (qDedupExact _),
     "q_dedup_jaccard"    -> (qDedupJaccard _),
     "q_dedup_minhash"    -> (qDedupMinhash _),
@@ -1566,6 +1601,7 @@ object ExtQueries {
     "q_span_pairs"       -> qSpanPairsSql,
     "q_decontaminate"    -> qDecontaminateSql,
     "q_span_incr_idx"    -> qSpanIncrIdxSql,
+    "q_span_stats"       -> qSpanStatsSql,
     "q_dedup_exact"      -> qDedupExactSql,
     "q_dedup_jaccard"    -> qDedupJaccardSql,
     "q_sim_topk"         -> qSimTopKSql,

@@ -597,12 +597,19 @@ class ExtSpec extends AnyFunSuite {
 
     // publish the survivors; a later batch repeating doc 11's content
     // must now be trimmed by the index, not kept as "new"
-    SpanIndex.append(spark, "t_span_idx", t1, "trimmed_text", "doc_id")
+    SpanIndex.append(spark, "t_span_idx", t1, "trimmed_text", "doc_id", bid = 3L)
     val delta2 = Seq(
       (20L, "fresh tokens one two three four five six")).toDF("doc_id", "text")
     val r2 = SpanIndex.trimIncremental(spark, "t_span_idx", delta2, "text", "doc_id")
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq
     assert(r2 == Seq((20L, 0L, "")))
+    // observability: the append kept the table duplicate-free, and both
+    // provenance classes are populated (bulk build + batch append)
+    val st = SpanIndex.stats(spark, "t_span_idx")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st("hashes") == st("distinct_hashes") && st("hashes") > 0)
+    assert(st("bulk_hashes") > 0 && st("appended_hashes") > 0)
+    assert(st("w") == 6 && st("buckets") == 2)
   }
 
   test("trimSpans keeps the canonical occurrence and reassembles the rest") {
