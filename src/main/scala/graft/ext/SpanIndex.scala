@@ -99,6 +99,42 @@ object SpanIndex {
         bucketsOf(spark, hashTable(base)), SaveMode.Append)
     }
 
+  /** Compact the hash table: fold each bucket's accumulated append files
+    * (streaming leaves one file set per micro-batch) back to one file per
+    * bucket and drop exact-duplicate rows a replayed append may have
+    * left. Shuffle-free ([[BucketedTables.compactionFrame]]: forced
+    * one-partition-per-bucket scan, within-partition sort + adjacent
+    * dedup IS a global dedup), lands in a fresh snapshot dir with the
+    * width sidecar re-pinned, goes live at [[BucketedTables
+    * .swapLocation]]'s single catalog op, and holds the writer lease so
+    * a racing append fails loudly instead of landing in the replaced
+    * dir. */
+  def compact(spark: SparkSession, base: String): Unit =
+    BucketedTables.withWriterLease(spark, hashTable(base), "compaction") {
+      val w = windowWidth(spark, base)
+      val path = BucketedTables.withForcedBucketedScan(spark) {
+        BucketedTables.writeSnapshot(spark, hashTable(base), Seq("h"),
+          BucketedTables.compactionFrame(spark, hashTable(base)),
+          sidecar = Seq(WSidecar -> w.toString.getBytes("UTF-8")))
+      }
+      BucketedTables.swapLocation(spark, hashTable(base), path)
+    }
+
+  /** Cheap compaction advisory: data files in the live snapshot vs the
+    * bucket count — pure file listing, never scans rows. */
+  def needsCompact(spark: SparkSession, base: String,
+                   maxFilesPerBucket: Int = 4): Boolean = {
+    val loc = new org.apache.hadoop.fs.Path(
+      BucketedTables.location(spark, hashTable(base)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(loc).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    dataFiles > maxFilesPerBucket.toLong *
+      bucketsOf(spark, hashTable(base))
+  }
+
   /** Observability surface (the [[DedupIndex.stats]] twin): occupancy and
     * provenance of the hash table as (metric, value) rows — total rows,
     * distinct hashes (equal to total unless an append protocol violation

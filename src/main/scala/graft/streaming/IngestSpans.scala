@@ -29,15 +29,24 @@ import graft.ext.SpanIndex
 object IngestSpans {
 
   /** Build the writer (caller `.start()`s it). Trimmed docs land in
-    * `outPath` as parquet partitioned by `batch_id`. */
+    * `outPath` as parquet partitioned by `batch_id`. `compactEvery` runs
+    * [[graft.ext.SpanIndex.compact]] in-line every N batches when the
+    * file-count advisory fires (leave 0 and compact offline on a real
+    * cluster — the swap is atomic, but compaction competes with
+    * ingestion for the write path). */
   def run(stream: DataFrame, base: String, textCol: String, idCol: String,
           outPath: String, checkpoint: String,
-          updateIndex: Boolean = true): DataStreamWriter[Row] =
+          updateIndex: Boolean = true,
+          compactEvery: Int = 0): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, base, textCol, idCol, outPath,
           updateIndex, runTag = checkpoint)
+        if (compactEvery > 0 && updateIndex &&
+            (batchId + 1) % compactEvery == 0 &&
+            SpanIndex.needsCompact(batch.sparkSession, base))
+          SpanIndex.compact(batch.sparkSession, base)
       }
 
   /** One micro-batch step, exposed so the replay-idempotence contract is

@@ -610,6 +610,23 @@ class ExtSpec extends AnyFunSuite {
     assert(st("hashes") == st("distinct_hashes") && st("hashes") > 0)
     assert(st("bulk_hashes") > 0 && st("appended_hashes") > 0)
     assert(st("w") == 6 && st("buckets") == 2)
+    // compaction folds the bulk+append file sets to one file per bucket,
+    // preserves every hash and the pinned width, and probes still work
+    SpanIndex.compact(spark, "t_span_idx")
+    val st2 = SpanIndex.stats(spark, "t_span_idx")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st2("hashes") == st("hashes") && st2("w") == 6)
+    val loc = new java.io.File(spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("t_span_idx_spanh"))
+      .location.getPath)
+    val files = loc.listFiles().count(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(files <= 2, s"expected <= one file per bucket, got $files")
+    assert(!SpanIndex.needsCompact(spark, "t_span_idx"))
+    val r3 = SpanIndex.trimIncremental(spark, "t_span_idx", delta2, "text", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq
+    assert(r3 == Seq((20L, 0L, "")))
   }
 
   test("trimSpans keeps the canonical occurrence and reassembles the rest") {

@@ -951,7 +951,8 @@ class StreamSpec extends AnyFunSuite {
     val input = MemoryStream[(Long, String)]
     val q = IngestSpans.run(input.toDF().toDF("doc_id", "text"),
       "t_span_stream", "text", "doc_id",
-      outPath = s"$tmp/out", checkpoint = s"$tmp/ckpt").start()
+      outPath = s"$tmp/out", checkpoint = s"$tmp/ckpt",
+      compactEvery = 1).start()
     try {
       input.addData(Seq(
         (10L, "alpha beta gamma delta epsilon zeta eta"), // corpus copy
