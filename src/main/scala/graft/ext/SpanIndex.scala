@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Standing substring-dedup index: the distinct ≥w-token window hashes of
+/** Standing substring-dedup index: the ≥w-token window fingerprints of
   * everything ingested so far, bucketed + sorted by hash, so each new
   * batch can be span-trimmed against 100 TB of history without
   * rescanning or reshuffling that history.
@@ -12,16 +12,24 @@ import org.apache.spark.sql.functions._
   * a stream of batches instead, and each batch must lose (a) every span
   * the corpus already owns and (b) every within-batch duplicate span
   * except its first occurrence — after which the batch's surviving spans
-  * join the index. Storing only distinct 8-byte hashes keeps the index a
-  * small fraction of corpus bytes; bucketing by `h` makes the probe a
-  * bucket-local sort-merge join in which only the delta shuffles.
+  * join the index.
+  *
+  * Rows are (h, cnt, bid): OCCURRENCE REFCOUNTS, not a bare hash set.
+  * The count is what makes takedown exact — deleting a document appends
+  * negative counts for ITS occurrences, and a window stays live exactly
+  * while some non-deleted document still contains it (sum > 0). The live
+  * set is computed with a bucket-local aggregation: the table is bucketed
+  * by `h`, so the groupBy needs no exchange and only the probing delta
+  * ever shuffles. After compaction the table holds one row per distinct
+  * hash, a small fraction of corpus bytes.
   *
   * Extension surface — the reference (timfi/wrangle_pypes) holds no
   * standing state; conventions follow [[DedupIndex]]/[[SimilarityIndex]]
-  * (versioned snapshots, writer lease, sidecar-pinned parameters). The
-  * window width `w` is pinned in a snapshot sidecar at build time so a
-  * probe can never silently fingerprint with a different width than the
-  * index was built with. */
+  * (versioned snapshots, writer lease, sidecar-pinned parameters,
+  * replay-stamped appends, negative-count tombstones folded away at
+  * compaction). The window width `w` is pinned in a snapshot sidecar at
+  * build time so a probe can never silently fingerprint with a different
+  * width than the index was built with. */
 object SpanIndex {
   def hashTable(base: String) = s"${base}_spanh"
   // leading underscore: Spark's file listing skips it, so the bucketed
@@ -34,11 +42,15 @@ object SpanIndex {
     * original trim verdicts (same protocol as [[DedupIndex]]). */
   val BulkBid = 0L
 
+  private def windowCounts(df: DataFrame, textCol: String, idCol: String,
+                           w: Int): DataFrame =
+    Dedup.spanWindows(df, textCol, idCol, w)
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+
   /** Build the index over an already-deduped corpus. */
   def write(corpus: DataFrame, textCol: String, idCol: String, base: String,
             w: Int = 6, buckets: Int = 8): Unit = {
-    val h = Dedup.spanWindows(corpus, textCol, idCol, w)
-      .select("h").distinct()
+    val h = windowCounts(corpus, textCol, idCol, w)
       .withColumn("bid", lit(BulkBid))
     BucketedTables.writeBucketed(h, hashTable(base), Seq("h"), buckets,
       SaveMode.Overwrite,
@@ -50,8 +62,23 @@ object SpanIndex {
     new String(BucketedTables.readSidecar(spark, hashTable(base), WSidecar),
       "UTF-8").toInt
 
+  /** The live hash set: positive summed refcount, optionally blind to one
+    * batch stamp. The `distinct()` discards byte-identical rows a
+    * replayed append may have duplicated, so refcount sums stay exact
+    * even before a compaction folds the copies; both it and the groupBy
+    * cluster on `h`, which the bucketed scan already provides — no
+    * exchange on the index side. */
+  private def liveHashes(spark: SparkSession, base: String,
+                         excludeBid: Option[Long]): DataFrame =
+    excludeBid
+      .foldLeft(spark.table(hashTable(base)))((t, b) => t.filter(col("bid") =!= b))
+      .select(col("h"), col("cnt"), col("bid")).distinct()
+      .groupBy("h").agg(sum(col("cnt")).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col("h"))
+
   /** Span-trim a delta batch against the standing corpus and itself.
-    * A window hash present in the index removes every batch occurrence
+    * A window hash live in the index removes every batch occurrence
     * (the corpus owns the canonical copy); a hash new to this batch but
     * duplicated within it keeps its first (id, pos) occurrence — the
     * same canonical rule as [[Dedup.trimSpans]]. Every delta doc comes
@@ -61,10 +88,7 @@ object SpanIndex {
                       excludeBid: Option[Long] = None): DataFrame = {
     val w = windowWidth(spark, base)
     val we = Dedup.spanWindows(delta, textCol, idCol, w)
-    val idx = excludeBid
-      .foldLeft(spark.table(hashTable(base)))((t, b) => t.filter(col("bid") =!= b))
-      .select(col("h"))
-    val fromIndex = we.join(idx, Seq("h"), "left_semi")
+    val fromIndex = we.join(liveHashes(spark, base, excludeBid), Seq("h"), "left_semi")
       .select(col("id"), col("n_tokens"), col("pos"))
     val canon = we.groupBy("h")
       .agg(count(lit(1)).as("n_occ"),
@@ -78,44 +102,85 @@ object SpanIndex {
     Dedup.removeCovered(delta, textCol, idCol, Dedup.mergeIslands(hits, w))
   }
 
-  /** Publish a trimmed batch: append its surviving window hashes, minus
-    * the ones already indexed (the anti join keeps the table duplicate-
-    * free so probe fan-out never grows). Leased, like every mutation of
-    * a bucketed index table, so rows cannot land in a snapshot dir a
-    * concurrent rewrite is about to replace. */
+  /** Publish a trimmed batch: append its surviving occurrence counts,
+    * stamped with `bid`. Leased, like every mutation of a bucketed index
+    * table, so rows cannot land in a snapshot dir a concurrent rewrite
+    * is about to replace. Replay-idempotent in effect: a replayed append
+    * writes byte-identical rows, which [[liveHashes]] distincts away and
+    * [[compact]] physically removes. */
   def append(spark: SparkSession, base: String, trimmed: DataFrame,
              textCol: String, idCol: String, bid: Long = BulkBid): Unit =
     BucketedTables.withWriterLease(spark, hashTable(base), "append") {
       val w = windowWidth(spark, base)
-      // anti join against EVERY visible row (all bids): a replayed batch
-      // finds its first attempt's rows already present and appends
-      // nothing, so append is idempotent under restart-replay
-      val fresh = Dedup.spanWindows(
+      val fresh = windowCounts(
           trimmed.filter(length(trim(col(textCol))) > 0), textCol, idCol, w)
-        .select("h").distinct()
-        .join(spark.table(hashTable(base)).select("h"), Seq("h"), "left_anti")
         .withColumn("bid", lit(bid))
       BucketedTables.writeBucketed(fresh, hashTable(base), Seq("h"),
         bucketsOf(spark, hashTable(base)), SaveMode.Append)
     }
 
+  /** Takedown: remove `docs`' contribution from the index by appending
+    * NEGATIVE occurrence counts for their windows. A window survives
+    * exactly while a non-deleted document still contains it — the
+    * refcount design makes this O(|deleted docs' tokens|), never a
+    * corpus rewrite; [[compact]] later folds cancelled hashes away
+    * physically. The caller supplies the documents' text (takedowns
+    * arrive as documents), and deleting the same rows twice is the
+    * caller's contract to avoid, as in [[DedupIndex.delete]]. Stamp
+    * SEPARATE takedown calls with DISTINCT `bid`s: the replay-dedup in
+    * [[liveHashes]] drops byte-identical rows, so two single-owner
+    * takedowns of the same window under one stamp would collapse into
+    * one tombstone (one call covering many docs is always exact — the
+    * counts aggregate before writing). */
+  def delete(spark: SparkSession, base: String, docs: DataFrame,
+             textCol: String, idCol: String, bid: Long = BulkBid): Unit =
+    BucketedTables.withWriterLease(spark, hashTable(base), "delete") {
+      val w = windowWidth(spark, base)
+      val tomb = windowCounts(docs, textCol, idCol, w)
+        .select(col("h"), (-col("cnt")).as("cnt"))
+        .withColumn("bid", lit(bid))
+      BucketedTables.writeBucketed(tomb, hashTable(base), Seq("h"),
+        bucketsOf(spark, hashTable(base)), SaveMode.Append)
+    }
+
   /** Compact the hash table: fold each bucket's accumulated append files
-    * (streaming leaves one file set per micro-batch) back to one file per
-    * bucket and drop exact-duplicate rows a replayed append may have
-    * left. Shuffle-free ([[BucketedTables.compactionFrame]]: forced
-    * one-partition-per-bucket scan, within-partition sort + adjacent
-    * dedup IS a global dedup), lands in a fresh snapshot dir with the
-    * width sidecar re-pinned, goes live at [[BucketedTables
-    * .swapLocation]]'s single catalog op, and holds the writer lease so
-    * a racing append fails loudly instead of landing in the replaced
-    * dir. */
-  def compact(spark: SparkSession, base: String): Unit =
+    * (streaming leaves one file set per micro-batch) down to summed
+    * refcounts and drop cancelled hashes (refcount ≤ 0 — retired
+    * takedowns) and replay-duplicated rows. Shuffle-free: distinct,
+    * groupBy and filter all cluster on `h`, which the forced
+    * one-partition-per-bucket scan provides. Lands in a fresh snapshot
+    * dir with the width sidecar re-pinned and goes live at
+    * [[BucketedTables.swapLocation]]'s single catalog op, under the
+    * writer lease.
+    *
+    * `preserveStamps` keeps one row per (h, bid) instead of one per h —
+    * the fold an IN-LINE streaming compaction must use, because fully
+    * folding batch stamps away would break a later replay's
+    * stamp-exclusion. Offline compactions (no in-flight stream) fold
+    * fully. */
+  def compact(spark: SparkSession, base: String,
+              preserveStamps: Boolean = false): Unit =
     BucketedTables.withWriterLease(spark, hashTable(base), "compaction") {
       val w = windowWidth(spark, base)
+      val keys = if (preserveStamps) Seq(col("h"), col("bid"))
+                 else Seq(col("h"))
+      val folded0 = BucketedTables.withForcedBucketedScan(spark) {
+        val t = spark.table(hashTable(base))
+          .select(col("h"), col("cnt"), col("bid")).distinct()
+          .groupBy(keys: _*).agg(sum(col("cnt")).as("cnt"))
+        val f = if (preserveStamps)
+          // only (append ⊕ delete) pairs within one stamp cancel here;
+          // cross-stamp cancellation folds at the next offline compact
+          t.filter(col("cnt") =!= 0)
+            .select(col("h"), col("cnt"), col("bid"))
+        else
+          t.filter(col("cnt") > 0)
+            .select(col("h"), col("cnt"), lit(BulkBid).as("bid"))
+        f
+      }
       val path = BucketedTables.withForcedBucketedScan(spark) {
         BucketedTables.writeSnapshot(spark, hashTable(base), Seq("h"),
-          BucketedTables.compactionFrame(spark, hashTable(base)),
-          sidecar = Seq(WSidecar -> w.toString.getBytes("UTF-8")))
+          folded0, sidecar = Seq(WSidecar -> w.toString.getBytes("UTF-8")))
       }
       BucketedTables.swapLocation(spark, hashTable(base), path)
     }
@@ -136,26 +201,27 @@ object SpanIndex {
   }
 
   /** Observability surface (the [[DedupIndex.stats]] twin): occupancy and
-    * provenance of the hash table as (metric, value) rows — total rows,
-    * distinct hashes (equal to total unless an append protocol violation
-    * slipped duplicates in: a drift indicator, like the ANN index's
-    * occupancy sidecar check), bulk-vs-appended split, bucket count and
-    * the sidecar-pinned window width. The aggregate collects one row of
-    * counters — driver-sized by construction. */
+    * provenance as (metric, value) rows — physical rows, live hashes
+    * (positive refcount), tombstone rows pending compaction, the
+    * bulk-vs-appended row split, bucket count and the sidecar-pinned
+    * window width. The aggregate collects one row of counters —
+    * driver-sized by construction. */
   def stats(spark: SparkSession, base: String): DataFrame = {
     import spark.implicits._
+    val live = liveHashes(spark, base, excludeBid = None).count()
     val row = spark.table(hashTable(base)).agg(
-      count(lit(1)).as("hashes"),
-      count_distinct(col("h")).as("distinct_hashes"),
+      count(lit(1)).as("rows"),
+      sum(when(col("cnt") < 0, 1L).otherwise(0L)).as("tomb"),
       sum(when(col("bid") === BulkBid, 1L).otherwise(0L)).as("bulk"),
       sum(when(col("bid") =!= BulkBid, 1L).otherwise(0L)).as("appended"))
       .collect().head
     def longAt(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
     Seq(
-      ("hashes", longAt(0)),
-      ("distinct_hashes", longAt(1)),
-      ("bulk_hashes", longAt(2)),
-      ("appended_hashes", longAt(3)),
+      ("rows", longAt(0)),
+      ("live_hashes", live),
+      ("tombstone_rows", longAt(1)),
+      ("bulk_rows", longAt(2)),
+      ("appended_rows", longAt(3)),
       ("buckets", bucketsOf(spark, hashTable(base)).toLong),
       ("w", windowWidth(spark, base).toLong))
       .toDF("metric", "value")

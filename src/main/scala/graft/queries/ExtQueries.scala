@@ -736,15 +736,77 @@ object ExtQueries {
       |w AS (SELECT doc_id, array_to_string(toks[pos:pos+5], ' ') AS win FROM p),
       |c AS (SELECT DISTINCT win FROM w WHERE doc_id % 5 <> 0),
       |d AS (SELECT DISTINCT win FROM w WHERE doc_id % 5 = 0),
-      |newd AS (SELECT win FROM d WHERE win NOT IN (SELECT win FROM c)),
+      |u AS (SELECT win FROM c UNION SELECT win FROM d),
       |nc AS (SELECT count(*)::BIGINT AS n FROM c),
-      |nn AS (SELECT count(*)::BIGINT AS n FROM newd)
-      |SELECT 'hashes' AS metric, (SELECT n FROM nc) + (SELECT n FROM nn) AS value
-      |UNION ALL SELECT 'distinct_hashes', (SELECT n FROM nc) + (SELECT n FROM nn)
-      |UNION ALL SELECT 'bulk_hashes', (SELECT n FROM nc)
-      |UNION ALL SELECT 'appended_hashes', (SELECT n FROM nn)
+      |nd AS (SELECT count(*)::BIGINT AS n FROM d),
+      |nu AS (SELECT count(*)::BIGINT AS n FROM u)
+      |SELECT 'rows' AS metric, (SELECT n FROM nc) + (SELECT n FROM nd) AS value
+      |UNION ALL SELECT 'live_hashes', (SELECT n FROM nu)
+      |UNION ALL SELECT 'tombstone_rows', 0
+      |UNION ALL SELECT 'bulk_rows', (SELECT n FROM nc)
+      |UNION ALL SELECT 'appended_rows', (SELECT n FROM nd)
       |UNION ALL SELECT 'buckets', 8
       |UNION ALL SELECT 'w', 6""".stripMargin
+
+  /** Takedown under the oracle gate (the q_dedup_delete twin): build the
+    * span index, delete a third of the corpus (negative-refcount
+    * tombstones — O(deleted tokens), no corpus rewrite), then span-trim
+    * the usual delta. The oracle trims against the SURVIVING corpus
+    * only, so a hash-pass proves a window dies exactly when its last
+    * live owner is taken down and survives while any other owner
+    * remains. */
+  def qSpanDelete(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val base = "graft_idx_sdel"
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    SpanIndex.write(corpus, "text", "doc_id", base, w = 6, buckets = 8)
+    SpanIndex.delete(s, base, corpus.filter(col("doc_id") % 3 === 1),
+      "text", "doc_id")
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+      .unionAll(corpus.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    SpanIndex.trimIncremental(s, base, delta, "text", "doc_id")
+  }
+
+  val qSpanDeleteSql: String =
+    """WITH corpus AS (SELECT doc_id, text FROM documents
+      |               WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 1),
+      |delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |          UNION ALL
+      |          SELECT doc_id + 10000 AS doc_id, text FROM documents
+      |          WHERE doc_id % 5 <> 0 AND doc_id < 30),
+      |tc AS (SELECT string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS toks FROM corpus),
+      |pc AS (SELECT toks, unnest(range(1, greatest(len(toks) - 5, 1) + 1)) AS pos FROM tc),
+      |ref AS (SELECT DISTINCT array_to_string(toks[pos:pos+5], ' ') AS win FROM pc),
+      |td AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS toks FROM delta),
+      |pd AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+      |         unnest(range(1, greatest(len(toks) - 5, 1) + 1)) AS pos FROM td),
+      |wd AS (SELECT doc_id, n_tokens, pos,
+      |         array_to_string(toks[pos:pos+5], ' ') AS win FROM pd),
+      |o AS (SELECT doc_id, n_tokens, pos, win,
+      |        count(*) OVER (PARTITION BY win) AS n_occ,
+      |        row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM wd),
+      |m AS (SELECT doc_id, n_tokens, pos FROM o WHERE win IN (SELECT win FROM ref)
+      |      UNION
+      |      SELECT doc_id, n_tokens, pos FROM o WHERE n_occ > 1 AND rn > 1),
+      |i AS (SELECT *, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 6
+      |                     THEN 0 ELSE 1 END AS brk FROM m),
+      |isl AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i),
+      |sp AS (SELECT doc_id, island, min(pos) AS s,
+      |         least(max(pos) + 5, any_value(n_tokens)) AS e
+      |       FROM isl GROUP BY doc_id, island),
+      |cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM sp),
+      |tok AS (SELECT doc_id, unnest(toks) AS tok,
+      |          unnest(range(1, len(toks) + 1)) AS pos FROM td),
+      |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+      |         LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos
+      |         WHERE c.pos IS NULL),
+      |agg AS (SELECT doc_id, count(*) AS kept_tokens,
+      |          string_agg(tok, ' ' ORDER BY pos) AS trimmed_text
+      |        FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.kept_tokens, 0) AS kept_tokens,
+      |  coalesce(a.trimmed_text, '') AS trimmed_text
+      |FROM (SELECT doc_id FROM delta) d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   // ----------------------------------------------------------- dedup
 
@@ -1545,6 +1607,7 @@ object ExtQueries {
     "q_decontaminate"    -> (qDecontaminate _),
     "q_span_incr_idx"    -> (qSpanIncrIdx _),
     "q_span_stats"       -> (qSpanStats _),
+    "q_span_delete"      -> (qSpanDelete _),
     "q_dedup_exact"      -> (qDedupExact _),
     "q_dedup_jaccard"    -> (qDedupJaccard _),
     "q_dedup_minhash"    -> (qDedupMinhash _),
@@ -1602,6 +1665,7 @@ object ExtQueries {
     "q_decontaminate"    -> qDecontaminateSql,
     "q_span_incr_idx"    -> qSpanIncrIdxSql,
     "q_span_stats"       -> qSpanStatsSql,
+    "q_span_delete"      -> qSpanDeleteSql,
     "q_dedup_exact"      -> qDedupExactSql,
     "q_dedup_jaccard"    -> qDedupJaccardSql,
     "q_sim_topk"         -> qSimTopKSql,

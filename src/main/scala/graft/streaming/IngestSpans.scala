@@ -46,7 +46,9 @@ object IngestSpans {
         if (compactEvery > 0 && updateIndex &&
             (batchId + 1) % compactEvery == 0 &&
             SpanIndex.needsCompact(batch.sparkSession, base))
-          SpanIndex.compact(batch.sparkSession, base)
+          // preserveStamps: an in-line compaction must not fold batch
+          // stamps away, or a later replay loses its stamp exclusion
+          SpanIndex.compact(batch.sparkSession, base, preserveStamps = true)
       }
 
   /** One micro-batch step, exposed so the replay-idempotence contract is

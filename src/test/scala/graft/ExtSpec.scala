@@ -603,19 +603,32 @@ class ExtSpec extends AnyFunSuite {
     val r2 = SpanIndex.trimIncremental(spark, "t_span_idx", delta2, "text", "doc_id")
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq
     assert(r2 == Seq((20L, 0L, "")))
-    // observability: the append kept the table duplicate-free, and both
-    // provenance classes are populated (bulk build + batch append)
+    // observability: both provenance classes populated, no tombstones yet
     val st = SpanIndex.stats(spark, "t_span_idx")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(st("hashes") == st("distinct_hashes") && st("hashes") > 0)
-    assert(st("bulk_hashes") > 0 && st("appended_hashes") > 0)
+    assert(st("live_hashes") > 0 && st("tombstone_rows") == 0)
+    assert(st("bulk_rows") > 0 && st("appended_rows") > 0)
     assert(st("w") == 6 && st("buckets") == 2)
-    // compaction folds the bulk+append file sets to one file per bucket,
-    // preserves every hash and the pinned width, and probes still work
+    // takedown: delete the original corpus doc; its spans must die (the
+    // appended doc-11 content has its own live refcount and survives)
+    SpanIndex.delete(spark, "t_span_idx",
+      corpus, "text", "doc_id", bid = 9L)
+    val afterDel = SpanIndex.trimIncremental(spark, "t_span_idx",
+        Seq((31L, "alpha beta gamma delta epsilon zeta"),
+            (32L, "fresh tokens one two three four five six"))
+          .toDF("doc_id", "text"),
+        "text", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq
+    assert(afterDel == Seq(
+      (31L, 6L, "alpha beta gamma delta epsilon zeta"), // owner deleted -> new again
+      (32L, 0L, "")))                                   // doc 11 still owns this
+    // compaction folds the file sets to one per bucket, retires the
+    // cancelled hashes physically, and probes behave identically
     SpanIndex.compact(spark, "t_span_idx")
     val st2 = SpanIndex.stats(spark, "t_span_idx")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(st2("hashes") == st("hashes") && st2("w") == 6)
+    assert(st2("rows") == st2("live_hashes") && st2("tombstone_rows") == 0)
+    assert(st2("w") == 6)
     val loc = new java.io.File(spark.sessionState.catalog
       .getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier("t_span_idx_spanh"))
