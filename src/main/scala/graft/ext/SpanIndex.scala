@@ -98,7 +98,11 @@ object SpanIndex {
     val withinDelta = we.join(canon, Seq("h"))
       .filter(struct(col("id"), col("pos")) =!= col("canon"))
       .select(col("id"), col("n_tokens"), col("pos"))
-    val hits = fromIndex.unionAll(withinDelta).distinct()
+    // No distinct on the union: a position hit by BOTH rules duplicates,
+    // but the island merge is insensitive to duplicate (id, pos) rows
+    // (lag sees a zero gap, min/max unchanged) — dropping the dedup
+    // saves a full exchange of the hit set.
+    val hits = fromIndex.unionAll(withinDelta)
     Dedup.removeCovered(delta, textCol, idCol, Dedup.mergeIslands(hits, w))
   }
 

@@ -223,4 +223,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("split("),
       s"tokenization must not re-run inside the windowed branch:\n$p")
   }
+
+  test("span index probe: the index side aggregates without any exchange") {
+    import spark.implicits._
+    import graft.ext.SpanIndex
+    SpanIndex.write(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", "t_plan_span", w = 6, buckets = 2)
+    val delta = Seq((2L, "alpha beta gamma delta epsilon zeta x y"))
+      .toDF("doc_id", "text")
+    val p = physical(SpanIndex.trimIncremental(spark, "t_plan_span",
+      delta, "text", "doc_id"))
+    // the probe's whole point at 100 TB: the bucketed scan satisfies the
+    // distinct + refcount-sum clustering, so the INDEX side never
+    // exchanges — only the delta shuffles
+    val scanAt = p.indexOf("t_plan_span_spanh")
+    assert(scanAt > 0, s"expected a scan of the span index table:\n$p")
+    assert(p.substring(0, scanAt).contains("Bucketed: true") ||
+      p.substring(scanAt, math.min(p.length, scanAt + 600)).contains("Bucketed: true"),
+      s"index scan must use the bucket layout:\n$p")
+    val liveAt = p.indexOf("__n")
+    assert(liveAt > 0 && liveAt < scanAt,
+      s"expected the live-hash refcount filter above the index scan:\n$p")
+    assert(!p.substring(liveAt, scanAt).contains("Exchange"),
+      s"index-side refcount aggregation must be exchange-free:\n$p")
+  }
 }
