@@ -600,7 +600,11 @@ object Dedup {
     * instead of buffering in a single window task. */
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
                      w: Int = 6): DataFrame = {
-    val we = spanWindows(df, textCol, idCol, w)
+    // Deliberate materialization point (the minhashPairs pattern): the
+    // occurrence count and the join-back both consume the same h-keyed
+    // exchange via ReuseExchange, so fingerprints are computed once, not
+    // once per branch.
+    val we = spanWindows(df, textCol, idCol, w).repartition(col("h"))
     val dupHashes = we.groupBy("h").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1)
       .select("h")
@@ -633,7 +637,9 @@ object Dedup {
     * doc's own token count. */
   def trimSpans(df: DataFrame, textCol: String, idCol: String,
                 w: Int = 6): DataFrame = {
-    val we = spanWindows(df, textCol, idCol, w)
+    // h-keyed materialization point shared by the canon aggregation and
+    // the join-back (see duplicateSpans)
+    val we = spanWindows(df, textCol, idCol, w).repartition(col("h"))
     // Canonical occurrence per duplicated hash via groupBy (min over the
     // (id, pos) struct), not row_number over an analytic window — same
     // skew-robustness argument as in duplicateSpans.
@@ -748,7 +754,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(minRun >= w, s"minRun ($minRun) must be >= window width ($w)")
     val k = minRun - w + 1
-    val we = spanWindows(df, textCol, idCol, w)
+    // id-keyed materialization point: the winnowing windows and the
+    // verification's candidate-doc semi join both consume one id-keyed
+    // exchange, so fingerprints are computed once (see duplicateSpans)
+    val we = spanWindows(df, textCol, idCol, w).repartition(col("id"))
     val sel = winnowed(we, k)
       .withColumn("n_sel", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("n_sel") <= maxBucket)

@@ -87,7 +87,10 @@ object SpanIndex {
                       textCol: String, idCol: String,
                       excludeBid: Option[Long] = None): DataFrame = {
     val w = windowWidth(spark, base)
-    val we = Dedup.spanWindows(delta, textCol, idCol, w)
+    // h-keyed materialization point: the index probe, the canon
+    // aggregation and the join-back all consume one exchange of the
+    // delta's fingerprints (the Dedup.duplicateSpans pattern)
+    val we = Dedup.spanWindows(delta, textCol, idCol, w).repartition(col("h"))
     val fromIndex = we.join(liveHashes(spark, base, excludeBid), Seq("h"), "left_semi")
       .select(col("id"), col("n_tokens"), col("pos"))
     val canon = we.groupBy("h")
