@@ -808,6 +808,76 @@ object ExtQueries {
       |  coalesce(a.trimmed_text, '') AS trimmed_text
       |FROM (SELECT doc_id FROM delta) d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** End-to-end corpus-prep pipeline in ONE query — the engine's primary
+    * use-case, with each stage oracle-mirrored: exact dedup (keep min-id
+    * representative) → span-level benchmark decontamination (cut every
+    * ≥6-token run shared with the doc_id%10==0 "benchmark") → quality
+    * scoring of the DECONTAMINATED text → keep verdict. Proves the
+    * operators compose: stage 3 consumes stage 2's reassembled text, not
+    * the original. */
+  def qPrepPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bench = d.filter(col("doc_id") % 10 === 0)
+    val pool = d.filter(col("doc_id") % 10 =!= 0)
+    val s1 = Dedup.exact(pool, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"), col("text"))
+    val s2 = Dedup.trimMatchingSpans(s1, "text", "doc_id", bench, "text", w = 6)
+    s2.select(col("doc_id"), col("kept_tokens"),
+        TextAnalysis.qualityScore(col("trimmed_text")).as("quality"))
+      .withColumn("keep", col("quality") >= 0.5 && col("kept_tokens") >= 20)
+  }
+
+  val qPrepPipelineSql: String =
+    s"""WITH d1 AS (SELECT min(doc_id) AS doc_id, text FROM documents
+       |            WHERE doc_id % 10 <> 0 GROUP BY text),
+       |tb AS (SELECT string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+') AS toks
+       |       FROM documents WHERE doc_id % 10 = 0),
+       |pb AS (SELECT toks, unnest(range(1, greatest(len(toks) - 5, 1) + 1)) AS pos FROM tb),
+       |ref AS (SELECT DISTINCT array_to_string(toks[pos:pos+5], ' ') AS win FROM pb),
+       |t1 AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+') AS toks
+       |       FROM d1),
+       |p1 AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+       |         unnest(range(1, greatest(len(toks) - 5, 1) + 1)) AS pos FROM t1),
+       |w1 AS (SELECT doc_id, n_tokens, pos,
+       |         array_to_string(toks[pos:pos+5], ' ') AS win FROM p1),
+       |m AS (SELECT doc_id, n_tokens, pos FROM w1 WHERE win IN (SELECT win FROM ref)),
+       |i AS (SELECT *, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 6
+       |                     THEN 0 ELSE 1 END AS brk FROM m),
+       |isl AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i),
+       |sp AS (SELECT doc_id, island, min(pos) AS s,
+       |         least(max(pos) + 5, any_value(n_tokens)) AS e
+       |       FROM isl GROUP BY doc_id, island),
+       |cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM sp),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok,
+       |          unnest(range(1, len(toks) + 1)) AS pos FROM t1),
+       |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+       |         LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.pos = c.pos
+       |         WHERE c.pos IS NULL),
+       |agg AS (SELECT doc_id, count(*) AS kept_tokens,
+       |          string_agg(tok, ' ' ORDER BY pos) AS trimmed_text
+       |        FROM kept GROUP BY doc_id),
+       |s2 AS (SELECT d.doc_id, coalesce(a.kept_tokens, 0) AS kept_tokens,
+       |         coalesce(a.trimmed_text, '') AS txt
+       |       FROM d1 d LEFT JOIN agg a USING (doc_id)),
+       |t2 AS (SELECT doc_id, kept_tokens, txt,
+       |         string_split_regex(lower(trim(txt)), '[ \\t\\n\\f\\r]+') AS toks FROM s2),
+       |m2 AS (SELECT doc_id, kept_tokens, len(toks) AS n_tokens,
+       |  len(regexp_extract_all(lower(txt), '[^a-z0-9 \\t\\n\\f\\r]'))::DOUBLE
+       |    / greatest(length(txt), 1) AS punct_ratio,
+       |  len(list_filter(toks, x -> x IN ($swList)))::DOUBLE
+       |    / greatest(len(toks), 1) AS stopword_ratio,
+       |  list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+       |    / greatest(len(toks), 1) AS mean_token_len
+       |FROM t2),
+       |q AS (SELECT doc_id, kept_tokens,
+       |  0.3 * (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+       |  + 0.2 * (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+       |  + 0.3 * (CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.0 END)
+       |  + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)) AS quality
+       |FROM m2)
+       |SELECT doc_id, kept_tokens, quality,
+       |  (quality >= 0.5 AND kept_tokens >= 20) AS keep FROM q""".stripMargin
+
   // ----------------------------------------------------------- dedup
 
   /** Exact dedup over documents augmented with planted duplicates
@@ -1608,6 +1678,7 @@ object ExtQueries {
     "q_span_incr_idx"    -> (qSpanIncrIdx _),
     "q_span_stats"       -> (qSpanStats _),
     "q_span_delete"      -> (qSpanDelete _),
+    "q_prep_pipeline"    -> (qPrepPipeline _),
     "q_dedup_exact"      -> (qDedupExact _),
     "q_dedup_jaccard"    -> (qDedupJaccard _),
     "q_dedup_minhash"    -> (qDedupMinhash _),
@@ -1666,6 +1737,7 @@ object ExtQueries {
     "q_span_incr_idx"    -> qSpanIncrIdxSql,
     "q_span_stats"       -> qSpanStatsSql,
     "q_span_delete"      -> qSpanDeleteSql,
+    "q_prep_pipeline"    -> qPrepPipelineSql,
     "q_dedup_exact"      -> qDedupExactSql,
     "q_dedup_jaccard"    -> qDedupJaccardSql,
     "q_sim_topk"         -> qSimTopKSql,
