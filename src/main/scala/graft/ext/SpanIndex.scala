@@ -109,6 +109,30 @@ object SpanIndex {
     Dedup.removeCovered(delta, textCol, idCol, Dedup.mergeIslands(hits, w))
   }
 
+  /** Novelty scoring — the curation-side read of the same probe: for
+    * each delta doc, how many of its windows the corpus already owns,
+    * and the fraction that are new. Pipelines sample by novelty (keep
+    * documents that add information) without paying for a trim; the
+    * plan is the probe's first half only — one semi-markable join of the
+    * delta's fingerprints against the exchange-free live set, one
+    * per-doc count. Output: (idCol, n_windows, known_windows,
+    * novelty_frac). */
+  def noveltyStats(spark: SparkSession, base: String, delta: DataFrame,
+                   textCol: String, idCol: String,
+                   excludeBid: Option[Long] = None): DataFrame = {
+    val w = windowWidth(spark, base)
+    val we = Dedup.spanWindows(delta, textCol, idCol, w)
+    val known = we.join(liveHashes(spark, base, excludeBid), Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("known_windows"))
+    we.groupBy("id").agg(count(lit(1)).as("n_windows"))
+      .join(known, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_windows"),
+        coalesce(col("known_windows"), lit(0L)).as("known_windows"),
+        ((col("n_windows") - coalesce(col("known_windows"), lit(0L)))
+          .cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_windows")).as("novelty_frac"))
+  }
+
   /** Publish a trimmed batch: append its surviving occurrence counts,
     * stamped with `bid`. Leased, like every mutation of a bucketed index
     * table, so rows cannot land in a snapshot dir a concurrent rewrite

@@ -808,6 +808,34 @@ object ExtQueries {
       |  coalesce(a.trimmed_text, '') AS trimmed_text
       |FROM (SELECT doc_id FROM delta) d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Novelty of the delta split against the corpus-built span index:
+    * per-doc counts of corpus-known windows and the new fraction —
+    * the sample-by-information-gain signal. Oracle recomputes from the
+    * fixture's window sets. */
+  def qSpanNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val base = "graft_idx_snov"
+    SpanIndex.write(docs.filter(col("doc_id") % 5 =!= 0),
+      "text", "doc_id", base, w = 6, buckets = 8)
+    SpanIndex.noveltyStats(s, base, docs.filter(col("doc_id") % 5 === 0),
+      "text", "doc_id")
+  }
+
+  val qSpanNoveltySql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS toks
+      |           FROM documents),
+      |p AS (SELECT doc_id, toks,
+      |        unnest(range(1, greatest(len(toks) - 5, 1) + 1)) AS pos FROM t),
+      |w AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+5], ' ') AS win FROM p),
+      |ref AS (SELECT DISTINCT win FROM w WHERE doc_id % 5 <> 0),
+      |d AS (SELECT doc_id, pos, win FROM w WHERE doc_id % 5 = 0),
+      |k AS (SELECT doc_id, count(*)::BIGINT AS known_windows FROM d
+      |      WHERE win IN (SELECT win FROM ref) GROUP BY doc_id),
+      |n AS (SELECT doc_id, count(*)::BIGINT AS n_windows FROM d GROUP BY doc_id)
+      |SELECT n.doc_id, n.n_windows, coalesce(k.known_windows, 0) AS known_windows,
+      |  (n.n_windows - coalesce(k.known_windows, 0))::DOUBLE / n.n_windows AS novelty_frac
+      |FROM n LEFT JOIN k USING (doc_id)""".stripMargin
+
   /** End-to-end corpus-prep pipeline in ONE query — the engine's primary
     * use-case, with each stage oracle-mirrored: exact dedup (keep min-id
     * representative) → span-level benchmark decontamination (cut every
@@ -1679,6 +1707,7 @@ object ExtQueries {
     "q_span_stats"       -> (qSpanStats _),
     "q_span_delete"      -> (qSpanDelete _),
     "q_prep_pipeline"    -> (qPrepPipeline _),
+    "q_span_novelty"     -> (qSpanNovelty _),
     "q_dedup_exact"      -> (qDedupExact _),
     "q_dedup_jaccard"    -> (qDedupJaccard _),
     "q_dedup_minhash"    -> (qDedupMinhash _),
@@ -1738,6 +1767,7 @@ object ExtQueries {
     "q_span_stats"       -> qSpanStatsSql,
     "q_span_delete"      -> qSpanDeleteSql,
     "q_prep_pipeline"    -> qPrepPipelineSql,
+    "q_span_novelty"     -> qSpanNoveltySql,
     "q_dedup_exact"      -> qDedupExactSql,
     "q_dedup_jaccard"    -> qDedupJaccardSql,
     "q_sim_topk"         -> qSimTopKSql,
