@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CoreQueries, CrawlQueries, ExtQueries, MiningQueries, OpsQueries, RelationalQueries, SnapshotQueries, StreamQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CrawlQueries, ExtQueries, MiningQueries, OpsQueries, RelationalQueries, SnapshotQueries, StreamQueries, TrainPrepQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query implementations live under graft.queries.*; this object only
@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ OpsQueries.queries ++ RelationalQueries.queries ++
       ExtQueries.queries ++ StreamQueries.queries ++ AnalyticsQueries.queries ++
-      MiningQueries.queries ++ CrawlQueries.queries ++ SnapshotQueries.queries
+      MiningQueries.queries ++ CrawlQueries.queries ++ SnapshotQueries.queries ++
+      TrainPrepQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ OpsQueries.oracle ++ RelationalQueries.oracle ++
       ExtQueries.oracle ++ StreamQueries.oracle ++ AnalyticsQueries.oracle ++
-      MiningQueries.oracle ++ CrawlQueries.oracle ++ SnapshotQueries.oracle
+      MiningQueries.oracle ++ CrawlQueries.oracle ++ SnapshotQueries.oracle ++
+      TrainPrepQueries.oracle
 }

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Training-epoch preparation: a REPRODUCIBLE global shuffle of the corpus
+  * and token-budget shard assignment — the step that turns a filtered
+  * corpus into the ordered, evenly-sized shards a trainer streams.
+  *
+  * Reproducibility: the permutation is `sort by (hash(id, seed), id)` with
+  * a pure modular hash — same seed, same corpus ⇒ the same epoch order on
+  * any cluster size, any partition count. The hash stays inside BIGINT
+  * range by reducing mod [[HashMod]] before multiplying (Spark 4 runs ANSI
+  * mode: silent Long wraparound is an error, and an overflow-free formula
+  * is also what lets the DuckDB oracle evaluate it identically).
+  *
+  * Scale shape: one range exchange (the sort), then a TWO-PHASE PREFIX SUM
+  * for cumulative token counts — per-partition totals (P longs) come to
+  * the driver, offsets broadcast back, each partition streams its rows
+  * once adding its offset. No global single-task window, no second
+  * corpus-wide shuffle for the running total; the result is identical to
+  * the window formulation (the oracle) but the cumulative pass is
+  * embarrassingly parallel. The final in-shard position IS a window, but
+  * partitioned by shard — per-key work is bounded by budget/avg_tokens
+  * rows, never the corpus. */
+object Sharding {
+
+  val HashMod: Long = 1000000007L
+  val HashMulA: Long = 1103515245L
+  val HashMulB: Long = 2654435761L
+
+  /** Deterministic shuffle key in [0, HashMod). Two affine steps with a
+    * mod-reduce BETWEEN them: a single affine map `(a·id + seed) mod M` is
+    * order-isomorphic to `a·id mod M` up to one rotation, so consecutive
+    * seeds would yield near-identical epoch orders (caught by
+    * ShardingSpec). The interleaved reduction makes the composition
+    * non-affine and each seed a genuinely different permutation.
+    * Max intermediate: (M-1)·B ≈ 2.7e18 < 2^63 — ANSI-safe. */
+  def shuffleKey(id: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column =
+    (((id % HashMod) * HashMulA + seed) % HashMod) * HashMulB % HashMod
+
+  /** Shuffle the corpus by (hash, id), accumulate token counts in epoch
+    * order, and assign each document to the shard holding its starting
+    * token (shard = cum_before div budget). Output: (idCol, h, n_tokens,
+    * cum_before, shard, pos). */
+  def epochShuffle(docs: DataFrame, idCol: String, textCol: String,
+                   seed: Long, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(
+      col(idCol).cast(LongType).as("id"),
+      TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+      .withColumn("h", shuffleKey(col("id"), seed))
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    // Range boundaries are sampled, but the RESULT is boundary-invariant:
+    // (h, id) is a total order, offsets are computed from the partitions
+    // that actually materialized, so any boundary split yields the same
+    // cumulative sums. localCheckpoint pins one materialization for the
+    // two passes (totals, then offset-add) — without it the second job
+    // would re-shuffle and could legally land different boundaries.
+    val ranged = base.repartitionByRange(parts, col("h"), col("id"))
+      .sortWithinPartitions("h", "id")
+      .select(col("id"), col("n_tokens"), col("h")).as[(Long, Long, Long)]
+      .localCheckpoint()
+    val totals = ranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var s = 0L
+      it.foreach(s += _._2)
+      Iterator((pid, s))
+    }.collect().toMap
+    val offsets: Map[Int, Long] = {
+      val sorted = totals.toSeq.sortBy(_._1)
+      sorted.map(_._1).zip(sorted.map(_._2).scanLeft(0L)(_ + _)).toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val withCum = ranged.mapPartitions { it =>
+      var run = bc.value(TaskContext.getPartitionId())
+      it.map { case (id, tok, h) =>
+        val before = run; run += tok; (id, h, tok, before)
+      }
+    }.toDF(idCol, "h", "n_tokens", "cum_before")
+    withCum
+      .withColumn("shard", expr(s"cum_before div $budget"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("h", idCol)))
+  }
+}

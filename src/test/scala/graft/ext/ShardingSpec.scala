@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTest, Tables}
+
+/** Epoch-shuffle invariants. The load-bearing claim is that the two-phase
+  * prefix sum (per-partition totals → broadcast offsets → streaming add) is
+  * EXACTLY the global window formulation regardless of how the range
+  * exchange happened to split boundaries — that's what makes the operator
+  * safe to run at any cluster size with a reproducible result. */
+class ShardingSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def run(parts: Int): Seq[(Long, Long, Long, Long, Long, Int)] = {
+    val prev = spark.sessionState.conf.numShufflePartitions
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try Sharding.epochShuffle(
+        Tables(spark, dir, "documents"), "doc_id", "text",
+        seed = 7L, budget = 2000L)
+      .select("doc_id", "h", "n_tokens", "cum_before", "shard", "pos")
+      .as[(Long, Long, Long, Long, Long, Int)].collect().sortBy(_._1).toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("prefix sum is partition-count invariant and matches the window twin") {
+    val r1 = run(1) // single partition ⇒ trivially the sequential prefix sum
+    val r8 = run(8)
+    assert(r1 == r8, "two-phase prefix sum must not depend on boundaries")
+
+    // cum_before really is the prefix sum in (h, id) order
+    val inOrder = r8.sortBy(r => (r._2, r._1))
+    var cum = 0L
+    inOrder.foreach { case (_, _, tok, before, shard, _) =>
+      assert(before == cum)
+      assert(shard == before / 2000L)
+      cum += tok
+    }
+  }
+
+  test("same seed reproduces; different seed permutes") {
+    assert(run(4) == run(4))
+    val a = Sharding.epochShuffle(Tables(spark, dir, "documents"),
+      "doc_id", "text", seed = 7L, budget = 2000L)
+      .select("doc_id", "pos").as[(Long, Int)].collect().toMap
+    val b = Sharding.epochShuffle(Tables(spark, dir, "documents"),
+      "doc_id", "text", seed = 8L, budget = 2000L)
+      .select("doc_id", "pos").as[(Long, Int)].collect().toMap
+    assert(a.keySet == b.keySet)
+    assert(a != b, "a new seed must yield a different epoch order")
+  }
+
+  test("shards hold contiguous token ranges bounded by budget + one doc") {
+    val r = run(4)
+    val maxDoc = r.map(_._3).max
+    r.groupBy(_._5).foreach { case (_, rows) =>
+      val tokens = rows.map(_._3).sum
+      // every shard except possibly the last is filled past its start
+      assert(tokens <= 2000L + maxDoc,
+        s"shard overfilled: $tokens tokens vs budget 2000 + maxDoc $maxDoc")
+    }
+    // shard ids are dense from 0
+    val ids = r.map(_._5).distinct.sorted
+    assert(ids == (0L until ids.length).toSeq)
+  }
+}
