@@ -1,0 +1,109 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed `row_number()` — the scale-safe replacement for the two
+  * window shapes that serialize at 100 TB:
+  *
+  *  - `row_number() OVER (ORDER BY …)`: Spark plans an empty-partitioning
+  *    window, i.e. the ENTIRE corpus sorts in one task.
+  *  - `row_number() OVER (PARTITION BY low_card ORDER BY …)`: each group's
+  *    whole extent sorts in one task (3 languages at 100 TB = 3 tasks).
+  *
+  * Shape here: one range exchange on (group ++ order) — every group
+  * occupies a contiguous RUN of partitions and rows are locally sorted —
+  * then a two-phase count: per-partition per-group row counts come to the
+  * driver, per-partition starting offsets broadcast back, and each
+  * partition streams its rows once incrementing a counter. Result is
+  * bit-identical to the window formulation (the DuckDB oracles prove it)
+  * while the sort work spreads over every core.
+  *
+  * Driver state: one (group-key, count) entry per group PER PARTITION IT
+  * TOUCHES. Contiguity bounds this at partitions + distinct-groups, so the
+  * utility is sized for low-cardinality groups (languages, length buckets,
+  * shards — the training-pipeline cases). High-cardinality groups don't
+  * need it: their per-group windows are already small.
+  *
+  * Caller contract: `order` must be a TOTAL order (include a unique
+  * tie-break column) or the assignment is ambiguous by spec anyway.
+  */
+object Ranks {
+
+  /** `row_number() OVER (ORDER BY order…)` as `out`, 1-based. */
+  def globalRowNumber(df: DataFrame, order: Seq[Column],
+                      out: String = "rn"): DataFrame =
+    groupedRowNumber(df, Nil, order, out)
+
+  /** `row_number() OVER (PARTITION BY group… ORDER BY order…)` as `out`,
+    * 1-based. Group columns are names (their values key the offset map);
+    * order columns are arbitrary sortable expressions. */
+  def groupedRowNumber(df: DataFrame, group: Seq[String], order: Seq[Column],
+                       out: String): DataFrame = {
+    val spark = df.sparkSession
+    val keys: Seq[Column] = group.map(col) ++ order
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    // localCheckpoint pins ONE materialization of the range exchange: the
+    // count job and the numbering job must see identical boundaries, and
+    // sampled range boundaries are not stable across re-executions.
+    val ranged = df.repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .localCheckpoint()
+    val gIdx = group.map(ranged.columns.indexOf(_)).toArray
+    require(gIdx.forall(_ >= 0), s"group columns $group must exist in ${ranged.columns.toSeq}")
+
+    def keyOf(r: Row): Seq[Any] = gIdx.toSeq.map(r.get)
+
+    // Phase 1: per-(partition, group) counts. Rows are sorted with group
+    // as the major key, so counting is a streaming run-length pass.
+    val counts: Array[(Int, Seq[(Seq[Any], Long)])] =
+      ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long)]
+        var cur: Seq[Any] = null
+        var n = 0L
+        it.foreach { r =>
+          val k = keyOf(r)
+          if (cur == null || k != cur) {
+            if (cur != null) runs += ((cur, n))
+            cur = k; n = 0L
+          }
+          n += 1L
+        }
+        if (cur != null) runs += ((cur, n))
+        Iterator((pid, runs.toSeq))
+      }.collect()
+
+    // Phase 2: starting offset of each group within each partition = total
+    // of that group's counts in earlier partitions.
+    val running = scala.collection.mutable.Map.empty[Seq[Any], Long]
+    val offsets: Map[Int, Map[Seq[Any], Long]] =
+      counts.sortBy(_._1).map { case (pid, runs) =>
+        pid -> runs.map { case (k, n) =>
+          val start = running.getOrElse(k, 0L)
+          running(k) = start + n
+          k -> start
+        }.toMap
+      }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    // The numbering pass binds the partition index via mapPartitionsWithIndex,
+    // NOT TaskContext.getPartitionId(): a downstream NARROW re-partitioning
+    // (e.g. a sink's coalesce(1)) folds several checkpoint partitions into
+    // one task, where getPartitionId() names the COALESCED partition and
+    // every folded chunk would read offset 0. The split index is bound at
+    // RDD definition and survives any downstream plan shape.
+    val outSchema = ranged.schema.add(out, LongType, nullable = false)
+    val numbered = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val mine = bc.value.getOrElse(pid, Map.empty[Seq[Any], Long])
+      val cur = scala.collection.mutable.Map.empty[Seq[Any], Long]
+      it.map { r =>
+        val k = gIdx.toSeq.map(r.get)
+        val n = cur.getOrElse(k, mine.getOrElse(k, 0L)) + 1L
+        cur(k) = n
+        Row.fromSeq(r.toSeq :+ n)
+      }
+    }
+    spark.createDataFrame(numbered, outSchema)
+  }
+}

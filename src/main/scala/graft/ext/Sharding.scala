@@ -1,6 +1,5 @@
 package graft.ext
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -65,8 +64,12 @@ object Sharding {
       .sortWithinPartitions("h", "id")
       .select(col("id"), col("n_tokens"), col("h")).as[(Long, Long, Long)]
       .localCheckpoint()
-    val totals = ranged.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
+    // Partition identity comes from mapPartitionsWithIndex's split index,
+    // never TaskContext.getPartitionId(): a downstream narrow re-partitioning
+    // (a sink's coalesce) folds checkpoint partitions into one task where
+    // getPartitionId() is the coalesced id — every folded chunk would read
+    // the same offset. The split index is bound at RDD definition.
+    val totals = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L
       it.foreach(s += _._2)
       Iterator((pid, s))
@@ -76,12 +79,13 @@ object Sharding {
       sorted.map(_._1).zip(sorted.map(_._2).scanLeft(0L)(_ + _)).toMap
     }
     val bc = spark.sparkContext.broadcast(offsets)
-    val withCum = ranged.mapPartitions { it =>
-      var run = bc.value(TaskContext.getPartitionId())
-      it.map { case (id, tok, h) =>
-        val before = run; run += tok; (id, h, tok, before)
-      }
-    }.toDF(idCol, "h", "n_tokens", "cum_before")
+    val withCum = spark.createDataset(
+      ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var run = bc.value(pid)
+        it.map { case (id, tok, h) =>
+          val before = run; run += tok; (id, h, tok, before)
+        }
+      }).toDF(idCol, "h", "n_tokens", "cum_before")
     withCum
       .withColumn("shard", expr(s"cum_before div $budget"))
       .withColumn("pos", row_number().over(

@@ -75,13 +75,154 @@ object TrainPrepQueries {
        | FROM t)
        |SELECT doc_id, margin, margin > 0 AS keep FROM m""".stripMargin
 
+  // ----------------------------------------------------- q_mixture_schedule
+
+  /** Stride-scheduled mixture interleave: order the corpus so EVERY
+    * training prefix holds the target domain proportions (en:zh:rest =
+    * 5:2:1), not just the whole epoch. Classic stride scheduling: the
+    * k-th document of a domain with weight w lands at stride key
+    * `k·S/w`; merging domains by key yields per-prefix proportionality.
+    * Both ranks run through [[graft.exec.Ranks]] — range exchange +
+    * two-phase counts — never a single-task window; the oracle IS the
+    * window formulation, so the hash-match proves the distributed plan
+    * bit-identical. */
+  def qMixtureSchedule(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("h", Sharding.shuffleKey(col("doc_id"), 42L))
+      .withColumn("w10",
+        expr("CASE lang WHEN 'en' THEN 5 WHEN 'zh' THEN 2 ELSE 1 END"))
+    val ranked = graft.exec.Ranks.groupedRowNumber(
+      docs, Seq("lang"), Seq(col("h"), col("doc_id")), "dom_rank")
+      .withColumn("stride_key", expr("(dom_rank * 10000) div w10"))
+    graft.exec.Ranks.globalRowNumber(
+      ranked, Seq(col("stride_key"), col("lang"), col("dom_rank")), "pos")
+      .select("doc_id", "lang", "dom_rank", "stride_key", "pos")
+  }
+
+  val qMixtureScheduleSql: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |  ((doc_id % ${Sharding.HashMod}) * ${Sharding.HashMulA} + 42) % ${Sharding.HashMod} * ${Sharding.HashMulB} % ${Sharding.HashMod} AS h,
+       |  CASE lang WHEN 'en' THEN 5 WHEN 'zh' THEN 2 ELSE 1 END AS w10
+       | FROM documents),
+       |r AS (SELECT doc_id, lang, w10,
+       |  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS dom_rank
+       | FROM d),
+       |k AS (SELECT doc_id, lang, dom_rank,
+       |  (dom_rank * 10000) // w10 AS stride_key FROM r)
+       |SELECT doc_id, lang, dom_rank, stride_key,
+       |  row_number() OVER (ORDER BY stride_key, lang, dom_rank) AS pos
+       |FROM k""".stripMargin
+
+  // ------------------------------------------------------- q_length_batches
+
+  /** Length-bucketed batching: bucket documents by token count (width 32),
+    * shuffle within the bucket, and cut deterministic 16-doc batches — the
+    * padding-efficiency step before sequence assembly (similar lengths
+    * share a batch, so per-batch padding-to-max waste stays small). The
+    * in-bucket rank is the two-phase grouped row_number. */
+  def qLengthBatches(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr("n_tokens div 32"))
+      .withColumn("h", Sharding.shuffleKey(col("doc_id"), 7L))
+    graft.exec.Ranks.groupedRowNumber(
+        docs, Seq("bucket"), Seq(col("h"), col("doc_id")), "bucket_rank")
+      .withColumn("batch", expr("(bucket_rank - 1) div 16"))
+      .select("doc_id", "n_tokens", "bucket", "bucket_rank", "batch")
+  }
+
+  val qLengthBatchesSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  len(string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+'))::BIGINT AS n_tokens,
+       |  ((doc_id % ${Sharding.HashMod}) * ${Sharding.HashMulA} + 7) % ${Sharding.HashMod} * ${Sharding.HashMulB} % ${Sharding.HashMod} AS h
+       | FROM documents),
+       |b AS (SELECT doc_id, n_tokens, n_tokens // 32 AS bucket, h FROM t),
+       |r AS (SELECT doc_id, n_tokens, bucket,
+       |  row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS bucket_rank
+       | FROM b)
+       |SELECT doc_id, n_tokens, bucket, bucket_rank,
+       |  (bucket_rank - 1) // 16 AS batch FROM r""".stripMargin
+
+  // ------------------------------------------------------------- q_upsample
+
+  /** Low-resource upsampling: replicate scarce-language documents
+    * (en×1, zh×2, rest×3) into per-epoch copies, each copy carrying its
+    * own deterministic shuffle key so replicas spread through the epoch
+    * instead of clustering. Pure map-side explode — rows grow by the
+    * repeat factor, no shuffle at all. */
+  def qUpsample(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("n_copies",
+        expr("CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 ELSE 3 END")
+          .cast("long"))
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+      .withColumn("h", Sharding.shuffleKey(
+        col("doc_id") * lit(11L) + col("copy"), 42L))
+
+  val qUpsampleSql: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |  (CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 ELSE 3 END)::BIGINT AS n_copies
+       | FROM documents),
+       |u AS (SELECT doc_id, lang, n_copies,
+       |  unnest(generate_series(1, n_copies))::BIGINT AS copy FROM d)
+       |SELECT doc_id, lang, n_copies, copy,
+       |  (((doc_id * 11 + copy) % ${Sharding.HashMod}) * ${Sharding.HashMulA} + 42) % ${Sharding.HashMod} * ${Sharding.HashMulB} % ${Sharding.HashMod} AS h
+       |FROM u""".stripMargin
+
+  // ------------------------------------------------------- q_shard_manifest
+
+  /** Trainer-facing shard manifest over the epoch shuffle: per shard, the
+    * doc/token counts, the token interval [start_tok, end_tok), and an
+    * order-sensitive checksum — what a loader needs to mmap shards and
+    * verify them without re-reading the corpus. One groupBy over the
+    * shuffle output. */
+  def qShardManifest(s: SparkSession, dir: String): DataFrame =
+    Sharding.epochShuffle(Tables(s, dir, "documents"),
+        "doc_id", "text", seed = 42L, budget = 4000L)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min("cum_before").as("start_tok"),
+        max(expr("cum_before + n_tokens")).as("end_tok"),
+        sum(expr(s"(doc_id * pos) % ${Sharding.HashMod}")).as("checksum"))
+
+  val qShardManifestSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  len(string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+'))::BIGINT AS n_tokens,
+       |  ((doc_id % ${Sharding.HashMod}) * ${Sharding.HashMulA} + 42) % ${Sharding.HashMod} * ${Sharding.HashMulB} % ${Sharding.HashMod} AS h
+       | FROM documents),
+       |c AS (SELECT doc_id, h, n_tokens,
+       |  coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+       | FROM t),
+       |e AS (SELECT doc_id, h, n_tokens, cum_before,
+       |  (cum_before // 4000)::BIGINT AS shard,
+       |  row_number() OVER (PARTITION BY cum_before // 4000 ORDER BY h, doc_id) AS pos
+       | FROM c)
+       |SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+       |  min(cum_before) AS start_tok, max(cum_before + n_tokens)::BIGINT AS end_tok,
+       |  sum((doc_id * pos) % ${Sharding.HashMod})::BIGINT AS checksum
+       |FROM e GROUP BY shard""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_epoch_shuffle"      -> (qEpochShuffle _),
-    "q_quality_classifier" -> (qQualityClassifier _))
+    "q_quality_classifier" -> (qQualityClassifier _),
+    "q_mixture_schedule"   -> (qMixtureSchedule _),
+    "q_length_batches"     -> (qLengthBatches _),
+    "q_upsample"           -> (qUpsample _),
+    "q_shard_manifest"     -> (qShardManifest _))
 
   val oracle: Map[String, String] = Map(
     "q_epoch_shuffle"      -> qEpochShuffleSql,
-    "q_quality_classifier" -> qQualityClassifierSql)
+    "q_quality_classifier" -> qQualityClassifierSql,
+    "q_mixture_schedule"   -> qMixtureScheduleSql,
+    "q_length_batches"     -> qLengthBatchesSql,
+    "q_upsample"           -> qUpsampleSql,
+    "q_shard_manifest"     -> qShardManifestSql)
 }

@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTest, Tables}
+import graft.exec.Ranks
+
+/** The two-phase row_number must be bit-identical to the window
+  * formulation at every partition count — that equality is what lets the
+  * DuckDB window oracles certify the distributed plan. */
+class RanksSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def withParts[A](n: Int)(f: => A): A = {
+    val prev = spark.sessionState.conf.numShufflePartitions
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("globalRowNumber equals the global window at 1, 3 and 16 partitions") {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"))
+    val expected = docs
+      .withColumn("rn", row_number().over(Window.orderBy(col("len"), col("doc_id"))).cast("long"))
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    for (p <- Seq(1, 3, 16)) {
+      val got = withParts(p) {
+        Ranks.globalRowNumber(docs, Seq(col("len"), col("doc_id")))
+          .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+      }
+      assert(got == expected, s"mismatch at $p partitions")
+    }
+  }
+
+  test("groupedRowNumber equals the partitioned window, including one-row and null groups") {
+    val df = Seq(
+      (1L, Some("en"), 10), (2L, Some("en"), 5), (3L, Some("zh"), 7),
+      (4L, None, 9), (5L, None, 1), (6L, Some("de"), 2),
+      (7L, Some("en"), 5) // tie on the first order key → doc_id breaks it
+    ).toDF("id", "lang", "v")
+    val expected = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("v"), col("id"))).cast("long"))
+      .as[(Long, Option[String], Int, Long)].collect().sortBy(_._1).toSeq
+    for (p <- Seq(1, 4)) {
+      val got = withParts(p) {
+        Ranks.groupedRowNumber(df, Seq("lang"), Seq(col("v"), col("id")), "rn")
+          .as[(Long, Option[String], Int, Long)].collect().sortBy(_._1).toSeq
+      }
+      assert(got == expected, s"mismatch at $p partitions")
+    }
+  }
+
+  test("ranks survive a downstream coalesce(1) — the sink shape that folds partitions") {
+    // Regression: a narrow re-partitioning after the numbering pass (any
+    // single-file sink does coalesce(1)) folds the checkpoint partitions
+    // into one task. With TaskContext-based partition identity every folded
+    // chunk read offset 0 and ranks restarted mid-corpus; the split-index
+    // binding must keep them dense.
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val pos = withParts(8) {
+      Ranks.globalRowNumber(docs, Seq(col("doc_id")), "pos")
+        .coalesce(1)
+        .select("pos").as[Long].collect().sorted.toSeq
+    }
+    assert(pos == (1L to pos.length).toSeq, s"ranks restarted: ${pos.take(10)}")
+    val grouped = withParts(8) {
+      Ranks.groupedRowNumber(docs, Seq("lang"), Seq(col("doc_id")), "rn")
+        .coalesce(1)
+        .groupBy("lang").agg(count(lit(1)).as("n"), max("rn").as("mx"), sum("rn").as("s"))
+        .as[(String, Long, Long, Long)].collect()
+    }
+    grouped.foreach { case (lang, n, mx, s) =>
+      assert(mx == n && s == n * (n + 1) / 2, s"$lang grouped ranks broken under coalesce")
+    }
+  }
+
+  test("grouped ranks are dense 1..n per group on fixture languages") {
+    val docs = Tables(spark, dir, "documents")
+    val r = withParts(8) {
+      Ranks.groupedRowNumber(docs.select(col("doc_id"), col("lang")),
+        Seq("lang"), Seq(col("doc_id")), "rn")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), max("rn").as("mx"),
+          sum("rn").as("s"))
+        .as[(String, Long, Long, Long)].collect()
+    }
+    assert(r.nonEmpty)
+    r.foreach { case (lang, n, mx, s) =>
+      assert(mx == n, s"$lang: max rank $mx != count $n")
+      assert(s == n * (n + 1) / 2, s"$lang: ranks not dense")
+    }
+  }
+}

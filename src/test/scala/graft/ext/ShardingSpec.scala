@@ -54,6 +54,24 @@ class ShardingSpec extends AnyFunSuite {
     assert(a != b, "a new seed must yield a different epoch order")
   }
 
+  test("cumulative sums survive a downstream coalesce(1)") {
+    // Same hazard class as RanksSpec's coalesce regression. Today the
+    // trailing pos-window's exchange happens to shield the offset-add pass
+    // from the sink's narrow fold, but the invariant must not depend on
+    // that plan accident — the split-index binding keeps it true even if
+    // the window is later optimized away or reordered.
+    val r = Sharding.epochShuffle(Tables(spark, dir, "documents"),
+        "doc_id", "text", seed = 7L, budget = 2000L)
+      .coalesce(1)
+      .select("h", "n_tokens", "cum_before")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    var cum = 0L
+    r.foreach { case (_, tok, before) =>
+      assert(before == cum, "running total restarted under coalesce(1)")
+      cum += tok
+    }
+  }
+
   test("shards hold contiguous token ranges bounded by budget + one doc") {
     val r = run(4)
     val maxDoc = r.map(_._3).max
