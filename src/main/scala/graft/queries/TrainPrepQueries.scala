@@ -208,6 +208,112 @@ object TrainPrepQueries {
        |  sum((doc_id * pos) % ${Sharding.HashMod})::BIGINT AS checksum
        |FROM e GROUP BY shard""".stripMargin
 
+  // ------------------------------------------------------------- q_bpe_pairs
+
+  /** First BPE iteration: adjacent character-pair counts over the
+    * distinct-word table, weighted by word frequency — the corpus is read
+    * once, every later iteration is vocabulary-bounded. Top 50 by (count,
+    * pair) with rank, fully oracle-checked. */
+  def qBpePairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.ext.Bpe.pairCounts(Tables(s, dir, "documents"), "text")
+      .orderBy(col("n").desc, col("left"), col("right")).limit(50)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("left"), col("right"))).cast("long"))
+  }
+
+  val qBpePairsSql: String =
+    """WITH w AS (SELECT token AS word, count(*)::BIGINT AS freq FROM
+      |  (SELECT unnest(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+')) AS token
+      |   FROM documents) WHERE length(token) > 0 GROUP BY 1),
+      |p AS (SELECT substring(word, i::INT, 1) AS "left",
+      |             substring(word, i::INT + 1, 1) AS "right", freq
+      |      FROM w, unnest(range(1, length(word))) AS t(i)
+      |      WHERE length(word) > 1),
+      |c AS (SELECT "left", "right", sum(freq)::BIGINT AS n FROM p GROUP BY 1, 2),
+      |top AS (SELECT * FROM c ORDER BY n DESC, "left", "right" LIMIT 50)
+      |SELECT "left", "right", n,
+      |  row_number() OVER (ORDER BY n DESC, "left", "right") AS rank
+      |FROM top""".stripMargin
+
+  // ------------------------------------------------------------ q_bpe_merges
+
+  /** The learned merge table (first 12 merges). The argmax loop is not
+    * SQL-expressible without recursion, so the driver records rows-only;
+    * the `_verified` companion replays the identical algorithm
+    * sequentially on the collected word table and emits mismatches. */
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Bpe.merges(Tables(s, dir, "documents"), "text", k = 12)
+
+  /** Contract-breach companion: distributed merges vs the driver-side
+    * reference replay — any rank where (left, right, n) disagree is a
+    * row; the oracle is the empty set. */
+  def qBpeMergesVerified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dist = graft.ext.Bpe.merges(Tables(s, dir, "documents"), "text", k = 12)
+      .as[(Int, String, String, Long)].collect().toSeq
+    val words = graft.ext.Bpe.wordCounts(Tables(s, dir, "documents"), "text")
+      .as[(String, Long)].collect().toMap
+    val ref = graft.ext.Bpe.referenceMerges(words, k = 12)
+    val problems = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    if (dist.length != ref.length)
+      problems += (("merge_count", s"dist=${dist.length} ref=${ref.length}"))
+    dist.zip(ref).foreach { case (d, r) =>
+      if (d != r) problems += ((s"rank_${r._1}", s"dist=$d ref=$r"))
+    }
+    problems.toSeq.toDF("rank_key", "problem")
+  }
+
+  val qBpeMergesVerifiedSql: String =
+    """SELECT CAST(NULL AS VARCHAR) AS rank_key,
+      |  CAST(NULL AS VARCHAR) AS problem WHERE false""".stripMargin
+
+  // ------------------------------------------------------------ q_importance
+
+  /** DSIR-shaped importance scoring (Xie et al. 2023, public): score each
+    * document by how much its hashed-unigram distribution looks like a
+    * TARGET domain (here: the English slice) versus the raw corpus. All
+    * arithmetic is integer (counts and a scaled ratio), so any engine
+    * reproduces it bit-exactly — no cross-engine float drift. Shape: the
+    * 1024-bucket feature table is two conditional sums over one exploded
+    * pass, then a BROADCAST join back to doc tokens — at 100 TB the
+    * feature table is still 1024 rows. */
+  val ImpBuckets = 1024
+
+  def qImportance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .withColumn("b",
+        aggregate(split(col("token"), ""), lit(0L),
+          (h, c) => (h * 31L + ascii(c)) % TextAnalysis.FingerprintMod)
+          % ImpBuckets)
+    val feat = toks.groupBy("b").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_target"),
+      count(lit(1)).as("n_raw"))
+    toks.join(broadcast(feat), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(expr("(n_target * 10000) div n_raw")).as("score"))
+      .withColumn("avg_ratio", expr("score div n_tokens"))
+  }
+
+  val qImportanceSql: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |  unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+')) AS token
+       | FROM documents),
+       |h AS (SELECT doc_id, lang,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(range(1, length(token) + 1), i -> ascii(token[i])::BIGINT)),
+       |    (a, c) -> (a * 31 + c) % ${TextAnalysis.FingerprintMod}) % $ImpBuckets AS b
+       | FROM t),
+       |f AS (SELECT b, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_target,
+       |  count(*)::BIGINT AS n_raw FROM h GROUP BY 1)
+       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |  sum((n_target * 10000) // n_raw)::BIGINT AS score,
+       |  (sum((n_target * 10000) // n_raw) // count(*))::BIGINT AS avg_ratio
+       |FROM h JOIN f USING (b) GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -216,7 +322,11 @@ object TrainPrepQueries {
     "q_mixture_schedule"   -> (qMixtureSchedule _),
     "q_length_batches"     -> (qLengthBatches _),
     "q_upsample"           -> (qUpsample _),
-    "q_shard_manifest"     -> (qShardManifest _))
+    "q_shard_manifest"     -> (qShardManifest _),
+    "q_bpe_pairs"          -> (qBpePairs _),
+    "q_bpe_merges"         -> (qBpeMerges _),
+    "q_bpe_merges_verified" -> (qBpeMergesVerified _),
+    "q_importance"         -> (qImportance _))
 
   val oracle: Map[String, String] = Map(
     "q_epoch_shuffle"      -> qEpochShuffleSql,
@@ -224,5 +334,8 @@ object TrainPrepQueries {
     "q_mixture_schedule"   -> qMixtureScheduleSql,
     "q_length_batches"     -> qLengthBatchesSql,
     "q_upsample"           -> qUpsampleSql,
-    "q_shard_manifest"     -> qShardManifestSql)
+    "q_shard_manifest"     -> qShardManifestSql,
+    "q_bpe_pairs"          -> qBpePairsSql,
+    "q_bpe_merges_verified" -> qBpeMergesVerifiedSql,
+    "q_importance"         -> qImportanceSql)
 }
