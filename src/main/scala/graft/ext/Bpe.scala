@@ -103,6 +103,61 @@ object Bpe {
       .agg(sum("freq").as("n"))
   }
 
+  /** Separator-guarded symbol string: "abc" → "·a·b·c·". Every symbol is
+    * ·-bounded and symbols never contain '·', so a substring match can only
+    * align on symbol boundaries. */
+  val Sep = "·"
+
+  /** Encode a word column with a learned merge table — NO per-row code:
+    * each merge is one `regexp_replace` whose separators are LOOKAROUND
+    * guards, `(?<=·)l·r(?=·)` → `lr`. The guards anchor matches to symbol
+    * boundaries without consuming the separators, so a run like
+    * `·a·a·a·a·` merges to `·aa·aa·` exactly as greedy left-to-right BPE
+    * does (a consuming `·l·r·` pattern would eat the boundary separator
+    * and skip every second pair of a run — caught by BpeSpec). The whole
+    * encode is a chain of k string expressions over the vocabulary-bounded
+    * distinct-word table. Returns the encoded symbol COUNT. */
+  def encodedLen(word: org.apache.spark.sql.Column,
+                 merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    import java.util.regex.{Matcher, Pattern}
+    val guarded = concat(lit(Sep),
+      regexp_replace(word, "(?<=.)(?=.)", Sep), lit(Sep))
+    val end = merges.foldLeft(guarded) { case (acc, (l, r)) =>
+      regexp_replace(acc,
+        "(?<=" + Pattern.quote(Sep) + ")" + Pattern.quote(l + Sep + r) +
+          "(?=" + Pattern.quote(Sep) + ")",
+        Matcher.quoteReplacement(l + r))
+    }
+    // symbols = separators - 1
+    (length(end) - length(call_function("replace", end, lit(Sep), lit(""))) - 1)
+      .cast("long")
+  }
+
+  /** Per-document BPE token accounting: learn k merges, encode the
+    * DISTINCT-word table once (vocabulary-bounded, pure expressions), and
+    * broadcast-join the encoded lengths back to the corpus tokens. Output:
+    * whitespace tokens, BPE tokens, characters, and an integer compression
+    * ratio — the fertility numbers a tokenizer evaluation reports. */
+  def encodeCounts(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val table = merges(docs, textCol, k)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    val toks = docs.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab = toks.select("word").distinct()
+      .withColumn("n_bpe", encodedLen(col("word"), table))
+      .withColumn("n_chars", length(col("word")).cast("long"))
+    toks.join(broadcast(vocab), "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ws_tokens"),
+        sum("n_bpe").as("n_bpe_tokens"),
+        sum("n_chars").as("n_chars"))
+      .withColumn("chars_per_token_x1000",
+        expr("(n_chars * 1000) div n_bpe_tokens"))
+  }
+
   /** Driver-side reference implementation for the `_verified` contract
     * companion: the same algorithm on a collected word map, sequentially.
     * Test-scale only (the distributed path is the product). */

@@ -268,6 +268,48 @@ object TrainPrepQueries {
     """SELECT CAST(NULL AS VARCHAR) AS rank_key,
       |  CAST(NULL AS VARCHAR) AS problem WHERE false""".stripMargin
 
+  // ------------------------------------------------------------ q_bpe_encode
+
+  /** Tokenizer fertility report: encode the corpus with the learned
+    * 12-merge table and count whitespace tokens vs BPE symbols vs chars
+    * per document. Encoding is a chain of codegen'd `replace` expressions
+    * over the vocabulary-bounded distinct-word table (see
+    * [[graft.ext.Bpe.encodedLen]]) — no per-row code, corpus joined back
+    * by broadcast. Rows-only at the driver (the merge table comes from the
+    * iterative trainer); the `_verified` companion replays the encode
+    * imperatively. */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Bpe.encodeCounts(Tables(s, dir, "documents"), "text", "doc_id", k = 12)
+
+  /** Contract-breach companion: per-word imperative replay (mergePair
+    * fold) of the expression-chain encode, per document. Oracle = empty. */
+  def qBpeEncodeVerified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val table = graft.ext.Bpe.merges(docs, "text", k = 12)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    val dist = qBpeEncode(s, dir)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    val ref = docs.select(col("doc_id"), graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect().map { case (id, toks) =>
+        id -> toks.filter(_.nonEmpty).map { w =>
+          table.foldLeft(w.map(_.toString).toIndexedSeq: IndexedSeq[String]) {
+            case (syms, (l, r)) => graft.ext.Bpe.mergePair(syms, l, r)
+          }.length.toLong
+        }.sum
+      }.toMap
+    val problems = ref.toSeq.flatMap { case (id, n) =>
+      val d = dist.getOrElse(id, -1L)
+      if (d != n) Some((id.toString, s"dist=$d ref=$n")) else None
+    } ++ dist.keys.filterNot(ref.contains).map(id => (id.toString, "extra doc"))
+    problems.toDF("doc_key", "problem")
+  }
+
+  val qBpeEncodeVerifiedSql: String =
+    """SELECT CAST(NULL AS VARCHAR) AS doc_key,
+      |  CAST(NULL AS VARCHAR) AS problem WHERE false""".stripMargin
+
   // ------------------------------------------------------------ q_importance
 
   /** DSIR-shaped importance scoring (Xie et al. 2023, public): score each
@@ -326,6 +368,8 @@ object TrainPrepQueries {
     "q_bpe_pairs"          -> (qBpePairs _),
     "q_bpe_merges"         -> (qBpeMerges _),
     "q_bpe_merges_verified" -> (qBpeMergesVerified _),
+    "q_bpe_encode"         -> (qBpeEncode _),
+    "q_bpe_encode_verified" -> (qBpeEncodeVerified _),
     "q_importance"         -> (qImportance _))
 
   val oracle: Map[String, String] = Map(
@@ -337,5 +381,6 @@ object TrainPrepQueries {
     "q_shard_manifest"     -> qShardManifestSql,
     "q_bpe_pairs"          -> qBpePairsSql,
     "q_bpe_merges_verified" -> qBpeMergesVerifiedSql,
+    "q_bpe_encode_verified" -> qBpeEncodeVerifiedSql,
     "q_importance"         -> qImportanceSql)
 }

@@ -27,6 +27,21 @@ class BpeSpec extends AnyFunSuite {
     assert(m == Seq((1, "l", "o", 3L), (2, "lo", "w", 3L), (3, "e", "r", 1L)))
   }
 
+  test("encodedLen equals the imperative merge fold, incl. overlap runs") {
+    import org.apache.spark.sql.functions.col
+    val merges = Seq(("a", "a"), ("l", "o"), ("lo", "w"))
+    val words = Seq("aaa", "aaaa", "low", "lower", "x", "ab").toDF("w")
+    val got = words.select(col("w"), Bpe.encodedLen(col("w"), merges).as("n"))
+      .as[(String, Long)].collect().toMap
+    val want = words.as[String].collect().map { w =>
+      w -> merges.foldLeft(w.map(_.toString).toIndexedSeq: IndexedSeq[String]) {
+        case (s, (l, r)) => Bpe.mergePair(s, l, r)
+      }.length.toLong
+    }.toMap
+    assert(got == want)
+    assert(got("aaa") == 2L && got("aaaa") == 2L && got("low") == 1L)
+  }
+
   test("distributed merges equal the sequential reference on fixture docs") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     val dist = Bpe.merges(docs, "text", k = 8)
