@@ -324,19 +324,27 @@ object TrainPrepQueries {
 
   def qImportance(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val toks = docs.select(col("doc_id"), col("lang"),
-      explode(TextAnalysis.tokens(col("text"))).as("token"))
+    // ONE tokenization pass: collapse straight to per-(doc, bucket) counts
+    // (≤ ImpBuckets rows per doc — far smaller than the exploded tokens),
+    // then derive both the 1024-row feature table and the per-doc scores
+    // from that intermediate. A naive formulation that aggregates the
+    // exploded tokens once for features and again for scores tokenizes
+    // the corpus TWICE — the dominant cost at 100 TB.
+    val docBuckets = docs.select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
       .withColumn("b",
         aggregate(split(col("token"), ""), lit(0L),
           (h, c) => (h * 31L + ascii(c)) % TextAnalysis.FingerprintMod)
           % ImpBuckets)
-    val feat = toks.groupBy("b").agg(
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_target"),
-      count(lit(1)).as("n_raw"))
-    toks.join(broadcast(feat), "b")
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val feat = docBuckets.groupBy("b").agg(
+      sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("n_target"),
+      sum("n").as("n_raw"))
+    docBuckets.join(broadcast(feat), "b")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(expr("(n_target * 10000) div n_raw")).as("score"))
+      .agg(sum("n").as("n_tokens"),
+        sum(expr("n * ((n_target * 10000) div n_raw)")).as("score"))
       .withColumn("avg_ratio", expr("score div n_tokens"))
   }
 
