@@ -91,4 +91,42 @@ object Sharding {
       .withColumn("pos", row_number().over(
         Window.partitionBy("shard").orderBy("h", idCol)))
   }
+
+  /** Materialize the epoch to disk in the layout a trainer streams:
+    * `path/shard=K/` holds shard K's documents IN EPOCH ORDER inside the
+    * parquet files, and `path/_manifest/` records each shard's doc/token
+    * counts, token interval and an order-sensitive checksum (the
+    * underscore prefix keeps it invisible to a plain directory read).
+    *
+    * Shape: the shard assignment is joined back to the text (one shuffle
+    * keyed on the id), then ONE hash exchange on `shard` gives writer
+    * parallelism of #shards with exactly one file per shard — a shard IS
+    * a file, which is what sequential trainer reads want. The manifest is
+    * a ≤#shards-row aggregate of the assignment, not a corpus re-read. */
+  def writeShards(docs: DataFrame, idCol: String, textCol: String,
+                  seed: Long, budget: Long, path: String): Unit = {
+    val assigned = epochShuffle(docs, idCol, textCol, seed, budget)
+      .localCheckpoint() // one epoch computation feeds both files and manifest
+    assigned
+      .join(docs.select(col(idCol), col(textCol)), idCol)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min("cum_before").as("start_tok"),
+        max(expr("cum_before + n_tokens")).as("end_tok"),
+        sum(expr(s"($idCol * pos) % $HashMod")).as("checksum"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_manifest")
+  }
+
+  /** One shard, partition-pruned: only `shard=K/` files are scanned. */
+  def readShard(spark: org.apache.spark.sql.SparkSession,
+                path: String, shard: Long): DataFrame =
+    spark.read.parquet(path).filter(col("shard") === shard)
+
+  def readManifest(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/_manifest")
 }

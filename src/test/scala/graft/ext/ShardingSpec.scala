@@ -72,6 +72,51 @@ class ShardingSpec extends AnyFunSuite {
     }
   }
 
+  test("writeShards lays out one pruned, epoch-ordered file per shard with a matching manifest") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val docs = Tables(spark, dir, "documents")
+    Sharding.writeShards(docs, "doc_id", "text", seed = 7L, budget = 2000L, s"$out/ep0")
+
+    // layout: shard=K dirs, exactly one data file each (a shard IS a file)
+    val dirs = new java.io.File(s"$out/ep0").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: expected one file, got ${files.length}")
+    }
+
+    // within-file order IS epoch order: pos strictly increasing as stored
+    val shard0 = Sharding.readShard(spark, s"$out/ep0", 0L)
+    val posInOrder = shard0.select("pos").as[Int].collect().toSeq
+    assert(posInOrder == posInOrder.sorted, "rows not stored in epoch order")
+    assert(posInOrder.nonEmpty && posInOrder.head == 1)
+
+    // partition pruning reaches the scan
+    val plan = shard0.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters"))
+
+    // manifest matches a recomputation from the stored corpus
+    val manifest = Sharding.readManifest(spark, s"$out/ep0")
+      .orderBy("shard")
+      .select("shard", "n_docs", "n_tokens", "start_tok", "end_tok", "checksum")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val recomputed = spark.read.parquet(s"$out/ep0")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("cum_before").as("start_tok"),
+        max(expr("cum_before + n_tokens")).as("end_tok"),
+        sum(expr(s"(doc_id * pos) % ${Sharding.HashMod}")).as("checksum"))
+      .orderBy("shard")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(manifest == recomputed)
+    // intervals tile the token stream: next shard starts where this ends
+    manifest.sliding(2).foreach {
+      case Seq(a, b) => assert(a._5 == b._4, s"gap between shards ${a._1} and ${b._1}")
+      case _ =>
+    }
+  }
+
   test("shards hold contiguous token ranges bounded by budget + one doc") {
     val r = run(4)
     val maxDoc = r.map(_._3).max
