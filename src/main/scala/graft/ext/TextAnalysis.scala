@@ -276,4 +276,11 @@ object TextAnalysis {
     aggregate(chars, lit(0L),
       (h, c) => (h * 31L + ascii(c)) % FingerprintMod)
   }
+
+  /** Hashing-trick feature bucket of one token: the polynomial hash
+    * reduced mod `buckets`. Shared by importance scoring (batch and
+    * streaming) so standing feature tables and ad-hoc scores agree. */
+  def tokenBucket(token: Column, buckets: Int): Column =
+    aggregate(split(token, ""), lit(0L),
+      (h, c) => (h * 31L + ascii(c)) % FingerprintMod) % buckets
 }

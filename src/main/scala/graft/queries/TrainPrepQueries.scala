@@ -332,10 +332,7 @@ object TrainPrepQueries {
     // the corpus TWICE — the dominant cost at 100 TB.
     val docBuckets = docs.select(col("doc_id"), col("lang"),
         explode(TextAnalysis.tokens(col("text"))).as("token"))
-      .withColumn("b",
-        aggregate(split(col("token"), ""), lit(0L),
-          (h, c) => (h * 31L + ascii(c)) % TextAnalysis.FingerprintMod)
-          % ImpBuckets)
+      .withColumn("b", TextAnalysis.tokenBucket(col("token"), ImpBuckets))
       .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
       .localCheckpoint()
     val feat = docBuckets.groupBy("b").agg(

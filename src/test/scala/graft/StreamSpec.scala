@@ -986,4 +986,74 @@ class StreamSpec extends AnyFunSuite {
       .as[(Long, Long, String)].collect().toList
     assert(replayed == List((30L, 9L, "replay words aa bb cc dd ee ff gg")))
   }
+
+  test("streaming curation: bootstrap keeps all, later batches score " +
+       "against the standing features; batch-2 verdicts == one-shot; replay " +
+       "neither double-counts features nor changes verdicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.IngestCuration
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect()
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cur").toString
+    val target = "text LIKE '%join%'"
+    val input = MemoryStream[(Long, String, String)]
+    val q = IngestCuration.run(input.toDF().toDF("doc_id", "lang", "text"),
+      featPath = s"$tmp/feat", textCol = "text", idCol = "doc_id",
+      targetExpr = target, minRatio = 0L,
+      verdictPath = s"$tmp/verdicts", checkpoint = s"$tmp/ckpt",
+      updateFeatures = true).start()
+    try { input.addData(b1.toSeq); q.processAllAvailable() } finally q.stop()
+
+    // batch 0 was the bootstrap: every row kept with the bootstrap reason
+    val verdicts0 = spark.read.parquet(s"$tmp/verdicts")
+    assert(verdicts0.count() == b1.length)
+    val r1 = verdicts0.select("keep", "reason").as[(Boolean, String)].collect()
+    assert(r1.nonEmpty && r1.forall { case (k, r) => k && r == "bootstrap" })
+
+    // pick the threshold from the observed spread so BOTH verdict classes
+    // must appear (the fixture's shared vocabulary leaves the absolute
+    // scale fragile, the spread is not)
+    val feat1 = IngestCuration.readFeatures(spark, s"$tmp/feat")
+      .localCheckpoint()
+    val b2df = b2.toSeq.toDF("doc_id", "lang", "text")
+    val ratios = IngestCuration.scoreBatch(b2df, feat1, "text", "doc_id",
+        target, minRatio = 0L)
+      .select("avg_ratio").as[Long].collect()
+    assert(ratios.min < ratios.max, "scoring produced no spread")
+    val thr = (ratios.min + ratios.max) / 2
+
+    def runBatch2(): Set[(Long, Long, Boolean)] = {
+      IngestCuration.processBatch(b2df, batchId = 1L, featPath = s"$tmp/feat",
+        textCol = "text", idCol = "doc_id", targetExpr = target,
+        minRatio = thr, verdictPath = s"$tmp/verdicts",
+        updateFeatures = true, runTag = s"$tmp/ckpt")
+      spark.read.parquet(s"$tmp/verdicts").filter(col("batch_id") === 1)
+        .select("doc_id", "avg_ratio", "keep")
+        .as[(Long, Long, Boolean)].collect().toSet
+    }
+    val streamed2 = runBatch2()
+    // identical to one-shot scoring against the post-batch-0 features
+    val oneShot = IngestCuration.scoreBatch(b2df, feat1, "text", "doc_id",
+        target, minRatio = thr)
+      .select("doc_id", "avg_ratio", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(streamed2 == oneShot)
+    assert(streamed2.exists(_._3) && streamed2.exists(!_._3),
+      "threshold at the spread midpoint must split the batch")
+
+    // replay (restart between sink write and checkpoint commit): the same
+    // stamp overwrites its own delta partition — aggregated features and
+    // verdicts both unchanged
+    val before = IngestCuration.readFeatures(spark, s"$tmp/feat")
+      .as[(Long, Long, Long)].collect().toSet
+    val replayed2 = runBatch2()
+    val after = IngestCuration.readFeatures(spark, s"$tmp/feat")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(after == before, "replayed batch double-counted features")
+    assert(replayed2 == streamed2, "replay changed verdicts")
+    assert(spark.read.parquet(s"$tmp/verdicts").count() == docs.length)
+  }
 }
