@@ -361,6 +361,67 @@ object TrainPrepQueries {
        |  (sum((n_target * 10000) // n_raw) // count(*))::BIGINT AS avg_ratio
        |FROM h JOIN f USING (b) GROUP BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- q_curation_incr
+
+  /** Driver-gate face of the STREAMING curation path
+    * ([[graft.streaming.IngestCuration]]): batch 0 (even doc_ids) builds
+    * the standing feature table through the real micro-batch code —
+    * delta partitions, stamps and all — and batch 1 (odd doc_ids) is
+    * scored against it. Because every step is integer arithmetic, the
+    * whole two-batch lifecycle is reproducible in plain SQL: the oracle
+    * recomputes features from the even half and scores the odd half,
+    * and a hash-match proves the streaming plumbing changes nothing. */
+  def qCurationIncr(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.IngestCuration
+    val base = "/tmp/graft_curation_q"
+    // deterministic slate: stale deltas from an aborted prior invocation
+    // would otherwise join the feature aggregate
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val docs = Tables(s, dir, "documents").select("doc_id", "lang", "text")
+    IngestCuration.processBatch(docs.filter(col("doc_id") % 2 === 0),
+      batchId = 0L, featPath = s"$base/feat", textCol = "text",
+      idCol = "doc_id", targetExpr = "lang = 'en'", minRatio = 4000L,
+      verdictPath = s"$base/verdicts", updateFeatures = true, runTag = "q")
+    IngestCuration.processBatch(docs.filter(col("doc_id") % 2 =!= 0),
+      batchId = 1L, featPath = s"$base/feat", textCol = "text",
+      idCol = "doc_id", targetExpr = "lang = 'en'", minRatio = 4000L,
+      verdictPath = s"$base/verdicts", updateFeatures = true, runTag = "q")
+    s.read.parquet(s"$base/verdicts").filter(col("batch_id") === 1)
+      .select("doc_id", "n_tokens", "score", "avg_ratio", "keep", "reason")
+  }
+
+  val qCurationIncrSql: String = {
+    val bucket = (src: String) =>
+      s"""SELECT doc_id, lang,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range(1, length(token) + 1), i -> ascii(token[i])::BIGINT)),
+         |    (a, c) -> (a * 31 + c) % ${TextAnalysis.FingerprintMod})
+         |    % ${graft.streaming.IngestCuration.Buckets} AS b
+         | FROM (SELECT doc_id, lang,
+         |   unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+')) AS token
+         |  FROM documents WHERE $src) WHERE length(token) > 0""".stripMargin
+    s"""WITH ta AS (${bucket("doc_id % 2 = 0")}),
+       |f AS (SELECT b, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_target,
+       |  count(*)::BIGINT AS n_raw FROM ta GROUP BY 1),
+       |tb AS (${bucket("doc_id % 2 <> 0")}),
+       |sc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |  sum((coalesce(n_target, 0) * 10000) // greatest(coalesce(n_raw, 0), 1))::BIGINT AS score
+       | FROM tb LEFT JOIN f USING (b) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+       |  coalesce(sc.score, 0)::BIGINT AS score,
+       |  coalesce(sc.score // sc.n_tokens, 0)::BIGINT AS avg_ratio,
+       |  CASE WHEN sc.n_tokens IS NULL THEN false
+       |       ELSE (sc.score // sc.n_tokens) >= 4000 END AS keep,
+       |  CASE WHEN sc.n_tokens IS NULL THEN 'no_tokens'
+       |       WHEN (sc.score // sc.n_tokens) >= 4000 THEN NULL
+       |       ELSE 'low_importance' END AS reason
+       |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 <> 0) d
+       |LEFT JOIN sc USING (doc_id)""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -375,7 +436,8 @@ object TrainPrepQueries {
     "q_bpe_merges_verified" -> (qBpeMergesVerified _),
     "q_bpe_encode"         -> (qBpeEncode _),
     "q_bpe_encode_verified" -> (qBpeEncodeVerified _),
-    "q_importance"         -> (qImportance _))
+    "q_importance"         -> (qImportance _),
+    "q_curation_incr"      -> (qCurationIncr _))
 
   val oracle: Map[String, String] = Map(
     "q_epoch_shuffle"      -> qEpochShuffleSql,
@@ -387,5 +449,6 @@ object TrainPrepQueries {
     "q_bpe_pairs"          -> qBpePairsSql,
     "q_bpe_merges_verified" -> qBpeMergesVerifiedSql,
     "q_bpe_encode_verified" -> qBpeEncodeVerifiedSql,
-    "q_importance"         -> qImportanceSql)
+    "q_importance"         -> qImportanceSql,
+    "q_curation_incr"      -> qCurationIncrSql)
 }
