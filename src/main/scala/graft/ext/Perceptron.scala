@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed training of a linear text classifier — full-batch
+  * perceptron over hashing-trick features, in PURE INTEGER arithmetic.
+  *
+  * Why a perceptron and why integers: the point of this operator is that
+  * TRAINING ITSELF is reproducible to the bit on any engine, any cluster
+  * size, any partition layout. Gradient methods need a sigmoid/exp and
+  * float accumulation whose result depends on reduction order; the
+  * perceptron update (`w += Σ_mislabeled y·x`) is a sum of integers —
+  * associative, commutative, engine-exact — so the DuckDB oracle can
+  * replay every iteration and hash-match the learned weights. The price
+  * (no calibrated probabilities) doesn't matter for corpus routing, where
+  * the sign and a margin ordering are what's consumed.
+  *
+  * Scale shape per iteration: margins = one broadcast join of the
+  * `Dim`-row weight table against per-(doc, bucket) counts + one groupBy
+  * doc; updates = one groupBy bucket over the mislabeled rows; the ONLY
+  * driver state is the `Dim`-long weight vector (same contract as the
+  * k-means quantizer). The corpus is tokenized once into per-(doc,
+  * bucket) counts and reused across iterations via localCheckpoint. */
+object Perceptron {
+
+  val Dim = 64
+
+  /** Per-(doc, bucket) integer features + {+1,-1} label. */
+  def features(docs: DataFrame, textCol: String, idCol: String,
+               labelExpr: String): DataFrame =
+    docs.select(col(idCol),
+        when(expr(labelExpr), 1L).otherwise(-1L).as("y"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("b", TextAnalysis.tokenBucket(col("token"), Dim))
+      .groupBy(col(idCol), col("y"), col("b"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Mislabel test, mirrored verbatim in the SQL oracles: predict +1 iff
+    * margin > 0 (zero margin predicts −1, so a y=−1 doc with m=0 is
+    * CORRECT — `y·m ≤ 0` would wrongly flag it). */
+  private def mislabeled(y: Column, m: Column): Column =
+    (y > 0 && m <= 0) || (y < 0 && m > 0)
+
+  /** Train `iters` full-batch epochs from w = 0. Returns the weight table
+    * over the buckets present in the corpus (absent buckets are zero on
+    * both engines by construction): (b, w). */
+  def train(docs: DataFrame, textCol: String, idCol: String,
+            labelExpr: String, iters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feat = features(docs, textCol, idCol, labelExpr).localCheckpoint()
+    var w = Map.empty[Long, Long].withDefaultValue(0L)
+    for (_ <- 1 to iters) {
+      val bcW = spark.sparkContext.broadcast(w)
+      val wCol = udfFreeLookup(bcW.value)
+      val margins = feat
+        .withColumn("wb", wCol(col("b")))
+        .groupBy(col(idCol), col("y"))
+        .agg(sum(expr("n * wb")).as("m"))
+      val upd = margins.filter(mislabeled(col("y"), col("m")))
+        .select(col(idCol).as("__mid"))
+        .join(feat, col("__mid") === feat(idCol))
+        .groupBy("b").agg(sum(expr("y * n")).as("d"))
+        .as[(Long, Long)].collect() // ≤ Dim rows
+      w = upd.foldLeft(w) { case (acc, (b, d)) => acc.updated(b, acc(b) + d) }
+    }
+    val wSeq = w.toSeq
+    val wDf =
+      if (wSeq.isEmpty) Seq.empty[(Long, Long)].toDF("b", "w")
+      else wSeq.toDF("b", "w")
+    feat.select(col("b")).distinct()
+      .join(broadcast(wDf), Seq("b"), "left")
+      .select(col("b"), coalesce(col("w"), lit(0L)).as("w"))
+  }
+
+  /** The Dim-entry weight vector as a CASE-free expression: a literal
+    * map lookup via element_at on a map literal (codegen'd, no UDF). */
+  private def udfFreeLookup(w: Map[Long, Long]): Column => Column = {
+    if (w.isEmpty) (_: Column) => lit(0L)
+    else {
+      val entries = w.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+      val m = map(entries: _*)
+      (b: Column) => coalesce(element_at(m, b), lit(0L))
+    }
+  }
+
+  /** Score the corpus with a weight table: per-doc margin, prediction,
+    * label, correctness. `weights` is broadcast (Dim rows). */
+  def predict(docs: DataFrame, textCol: String, idCol: String,
+              labelExpr: String, weights: DataFrame): DataFrame =
+    features(docs, textCol, idCol, labelExpr)
+      .join(broadcast(weights), Seq("b"), "left")
+      .groupBy(col(idCol), col("y"))
+      .agg(sum(expr("n * coalesce(w, 0)")).as("m"))
+      .select(col(idCol), col("y"), col("m"),
+        (col("m") > 0).as("pred_pos"),
+        (!mislabeled(col("y"), col("m"))).as("correct"))
+}

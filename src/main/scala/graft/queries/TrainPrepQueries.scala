@@ -422,6 +422,68 @@ object TrainPrepQueries {
        |LEFT JOIN sc USING (doc_id)""".stripMargin
   }
 
+  // ---------------------------------------------- q_train_weights / predict
+
+  /** Distributed perceptron training ([[graft.ext.Perceptron]]): 3
+    * full-batch epochs learning lang='en' from hashed unigram counts,
+    * all integer arithmetic. The ORACLE REPLAYS TRAINING ITSELF — each
+    * epoch is one unrolled CTE block (margins → mislabeled → update →
+    * accumulated weights) — so the hash-match certifies the distributed
+    * trainer epoch by epoch, not just the final scores. */
+  val TrainIters = 3
+
+  def qTrainWeights(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Perceptron.train(Tables(s, dir, "documents"),
+      "text", "doc_id", "lang = 'en'", iters = TrainIters)
+
+  def qTrainPredict(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val w = graft.ext.Perceptron.train(docs, "text", "doc_id",
+      "lang = 'en'", iters = TrainIters)
+    graft.ext.Perceptron.predict(docs, "text", "doc_id", "lang = 'en'", w)
+  }
+
+  /** Shared CTE chain: features + `TrainIters` unrolled epochs. */
+  private def trainCtes: String = {
+    val feat =
+      s"""feat AS (SELECT doc_id, y, b, count(*)::BIGINT AS n FROM (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END::BIGINT AS y,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |        list_transform(range(1, length(token) + 1), i -> ascii(token[i])::BIGINT)),
+         |      (a, c) -> (a * 31 + c) % ${TextAnalysis.FingerprintMod})
+         |      % ${graft.ext.Perceptron.Dim} AS b
+         |  FROM (SELECT doc_id, lang,
+         |     unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+')) AS token
+         |    FROM documents) WHERE length(token) > 0) GROUP BY 1, 2, 3),
+         |w0 AS (SELECT NULL::BIGINT AS b, NULL::BIGINT AS w WHERE false)""".stripMargin
+    val iters = (1 to TrainIters).map { i =>
+      s"""m$i AS (SELECT f.doc_id, f.y, sum(f.n * coalesce(p.w, 0))::BIGINT AS m
+         |  FROM feat f LEFT JOIN w${i - 1} p USING (b) GROUP BY 1, 2),
+         |u$i AS (SELECT b, sum(y * n)::BIGINT AS d FROM feat WHERE doc_id IN
+         |  (SELECT doc_id FROM m$i WHERE (y > 0 AND m <= 0) OR (y < 0 AND m > 0))
+         |  GROUP BY 1),
+         |w$i AS (SELECT coalesce(a.b, c.b) AS b,
+         |  (coalesce(a.w, 0) + coalesce(c.d, 0))::BIGINT AS w
+         |  FROM w${i - 1} a FULL JOIN u$i c ON a.b = c.b)""".stripMargin
+    }
+    (feat +: iters).mkString(",\n")
+  }
+
+  val qTrainWeightsSql: String =
+    s"""WITH $trainCtes
+       |SELECT DISTINCT f.b, coalesce(z.w, 0)::BIGINT AS w
+       |FROM feat f LEFT JOIN w$TrainIters z ON f.b = z.b""".stripMargin
+
+  val qTrainPredictSql: String =
+    s"""WITH $trainCtes,
+       |wt AS (SELECT DISTINCT f.b, coalesce(z.w, 0)::BIGINT AS w
+       |  FROM feat f LEFT JOIN w$TrainIters z ON f.b = z.b)
+       |SELECT f.doc_id, f.y, sum(f.n * coalesce(wt.w, 0))::BIGINT AS m,
+       |  sum(f.n * coalesce(wt.w, 0)) > 0 AS pred_pos,
+       |  NOT ((f.y > 0 AND sum(f.n * coalesce(wt.w, 0)) <= 0) OR
+       |       (f.y < 0 AND sum(f.n * coalesce(wt.w, 0)) > 0)) AS correct
+       |FROM feat f LEFT JOIN wt USING (b) GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -437,7 +499,9 @@ object TrainPrepQueries {
     "q_bpe_encode"         -> (qBpeEncode _),
     "q_bpe_encode_verified" -> (qBpeEncodeVerified _),
     "q_importance"         -> (qImportance _),
-    "q_curation_incr"      -> (qCurationIncr _))
+    "q_curation_incr"      -> (qCurationIncr _),
+    "q_train_weights"      -> (qTrainWeights _),
+    "q_train_predict"      -> (qTrainPredict _))
 
   val oracle: Map[String, String] = Map(
     "q_epoch_shuffle"      -> qEpochShuffleSql,
@@ -450,5 +514,7 @@ object TrainPrepQueries {
     "q_bpe_merges_verified" -> qBpeMergesVerifiedSql,
     "q_bpe_encode_verified" -> qBpeEncodeVerifiedSql,
     "q_importance"         -> qImportanceSql,
-    "q_curation_incr"      -> qCurationIncrSql)
+    "q_curation_incr"      -> qCurationIncrSql,
+    "q_train_weights"      -> qTrainWeightsSql,
+    "q_train_predict"      -> qTrainPredictSql)
 }
