@@ -422,6 +422,32 @@ object TrainPrepQueries {
        |LEFT JOIN sc USING (doc_id)""".stripMargin
   }
 
+  // -------------------------------------------------------- q_curation_stats
+
+  /** Observability face of the standing feature table: after the
+    * two-batch lifecycle, the aggregated per-bucket counts read through
+    * [[graft.streaming.IngestCuration.readFeatures]] must equal a direct
+    * recomputation from the whole corpus — delta partitions, stamps and
+    * replay plumbing must be invisible in the aggregate. */
+  def qCurationStats(s: SparkSession, dir: String): DataFrame = {
+    qCurationIncr(s, dir).count() // drive the lifecycle; verdicts unused here
+    graft.streaming.IngestCuration
+      .readFeatures(s, "/tmp/graft_curation_q/feat")
+  }
+
+  val qCurationStatsSql: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(range(1, length(token) + 1), i -> ascii(token[i])::BIGINT)),
+       |    (a, c) -> (a * 31 + c) % ${TextAnalysis.FingerprintMod})
+       |    % ${graft.streaming.IngestCuration.Buckets} AS b
+       | FROM (SELECT doc_id, lang,
+       |   unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+')) AS token
+       |  FROM documents) WHERE length(token) > 0)
+       |SELECT b, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_target,
+       |  count(*)::BIGINT AS n_raw
+       |FROM t GROUP BY 1""".stripMargin
+
   // ---------------------------------------------- q_train_weights / predict
 
   /** Distributed perceptron training ([[graft.ext.Perceptron]]): 3
@@ -500,6 +526,7 @@ object TrainPrepQueries {
     "q_bpe_encode_verified" -> (qBpeEncodeVerified _),
     "q_importance"         -> (qImportance _),
     "q_curation_incr"      -> (qCurationIncr _),
+    "q_curation_stats"     -> (qCurationStats _),
     "q_train_weights"      -> (qTrainWeights _),
     "q_train_predict"      -> (qTrainPredict _))
 
@@ -515,6 +542,7 @@ object TrainPrepQueries {
     "q_bpe_encode_verified" -> qBpeEncodeVerifiedSql,
     "q_importance"         -> qImportanceSql,
     "q_curation_incr"      -> qCurationIncrSql,
+    "q_curation_stats"     -> qCurationStatsSql,
     "q_train_weights"      -> qTrainWeightsSql,
     "q_train_predict"      -> qTrainPredictSql)
 }
