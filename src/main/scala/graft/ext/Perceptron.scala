@@ -97,4 +97,89 @@ object Perceptron {
       .select(col(idCol), col("y"), col("m"),
         (col("m") > 0).as("pred_pos"),
         (!mislabeled(col("y"), col("m"))).as("correct"))
+
+  // ------------------------------------------------------------- multiclass
+
+  /** Per-(doc, bucket) features keyed by the doc's TRUE class. */
+  def multiFeatures(docs: DataFrame, textCol: String, idCol: String,
+                    classCol: String): DataFrame =
+    docs.select(col(idCol), col(classCol).as("cls"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("b", TextAnalysis.tokenBucket(col("token"), Dim))
+      .groupBy(col(idCol), col("cls"), col("b"))
+      .agg(count(lit(1)).as("n"))
+
+  /** One-vs-rest multiclass training — ALL class heads train
+    * simultaneously: the class is just one more grouping column, so an
+    * epoch is still two aggregates (margins per (doc, class), updates per
+    * (class, bucket)) regardless of how many classes exist, and the
+    * driver state is |classes|·Dim longs. Same integer-exactness contract
+    * as the binary trainer: y·x updates are order-free sums, the oracle
+    * replays every epoch. Returns (c, b, w) over classes × corpus
+    * buckets. */
+  def trainMulticlass(docs: DataFrame, textCol: String, idCol: String,
+                      classCol: String, iters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feat = multiFeatures(docs, textCol, idCol, classCol).localCheckpoint()
+    val ids = feat.select(col(idCol), col("cls")).distinct().localCheckpoint()
+    val classes = ids.select("cls").distinct().as[String].collect().sorted.toSeq
+    var w = Map.empty[(String, Long), Long].withDefaultValue(0L)
+    for (_ <- 1 to iters) {
+      val wDf =
+        if (w.isEmpty) Seq.empty[(String, Long, Long)].toDF("c", "b", "w")
+        else w.toSeq.map { case ((c, b), v) => (c, b, v) }.toDF("c", "b", "w")
+      val partial = feat.join(broadcast(wDf), feat("b") === wDf("b"))
+        .groupBy(col(idCol), col("c"))
+        .agg(sum(expr("n * w")).as("pm"))
+      val margins = ids
+        .crossJoin(broadcast(classes.toDF("c")))
+        .join(partial, Seq(idCol, "c"), "left")
+        .select(col(idCol), col("cls"), col("c"),
+          coalesce(col("pm"), lit(0L)).as("m"),
+          when(col("cls") === col("c"), 1L).otherwise(-1L).as("y"))
+      val upd = margins.filter(mislabeled(col("y"), col("m")))
+        .select(col(idCol).as("__mid"), col("c"), col("y"))
+        .join(feat, col("__mid") === feat(idCol))
+        .groupBy("c", "b").agg(sum(expr("y * n")).as("d"))
+        .as[(String, Long, Long)].collect() // ≤ |classes| · Dim rows
+      w = upd.foldLeft(w) { case (acc, (c, b, d)) =>
+        acc.updated((c, b), acc((c, b)) + d)
+      }
+    }
+    val wDf =
+      if (w.isEmpty) Seq.empty[(String, Long, Long)].toDF("c", "b", "w")
+      else w.toSeq.map { case ((c, b), v) => (c, b, v) }.toDF("c", "b", "w")
+    feat.select("b").distinct()
+      .crossJoin(broadcast(classes.toDF("c")))
+      .join(broadcast(wDf), Seq("c", "b"), "left")
+      .select(col("c"), col("b"), coalesce(col("w"), lit(0L)).as("w"))
+  }
+
+  /** Confusion matrix of the argmax head (ties break to the
+    * lexicographically first class — mirrored in the oracle): (y_true,
+    * y_pred, n). */
+  def confusion(docs: DataFrame, textCol: String, idCol: String,
+                classCol: String, weights: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feat = multiFeatures(docs, textCol, idCol, classCol).localCheckpoint()
+    val ids = feat.select(col(idCol), col("cls")).distinct()
+    val classes = weights.select("c").distinct()
+    val partial = feat.join(broadcast(weights), feat("b") === weights("b"))
+      .groupBy(col(idCol), col("c"))
+      .agg(sum(expr("n * w")).as("pm"))
+    val margins = ids.crossJoin(broadcast(classes))
+      .join(partial, Seq(idCol, "c"), "left")
+      .select(col(idCol), col("cls"), col("c"),
+        coalesce(col("pm"), lit(0L)).as("m"))
+    margins
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("m").desc, col("c"))))
+      .filter(col("rk") === 1)
+      .groupBy(col("cls").as("y_true"), col("c").as("y_pred"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

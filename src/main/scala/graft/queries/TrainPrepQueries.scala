@@ -510,6 +510,74 @@ object TrainPrepQueries {
        |       (f.y < 0 AND sum(f.n * coalesce(wt.w, 0)) > 0)) AS correct
        |FROM feat f LEFT JOIN wt USING (b) GROUP BY 1, 2""".stripMargin
 
+  // -------------------------------------------- q_langid_weights / confusion
+
+  /** Multiclass language-ID training: every one-vs-rest head trains
+    * simultaneously (class is a grouping column — an epoch stays two
+    * aggregates no matter how many classes). The oracle replays all heads
+    * in one unrolled chain; the confusion query certifies the argmax
+    * router on top. */
+  def qLangidWeights(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Perceptron.trainMulticlass(Tables(s, dir, "documents"),
+      "text", "doc_id", "lang", iters = TrainIters)
+
+  def qLangidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val w = graft.ext.Perceptron.trainMulticlass(docs, "text", "doc_id",
+      "lang", iters = TrainIters)
+    graft.ext.Perceptron.confusion(docs, "text", "doc_id", "lang", w)
+  }
+
+  private def langidCtes: String = {
+    val base =
+      s"""classes AS (SELECT DISTINCT lang AS c FROM documents),
+         |feat AS (SELECT doc_id, cls, b, count(*)::BIGINT AS n FROM (
+         |  SELECT doc_id, lang AS cls,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |        list_transform(range(1, length(token) + 1), i -> ascii(token[i])::BIGINT)),
+         |      (a, c) -> (a * 31 + c) % ${TextAnalysis.FingerprintMod})
+         |      % ${graft.ext.Perceptron.Dim} AS b
+         |  FROM (SELECT doc_id, lang,
+         |     unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+')) AS token
+         |    FROM documents) WHERE length(token) > 0) GROUP BY 1, 2, 3),
+         |ids AS (SELECT DISTINCT doc_id, cls FROM feat),
+         |w0 AS (SELECT NULL::VARCHAR AS c, NULL::BIGINT AS b, NULL::BIGINT AS w WHERE false)""".stripMargin
+    val iters = (1 to TrainIters).map { i =>
+      s"""m$i AS (SELECT i.doc_id, i.cls, x.c, coalesce(p.pm, 0)::BIGINT AS m,
+         |  (CASE WHEN i.cls = x.c THEN 1 ELSE -1 END)::BIGINT AS y
+         |  FROM ids i CROSS JOIN classes x
+         |  LEFT JOIN (SELECT f.doc_id, w.c, sum(f.n * w.w)::BIGINT AS pm
+         |             FROM feat f JOIN w${i - 1} w ON f.b = w.b GROUP BY 1, 2) p
+         |    ON p.doc_id = i.doc_id AND p.c = x.c),
+         |u$i AS (SELECT q.c, f.b, sum(q.y * f.n)::BIGINT AS d
+         |  FROM (SELECT doc_id, c, y FROM m$i
+         |        WHERE (y > 0 AND m <= 0) OR (y < 0 AND m > 0)) q
+         |  JOIN feat f USING (doc_id) GROUP BY 1, 2),
+         |w$i AS (SELECT coalesce(a.c, u.c) AS c, coalesce(a.b, u.b) AS b,
+         |  (coalesce(a.w, 0) + coalesce(u.d, 0))::BIGINT AS w
+         |  FROM w${i - 1} a FULL JOIN u$i u ON a.c = u.c AND a.b = u.b)""".stripMargin
+    }
+    (base +: iters).mkString(",\n")
+  }
+
+  val qLangidWeightsSql: String =
+    s"""WITH $langidCtes
+       |SELECT x.c, fb.b, coalesce(z.w, 0)::BIGINT AS w
+       |FROM (SELECT DISTINCT b FROM feat) fb CROSS JOIN classes x
+       |LEFT JOIN w$TrainIters z ON z.c = x.c AND z.b = fb.b""".stripMargin
+
+  val qLangidConfusionSql: String =
+    s"""WITH $langidCtes,
+       |fm AS (SELECT i.doc_id, i.cls, x.c, coalesce(p.pm, 0)::BIGINT AS m
+       |  FROM ids i CROSS JOIN classes x
+       |  LEFT JOIN (SELECT f.doc_id, w.c, sum(f.n * w.w)::BIGINT AS pm
+       |             FROM feat f JOIN w$TrainIters w ON f.b = w.b GROUP BY 1, 2) p
+       |    ON p.doc_id = i.doc_id AND p.c = x.c),
+       |top AS (SELECT doc_id, cls, c,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY m DESC, c) AS rk FROM fm)
+       |SELECT cls AS y_true, c AS y_pred, count(*)::BIGINT AS n
+       |FROM top WHERE rk = 1 GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -528,7 +596,9 @@ object TrainPrepQueries {
     "q_curation_incr"      -> (qCurationIncr _),
     "q_curation_stats"     -> (qCurationStats _),
     "q_train_weights"      -> (qTrainWeights _),
-    "q_train_predict"      -> (qTrainPredict _))
+    "q_train_predict"      -> (qTrainPredict _),
+    "q_langid_weights"     -> (qLangidWeights _),
+    "q_langid_confusion"   -> (qLangidConfusion _))
 
   val oracle: Map[String, String] = Map(
     "q_epoch_shuffle"      -> qEpochShuffleSql,
@@ -544,5 +614,7 @@ object TrainPrepQueries {
     "q_curation_incr"      -> qCurationIncrSql,
     "q_curation_stats"     -> qCurationStatsSql,
     "q_train_weights"      -> qTrainWeightsSql,
-    "q_train_predict"      -> qTrainPredictSql)
+    "q_train_predict"      -> qTrainPredictSql,
+    "q_langid_weights"     -> qLangidWeightsSql,
+    "q_langid_confusion"   -> qLangidConfusionSql)
 }

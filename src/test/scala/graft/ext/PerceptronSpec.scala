@@ -24,6 +24,22 @@ class PerceptronSpec extends AnyFunSuite {
       s"not converged: ${rows.filterNot(_._2).mkString(",")}")
   }
 
+  test("multiclass: separable 3-class corpus routes every doc to its class") {
+    // tokens chosen to land in DISTINCT hash buckets mod 64 (double-letter
+    // tokens all collapse to buckets {0, 32} — c·32 mod 64 — and made the
+    // classes inseparable in feature space)
+    val docs = Seq(
+      (1L, "alpha", "ax ax ay"), (2L, "alpha", "ax ay ay"),
+      (3L, "beta", "bx bx by"), (4L, "beta", "bx by"),
+      (5L, "gamma", "cx cy cx"), (6L, "gamma", "cx cy cy"))
+      .toDF("doc_id", "lang", "text")
+    val w = Perceptron.trainMulticlass(docs, "text", "doc_id", "lang", iters = 5)
+    val conf = Perceptron.confusion(docs, "text", "doc_id", "lang", w)
+      .as[(String, String, Long)].collect().toSet
+    assert(conf == Set(("alpha", "alpha", 2L), ("beta", "beta", 2L),
+      ("gamma", "gamma", 2L)), s"confusion: $conf")
+  }
+
   test("learned weights are partition-count invariant (bit-exact training)") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     def weightsAt(p: Int) = {
