@@ -510,6 +510,61 @@ object TrainPrepQueries {
        |       (f.y < 0 AND sum(f.n * coalesce(wt.w, 0)) > 0)) AS correct
        |FROM feat f LEFT JOIN wt USING (b) GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ q_sft_render
+
+  /** SFT-data assembly: each user's event stream becomes one chat-template
+    * conversation — alternating `<|user|>`/`<|assistant|>` turns in (ts,
+    * event_id) order — plus the LOSS-MASK character spans covering the
+    * assistant turns (what a supervised-finetuning loader masks the loss
+    * to). Offsets are cumulative segment lengths (integers), reassembly is
+    * array_sort/array_join over collected turn structs — deterministic,
+    * expression-only, and per-group state is one conversation, never the
+    * corpus. Spans are emitted as JSON (nested arrays break the driver's
+    * comparator). */
+  def qSftRender(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("props"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("seg", concat(
+        when(col("rn") % 2 === 1, lit("<|user|>")).otherwise(lit("<|assistant|>")),
+        col("event_type"), lit(" "), col("props"), lit("<|end|>")))
+      .withColumn("cum", coalesce(
+        sum(length(col("seg")).cast("long")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    e.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_turns"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("seg")))),
+          s => s.getField("seg")), "").as("rendered"),
+        to_json(transform(
+          filter(array_sort(collect_list(struct(col("rn"), col("cum"), col("seg")))),
+            s => s.getField("rn") % 2 === 0),
+          s => array(s.getField("cum"),
+            s.getField("cum") + length(s.getField("seg")).cast("long"))))
+          .as("mask_spans"))
+  }
+
+  val qSftRenderSql: String =
+    """WITH e AS (SELECT user_id, event_type, props,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      | FROM events),
+      |t AS (SELECT user_id, rn,
+      |  (CASE WHEN rn % 2 = 1 THEN '<|user|>' ELSE '<|assistant|>' END
+      |   || event_type || ' ' || props || '<|end|>') AS seg FROM e),
+      |c AS (SELECT user_id, rn, seg,
+      |  coalesce(sum(length(seg)) OVER (PARTITION BY user_id ORDER BY rn
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+      | FROM t)
+      |SELECT user_id, count(*)::BIGINT AS n_turns,
+      |  string_agg(seg, '' ORDER BY rn) AS rendered,
+      |  to_json(list([cum, cum + length(seg)::BIGINT] ORDER BY rn)
+      |    FILTER (WHERE rn % 2 = 0)) AS mask_spans
+      |FROM c GROUP BY user_id""".stripMargin
+
   // -------------------------------------------- q_langid_weights / confusion
 
   /** Multiclass language-ID training: every one-vs-rest head trains
@@ -598,7 +653,8 @@ object TrainPrepQueries {
     "q_train_weights"      -> (qTrainWeights _),
     "q_train_predict"      -> (qTrainPredict _),
     "q_langid_weights"     -> (qLangidWeights _),
-    "q_langid_confusion"   -> (qLangidConfusion _))
+    "q_langid_confusion"   -> (qLangidConfusion _),
+    "q_sft_render"         -> (qSftRender _))
 
   val oracle: Map[String, String] = Map(
     "q_epoch_shuffle"      -> qEpochShuffleSql,
@@ -616,5 +672,6 @@ object TrainPrepQueries {
     "q_train_weights"      -> qTrainWeightsSql,
     "q_train_predict"      -> qTrainPredictSql,
     "q_langid_weights"     -> qLangidWeightsSql,
-    "q_langid_confusion"   -> qLangidConfusionSql)
+    "q_langid_confusion"   -> qLangidConfusionSql,
+    "q_sft_render"         -> qSftRenderSql)
 }
