@@ -291,4 +291,36 @@ object PropertySpec extends Properties("graft") {
         .collect().forall(x => x.getLong(1) == 0L && x.getString(2).isEmpty)
     }
 
+  property("two-phase grouped row_number == window for arbitrary groups, ties and nulls") =
+    forAll(Gen.listOfN(24, Gen.zip(
+      Gen.option(Gen.oneOf("a", "b", "c")), Gen.choose(0, 5)))) { rows =>
+      import org.apache.spark.sql.expressions.Window
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "g", "v")
+      val expected = df.withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(col("v"), col("id"))).cast("long"))
+        .select("id", "rn").as[(Long, Long)].collect().toMap
+      val got = graft.exec.Ranks
+        .groupedRowNumber(df, Seq("g"), Seq(col("v"), col("id")), "rn")
+        .select("id", "rn").as[(Long, Long)].collect().toMap
+      got == expected
+    }
+
+  property("epoch shuffle: any budget yields gap-free token intervals and dense shards") =
+    forAll(Gen.choose(1L, 500L), Gen.listOfN(12, Gen.choose(0, 8))) { (budget, lens) =>
+      val df = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (0 until n).map(j => s"w$j").mkString(" "))
+      }.toDF("doc_id", "text")
+      val r = graft.ext.Sharding.epochShuffle(df, "doc_id", "text", seed = 3L, budget)
+        .select("h", "n_tokens", "cum_before", "shard")
+        .as[(Long, Long, Long, Long)].collect().sortBy(x => (x._1)).toSeq
+      var cum = 0L
+      r.forall { case (_, tok, before, shard) =>
+        val ok = before == cum && shard == before / budget
+        cum += tok; ok
+      } && {
+        val shards = r.map(_._4).distinct.sorted
+        shards == (0L until shards.length).toSeq
+      }
+    }
 }
