@@ -521,7 +521,9 @@ object TrainPrepQueries {
     * expression-only, and per-group state is one conversation, never the
     * corpus. Spans are emitted as JSON (nested arrays break the driver's
     * comparator). */
-  def qSftRender(s: SparkSession, dir: String): DataFrame = {
+  /** (user_id, n_turns, rendered, spans: array<array<bigint>>) — shared by
+    * the render and pack queries. */
+  private def conversations(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val e = Tables.events(s, dir)
@@ -540,13 +542,17 @@ object TrainPrepQueries {
         array_join(transform(
           array_sort(collect_list(struct(col("rn"), col("seg")))),
           s => s.getField("seg")), "").as("rendered"),
-        to_json(transform(
+        transform(
           filter(array_sort(collect_list(struct(col("rn"), col("cum"), col("seg")))),
             s => s.getField("rn") % 2 === 0),
           s => array(s.getField("cum"),
-            s.getField("cum") + length(s.getField("seg")).cast("long"))))
-          .as("mask_spans"))
+            s.getField("cum") + length(s.getField("seg")).cast("long")))
+          .as("spans"))
   }
+
+  def qSftRender(s: SparkSession, dir: String): DataFrame =
+    conversations(s, dir).select(col("user_id"), col("n_turns"),
+      col("rendered"), to_json(col("spans")).as("mask_spans"))
 
   val qSftRenderSql: String =
     """WITH e AS (SELECT user_id, event_type, props,
@@ -561,9 +567,75 @@ object TrainPrepQueries {
       | FROM t)
       |SELECT user_id, count(*)::BIGINT AS n_turns,
       |  string_agg(seg, '' ORDER BY rn) AS rendered,
-      |  to_json(list([cum, cum + length(seg)::BIGINT] ORDER BY rn)
-      |    FILTER (WHERE rn % 2 = 0)) AS mask_spans
+      |  to_json(coalesce(list([cum, cum + length(seg)::BIGINT] ORDER BY rn)
+      |    FILTER (WHERE rn % 2 = 0), [])) AS mask_spans
       |FROM c GROUP BY user_id""".stripMargin
+
+  // -------------------------------------------------------------- q_sft_pack
+
+  /** Conversation packing for SFT: whole conversations (never split)
+    * concatenate into ~2000-char bins, and every conversation's loss-mask
+    * spans are REBASED by its offset inside the bin — the packed sample's
+    * mask is exactly the union of its members' masks. Same scale shape as
+    * sequence packing: hash-sharded, per-shard cumulative window, per-bin
+    * offset window (bounded by a bin, never the corpus). */
+  def qSftPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2000L
+    val conv = conversations(s, dir)
+      .withColumn("len", length(col("rendered")).cast("long"))
+      .withColumn("shard", pmod(col("user_id"), lit(4L)))
+    val ws = Window.partitionBy("shard").orderBy("user_id")
+    val assigned = conv
+      .withColumn("start", coalesce(sum(col("len")).over(
+        ws.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("seq", expr(s"start div $budget"))
+      .withColumn("off", col("start") - min(col("start")).over(
+        Window.partitionBy("shard", "seq")))
+    assigned.groupBy("shard", "seq")
+      .agg(
+        count(lit(1)).as("n_convs"),
+        sum("len").as("n_chars"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("user_id"), col("rendered")))),
+          s => s.getField("rendered")), "").as("text"),
+        to_json(flatten(transform(
+          array_sort(collect_list(struct(col("user_id"), col("off"), col("spans")))),
+          s => transform(s.getField("spans"),
+            sp => array(element_at(sp, 1) + s.getField("off"),
+              element_at(sp, 2) + s.getField("off"))))))
+          .as("mask_spans"))
+  }
+
+  val qSftPackSql: String =
+    """WITH e AS (SELECT user_id, event_type, props,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      | FROM events),
+      |t AS (SELECT user_id, rn,
+      |  (CASE WHEN rn % 2 = 1 THEN '<|user|>' ELSE '<|assistant|>' END
+      |   || event_type || ' ' || props || '<|end|>') AS seg FROM e),
+      |c AS (SELECT user_id, rn, seg,
+      |  coalesce(sum(length(seg)) OVER (PARTITION BY user_id ORDER BY rn
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+      | FROM t),
+      |conv AS (SELECT user_id,
+      |  string_agg(seg, '' ORDER BY rn) AS rendered,
+      |  list([cum, cum + length(seg)::BIGINT] ORDER BY rn)
+      |    FILTER (WHERE rn % 2 = 0) AS spans
+      | FROM c GROUP BY user_id),
+      |sh AS (SELECT user_id, rendered, coalesce(spans, []) AS spans,
+      |  length(rendered)::BIGINT AS len, user_id % 4 AS shard FROM conv),
+      |a AS (SELECT *, coalesce(sum(len) OVER (PARTITION BY shard ORDER BY user_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+      | FROM sh),
+      |b AS (SELECT *, (start // 2000)::BIGINT AS seq FROM a),
+      |o AS (SELECT *, (start - min(start) OVER (PARTITION BY shard, seq))::BIGINT AS off
+      | FROM b)
+      |SELECT shard, seq, count(*)::BIGINT AS n_convs, sum(len)::BIGINT AS n_chars,
+      |  string_agg(rendered, '' ORDER BY user_id) AS text,
+      |  to_json(flatten(list(list_transform(spans, sp -> [sp[1] + off, sp[2] + off])
+      |    ORDER BY user_id))) AS mask_spans
+      |FROM o GROUP BY shard, seq""".stripMargin
 
   // -------------------------------------------- q_langid_weights / confusion
 
@@ -654,7 +726,8 @@ object TrainPrepQueries {
     "q_train_predict"      -> (qTrainPredict _),
     "q_langid_weights"     -> (qLangidWeights _),
     "q_langid_confusion"   -> (qLangidConfusion _),
-    "q_sft_render"         -> (qSftRender _))
+    "q_sft_render"         -> (qSftRender _),
+    "q_sft_pack"           -> (qSftPack _))
 
   val oracle: Map[String, String] = Map(
     "q_epoch_shuffle"      -> qEpochShuffleSql,
@@ -673,5 +746,6 @@ object TrainPrepQueries {
     "q_train_predict"      -> qTrainPredictSql,
     "q_langid_weights"     -> qLangidWeightsSql,
     "q_langid_confusion"   -> qLangidConfusionSql,
-    "q_sft_render"         -> qSftRenderSql)
+    "q_sft_render"         -> qSftRenderSql,
+    "q_sft_pack"           -> qSftPackSql)
 }
