@@ -92,6 +92,75 @@ object Sharding {
         Window.partitionBy("shard").orderBy("h", idCol)))
   }
 
+  /** CONTENT-DEFINED chunking — the incremental-retraining counterpart of
+    * the ordinal epoch shards. The epoch manifest has a cascade problem:
+    * dropping one document shifts every later shard's token interval, so
+    * a tiny corpus delta invalidates almost all shards. Here chunk
+    * BOUNDARIES are content-chosen (documents whose shuffle hash ≡ 0 mod
+    * `cutMod` start a chunk — the rsync/CDC trick applied to corpora) and
+    * a chunk's IDENTITY is its cut document's hash, not an ordinal: a
+    * delete or edit changes only the chunk(s) that actually contain the
+    * touched documents (plus one merge when the cut doc itself vanishes),
+    * leaving every other chunk's key AND checksum byte-identical — so an
+    * incremental pipeline re-tokenizes a bounded set, never the corpus.
+    *
+    * Same two-phase scale shape as the epoch shuffle: one range exchange
+    * on (h, id), per-partition last-cut hashes chained through the driver
+    * (P values), rows streamed once. Output: (idCol, h, n_tokens,
+    * chunk_key) where chunk_key = h of the chunk's cut doc, −1 for the
+    * prefix before the first cut. */
+  def contentChunks(docs: DataFrame, idCol: String, textCol: String,
+                    seed: Long, cutMod: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(
+      col(idCol).cast(LongType).as("id"),
+      TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+      .withColumn("h", shuffleKey(col("id"), seed))
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val ranged = base.repartitionByRange(parts, col("h"), col("id"))
+      .sortWithinPartitions("h", "id")
+      .select(col("id"), col("n_tokens"), col("h")).as[(Long, Long, Long)]
+      .localCheckpoint()
+    // Phase 1: each partition's LAST cut hash (if any).
+    val lastCuts: Map[Int, Long] = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var last = Long.MinValue
+      it.foreach { case (_, _, h) => if (h % cutMod == 0L) last = h }
+      if (last == Long.MinValue) Iterator.empty else Iterator((pid, last))
+    }.collect().toMap
+    // Phase 2: the cut hash each partition INHERITS = the latest cut in
+    // any earlier partition; −1 before the first cut in the corpus.
+    val incoming: Map[Int, Long] = {
+      var run = -1L
+      (0 until parts).map { pid =>
+        val in = pid -> run
+        lastCuts.get(pid).foreach(run = _)
+        in
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(incoming)
+    spark.createDataset(
+      ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var cur = bc.value(pid)
+        it.map { case (id, tok, h) =>
+          if (h % cutMod == 0L) cur = h
+          (id, h, tok, cur)
+        }
+      }).toDF(idCol, "h", "n_tokens", "chunk_key")
+  }
+
+  /** Per-chunk manifest with an ORDER-INSENSITIVE content checksum
+    * (membership + text fingerprints), the unit of incremental diffing. */
+  def chunkManifest(docs: DataFrame, idCol: String, textCol: String,
+                    seed: Long, cutMod: Long): DataFrame =
+    contentChunks(docs, idCol, textCol, seed, cutMod)
+      .join(docs.select(col(idCol).cast(LongType).as(idCol),
+        TextAnalysis.fingerprint(col(textCol)).as("__fp")), idCol)
+      .groupBy("chunk_key")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum(expr(s"($idCol * 31 + __fp) % $HashMod")).as("checksum"))
+
   /** Materialize the epoch to disk in the layout a trainer streams:
     * `path/shard=K/` holds shard K's documents IN EPOCH ORDER inside the
     * parquet files, and `path/_manifest/` records each shard's doc/token

@@ -208,6 +208,80 @@ object TrainPrepQueries {
        |  sum((doc_id * pos) % ${Sharding.HashMod})::BIGINT AS checksum
        |FROM e GROUP BY shard""".stripMargin
 
+  // ---------------------------------------------- q_cdc_chunks / q_cdc_diff
+
+  /** Content-defined chunk manifest ([[Sharding.contentChunks]]): chunk
+    * identity is the cut document's hash, so corpus edits change only the
+    * touched chunks — the incremental-retraining unit. */
+  val CdcCutMod = 16L
+
+  def qCdcChunks(s: SparkSession, dir: String): DataFrame =
+    Sharding.chunkManifest(Tables(s, dir, "documents"),
+      "doc_id", "text", seed = 42L, cutMod = CdcCutMod)
+
+  private val cdcManifestSql: String => String = (src: String) =>
+    s"""SELECT chunk_key, count(*)::BIGINT AS n_docs,
+       |  sum(n_tokens)::BIGINT AS n_tokens,
+       |  sum((doc_id * 31 + fp) % ${Sharding.HashMod})::BIGINT AS checksum
+       |FROM (SELECT doc_id, n_tokens, fp,
+       |  coalesce(max(CASE WHEN h % $CdcCutMod = 0 THEN h END)
+       |    OVER (ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS chunk_key
+       | FROM (SELECT doc_id,
+       |   len(string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+'))::BIGINT AS n_tokens,
+       |   list_reduce(list_prepend(0::BIGINT,
+       |     list_transform(range(1, length(lower(trim(text))) + 1),
+       |       i -> ascii(lower(trim(text))[i])::BIGINT)),
+       |     (a, c) -> (a * 31 + c) % ${Sharding.HashMod}) AS fp,
+       |   ((doc_id % ${Sharding.HashMod}) * ${Sharding.HashMulA} + 42) % ${Sharding.HashMod} * ${Sharding.HashMulB} % ${Sharding.HashMod} AS h
+       |  FROM ($src)))
+       |GROUP BY chunk_key""".stripMargin
+
+  val qCdcChunksSql: String = cdcManifestSql("SELECT doc_id, text FROM documents")
+
+  /** The incremental diff: corpus B drops every 23rd document and edits
+    * every 17th; chunk manifests of A and B full-join on the stable chunk
+    * key. Only chunks holding touched documents (or losing their cut doc)
+    * may differ — the locality property CdcSpec asserts; the oracle
+    * certifies the exact diff. */
+  def qCdcDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val b = docs.filter(col("doc_id") % 23 =!= 5)
+      .withColumn("text",
+        when(col("doc_id") % 17 === 3, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    val ma = Sharding.chunkManifest(docs, "doc_id", "text", 42L, CdcCutMod)
+      .withColumnsRenamed(Map("n_docs" -> "a_docs", "n_tokens" -> "a_tokens",
+        "checksum" -> "a_sum"))
+    val mb = Sharding.chunkManifest(b, "doc_id", "text", 42L, CdcCutMod)
+      .withColumnsRenamed(Map("n_docs" -> "b_docs", "n_tokens" -> "b_tokens",
+        "checksum" -> "b_sum"))
+    ma.join(mb, Seq("chunk_key"), "full")
+      .select(col("chunk_key"),
+        coalesce(col("a_docs"), lit(0L)).as("a_docs"),
+        coalesce(col("b_docs"), lit(0L)).as("b_docs"),
+        when(col("a_sum").isNull, lit("added"))
+          .when(col("b_sum").isNull, lit("removed"))
+          .when(col("a_sum") === col("b_sum") && col("a_docs") === col("b_docs"),
+            lit("same"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  val qCdcDiffSql: String = {
+    val bSrc = "SELECT doc_id, CASE WHEN doc_id % 17 = 3 THEN text || ' v2' " +
+      "ELSE text END AS text FROM documents WHERE doc_id % 23 <> 5"
+    s"""WITH ma AS (${cdcManifestSql("SELECT doc_id, text FROM documents")}),
+       |mb AS (${cdcManifestSql(bSrc)})
+       |SELECT coalesce(ma.chunk_key, mb.chunk_key) AS chunk_key,
+       |  coalesce(ma.n_docs, 0)::BIGINT AS a_docs,
+       |  coalesce(mb.n_docs, 0)::BIGINT AS b_docs,
+       |  CASE WHEN ma.checksum IS NULL THEN 'added'
+       |       WHEN mb.checksum IS NULL THEN 'removed'
+       |       WHEN ma.checksum = mb.checksum AND ma.n_docs = mb.n_docs THEN 'same'
+       |       ELSE 'changed' END AS status
+       |FROM ma FULL JOIN mb ON ma.chunk_key = mb.chunk_key""".stripMargin
+  }
+
   // ------------------------------------------------------------- q_bpe_pairs
 
   /** First BPE iteration: adjacent character-pair counts over the
@@ -727,7 +801,9 @@ object TrainPrepQueries {
     "q_langid_weights"     -> (qLangidWeights _),
     "q_langid_confusion"   -> (qLangidConfusion _),
     "q_sft_render"         -> (qSftRender _),
-    "q_sft_pack"           -> (qSftPack _))
+    "q_sft_pack"           -> (qSftPack _),
+    "q_cdc_chunks"         -> (qCdcChunks _),
+    "q_cdc_diff"           -> (qCdcDiff _))
 
   val oracle: Map[String, String] = Map(
     "q_epoch_shuffle"      -> qEpochShuffleSql,
@@ -747,5 +823,7 @@ object TrainPrepQueries {
     "q_langid_weights"     -> qLangidWeightsSql,
     "q_langid_confusion"   -> qLangidConfusionSql,
     "q_sft_render"         -> qSftRenderSql,
-    "q_sft_pack"           -> qSftPackSql)
+    "q_sft_pack"           -> qSftPackSql,
+    "q_cdc_chunks"         -> qCdcChunksSql,
+    "q_cdc_diff"           -> qCdcDiffSql)
 }
