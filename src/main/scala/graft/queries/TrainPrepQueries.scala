@@ -282,6 +282,55 @@ object TrainPrepQueries {
        |FROM ma FULL JOIN mb ON ma.chunk_key = mb.chunk_key""".stripMargin
   }
 
+  // ------------------------------------------------------------- q_cdc_incr
+
+  /** The incremental pipeline itself: corpus B's chunk manifest assembled
+    * from A's manifest plus a recompute of ONLY the dirty chunks — the
+    * chunks holding touched documents, each deleted cut doc's own chunk,
+    * and that chunk's predecessor (where its orphaned members land).
+    * Chunking the dirty-docs subset alone yields exactly their B
+    * assignment, because dirty regions are unions of whole chunks and
+    * every non-prefix chunk carries its own cut doc. The predecessor
+    * lookup runs through [[graft.exec.Ranks]] (ranked chunk keys,
+    * rank−1 self-join) — no single-task window over the chunk list. The
+    * ORACLE is the direct full manifest of B: a hash-match proves
+    * incremental == recompute-everything. */
+  def qCdcIncr(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val edited = col("doc_id") % 17 === 3
+    val deleted = col("doc_id") % 23 === 5
+    val b = docs.filter(!deleted)
+      .withColumn("text",
+        when(edited, concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    val a = Sharding.contentChunks(docs, "doc_id", "text", 42L, CdcCutMod)
+      .localCheckpoint()
+    val touched = a.filter(edited || deleted).select("chunk_key")
+    val delCut = a.filter(deleted && col("h") % CdcCutMod === 0L)
+      .select(col("chunk_key").as("dk"))
+    val keys = graft.exec.Ranks.globalRowNumber(
+      a.select("chunk_key").distinct(), Seq(col("chunk_key")), "rk")
+    val prevKeys = keys.select(col("chunk_key").as("pk"), (col("rk") + 1).as("rk"))
+    val pred = delCut.join(keys, col("dk") === col("chunk_key"))
+      .join(prevKeys, Seq("rk"), "left")
+      .select(coalesce(col("pk"), lit(-1L)).as("chunk_key"))
+    val dirty = touched
+      .union(delCut.select(col("dk").as("chunk_key")))
+      .union(pred).distinct().localCheckpoint()
+    val maClean = Sharding.chunkManifest(docs, "doc_id", "text", 42L, CdcCutMod)
+      .join(dirty, Seq("chunk_key"), "left_anti")
+    val bDirtyDocs = b
+      .join(a.select(col("doc_id"), col("chunk_key")), "doc_id")
+      .join(dirty, "chunk_key")
+      .select("doc_id", "text")
+    val recomputed = Sharding.chunkManifest(bDirtyDocs, "doc_id", "text",
+      42L, CdcCutMod)
+    maClean.unionByName(recomputed)
+  }
+
+  val qCdcIncrSql: String = cdcManifestSql(
+    "SELECT doc_id, CASE WHEN doc_id % 17 = 3 THEN text || ' v2' " +
+      "ELSE text END AS text FROM documents WHERE doc_id % 23 <> 5")
+
   // ------------------------------------------------------------- q_bpe_pairs
 
   /** First BPE iteration: adjacent character-pair counts over the
@@ -803,7 +852,8 @@ object TrainPrepQueries {
     "q_sft_render"         -> (qSftRender _),
     "q_sft_pack"           -> (qSftPack _),
     "q_cdc_chunks"         -> (qCdcChunks _),
-    "q_cdc_diff"           -> (qCdcDiff _))
+    "q_cdc_diff"           -> (qCdcDiff _),
+    "q_cdc_incr"           -> (qCdcIncr _))
 
   val oracle: Map[String, String] = Map(
     "q_epoch_shuffle"      -> qEpochShuffleSql,
@@ -825,5 +875,6 @@ object TrainPrepQueries {
     "q_sft_render"         -> qSftRenderSql,
     "q_sft_pack"           -> qSftPackSql,
     "q_cdc_chunks"         -> qCdcChunksSql,
-    "q_cdc_diff"           -> qCdcDiffSql)
+    "q_cdc_diff"           -> qCdcDiffSql,
+    "q_cdc_incr"           -> qCdcIncrSql)
 }
