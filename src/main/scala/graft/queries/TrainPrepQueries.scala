@@ -282,6 +282,39 @@ object TrainPrepQueries {
        |FROM ma FULL JOIN mb ON ma.chunk_key = mb.chunk_key""".stripMargin
   }
 
+  // ------------------------------------------------------------- q_data_card
+
+  /** Dataset-card report: one pass over the corpus, GROUPING SETS over
+    * (language × length band), each cell carrying doc/token counts, char
+    * totals and a quality-keep rate — the summary table a dataset release
+    * ships. Catalyst expands the sets from a single aggregate; no second
+    * scan. */
+  def qDataCard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("band", expr("CASE WHEN n_tokens < 32 THEN 'short' " +
+        "WHEN n_tokens < 96 THEN 'medium' ELSE 'long' END"))
+      .withColumn("keep", (length(col("text")) >= 64).cast("long"))
+    d.cube("lang", "band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum("keep").as("n_keep"))
+  }
+
+  val qDataCardSql: String =
+    """WITH d AS (SELECT lang, text,
+      |  len(string_split_regex(lower(trim(text)), '[ \t\n\f\r]+'))::BIGINT AS n_tokens
+      | FROM documents),
+      |e AS (SELECT lang,
+      |  CASE WHEN n_tokens < 32 THEN 'short'
+      |       WHEN n_tokens < 96 THEN 'medium' ELSE 'long' END AS band,
+      |  n_tokens, length(text)::BIGINT AS n_chars,
+      |  CASE WHEN length(text) >= 64 THEN 1 ELSE 0 END::BIGINT AS keep FROM d)
+      |SELECT lang, band, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+      |  sum(n_chars)::BIGINT AS n_chars, sum(keep)::BIGINT AS n_keep
+      |FROM e GROUP BY CUBE (lang, band)""".stripMargin
+
   // ------------------------------------------------------------- q_cdc_incr
 
   /** The incremental pipeline itself: corpus B's chunk manifest assembled
@@ -853,7 +886,8 @@ object TrainPrepQueries {
     "q_sft_pack"           -> (qSftPack _),
     "q_cdc_chunks"         -> (qCdcChunks _),
     "q_cdc_diff"           -> (qCdcDiff _),
-    "q_cdc_incr"           -> (qCdcIncr _))
+    "q_cdc_incr"           -> (qCdcIncr _),
+    "q_data_card"          -> (qDataCard _))
 
   val oracle: Map[String, String] = Map(
     "q_epoch_shuffle"      -> qEpochShuffleSql,
@@ -876,5 +910,6 @@ object TrainPrepQueries {
     "q_sft_pack"           -> qSftPackSql,
     "q_cdc_chunks"         -> qCdcChunksSql,
     "q_cdc_diff"           -> qCdcDiffSql,
-    "q_cdc_incr"           -> qCdcIncrSql)
+    "q_cdc_incr"           -> qCdcIncrSql,
+    "q_data_card"          -> qDataCardSql)
 }
