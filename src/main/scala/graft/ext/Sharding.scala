@@ -110,22 +110,39 @@ object Sharding {
     * chunk_key) where chunk_key = h of the chunk's cut doc, −1 for the
     * prefix before the first cut. */
   def contentChunks(docs: DataFrame, idCol: String, textCol: String,
-                    seed: Long, cutMod: Long): DataFrame = {
-    val spark = docs.sparkSession
+                    seed: Long, cutMod: Long): DataFrame =
+    assignChunkKeys(
+      docs.select(
+        col(idCol).cast(LongType).as("id"),
+        TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+        .withColumn("h", shuffleKey(col("id"), seed)),
+      cutMod)
+      .withColumnRenamed("id", idCol)
+
+  /** The cut-assignment core over any (id, n_tokens, h) frame. */
+  def assignChunkKeys(base0: DataFrame, cutMod: Long): DataFrame =
+    assignChunkKeysBy(base0.withColumn("is_cut",
+      (col("h") % cutMod === 0L).cast("long")))
+
+  /** Flag-driven variant: `is_cut` marks the chunk-starting rows
+    * explicitly. The standing chunk index needs BOTH the post-batch
+    * assignment (batch cut docs start new chunks) and the pre-batch one
+    * (only standing cuts count — where would this doc have landed before
+    * the batch?) over the same frame, which a pure h-mod predicate can't
+    * express. */
+  def assignChunkKeysBy(base0: DataFrame): DataFrame = {
+    val spark = base0.sparkSession
     import spark.implicits._
-    val base = docs.select(
-      col(idCol).cast(LongType).as("id"),
-      TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
-      .withColumn("h", shuffleKey(col("id"), seed))
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val ranged = base.repartitionByRange(parts, col("h"), col("id"))
+    val ranged = base0.repartitionByRange(parts, col("h"), col("id"))
       .sortWithinPartitions("h", "id")
-      .select(col("id"), col("n_tokens"), col("h")).as[(Long, Long, Long)]
+      .select(col("id"), col("n_tokens"), col("h"), col("is_cut"))
+      .as[(Long, Long, Long, Long)]
       .localCheckpoint()
     // Phase 1: each partition's LAST cut hash (if any).
     val lastCuts: Map[Int, Long] = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       var last = Long.MinValue
-      it.foreach { case (_, _, h) => if (h % cutMod == 0L) last = h }
+      it.foreach { case (_, _, h, cut) => if (cut != 0L) last = h }
       if (last == Long.MinValue) Iterator.empty else Iterator((pid, last))
     }.collect().toMap
     // Phase 2: the cut hash each partition INHERITS = the latest cut in
@@ -142,11 +159,11 @@ object Sharding {
     spark.createDataset(
       ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
         var cur = bc.value(pid)
-        it.map { case (id, tok, h) =>
-          if (h % cutMod == 0L) cur = h
+        it.map { case (id, tok, h, cut) =>
+          if (cut != 0L) cur = h
           (id, h, tok, cur)
         }
-      }).toDF(idCol, "h", "n_tokens", "chunk_key")
+      }).toDF("id", "h", "n_tokens", "chunk_key")
   }
 
   /** Per-chunk manifest with an ORDER-INSENSITIVE content checksum

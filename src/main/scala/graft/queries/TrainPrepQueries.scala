@@ -282,6 +282,28 @@ object TrainPrepQueries {
        |FROM ma FULL JOIN mb ON ma.chunk_key = mb.chunk_key""".stripMargin
   }
 
+  // ------------------------------------------------------------- q_chunk_idx
+
+  /** Driver-gate face of the STANDING chunk index: ingest the corpus in
+    * two batches through the real delta-partition code (splits, empty-
+    * chunk tombstones, latest-wins read) and emit the standing manifest.
+    * The oracle is the DIRECT one-shot chunk manifest — a hash-match
+    * proves incremental maintenance is semantically invisible. */
+  def qChunkIdx(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_chunkidx_q"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val docs = Tables(s, dir, "documents").select("doc_id", "text")
+    graft.ext.ChunkIndex.append(s, base, docs.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id", seed = 42L, cutMod = CdcCutMod, batchId = 0L)
+    graft.ext.ChunkIndex.append(s, base, docs.filter(col("doc_id") % 2 =!= 0),
+      "text", "doc_id", seed = 42L, cutMod = CdcCutMod, batchId = 1L)
+    graft.ext.ChunkIndex.readManifest(s, base)
+  }
+
+  val qChunkIdxSql: String = qCdcChunksSql
+
   // ------------------------------------------------------------- q_data_card
 
   /** Dataset-card report: one pass over the corpus, GROUPING SETS over
@@ -887,6 +909,7 @@ object TrainPrepQueries {
     "q_cdc_chunks"         -> (qCdcChunks _),
     "q_cdc_diff"           -> (qCdcDiff _),
     "q_cdc_incr"           -> (qCdcIncr _),
+    "q_chunk_idx"          -> (qChunkIdx _),
     "q_data_card"          -> (qDataCard _))
 
   val oracle: Map[String, String] = Map(
@@ -911,5 +934,6 @@ object TrainPrepQueries {
     "q_cdc_chunks"         -> qCdcChunksSql,
     "q_cdc_diff"           -> qCdcDiffSql,
     "q_cdc_incr"           -> qCdcIncrSql,
+    "q_chunk_idx"          -> qChunkIdxSql,
     "q_data_card"          -> qDataCardSql)
 }

@@ -1056,4 +1056,28 @@ class StreamSpec extends AnyFunSuite {
     assert(replayed2 == streamed2, "replay changed verdicts")
     assert(spark.read.parquet(s"$tmp/verdicts").count() == docs.length)
   }
+
+  test("streamed chunk-index maintenance equals the one-shot chunk manifest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ext.{ChunkIndex, Sharding}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunks_stream").toString
+    val input = MemoryStream[(Long, String)]
+    val q = ChunkIndex.run(input.toDF().toDF("doc_id", "text"),
+      base = s"$tmp/idx", textCol = "text", idCol = "doc_id",
+      seed = 42L, cutMod = 16L, checkpoint = s"$tmp/ckpt").start()
+    try {
+      docs.grouped(200).foreach { g =>
+        input.addData(g.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val standing = ChunkIndex.readManifest(spark, s"$tmp/idx")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val oneShot = Sharding.chunkManifest(
+        Tables(spark, dir, "documents"), "doc_id", "text", 42L, 16L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(standing == oneShot)
+  }
 }

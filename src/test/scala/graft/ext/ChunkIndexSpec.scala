@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTest, Tables}
+
+/** The standing chunk index must equal the one-shot chunk manifest after
+  * any batch split, while recomputing only dirty chunks per batch — and a
+  * replayed batch must change nothing. */
+class ChunkIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def manifestSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("chunk_key", "n_docs", "n_tokens", "checksum")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("three-batch ingestion == one-shot manifest; per-batch recompute is bounded; replay is a no-op") {
+    val base = java.nio.file.Files.createTempDirectory("graft_chunkidx").toString + "/idx"
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    // two bulk batches, then a SMALL tail batch — incrementality only
+    // shows when the batch is smaller than the chunk count
+    val tail = col("doc_id") >= 490
+    val batches = Seq(
+      docs.filter(!tail && col("doc_id") % 2 === 0),
+      docs.filter(!tail && col("doc_id") % 2 === 1),
+      docs.filter(tail))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      ChunkIndex.append(spark, base, b, "text", "doc_id",
+        seed = 42L, cutMod = 16L, batchId = i.toLong)
+    }
+    val standing = manifestSet(ChunkIndex.readManifest(spark, base))
+    val oneShot = manifestSet(
+      Sharding.chunkManifest(docs, "doc_id", "text", 42L, 16L))
+    assert(standing == oneShot)
+
+    // bounded recompute: the small batch's manifest delta holds only the
+    // chunks its documents touched (≤ 2 per doc: landing chunk + split
+    // predecessor), not the whole chunk set
+    val tailDocs = docs.filter(tail).count()
+    val delta2 = spark.read.parquet(s"$base/manifest")
+      .filter(col("batch_id") === 2).count()
+    val total = standing.size
+    assert(delta2 <= 2 * tailDocs,
+      s"batch 2 recomputed $delta2 chunks for $tailDocs docs")
+    assert(delta2 < total,
+      s"batch 2 recomputed $delta2 of $total chunks — not incremental")
+
+    // replay batch 1 (restart between write and checkpoint commit): the
+    // delta partitions are overwritten in place, the manifest unchanged
+    ChunkIndex.append(spark, base, batches(1), "text", "doc_id",
+      seed = 42L, cutMod = 16L, batchId = 1L)
+    assert(manifestSet(ChunkIndex.readManifest(spark, base)) == oneShot,
+      "replayed batch changed the standing manifest")
+    // and no duplicate doc rows
+    val docRows = ChunkIndex.readDocs(spark, base).count()
+    assert(docRows == docs.count())
+  }
+
+  test("a batch introducing a new cut splits the covering chunk correctly") {
+    val base = java.nio.file.Files.createTempDirectory("graft_chunkidx2").toString + "/idx"
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    // batch 0: only non-cut docs; batch 1: the cut docs arrive later and
+    // must split the chunks batch 0 built
+    val isCut = Sharding.shuffleKey(col("doc_id"), 42L) % 16L === 0L
+    ChunkIndex.append(spark, base, docs.filter(!isCut), "text", "doc_id",
+      seed = 42L, cutMod = 16L, batchId = 0L)
+    ChunkIndex.append(spark, base, docs.filter(isCut), "text", "doc_id",
+      seed = 42L, cutMod = 16L, batchId = 1L)
+    val standing = manifestSet(ChunkIndex.readManifest(spark, base))
+    val oneShot = manifestSet(
+      Sharding.chunkManifest(docs, "doc_id", "text", 42L, 16L))
+    assert(standing == oneShot, "late-arriving cuts broke the split path")
+  }
+}
