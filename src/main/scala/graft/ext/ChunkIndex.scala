@@ -28,9 +28,12 @@ import org.apache.spark.sql.types._
   * current batch's partitions, so a replay sees exactly the pre-batch
   * state and reproduces its output byte-for-byte.
   *
-  * v1 scope: inserts. Deletion would follow the dedup-index tombstone
-  * pattern (a tombstone partition masking doc ids, compaction folding it
-  * in) and is deliberately out of scope here. */
+  * Deletion (takedown) follows the dedup-index tombstone pattern:
+  * `tombs/batch_id=N/` masks doc ids on every read — an O(|deleted|)
+  * append, no delta rewritten — and the delete step recomputes only the
+  * victims' chunks plus, for each deleted CUT doc, its predecessor chunk
+  * (where the orphaned members merge; chains of adjacent deleted cuts
+  * resolve because every victim contributes its own predecessor). */
 object ChunkIndex {
 
   private val docsSchema = StructType(Seq(
@@ -45,21 +48,36 @@ object ChunkIndex {
     StructField("n_tokens", LongType), StructField("checksum", LongType),
     StructField("batch_id", LongType)))
 
+  private val tombsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("batch_id", LongType)))
+
   private def readOr(spark: SparkSession, path: String,
                      schema: StructType): DataFrame =
     scala.util.Try(spark.read.schema(schema).parquet(path))
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
 
+  private def readTombs(spark: SparkSession, base: String,
+                        excludeBatch: Long): DataFrame =
+    readOr(spark, s"$base/tombs", tombsSchema)
+      .filter(col("batch_id") =!= excludeBatch)
+      .select("doc_id")
+
+  /** Doc stats with tombstones masked — deletion is an O(|deleted|)
+    * tombstone append; no delta partition is ever rewritten. */
   def readDocs(spark: SparkSession, base: String,
                excludeBatch: Long = Long.MinValue): DataFrame =
     readOr(spark, s"$base/docs", docsSchema)
       .filter(col("batch_id") =!= excludeBatch)
+      .join(readTombs(spark, base, excludeBatch), Seq("doc_id"), "left_anti")
 
+  /** Cut markers with tombstones masked: a deleted cut doc stops being a
+    * boundary the moment its tombstone lands. */
   def readCuts(spark: SparkSession, base: String,
                excludeBatch: Long = Long.MinValue): DataFrame =
     readOr(spark, s"$base/cuts", cutsSchema)
       .filter(col("batch_id") =!= excludeBatch)
+      .join(readTombs(spark, base, excludeBatch), Seq("doc_id"), "left_anti")
 
   /** Current manifest: per chunk key, the row from the latest batch that
     * recomputed it. The window partitions by key — per-key state is the
@@ -114,22 +132,8 @@ object ChunkIndex {
     val postCuts = standingCuts.select("h")
       .unionByName(stats.filter(col("h") % cutMod === 0L).select("h"))
       .distinct()
-    val rankedCuts = graft.exec.Ranks.globalRowNumber(
-      postCuts, Seq(col("h")), "rk")
-    val nextCuts = rankedCuts.select(col("h").as("next_h"), (col("rk") - 1).as("rk"))
-    import spark.implicits._
-    val prefixRange =
-      if (postCuts.isEmpty) // cutless corpus: everything is the -1 chunk
-        Seq((-1L, Long.MinValue, Long.MaxValue)).toDF("chunk_key", "lo", "hi")
-      else rankedCuts.filter(col("rk") === 1)
-        .select(lit(-1L).as("chunk_key"), lit(Long.MinValue).as("lo"),
-          col("h").as("hi"))
-    val ranges = rankedCuts
-      .join(nextCuts, Seq("rk"), "left")
-      .select(col("h").as("chunk_key"), col("h").as("lo"),
-        coalesce(col("next_h"), lit(Long.MaxValue)).as("hi"))
-      .unionByName(prefixRange)
-    val dirtyRanges = ranges.join(dirty, "chunk_key").localCheckpoint()
+    val dirtyRanges = cutRanges(spark, postCuts).join(dirty, "chunk_key")
+      .localCheckpoint()
 
     // Members of dirty chunks: standing docs in the dirty h-ranges (the
     // parquet scan prunes on h min/max because delta files are h-sorted)
@@ -141,13 +145,43 @@ object ChunkIndex {
       .join(post, stats("doc_id") === post("id"))
       .select(col("doc_id"), col("post_key").as("chunk_key"),
         col("n_tokens"), col("fp"))
-    // Left-join from the dirty keys: a dirty chunk that ends the batch
-    // EMPTY (e.g. a late cut absorbs every doc of the -1 prefix) must
-    // still emit a row — n_docs = 0 — or its stale pre-batch version
-    // would survive the latest-wins read (ChunkIndexSpec pins this).
-    val recomputed = dirty.join(
-        standingMembers.unionByName(batchMembers)
-          .groupBy("chunk_key")
+    val recomputed = recomputeManifest(dirty,
+      standingMembers.unionByName(batchMembers))
+
+    writeDelta(base, batchId)(stats, "docs", Some("h"))
+    writeDelta(base, batchId)(
+      stats.filter(col("h") % cutMod === 0L).select("doc_id", "h"),
+      "cuts", Some("h"))
+    writeDelta(base, batchId)(recomputed, "manifest", None)
+  }
+
+  /** (chunk_key, lo, hi) h-ranges of the given cut set, including the −1
+    * prefix chunk. */
+  private def cutRanges(spark: SparkSession, cuts: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rankedCuts = graft.exec.Ranks.globalRowNumber(cuts, Seq(col("h")), "rk")
+    val nextCuts = rankedCuts.select(col("h").as("next_h"), (col("rk") - 1).as("rk"))
+    val prefixRange =
+      if (cuts.isEmpty) // cutless corpus: everything is the -1 chunk
+        Seq((-1L, Long.MinValue, Long.MaxValue)).toDF("chunk_key", "lo", "hi")
+      else rankedCuts.filter(col("rk") === 1)
+        .select(lit(-1L).as("chunk_key"), lit(Long.MinValue).as("lo"),
+          col("h").as("hi"))
+    rankedCuts
+      .join(nextCuts, Seq("rk"), "left")
+      .select(col("h").as("chunk_key"), col("h").as("lo"),
+        coalesce(col("next_h"), lit(Long.MaxValue)).as("hi"))
+      .unionByName(prefixRange)
+  }
+
+  /** Left-join from the dirty keys: a dirty chunk that ends the batch
+    * EMPTY (a late cut absorbing the whole −1 prefix, or a delete
+    * draining a chunk) must still emit a row — n_docs = 0 — or its stale
+    * pre-batch version would survive the latest-wins read
+    * (ChunkIndexSpec pins this). */
+  private def recomputeManifest(dirty: DataFrame, members: DataFrame): DataFrame =
+    dirty.join(
+        members.groupBy("chunk_key")
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
             sum(expr(s"(doc_id * 31 + fp) % ${Sharding.HashMod}")).as("checksum")),
         Seq("chunk_key"), "left")
@@ -156,17 +190,67 @@ object ChunkIndex {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("checksum"), lit(0L)).as("checksum"))
 
-    def writeDelta(df: DataFrame, table: String, sortCol: Option[String]): Unit = {
-      val stamped = df.withColumn("batch_id", lit(batchId))
-      val sorted = sortCol.map(c => stamped.sortWithinPartitions(c)).getOrElse(stamped)
-      sorted.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id").parquet(s"$base/$table")
-    }
-    writeDelta(stats, "docs", Some("h"))
-    writeDelta(stats.filter(col("h") % cutMod === 0L).select("doc_id", "h"),
-      "cuts", Some("h"))
-    writeDelta(recomputed, "manifest", None)
+  private def writeDelta(base: String, batchId: Long)(
+      df: DataFrame, table: String, sortCol: Option[String]): Unit = {
+    val stamped = df.withColumn("batch_id", lit(batchId))
+    val sorted = sortCol.map(c => stamped.sortWithinPartitions(c)).getOrElse(stamped)
+    sorted.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$base/$table")
+  }
+
+  /** Takedown: tombstone `ids` and recompute only the chunks they leave —
+    * each victim's chunk under the PRE-delete cuts, plus the predecessor
+    * chunk of every victim CUT doc (its orphaned members merge there).
+    * Caller contract: `batchId` must exceed every previous batch id (the
+    * manifest read is latest-wins per key). Replay-idempotent like
+    * append: all three deltas are this batch's own partitions. */
+  def delete(spark: SparkSession, base: String, ids: DataFrame,
+             idCol: String, cutMod: Long, batchId: Long): Unit = {
+    val victims = readDocs(spark, base, excludeBatch = batchId)
+      .join(ids.select(col(idCol).cast(LongType).as("doc_id")), Seq("doc_id"))
+      .select("doc_id", "h", "n_tokens", "fp")
+      .localCheckpoint()
+    val preCuts = readCuts(spark, base, excludeBatch = batchId)
+      .select("doc_id", "h").localCheckpoint()
+
+    // chunk of each non-cut victim under PRE cuts
+    val nonCutKeys = Sharding.assignChunkKeysBy(
+        preCuts.select(col("doc_id").as("id"), lit(0L).as("n_tokens"),
+          col("h"), lit(1L).as("is_cut"))
+        .unionByName(victims.filter(col("h") % cutMod =!= 0L)
+          .select(col("doc_id").as("id"), col("n_tokens"), col("h"),
+            lit(0L).as("is_cut"))))
+      .join(victims.filter(col("h") % cutMod =!= 0L)
+        .select(col("doc_id").as("id")), Seq("id"))
+      .select("chunk_key")
+    // each victim cut dirties itself and its predecessor (chains of
+    // adjacent deleted cuts resolve: every victim contributes its own)
+    val victimCuts = victims.filter(col("h") % cutMod === 0L).select("h")
+    val rankedPre = graft.exec.Ranks.globalRowNumber(
+      preCuts.select("h"), Seq(col("h")), "rk")
+    val prevPre = rankedPre.select(col("h").as("prev_h"), (col("rk") + 1).as("rk"))
+    val cutAndPred = victimCuts.join(rankedPre, Seq("h"))
+      .join(prevPre, Seq("rk"), "left")
+      .select(col("h").as("chunk_key"),
+        coalesce(col("prev_h"), lit(-1L)).as("pred_key"))
+    val dirty = nonCutKeys
+      .union(cutAndPred.select(col("chunk_key")))
+      .union(cutAndPred.select(col("pred_key").as("chunk_key")))
+      .distinct().localCheckpoint()
+
+    // post-delete cut set and the surviving members of dirty chunks
+    val postCuts = preCuts.select("h")
+      .join(victimCuts.withColumnRenamed("h", "h"), Seq("h"), "left_anti")
+    val dirtyRanges = cutRanges(spark, postCuts).join(dirty, "chunk_key")
+      .localCheckpoint()
+    val members = readDocs(spark, base, excludeBatch = batchId)
+      .join(victims.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(broadcast(dirtyRanges), col("h") >= col("lo") && col("h") < col("hi"))
+      .select(col("doc_id"), col("chunk_key"), col("n_tokens"), col("fp"))
+
+    writeDelta(base, batchId)(victims.select("doc_id"), "tombs", None)
+    writeDelta(base, batchId)(recomputeManifest(dirty, members), "manifest", None)
   }
 
   /** Streaming maintenance: each micro-batch appends through the batch

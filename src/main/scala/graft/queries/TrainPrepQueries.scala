@@ -304,6 +304,30 @@ object TrainPrepQueries {
 
   val qChunkIdxSql: String = qCdcChunksSql
 
+  // ---------------------------------------------------------- q_chunk_delete
+
+  /** Takedown through the standing chunk index: ingest, tombstone every
+    * 23rd document (the slice includes cut docs, forcing chunk merges),
+    * read the manifest back. The oracle is a direct manifest of the
+    * SURVIVORS — a hash-match proves the tombstone path equals a rebuild
+    * without the victims. */
+  def qChunkDelete(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_chunkdel_q"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val docs = Tables(s, dir, "documents").select("doc_id", "text")
+    graft.ext.ChunkIndex.append(s, base, docs, "text", "doc_id",
+      seed = 42L, cutMod = CdcCutMod, batchId = 0L)
+    graft.ext.ChunkIndex.delete(s, base,
+      docs.filter(col("doc_id") % 23 === 5).select("doc_id"),
+      "doc_id", cutMod = CdcCutMod, batchId = 1L)
+    graft.ext.ChunkIndex.readManifest(s, base)
+  }
+
+  val qChunkDeleteSql: String =
+    cdcManifestSql("SELECT doc_id, text FROM documents WHERE doc_id % 23 <> 5")
+
   // ------------------------------------------------------------- q_data_card
 
   /** Dataset-card report: one pass over the corpus, GROUPING SETS over
@@ -910,6 +934,7 @@ object TrainPrepQueries {
     "q_cdc_diff"           -> (qCdcDiff _),
     "q_cdc_incr"           -> (qCdcIncr _),
     "q_chunk_idx"          -> (qChunkIdx _),
+    "q_chunk_delete"       -> (qChunkDelete _),
     "q_data_card"          -> (qDataCard _))
 
   val oracle: Map[String, String] = Map(
@@ -935,5 +960,6 @@ object TrainPrepQueries {
     "q_cdc_diff"           -> qCdcDiffSql,
     "q_cdc_incr"           -> qCdcIncrSql,
     "q_chunk_idx"          -> qChunkIdxSql,
+    "q_chunk_delete"       -> qChunkDeleteSql,
     "q_data_card"          -> qDataCardSql)
 }

@@ -60,6 +60,37 @@ class ChunkIndexSpec extends AnyFunSuite {
     assert(docRows == docs.count())
   }
 
+  test("takedown: tombstoned docs leave the manifest equal to a rebuild without them") {
+    val base = java.nio.file.Files.createTempDirectory("graft_chunkidx3").toString + "/idx"
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    ChunkIndex.append(spark, base, docs, "text", "doc_id",
+      seed = 42L, cutMod = 16L, batchId = 0L)
+    // delete a slice that includes at least one CUT doc (forces a merge)
+    val isCut = Sharding.shuffleKey(col("doc_id"), 42L) % 16L === 0L
+    val victims = docs.filter(col("doc_id") % 11 === 4)
+      .unionByName(docs.filter(isCut).limit(2))
+      .select("doc_id").distinct()
+    val nVictims = victims.count()
+    assert(docs.filter(isCut).join(victims, "doc_id").count() > 0,
+      "fixture slice must include a cut doc")
+    ChunkIndex.delete(spark, base, victims, "doc_id", cutMod = 16L, batchId = 1L)
+
+    val standing = manifestSet(ChunkIndex.readManifest(spark, base))
+    val survivors = docs.join(victims, Seq("doc_id"), "left_anti")
+    val oneShot = manifestSet(
+      Sharding.chunkManifest(survivors, "doc_id", "text", 42L, 16L))
+    assert(standing == oneShot, "post-delete manifest != rebuild without victims")
+
+    // bounded work: the delete's manifest delta is sized by the victims
+    val delta = spark.read.parquet(s"$base/manifest")
+      .filter(col("batch_id") === 1).count()
+    assert(delta <= 2 * nVictims, s"delete recomputed $delta chunks for $nVictims victims")
+
+    // replay the delete: nothing changes
+    ChunkIndex.delete(spark, base, victims, "doc_id", cutMod = 16L, batchId = 1L)
+    assert(manifestSet(ChunkIndex.readManifest(spark, base)) == oneShot)
+  }
+
   test("a batch introducing a new cut splits the covering chunk correctly") {
     val base = java.nio.file.Files.createTempDirectory("graft_chunkidx2").toString + "/idx"
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
