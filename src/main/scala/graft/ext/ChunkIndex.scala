@@ -85,6 +85,7 @@ object ChunkIndex {
   def readManifest(spark: SparkSession, base: String,
                    excludeBatch: Long = Long.MinValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    heal(spark, base)
     readOr(spark, s"$base/manifest", manifestSchema)
       .filter(col("batch_id") =!= excludeBatch)
       .withColumn("__rk", row_number().over(
@@ -98,6 +99,7 @@ object ChunkIndex {
   def append(spark: SparkSession, base: String, batch: DataFrame,
              textCol: String, idCol: String, seed: Long, cutMod: Long,
              batchId: Long): Unit = {
+    heal(spark, base)
     val stats = batch.select(
         col(idCol).cast(LongType).as("doc_id"),
         TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("n_tokens"),
@@ -207,6 +209,7 @@ object ChunkIndex {
     * append: all three deltas are this batch's own partitions. */
   def delete(spark: SparkSession, base: String, ids: DataFrame,
              idCol: String, cutMod: Long, batchId: Long): Unit = {
+    heal(spark, base)
     val victims = readDocs(spark, base, excludeBatch = batchId)
       .join(ids.select(col(idCol).cast(LongType).as("doc_id")), Seq("doc_id"))
       .select("doc_id", "h", "n_tokens", "fp")
@@ -258,14 +261,100 @@ object ChunkIndex {
     * must outlive the stream and serve batch readers. Micro-batch ids
     * version the delta partitions directly, so a replayed batch
     * overwrites its own partitions and the standing manifest is
-    * unchanged (ChunkIndexSpec pins the same step called twice). */
+    * unchanged (ChunkIndexSpec pins the same step called twice).
+    * `baseBatch` offsets the stream's ids: a run resumed with a FRESH
+    * checkpoint restarts its counter at 0, which would sort below every
+    * existing version — pass the index's current max batch + 1. */
   def run(stream: DataFrame, base: String, textCol: String, idCol: String,
-          seed: Long, cutMod: Long, checkpoint: String)
+          seed: Long, cutMod: Long, checkpoint: String, baseBatch: Long = 0L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         append(batch.sparkSession, base, batch, textCol, idCol,
-          seed, cutMod, batchId)
+          seed, cutMod, baseBatch + batchId)
       }
+
+  // ------------------------------------------------------------- compaction
+
+  private def fs(spark: SparkSession) = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+  private def startMarker(base: String) =
+    new org.apache.hadoop.fs.Path(s"$base/_compact_start")
+  private def commitMarker(base: String) =
+    new org.apache.hadoop.fs.Path(s"$base/_compact_commit")
+
+  private def writeMarker(spark: SparkSession,
+                          p: org.apache.hadoop.fs.Path, c: Long): Unit = {
+    val out = fs(spark).create(p, true)
+    try out.write(c.toString.getBytes("UTF-8")) finally out.close()
+  }
+  private def readMarker(spark: SparkSession,
+                         p: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs(spark).exists(p)) None
+    else {
+      val in = fs(spark).open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+
+  private def dropBatches(spark: SparkSession, base: String,
+                          pred: Long => Boolean): Unit = {
+    val f = fs(spark)
+    for (table <- Seq("docs", "cuts", "manifest")) {
+      val dir = new org.apache.hadoop.fs.Path(s"$base/$table")
+      if (f.exists(dir))
+        f.listStatus(dir).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("batch_id=") &&
+              pred(name.stripPrefix("batch_id=").toLong))
+            f.delete(st.getPath, true)
+        }
+    }
+  }
+
+  /** Roll an interrupted compaction forward (commit marker present) or
+    * back (only the start marker). Every index entry point calls this, so
+    * a crash at any point leaves the next call with a consistent view. */
+  def heal(spark: SparkSession, base: String): Unit =
+    readMarker(spark, commitMarker(base)) match {
+      case Some(c) => // consolidation complete: finish the cleanup
+        dropBatches(spark, base, _ < c)
+        fs(spark).delete(new org.apache.hadoop.fs.Path(s"$base/tombs"), true)
+        fs(spark).delete(startMarker(base), false)
+        fs(spark).delete(commitMarker(base), false)
+      case None => readMarker(spark, startMarker(base)) match {
+        case Some(c) => // consolidation may be partial: discard it
+          dropBatches(spark, base, _ == c)
+          fs(spark).delete(startMarker(base), false)
+        case None => ()
+      }
+    }
+
+  /** Fold every delta and tombstone into one consolidated batch. Single
+    * writer: run between ingestion runs, never concurrently with one.
+    * Crash-safe via the two-marker protocol healed above: before the
+    * commit marker lands the consolidated partitions are garbage (rolled
+    * back); after it, the old partitions are garbage (rolled forward).
+    * Returns the consolidated batch id — resume streaming with
+    * `baseBatch` above it. */
+  def compact(spark: SparkSession, base: String, cutMod: Long): Long = {
+    heal(spark, base)
+    val c = readOr(spark, s"$base/docs", docsSchema)
+      .agg(coalesce(max("batch_id"), lit(-1L))).head.getLong(0) + 1L
+    val docs = readDocs(spark, base).select("doc_id", "h", "n_tokens", "fp")
+      .localCheckpoint()
+    val cuts = readCuts(spark, base).select("doc_id", "h").localCheckpoint()
+    val manifest = readManifest(spark, base).localCheckpoint()
+    writeMarker(spark, startMarker(base), c)
+    writeDelta(base, c)(docs, "docs", Some("h"))
+    writeDelta(base, c)(cuts, "cuts", Some("h"))
+    writeDelta(base, c)(manifest, "manifest", None)
+    writeMarker(spark, commitMarker(base), c)
+    heal(spark, base) // rolls forward: drops old partitions + tombs
+    c
+  }
 }

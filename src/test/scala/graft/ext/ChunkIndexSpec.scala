@@ -91,6 +91,56 @@ class ChunkIndexSpec extends AnyFunSuite {
     assert(manifestSet(ChunkIndex.readManifest(spark, base)) == oneShot)
   }
 
+  test("compaction folds deltas and tombstones; interrupted compactions heal both ways") {
+    val base = java.nio.file.Files.createTempDirectory("graft_chunkidx4").toString + "/idx"
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    ChunkIndex.append(spark, base, docs.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id", seed = 42L, cutMod = 16L, batchId = 0L)
+    ChunkIndex.append(spark, base, docs.filter(col("doc_id") % 2 =!= 0),
+      "text", "doc_id", seed = 42L, cutMod = 16L, batchId = 1L)
+    ChunkIndex.delete(spark, base,
+      docs.filter(col("doc_id") % 11 === 4).select("doc_id"),
+      "doc_id", cutMod = 16L, batchId = 2L)
+    val before = manifestSet(ChunkIndex.readManifest(spark, base))
+
+    val c = ChunkIndex.compact(spark, base, cutMod = 16L)
+    assert(manifestSet(ChunkIndex.readManifest(spark, base)) == before,
+      "compaction changed the manifest")
+    // one consolidated partition per table; tombstones folded in
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    for (t <- Seq("docs", "cuts", "manifest")) {
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/$t"))
+        .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+      assert(parts.toSeq == Seq(s"batch_id=$c"), s"$t: ${parts.toSeq}")
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/tombs")))
+
+    // ingestion continues above the compacted id and stays correct
+    val late = Seq((90001L, "late doc alpha beta"), (90002L, "late doc gamma"))
+      .toDF("doc_id", "text")
+    ChunkIndex.append(spark, base, late, "text", "doc_id",
+      seed = 42L, cutMod = 16L, batchId = c + 1)
+    val expected = manifestSet(Sharding.chunkManifest(
+      docs.filter(col("doc_id") % 11 =!= 4).unionByName(late),
+      "doc_id", "text", 42L, 16L))
+    assert(manifestSet(ChunkIndex.readManifest(spark, base)) == expected)
+
+    // crash BEFORE the commit marker: partial consolidated partitions +
+    // a start marker must roll back to the pre-compaction state
+    val snapshot = manifestSet(ChunkIndex.readManifest(spark, base))
+    val orphan = c + 50
+    late.limit(1)
+      .select(col("doc_id"), lit(1L).as("h"), lit(1L).as("n_tokens"),
+        lit(1L).as("fp"))
+      .withColumn("batch_id", lit(orphan))
+      .write.mode("append").partitionBy("batch_id").parquet(s"$base/docs")
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$base/_compact_start"), true)
+    out.write(orphan.toString.getBytes("UTF-8")); out.close()
+    assert(manifestSet(ChunkIndex.readManifest(spark, base)) == snapshot,
+      "heal did not roll back an interrupted consolidation")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/docs/batch_id=$orphan")))
+  }
+
   test("a batch introducing a new cut splits the covering chunk correctly") {
     val base = java.nio.file.Files.createTempDirectory("graft_chunkidx2").toString + "/idx"
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
