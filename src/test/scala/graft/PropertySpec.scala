@@ -306,6 +306,37 @@ object PropertySpec extends Properties("graft") {
       got == expected
     }
 
+  property("chunk index: any ingest/delete interleaving == one-shot manifest of survivors") =
+    forAll(
+      Gen.listOfN(30, Gen.choose(0, 2)),      // batch assignment per doc
+      Gen.listOfN(30, Gen.choose(0, 4))       // delete marks (0 => delete)
+    ) { (assign, marks) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_pchunk").toString + "/idx"
+      val docs = assign.indices.map { i =>
+        (i.toLong, s"doc $i " + ("w " * (i % 7)).trim)
+      }
+      val byBatch = docs.zip(assign).groupBy(_._2)
+      (0 to 2).foreach { b =>
+        val rows = byBatch.getOrElse(b, Nil).map(_._1)
+        if (rows.nonEmpty)
+          graft.ext.ChunkIndex.append(spark, base, rows.toDF("doc_id", "text"),
+            "text", "doc_id", seed = 11L, cutMod = 4L, batchId = b.toLong)
+      }
+      val dead = docs.zip(marks).collect { case ((id, _), 0) => id }
+      if (dead.nonEmpty)
+        graft.ext.ChunkIndex.delete(spark, base, dead.toDF("doc_id"),
+          "doc_id", cutMod = 4L, batchId = 3L)
+      val standing = graft.ext.ChunkIndex.readManifest(spark, base)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val survivors = docs.filterNot { case (id, _) => dead.contains(id) }
+      val oneShot =
+        if (survivors.isEmpty) Set.empty[(Long, Long, Long, Long)]
+        else graft.ext.Sharding.chunkManifest(
+            survivors.toDF("doc_id", "text"), "doc_id", "text", 11L, 4L)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      standing == oneShot
+    }
+
   property("epoch shuffle: any budget yields gap-free token intervals and dense shards") =
     forAll(Gen.choose(1L, 500L), Gen.listOfN(12, Gen.choose(0, 8))) { (budget, lens) =>
       val df = lens.zipWithIndex.map { case (n, i) =>
