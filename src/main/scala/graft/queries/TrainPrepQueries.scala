@@ -47,15 +47,21 @@ object TrainPrepQueries {
     * codegen'd projection, no shuffle) is the real thing. */
   val FeatDim = 4096
 
-  def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
+  /** The fixed-model margin expression, shared with the end-to-end
+    * pipeline query. */
+  def qualityMargin(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = TextAnalysis.tokens(text)
     val tokHash = (t: org.apache.spark.sql.Column) =>
       aggregate(split(t, ""), lit(0L),
         (h, c) => (h * 31L + ascii(c)) % TextAnalysis.FingerprintMod)
     val weight = (t: org.apache.spark.sql.Column) =>
       ((tokHash(t) % FeatDim) * 37L + 11L) % 997L / lit(997.0) - lit(0.5)
-    val margin = aggregate(toks, lit(0.0), (acc, t) => acc + weight(t)) /
+    aggregate(toks, lit(0.0), (acc, t) => acc + weight(t)) /
       sqrt(greatest(size(toks), lit(1)).cast("double"))
+  }
+
+  def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val margin = qualityMargin(col("text"))
     Tables(s, dir, "documents")
       .select(col("doc_id"), margin.as("margin"),
         (margin > 0).as("keep"))
@@ -327,6 +333,62 @@ object TrainPrepQueries {
 
   val qChunkDeleteSql: String =
     cdcManifestSql("SELECT doc_id, text FROM documents WHERE doc_id % 23 <> 5")
+
+  // --------------------------------------------------------- q_train_pipeline
+
+  /** End-to-end trainer prep in ONE declarative plan: exact dedup →
+    * quality-classifier gate → reproducible epoch shuffle → shard
+    * manifest. Every stage reuses the family's operators, so the oracle
+    * is the composition of their (already individually certified) SQL
+    * twins — the hash-match proves the stages compose without semantic
+    * drift. */
+  def qTrainPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val deduped = graft.ext.Dedup.exact(d, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"), col("text"))
+    // the fixed pseudo-model scores this vocabulary mostly negative; gate
+    // at its median so the pipeline keeps a realistic half (both engines
+    // compute the identical doubles — q_quality_classifier hash-proves it)
+    val kept = deduped.filter(qualityMargin(col("text")) > -0.45)
+    Sharding.epochShuffle(kept, "doc_id", "text", seed = 42L, budget = 1000L)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min("cum_before").as("start_tok"),
+        max(expr("cum_before + n_tokens")).as("end_tok"),
+        sum(expr(s"(doc_id * pos) % ${Sharding.HashMod}")).as("checksum"))
+  }
+
+  val qTrainPipelineSql: String =
+    s"""WITH d1 AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+       |k AS (SELECT doc_id, text FROM (
+       |  SELECT doc_id, text,
+       |    list_reduce(list_prepend(0.0, list_transform(
+       |      string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+'), t ->
+       |      ((list_reduce(list_prepend(0::BIGINT,
+       |          list_transform(range(1, length(t) + 1), i -> ascii(t[i])::BIGINT)),
+       |        (h, c) -> (h * 31 + c) % ${TextAnalysis.FingerprintMod})
+       |       % $FeatDim) * 37 + 11) % 997 / 997.0 - 0.5)),
+       |      (a, w) -> a + w)
+       |    / sqrt(greatest(len(string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+')), 1)::DOUBLE)
+       |      AS margin
+       |  FROM d1) WHERE margin > -0.45),
+       |t AS (SELECT doc_id,
+       |  len(string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+'))::BIGINT AS n_tokens,
+       |  ((doc_id % ${Sharding.HashMod}) * ${Sharding.HashMulA} + 42) % ${Sharding.HashMod} * ${Sharding.HashMulB} % ${Sharding.HashMod} AS h
+       | FROM k),
+       |c AS (SELECT doc_id, h, n_tokens,
+       |  coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+       | FROM t),
+       |e AS (SELECT doc_id, h, n_tokens, cum_before,
+       |  (cum_before // 1000)::BIGINT AS shard,
+       |  row_number() OVER (PARTITION BY cum_before // 1000 ORDER BY h, doc_id) AS pos
+       | FROM c)
+       |SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+       |  min(cum_before) AS start_tok, max(cum_before + n_tokens)::BIGINT AS end_tok,
+       |  sum((doc_id * pos) % ${Sharding.HashMod})::BIGINT AS checksum
+       |FROM e GROUP BY shard""".stripMargin
 
   // ------------------------------------------------------------- q_data_card
 
@@ -935,6 +997,7 @@ object TrainPrepQueries {
     "q_cdc_incr"           -> (qCdcIncr _),
     "q_chunk_idx"          -> (qChunkIdx _),
     "q_chunk_delete"       -> (qChunkDelete _),
+    "q_train_pipeline"     -> (qTrainPipeline _),
     "q_data_card"          -> (qDataCard _))
 
   val oracle: Map[String, String] = Map(
@@ -961,5 +1024,6 @@ object TrainPrepQueries {
     "q_cdc_incr"           -> qCdcIncrSql,
     "q_chunk_idx"          -> qChunkIdxSql,
     "q_chunk_delete"       -> qChunkDeleteSql,
+    "q_train_pipeline"     -> qTrainPipelineSql,
     "q_data_card"          -> qDataCardSql)
 }
