@@ -306,6 +306,48 @@ object PropertySpec extends Properties("graft") {
       got == expected
     }
 
+  property("BPE: distributed merges equal the sequential reference on random corpora") =
+    forAll(Gen.listOfN(12,
+      Gen.listOfN(4, Gen.oneOf("ab", "aab", "abc", "ba", "bb", "cab", "x"))
+        .map(_.mkString(" ")))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val dist = graft.ext.Bpe.merges(docs, "text", k = 6)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+      val words = graft.ext.Bpe.wordCounts(docs, "text")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      dist == graft.ext.Bpe.referenceMerges(words, k = 6)
+    }
+
+  property("perceptron: distributed training equals a sequential full-batch replay") =
+    forAll(Gen.listOfN(10, Gen.zip(Gen.oneOf(true, false),
+      Gen.listOfN(3, Gen.oneOf("ax", "by", "cz", "dw", "ev"))))) { rows =>
+      val docs = rows.zipWithIndex.map { case ((pos, toks), i) =>
+        (i.toLong, if (pos) "pos" else "neg", toks.mkString(" "))
+      }.toDF("doc_id", "cls", "text")
+      val dist = graft.ext.Perceptron.train(docs, "text", "doc_id",
+          "cls = 'pos'", iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // sequential replay on collected features, same update rule
+      val feat = graft.ext.Perceptron.features(docs, "text", "doc_id", "cls = 'pos'")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      var w = Map.empty[Long, Long].withDefaultValue(0L)
+      for (_ <- 1 to 3) {
+        val byDoc = feat.groupBy(_._1)
+        val upd = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        byDoc.foreach { case (_, fs) =>
+          val y = fs.head._2
+          val m = fs.map { case (_, _, b, n) => n * w(b) }.sum
+          if ((y > 0 && m <= 0) || (y < 0 && m > 0))
+            fs.foreach { case (_, _, b, n) => upd(b) += y * n }
+        }
+        w = upd.foldLeft(w) { case (acc, (b, d)) => acc.updated(b, acc(b) + d) }
+      }
+      val refOnDist = dist.keys.map(b => b -> w(b)).toMap
+      dist == refOnDist
+    }
+
   property("chunk index: any ingest/delete interleaving == one-shot manifest of survivors") =
     forAll(
       Gen.listOfN(30, Gen.choose(0, 2)),      // batch assignment per doc
