@@ -117,20 +117,49 @@ object Bpe {
     * and skip every second pair of a run — caught by BpeSpec). The whole
     * encode is a chain of k string expressions over the vocabulary-bounded
     * distinct-word table. Returns the encoded symbol COUNT. */
-  def encodedLen(word: org.apache.spark.sql.Column,
-                 merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+  /** The ·-guarded symbol string after all merges — shared by the length
+    * and vocabulary paths. */
+  def encodedString(word: org.apache.spark.sql.Column,
+                    merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
     import java.util.regex.{Matcher, Pattern}
     val guarded = concat(lit(Sep),
       regexp_replace(word, "(?<=.)(?=.)", Sep), lit(Sep))
-    val end = merges.foldLeft(guarded) { case (acc, (l, r)) =>
+    merges.foldLeft(guarded) { case (acc, (l, r)) =>
       regexp_replace(acc,
         "(?<=" + Pattern.quote(Sep) + ")" + Pattern.quote(l + Sep + r) +
           "(?=" + Pattern.quote(Sep) + ")",
         Matcher.quoteReplacement(l + r))
     }
+  }
+
+  def encodedLen(word: org.apache.spark.sql.Column,
+                 merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val end = encodedString(word, merges)
     // symbols = separators - 1
     (length(end) - length(call_function("replace", end, lit(Sep), lit(""))) - 1)
       .cast("long")
+  }
+
+  /** The trained tokenizer's VOCABULARY: every surviving symbol after k
+    * merges, with its corpus occurrence count and the number of distinct
+    * words it appears in. Runs entirely on the vocabulary-bounded
+    * distinct-word table through the expression-chain encode (split the
+    * guarded string on the separator); the imperative mergePair fold is
+    * the independent replay used by the `_verified` companion. */
+  def vocab(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val table = merges(docs, textCol, k)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    wordCounts(docs, textCol)
+      .select(col("word"), col("freq"), explode(filter(
+        split(encodedString(col("word"), table), java.util.regex.Pattern.quote(Sep)),
+        s => length(s) > 0)).as("symbol"))
+      .groupBy("symbol")
+      // countDistinct, not count: a symbol occurring twice in one word
+      // contributes two occurrence rows but one word
+      .agg(sum("freq").as("n_uses"), countDistinct("word").as("n_words"))
   }
 
   /** Per-document BPE token accounting: learn k merges, encode the

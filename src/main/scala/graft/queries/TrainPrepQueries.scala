@@ -574,6 +574,47 @@ object TrainPrepQueries {
     """SELECT CAST(NULL AS VARCHAR) AS doc_key,
       |  CAST(NULL AS VARCHAR) AS problem WHERE false""".stripMargin
 
+  // -------------------------------------------------------------- q_bpe_vocab
+
+  /** The trained tokenizer's vocabulary (symbols after 12 merges with
+    * corpus counts). Rows-only at the driver (iterative trainer);
+    * verified by replaying the encode imperatively per word — a path
+    * independent of the expression chain the query runs. */
+  def qBpeVocab(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Bpe.vocab(Tables(s, dir, "documents"), "text", k = 12)
+
+  def qBpeVocabVerified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val table = graft.ext.Bpe.merges(docs, "text", k = 12)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    val dist = qBpeVocab(s, dir)
+      .as[(String, Long, Long)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    val words = graft.ext.Bpe.wordCounts(docs, "text")
+      .as[(String, Long)].collect()
+    val ref = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    words.foreach { case (w, f) =>
+      val syms = table.foldLeft(w.map(_.toString).toIndexedSeq: IndexedSeq[String]) {
+        case (acc, (l, r)) => graft.ext.Bpe.mergePair(acc, l, r)
+      }
+      syms.groupBy(identity).foreach { case (sym, occ) =>
+        val (u, nw) = ref.getOrElse(sym, (0L, 0L))
+        ref(sym) = (u + occ.length * f, nw + 1L)
+      }
+    }
+    val problems =
+      (ref.keySet ++ dist.keySet).toSeq.sorted.flatMap { sym =>
+        val d = dist.get(sym); val r = ref.get(sym)
+        if (d != r) Some((sym, s"dist=$d ref=$r")) else None
+      }
+    problems.toDF("symbol_key", "problem")
+  }
+
+  val qBpeVocabVerifiedSql: String =
+    """SELECT CAST(NULL AS VARCHAR) AS symbol_key,
+      |  CAST(NULL AS VARCHAR) AS problem WHERE false""".stripMargin
+
   // ------------------------------------------------------------ q_importance
 
   /** DSIR-shaped importance scoring (Xie et al. 2023, public): score each
@@ -983,6 +1024,8 @@ object TrainPrepQueries {
     "q_bpe_merges_verified" -> (qBpeMergesVerified _),
     "q_bpe_encode"         -> (qBpeEncode _),
     "q_bpe_encode_verified" -> (qBpeEncodeVerified _),
+    "q_bpe_vocab"          -> (qBpeVocab _),
+    "q_bpe_vocab_verified" -> (qBpeVocabVerified _),
     "q_importance"         -> (qImportance _),
     "q_curation_incr"      -> (qCurationIncr _),
     "q_curation_stats"     -> (qCurationStats _),
@@ -1010,6 +1053,7 @@ object TrainPrepQueries {
     "q_bpe_pairs"          -> qBpePairsSql,
     "q_bpe_merges_verified" -> qBpeMergesVerifiedSql,
     "q_bpe_encode_verified" -> qBpeEncodeVerifiedSql,
+    "q_bpe_vocab_verified" -> qBpeVocabVerifiedSql,
     "q_importance"         -> qImportanceSql,
     "q_curation_incr"      -> qCurationIncrSql,
     "q_curation_stats"     -> qCurationStatsSql,
