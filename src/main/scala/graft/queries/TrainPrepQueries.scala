@@ -36,6 +36,43 @@ object TrainPrepQueries {
        |  row_number() OVER (PARTITION BY cum_before // 4000 ORDER BY h, doc_id) AS pos
        |FROM c""".stripMargin
 
+  // ------------------------------------------------------ q_dataloader_resume
+
+  /** Trainer-resume lookup: for each consumed-token checkpoint T, the
+    * document straddling T in the epoch order — shard, in-shard position
+    * and how many tokens of that document to skip. One broadcast join of
+    * the checkpoint list against the epoch assignment; a resuming loader
+    * reads exactly one manifest row and seeks, never re-streaming the
+    * corpus. */
+  def qDataloaderResume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Sharding.epochShuffle(Tables(s, dir, "documents"),
+      "doc_id", "text", seed = 42L, budget = 4000L)
+    val targets = Seq(0L, 1000L, 5000L, 12345L).toDF("t")
+    e.join(broadcast(targets),
+        col("cum_before") <= col("t") &&
+          col("t") < col("cum_before") + col("n_tokens"))
+      .select(col("t"), col("doc_id"), col("shard"), col("pos"),
+        (col("t") - col("cum_before")).as("skip_tokens"))
+  }
+
+  val qDataloaderResumeSql: String =
+    s"""WITH t0 AS (SELECT doc_id,
+       |  len(string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+'))::BIGINT AS n_tokens,
+       |  ((doc_id % ${Sharding.HashMod}) * ${Sharding.HashMulA} + 42) % ${Sharding.HashMod} * ${Sharding.HashMulB} % ${Sharding.HashMod} AS h
+       | FROM documents),
+       |c AS (SELECT doc_id, h, n_tokens,
+       |  coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+       | FROM t0),
+       |e AS (SELECT doc_id, n_tokens, cum_before,
+       |  (cum_before // 4000)::BIGINT AS shard,
+       |  row_number() OVER (PARTITION BY cum_before // 4000 ORDER BY h, doc_id) AS pos
+       | FROM c),
+       |tg AS (SELECT unnest([0, 1000, 5000, 12345])::BIGINT AS t)
+       |SELECT t, doc_id, shard, pos, (t - cum_before)::BIGINT AS skip_tokens
+       |FROM e JOIN tg ON cum_before <= t AND t < cum_before + n_tokens""".stripMargin
+
   // ------------------------------------------------- q_quality_classifier
 
   /** Hashed bag-of-words linear scorer: token → polynomial hash →
@@ -1014,6 +1051,7 @@ object TrainPrepQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_epoch_shuffle"      -> (qEpochShuffle _),
+    "q_dataloader_resume"  -> (qDataloaderResume _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_mixture_schedule"   -> (qMixtureSchedule _),
     "q_length_batches"     -> (qLengthBatches _),
@@ -1045,6 +1083,7 @@ object TrainPrepQueries {
 
   val oracle: Map[String, String] = Map(
     "q_epoch_shuffle"      -> qEpochShuffleSql,
+    "q_dataloader_resume"  -> qDataloaderResumeSql,
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_mixture_schedule"   -> qMixtureScheduleSql,
     "q_length_batches"     -> qLengthBatchesSql,
