@@ -73,6 +73,37 @@ object TrainPrepQueries {
        |SELECT t, doc_id, shard, pos, (t - cum_before)::BIGINT AS skip_tokens
        |FROM e JOIN tg ON cum_before <= t AND t < cum_before + n_tokens""".stripMargin
 
+  // -------------------------------------------------------- q_token_budget
+
+  /** Training-run sizing: the epoch prefix that fits a token budget (the
+    * docs whose starting token falls under B) summarized per language —
+    * what "train on the first 12k tokens" actually contains. Because the
+    * epoch order is seeded-hash-uniform, every budget's prefix holds the
+    * corpus language mix; the oracle certifies the exact composition. */
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    Sharding.epochShuffle(docs, "doc_id", "text", seed = 42L, budget = 4000L)
+      .filter(col("cum_before") < 12000L)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        max(expr("cum_before + n_tokens")).as("max_end"))
+  }
+
+  val qTokenBudgetSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  len(string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+'))::BIGINT AS n_tokens,
+       |  ((doc_id % ${Sharding.HashMod}) * ${Sharding.HashMulA} + 42) % ${Sharding.HashMod} * ${Sharding.HashMulB} % ${Sharding.HashMod} AS h
+       | FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |  coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+       | FROM t)
+       |SELECT lang, count(*)::BIGINT AS n_docs, sum(c.n_tokens)::BIGINT AS n_tokens,
+       |  max(cum_before + c.n_tokens)::BIGINT AS max_end
+       |FROM c JOIN documents USING (doc_id)
+       |WHERE cum_before < 12000 GROUP BY lang""".stripMargin
+
   // ------------------------------------------------- q_quality_classifier
 
   /** Hashed bag-of-words linear scorer: token → polynomial hash →
@@ -1052,6 +1083,7 @@ object TrainPrepQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_epoch_shuffle"      -> (qEpochShuffle _),
     "q_dataloader_resume"  -> (qDataloaderResume _),
+    "q_token_budget"       -> (qTokenBudget _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_mixture_schedule"   -> (qMixtureSchedule _),
     "q_length_batches"     -> (qLengthBatches _),
@@ -1084,6 +1116,7 @@ object TrainPrepQueries {
   val oracle: Map[String, String] = Map(
     "q_epoch_shuffle"      -> qEpochShuffleSql,
     "q_dataloader_resume"  -> qDataloaderResumeSql,
+    "q_token_budget"       -> qTokenBudgetSql,
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_mixture_schedule"   -> qMixtureScheduleSql,
     "q_length_batches"     -> qLengthBatchesSql,
