@@ -244,7 +244,7 @@ object ChunkIndex {
 
     // post-delete cut set and the surviving members of dirty chunks
     val postCuts = preCuts.select("h")
-      .join(victimCuts.withColumnRenamed("h", "h"), Seq("h"), "left_anti")
+      .join(victimCuts, Seq("h"), "left_anti")
     val dirtyRanges = cutRanges(spark, postCuts).join(dirty, "chunk_key")
       .localCheckpoint()
     val members = readDocs(spark, base, excludeBatch = batchId)
