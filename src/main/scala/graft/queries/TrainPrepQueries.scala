@@ -73,6 +73,38 @@ object TrainPrepQueries {
        |SELECT t, doc_id, shard, pos, (t - cum_before)::BIGINT AS skip_tokens
        |FROM e JOIN tg ON cum_before <= t AND t < cum_before + n_tokens""".stripMargin
 
+  // ---------------------------------------------------------- q_epoch_plan
+
+  /** Multi-epoch training plan: three epochs, each its own seeded
+    * permutation (seed = 42 + epoch — the two-stage hash makes every
+    * epoch a genuinely different order, ShardingSpec pins that), with
+    * continuous global positions for the dataloader. The per-epoch rank
+    * is the grouped two-phase row_number — an epoch is just a group. */
+  def qEpochPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    val crossed = docs.crossJoin(broadcast(Seq(0L, 1L, 2L).toDF("epoch")))
+      .withColumn("h", expr(
+        s"((doc_id % ${Sharding.HashMod}) * ${Sharding.HashMulA} + 42 + epoch)" +
+          s" % ${Sharding.HashMod} * ${Sharding.HashMulB} % ${Sharding.HashMod}"))
+    graft.exec.Ranks.groupedRowNumber(crossed, Seq("epoch"),
+        Seq(col("h"), col("doc_id")), "pos")
+      .withColumn("global_pos", col("epoch") * lit(n) + col("pos"))
+      .select("epoch", "doc_id", "h", "pos", "global_pos")
+  }
+
+  val qEpochPlanSql: String =
+    s"""WITH e AS (SELECT doc_id, unnest([0, 1, 2])::BIGINT AS epoch FROM documents),
+       |h AS (SELECT doc_id, epoch,
+       |  ((doc_id % ${Sharding.HashMod}) * ${Sharding.HashMulA} + 42 + epoch) % ${Sharding.HashMod} * ${Sharding.HashMulB} % ${Sharding.HashMod} AS h
+       | FROM e),
+       |p AS (SELECT doc_id, epoch, h,
+       |  row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS pos FROM h)
+       |SELECT epoch, doc_id, h, pos,
+       |  (epoch * (SELECT count(*) FROM documents) + pos)::BIGINT AS global_pos
+       |FROM p""".stripMargin
+
   // -------------------------------------------------------- q_token_budget
 
   /** Training-run sizing: the epoch prefix that fits a token budget (the
@@ -1084,6 +1116,7 @@ object TrainPrepQueries {
     "q_epoch_shuffle"      -> (qEpochShuffle _),
     "q_dataloader_resume"  -> (qDataloaderResume _),
     "q_token_budget"       -> (qTokenBudget _),
+    "q_epoch_plan"         -> (qEpochPlan _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_mixture_schedule"   -> (qMixtureSchedule _),
     "q_length_batches"     -> (qLengthBatches _),
@@ -1117,6 +1150,7 @@ object TrainPrepQueries {
     "q_epoch_shuffle"      -> qEpochShuffleSql,
     "q_dataloader_resume"  -> qDataloaderResumeSql,
     "q_token_budget"       -> qTokenBudgetSql,
+    "q_epoch_plan"         -> qEpochPlanSql,
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_mixture_schedule"   -> qMixtureScheduleSql,
     "q_length_batches"     -> qLengthBatchesSql,
