@@ -73,6 +73,49 @@ object TrainPrepQueries {
        |SELECT t, doc_id, shard, pos, (t - cum_before)::BIGINT AS skip_tokens
        |FROM e JOIN tg ON cum_before <= t AND t < cum_before + n_tokens""".stripMargin
 
+  // ---------------------------------------------------------- q_contrastive
+
+  /** Contrastive-training triplet mining: (anchor, positive) from the
+    * exact near-dup pairs (the lossless prefix-filtered Jaccard join, no
+    * cartesian) and a DETERMINISTIC hard negative per pair — a hash of
+    * the anchor mapped through the two-phase global rank to a real
+    * document id, so any engine mines the identical triplets. Collision
+    * rows (negative equals either side) are dropped symmetrically. */
+  def qContrastive(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val n = docs.count()
+    val pairs = graft.ext.Dedup.prefixJaccardPairs(docs,
+      "text", "doc_id", "lang", threshold = 0.5)
+    val ranked = graft.exec.Ranks.globalRowNumber(
+      docs.select(col("doc_id")), Seq(col("doc_id")), "rn")
+    pairs
+      .withColumn("neg_rn",
+        expr(s"(id_a * ${Sharding.HashMulB} % ${Sharding.HashMod}) % $n + 1"))
+      .join(broadcast(ranked.select(col("doc_id").as("neg_id"), col("rn").as("neg_rn"))),
+        "neg_rn")
+      .filter(col("neg_id") =!= col("id_a") && col("neg_id") =!= col("id_b"))
+      .select(col("id_a").as("anchor"), col("id_b").as("positive"),
+        col("neg_id").as("negative"), col("jaccard"))
+  }
+
+  val qContrastiveSql: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |  string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+') AS w FROM documents),
+       |sh AS (SELECT doc_id, lang,
+       |  list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+       |    i -> array_to_string(w[i+1:i+3], ' '))) AS t FROM t),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  len(list_intersect(a.t, b.t))::DOUBLE
+       |    / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS jaccard
+       | FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       | WHERE len(list_intersect(a.t, b.t))::DOUBLE
+       |    / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.5),
+       |r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM documents)
+       |SELECT id_a AS anchor, id_b AS positive, r.doc_id AS negative, jaccard
+       |FROM p JOIN r ON r.rn =
+       |  (id_a * ${Sharding.HashMulB} % ${Sharding.HashMod}) % (SELECT count(*) FROM documents) + 1
+       |WHERE r.doc_id <> id_a AND r.doc_id <> id_b""".stripMargin
+
   // ---------------------------------------------------------- q_epoch_plan
 
   /** Multi-epoch training plan: three epochs, each its own seeded
@@ -1117,6 +1160,7 @@ object TrainPrepQueries {
     "q_dataloader_resume"  -> (qDataloaderResume _),
     "q_token_budget"       -> (qTokenBudget _),
     "q_epoch_plan"         -> (qEpochPlan _),
+    "q_contrastive"        -> (qContrastive _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_mixture_schedule"   -> (qMixtureSchedule _),
     "q_length_batches"     -> (qLengthBatches _),
@@ -1151,6 +1195,7 @@ object TrainPrepQueries {
     "q_dataloader_resume"  -> qDataloaderResumeSql,
     "q_token_budget"       -> qTokenBudgetSql,
     "q_epoch_plan"         -> qEpochPlanSql,
+    "q_contrastive"        -> qContrastiveSql,
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_mixture_schedule"   -> qMixtureScheduleSql,
     "q_length_batches"     -> qLengthBatchesSql,
