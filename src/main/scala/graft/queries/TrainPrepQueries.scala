@@ -6,9 +6,33 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ext.{Sharding, TextAnalysis}
 
-/** Driver-checked queries for training-set preparation: the reproducible
-  * epoch shuffle with token-budget sharding, and the hashed-feature linear
-  * quality classifier (the fastText-shaped scoring pass). */
+/** Driver-checked queries for TRAINING-SET PREPARATION — the step that
+  * turns a curated corpus into what a training job consumes:
+  *
+  *  - epoch order: reproducible shuffle + token-budget shards
+  *    (q_epoch_shuffle, q_shard_manifest), multi-epoch plans
+  *    (q_epoch_plan), budget sizing and resume lookups (q_token_budget,
+  *    q_dataloader_resume);
+  *  - composition control: stride-scheduled domain mixtures
+  *    (q_mixture_schedule), low-resource upsampling (q_upsample),
+  *    length-bucketed batching (q_length_batches);
+  *  - scoring & selection: the fixed hashed-feature classifier
+  *    (q_quality_classifier), DSIR-shaped importance (q_importance), the
+  *    streaming curation lifecycle (q_curation_incr / q_curation_stats),
+  *    distributed perceptron training the oracle replays epoch by epoch
+  *    (q_train_* / q_langid_*), contrastive triplet mining
+  *    (q_contrastive);
+  *  - tokenizer: BPE training, encoding and vocabulary (q_bpe_*);
+  *  - incremental retraining: content-defined chunking, diffs, the
+  *    standing chunk index and its takedown (q_cdc_*, q_chunk_*);
+  *  - SFT assembly: chat-template rendering and packing with loss masks
+  *    (q_sft_*); release reporting (q_data_card); and the end-to-end
+  *    composition proof (q_train_pipeline).
+  *
+  * Everything is integer/deterministic arithmetic wherever a DuckDB
+  * oracle certifies it, and every scale-sensitive rank/prefix runs
+  * through the two-phase utilities ([[graft.exec.Ranks]],
+  * [[graft.ext.Sharding]]) — never a single-task window. */
 object TrainPrepQueries {
 
   // ------------------------------------------------------ q_epoch_shuffle
