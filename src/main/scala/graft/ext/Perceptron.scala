@@ -53,8 +53,9 @@ object Perceptron {
     val feat = features(docs, textCol, idCol, labelExpr).localCheckpoint()
     var w = Map.empty[Long, Long].withDefaultValue(0L)
     for (_ <- 1 to iters) {
-      val bcW = spark.sparkContext.broadcast(w)
-      val wCol = udfFreeLookup(bcW.value)
+      // the weight vector rides in the expression literal itself (a map
+      // literal, codegen'd); no broadcast handle to leak across epochs
+      val wCol = udfFreeLookup(w)
       val margins = feat
         .withColumn("wb", wCol(col("b")))
         .groupBy(col(idCol), col("y"))
