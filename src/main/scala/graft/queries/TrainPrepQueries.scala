@@ -172,6 +172,46 @@ object TrainPrepQueries {
        |  (epoch * (SELECT count(*) FROM documents) + pos)::BIGINT AS global_pos
        |FROM p""".stripMargin
 
+  // ----------------------------------------------------- q_pack_boundaries
+
+  /** Document-boundary spans per shard — what a pretraining loader needs
+    * to reset attention across concatenated documents: each shard's docs
+    * as shard-relative token intervals [start, end), in epoch order, as
+    * JSON (nested arrays break the driver comparator). A straddling doc
+    * belongs to the shard holding its FIRST token, so a span may extend
+    * past the budget — by design, the loader masks within the sequence it
+    * actually materializes. */
+  def qPackBoundaries(s: SparkSession, dir: String): DataFrame =
+    Sharding.epochShuffle(Tables(s, dir, "documents"),
+        "doc_id", "text", seed = 42L, budget = 4000L)
+      .withColumn("rel", col("cum_before") - col("shard") * lit(4000L))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        to_json(transform(
+          array_sort(collect_list(struct(col("pos"), col("rel"), col("n_tokens")))),
+          x => array(x.getField("rel"),
+            x.getField("rel") + x.getField("n_tokens"))))
+          .as("doc_spans"))
+
+  val qPackBoundariesSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  len(string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+'))::BIGINT AS n_tokens,
+       |  ((doc_id % ${Sharding.HashMod}) * ${Sharding.HashMulA} + 42) % ${Sharding.HashMod} * ${Sharding.HashMulB} % ${Sharding.HashMod} AS h
+       | FROM documents),
+       |c AS (SELECT doc_id, h, n_tokens,
+       |  coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+       | FROM t),
+       |e AS (SELECT doc_id, h, n_tokens, cum_before,
+       |  (cum_before // 4000)::BIGINT AS shard,
+       |  row_number() OVER (PARTITION BY cum_before // 4000 ORDER BY h, doc_id) AS pos
+       | FROM c),
+       |r AS (SELECT shard, pos,
+       |  (cum_before - shard * 4000)::BIGINT AS rel, n_tokens FROM e)
+       |SELECT shard, count(*)::BIGINT AS n_docs,
+       |  to_json(list([rel, rel + n_tokens] ORDER BY pos)) AS doc_spans
+       |FROM r GROUP BY shard""".stripMargin
+
   // -------------------------------------------------------- q_token_budget
 
   /** Training-run sizing: the epoch prefix that fits a token budget (the
@@ -1185,6 +1225,7 @@ object TrainPrepQueries {
     "q_token_budget"       -> (qTokenBudget _),
     "q_epoch_plan"         -> (qEpochPlan _),
     "q_contrastive"        -> (qContrastive _),
+    "q_pack_boundaries"    -> (qPackBoundaries _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_mixture_schedule"   -> (qMixtureSchedule _),
     "q_length_batches"     -> (qLengthBatches _),
@@ -1220,6 +1261,7 @@ object TrainPrepQueries {
     "q_token_budget"       -> qTokenBudgetSql,
     "q_epoch_plan"         -> qEpochPlanSql,
     "q_contrastive"        -> qContrastiveSql,
+    "q_pack_boundaries"    -> qPackBoundariesSql,
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_mixture_schedule"   -> qMixtureScheduleSql,
     "q_length_batches"     -> qLengthBatchesSql,
