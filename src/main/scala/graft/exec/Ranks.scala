@@ -36,11 +36,26 @@ object Ranks {
                       out: String = "rn"): DataFrame =
     groupedRowNumber(df, Nil, order, out)
 
+  /** EXCLUSIVE running total of `valueCol` per group in `order` —
+    * `sum(v) OVER (PARTITION BY group ORDER BY … ROWS UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)`, zero-coalesced — with the same
+    * two-phase shape as the row numbering (per-(partition, group) value
+    * totals to the driver, offsets broadcast back). Token-weighted
+    * scheduling needs this: the stride position of a document is the
+    * tokens BEFORE it in its domain, not its ordinal. */
+  def groupedPrefixSum(df: DataFrame, group: Seq[String], order: Seq[Column],
+                       valueCol: String, out: String): DataFrame =
+    twoPhase(df, group, order, Some(valueCol), out)
+
   /** `row_number() OVER (PARTITION BY group… ORDER BY order…)` as `out`,
     * 1-based. Group columns are names (their values key the offset map);
     * order columns are arbitrary sortable expressions. */
   def groupedRowNumber(df: DataFrame, group: Seq[String], order: Seq[Column],
-                       out: String): DataFrame = {
+                       out: String): DataFrame =
+    twoPhase(df, group, order, None, out)
+
+  private def twoPhase(df: DataFrame, group: Seq[String], order: Seq[Column],
+                       valueCol: Option[String], out: String): DataFrame = {
     val spark = df.sparkSession
     val keys: Seq[Column] = group.map(col) ++ order
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
@@ -54,9 +69,14 @@ object Ranks {
     require(gIdx.forall(_ >= 0), s"group columns $group must exist in ${ranged.columns.toSeq}")
 
     def keyOf(r: Row): Seq[Any] = gIdx.toSeq.map(r.get)
+    val vIdx = valueCol.map(ranged.columns.indexOf(_)).getOrElse(-1)
+    require(valueCol.isEmpty || vIdx >= 0,
+      s"value column $valueCol must exist in ${ranged.columns.toSeq}")
+    def valueOf(r: Row): Long = if (vIdx < 0) 1L else r.getLong(vIdx)
 
-    // Phase 1: per-(partition, group) counts. Rows are sorted with group
-    // as the major key, so counting is a streaming run-length pass.
+    // Phase 1: per-(partition, group) totals (row counts, or valueCol
+    // sums). Rows are sorted with group as the major key, so totalling is
+    // a streaming run-length pass.
     val counts: Array[(Int, Seq[(Seq[Any], Long)])] =
       ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
         val runs = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long)]
@@ -68,7 +88,7 @@ object Ranks {
             if (cur != null) runs += ((cur, n))
             cur = k; n = 0L
           }
-          n += 1L
+          n += valueOf(r)
         }
         if (cur != null) runs += ((cur, n))
         Iterator((pid, runs.toSeq))
@@ -93,15 +113,18 @@ object Ranks {
     // one task, where getPartitionId() names the COALESCED partition and
     // every folded chunk would read offset 0. The split index is bound at
     // RDD definition and survives any downstream plan shape.
+    // Ranks are INCLUSIVE (this row's 1-based position); prefix sums are
+    // EXCLUSIVE (the total strictly before this row).
     val outSchema = ranged.schema.add(out, LongType, nullable = false)
     val numbered = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       val mine = bc.value.getOrElse(pid, Map.empty[Seq[Any], Long])
       val cur = scala.collection.mutable.Map.empty[Seq[Any], Long]
       it.map { r =>
         val k = gIdx.toSeq.map(r.get)
-        val n = cur.getOrElse(k, mine.getOrElse(k, 0L)) + 1L
-        cur(k) = n
-        Row.fromSeq(r.toSeq :+ n)
+        val before = cur.getOrElse(k, mine.getOrElse(k, 0L))
+        val v = valueOf(r)
+        cur(k) = before + v
+        Row.fromSeq(r.toSeq :+ (if (vIdx < 0) before + v else before))
       }
     }
     spark.createDataFrame(numbered, outSchema)

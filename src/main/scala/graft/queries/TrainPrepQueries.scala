@@ -327,6 +327,45 @@ object TrainPrepQueries {
        |  row_number() OVER (ORDER BY stride_key, lang, dom_rank) AS pos
        |FROM k""".stripMargin
 
+  // ----------------------------------------------------- q_mixture_tokens
+
+  /** TOKEN-weighted stride mixture — the real-world semantics: domain
+    * weights target token shares, so a domain's stride position is the
+    * tokens before a document in its domain (the grouped two-phase
+    * prefix sum), not its ordinal. Every training prefix then holds the
+    * 5:2:1 TOKEN mixture even when domains have very different document
+    * lengths. Oracle = the per-domain window twin + global row_number. */
+  def qMixtureTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("h", Sharding.shuffleKey(col("doc_id"), 42L))
+      .withColumn("w10",
+        expr("CASE lang WHEN 'en' THEN 5 WHEN 'zh' THEN 2 ELSE 1 END"))
+    val pref = graft.exec.Ranks.groupedPrefixSum(docs, Seq("lang"),
+        Seq(col("h"), col("doc_id")), "n_tokens", "tok_before")
+      .withColumn("stride_key", expr("(tok_before * 10000) div w10"))
+    graft.exec.Ranks.globalRowNumber(pref,
+        Seq(col("stride_key"), col("lang"), col("tok_before")), "pos")
+      .select("doc_id", "lang", "n_tokens", "tok_before", "stride_key", "pos")
+  }
+
+  val qMixtureTokensSql: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |  len(string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+'))::BIGINT AS n_tokens,
+       |  ((doc_id % ${Sharding.HashMod}) * ${Sharding.HashMulA} + 42) % ${Sharding.HashMod} * ${Sharding.HashMulB} % ${Sharding.HashMod} AS h,
+       |  CASE lang WHEN 'en' THEN 5 WHEN 'zh' THEN 2 ELSE 1 END AS w10
+       | FROM documents),
+       |p AS (SELECT doc_id, lang, n_tokens,
+       |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_before,
+       |  w10 FROM d),
+       |k AS (SELECT doc_id, lang, n_tokens, tok_before,
+       |  (tok_before * 10000) // w10 AS stride_key FROM p)
+       |SELECT doc_id, lang, n_tokens, tok_before, stride_key,
+       |  row_number() OVER (ORDER BY stride_key, lang, tok_before) AS pos
+       |FROM k""".stripMargin
+
   // ------------------------------------------------------- q_length_batches
 
   /** Length-bucketed batching: bucket documents by token count (width 32),
@@ -1228,6 +1267,7 @@ object TrainPrepQueries {
     "q_pack_boundaries"    -> (qPackBoundaries _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_mixture_schedule"   -> (qMixtureSchedule _),
+    "q_mixture_tokens"     -> (qMixtureTokens _),
     "q_length_batches"     -> (qLengthBatches _),
     "q_upsample"           -> (qUpsample _),
     "q_shard_manifest"     -> (qShardManifest _),
@@ -1264,6 +1304,7 @@ object TrainPrepQueries {
     "q_pack_boundaries"    -> qPackBoundariesSql,
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_mixture_schedule"   -> qMixtureScheduleSql,
+    "q_mixture_tokens"     -> qMixtureTokensSql,
     "q_length_batches"     -> qLengthBatchesSql,
     "q_upsample"           -> qUpsampleSql,
     "q_shard_manifest"     -> qShardManifestSql,

@@ -56,6 +56,24 @@ class RanksSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedPrefixSum equals the exclusive window sum at any partition count") {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("v"))
+    val expected = docs.withColumn("c",
+        coalesce(sum(col("v")).over(
+          Window.partitionBy("lang").orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("doc_id", "c").as[(Long, Long)].collect().toMap
+    for (p <- Seq(1, 8)) {
+      val got = withParts(p) {
+        Ranks.groupedPrefixSum(docs, Seq("lang"), Seq(col("doc_id")), "v", "c")
+          .select("doc_id", "c").as[(Long, Long)].collect().toMap
+      }
+      assert(got == expected, s"prefix sums diverged at $p partitions")
+    }
+  }
+
   test("ranks survive a downstream coalesce(1) — the sink shape that folds partitions") {
     // Regression: a narrow re-partitioning after the numbering pass (any
     // single-file sink does coalesce(1)) folds the checkpoint partitions
