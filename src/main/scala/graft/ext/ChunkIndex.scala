@@ -275,6 +275,30 @@ object ChunkIndex {
           seed, cutMod, baseBatch + batchId)
       }
 
+  /** Observability: physical layout (delta batches, live vs tombstoned
+    * docs, manifest versions) plus logical totals. `needs_compact` flags
+    * an index whose read amplification has drifted — many delta batches
+    * or a tombstone share worth folding. One row. */
+  def stats(spark: SparkSession, base: String): DataFrame = {
+    heal(spark, base)
+    import spark.implicits._
+    val allDocs = readOr(spark, s"$base/docs", docsSchema)
+    val nBatches = allDocs.select("batch_id").distinct().count()
+    val nRows = allDocs.count()
+    val nTombs = readOr(spark, s"$base/tombs", tombsSchema)
+      .select("doc_id").distinct().count()
+    val live = readDocs(spark, base)
+    val nLive = live.count()
+    val toks = live.agg(coalesce(sum("n_tokens"), lit(0L))).head.getLong(0)
+    val manifest = readManifest(spark, base)
+    val nChunks = manifest.count()
+    val versions = readOr(spark, s"$base/manifest", manifestSchema).count()
+    Seq((nBatches, nRows, nTombs, nLive, toks, nChunks, versions,
+      nBatches > 8 || (nRows > 0 && nTombs * 5 > nRows)))
+      .toDF("n_delta_batches", "n_doc_rows", "n_tombstones", "n_live_docs",
+        "n_tokens", "n_chunks", "n_manifest_versions", "needs_compact")
+  }
+
   // ------------------------------------------------------------- compaction
 
   private def fs(spark: SparkSession) = org.apache.hadoop.fs.FileSystem.get(

@@ -141,6 +141,31 @@ class ChunkIndexSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/docs/batch_id=$orphan")))
   }
 
+  test("stats report the physical layout exactly and flag drift; compaction clears it") {
+    val base = java.nio.file.Files.createTempDirectory("graft_chunkidx5").toString + "/idx"
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    (0 until 10).foreach { b =>
+      ChunkIndex.append(spark, base, docs.filter(col("doc_id") % 10 === b),
+        "text", "doc_id", seed = 42L, cutMod = 16L, batchId = b.toLong)
+    }
+    ChunkIndex.delete(spark, base,
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"),
+      "doc_id", cutMod = 16L, batchId = 10L)
+    val s1 = ChunkIndex.stats(spark, base).collect().head
+    assert(s1.getLong(0) == 10, "delta batch count")
+    assert(s1.getLong(1) == 500, "doc rows")
+    assert(s1.getLong(2) == docs.filter(col("doc_id") % 7 === 3).count(), "tombstones")
+    assert(s1.getLong(3) == s1.getLong(1) - s1.getLong(2), "live docs")
+    assert(s1.getBoolean(7), "ten delta batches must flag needs_compact")
+
+    ChunkIndex.compact(spark, base, cutMod = 16L)
+    val s2 = ChunkIndex.stats(spark, base).collect().head
+    assert(s2.getLong(0) == 1 && s2.getLong(2) == 0 && !s2.getBoolean(7),
+      s"compaction did not clear drift: $s2")
+    assert(s2.getLong(3) == s1.getLong(3), "compaction changed live docs")
+    assert(s2.getLong(5) == s2.getLong(6), "versions should equal chunks after compaction")
+  }
+
   test("a batch introducing a new cut splits the covering chunk correctly") {
     val base = java.nio.file.Files.createTempDirectory("graft_chunkidx2").toString + "/idx"
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
