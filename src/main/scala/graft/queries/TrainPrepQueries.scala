@@ -212,6 +212,35 @@ object TrainPrepQueries {
        |  to_json(list([rel, rel + n_tokens] ORDER BY pos)) AS doc_spans
        |FROM r GROUP BY shard""".stripMargin
 
+  // --------------------------------------------------------- q_shard_skew
+
+  /** Shard-balance report: one row over the whole epoch — shard count and
+    * min/max/total tokens per shard. The token-budget assignment bounds
+    * every shard at budget + one straddling document, so max/min stay
+    * tight regardless of document-length skew; this is the check a
+    * capacity planner reads before provisioning trainers. */
+  def qShardSkew(s: SparkSession, dir: String): DataFrame =
+    Sharding.epochShuffle(Tables(s, dir, "documents"),
+        "doc_id", "text", seed = 42L, budget = 4000L)
+      .groupBy("shard").agg(sum("n_tokens").as("t"))
+      .agg(count(lit(1)).as("n_shards"),
+        min("t").as("min_tokens"), max("t").as("max_tokens"),
+        sum("t").as("total_tokens"))
+
+  val qShardSkewSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  len(string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+'))::BIGINT AS n_tokens,
+       |  ((doc_id % ${Sharding.HashMod}) * ${Sharding.HashMulA} + 42) % ${Sharding.HashMod} * ${Sharding.HashMulB} % ${Sharding.HashMod} AS h
+       | FROM documents),
+       |c AS (SELECT n_tokens,
+       |  coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+       | FROM t),
+       |g AS (SELECT (cum_before // 4000)::BIGINT AS shard, sum(n_tokens)::BIGINT AS t
+       | FROM c GROUP BY 1)
+       |SELECT count(*)::BIGINT AS n_shards, min(t) AS min_tokens,
+       |  max(t) AS max_tokens, sum(t)::BIGINT AS total_tokens FROM g""".stripMargin
+
   // -------------------------------------------------------- q_token_budget
 
   /** Training-run sizing: the epoch prefix that fits a token budget (the
@@ -1262,6 +1291,7 @@ object TrainPrepQueries {
     "q_epoch_shuffle"      -> (qEpochShuffle _),
     "q_dataloader_resume"  -> (qDataloaderResume _),
     "q_token_budget"       -> (qTokenBudget _),
+    "q_shard_skew"         -> (qShardSkew _),
     "q_epoch_plan"         -> (qEpochPlan _),
     "q_contrastive"        -> (qContrastive _),
     "q_pack_boundaries"    -> (qPackBoundaries _),
@@ -1299,6 +1329,7 @@ object TrainPrepQueries {
     "q_epoch_shuffle"      -> qEpochShuffleSql,
     "q_dataloader_resume"  -> qDataloaderResumeSql,
     "q_token_budget"       -> qTokenBudgetSql,
+    "q_shard_skew"         -> qShardSkewSql,
     "q_epoch_plan"         -> qEpochPlanSql,
     "q_contrastive"        -> qContrastiveSql,
     "q_pack_boundaries"    -> qPackBoundariesSql,
