@@ -2,7 +2,7 @@ package graft.exec
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, NumericType}
 
 /** Distributed `row_number()` — the scale-safe replacement for the two
   * window shapes that serialize at 100 TB:
@@ -54,9 +54,28 @@ object Ranks {
                        out: String): DataFrame =
     twoPhase(df, group, order, None, out)
 
-  private def twoPhase(df: DataFrame, group: Seq[String], order: Seq[Column],
+  /** Hard ceiling on phase-1 driver state: one small tuple per
+    * (partition, group-run). ~4M entries is well under a gigabyte of
+    * driver heap; beyond it the caller is using a high-cardinality group
+    * column, which this utility is explicitly not for (each such group's
+    * window is small enough for a plain `Window.partitionBy`). */
+  private val MaxDriverEntries: Long = 4L * 1000 * 1000
+
+  private def twoPhase(df0: DataFrame, group: Seq[String], order: Seq[Column],
                        valueCol: Option[String], out: String): DataFrame = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
+    // The value column's public contract is "any numeric, nulls count as
+    // zero"; phase 1/2 arithmetic is Long. Normalize once into an internal
+    // appended column rather than trusting callers to pre-cast.
+    val internalV = "__graft_tp_value"
+    val df = valueCol match {
+      case Some(v) =>
+        val dt = df0.schema(v).dataType
+        require(dt.isInstanceOf[NumericType],
+          s"value column $v must be numeric, got $dt")
+        df0.withColumn(internalV, coalesce(col(v).cast(LongType), lit(0L)))
+      case None => df0
+    }
     val keys: Seq[Column] = group.map(col) ++ order
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     // localCheckpoint pins ONE materialization of the range exchange: the
@@ -69,9 +88,7 @@ object Ranks {
     require(gIdx.forall(_ >= 0), s"group columns $group must exist in ${ranged.columns.toSeq}")
 
     def keyOf(r: Row): Seq[Any] = gIdx.toSeq.map(r.get)
-    val vIdx = valueCol.map(ranged.columns.indexOf(_)).getOrElse(-1)
-    require(valueCol.isEmpty || vIdx >= 0,
-      s"value column $valueCol must exist in ${ranged.columns.toSeq}")
+    val vIdx = if (valueCol.isEmpty) -1 else ranged.columns.indexOf(internalV)
     def valueOf(r: Row): Long = if (vIdx < 0) 1L else r.getLong(vIdx)
 
     // Phase 1: per-(partition, group) totals (row counts, or valueCol
@@ -94,6 +111,16 @@ object Ranks {
         Iterator((pid, runs.toSeq))
       }.collect()
 
+    // Misuse guard (contiguity bounds entries at partitions + distinct
+    // groups, so tripping this means a high-cardinality group column):
+    // fail loudly rather than letting the offset map OOM the driver.
+    val collected = counts.iterator.map(_._2.size.toLong).sum
+    require(collected <= MaxDriverEntries,
+      s"Ranks.twoPhase collected $collected (partition, group) entries " +
+        s"(> $MaxDriverEntries): group columns $group are too high-cardinality " +
+        "for the two-phase rank — use a plain Window.partitionBy, whose " +
+        "per-group extents are small at that cardinality.")
+
     // Phase 2: starting offset of each group within each partition = total
     // of that group's counts in earlier partitions.
     val running = scala.collection.mutable.Map.empty[Seq[Any], Long]
@@ -115,7 +142,12 @@ object Ranks {
     // RDD definition and survives any downstream plan shape.
     // Ranks are INCLUSIVE (this row's 1-based position); prefix sums are
     // EXCLUSIVE (the total strictly before this row).
-    val outSchema = ranged.schema.add(out, LongType, nullable = false)
+    // The internal normalized-value column (last, when present) is
+    // implementation detail — strip it from both schema and rows.
+    val baseSchema =
+      if (vIdx < 0) ranged.schema
+      else org.apache.spark.sql.types.StructType(ranged.schema.dropRight(1))
+    val outSchema = baseSchema.add(out, LongType, nullable = false)
     val numbered = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       val mine = bc.value.getOrElse(pid, Map.empty[Seq[Any], Long])
       val cur = scala.collection.mutable.Map.empty[Seq[Any], Long]
@@ -124,7 +156,8 @@ object Ranks {
         val before = cur.getOrElse(k, mine.getOrElse(k, 0L))
         val v = valueOf(r)
         cur(k) = before + v
-        Row.fromSeq(r.toSeq :+ (if (vIdx < 0) before + v else before))
+        val base = if (vIdx < 0) r.toSeq else r.toSeq.dropRight(1)
+        Row.fromSeq(base :+ (if (vIdx < 0) before + v else before))
       }
     }
     spark.createDataFrame(numbered, outSchema)

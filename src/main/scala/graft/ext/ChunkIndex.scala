@@ -61,23 +61,37 @@ object ChunkIndex {
                         excludeBatch: Long): DataFrame =
     readOr(spark, s"$base/tombs", tombsSchema)
       .filter(col("batch_id") =!= excludeBatch)
-      .select("doc_id")
+      .select(col("doc_id").as("__tomb_id"), col("batch_id").as("__tomb_batch"))
+
+  /** Mask a delta table against tombstones. A tombstone hides only rows
+    * from batches AT OR BEFORE its own batch — so a doc re-appended after
+    * its takedown is live again (the new delta row's batch_id exceeds the
+    * tombstone's), matching what a full rebuild over the live corpus
+    * would say. Masking all batches unconditionally would make
+    * re-ingest-before-compact inconsistent: the append-time manifest
+    * counts the new row while reads hide it until compact(). */
+  private def maskTombs(delta: DataFrame, tombs: DataFrame): DataFrame =
+    delta.join(tombs,
+      delta("doc_id") === tombs("__tomb_id") &&
+        delta("batch_id") <= tombs("__tomb_batch"), "left_anti")
 
   /** Doc stats with tombstones masked — deletion is an O(|deleted|)
     * tombstone append; no delta partition is ever rewritten. */
   def readDocs(spark: SparkSession, base: String,
                excludeBatch: Long = Long.MinValue): DataFrame =
-    readOr(spark, s"$base/docs", docsSchema)
-      .filter(col("batch_id") =!= excludeBatch)
-      .join(readTombs(spark, base, excludeBatch), Seq("doc_id"), "left_anti")
+    maskTombs(
+      readOr(spark, s"$base/docs", docsSchema)
+        .filter(col("batch_id") =!= excludeBatch),
+      readTombs(spark, base, excludeBatch))
 
   /** Cut markers with tombstones masked: a deleted cut doc stops being a
     * boundary the moment its tombstone lands. */
   def readCuts(spark: SparkSession, base: String,
                excludeBatch: Long = Long.MinValue): DataFrame =
-    readOr(spark, s"$base/cuts", cutsSchema)
-      .filter(col("batch_id") =!= excludeBatch)
-      .join(readTombs(spark, base, excludeBatch), Seq("doc_id"), "left_anti")
+    maskTombs(
+      readOr(spark, s"$base/cuts", cutsSchema)
+        .filter(col("batch_id") =!= excludeBatch),
+      readTombs(spark, base, excludeBatch))
 
   /** Current manifest: per chunk key, the row from the latest batch that
     * recomputed it. The window partitions by key — per-key state is the

@@ -24,9 +24,18 @@ object Snapshots {
   /** Per-document change status between snapshot `a` (old) and `b` (new):
     * `added` (only in b), `deleted` (only in a), `changed` (both, content
     * hash differs), `unchanged`. */
+  /** Content hash that keeps NULL text representable: md5(NULL) is NULL,
+    * and a NULL hash is indistinguishable from "row absent" in the
+    * full-outer join, which would misreport a NULL-text doc present in
+    * both snapshots as added+deleted. A non-hex sentinel (md5 output is
+    * 32 hex chars, so no collision) keeps NULL a first-class content
+    * state: NULL→NULL compares unchanged, NULL→text compares changed. */
+  private def contentHash(c: org.apache.spark.sql.Column) =
+    when(c.isNull, lit("<NULL>")).otherwise(md5(c))
+
   def diff(a: DataFrame, b: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ah = a.select(col(idCol), md5(col(textCol)).as("h_a"))
-    val bh = b.select(col(idCol), md5(col(textCol)).as("h_b"))
+    val ah = a.select(col(idCol), contentHash(col(textCol)).as("h_a"))
+    val bh = b.select(col(idCol), contentHash(col(textCol)).as("h_b"))
     ah.join(bh, Seq(idCol), "full_outer")
       .select(col(idCol),
         when(col("h_a").isNull, lit("added"))

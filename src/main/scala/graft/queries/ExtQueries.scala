@@ -953,6 +953,29 @@ object ExtQueries {
   private val SimhashMaxHamming = 6
   private val NearDupThreshold = 0.7
 
+  /** Scale gate for the brute-force sides of the refutation companions.
+    * A `_verified` twin exists to REFUTE the approximate operator, and
+    * refutation power per doc is constant — so its deliberately-quadratic
+    * recall scan must run on a bounded deterministic slice, never the
+    * whole corpus: above the cap its cost would dominate any bench sf and
+    * at 100 TB it simply cannot run. At the driver's correctness sf
+    * (0.01, ~5k docs) the slice IS the full corpus, so the gate still
+    * certifies the complete production emitted set there. */
+  private val CompanionCap = 6000L
+
+  /** Deterministic ~`cap`-doc slice: every doc whose xxhash64(id) lands
+    * in a fixed residue class. Hash-based (not limit/sample) so the slice
+    * is stable across partitionings, runs and engines. */
+  private def boundedSlice(docs: DataFrame, idCol: String,
+                           cap: Long = CompanionCap): DataFrame = {
+    val n = docs.count()
+    if (n <= cap) docs
+    else {
+      val k = math.max(1L, n / cap)
+      docs.filter(pmod(xxhash64(col(idCol)), lit(k)) === 0L)
+    }
+  }
+
   /** MinHash+LSH candidate pairs (est. Jaccard ≥ 0.5) — approximate,
     * rows-only check; recall asserted against exact pairs in ExtSpec. */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
@@ -1022,10 +1045,16 @@ object ExtQueries {
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
       .filter(sqlJaccard(col("__ta"), col("__tb")) < 0.05)
       .select(col("id_a"), col("id_b"), lit("false_positive").as("problem"))
-    val uncapped = Dedup.minhashPairs(docs, "text", "doc_id",
+    // Recall side on the bounded slice: minhash signatures and LSH band
+    // membership are per-doc properties, so "no sliced pair at J ≥ 0.9 is
+    // missed" is exactly the full contract restricted to slice×slice —
+    // valid at any corpus size, and the single-block prefix join (the
+    // deliberately exhaustive exact side) stays bounded by the cap.
+    val sliced = boundedSlice(docs, "doc_id")
+    val uncapped = Dedup.minhashPairs(sliced, "text", "doc_id",
       minEstimate = MinhashMinEstimate, maxBucket = Int.MaxValue)
     val missed = Dedup.prefixJaccardPairs(
-        docs.withColumn("__blk", lit(1)), "text", "doc_id", "__blk",
+        sliced.withColumn("__blk", lit(1)), "text", "doc_id", "__blk",
         threshold = 0.9)
       .join(uncapped, Seq("id_a", "id_b"), "left_anti")
       .select(col("id_a"), col("id_b"), lit("missed_high_sim").as("problem"))
@@ -1066,8 +1095,14 @@ object ExtQueries {
     * recursive CTE on the exact twin; this companion closes the
     * remaining classes on the LSH path. Oracle = empty set. */
   def qDedupClustersVerified(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
-    val kept = qDedupClusters(s, dir) // the PRODUCTION emitted set
+    // Scale gate: at the correctness sf the slice is the full corpus and
+    // `kept` IS the production emitted set; above the cap the companion
+    // re-instantiates the identical pipeline on the bounded slice (the
+    // contract classes below are per-cluster properties, equally refutable
+    // on any corpus the pipeline runs on).
+    val docs = boundedSlice(Tables(s, dir, "documents"), "doc_id")
+    val kept = Dedup.dedupNear(docs, "text", "doc_id",
+        threshold = DedupClustersThreshold)
       .select(col("doc_id").as("id"))
     // the production pair generator, materialized ONCE: the edge-breach
     // scan and the cluster recomputation below would otherwise each

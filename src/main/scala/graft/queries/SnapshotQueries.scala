@@ -47,8 +47,12 @@ object SnapshotQueries {
 
   val qSnapshotDiffSql: String =
     s"""WITH $snapBSql,
-       |ah AS (SELECT doc_id, md5(text) AS h_a FROM documents),
-       |bh AS (SELECT doc_id, md5(text) AS h_b FROM b)
+       |ah AS (SELECT doc_id,
+       |  CASE WHEN text IS NULL THEN '<NULL>' ELSE md5(text) END AS h_a
+       |  FROM documents),
+       |bh AS (SELECT doc_id,
+       |  CASE WHEN text IS NULL THEN '<NULL>' ELSE md5(text) END AS h_b
+       |  FROM b)
        |SELECT coalesce(ah.doc_id, bh.doc_id) AS doc_id,
        |  CASE WHEN h_a IS NULL THEN 'added'
        |       WHEN h_b IS NULL THEN 'deleted'
@@ -73,8 +77,12 @@ object SnapshotQueries {
 
   val qIncrDeltaSql: String =
     s"""WITH $snapBSql,
-       |ah AS (SELECT doc_id, md5(text) AS h_a FROM documents),
-       |bh AS (SELECT doc_id, md5(text) AS h_b FROM b),
+       |ah AS (SELECT doc_id,
+       |  CASE WHEN text IS NULL THEN '<NULL>' ELSE md5(text) END AS h_a
+       |  FROM documents),
+       |bh AS (SELECT doc_id,
+       |  CASE WHEN text IS NULL THEN '<NULL>' ELSE md5(text) END AS h_b
+       |  FROM b),
        |dl AS (SELECT bh.doc_id FROM bh LEFT JOIN ah ON ah.doc_id = bh.doc_id
        |       WHERE ah.h_a IS NULL OR ah.h_a <> bh.h_b),
        |x AS (SELECT b.doc_id, b.text FROM b JOIN dl ON b.doc_id = dl.doc_id),

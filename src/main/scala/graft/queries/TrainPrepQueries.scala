@@ -35,6 +35,17 @@ import graft.ext.{Sharding, TextAnalysis}
   * [[graft.ext.Sharding]]) — never a single-task window. */
 object TrainPrepQueries {
 
+  /** Scratch location for standing-state queries (chunk index, curation
+    * lifecycle). Derived from (query tag, data dir) so invocations
+    * against different scale factors never clobber each other's standing
+    * state, and each query owns a distinct namespace — the sequential-
+    * runner assumption stays out of the query code. */
+  private def scratchBase(tag: String, dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"/tmp/graft_${tag}_$h"
+  }
+
   // ------------------------------------------------------ q_epoch_shuffle
 
   /** Deterministic epoch order + shard assignment over `documents`. The
@@ -571,7 +582,7 @@ object TrainPrepQueries {
     * The oracle is the DIRECT one-shot chunk manifest — a hash-match
     * proves incremental maintenance is semantically invisible. */
   def qChunkIdx(s: SparkSession, dir: String): DataFrame = {
-    val base = "/tmp/graft_chunkidx_q"
+    val base = scratchBase("chunkidx", dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -593,7 +604,7 @@ object TrainPrepQueries {
     * SURVIVORS — a hash-match proves the tombstone path equals a rebuild
     * without the victims. */
   def qChunkDelete(s: SparkSession, dir: String): DataFrame = {
-    val base = "/tmp/graft_chunkdel_q"
+    val base = scratchBase("chunkdel", dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -821,14 +832,28 @@ object TrainPrepQueries {
     graft.ext.Bpe.encodeCounts(Tables(s, dir, "documents"), "text", "doc_id", k = 12)
 
   /** Contract-breach companion: per-word imperative replay (mergePair
-    * fold) of the expression-chain encode, per document. Oracle = empty. */
+    * fold) of the expression-chain encode, per document. Oracle = empty.
+    *
+    * Scale gate: the replay is a driver-side fold over every word of
+    * every checked doc, so it runs on a bounded deterministic slice —
+    * the FULL corpus at the correctness sf (≤ cap docs), a fixed-size
+    * hash slice above it. The merge table is still the production one
+    * trained on the whole corpus, and encode correctness is per-doc, so
+    * the sliced check refutes the same contract. */
   def qBpeEncodeVerified(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables(s, dir, "documents")
-    val table = graft.ext.Bpe.merges(docs, "text", k = 12)
+    val allDocs = Tables(s, dir, "documents")
+    val table = graft.ext.Bpe.merges(allDocs, "text", k = 12)
       .as[(Int, String, String, Long)].collect().sortBy(_._1)
       .map(m => (m._2, m._3)).toSeq
+    val cap = 6000L
+    val n = allDocs.count()
+    val docs =
+      if (n <= cap) allDocs
+      else allDocs.filter(
+        pmod(xxhash64(col("doc_id")), lit(math.max(1L, n / cap))) === 0L)
     val dist = qBpeEncode(s, dir)
+      .join(docs.select("doc_id"), Seq("doc_id"), "left_semi")
       .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
     val ref = docs.select(col("doc_id"), graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
       .as[(Long, Seq[String])].collect().map { case (id, toks) =>
@@ -951,9 +976,12 @@ object TrainPrepQueries {
     * whole two-batch lifecycle is reproducible in plain SQL: the oracle
     * recomputes features from the even half and scores the odd half,
     * and a hash-match proves the streaming plumbing changes nothing. */
-  def qCurationIncr(s: SparkSession, dir: String): DataFrame = {
+  def qCurationIncr(s: SparkSession, dir: String): DataFrame =
+    curationLifecycle(s, dir, scratchBase("curation", dir))
+
+  private def curationLifecycle(s: SparkSession, dir: String,
+                                base: String): DataFrame = {
     import graft.streaming.IngestCuration
-    val base = "/tmp/graft_curation_q"
     // deterministic slate: stale deltas from an aborted prior invocation
     // would otherwise join the feature aggregate
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -1010,9 +1038,11 @@ object TrainPrepQueries {
     * recomputation from the whole corpus — delta partitions, stamps and
     * replay plumbing must be invisible in the aggregate. */
   def qCurationStats(s: SparkSession, dir: String): DataFrame = {
-    qCurationIncr(s, dir).count() // drive the lifecycle; verdicts unused here
-    graft.streaming.IngestCuration
-      .readFeatures(s, "/tmp/graft_curation_q/feat")
+    // own scratch base: this query drives its own lifecycle, so a
+    // concurrently-running q_curation_incr can't clobber its state
+    val base = scratchBase("curationstats", dir)
+    curationLifecycle(s, dir, base).count() // verdicts unused here
+    graft.streaming.IngestCuration.readFeatures(s, s"$base/feat")
   }
 
   val qCurationStatsSql: String =

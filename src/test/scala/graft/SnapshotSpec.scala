@@ -25,6 +25,19 @@ class SnapshotSpec extends AnyFunSuite {
     assert(r == Set((2L, "new"), (4L, "fresh")))
   }
 
+  test("NULL text is a content state, not row absence") {
+    // Regression: md5(NULL) is NULL, indistinguishable from "row absent"
+    // in the full-outer join — a NULL-text doc present in both snapshots
+    // was misreported as added/deleted.
+    val a = Seq((1L, null: String), (2L, null: String), (3L, "x"))
+      .toDF("id", "text")
+    val b = Seq((1L, null: String), (2L, "now set"), (3L, null: String))
+      .toDF("id", "text")
+    val r = Snapshots.diff(a, b, "id", "text")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(r == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed"))
+  }
+
   test("diff plan exchanges hashes, not bodies: text is pruned before the join") {
     val a = Seq((1L, "x")).toDF("id", "text")
     val b = Seq((1L, "x")).toDF("id", "text")

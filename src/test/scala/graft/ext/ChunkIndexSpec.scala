@@ -166,6 +166,33 @@ class ChunkIndexSpec extends AnyFunSuite {
     assert(s2.getLong(5) == s2.getLong(6), "versions should equal chunks after compaction")
   }
 
+  test("re-appending a deleted doc before compact() makes it live again") {
+    // Regression: tombstones masked a doc_id across ALL batches, so a
+    // takedown followed by re-ingest left the manifest counting the new
+    // row while reads hid it. A tombstone now masks only batches at or
+    // before its own, so re-ingest equals a rebuild over the live corpus.
+    val base = java.nio.file.Files.createTempDirectory("graft_chunkidx6").toString + "/idx"
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    ChunkIndex.append(spark, base, docs, "text", "doc_id",
+      seed = 42L, cutMod = 16L, batchId = 0L)
+    val victims = docs.filter(col("doc_id") % 23 === 5)
+    ChunkIndex.delete(spark, base, victims.select("doc_id"),
+      "doc_id", cutMod = 16L, batchId = 1L)
+    // re-ingest the victims (content identical — e.g. a takedown reversed)
+    ChunkIndex.append(spark, base, victims, "text", "doc_id",
+      seed = 42L, cutMod = 16L, batchId = 2L)
+    assert(ChunkIndex.readDocs(spark, base).count() == docs.count(),
+      "re-appended docs still masked by the old tombstone")
+    val standing = manifestSet(ChunkIndex.readManifest(spark, base))
+    val oneShot = manifestSet(
+      Sharding.chunkManifest(docs, "doc_id", "text", 42L, 16L))
+    assert(standing == oneShot,
+      "manifest after delete + re-append diverged from the full rebuild")
+    // and the state survives compaction unchanged
+    ChunkIndex.compact(spark, base, cutMod = 16L)
+    assert(manifestSet(ChunkIndex.readManifest(spark, base)) == oneShot)
+  }
+
   test("a batch introducing a new cut splits the covering chunk correctly") {
     val base = java.nio.file.Files.createTempDirectory("graft_chunkidx2").toString + "/idx"
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")

@@ -74,6 +74,39 @@ class RanksSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix sum accepts an Int value column with nulls (nulls count as zero)") {
+    // Regression: valueOf used r.getLong on the raw column, so an
+    // IntegerType value threw ClassCastException and a null NPE'd. The
+    // public contract is now any numeric, nulls as zero.
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 13 === 0, lit(null))
+          .otherwise((col("doc_id") % 10).cast("int")).as("v"))
+    val expected = docs
+      .withColumn("c", coalesce(
+        sum(coalesce(col("v"), lit(0))).over(
+          Window.partitionBy("lang").orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("doc_id", "c").as[(Long, Long)].collect().toMap
+    val got = withParts(8) {
+      Ranks.groupedPrefixSum(docs, Seq("lang"), Seq(col("doc_id")), "v", "c")
+        .select("doc_id", "c").as[(Long, Long)].collect().toMap
+    }
+    assert(got == expected)
+    // the internal normalized column must not leak into the output
+    val cols = Ranks.groupedPrefixSum(docs, Seq("lang"), Seq(col("doc_id")),
+      "v", "c").columns.toSeq
+    assert(cols == Seq("doc_id", "lang", "v", "c"), cols.toString)
+  }
+
+  test("a non-numeric value column fails loudly, not with a cast error mid-job") {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val e = intercept[IllegalArgumentException] {
+      Ranks.groupedPrefixSum(docs, Nil, Seq(col("doc_id")), "lang", "c")
+    }
+    assert(e.getMessage.contains("numeric"))
+  }
+
   test("ranks survive a downstream coalesce(1) — the sink shape that folds partitions") {
     // Regression: a narrow re-partitioning after the numbering pass (any
     // single-file sink does coalesce(1)) folds the checkpoint partitions
