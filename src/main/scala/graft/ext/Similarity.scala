@@ -415,6 +415,24 @@ object Similarity {
           cosine(col("qv"), col("cv")).as("sim")),
       k)
 
+  /** [[searchCells]] for a probe side too large to broadcast — the BATCH
+    * probe shape (the whole corpus querying the index at once): the same
+    * cell equi-join and scoring arithmetic, but the join is left to the
+    * planner as a shuffle join, so the probe frame streams through the
+    * exchange instead of collecting to the driver. AQE's skew-join
+    * splitting handles hot cells. Output is bit-identical to
+    * [[searchCells]] on the same inputs (same keys, same cosine
+    * expression, same bounded per-query aggregator). */
+  private[ext] def searchCellsShuffled(assigned: DataFrame, probes: DataFrame,
+                                       k: Int): DataFrame =
+    topKPerKey(
+      assigned.select(col("cell"), col("id").as("cand_id"), col("v").as("cv"))
+        .join(probes, Seq("cell"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          cosine(col("qv"), col("cv")).as("sim")),
+      k)
+
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
                   cents: Seq[(Long, Seq[Double])], k: Int, nprobe: Int,
                   idCol: String = "vec_id",

@@ -459,6 +459,51 @@ object SimilarityIndex {
     Similarity.searchCells(corpus, probes, k)
   }
 
+  /** [[topK]] for a query SET — the batch-probe path for query frames
+    * too large to collect and broadcast (re-embedding sweeps, corpus ×
+    * index self-joins, nightly recommendation refreshes). Nothing probe-
+    * sized ever reaches the driver:
+    *
+    *  - the distinct probed cells are an AGGREGATION kept as a frame,
+    *    broadcast into a left-semi prune of the cells table (≤ quantizer
+    *    size rows by construction, so the broadcast is free). File-level
+    *    bucket pruning is an `IN`-literal privilege the batch path gives
+    *    up — with a large probe set most cells are probed anyway, so the
+    *    one full scan is inherent, and the semi join still drops
+    *    unprobed cells' rows before the dedup/decode work;
+    *  - candidates come from a SHUFFLE join of corpus and probe frame on
+    *    the cell id ([[Similarity.searchCellsShuffled]]) — the probe
+    *    side streams through the exchange, skew split by AQE.
+    *
+    * Results are bit-identical to [[topK]] on the same inputs; only the
+    * physical probe delivery differs. The quantizer sidecar (k×dim on
+    * the driver) is the one collected artifact — the classic IVF memory
+    * contract, independent of query-set size. */
+  def topKBatch(spark: SparkSession, base: String, queries: DataFrame,
+                k: Int, nprobe: Int, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    BucketedTables.heal(spark, Seq(cellsTable(base), tombsTable(base)))
+    // same read-order contract as topK: epoch, then tombstones, then scan
+    val epoch = BucketedTables.snapshotEpoch(spark, cellsTable(base))
+    val tombIds =
+      BucketedTables.activeTombIds(spark, tombsTable(base), epoch)
+    val cents = decodeQuantizer(
+      BucketedTables.readSidecar(spark, cellsTable(base), QuantizerSidecar))
+    val probes = Similarity.probeCells(queries, vecCol, idCol, cents, nprobe)
+    val probedCells = probes.select(col("cell")).distinct()
+    // whole-row dedup of the probed slice for the same replayed-append
+    // reason as topK (see there); decode after the prune, like there
+    val corpus = decodeCells(
+      BucketedTables.maskByTombs(
+        spark.table(cellsTable(base))
+          .join(broadcast(probedCells), Seq("cell"), "left_semi")
+          .dropDuplicates(),
+        tombIds),
+      decodePqCodebooks(
+        BucketedTables.readSidecar(spark, cellsTable(base), PqSidecar)))
+    Similarity.searchCellsShuffled(corpus, probes, k)
+  }
+
   /** Two-stage search with exact refinement (FAISS `IndexRefineFlat`
     * over an IVF/PQ base): stage 1 probes the standing index for a
     * `shortlist`-sized candidate set per query under the index's lossy

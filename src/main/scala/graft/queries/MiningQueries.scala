@@ -368,6 +368,24 @@ object MiningQueries {
       e.filter(col("vec_id") < 10), k = 5, nprobe = 2)
   }
 
+  /** The BATCH-PROBE path of the standing index under the oracle gate:
+    * build the index, then probe it with the ENTIRE embeddings table
+    * through [[graft.ext.SimilarityIndex.topKBatch]] — the probe set
+    * stays a DataFrame end to end (distinct probed cells via an
+    * aggregation, candidates via a shuffle join), no collect anywhere
+    * in the plan (IOSpec asserts the plan shape). The oracle is the
+    * same exact IVF replay as q_sim_ivf_idx with the query predicate
+    * opened to the full corpus, so a hash-pass proves the shuffle-join
+    * delivery returns bit-identical neighbors to the broadcast path. */
+  def qSimBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    graft.ext.SimilarityIndex.write(e, "embedding", "vec_id", "q_ann_batch",
+      k = 4, iters = 1, buckets = 4)
+    graft.ext.SimilarityIndex.topKBatch(s, "q_ann_batch", e, k = 5, nprobe = 2)
+  }
+
+  lazy val qSimBatchSql: String = ivfOracleSql("TRUE", queryPred = "TRUE")
+
   /** The ANN index's CONTINUOUS-INGESTION path under the oracle gate:
     * build the index on vec_id < 400 only, [[graft.ext.SimilarityIndex
     * .append]] the rest (assigned with the STORED quantizer — the rows
@@ -639,7 +657,8 @@ object MiningQueries {
 
   private def ivfOracleSql(trainPred: String,
                            corpusPred: String = "TRUE",
-                           sq8: Boolean = false): String = {
+                           sq8: Boolean = false,
+                           queryPred: String = "e.vec_id < 10"): String = {
     // sq8 storage: score against the RECONSTRUCTED corpus (per-vector
     // min/scale quantization in DOUBLE with floor(x+0.5) — the exact
     // arithmetic of Similarity.sq8Quantize/sq8Dequantize)
@@ -658,7 +677,7 @@ object MiningQueries {
        |  SELECT e.vec_id, e.v, c1.cluster,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cosSql("e.v", "c1.cv")} DESC, c1.cluster DESC) AS rn
-       |  FROM e CROSS JOIN c1 WHERE e.vec_id < 10) WHERE rn <= 2),
+       |  FROM e CROSS JOIN c1 WHERE $queryPred) WHERE rn <= 2),
        |scored AS (
        |  SELECT p.query_id, t.vec_id AS cand_id,
        |    ${cosSql("p.qv", "t.v")} AS sim
@@ -795,6 +814,7 @@ object MiningQueries {
     "q_sparse_sim"      -> (qSparseSim _),
     "q_sim_ivf_trained" -> (qSimIvfTrained _),
     "q_sim_ivf_idx"     -> (qSimIvfIdx _),
+    "q_sim_batch"       -> (qSimBatch _),
     "q_sim_incr_idx"    -> (qSimIncrIdx _),
     "q_sim_sq8_idx"     -> (qSimSq8Idx _),
     "q_sim_pq"          -> (qSimPq _),
@@ -820,6 +840,7 @@ object MiningQueries {
     "q_sparse_sim"      -> qSparseSimSql,
     "q_sim_ivf_trained" -> qSimIvfTrainedSql,
     "q_sim_ivf_idx"     -> qSimIvfTrainedSql,
+    "q_sim_batch"       -> qSimBatchSql,
     "q_sim_incr_idx"    -> qSimIncrIdxSql,
     "q_sim_sq8_idx"     -> qSimSq8IdxSql,
     "q_sim_pq_verified" -> qSimPqVerifiedSql,

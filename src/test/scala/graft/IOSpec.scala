@@ -476,6 +476,34 @@ class IOSpec extends AnyFunSuite {
       s"post-compact probe not pruned: $sel2")
   }
 
+  test("ANN batch probe: topKBatch == topK, with the probe side distributed " +
+       "(no collected probe relation in the plan)") {
+    import graft.ext.SimilarityIndex
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    SimilarityIndex.write(e, "embedding", "vec_id", "t_ann_batch",
+      k = 4, iters = 1, buckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // bit-identical to the broadcast path on the same query set
+    val q = e.filter(col("vec_id") < 20)
+    assert(rows(SimilarityIndex.topKBatch(spark, "t_ann_batch", q,
+        k = 3, nprobe = 2)) ==
+      rows(SimilarityIndex.topK(spark, "t_ann_batch", q, k = 3, nprobe = 2)))
+    // whole-corpus probe: every query id surfaces, and the plan's probe
+    // side is the embeddings SCAN, never a collected LocalRelation (the
+    // broadcast path's probe materialization — the thing topKBatch
+    // exists to avoid)
+    val batch = SimilarityIndex.topKBatch(spark, "t_ann_batch", e,
+      k = 3, nprobe = 2)
+    val locals = batch.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(locals.isEmpty,
+      s"batch probe collected a probe-side relation: ${locals.size}")
+    assert(batch.select("query_id").distinct().count() == e.count())
+  }
+
   test("ANN index deletion: tombstones mask probes at once; compact folds " +
        "them physically; a rebuild clears pending tombstones") {
     import graft.ext.{Similarity, SimilarityIndex}
