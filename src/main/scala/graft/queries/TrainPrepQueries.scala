@@ -1030,6 +1030,55 @@ object TrainPrepQueries {
        |LEFT JOIN sc USING (doc_id)""".stripMargin
   }
 
+  // ------------------------------------------------------ q_stream_lifecycle
+
+  /** The REAL Structured-Streaming lifecycle under the oracle gate — the
+    * same two-batch curation semantics as [[qCurationIncr]], but driven
+    * through an actual micro-batch stream instead of direct processBatch
+    * calls: stage batch 0 (even doc_ids) as a file in a stream input
+    * dir, run `readStream → IngestCuration.run → Trigger.AvailableNow`
+    * to termination against a checkpoint, then LAND LATE ROWS (the odd
+    * doc_ids) as a second file and run the stream AGAIN on the same
+    * checkpoint — the restarted stream discovers only the new file and
+    * scores it as batch 1 against the feature state batch 0 built.
+    * Output = batch 1's verdicts; the oracle is [[qCurationIncrSql]]
+    * unchanged, so a hash-pass proves checkpointed restart + file-source
+    * discovery + foreachBatch delta plumbing change NOTHING relative to
+    * the batch formulation ("same plans under streaming", certified at
+    * the driver gate rather than only in StreamSpec). */
+  def qStreamLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val base = scratchBase("streamlife", dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val docs = Tables(s, dir, "documents").select("doc_id", "lang", "text")
+    val inDir = s"$base/in"
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    def runToCompletion(): Unit = {
+      val q = graft.streaming.IngestCuration.run(
+          s.readStream.schema(docsSchema).parquet(inDir),
+          featPath = s"$base/feat", textCol = "text", idCol = "doc_id",
+          targetExpr = "lang = 'en'", minRatio = 4000L,
+          verdictPath = s"$base/verdicts", checkpoint = s"$base/ckpt",
+          updateFeatures = true)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir)
+    runToCompletion()
+    // late arrivals: a NEW file in the watched dir, same checkpoint
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runToCompletion()
+    s.read.parquet(s"$base/verdicts").filter(col("batch_id") === 1)
+      .select("doc_id", "n_tokens", "score", "avg_ratio", "keep", "reason")
+  }
+
   // -------------------------------------------------------- q_curation_stats
 
   /** Observability face of the standing feature table: after the
@@ -1341,6 +1390,7 @@ object TrainPrepQueries {
     "q_importance"         -> (qImportance _),
     "q_curation_incr"      -> (qCurationIncr _),
     "q_curation_stats"     -> (qCurationStats _),
+    "q_stream_lifecycle"   -> (qStreamLifecycle _),
     "q_train_weights"      -> (qTrainWeights _),
     "q_train_predict"      -> (qTrainPredict _),
     "q_langid_weights"     -> (qLangidWeights _),
@@ -1376,6 +1426,7 @@ object TrainPrepQueries {
     "q_importance"         -> qImportanceSql,
     "q_curation_incr"      -> qCurationIncrSql,
     "q_curation_stats"     -> qCurationStatsSql,
+    "q_stream_lifecycle"   -> qCurationIncrSql,
     "q_train_weights"      -> qTrainWeightsSql,
     "q_train_predict"      -> qTrainPredictSql,
     "q_langid_weights"     -> qLangidWeightsSql,
