@@ -233,6 +233,52 @@ object CoreQueries {
       |     ELSE '[]' END AS "_errors"
       |FROM lineitem""".stripMargin
 
+  /** Permissive provenance THROUGH a GetOrCreate join (§1.3 × §2.1): the
+    * `_errors` channel must survive relational composition, not just a
+    * terminal projection. Incoming records are permissive-wrangled (bad
+    * cast on custkey ≡ 0 mod 4 → NULL + provenance triple), then probed
+    * against a partial dimension: hits keep the STORED record (whose
+    * `_errors` is the stored empty set), misses keep the built record
+    * WITH its provenance — so rows at custkey ≡ 0 mod 12 carry their
+    * error triple out through the join. */
+  def qPermissiveGoc(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(s, dir, "customer")
+    val shaped = customer.select(
+      col("c_custkey"), col("c_name"),
+      when(col("c_custkey") % 4 === 0, lit("bad"))
+        .otherwise((col("c_custkey") % 100).cast(StringType)).as("s"))
+    val spec = PipelineSpec(
+      Model("Cust")(
+        "custkey" -> Get("c_custkey"),
+        "name"    -> (Get("c_name") | Fn("upper")),
+        "n"       -> (Get("s") | CastTo(LongType))))
+    val incoming = Wrangle.wrangle(shaped, spec, "Cust", Wrangle.Permissive)
+    val dim = customer.filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        (col("c_custkey") % 100).cast(LongType).as("n"),
+        array().cast("array<struct<model:string,field:string,op:string>>")
+          .as(Wrangle.ErrorsCol))
+    Wrangle.getOrCreate(incoming, dim, Seq("custkey"))
+      .withColumn(Wrangle.ErrorsCol, to_json(col(Wrangle.ErrorsCol)))
+  }
+
+  val qPermissiveGocSql: String =
+    """SELECT b.custkey,
+      |CASE WHEN d.c_custkey IS NOT NULL THEN d.c_name ELSE b.name END AS name,
+      |CASE WHEN d.c_custkey IS NOT NULL THEN d.n ELSE b.n END AS n,
+      |CASE WHEN d.c_custkey IS NOT NULL THEN '[]' ELSE b.err END AS "_errors",
+      |(d.c_custkey IS NULL) AS created
+      |FROM (SELECT c_custkey AS custkey, upper(c_name) AS name,
+      |        CASE WHEN c_custkey % 4 = 0 THEN NULL
+      |             ELSE c_custkey % 100 END AS n,
+      |        CASE WHEN c_custkey % 4 = 0
+      |             THEN to_json([{'model': 'Cust', 'field': 'n', 'op': 'CastTo'}])
+      |             ELSE '[]' END AS err
+      |      FROM customer) b
+      |LEFT JOIN (SELECT c_custkey, c_name, c_custkey % 100 AS n
+      |           FROM customer WHERE c_custkey % 3 <> 0) d
+      |ON b.custkey = d.c_custkey""".stripMargin
+
   /** Default/If twin on `orders` — ops §2.3 #5/#17 likewise get a second
     * fixture table so one regeneration can't zero their driver coverage.
     * The shaping synthesizes NULL and 0 rows to exercise BOTH truthiness
@@ -265,6 +311,7 @@ object CoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_permissive"    -> (qPermissive _),
     "q_permissive_li" -> (qPermissiveLineitem _),
+    "q_permissive_goc" -> (qPermissiveGoc _),
     "q_default_if_ord" -> (qDefaultIfOrders _),
     "q1_agg"          -> (q1 _),
     "q_scalar"        -> (qScalar _),
@@ -276,6 +323,7 @@ object CoreQueries {
   val oracle: Map[String, String] = Map(
     "q_permissive"    -> qPermissiveSql,
     "q_permissive_li" -> qPermissiveLineitemSql,
+    "q_permissive_goc" -> qPermissiveGocSql,
     "q_default_if_ord" -> qDefaultIfOrdersSql,
     "q1_agg"          -> q1Sql,
     "q_scalar"        -> qScalarSql,
