@@ -79,6 +79,38 @@ class FixtureSpec extends AnyFunSuite {
     }
   }
 
+  /** sf0.001 row counts pinned exactly: a truncated or regenerated
+    * fixture with an IDENTICAL schema would silently shift every oracle
+    * hash — the schema canary above cannot see it, this one fails first
+    * with the table named. (The driver generates deterministically at
+    * seed 42, so identical counts are the contract, not a coincidence.) */
+  private val expectedRows: Map[String, Long] = Map(
+    "region" -> 5L, "nation" -> 25L, "customer" -> 150L, "supplier" -> 10L,
+    "part" -> 200L, "orders" -> 1500L, "lineitem" -> 6000L,
+    "events" -> 1000L, "documents" -> 500L, "embeddings" -> 500L)
+
+  test("every fixture table still has its seed-42 row count") {
+    for ((table, n) <- expectedRows) {
+      // same legacy-nanos fallback as the schema canary: a count must
+      // not be blocked by a ts re-encoding (that drift has its own test)
+      val got = scala.util.Try(
+          spark.read.parquet(s"$dir/$table.parquet").count())
+        .getOrElse {
+          val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          try spark.read.parquet(s"$dir/$table.parquet").count()
+          finally prev match {
+            case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+            case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+          }
+        }
+      assert(got == n,
+        s"FIXTURE REGENERATED: $table.parquet has $got rows (expected $n) — " +
+          "every oracle hash downstream is suspect; re-baseline deliberately " +
+          "or restore the fixture before trusting the round's correctness.")
+    }
+  }
+
   test("Tables.events normalizes ts to the session TimestampType on the " +
        "current fixture AND on the legacy int64-nanos layout") {
     import org.apache.spark.sql.functions._
