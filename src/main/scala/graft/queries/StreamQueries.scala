@@ -223,6 +223,20 @@ object StreamQueries {
       |  CAST(sum((doc_id + fi + x * y) % 256) AS BIGINT) AS sum_b
       |FROM px GROUP BY doc_id, frame_ms, fi, w, h""".stripMargin
 
+  /** REAL Motion-JPEG AVI decode: the same RIFF walk as
+    * [[qMultimodalVideo]] but with `MJPG` streams — each sampled frame
+    * is a whole baseline JPEG decoded through ImageIO instead of the
+    * raw-DIB byte kernel. JPEG is lossy, so the oracle checks the
+    * losslessly-preserved surface (the frame schedule the chunk walk
+    * produces, each decoded frame's dimensions and pixel count) — the
+    * same contract as q_multimodal_mp4, whose oracle this shares
+    * (identical 25 fps / 80 ms sampling arithmetic). */
+  def qMultimodalAviMjpg(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoFrameFeatures(
+      Multimodal.aviMjpgTable(Tables(s, dir, "documents")), everyMs = 80)
+      .select(col("doc_id"), col("frame_idx"), col("frame_ms"),
+        col("width"), col("height"), col("n_pixels"))
+
   /** REAL TIFF decode via the JDK's bundled TIFF plugin: lossless RGB
     * over the shared grid, so the SAME closed-form oracle as BMP/PNG
     * proves the round-trip bit-exact on the archival-scan format. */
@@ -476,6 +490,7 @@ object StreamQueries {
     "q_multimodal_jpeg"   -> (qMultimodalJpeg _),
     "q_multimodal_resize_png" -> (qMultimodalResizePng _),
     "q_multimodal_video"  -> (qMultimodalVideo _),
+    "q_multimodal_avi_mjpg" -> (qMultimodalAviMjpg _),
     "q_multimodal_mp4"    -> (qMultimodalMp4 _),
     "q_multimodal_fmp4"   -> (qMultimodalFmp4 _),
     "q_multimodal_webm"   -> (qMultimodalWebm _),
@@ -504,6 +519,7 @@ object StreamQueries {
     "q_multimodal_jpeg"   -> qMultimodalJpegSql,
     "q_multimodal_resize_png" -> qMultimodalResizeRealSql,
     "q_multimodal_video"  -> qMultimodalVideoSql,
+    "q_multimodal_avi_mjpg" -> qMultimodalMp4Sql,
     "q_multimodal_mp4"    -> qMultimodalMp4Sql,
     "q_multimodal_fmp4"   -> qMultimodalFmp4Sql,
     "q_multimodal_webm"   -> qMultimodalWebmSql,
