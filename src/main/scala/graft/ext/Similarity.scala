@@ -280,6 +280,32 @@ object Similarity {
       k)
   }
 
+  /** [[rerankExact]] for a candidate set too large to broadcast — the
+    * refine stage of the BATCH two-stage search (every corpus vector
+    * querying the index at once): the same exact-cosine re-scoring, but
+    * the (query_id, cand_id) pairs stream through shuffle joins — on
+    * cand_id against the raw corpus, then on query_id for the query
+    * vectors — instead of collecting into a broadcast. Each join moves
+    * one vector per shortlisted pair, so the exchange is bounded by
+    * |queries|·shortlist rows, never corpus², and the bounded per-query
+    * aggregator caps the output exchange at |queries|·k. Bit-identical
+    * to [[rerankExact]] on the same inputs. */
+  def rerankExactShuffled(candidates: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, k: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val pairs = candidates.select(col("query_id"), col("cand_id"))
+    val q = queries.select(col(idCol).cast(LongType).as("query_id"),
+      col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).cast(LongType).as("cand_id"),
+      col(vecCol).as("cv"))
+    topKPerKey(
+      pairs.join(c, Seq("cand_id")).join(q, Seq("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          cosine(col("qv"), col("cv")).as("sim")),
+      k)
+  }
+
   /** Deterministic random hyperplanes: `tables` tables × `bits` planes of
     * dimension `dim`, fixed seed. Materialized as plan-time literals. */
   private[graft] def hyperplanes(dim: Int, bits: Int, tables: Int,

@@ -527,6 +527,23 @@ object SimilarityIndex {
     Similarity.rerankExact(cands, rawCorpus, queries, k, idCol, vecCol)
   }
 
+  /** [[topKRerank]] at BATCH query scale — stage 1 through the
+    * join-based [[topKBatch]] probe, stage 2 through the shuffle-join
+    * exact refine ([[Similarity.rerankExactShuffled]]): nothing
+    * query-set-sized ever reaches the driver, and the exact pass still
+    * touches only |queries|·shortlist raw vectors. The billion-scale
+    * recipe end to end: compressed codes bound candidate I/O, raw
+    * vectors decode only for shortlisted pairs, and every exchange is
+    * bounded by the shortlist or the final top-k. */
+  def topKRerankBatch(spark: SparkSession, base: String, queries: DataFrame,
+                      rawCorpus: DataFrame, k: Int, shortlist: Int,
+                      nprobe: Int, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cands = topKBatch(spark, base, queries, shortlist, nprobe, idCol, vecCol)
+    Similarity.rerankExactShuffled(cands, rawCorpus, queries, k, idCol, vecCol)
+  }
+
   /** Occupancy + bucket co-residency of the standing index — makes the
     * header's sizing contract ("probe I/O is the probed BUCKETS' total
     * rows, not the probed cells'") measurable. One row per cell:

@@ -405,6 +405,28 @@ object MiningQueries {
 
   lazy val qSimBatchSql: String = ivfOracleSql("TRUE", queryPred = "TRUE")
 
+  /** The BATCH TWO-STAGE search under the oracle gate — the
+    * billion-scale recipe end to end with nothing query-set-sized on
+    * the driver: an SQ8 index proposes a 15-deep shortlist per query
+    * for the ENTIRE embeddings table through the join-based batch probe
+    * ([[graft.ext.SimilarityIndex.topKRerankBatch]]), then exact cosine
+    * re-ranks each shortlist against the raw corpus through shuffle
+    * joins bounded by |queries|·shortlist. SQ8 is deterministic, so
+    * unlike the PQ rerank this whole two-stage pipeline is EXACTLY
+    * oracle-replayable: the oracle reconstructs the quantized corpus,
+    * ranks the same shortlist, and re-sorts it under exact cosine. */
+  def qSimBatchRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val k = math.max(4L, e.count() / 500L).toInt // same sizing as qSimBatch
+    graft.ext.SimilarityIndex.write(e, "embedding", "vec_id", "q_ann_batchrr",
+      k = k, iters = 1, buckets = 4, codec = "sq8")
+    graft.ext.SimilarityIndex.topKRerankBatch(s, "q_ann_batchrr", e, e,
+      k = 5, shortlist = 15, nprobe = 2)
+  }
+
+  lazy val qSimBatchRerankSql: String =
+    ivfOracleSql("TRUE", sq8 = true, queryPred = "TRUE", rerankShortlist = 15)
+
   /** The ANN index's CONTINUOUS-INGESTION path under the oracle gate:
     * build the index on vec_id < 400 only, [[graft.ext.SimilarityIndex
     * .append]] the rest (assigned with the STORED quantizer — the rows
@@ -677,7 +699,8 @@ object MiningQueries {
   private def ivfOracleSql(trainPred: String,
                            corpusPred: String = "TRUE",
                            sq8: Boolean = false,
-                           queryPred: String = "e.vec_id < 10"): String = {
+                           queryPred: String = "e.vec_id < 10",
+                           rerankShortlist: Int = 0): String = {
     // sq8 storage: score against the RECONSTRUCTED corpus (per-vector
     // min/scale quantization in DOUBLE with floor(x+0.5) — the exact
     // arithmetic of Similarity.sq8Quantize/sq8Dequantize)
@@ -705,7 +728,22 @@ object MiningQueries {
        |ranked AS (SELECT query_id, cand_id, sim,
        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) AS rank
        |FROM scored)
-       |SELECT query_id, rank, cand_id, sim FROM ranked WHERE rank <= 5""".stripMargin
+       |${
+          if (rerankShortlist <= 0)
+            "SELECT query_id, rank, cand_id, sim FROM ranked WHERE rank <= 5"
+          else
+            s""", shortlist AS (SELECT query_id, cand_id FROM ranked
+               |  WHERE rank <= $rerankShortlist),
+               |exact AS (SELECT s.query_id, s.cand_id,
+               |    ${cosSql("eq.v", "ec.v")} AS sim
+               |  FROM shortlist s
+               |  JOIN e eq ON eq.vec_id = s.query_id
+               |  JOIN e ec ON ec.vec_id = s.cand_id),
+               |rr AS (SELECT query_id, cand_id, sim,
+               |  row_number() OVER (PARTITION BY query_id
+               |    ORDER BY sim DESC, cand_id ASC) AS rank FROM exact)
+               |SELECT query_id, rank, cand_id, sim FROM rr WHERE rank <= 5""".stripMargin
+        }""".stripMargin
   }
 
   val qSimIvfTrainedSql: String = ivfOracleSql("TRUE")
@@ -834,6 +872,7 @@ object MiningQueries {
     "q_sim_ivf_trained" -> (qSimIvfTrained _),
     "q_sim_ivf_idx"     -> (qSimIvfIdx _),
     "q_sim_batch"       -> (qSimBatch _),
+    "q_sim_batch_rerank" -> (qSimBatchRerank _),
     "q_sim_incr_idx"    -> (qSimIncrIdx _),
     "q_sim_sq8_idx"     -> (qSimSq8Idx _),
     "q_sim_pq"          -> (qSimPq _),
@@ -860,6 +899,7 @@ object MiningQueries {
     "q_sim_ivf_trained" -> qSimIvfTrainedSql,
     "q_sim_ivf_idx"     -> qSimIvfTrainedSql,
     "q_sim_batch"       -> qSimBatchSql,
+    "q_sim_batch_rerank" -> qSimBatchRerankSql,
     "q_sim_incr_idx"    -> qSimIncrIdxSql,
     "q_sim_sq8_idx"     -> qSimSq8IdxSql,
     "q_sim_pq_verified" -> qSimPqVerifiedSql,

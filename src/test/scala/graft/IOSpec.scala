@@ -502,6 +502,12 @@ class IOSpec extends AnyFunSuite {
     assert(locals.isEmpty,
       s"batch probe collected a probe-side relation: ${locals.size}")
     assert(batch.select("query_id").distinct().count() == e.count())
+    // two-stage: the shuffle-join exact refine must equal the broadcast
+    // refine on the same shortlist
+    assert(rows(SimilarityIndex.topKRerankBatch(spark, "t_ann_batch", q, e,
+        k = 3, shortlist = 9, nprobe = 2)) ==
+      rows(SimilarityIndex.topKRerank(spark, "t_ann_batch", q, e,
+        k = 3, shortlist = 9, nprobe = 2)))
   }
 
   test("ANN index deletion: tombstones mask probes at once; compact folds " +
