@@ -32,8 +32,6 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args.take(3)
-    val factor = factorS.toInt
-    require(factor >= 1, "factor must be >= 1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -42,6 +40,13 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, out, factorS.toInt)
+    spark.stop()
+  }
+
+  /** The scale-up itself, session provided by the caller (tests). */
+  def run(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    require(factor >= 1, "factor must be >= 1")
 
     // strides: comfortably above each table's max key at any plausible sf
     val Cust = 10_000_000L
@@ -90,6 +95,5 @@ object ScaleUp {
           col("lang"), col("source"), length(txt).cast("long").as("n_chars"))
     }
     replicate("embeddings")(shiftKeys(_, _, "vec_id" -> Vec))
-    spark.stop()
   }
 }
