@@ -178,7 +178,11 @@ object Bpe {
     val vocab = toks.select("word").distinct()
       .withColumn("n_bpe", encodedLen(col("word"), table))
       .withColumn("n_chars", length(col("word")).cast("long"))
-    toks.join(broadcast(vocab), "word")
+    // no broadcast hint: the distinct-word table is small at bench scale
+    // (AQE still turns this into a broadcast join at runtime) but grows
+    // with the corpus under Heaps' law — a FORCED broadcast would OOM at
+    // 100 TB where a shuffle join is the only correct shape
+    toks.join(vocab, "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ws_tokens"),
         sum("n_bpe").as("n_bpe_tokens"),

@@ -233,7 +233,8 @@ object TextAnalysis {
     *
     * Scale shape: term frequencies aggregate on (doc, term) — narrow keys,
     * map-side partial agg; document frequencies on (term) — vocabulary-
-    * sized; the idf join broadcasts the vocabulary; top-k per doc is a
+    * sized; the idf join is size-adaptive (runtime broadcast when the
+    * vocabulary fits, shuffle join when it doesn't); top-k per doc is a
     * ranked window over each doc's own terms. */
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, textCol: String,
                     idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
@@ -248,7 +249,11 @@ object TextAnalysis {
       .repartition(col(idCol))
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(n))
+    // idf join deliberately UNHINTED: the vocabulary is broadcast-sized
+    // at bench scale (AQE picks a runtime broadcast) but Heaps'-law
+    // unbounded at 100 TB, where forcing it would OOM the driver —
+    // there the planner's shuffle join on term is the correct shape
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
       .withColumn("tfidf",
         col("tf").cast(DoubleType) *
           ((col("__n") + 1.0) / (col("df").cast(DoubleType) + 1.0)))
