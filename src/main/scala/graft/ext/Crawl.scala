@@ -204,4 +204,48 @@ object Crawl {
       }
       .toDF(domainCol, "rank", idCol, scoreCol)
   }
+
+  // ------------------------------------------- corpus-frequency line dedup
+
+  /** CORPUS-FREQUENCY line dedup — the CCNet/Dolma cleaning pass the
+    * per-document jusText heuristics cannot express: a line occurring in
+    * ≥ `minDocs` DISTINCT documents (cookie banners, subscribe prompts,
+    * navigation rendered as text) is boilerplate BY REPETITION and is
+    * dropped from every document; document-local structure (line order,
+    * blank lines, unique lines) survives untouched.
+    *
+    * Scale shape: one posexplode over the corpus; the hot-line table is
+    * a (normalized-line) aggregation with map-side partial counts; the
+    * hot mark is an UNHINTED join — hot lines are few at any corpus size
+    * (AQE broadcasts) but the normalized-line key space is unbounded, so
+    * nothing forces a driver-sized build. Reassembly is a per-document
+    * bounded collect (a document's own lines), ordered by the exploded
+    * position — no window, no corpus-wide sort.
+    *
+    * Normalization for counting is lower(trim(line)); empty-after-trim
+    * lines are never counted (they'd be "hot" in any corpus and blank
+    * structure is not boilerplate). Output: (idCol, text_clean, n_lines,
+    * n_dropped). */
+  def dropRepeatedLines(docs: DataFrame, textCol: String, idCol: String,
+                        minDocs: Long): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("key", lower(trim(col("line"))))
+    val hot = lines.filter(length(col("key")) > 0)
+      .groupBy("key").agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("key"), lit(true).as("__hot"))
+    lines.join(hot, Seq("key"), "left")
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__hot"), 1L).otherwise(0L)).as("n_dropped"),
+        // collect_list skips nulls: hot lines vanish before the per-doc
+        // sort, so the collect is bounded by the document's own lines
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__hot").isNull, struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("text_clean"))
+  }
 }

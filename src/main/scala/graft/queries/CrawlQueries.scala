@@ -198,17 +198,64 @@ object CrawlQueries {
        | FROM sc)
        |SELECT domain, rank, doc_id, quality FROM r WHERE rank <= 50""".stripMargin
 
+  // ------------------------------------------------------- q_line_dedup
+
+  /** Corpus-frequency line dedup ([[Crawl.dropRepeatedLines]] — the
+    * CCNet/Dolma boilerplate-by-repetition pass): documents are shaped
+    * into multi-line pages with injected repeated lines (a cookie banner
+    * on every page, a subscribe prompt on half, a unique ref line on
+    * every seventh), and lines in ≥ 100 distinct docs are dropped —
+    * exactly the two injected banners at sf0.01, never the body text or
+    * the unique lines. The oracle replays the shaping and the
+    * count/filter/reassemble arithmetic; line order and blank structure
+    * must survive byte-identically. */
+  def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val shaped = Tables(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n",
+        lit("Cookie notice: We use cookies"),
+        col("text"),
+        when(col("doc_id") % 2 === 0, lit("Subscribe to our newsletter")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("ref "), col("doc_id")))).as("text"))
+    Crawl.dropRepeatedLines(shaped, "text", "doc_id", minDocs = 100L)
+  }
+
+  val qLineDedupSql: String =
+    """WITH shaped AS (SELECT doc_id,
+      |  concat_ws(chr(10),
+      |    'Cookie notice: We use cookies',
+      |    text,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter' END,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'ref ' || doc_id END) AS text
+      |  FROM documents),
+      |sp AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM shaped),
+      |l AS (SELECT doc_id, i AS pos, lines[i + 1] AS line,
+      |    lower(trim(lines[i + 1])) AS key
+      |  FROM sp, UNNEST(range(0, len(lines))) AS t(i)),
+      |hot AS (SELECT key FROM l WHERE length(key) > 0
+      |  GROUP BY key HAVING count(DISTINCT doc_id) >= 100)
+      |SELECT l.doc_id,
+      |  count(*)::BIGINT AS n_lines,
+      |  sum(CASE WHEN hot.key IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+      |  coalesce(array_to_string(
+      |    list(l.line ORDER BY l.pos) FILTER (WHERE hot.key IS NULL),
+      |    chr(10)), '') AS text_clean
+      |FROM l LEFT JOIN hot ON l.key = hot.key
+      |GROUP BY l.doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> (qHtmlExtract _),
     "q_html_boiler"  -> (qHtmlBoiler _),
     "q_url_canon"    -> (qUrlCanon _),
-    "q_domain_cap"   -> (qDomainCap _))
+    "q_domain_cap"   -> (qDomainCap _),
+    "q_line_dedup"   -> (qLineDedup _))
 
   val oracle: Map[String, String] = Map(
     "q_html_extract" -> qHtmlExtractSql,
     "q_html_boiler"  -> qHtmlBoilerSql,
     "q_url_canon"    -> qUrlCanonSql,
-    "q_domain_cap"   -> qDomainCapSql)
+    "q_domain_cap"   -> qDomainCapSql,
+    "q_line_dedup"   -> qLineDedupSql)
 }

@@ -100,4 +100,23 @@ class CrawlSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(
       ("a.com", 1, 1L, 0.9), ("a.com", 2, 3L, 0.9), ("b.com", 1, 5L, 0.2)))
   }
+
+  test("dropRepeatedLines drops only corpus-hot lines, preserving order and blanks") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nunique one\n\nshared tail"),
+      (2L, "cookie banner\nunique two\nshared tail"),
+      (3L, "Cookie Banner \nunique three\nshared tail"),
+      (4L, "no banner here\nunique four")).toDF("id", "text")
+    val r = Crawl.dropRepeatedLines(docs, "text", "id", minDocs = 3L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+      .sortBy(_._1)
+    // "cookie banner" normalizes equal across case/trim variants (df=3 →
+    // hot); "shared tail" df=3 → hot; blanks and unique lines survive in
+    // original order with original casing
+    assert(r.toSeq == Seq(
+      (1L, 4L, 2L, "unique one\n"),
+      (2L, 3L, 2L, "unique two"),
+      (3L, 3L, 2L, "unique three"),
+      (4L, 2L, 0L, "no banner here\nunique four")))
+  }
 }
