@@ -72,6 +72,56 @@ object Packing {
     * training sequence, not a corpus slice. Reassembly order is
     * deterministic (sort by id inside the aggregated structs), so the
     * output is reproducible across partitionings and engines. */
+  /** FILL-IN-THE-MIDDLE transformation (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle" — public): a
+    * deterministic per-document rewrite that teaches infilling by moving
+    * a middle span behind its context. Per selected document the text
+    * splits at two hash-derived character offsets into (prefix, middle,
+    * suffix) and re-assembles as
+    *
+    *  - PSM: `<fim_prefix>` p `<fim_suffix>` s `<fim_middle>` m
+    *  - SPM: `<fim_prefix><fim_suffix>` s `<fim_middle>` p m
+    *
+    * with mode and selection also hash-derived (rate = `fimPercent` of
+    * docs; the rest pass through as mode `raw`). Everything — selection,
+    * split points, assembly — is the engine's two-stage modular hash
+    * ([[Sharding.shuffleKey]]) on the id plus pure string arithmetic,
+    * so any engine reproduces the transform byte-for-byte (the oracle
+    * replays it in SQL): no RNG, no per-row code, one codegen'd
+    * projection over the corpus scan. Documents shorter than 2 chars
+    * cannot split and stay `raw`. Output: (idCol, mode, text_fim,
+    * n_chars). */
+  def fimTransform(docs: DataFrame, textCol: String, idCol: String,
+                   seed: Long, fimPercent: Int = 90): DataFrame = {
+    require(fimPercent >= 0 && fimPercent <= 100, "fimPercent in [0, 100]")
+    val id = col(idCol).cast("long")
+    val len = length(col(textCol))
+    val selected = Sharding.shuffleKey(id, seed) % 100 < fimPercent && len >= 2
+    // p1 in [1, len-1]: prefix is text[1..p1]; p2 in [p1, len]: middle is
+    // text[p1+1..p2], suffix the rest — every split is representable,
+    // including empty middle (p2 = p1) and empty suffix (p2 = len)
+    // greatest-guard: p1 only matters when selected (len >= 2), but the
+    // guard keeps the modulus positive even if an engine evaluates the
+    // expression eagerly for unselected rows (ANSI % 0 is an error)
+    val p1 = lit(1) +
+      (Sharding.shuffleKey(id, seed + 1) % greatest(len - 1, lit(1))).cast("int")
+    val p2 = p1 +
+      (Sharding.shuffleKey(id, seed + 2) % greatest(len - p1 + 1, lit(1))).cast("int")
+    val p = substring(col(textCol), lit(1), p1)
+    val m = col(textCol).substr(p1 + 1, p2 - p1)
+    val sfx = col(textCol).substr(p2 + 1, len - p2)
+    val spm = Sharding.shuffleKey(id, seed + 3) % 2 === 0
+    val mode = when(!selected, lit("raw"))
+      .when(spm, lit("spm")).otherwise(lit("psm"))
+    val out = when(!selected, col(textCol))
+      .when(spm, concat(lit("<fim_prefix><fim_suffix>"), sfx,
+        lit("<fim_middle>"), p, m))
+      .otherwise(concat(lit("<fim_prefix>"), p, lit("<fim_suffix>"), sfx,
+        lit("<fim_middle>"), m))
+    docs.select(col(idCol), mode.as("mode"), out.as("text_fim"))
+      .withColumn("n_chars", length(col("text_fim")).cast("long"))
+  }
+
   def materializeSequences(docs: DataFrame, textCol: String, idCol: String,
                            budget: Long, shards: Int = 0): DataFrame = {
     val assigned = packSequences(docs, textCol, idCol, budget, shards)

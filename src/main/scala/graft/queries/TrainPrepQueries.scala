@@ -1030,6 +1030,48 @@ object TrainPrepQueries {
        |LEFT JOIN sc USING (doc_id)""".stripMargin
   }
 
+  // ----------------------------------------------------------------- q_fim
+
+  /** Fill-in-the-middle document rewrite ([[graft.ext.Packing
+    * .fimTransform]], Bavarian et al. 2022): 90% of documents split at
+    * two hash-derived character offsets and reassemble in PSM or SPM
+    * sentinel order; the rest pass through. Selection, split points,
+    * mode and assembly are all the engine's two-stage modular hash plus
+    * string arithmetic, so the oracle replays the transform
+    * byte-for-byte in SQL. */
+  def qFim(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Packing.fimTransform(
+      Tables(s, dir, "documents"), "text", "doc_id", seed = 42L)
+
+  private def skSql(seed: Long): String =
+    s"((doc_id % ${Sharding.HashMod}) * ${Sharding.HashMulA} + $seed) " +
+      s"% ${Sharding.HashMod} * ${Sharding.HashMulB} % ${Sharding.HashMod}"
+
+  val qFimSql: String =
+    s"""WITH b AS (SELECT doc_id, text, length(text) AS len,
+       |  (${skSql(42)}) % 100 < 90 AND length(text) >= 2 AS sel,
+       |  1 + (${skSql(43)}) % greatest(length(text) - 1, 1) AS p1
+       |  FROM documents),
+       |c AS (SELECT doc_id, text, len, sel, p1,
+       |  p1 + (${skSql(44)}) % greatest(len - p1 + 1, 1) AS p2,
+       |  (${skSql(45)}) % 2 = 0 AS spm FROM b),
+       |d AS (SELECT doc_id, sel, spm,
+       |  substr(text, 1, p1::INT) AS p,
+       |  substr(text, (p1 + 1)::INT, (p2 - p1)::INT) AS m,
+       |  substr(text, (p2 + 1)::INT, (len - p2)::INT) AS s,
+       |  text FROM c)
+       |SELECT doc_id,
+       |  CASE WHEN NOT sel THEN 'raw' WHEN spm THEN 'spm' ELSE 'psm' END AS mode,
+       |  CASE WHEN NOT sel THEN text
+       |       WHEN spm THEN '<fim_prefix><fim_suffix>' || s || '<fim_middle>' || p || m
+       |       ELSE '<fim_prefix>' || p || '<fim_suffix>' || s || '<fim_middle>' || m
+       |  END AS text_fim,
+       |  length(CASE WHEN NOT sel THEN text
+       |       WHEN spm THEN '<fim_prefix><fim_suffix>' || s || '<fim_middle>' || p || m
+       |       ELSE '<fim_prefix>' || p || '<fim_suffix>' || s || '<fim_middle>' || m
+       |  END)::BIGINT AS n_chars
+       |FROM d""".stripMargin
+
   // ------------------------------------------------------ q_stream_lifecycle
 
   /** The REAL Structured-Streaming lifecycle under the oracle gate — the
@@ -1391,6 +1433,7 @@ object TrainPrepQueries {
     "q_curation_incr"      -> (qCurationIncr _),
     "q_curation_stats"     -> (qCurationStats _),
     "q_stream_lifecycle"   -> (qStreamLifecycle _),
+    "q_fim"                -> (qFim _),
     "q_train_weights"      -> (qTrainWeights _),
     "q_train_predict"      -> (qTrainPredict _),
     "q_langid_weights"     -> (qLangidWeights _),
@@ -1427,6 +1470,7 @@ object TrainPrepQueries {
     "q_curation_incr"      -> qCurationIncrSql,
     "q_curation_stats"     -> qCurationStatsSql,
     "q_stream_lifecycle"   -> qCurationIncrSql,
+    "q_fim"                -> qFimSql,
     "q_train_weights"      -> qTrainWeightsSql,
     "q_train_predict"      -> qTrainPredictSql,
     "q_langid_weights"     -> qLangidWeightsSql,
