@@ -13,18 +13,35 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * double. The fixture values carry ≤6 true decimal digits, so the
   * scale-7 cast is exact and order-independent in both engines. */
 object Oracle {
-  /** Order-independent, DuckDB-exact sum of a double expression. */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(27, 7))).cast(DoubleType)
+  /** Order-independent, DuckDB-exact sum of a double expression.
+    *
+    * The quantization to 7 decimals happens in DOUBLE space with
+    * `floor(x·1e7 + 0.5)` — not via the double→DECIMAL cast — because
+    * the engines' casts round ties differently (Spark HALF_UP, DuckDB
+    * banker's): a three-factor product like TPC-H q1's `charge` lands
+    * exactly on a .xxxxxxx5 boundary once per few hundred thousand rows
+    * (the sf0.1 rehearsal caught one), and the two casts then disagree
+    * by 1e-7. `floor` on the identical IEEE double is the same number
+    * on both engines, every time; the quantized units are summed as
+    * exact integers (DECIMAL(27,0) so 10^13 rows cannot overflow) and
+    * rescaled once. Fixture values carry ≤6 true decimal digits, so for
+    * raw columns the quantization is exact and this equals the plain
+    * decimal sum. */
+  def dsum(c: Column): Column =
+    (sum(floor(c * lit(1e7) + lit(0.5)).cast(DecimalType(27, 0)))
+      .cast(DoubleType) / lit(1e7))
 
-  /** Same trick for AVG: exact sum / count, final op a single double divide. */
+  /** Same trick for AVG: exact quantized sum / count, final op a double
+    * divide. */
   def davg(c: Column): Column =
-    sum(c.cast(DecimalType(27, 7))).cast(DoubleType) / count(lit(1))
+    sum(floor(c * lit(1e7) + lit(0.5)).cast(DecimalType(27, 0)))
+      .cast(DoubleType) / lit(1e7) / count(lit(1))
 
   /** DuckDB-side twin of [[dsum]]. */
   def sqlSum(expr: String): String =
-    s"CAST(sum(CAST(($expr) AS DECIMAL(27,7))) AS DOUBLE)"
+    s"CAST(sum(CAST(floor(($expr) * 10000000.0 + 0.5) AS DECIMAL(27,0))) AS DOUBLE) / 10000000.0"
   def sqlAvg(expr: String): String =
-    s"CAST(sum(CAST(($expr) AS DECIMAL(27,7))) AS DOUBLE) / count(*)"
+    s"${sqlSum(expr)} / count(*)"
 
   /** Nested-output parity: the driver's comparator hashes result values with
     * pandas, which cannot hash ARRAY/STRUCT/MAP cells — so every query that
