@@ -94,32 +94,35 @@ object Ranks {
     // Phase 1: per-(partition, group) totals (row counts, or valueCol
     // sums). Rows are sorted with group as the major key, so totalling is
     // a streaming run-length pass.
-    val counts: Array[(Int, Seq[(Seq[Any], Long)])] =
-      ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-        val runs = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long)]
-        var cur: Seq[Any] = null
-        var n = 0L
-        it.foreach { r =>
-          val k = keyOf(r)
-          if (cur == null || k != cur) {
-            if (cur != null) runs += ((cur, n))
-            cur = k; n = 0L
-          }
-          n += valueOf(r)
+    val countsRdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long)]
+      var cur: Seq[Any] = null
+      var n = 0L
+      it.foreach { r =>
+        val k = keyOf(r)
+        if (cur == null || k != cur) {
+          if (cur != null) runs += ((cur, n))
+          cur = k; n = 0L
         }
-        if (cur != null) runs += ((cur, n))
-        Iterator((pid, runs.toSeq))
-      }.collect()
+        n += valueOf(r)
+      }
+      if (cur != null) runs += ((cur, n))
+      Iterator((pid, runs.toSeq))
+    }
 
     // Misuse guard (contiguity bounds entries at partitions + distinct
     // groups, so tripping this means a high-cardinality group column):
-    // fail loudly rather than letting the offset map OOM the driver.
-    val collected = counts.iterator.map(_._2.size.toLong).sum
+    // the entry count is summed DISTRIBUTEDLY, before any entry reaches
+    // the driver — guarding after a collect would OOM inside the collect
+    // it claims to prevent. The extra job re-reads the pinned checkpoint
+    // blocks, not the upstream plan.
+    val collected = countsRdd.map(_._2.size.toLong).fold(0L)(_ + _)
     require(collected <= MaxDriverEntries,
-      s"Ranks.twoPhase collected $collected (partition, group) entries " +
+      s"Ranks.twoPhase would collect $collected (partition, group) entries " +
         s"(> $MaxDriverEntries): group columns $group are too high-cardinality " +
         "for the two-phase rank — use a plain Window.partitionBy, whose " +
         "per-group extents are small at that cardinality.")
+    val counts: Array[(Int, Seq[(Seq[Any], Long)])] = countsRdd.collect()
 
     // Phase 2: starting offset of each group within each partition = total
     // of that group's counts in earlier partitions.

@@ -26,6 +26,22 @@ object Sampling {
   def hashBucket(key: Column): Column =
     pmod(pmod(key.cast("long"), lit(Mod)) * lit(Knuth), lit(Buckets))
 
+  /** Deterministic ~`cap`-row slice: every row whose xxhash64(id) lands
+    * in a fixed residue class, full passthrough at or under the cap.
+    * Hash-based (not limit/sample) so the slice is stable across
+    * partitionings, runs and engines. The residue modulus is the
+    * CEILING of n/cap, so the expected slice never exceeds the cap —
+    * floor would pass the full input through anywhere between cap and
+    * 2·cap. One use: scale-gating the brute-force sides of refutation
+    * companions, whose cost must not grow with the corpus. */
+  def boundedSlice(df: DataFrame, idCol: String, cap: Long): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val n = df.count()
+    if (n <= cap) df
+    else df.filter(
+      pmod(xxhash64(col(idCol)), lit((n + cap - 1) / cap)) === 0L)
+  }
+
   /** Keep ~`rate` of rows, decided by the key's hash bucket. */
   def hashSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
     df.filter(hashBucket(col(keyCol)) < lit((rate * Buckets).toLong))

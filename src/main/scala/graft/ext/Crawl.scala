@@ -224,13 +224,16 @@ object Crawl {
     *
     * Normalization for counting is lower(trim(line)); empty-after-trim
     * lines are never counted (they'd be "hot" in any corpus and blank
-    * structure is not boilerplate). Output: (idCol, text_clean, n_lines,
-    * n_dropped). */
+    * structure is not boilerplate). NULL text coalesces to the empty
+    * document (one empty line) — posexplode of a NULL split would
+    * otherwise drop the document's output row entirely. Output:
+    * (idCol, n_lines, n_dropped, text_clean). */
   def dropRepeatedLines(docs: DataFrame, textCol: String, idCol: String,
                         minDocs: Long): DataFrame = {
     val lines = docs
       .select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("pos", "line")))
       .withColumn("key", lower(trim(col("line"))))
     val hot = lines.filter(length(col("key")) > 0)
       .groupBy("key").agg(countDistinct(col("__id")).as("__df"))

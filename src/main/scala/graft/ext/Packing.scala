@@ -96,7 +96,12 @@ object Packing {
     require(fimPercent >= 0 && fimPercent <= 100, "fimPercent in [0, 100]")
     val id = col(idCol).cast("long")
     val len = length(col(textCol))
-    val selected = Sharding.shuffleKey(id, seed) % 100 < fimPercent && len >= 2
+    // coalesce: NULL text makes `len >= 2` NULL, which would fall past
+    // the raw branch into psm/spm and concat the document away to NULL —
+    // NULL text must pass through as mode `raw` like any unsplittable doc
+    val selected = coalesce(
+      Sharding.shuffleKey(id, seed) % 100 < fimPercent && len >= 2,
+      lit(false))
     // p1 in [1, len-1]: prefix is text[1..p1]; p2 in [p1, len]: middle is
     // text[p1+1..p2], suffix the rest — every split is representable,
     // including empty middle (p2 = p1) and empty suffix (p2 = len)

@@ -489,7 +489,13 @@ object SimilarityIndex {
       BucketedTables.activeTombIds(spark, tombsTable(base), epoch)
     val cents = decodeQuantizer(
       BucketedTables.readSidecar(spark, cellsTable(base), QuantizerSidecar))
+    // repartition = the materialization point both consumers (the
+    // distinct-cells prune and the candidate join) hang off via
+    // ReuseExchange — the same pattern as the pair generators' shared
+    // fingerprint frames. Without it the query scan AND the k×dim
+    // centroid scoring run twice, once per consumer.
     val probes = Similarity.probeCells(queries, vecCol, idCol, cents, nprobe)
+      .repartition(col("query_id"))
     val probedCells = probes.select(col("cell")).distinct()
     // whole-row dedup of the probed slice for the same replayed-append
     // reason as topK (see there); decode after the prune, like there

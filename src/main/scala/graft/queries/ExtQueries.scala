@@ -963,18 +963,12 @@ object ExtQueries {
     * certifies the complete production emitted set there. */
   private val CompanionCap = 6000L
 
-  /** Deterministic ~`cap`-doc slice: every doc whose xxhash64(id) lands
-    * in a fixed residue class. Hash-based (not limit/sample) so the slice
-    * is stable across partitionings, runs and engines. */
+  /** Deterministic ~`cap`-doc slice ([[graft.exec.Sampling.boundedSlice]]
+    * — shared with the TrainPrep companions so the slice semantics
+    * cannot drift between families). */
   private def boundedSlice(docs: DataFrame, idCol: String,
-                           cap: Long = CompanionCap): DataFrame = {
-    val n = docs.count()
-    if (n <= cap) docs
-    else {
-      val k = math.max(1L, n / cap)
-      docs.filter(pmod(xxhash64(col(idCol)), lit(k)) === 0L)
-    }
-  }
+                           cap: Long = CompanionCap): DataFrame =
+    graft.exec.Sampling.boundedSlice(docs, idCol, cap)
 
   /** MinHash+LSH candidate pairs (est. Jaccard ≥ 0.5) — approximate,
     * rows-only check; recall asserted against exact pairs in ExtSpec. */

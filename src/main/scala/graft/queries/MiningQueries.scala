@@ -403,7 +403,8 @@ object MiningQueries {
     graft.ext.SimilarityIndex.topKBatch(s, "q_ann_batch", e, k = 5, nprobe = 2)
   }
 
-  lazy val qSimBatchSql: String = ivfOracleSql("TRUE", queryPred = "TRUE")
+  lazy val qSimBatchSql: String =
+    ivfOracleSql("TRUE", queryPred = "TRUE", kExpr = AdaptiveKSql)
 
   /** The BATCH TWO-STAGE search under the oracle gate — the
     * billion-scale recipe end to end with nothing query-set-sized on
@@ -425,7 +426,8 @@ object MiningQueries {
   }
 
   lazy val qSimBatchRerankSql: String =
-    ivfOracleSql("TRUE", sq8 = true, queryPred = "TRUE", rerankShortlist = 15)
+    ivfOracleSql("TRUE", sq8 = true, queryPred = "TRUE",
+      rerankShortlist = 15, kExpr = AdaptiveKSql)
 
   /** The ANN index's CONTINUOUS-INGESTION path under the oracle gate:
     * build the index on vec_id < 400 only, [[graft.ext.SimilarityIndex
@@ -668,17 +670,25 @@ object MiningQueries {
     * quantizer they never influenced). `corpusPred` restricts the
     * SEARCHED corpus — a NOT-predicate replicates tombstone deletion
     * ([[qSimDelete]]). Probes always run over the full corpus. */
-  /** The Lloyd(k=4, one round) training + full-corpus cell-assignment
+  /** The Lloyd(k, one round) training + full-corpus cell-assignment
     * CTE prefix (`e` … `cells`), shared by the IVF probe oracles and
-    * the split-leakage audit. */
-  private def ivfCellsPrefix(trainPred: String, corpusPred: String): String =
+    * the split-leakage audit. `kExpr` is the centroid count as a SQL
+    * expression — a literal for the fixed-k queries, the adaptive
+    * `greatest(4, count // 500)` sizing for the batch queries whose
+    * Spark side derives k from the corpus (the expression MUST mirror
+    * the Spark derivation or the gate diverges the moment the fixture
+    * crosses a sizing boundary). */
+  private def ivfCellsPrefix(trainPred: String, corpusPred: String,
+                             kExpr: String = "4"): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
        |  list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
        |  FROM embeddings),
        |tr AS (SELECT * FROM e WHERE $trainPred),
-       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
-       |  FROM tr ORDER BY vec_id LIMIT 4),
+       |c0 AS (SELECT * FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+       |    FROM tr)
+       |  WHERE cluster < ($kExpr)),
        |a1 AS (SELECT vec_id, q, cluster FROM (
        |  SELECT tr.vec_id, tr.q, c0.cluster,
        |    row_number() OVER (PARTITION BY tr.vec_id
@@ -696,11 +706,16 @@ object MiningQueries {
        |      ORDER BY ${cosSql("e.v", "c1.cv")} DESC, c1.cluster DESC) AS rn
        |  FROM e CROSS JOIN c1 WHERE $corpusPred) WHERE rn = 1),""".stripMargin
 
+  /** The adaptive cell-count derivation shared by q_sim_batch and
+    * q_sim_batch_rerank — SQL twin of `math.max(4L, e.count() / 500L)`. */
+  private val AdaptiveKSql = "greatest(4, (SELECT count(*) FROM e) // 500)"
+
   private def ivfOracleSql(trainPred: String,
                            corpusPred: String = "TRUE",
                            sq8: Boolean = false,
                            queryPred: String = "e.vec_id < 10",
-                           rerankShortlist: Int = 0): String = {
+                           rerankShortlist: Int = 0,
+                           kExpr: String = "4"): String = {
     // sq8 storage: score against the RECONSTRUCTED corpus (per-vector
     // min/scale quantization in DOUBLE with floor(x+0.5) — the exact
     // arithmetic of Similarity.sq8Quantize/sq8Dequantize)
@@ -714,7 +729,7 @@ object MiningQueries {
         |  END AS v FROM cq),
         |""".stripMargin
     val corpusRel = if (sq8) "crec" else "cells"
-    s"""${ivfCellsPrefix(trainPred, corpusPred)}
+    s"""${ivfCellsPrefix(trainPred, corpusPred, kExpr)}
        |${sq8Ctes}probes AS (SELECT vec_id AS query_id, v AS qv, cluster AS cell FROM (
        |  SELECT e.vec_id, e.v, c1.cluster,
        |    row_number() OVER (PARTITION BY e.vec_id

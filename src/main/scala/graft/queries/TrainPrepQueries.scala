@@ -846,12 +846,7 @@ object TrainPrepQueries {
     val table = graft.ext.Bpe.merges(allDocs, "text", k = 12)
       .as[(Int, String, String, Long)].collect().sortBy(_._1)
       .map(m => (m._2, m._3)).toSeq
-    val cap = 6000L
-    val n = allDocs.count()
-    val docs =
-      if (n <= cap) allDocs
-      else allDocs.filter(
-        pmod(xxhash64(col("doc_id")), lit(math.max(1L, n / cap))) === 0L)
+    val docs = graft.exec.Sampling.boundedSlice(allDocs, "doc_id", cap = 6000L)
     val dist = qBpeEncode(s, dir)
       .join(docs.select("doc_id"), Seq("doc_id"), "left_semi")
       .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
@@ -1049,7 +1044,7 @@ object TrainPrepQueries {
 
   val qFimSql: String =
     s"""WITH b AS (SELECT doc_id, text, length(text) AS len,
-       |  (${skSql(42)}) % 100 < 90 AND length(text) >= 2 AS sel,
+       |  coalesce((${skSql(42)}) % 100 < 90 AND length(text) >= 2, false) AS sel,
        |  1 + (${skSql(43)}) % greatest(length(text) - 1, 1) AS p1
        |  FROM documents),
        |c AS (SELECT doc_id, text, len, sel, p1,
