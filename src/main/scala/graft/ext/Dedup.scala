@@ -798,8 +798,21 @@ object Dedup {
     * companion's false-positive contract is unaffected (the cap only
     * removes candidates). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    hammingPairs(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp")),
+      "id", "fp", maxHamming, maxBucket)
+
+  /** The 64-bit hamming-near pair join over ANY (id, bits) frame — the
+    * banding kernel shared by text simhash and image dHash
+    * ([[Multimodal.imageDhash]]): 4×16-bit chunks, equi-join per chunk
+    * (pigeonhole-EXACT for hamming ≤ 3 — such a pair agrees on at least
+    * one whole chunk), hamming verified on the full 64 bits. Same
+    * one-shuffle LSH shape and `maxBucket` degenerate-bucket dial as
+    * MinHash. */
+  def hammingPairs(df: DataFrame, idCol: String, bitsCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val fp = df.select(col(idCol).as("id"), col(bitsCol).as("fp"))
       .repartition(col("id")) // fingerprint computed once, reused by both sides
     val banded = fp.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(b =>

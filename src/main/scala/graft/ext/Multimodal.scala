@@ -514,6 +514,87 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize 16×16 grayscale-NOISE BMPs: every pixel's gray level is
+    * the engine's two-stage modular hash of (id·256 + y·16 + x) — so,
+    * unlike the smooth [[bmpTable]] ramps (whose tiny gradients collapse
+    * into a handful of distinct dHashes), each id's image has an
+    * effectively unique perceptual fingerprint, the way real photos do.
+    * The pixel formula is closed-form, so a SQL oracle recomputes any
+    * derived hash bit-exactly. The dedup driver query builds its
+    * duplicate clusters on THIS table. */
+  def noiseBmpTable(docs: DataFrame, idCol: String = "doc_id",
+                    seed: Long = 7L): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType), StructField("media", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = docs.schema.fieldIndex(idCol)
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        def gray(x: Int, y: Int): Int = {
+          val k = id * 256 + y * 16 + x
+          val m = Sharding.HashMod
+          val h2 =
+            ((k % m) * Sharding.HashMulA + seed) % m * Sharding.HashMulB % m
+          // xor-shift mix: the affine hash's CONSECUTIVE-key differences
+          // share structure across ids (affine composed with affine is
+          // affine), which made every image's gradient-sign pattern —
+          // the dHash — nearly identical; folding high bits in
+          // nonlinearly decorrelates neighboring pixels
+          ((h2 ^ (h2 >> 13)) % 256).toInt
+        }
+        Row(id, Codecs.encodeBmp24(16, 16, (x, y) => {
+          val g = gray(x, y); (g << 16) | (g << 8) | g
+        }))
+      }
+    }(enc)
+  }
+
+  /** Perceptual difference hash (dHash, 64-bit) per image — the standard
+    * near-duplicate image fingerprint of large-scale multimodal dedup: a
+    * re-encoded, resized or slightly-recompressed copy keeps (almost)
+    * the same hash, so hamming-near pairs are duplicate candidates.
+    * Decode ([[Codecs.decodeImage]]), grayscale (integer (r+g+b) div 3),
+    * nearest-neighbor resample to a 9×8 grid with the SAME floor source
+    * mapping as [[resizeImage]] (`x·w div 9`, `y·h div 8` — closed-form
+    * for the synthetic grids, so the oracle recomputes every bit), then
+    * bit (y·8+x) = 1 iff gray(x+1, y) > gray(x, y). One mapPartitions
+    * decode pass; NULL/empty payloads yield no row (missing data, same
+    * contract as [[imageFeatures]]). Output: (idCol, dhash LONG). */
+  def imageDhash(media: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("dhash", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else Iterator.single {
+          val img = Codecs.decodeImage(bytes)
+          def gray(x9: Int, y8: Int): Int = {
+            val p = img.rgb(
+              (y8 * img.height / 8) * img.width + (x9 * img.width / 9))
+            (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+          }
+          var h = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (gray(x + 1, y) > gray(x, y)) h |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(idIdx), h)
+        }
+      }
+    }(enc)
+  }
+
   /** REAL image resize: decode ([[Codecs.decodeImage]] — BMP byte parser
     * or `javax.imageio` by magic) → nearest-neighbor resample into the
     * aspect-preserving `maxW`×`maxH` box (never upscaled) → re-encode in

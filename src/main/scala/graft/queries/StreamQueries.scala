@@ -237,6 +237,98 @@ object StreamQueries {
       .select(col("doc_id"), col("frame_idx"), col("frame_ms"),
         col("width"), col("height"), col("n_pixels"))
 
+  /** Perceptual image fingerprints ([[Multimodal.imageDhash]]) over real
+    * BMP payloads: decode → integer grayscale → 9×8 nearest-neighbor
+    * resample (the resize operator's floor mapping) → 64 gradient bits.
+    * Every stage is closed-form in doc_id for the synthetic grid, so the
+    * oracle recomputes each hash bit-exactly without a decoder. */
+  def qImageDhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageDhash(Multimodal.bmpTable(Tables(s, dir, "documents")))
+
+  /** The closed-form dHash CTE chain over a one-column id relation
+    * named `d(gid)` — shared by the hash query (gid = doc_id) and the
+    * dedup query (gid = doc_id div 10 group seed). */
+  private def dhashSql(idRelation: String): String = {
+    val sx = "((x * w) // 9)"
+    val sy = "((y * h) // 8)"
+    s"""dd AS (SELECT gid, 4 + gid % 12 AS w, 4 + gid % 7 AS h
+       |  FROM ($idRelation)),
+       |g AS (SELECT gid, x, y,
+       |  ((gid + 3 * $sx + 7 * $sy) % 256
+       |   + (gid * 2 + 5 * $sx + $sy) % 256
+       |   + (gid + $sx * $sy) % 256) // 3 AS gray
+       |  FROM dd, UNNEST(range(0, 9)) AS tx(x), UNNEST(range(0, 8)) AS ty(y)),
+       |bset AS (SELECT g1.gid, (g1.y * 8 + g1.x)::BIGINT AS bit
+       |  FROM g g1 JOIN g g2 ON g1.gid = g2.gid AND g2.y = g1.y AND g2.x = g1.x + 1
+       |  WHERE g1.x < 8 AND g2.gray > g1.gray),
+       |hs AS (SELECT dd.gid, coalesce(CAST(sum(
+       |    CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+       |         ELSE (1::BIGINT << bit) END) AS BIGINT), 0) AS dh
+       |  FROM dd LEFT JOIN bset ON dd.gid = bset.gid GROUP BY dd.gid)""".stripMargin
+  }
+
+  val qImageDhashSql: String =
+    s"""WITH ${dhashSql("SELECT doc_id AS gid FROM documents")}
+       |SELECT gid AS doc_id, dh AS dhash FROM hs""".stripMargin
+
+  /** Image NEAR-DUP pairs — the multimodal dedup pass: documents in the
+    * same run of ten share one synthesized image (re-used payload, the
+    * duplicate-upload shape), fingerprints via the real decode → dHash
+    * pipeline, pairs via the generic 4×16-band hamming join
+    * ([[graft.ext.Dedup.hammingPairs]] — pigeonhole-EXACT at hamming
+    * ≤ 3, so the oracle is the plain quadratic twin over the closed-form
+    * hashes). The images are the NOISE table
+    * ([[Multimodal.noiseBmpTable]]): hash-valued pixels give each group
+    * an effectively unique fingerprint the way real photos have —
+    * [[bmpTable]]'s smooth ramps collapse to a handful of hashes, which
+    * would make cross-group "near-dup" pairs quadratic in the corpus
+    * (measured: 500 group seeds → 147 distinct ramp hashes, 23k spurious
+    * pairs). Group size is sf-invariant (10), so output, bucket sizes
+    * and the quadratic-oracle cost all stay linear in the corpus. */
+  def qImageDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val groups = docs.select(expr("doc_id div 10").as("doc_id"))
+      .distinct()
+    val groupMedia = Multimodal.noiseBmpTable(groups)
+      .withColumnRenamed("doc_id", "__grp")
+    val media = docs
+      .select(col("doc_id"), expr("doc_id div 10").as("__grp"))
+      .join(groupMedia, "__grp")
+      .select("doc_id", "media")
+    graft.ext.Dedup.hammingPairs(
+      Multimodal.imageDhash(media), "doc_id", "dhash", maxHamming = 3)
+  }
+
+  /** The noise-table dHash: 16×16 image, so sx = x·16 div 9, sy = 2y,
+    * gray = shuffleKey(gid·256 + sy·16 + sx, 7) mod 256 — [[dhashSql]]'s
+    * structure with the hash-noise gray. */
+  private val noiseDhashSql: String = {
+    val key = "(gid * 256 + ((y * 16) // 8) * 16 + ((x * 16) // 9))"
+    val h = s"((($key % 1000000007) * 1103515245 + 7) % 1000000007" +
+      " * 2654435761 % 1000000007)"
+    val gray = s"(xor($h, $h >> 13) % 256)"
+    s"""g AS (SELECT gid, x, y, $gray AS gray
+       |  FROM dd, UNNEST(range(0, 9)) AS tx(x), UNNEST(range(0, 8)) AS ty(y)),
+       |bset AS (SELECT g1.gid, (g1.y * 8 + g1.x)::BIGINT AS bit
+       |  FROM g g1 JOIN g g2 ON g1.gid = g2.gid AND g2.y = g1.y AND g2.x = g1.x + 1
+       |  WHERE g1.x < 8 AND g2.gray > g1.gray),
+       |hs AS (SELECT dd.gid, coalesce(CAST(sum(
+       |    CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+       |         ELSE (1::BIGINT << bit) END) AS BIGINT), 0) AS dh
+       |  FROM dd LEFT JOIN bset ON dd.gid = bset.gid GROUP BY dd.gid)""".stripMargin
+  }
+
+  val qImageDedupSql: String =
+    s"""WITH dd AS (SELECT DISTINCT doc_id // 10 AS gid FROM documents),
+       |$noiseDhashSql,
+       |m AS (SELECT doc_id, doc_id // 10 AS grp FROM documents)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(ha.dh, hb.dh))::INT AS hamming
+       |FROM m a JOIN m b ON a.doc_id < b.doc_id
+       |JOIN hs ha ON ha.gid = a.grp
+       |JOIN hs hb ON hb.gid = b.grp
+       |WHERE bit_count(xor(ha.dh, hb.dh)) <= 3""".stripMargin
+
   /** REAL TIFF decode via the JDK's bundled TIFF plugin: lossless RGB
     * over the shared grid, so the SAME closed-form oracle as BMP/PNG
     * proves the round-trip bit-exact on the archival-scan format. */
@@ -486,6 +578,8 @@ object StreamQueries {
     "q_compact"           -> (qCompact _),
     "q_scd2"              -> (qScd2 _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
+    "q_image_dhash"       -> (qImageDhash _),
+    "q_image_dedup"       -> (qImageDedup _),
     "q_multimodal_png"    -> (qMultimodalPng _),
     "q_multimodal_jpeg"   -> (qMultimodalJpeg _),
     "q_multimodal_resize_png" -> (qMultimodalResizePng _),
@@ -515,6 +609,8 @@ object StreamQueries {
     "q_compact"           -> qCompactSql,
     "q_scd2"              -> qScd2Sql,
     "q_multimodal_decode" -> qMultimodalDecodeSql,
+    "q_image_dhash"       -> qImageDhashSql,
+    "q_image_dedup"       -> qImageDedupSql,
     "q_multimodal_png"    -> qMultimodalPngSql,
     "q_multimodal_jpeg"   -> qMultimodalJpegSql,
     "q_multimodal_resize_png" -> qMultimodalResizeRealSql,

@@ -520,4 +520,21 @@ class CodecSpec extends AnyFunSuite {
       .collect().head.getString(0)
     assert(nfkc == "caf\u00e9 \u00c5 fi") // NFKC also folds the ligature
   }
+
+  test("dHash is codec-invariant: the same pixels through BMP and PNG hash identically") {
+    // the point of a perceptual hash \u2014 a re-encoded upload is the same
+    // image; both containers are lossless so the hashes must be EQUAL
+    import graft.ext.Multimodal
+    val docs = Tables(SparkTest.spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+    def hashes(media: org.apache.spark.sql.DataFrame) =
+      Multimodal.imageDhash(media).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaBmp = hashes(Multimodal.bmpTable(docs))
+    val viaPng = hashes(Multimodal.pngTable(docs))
+    assert(viaBmp.size == 50 && viaBmp == viaPng)
+    // and distinct noise images get distinct hashes (no degenerate bits)
+    val noise = hashes(Multimodal.noiseBmpTable(docs))
+    assert(noise.values.toSet.size == 50)
+  }
 }
