@@ -772,6 +772,51 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit audio ENERGY fingerprint — the dHash idea applied to sound
+    * (a simplified chromaprint): decode, split the sample run into 65
+    * near-equal frames (sample i → frame (i·65) div n), per-frame energy
+    * = Σ sᵢ² in EXACT integer arithmetic, bit f = E(f+1) > E(f). The
+    * temporal energy envelope survives re-encoding and resampling-free
+    * rate relabeling, so hamming-near fingerprints are duplicate
+    * candidates ([[graft.ext.Dedup.hammingPairs]] composes directly);
+    * sample-rate-INVARIANT by construction (the rate never enters).
+    * Exact integers end to end → bit-reproducible in a SQL oracle.
+    * Output: (idCol, afp LONG); empty/NULL payloads yield no row. */
+  def audioFingerprint(media: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("afp", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+          val s = Codecs.decodeWav(bytes).samples
+          if (s.isEmpty) Iterator.empty
+          else Iterator.single {
+            val e = new Array[Long](65)
+            var i = 0
+            while (i < s.length) {
+              val v = s(i).toLong
+              e((i.toLong * 65 / s.length).toInt) += v * v
+              i += 1
+            }
+            var h = 0L
+            var f = 0
+            while (f < 64) {
+              if (e(f + 1) > e(f)) h |= 1L << f
+              f += 1
+            }
+            Row(r.getLong(idIdx), h)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** ViT-style patch grid: one output row per (px, py) patch of each
     * image's metadata dimensions (partial edge patches dropped, like ViT).
     * Pixel slicing itself would live in the decode stage (STUB); the grid

@@ -329,6 +329,31 @@ object StreamQueries {
        |JOIN hs hb ON hb.gid = b.grp
        |WHERE bit_count(xor(ha.dh, hb.dh)) <= 3""".stripMargin
 
+  /** Audio fingerprints ([[Multimodal.audioFingerprint]]) over real WAV
+    * payloads: decode → 65-frame integer energy envelope → 64 gradient
+    * bits. The synthetic samples are closed-form, and every stage is
+    * exact integer arithmetic, so the oracle recomputes each fingerprint
+    * bit-for-bit without a decoder. */
+  def qAudioFingerprint(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFingerprint(
+      Multimodal.wavTable(Tables(s, dir, "documents")))
+
+  val qAudioFingerprintSql: String =
+    """WITH d AS (SELECT doc_id, 200 + doc_id % 400 AS n FROM documents),
+      |sm AS (SELECT doc_id, (i * 65) // n AS f,
+      |    ((doc_id * 31 + i * 17) % 4001 - 2000) AS s
+      |  FROM d, UNNEST(range(0, n)) AS t(i)),
+      |en AS (SELECT doc_id, f, CAST(sum(s * s) AS BIGINT) AS e
+      |  FROM sm GROUP BY doc_id, f),
+      |bset AS (SELECT a.doc_id, a.f::BIGINT AS bit
+      |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+      |  WHERE a.f < 64 AND b.e > a.e)
+      |SELECT d.doc_id, coalesce(CAST(sum(
+      |    CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+      |         ELSE (1::BIGINT << bit) END) AS BIGINT), 0) AS afp
+      |FROM d LEFT JOIN bset ON d.doc_id = bset.doc_id
+      |GROUP BY d.doc_id""".stripMargin
+
   /** REAL TIFF decode via the JDK's bundled TIFF plugin: lossless RGB
     * over the shared grid, so the SAME closed-form oracle as BMP/PNG
     * proves the round-trip bit-exact on the archival-scan format. */
@@ -580,6 +605,7 @@ object StreamQueries {
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_image_dhash"       -> (qImageDhash _),
     "q_image_dedup"       -> (qImageDedup _),
+    "q_audio_fingerprint" -> (qAudioFingerprint _),
     "q_multimodal_png"    -> (qMultimodalPng _),
     "q_multimodal_jpeg"   -> (qMultimodalJpeg _),
     "q_multimodal_resize_png" -> (qMultimodalResizePng _),
@@ -611,6 +637,7 @@ object StreamQueries {
     "q_multimodal_decode" -> qMultimodalDecodeSql,
     "q_image_dhash"       -> qImageDhashSql,
     "q_image_dedup"       -> qImageDedupSql,
+    "q_audio_fingerprint" -> qAudioFingerprintSql,
     "q_multimodal_png"    -> qMultimodalPngSql,
     "q_multimodal_jpeg"   -> qMultimodalJpegSql,
     "q_multimodal_resize_png" -> qMultimodalResizeRealSql,

@@ -537,4 +537,25 @@ class CodecSpec extends AnyFunSuite {
     val noise = hashes(Multimodal.noiseBmpTable(docs))
     assert(noise.values.toSet.size == 50)
   }
+
+  test("audio fingerprint is sample-rate-invariant: same samples relabeled at " +
+       "another rate hash identically") {
+    import graft.ext.Multimodal
+    import org.apache.spark.sql.functions.col
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val samples = Array.tabulate(777)(i => ((i * 131) % 4001 - 2000).toShort)
+    val media = Seq(
+      (1L, Codecs.encodeWavPcm16(samples, 8000)),
+      (2L, Codecs.encodeWavPcm16(samples, 44100))).toDF("doc_id", "media")
+    val fp = Multimodal.audioFingerprint(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fp(1L) == fp(2L), "rate relabeling changed the fingerprint")
+    // a genuinely different signal must not collide
+    val other = Seq((3L, Codecs.encodeWavPcm16(
+      Array.tabulate(777)(i => ((i * 37 + 5) % 4001 - 2000).toShort), 8000)))
+      .toDF("doc_id", "media")
+    val fp3 = Multimodal.audioFingerprint(other).collect().head.getLong(1)
+    assert(fp3 != fp(1L))
+  }
 }
