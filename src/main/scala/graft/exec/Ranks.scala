@@ -66,8 +66,12 @@ object Ranks {
     val spark = df0.sparkSession
     // The value column's public contract is "any numeric, nulls count as
     // zero"; phase 1/2 arithmetic is Long. Normalize once into an internal
-    // appended column rather than trusting callers to pre-cast.
-    val internalV = "__graft_tp_value"
+    // appended column rather than trusting callers to pre-cast. The name
+    // must not collide with a caller column: withColumn would then replace
+    // IN PLACE instead of appending last, and the dropRight(1) below would
+    // strip the caller's trailing column and emit corrupted rows.
+    val internalV = Iterator.from(0).map(i => s"__graft_tp_value$i")
+      .find(n => !df0.columns.contains(n)).get
     val df = valueCol match {
       case Some(v) =>
         val dt = df0.schema(v).dataType

@@ -792,11 +792,14 @@ object Dedup {
     * Same one-shuffle LSH shape as MinHash — including the `maxBucket`
     * hot-bucket cap: a degenerate (band, chunk) bucket (a boilerplate-
     * heavy corpus slice hashing to one fingerprint region) would
-    * otherwise go quadratic in that bucket's size. Like MinHash's cap,
-    * this is a deliberate recall/size dial — a pair dropped from one hot
-    * band still has its three other bands — and the `_verified`
-    * companion's false-positive contract is unaffected (the cap only
-    * removes candidates). */
+    * otherwise go quadratic in that bucket's size. The cap is a REAL
+    * recall loss, not a redundancy-protected trim: pigeonhole only
+    * guarantees a hamming ≤ 3 pair at least ONE whole agreeing chunk,
+    * so a pair whose only agreeing chunk lands in a trimmed bucket is
+    * lost entirely. Size the cap with [[trimmedBuckets]] (which buckets
+    * a corpus actually trims, and how many fingerprints each drops);
+    * the `_verified` companion's false-positive contract is unaffected
+    * either way (the cap only removes candidates). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
     hammingPairs(
@@ -809,7 +812,9 @@ object Dedup {
     * (pigeonhole-EXACT for hamming ≤ 3 — such a pair agrees on at least
     * one whole chunk), hamming verified on the full 64 bits. Same
     * one-shuffle LSH shape and `maxBucket` degenerate-bucket dial as
-    * MinHash. */
+    * MinHash — and the same caveat as [[simhashPairs]]: pigeonhole
+    * guarantees only ≥ 1 agreeing chunk, so trimming a bucket can lose
+    * a pair outright. [[trimmedBuckets]] makes that loss observable. */
   def hammingPairs(df: DataFrame, idCol: String, bitsCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val fp = df.select(col(idCol).as("id"), col(bitsCol).as("fp"))
@@ -830,4 +835,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), hamming64(col("fp_a"), col("fp_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Observability for [[hammingPairs]]' hot-bucket cap: the (band,
+    * chunk) buckets the cap would trim at `maxBucket`, with their
+    * occupancy — i.e. exactly where recall is being lost and how much
+    * fingerprint mass each trim drops. One aggregation over the same
+    * banding expression as the pair join (cost: one shuffle on (band,
+    * chunk), output bounded by the number of HOT buckets, not the
+    * corpus), so operators can audit/size the cap without running the
+    * quadratic uncapped join. */
+  def trimmedBuckets(df: DataFrame, idCol: String, bitsCol: String,
+                     maxBucket: Int = 1000): DataFrame =
+    df.select(posexplode(array((0 until 4).map(b =>
+        shiftright(col(bitsCol), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+      .groupBy(col("band"), col("chunk"))
+      .agg(count(lit(1)).as("n_fingerprints"))
+      .filter(col("n_fingerprints") > maxBucket)
 }

@@ -1090,14 +1090,26 @@ object ExtQueries {
     * remaining classes on the LSH path. Oracle = empty set. */
   def qDedupClustersVerified(s: SparkSession, dir: String): DataFrame = {
     // Scale gate: at the correctness sf the slice is the full corpus and
-    // `kept` IS the production emitted set; above the cap the companion
+    // `kept` is the PRODUCTION query's own output frame (not a
+    // re-instantiation — production-only failure modes are refutable
+    // exactly where the oracle gate runs); above the cap the companion
     // re-instantiates the identical pipeline on the bounded slice (the
-    // contract classes below are per-cluster properties, equally refutable
-    // on any corpus the pipeline runs on).
-    val docs = boundedSlice(Tables(s, dir, "documents"), "doc_id")
-    val kept = Dedup.dedupNear(docs, "text", "doc_id",
-        threshold = DedupClustersThreshold)
-      .select(col("doc_id").as("id"))
+    // contract classes below are per-cluster properties, equally
+    // refutable on any corpus the pipeline runs on). Known limit of the
+    // above-cap mode: a full-corpus-only effect — e.g. the LSH
+    // hot-bucket cap trimming an edge only at production size — cannot
+    // be refuted on the slice; slice-vs-production keep-sets are NOT
+    // directly comparable there (slice components lack the full
+    // corpus's edges, and the cap trims different buckets), so no
+    // cross-check is asserted above the cap.
+    val docsFull = Tables(s, dir, "documents")
+    val sliceIsFull = docsFull.count() <= CompanionCap
+    val docs = boundedSlice(docsFull, "doc_id")
+    val kept =
+      (if (sliceIsFull) qDedupClusters(s, dir)
+       else Dedup.dedupNear(docs, "text", "doc_id",
+         threshold = DedupClustersThreshold).select(col("doc_id")))
+        .select(col("doc_id").as("id"))
     // the production pair generator, materialized ONCE: the edge-breach
     // scan and the cluster recomputation below would otherwise each
     // re-run the LSH+verify pipeline from the parquet scan up

@@ -276,15 +276,17 @@ object StreamQueries {
     * duplicate-upload shape), fingerprints via the real decode → dHash
     * pipeline, pairs via the generic 4×16-band hamming join
     * ([[graft.ext.Dedup.hammingPairs]] — pigeonhole-EXACT at hamming
-    * ≤ 3, so the oracle is the plain quadratic twin over the closed-form
-    * hashes). The images are the NOISE table
+    * ≤ 3, so the oracle replays the SAME 4×16 banding over the
+    * closed-form hashes — group-level chunk equi-join, then expansion
+    * to doc pairs — and its cost tracks the emitted pair count, not
+    * O(n²) doc enumeration). The images are the NOISE table
     * ([[Multimodal.noiseBmpTable]]): hash-valued pixels give each group
     * an effectively unique fingerprint the way real photos have —
     * [[bmpTable]]'s smooth ramps collapse to a handful of hashes, which
     * would make cross-group "near-dup" pairs quadratic in the corpus
     * (measured: 500 group seeds → 147 distinct ramp hashes, 23k spurious
     * pairs). Group size is sf-invariant (10), so output, bucket sizes
-    * and the quadratic-oracle cost all stay linear in the corpus. */
+    * and the oracle's band-join cost all stay linear in the corpus. */
   def qImageDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val groups = docs.select(expr("doc_id div 10").as("doc_id"))
@@ -321,13 +323,18 @@ object StreamQueries {
   val qImageDedupSql: String =
     s"""WITH dd AS (SELECT DISTINCT doc_id // 10 AS gid FROM documents),
        |$noiseDhashSql,
+       |bands AS (SELECT gid, dh, b, (dh >> (b * 16)) & 65535 AS chunk
+       |  FROM hs, UNNEST(range(0, 4)) AS t(b)),
+       |gp AS (SELECT DISTINCT a.gid AS ga, b.gid AS gb,
+       |    bit_count(xor(a.dh, b.dh))::INT AS hamming
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.chunk = b.chunk
+       |    AND a.gid <= b.gid
+       |  WHERE bit_count(xor(a.dh, b.dh)) <= 3),
        |m AS (SELECT doc_id, doc_id // 10 AS grp FROM documents)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  bit_count(xor(ha.dh, hb.dh))::INT AS hamming
-       |FROM m a JOIN m b ON a.doc_id < b.doc_id
-       |JOIN hs ha ON ha.gid = a.grp
-       |JOIN hs hb ON hb.gid = b.grp
-       |WHERE bit_count(xor(ha.dh, hb.dh)) <= 3""".stripMargin
+       |SELECT x.doc_id AS id_a, y.doc_id AS id_b, gp.hamming
+       |FROM gp JOIN m x ON x.grp = gp.ga
+       |        JOIN m y ON y.grp = gp.gb
+       |WHERE x.doc_id < y.doc_id""".stripMargin
 
   /** Audio fingerprints ([[Multimodal.audioFingerprint]]) over real WAV
     * payloads: decode → 65-frame integer energy envelope → 64 gradient
