@@ -1226,6 +1226,100 @@ object ExtQueries {
       "text", "doc_id", "lang", threshold = 0.5)
   }
 
+  // ------------------------------------------- q_stream_dedup_lifecycle
+
+  /** The standing DEDUP index driven through a REAL Structured-Streaming
+    * lifecycle with a MID-STREAM TAKEDOWN — the crash-safety story
+    * (epochs, tombstones, checkpointed restart) proven at the driver
+    * gate instead of only in StreamSpec. Shape mirrors
+    * q_stream_lifecycle (TrainPrepQueries):
+    *
+    *  1. batch-build the index on the standing corpus (doc_id % 5 ≠ 0);
+    *  2. land the EVEN half of the delta (doc_id % 10 = 0) as a file,
+    *     run `readStream → IngestDedup → Trigger.AvailableNow` to
+    *     termination — batch 0 is judged against the corpus and its
+    *     KEPT rows fold into the index (updateIndex);
+    *  3. MID-STREAM, tombstone a third of the corpus
+    *     ([[graft.ext.DedupIndex.delete]] — doc_id % 3 = 1);
+    *  4. land the ODD half (doc_id % 10 = 5) as a late file and run the
+    *     stream AGAIN on the same checkpoint — the restart discovers
+    *     only the new file and judges it as batch 1 against
+    *     (corpus − deleted) ∪ (batch 0's kept rows).
+    *
+    * The oracle replays both batches' verdicts in closed form, so a
+    * hash-pass proves: checkpointed restart re-judges nothing, the
+    * tombstones mask exactly the deleted documents for batch 1 while
+    * batch 0's verdicts (written pre-delete) stand, and the streamed
+    * index append makes batch 0's kept rows witness batch 1's rules. */
+  def qStreamDedupLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Scratch.fresh(s, "streamdedup", dir)
+    val docs = Tables(s, dir, "documents").select("doc_id", "lang", "text")
+    val idx = "graft_idx_streamlife"
+    DedupIndex.write(docs.filter(col("doc_id") % 5 =!= 0),
+      "text", "doc_id", "lang", idx, threshold = 0.5)
+    val inDir = s"$base/in"
+    def runToCompletion(): Unit = {
+      val q = graft.streaming.IngestDedup.run(
+          s.readStream.schema(docs.schema).parquet(inDir),
+          base = idx, textCol = "text", idCol = "doc_id", blockCol = "lang",
+          threshold = 0.5, verdictPath = s"$base/verdicts",
+          checkpoint = s"$base/ckpt", updateIndex = true)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    docs.filter(col("doc_id") % 10 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir)
+    runToCompletion()
+    // mid-stream takedown, between the two checkpointed runs
+    DedupIndex.delete(s, idx,
+      docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 3 === 1)
+        .select(col("doc_id")), "doc_id")
+    docs.filter(col("doc_id") % 10 === 5).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runToCompletion()
+    s.read.parquet(s"$base/verdicts")
+      .select(col("doc_id"), col("batch_id").cast("int").as("batch_id"),
+        col("keep"), col("reason"))
+  }
+
+  /** Two-batch closed-form replay: batch 0 = incremental dedup of the
+    * even delta against the full corpus; batch 1 = the odd delta against
+    * (corpus minus the takedown) UNION batch 0's kept rows. */
+  val qStreamDedupLifecycleSql: String =
+    """WITH w AS (SELECT doc_id, lang, text,
+      |  string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS w FROM documents),
+      |sh AS (SELECT doc_id, lang, text,
+      |  list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+      |    i -> array_to_string(w[i+1:i+3], ' '))) AS t FROM w),
+      |corpus0 AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+      |d0 AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+      |ex0 AS (SELECT DISTINCT d.doc_id FROM d0 d JOIN corpus0 c ON d.text = c.text),
+      |nr0 AS (SELECT DISTINCT d.doc_id FROM d0 d JOIN corpus0 c ON d.lang = c.lang
+      |  WHERE len(list_intersect(d.t, c.t))::DOUBLE
+      |      / (len(d.t) + len(c.t) - len(list_intersect(d.t, c.t))) >= 0.5),
+      |v0 AS (SELECT d.doc_id, (e.doc_id IS NULL AND n.doc_id IS NULL) AS keep,
+      |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+      |       WHEN n.doc_id IS NOT NULL THEN 'near' END AS reason
+      |  FROM d0 d LEFT JOIN ex0 e ON d.doc_id = e.doc_id
+      |            LEFT JOIN nr0 n ON d.doc_id = n.doc_id),
+      |corpus1 AS (SELECT * FROM sh WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 1
+      |  UNION ALL SELECT sh.* FROM sh JOIN v0 ON sh.doc_id = v0.doc_id
+      |  WHERE v0.keep),
+      |d1 AS (SELECT * FROM sh WHERE doc_id % 10 = 5),
+      |ex1 AS (SELECT DISTINCT d.doc_id FROM d1 d JOIN corpus1 c ON d.text = c.text),
+      |nr1 AS (SELECT DISTINCT d.doc_id FROM d1 d JOIN corpus1 c ON d.lang = c.lang
+      |  WHERE len(list_intersect(d.t, c.t))::DOUBLE
+      |      / (len(d.t) + len(c.t) - len(list_intersect(d.t, c.t))) >= 0.5),
+      |v1 AS (SELECT d.doc_id, (e.doc_id IS NULL AND n.doc_id IS NULL) AS keep,
+      |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+      |       WHEN n.doc_id IS NOT NULL THEN 'near' END AS reason
+      |  FROM d1 d LEFT JOIN ex1 e ON d.doc_id = e.doc_id
+      |            LEFT JOIN nr1 n ON d.doc_id = n.doc_id)
+      |SELECT doc_id, 0::INT AS batch_id, keep, reason FROM v0
+      |UNION ALL
+      |SELECT doc_id, 1::INT AS batch_id, keep, reason FROM v1""".stripMargin
+
   /** The standing dedup index's OBSERVABILITY surface under the oracle
     * gate — the twin of q_ann_stats: build the index, then read back
     * per-table occupancy with [[graft.ext.DedupIndex.stats]] plus the
@@ -1759,6 +1853,7 @@ object ExtQueries {
     "q_dedup_incr_idx"   -> (qDedupIncrIdx _),
     "q_dedup_stats"      -> (qDedupStats _),
     "q_dedup_delete"     -> (qDedupDelete _),
+    "q_stream_dedup_lifecycle" -> (qStreamDedupLifecycle _),
     "q_corpus_prep"      -> (qCorpusPrep _),
     "q_cluster_exact"    -> (qClusterExact _),
     "q_approx_sketch"    -> (qApproxSketch _),
@@ -1821,6 +1916,7 @@ object ExtQueries {
     "q_dedup_incr_idx"   -> qDedupIncrSql,
     "q_dedup_stats"      -> qDedupStatsSql,
     "q_dedup_delete"     -> qDedupDeleteSql,
+    "q_stream_dedup_lifecycle" -> qStreamDedupLifecycleSql,
     "q_corpus_prep"      -> qCorpusPrepSql,
     "q_near_dup_verified"      -> qNearDupVerifiedSql,
     "q_dedup_minhash_verified" -> qDedupMinhashVerifiedSql,

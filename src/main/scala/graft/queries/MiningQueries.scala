@@ -448,6 +448,65 @@ object MiningQueries {
       e.filter(col("vec_id") < 10), k = 5, nprobe = 2)
   }
 
+  // --------------------------------------------- q_stream_ann_lifecycle
+
+  /** The standing ANN index driven through a REAL Structured-Streaming
+    * lifecycle with a MID-STREAM TAKEDOWN and a post-restart COMPACTION
+    * — the epoch/tombstone/swap machinery proven at the driver gate
+    * instead of only in StreamSpec. Shape mirrors q_stream_lifecycle:
+    *
+    *  1. batch-build the index on vec_id < 400 (the stored quantizer);
+    *  2. land vec_id ∈ [400, 450) as a file, run `readStream →
+    *     IngestVectors → Trigger.AvailableNow` to termination — batch 0
+    *     is assigned under the stored quantizer and appended;
+    *  3. MID-STREAM, tombstone every vec_id % 7 = 3 ([[graft.ext
+    *     .SimilarityIndex.delete]]) — including ids NOT YET INGESTED
+    *     (batch 1's), exercising the delete-wins-over-re-ingestion
+    *     contract;
+    *  4. land vec_id ≥ 450 as a late file and run the stream AGAIN on
+    *     the same checkpoint — the restart discovers only the new file
+    *     and appends it as batch 1 (its % 7 = 3 rows arrive MASKED);
+    *  5. [[graft.ext.SimilarityIndex.compact]]: fold the two streamed
+    *     appends, physically remove tombstoned rows (old and
+    *     re-appended alike), retire the tombstones with the snapshot
+    *     swap — then search.
+    *
+    * The oracle trains on vec_id < 400 and searches the corpus minus
+    * the takedown, so a hash-pass proves the streamed appends, the
+    * delete-wins masking, and the compaction swap together leave
+    * EXACTLY the from-scratch index state. */
+  def qStreamAnnLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Scratch.fresh(s, "streamann", dir)
+    val e = Tables(s, dir, "embeddings")
+    val idx = "q_ann_streamlife"
+    graft.ext.SimilarityIndex.write(e.filter(col("vec_id") < 400),
+      "embedding", "vec_id", idx, k = 4, iters = 1, buckets = 4)
+    val inDir = s"$base/in"
+    def runToCompletion(): Unit = {
+      val q = graft.streaming.IngestVectors.run(
+          s.readStream.schema(e.schema).parquet(inDir), idx,
+          checkpoint = s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    e.filter(col("vec_id") >= 400 && col("vec_id") < 450).coalesce(1)
+      .write.mode("overwrite").parquet(inDir)
+    runToCompletion()
+    // mid-stream takedown, between the two checkpointed runs
+    graft.ext.SimilarityIndex.delete(s, idx,
+      e.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+    e.filter(col("vec_id") >= 450).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runToCompletion()
+    graft.ext.SimilarityIndex.compact(s, idx)
+    graft.ext.SimilarityIndex.topK(s, idx,
+      e.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+  }
+
+  lazy val qStreamAnnLifecycleSql: String =
+    ivfOracleSql("vec_id < 400", "e.vec_id % 7 <> 3")
+
   /** The standing ANN index with SQ8 STORAGE under the oracle gate:
     * cells store 8-bit scalar-quantized vectors (~4× less corpus I/O —
     * the codec that matters when the cells table IS the 100 TB
@@ -889,6 +948,7 @@ object MiningQueries {
     "q_sim_batch"       -> (qSimBatch _),
     "q_sim_batch_rerank" -> (qSimBatchRerank _),
     "q_sim_incr_idx"    -> (qSimIncrIdx _),
+    "q_stream_ann_lifecycle" -> (qStreamAnnLifecycle _),
     "q_sim_sq8_idx"     -> (qSimSq8Idx _),
     "q_sim_pq"          -> (qSimPq _),
     "q_sim_pq_verified" -> (qSimPqVerified _),
@@ -916,6 +976,7 @@ object MiningQueries {
     "q_sim_batch"       -> qSimBatchSql,
     "q_sim_batch_rerank" -> qSimBatchRerankSql,
     "q_sim_incr_idx"    -> qSimIncrIdxSql,
+    "q_stream_ann_lifecycle" -> qStreamAnnLifecycleSql,
     "q_sim_sq8_idx"     -> qSimSq8IdxSql,
     "q_sim_pq_verified" -> qSimPqVerifiedSql,
     "q_sim_pq_rerank_verified" -> qSimPqRerankVerifiedSql,
