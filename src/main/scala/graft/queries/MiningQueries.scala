@@ -507,6 +507,77 @@ object MiningQueries {
   lazy val qStreamAnnLifecycleSql: String =
     ivfOracleSql("vec_id < 400", "e.vec_id % 7 <> 3")
 
+  // ------------------------------------------------------- q_sim_recall
+
+  /** ANN RECALL@K REPORTING — the number a user actually tunes `nprobe`
+    * with, measured by the engine itself: for the query slice
+    * (vec_id < 50), recall@5 of the trained-IVF path at nprobe ∈
+    * {1, 2, 4} against the exact brute-force top-5. Per-setting
+    * aggregate only — (nprobe, n_queries, n_hits, recall) — so output
+    * is O(settings) regardless of corpus size; at 100 TB the query
+    * slice is the thing to bound (here sf-invariant), the corpus side
+    * stays one scan per setting. k = 4 cells and nprobe = 4 probes
+    * everything, so the top row must read recall = 1.0 — a built-in
+    * sanity anchor. Both stages are exact deterministic arithmetic
+    * (Lloyd round + cosine with fixed tie order), so the WHOLE
+    * measurement — not just the brute side — replays in the SQL oracle:
+    * a hash-pass proves the reported recall numbers are the true ones. */
+  def qSimRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 50)
+    val (cids, cents) = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+      k = 4, iters = 1)
+    // exact top-5 evaluated once, reused by all three settings
+    val exact = Similarity.bruteForceTopK(e, q, k = 5)
+      .select(col("query_id"), col("cand_id")).localCheckpoint()
+    val nq = q.count()
+    val settings = s.createDataFrame(Seq(1, 2, 4).map(Tuple1(_)))
+      .toDF("nprobe")
+    val ivfAll = Seq(1, 2, 4).map { np =>
+      Similarity.ivfTopKWith(e, q, cids.zip(cents), k = 5, nprobe = np)
+        .select(lit(np).as("nprobe"), col("query_id"), col("cand_id"))
+    }.reduce(_.unionByName(_))
+    val hits = ivfAll.join(exact, Seq("query_id", "cand_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    settings.join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe").cast("int").as("nprobe"),
+        lit(nq).as("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / (lit(nq) * lit(5.0)))
+          .as("recall"))
+  }
+
+  /** Full replay: Lloyd(k=4, 1 round) cells, probes at each nprobe,
+    * IVF top-5 per setting, intersected with the brute top-5. */
+  lazy val qSimRecallSql: String =
+    s"""${ivfCellsPrefix("TRUE", "TRUE")}
+       |q AS (SELECT vec_id, v FROM e WHERE vec_id < 50),
+       |exact AS (SELECT query_id, cand_id FROM (
+       |  SELECT q.vec_id AS query_id, t.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosSql("q.v", "t.v")} DESC, t.vec_id ASC) AS rank
+       |  FROM q CROSS JOIN e t WHERE t.vec_id <> q.vec_id) WHERE rank <= 5),
+       |pr AS (SELECT vec_id AS query_id, v AS qv, cluster AS cell, rn FROM (
+       |  SELECT e.vec_id, e.v, c1.cluster,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c1.cv")} DESC, c1.cluster DESC) AS rn
+       |  FROM e CROSS JOIN c1 WHERE e.vec_id < 50)),
+       |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+       |ivf AS (SELECT nprobe, query_id, cand_id FROM (
+       |  SELECT np.nprobe, p.query_id, t.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY np.nprobe, p.query_id
+       |      ORDER BY ${cosSql("p.qv", "t.v")} DESC, t.vec_id ASC) AS rank
+       |  FROM np JOIN pr p ON p.rn <= np.nprobe
+       |  JOIN cells t ON t.cell = p.cell
+       |  WHERE t.vec_id <> p.query_id) WHERE rank <= 5),
+       |hits AS (SELECT nprobe, count(*)::BIGINT AS n_hits
+       |  FROM ivf JOIN exact USING (query_id, cand_id) GROUP BY nprobe)
+       |SELECT np.nprobe::INT AS nprobe,
+       |  (SELECT count(*) FROM q)::BIGINT AS n_queries,
+       |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       |  coalesce(h.n_hits, 0) / ((SELECT count(*) FROM q) * 5.0) AS recall
+       |FROM np LEFT JOIN hits h ON h.nprobe = np.nprobe""".stripMargin
+
   /** The standing ANN index with SQ8 STORAGE under the oracle gate:
     * cells store 8-bit scalar-quantized vectors (~4× less corpus I/O —
     * the codec that matters when the cells table IS the 100 TB
@@ -949,6 +1020,7 @@ object MiningQueries {
     "q_sim_batch_rerank" -> (qSimBatchRerank _),
     "q_sim_incr_idx"    -> (qSimIncrIdx _),
     "q_stream_ann_lifecycle" -> (qStreamAnnLifecycle _),
+    "q_sim_recall"      -> (qSimRecall _),
     "q_sim_sq8_idx"     -> (qSimSq8Idx _),
     "q_sim_pq"          -> (qSimPq _),
     "q_sim_pq_verified" -> (qSimPqVerified _),
@@ -977,6 +1049,7 @@ object MiningQueries {
     "q_sim_batch_rerank" -> qSimBatchRerankSql,
     "q_sim_incr_idx"    -> qSimIncrIdxSql,
     "q_stream_ann_lifecycle" -> qStreamAnnLifecycleSql,
+    "q_sim_recall"      -> qSimRecallSql,
     "q_sim_sq8_idx"     -> qSimSq8IdxSql,
     "q_sim_pq_verified" -> qSimPqVerifiedSql,
     "q_sim_pq_rerank_verified" -> qSimPqRerankVerifiedSql,
