@@ -153,6 +153,40 @@ object Multimodal {
     }(enc)
   }
 
+  /** [[wavTable]]'s NOISE twin — hash-valued samples instead of the
+    * arithmetic-progression sweep, for the same reason [[noiseBmpTable]]
+    * exists: the sweep's per-frame energies vary smoothly and correlate
+    * ACROSS ids (measured: 6000 ids → 4672 distinct energy fingerprints,
+    * 42k spurious hamming ≤ 3 id pairs — superlinear), which would make
+    * "near-dup" audio pairs quadratic in the corpus. Hash samples give
+    * each id an effectively unique energy envelope the way real
+    * recordings have. Same closed-form-in-id contract (the xor-shift
+    * affine hash is plain int64 arithmetic any SQL engine replays):
+    * `n = 200 + id % 400`, `k_i = id*1024 + i`,
+    * `h = ((k_i % M) * MulA + seed) % M * MulB % M`,
+    * `s_i = (h ^ (h >> 13)) % 4001 - 2000`, rate 8000, mono. */
+  def noiseWavTable(docs: DataFrame, idCol: String = "doc_id",
+                    seed: Long = 7L): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("media", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    docs.select(col(idCol)).repartition(col(idCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (200 + id % 400).toInt
+        val m = Sharding.HashMod
+        val samples = Array.tabulate(n) { i =>
+          val k = id * 1024 + i
+          val h2 =
+            ((k % m) * Sharding.HashMulA + seed) % m * Sharding.HashMulB % m
+          (((h2 ^ (h2 >> 13)) % 4001) - 2000).toShort
+        }
+        Row(id, Codecs.encodeWavPcm16(samples, 8000))
+      }
+    }(enc)
+  }
+
   /** Synthesize a REAL uncompressed 24-bit BMP payload per document
     * (bottom-up rows, 4-byte padding — the real layout). Pixel channels
     * follow closed-form formulas for oracle recomputation:

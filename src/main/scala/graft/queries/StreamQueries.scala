@@ -361,6 +361,67 @@ object StreamQueries {
       |FROM d LEFT JOIN bset ON d.doc_id = bset.doc_id
       |GROUP BY d.doc_id""".stripMargin
 
+  /** Audio NEAR-DUP pairs — the audio half of the multimodal dedup pass,
+    * wired exactly like [[qImageDedup]]: documents in the same run of
+    * ten share one synthesized WAV (re-uploaded recording shape),
+    * fingerprints via the real decode → energy-envelope pipeline
+    * ([[Multimodal.audioFingerprint]]), pairs via the generic 4×16-band
+    * hamming join ([[graft.ext.Dedup.hammingPairs]] — pigeonhole-EXACT
+    * at hamming ≤ 3, so the oracle replays the same banding over the
+    * closed-form fingerprints and its cost tracks emitted pairs). The
+    * audio is the NOISE table ([[Multimodal.noiseWavTable]]): the plain
+    * [[Multimodal.wavTable]] sweep's energy envelopes correlate across
+    * ids (measured: 6000 ids → 42k spurious cross-id pairs), the same
+    * smooth-signal trap [[Multimodal.noiseBmpTable]] exists for. Group
+    * size is sf-invariant (10), so output and bucket sizes stay linear
+    * in the corpus. */
+  def qAudioDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val groups = docs.select(expr("doc_id div 10").as("doc_id"))
+      .distinct()
+    val groupMedia = Multimodal.noiseWavTable(groups)
+      .withColumnRenamed("doc_id", "__grp")
+    val media = docs
+      .select(col("doc_id"), expr("doc_id div 10").as("__grp"))
+      .join(groupMedia, "__grp")
+      .select("doc_id", "media")
+    graft.ext.Dedup.hammingPairs(
+      Multimodal.audioFingerprint(media), "doc_id", "afp", maxHamming = 3)
+  }
+
+  /** The noise-WAV energy fingerprint per group seed, then the same
+    * group-level band join + doc expansion as [[qImageDedupSql]]. */
+  val qAudioDedupSql: String = {
+    val h = "((((gid * 1024 + i) % 1000000007) * 1103515245 + 7)" +
+      " % 1000000007 * 2654435761 % 1000000007)"
+    s"""WITH dd AS (SELECT DISTINCT doc_id // 10 AS gid FROM documents),
+       |d AS (SELECT gid, 200 + gid % 400 AS n FROM dd),
+       |sm AS (SELECT gid, (i * 65) // n AS f,
+       |    (xor($h, $h >> 13) % 4001) - 2000 AS s
+       |  FROM d, UNNEST(range(0, n)) AS t(i)),
+       |en AS (SELECT gid, f, CAST(sum(s * s) AS BIGINT) AS e
+       |  FROM sm GROUP BY gid, f),
+       |bset AS (SELECT a.gid, a.f::BIGINT AS bit
+       |  FROM en a JOIN en b ON b.gid = a.gid AND b.f = a.f + 1
+       |  WHERE a.f < 64 AND b.e > a.e),
+       |hs AS (SELECT d.gid, coalesce(CAST(sum(
+       |    CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+       |         ELSE (1::BIGINT << bit) END) AS BIGINT), 0) AS dh
+       |  FROM d LEFT JOIN bset ON d.gid = bset.gid GROUP BY d.gid),
+       |bands AS (SELECT gid, dh, b, (dh >> (b * 16)) & 65535 AS chunk
+       |  FROM hs, UNNEST(range(0, 4)) AS t(b)),
+       |gp AS (SELECT DISTINCT a.gid AS ga, b.gid AS gb,
+       |    bit_count(xor(a.dh, b.dh))::INT AS hamming
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.chunk = b.chunk
+       |    AND a.gid <= b.gid
+       |  WHERE bit_count(xor(a.dh, b.dh)) <= 3),
+       |m AS (SELECT doc_id, doc_id // 10 AS grp FROM documents)
+       |SELECT x.doc_id AS id_a, y.doc_id AS id_b, gp.hamming
+       |FROM gp JOIN m x ON x.grp = gp.ga
+       |        JOIN m y ON y.grp = gp.gb
+       |WHERE x.doc_id < y.doc_id""".stripMargin
+  }
+
   /** REAL TIFF decode via the JDK's bundled TIFF plugin: lossless RGB
     * over the shared grid, so the SAME closed-form oracle as BMP/PNG
     * proves the round-trip bit-exact on the archival-scan format. */
@@ -613,6 +674,7 @@ object StreamQueries {
     "q_image_dhash"       -> (qImageDhash _),
     "q_image_dedup"       -> (qImageDedup _),
     "q_audio_fingerprint" -> (qAudioFingerprint _),
+    "q_audio_dedup"       -> (qAudioDedup _),
     "q_multimodal_png"    -> (qMultimodalPng _),
     "q_multimodal_jpeg"   -> (qMultimodalJpeg _),
     "q_multimodal_resize_png" -> (qMultimodalResizePng _),
@@ -645,6 +707,7 @@ object StreamQueries {
     "q_image_dhash"       -> qImageDhashSql,
     "q_image_dedup"       -> qImageDedupSql,
     "q_audio_fingerprint" -> qAudioFingerprintSql,
+    "q_audio_dedup"       -> qAudioDedupSql,
     "q_multimodal_png"    -> qMultimodalPngSql,
     "q_multimodal_jpeg"   -> qMultimodalJpegSql,
     "q_multimodal_resize_png" -> qMultimodalResizeRealSql,
