@@ -961,7 +961,7 @@ object ExtQueries {
     * at 100 TB it simply cannot run. At the driver's correctness sf
     * (0.01, ~5k docs) the slice IS the full corpus, so the gate still
     * certifies the complete production emitted set there. */
-  private val CompanionCap = 6000L
+  private[graft] val CompanionCap = 6000L
 
   /** Deterministic ~`cap`-doc slice ([[graft.exec.Sampling.boundedSlice]]
     * — shared with the TrainPrep companions so the slice semantics

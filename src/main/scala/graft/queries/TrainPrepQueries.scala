@@ -846,7 +846,8 @@ object TrainPrepQueries {
     val table = graft.ext.Bpe.merges(allDocs, "text", k = 12)
       .as[(Int, String, String, Long)].collect().sortBy(_._1)
       .map(m => (m._2, m._3)).toSeq
-    val docs = graft.exec.Sampling.boundedSlice(allDocs, "doc_id", cap = 6000L)
+    val docs = graft.exec.Sampling.boundedSlice(allDocs, "doc_id",
+      cap = ExtQueries.CompanionCap)
     val dist = qBpeEncode(s, dir)
       .join(docs.select("doc_id"), Seq("doc_id"), "left_semi")
       .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap

@@ -111,6 +111,25 @@ class FixtureSpec extends AnyFunSuite {
     }
   }
 
+  /** The `boundedSlice` caps on the `_verified` refutation companions
+    * silently define what the correctness gate certifies: at the gate sf
+    * every companion's slice must be the FULL corpus (n ≤ cap), so the
+    * gate's hash-pass covers the complete production emitted set. A
+    * fixture regeneration that grows the gate corpus past the cap would
+    * QUIETLY shrink that coverage to a sample — this canary makes it
+    * loud instead. (sf0.1 exceeding the cap is expected and fine: the
+    * bench/scale sf runs companions on the documented bounded slice.) */
+  test("companion slices still cover the full correctness-gate corpus") {
+    val gateDir = "/root/testdata/sf0.01"
+    val n = spark.read.parquet(s"$gateDir/documents.parquet").count()
+    assert(n <= graft.queries.ExtQueries.CompanionCap,
+      s"GATE COVERAGE SHRUNK: $gateDir/documents.parquet has $n docs, " +
+        s"above the ${graft.queries.ExtQueries.CompanionCap}-doc companion " +
+        "slice cap — the _verified companions would certify a SAMPLE at " +
+        "the gate sf. Raise the cap (and re-check companion runtimes) or " +
+        "re-baseline deliberately.")
+  }
+
   test("Tables.events normalizes ts to the session TimestampType on the " +
        "current fixture AND on the legacy int64-nanos layout") {
     import org.apache.spark.sql.functions._
