@@ -620,6 +620,67 @@ object TrainPrepQueries {
   val qChunkDeleteSql: String =
     cdcManifestSql("SELECT doc_id, text FROM documents WHERE doc_id % 23 <> 5")
 
+  // ------------------------------------------- q_stream_chunk_lifecycle
+
+  /** The standing CHUNK index driven through a REAL Structured-Streaming
+    * lifecycle with a MID-STREAM TAKEDOWN and a post-restart COMPACTION
+    * — completing the stream-proven trilogy (q_stream_dedup_lifecycle,
+    * q_stream_ann_lifecycle) for the third standing index:
+    *
+    *  1. land the even docs as a file, run `readStream →
+    *     [[graft.ext.ChunkIndex.run]] → Trigger.AvailableNow` to
+    *     termination against a checkpoint (micro-batch 0);
+    *  2. MID-STREAM, tombstone every 23rd even doc
+    *     ([[graft.ext.ChunkIndex.delete]] at batch 1 — between the two
+    *     stream batches, exactly where a takedown lands in production);
+    *  3. land the odd docs as a late file and run the stream AGAIN on
+    *     the same checkpoint with `baseBatch = 1` (the documented
+    *     resume contract: the restarted stream's batch 1 must version
+    *     ABOVE the takedown) — the restart discovers only the new file
+    *     and its cuts split/merge standing chunks;
+    *  4. [[graft.ext.ChunkIndex.compact]] — fold delta partitions and
+    *     retire tombstones — then read the manifest.
+    *
+    * The oracle is a direct manifest over the survivors, so a hash-pass
+    * proves stream restart, batch-scoped tombstone masking, cross-batch
+    * chunk splitting, and the compaction fold together equal a
+    * from-scratch build without the victims. */
+  def qStreamChunkLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = scratchBase("streamchunk", dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val docs = Tables(s, dir, "documents").select("doc_id", "text")
+    val inDir = s"$base/in"
+    def runToCompletion(baseBatch: Long): Unit = {
+      val q = graft.ext.ChunkIndex.run(
+          s.readStream.schema(docs.schema).parquet(inDir),
+          s"$base/idx", "text", "doc_id", seed = 42L, cutMod = CdcCutMod,
+          checkpoint = s"$base/ckpt", baseBatch = baseBatch)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir)
+    runToCompletion(baseBatch = 0L)
+    // mid-stream takedown at batch 1: between the stream's batch 0 and
+    // the restart's batch (1 + baseBatch 1 = 2)
+    graft.ext.ChunkIndex.delete(s, s"$base/idx",
+      docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 23 === 5)
+        .select("doc_id"),
+      "doc_id", cutMod = CdcCutMod, batchId = 1L)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runToCompletion(baseBatch = 1L)
+    graft.ext.ChunkIndex.compact(s, s"$base/idx", cutMod = CdcCutMod)
+    graft.ext.ChunkIndex.readManifest(s, s"$base/idx")
+  }
+
+  val qStreamChunkLifecycleSql: String = cdcManifestSql(
+    "SELECT doc_id, text FROM documents " +
+      "WHERE NOT (doc_id % 2 = 0 AND doc_id % 23 = 5)")
+
   // --------------------------------------------------------- q_train_pipeline
 
   /** End-to-end trainer prep in ONE declarative plan: exact dedup →
@@ -1440,6 +1501,7 @@ object TrainPrepQueries {
     "q_cdc_diff"           -> (qCdcDiff _),
     "q_cdc_incr"           -> (qCdcIncr _),
     "q_chunk_idx"          -> (qChunkIdx _),
+    "q_stream_chunk_lifecycle" -> (qStreamChunkLifecycle _),
     "q_chunk_delete"       -> (qChunkDelete _),
     "q_train_pipeline"     -> (qTrainPipeline _),
     "q_data_card"          -> (qDataCard _))
@@ -1477,6 +1539,7 @@ object TrainPrepQueries {
     "q_cdc_diff"           -> qCdcDiffSql,
     "q_cdc_incr"           -> qCdcIncrSql,
     "q_chunk_idx"          -> qChunkIdxSql,
+    "q_stream_chunk_lifecycle" -> qStreamChunkLifecycleSql,
     "q_chunk_delete"       -> qChunkDeleteSql,
     "q_train_pipeline"     -> qTrainPipelineSql,
     "q_data_card"          -> qDataCardSql)
