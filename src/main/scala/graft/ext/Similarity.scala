@@ -359,6 +359,44 @@ object Similarity {
       k)
   }
 
+  /** Cross-engine-REPRODUCIBLE LSH bucketing — the auditable twin of
+    * [[lshTopK]]'s Gaussian planes: hyperplanes are INTEGER-valued from
+    * a closed-form affine hash, and the bucket decision is an exact
+    * int64 dot over 1e-6-quantized components — no float summation
+    * order anywhere, so any SQL engine replays every bucket bit-for-bit
+    * (the same portability contract as [[graft.exec.Sampling]]'s
+    * hash-based sampling: a vector's bucket never depends on engine,
+    * version, or partitioning). Use it where the bucketing must be
+    * auditable or shared across engines (recall accounting, incremental
+    * reprocessing); [[lshTopK]]'s fused float path remains the
+    * throughput choice. Plane (t, b, j) depends only on its own indices
+    * — NOT the table count — so bucketings with more tables strictly
+    * extend smaller ones and recall is monotone in `tables` by
+    * construction. Output: (id, tbl, bucket). */
+  def lshBucketsReproducible(df: DataFrame, vecCol: String, idCol: String,
+                             bits: Int = 8, tables: Int = 4,
+                             seed: Long = 9L): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63]: $bits")
+    val m = Sharding.HashMod
+    // plane component in [-500, 500]; key strides fix dim ≤ 64
+    def planeVal(t: Int, b: Int, j: Int): Long = {
+      val k = t.toLong * 4096 + b.toLong * 64 + j
+      ((k % m) * Sharding.HashMulA + seed) % m * Sharding.HashMulB % m % 1001 - 500
+    }
+    val q = transform(col(vecCol),
+      x => floor(x.cast(DoubleType) * 1000000.0).cast(LongType))
+    val buckets: Seq[Column] = (0 until tables).map { t =>
+      (0 until bits).map { b =>
+        val plane = typedLit((0 until 64).map(j => planeVal(t, b, j)))
+        val d = aggregate(zip_with(q, plane, (a, p) => a * p),
+          lit(0L), (acc, x) => acc + x)
+        when(d >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    df.select(col(idCol).as("id"), posexplode(array(buckets: _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+  }
+
   /** IVF (inverted-file) approximate nearest neighbors: the corpus is
     * partitioned into Voronoi cells of a small centroid set (the coarse
     * quantizer); each query searches only its `nprobe` nearest cells.

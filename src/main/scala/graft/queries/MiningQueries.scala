@@ -578,6 +578,113 @@ object MiningQueries {
        |  coalesce(h.n_hits, 0) / ((SELECT count(*) FROM q) * 5.0) AS recall
        |FROM np LEFT JOIN hits h ON h.nprobe = np.nprobe""".stripMargin
 
+  // --------------------------------------------------- q_sim_recall_lsh
+
+  /** The LSH half of the recall report — recall@5 of REPRODUCIBLE-LSH
+    * candidate search ([[graft.ext.Similarity.lshBucketsReproducible]]:
+    * integer hyperplanes, exact int64 bucket bits) at 1 / 2 / 4 tables
+    * against the exact brute top-5 on the same query slice. Table t's
+    * planes are independent of the table count, so the three settings'
+    * candidate sets NEST and recall is monotone by construction — the
+    * recall-vs-tables curve a user dials `tables` with. Unlike the
+    * Gaussian-plane production path (whose RNG no SQL engine can
+    * replay; its contracts live in q_sim_lsh_verified), every stage
+    * here is exact integer or fixed-order arithmetic, so the oracle
+    * replays the WHOLE measurement. */
+  def qSimRecallLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 50)
+    // buckets computed once for the largest setting; smaller settings
+    // are prefixes (tbl < n). Checkpointed: every setting's two join
+    // sides re-read it.
+    val bk = Similarity.lshBucketsReproducible(e, "embedding", "vec_id",
+      bits = 8, tables = 4).localCheckpoint()
+    val exact = Similarity.bruteForceTopK(e, q, k = 5)
+      .select(col("query_id"), col("cand_id")).localCheckpoint()
+    val nq = q.count()
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val settings = Seq(1, 2, 4)
+    val lshAll = settings.map { nt =>
+      val qb = bk.filter(col("tbl") < nt)
+        .join(q.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+        .select(col("tbl"), col("bucket"), col("id").as("query_id"))
+      val cb = bk.filter(col("tbl") < nt)
+        .select(col("tbl"), col("bucket"), col("id").as("cand_id"))
+      val scored = qb.join(cb, Seq("tbl", "bucket"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select("query_id", "cand_id")
+        .dropDuplicates("query_id", "cand_id")
+        .join(vecs.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv")), "query_id")
+        .join(vecs.select(col("vec_id").as("cand_id"),
+          col("embedding").as("cv")), "cand_id")
+        .select(col("query_id"), col("cand_id"),
+          Similarity.cosine(col("qv"), col("cv")).as("sim"))
+      Similarity.topKPerKey(scored, 5)
+        .select(lit(nt).as("n_tables"), col("query_id"), col("cand_id"))
+    }.reduce(_.unionByName(_))
+    val settingsDf = s.createDataFrame(settings.map(Tuple1(_)))
+      .toDF("n_tables")
+    val hits = lshAll.join(exact, Seq("query_id", "cand_id"))
+      .groupBy("n_tables").agg(count(lit(1)).as("n_hits"))
+    settingsDf.join(hits, Seq("n_tables"), "left")
+      .select(col("n_tables").cast("int").as("n_tables"),
+        lit(nq).as("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / (lit(nq) * lit(5.0)))
+          .as("recall"))
+  }
+
+  lazy val qSimRecallLshSql: String = {
+    val m = graft.ext.Sharding.HashMod
+    val a = graft.ext.Sharding.HashMulA
+    val b = graft.ext.Sharding.HashMulB
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qs AS (SELECT vec_id, v FROM e WHERE vec_id < 50),
+       |exact AS (SELECT query_id, cand_id FROM (
+       |  SELECT qs.vec_id AS query_id, t.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY qs.vec_id
+       |      ORDER BY ${cosSql("qs.v", "t.v")} DESC, t.vec_id ASC) AS rank
+       |  FROM qs CROSS JOIN e t WHERE t.vec_id <> qs.vec_id) WHERE rank <= 5),
+       |pl AS (SELECT t, bb, j,
+       |  ((((t * 4096 + bb * 64 + j) % $m) * $a + 9) % $m * $b % $m % 1001)
+       |    - 500 AS p
+       |  FROM UNNEST(range(0, 4)) tt(t), UNNEST(range(0, 8)) tb(bb),
+       |       UNNEST(range(0, 64)) tj(j)),
+       |dots AS (SELECT e.vec_id, pl.t, pl.bb,
+       |    CAST(sum(pl.p * e.q[pl.j + 1]) AS BIGINT) AS d
+       |  FROM e, pl GROUP BY e.vec_id, pl.t, pl.bb),
+       |bk AS (SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << bb) ELSE 0 END)
+       |      AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, t),
+       |nt AS (SELECT unnest([1, 2, 4]) AS n_tables),
+       |cand AS (SELECT DISTINCT nt.n_tables, a.vec_id AS query_id,
+       |    b.vec_id AS cand_id
+       |  FROM nt JOIN bk a ON a.t < nt.n_tables
+       |  JOIN bk b ON b.t = a.t AND b.bucket = a.bucket
+       |  WHERE a.vec_id < 50 AND b.vec_id <> a.vec_id),
+       |scored AS (SELECT c.n_tables, c.query_id, c.cand_id,
+       |    ${cosSql("eq.v", "ec.v")} AS sim
+       |  FROM cand c JOIN e eq ON eq.vec_id = c.query_id
+       |              JOIN e ec ON ec.vec_id = c.cand_id),
+       |l5 AS (SELECT n_tables, query_id, cand_id FROM (
+       |  SELECT n_tables, query_id, cand_id,
+       |    row_number() OVER (PARTITION BY n_tables, query_id
+       |      ORDER BY sim DESC, cand_id ASC) AS rank FROM scored)
+       |  WHERE rank <= 5),
+       |hits AS (SELECT n_tables, count(*)::BIGINT AS n_hits
+       |  FROM l5 JOIN exact USING (query_id, cand_id) GROUP BY n_tables)
+       |SELECT nt.n_tables::INT AS n_tables,
+       |  (SELECT count(*) FROM qs)::BIGINT AS n_queries,
+       |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       |  coalesce(h.n_hits, 0) / ((SELECT count(*) FROM qs) * 5.0) AS recall
+       |FROM nt LEFT JOIN hits h ON h.n_tables = nt.n_tables""".stripMargin
+  }
+
   /** The standing ANN index with SQ8 STORAGE under the oracle gate:
     * cells store 8-bit scalar-quantized vectors (~4× less corpus I/O —
     * the codec that matters when the cells table IS the 100 TB
@@ -1021,6 +1128,7 @@ object MiningQueries {
     "q_sim_incr_idx"    -> (qSimIncrIdx _),
     "q_stream_ann_lifecycle" -> (qStreamAnnLifecycle _),
     "q_sim_recall"      -> (qSimRecall _),
+    "q_sim_recall_lsh"  -> (qSimRecallLsh _),
     "q_sim_sq8_idx"     -> (qSimSq8Idx _),
     "q_sim_pq"          -> (qSimPq _),
     "q_sim_pq_verified" -> (qSimPqVerified _),
@@ -1050,6 +1158,7 @@ object MiningQueries {
     "q_sim_incr_idx"    -> qSimIncrIdxSql,
     "q_stream_ann_lifecycle" -> qStreamAnnLifecycleSql,
     "q_sim_recall"      -> qSimRecallSql,
+    "q_sim_recall_lsh"  -> qSimRecallLshSql,
     "q_sim_sq8_idx"     -> qSimSq8IdxSql,
     "q_sim_pq_verified" -> qSimPqVerifiedSql,
     "q_sim_pq_rerank_verified" -> qSimPqRerankVerifiedSql,
