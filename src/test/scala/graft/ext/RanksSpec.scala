@@ -148,4 +148,30 @@ class RanksSpec extends AnyFunSuite {
       assert(s == n * (n + 1) / 2, s"$lang: ranks not dense")
     }
   }
+
+  test("a caller column named like the internal value column is preserved") {
+    // Regression (r9 advice): withColumn on a colliding name REPLACES in
+    // place instead of appending, and the internal-column strip then
+    // removed the caller's trailing column and corrupted rows. The
+    // internal name must dodge caller columns.
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("__graft_tp_value"),
+        lit(1L).as("__graft_tp_value0"))
+    val out = withParts(4) {
+      Ranks.groupedPrefixSum(docs, Seq("lang"), Seq(col("doc_id")),
+        "__graft_tp_value", "cum")
+    }
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "lang", "__graft_tp_value", "__graft_tp_value0", "cum"),
+      s"caller columns lost: ${out.columns.toSeq}")
+    val expected = docs
+      .withColumn("cum", coalesce(sum(col("__graft_tp_value"))
+        .over(Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = out.as[(Long, String, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == expected)
+  }
 }
