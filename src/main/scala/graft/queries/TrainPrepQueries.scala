@@ -681,6 +681,140 @@ object TrainPrepQueries {
     "SELECT doc_id, text FROM documents " +
       "WHERE NOT (doc_id % 2 = 0 AND doc_id % 23 = 5)")
 
+  // ------------------------------------------------- q_multimodal_shards
+
+  /** BYTE-budget shard manifest for MULTIMODAL (text, image) training
+    * pairs — the WebDataset-assembly step: media payloads skew by an
+    * order of magnitude, so row-count sharding starves loaders; shards
+    * must be cut by cumulative PAIR BYTES (media + text), and a loader
+    * needs each shard's byte interval to mmap it. Pairs are real
+    * synthesized BMPs joined to their documents, ordered by the
+    * reproducible shuffle key, byte-prefix-summed with the two-phase
+    * [[graft.exec.Ranks.groupedPrefixSum]] (never a single-task
+    * window), and cut every 64 KiB. The BMP encoder's size is
+    * closed-form in (w, h) — `54 + h·rowstride`, rowstride 4-byte
+    * padded — so the oracle recomputes every payload size without an
+    * encoder and the whole manifest hash-checks. */
+  def qMultimodalShards(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Multimodal
+    val docs = Tables(s, dir, "documents")
+    val media = Multimodal.bmpTable(docs)
+      .select(col("doc_id"), octet_length(col("media")).cast("long")
+        .as("media_bytes"))
+    val pairs = docs
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("text_bytes"))
+      .join(media, "doc_id")
+      .withColumn("pair_bytes", col("text_bytes") + col("media_bytes"))
+      .withColumn("h", Sharding.shuffleKey(col("doc_id"), 42L))
+    val cum = graft.exec.Ranks.groupedPrefixSum(pairs, Nil,
+        Seq(col("h"), col("doc_id")), "pair_bytes", "cum_before")
+      .withColumn("shard", expr("cum_before div 65536"))
+    val pos = graft.exec.Ranks.groupedRowNumber(cum, Seq("shard"),
+      Seq(col("h"), col("doc_id")), "pos")
+    pos.groupBy("shard").agg(
+      count(lit(1)).as("n_pairs"),
+      sum("media_bytes").as("media_bytes"),
+      sum("text_bytes").as("text_bytes"),
+      min("cum_before").as("start_byte"),
+      max(expr("cum_before + pair_bytes")).as("end_byte"),
+      sum(expr(s"(doc_id * pos) % ${Sharding.HashMod}")).as("checksum"))
+  }
+
+  val qMultimodalShardsSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |  octet_length(encode(text))::BIGINT AS text_bytes,
+       |  4 + doc_id % 12 AS w, 4 + doc_id % 7 AS hh,
+       |  ((doc_id % ${Sharding.HashMod}) * ${Sharding.HashMulA} + 42) % ${Sharding.HashMod} * ${Sharding.HashMulB} % ${Sharding.HashMod} AS h
+       | FROM documents),
+       |p AS (SELECT doc_id, text_bytes, h,
+       |  (54 + hh * (((3 * w + 3) // 4) * 4))::BIGINT AS media_bytes
+       | FROM d),
+       |c AS (SELECT doc_id, h, text_bytes, media_bytes,
+       |  text_bytes + media_bytes AS pair_bytes,
+       |  coalesce(sum(text_bytes + media_bytes) OVER (ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+       | FROM p),
+       |e AS (SELECT *, (cum_before // 65536)::BIGINT AS shard,
+       |  row_number() OVER (PARTITION BY cum_before // 65536
+       |    ORDER BY h, doc_id) AS pos
+       | FROM c)
+       |SELECT shard, count(*)::BIGINT AS n_pairs,
+       |  sum(media_bytes)::BIGINT AS media_bytes,
+       |  sum(text_bytes)::BIGINT AS text_bytes,
+       |  min(cum_before) AS start_byte,
+       |  max(cum_before + pair_bytes)::BIGINT AS end_byte,
+       |  sum((doc_id * pos) % ${Sharding.HashMod})::BIGINT AS checksum
+       |FROM e GROUP BY shard""".stripMargin
+
+  // --------------------------------------------------- q_anneal_mixture
+
+  /** TWO-PHASE CURRICULUM (annealed mixture) — the mid-training mixture
+    * shift real pretraining runs do: the first `AnnealBudget` tokens
+    * follow mix A (en 5 : zh 2 : rest 1, stride-scheduled), the
+    * remainder re-schedules under mix B (uniform). Phase membership is
+    * decided by the token prefix sum OVER THE MIX-A ORDER (the order
+    * the trainer would actually consume), then phase-1 documents get
+    * fresh per-domain ranks and a uniform stride key; the final
+    * position is one global rank over (phase, within-phase schedule).
+    * Every rank/prefix is a two-phase [[graft.exec.Ranks]] pass; the
+    * oracle is the window formulation of all four, so the hash-match
+    * proves the distributed curriculum bit-identical. */
+  def qAnnealMixture(s: SparkSession, dir: String): DataFrame = {
+    val AnnealBudget = 15000L
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("h", Sharding.shuffleKey(col("doc_id"), 42L))
+      .withColumn("wa",
+        expr("CASE lang WHEN 'en' THEN 5 WHEN 'zh' THEN 2 ELSE 1 END"))
+    val rankedA = graft.exec.Ranks.groupedRowNumber(
+        docs, Seq("lang"), Seq(col("h"), col("doc_id")), "dom_rank_a")
+      .withColumn("stride_a", expr("(dom_rank_a * 10000) div wa"))
+    val posA = graft.exec.Ranks.globalRowNumber(
+      rankedA, Seq(col("stride_a"), col("lang"), col("dom_rank_a")), "pos_a")
+    val phased = graft.exec.Ranks.groupedPrefixSum(posA, Nil,
+        Seq(col("pos_a")), "n_tokens", "tok_before")
+      .withColumn("phase",
+        when(col("tok_before") < AnnealBudget, 0).otherwise(1))
+    // phase-1 re-rank under mix B (uniform): fresh per-domain ranks,
+    // stride key = rank (w = 1)
+    val rankedB = graft.exec.Ranks.groupedRowNumber(
+      phased, Seq("phase", "lang"), Seq(col("h"), col("doc_id")), "dom_rank_b")
+    val ordered = rankedB
+      .withColumn("k1",
+        when(col("phase") === 0, col("pos_a")).otherwise(col("dom_rank_b") * 10000))
+      .withColumn("k2", when(col("phase") === 0, lit("")).otherwise(col("lang")))
+      .withColumn("k3", when(col("phase") === 0, lit(0L)).otherwise(col("dom_rank_b")))
+    graft.exec.Ranks.globalRowNumber(ordered,
+        Seq(col("phase"), col("k1"), col("k2"), col("k3")), "pos")
+      .select("doc_id", "lang", "n_tokens", "phase", "pos")
+  }
+
+  val qAnnealMixtureSql: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |  len(string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+'))::BIGINT AS n_tokens,
+       |  ((doc_id % ${Sharding.HashMod}) * ${Sharding.HashMulA} + 42) % ${Sharding.HashMod} * ${Sharding.HashMulB} % ${Sharding.HashMod} AS h,
+       |  CASE lang WHEN 'en' THEN 5 WHEN 'zh' THEN 2 ELSE 1 END AS wa
+       | FROM documents),
+       |ra AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS dom_rank_a FROM d),
+       |ka AS (SELECT *, (dom_rank_a * 10000) // wa AS stride_a FROM ra),
+       |pa AS (SELECT *, row_number() OVER (ORDER BY stride_a, lang, dom_rank_a) AS pos_a FROM ka),
+       |ph AS (SELECT *,
+       |  CASE WHEN coalesce(sum(n_tokens) OVER (ORDER BY pos_a
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 15000
+       |  THEN 0 ELSE 1 END AS phase FROM pa),
+       |rb AS (SELECT *, row_number() OVER (PARTITION BY phase, lang
+       |    ORDER BY h, doc_id) AS dom_rank_b FROM ph),
+       |o AS (SELECT doc_id, lang, n_tokens, phase,
+       |  CASE WHEN phase = 0 THEN pos_a ELSE dom_rank_b * 10000 END AS k1,
+       |  CASE WHEN phase = 0 THEN '' ELSE lang END AS k2,
+       |  CASE WHEN phase = 0 THEN 0 ELSE dom_rank_b END AS k3
+       | FROM rb)
+       |SELECT doc_id, lang, n_tokens, phase,
+       |  row_number() OVER (ORDER BY phase, k1, k2, k3) AS pos
+       |FROM o""".stripMargin
+
   // --------------------------------------------------------- q_train_pipeline
 
   /** End-to-end trainer prep in ONE declarative plan: exact dedup →
@@ -1502,6 +1636,8 @@ object TrainPrepQueries {
     "q_cdc_incr"           -> (qCdcIncr _),
     "q_chunk_idx"          -> (qChunkIdx _),
     "q_stream_chunk_lifecycle" -> (qStreamChunkLifecycle _),
+    "q_multimodal_shards"  -> (qMultimodalShards _),
+    "q_anneal_mixture"     -> (qAnnealMixture _),
     "q_chunk_delete"       -> (qChunkDelete _),
     "q_train_pipeline"     -> (qTrainPipeline _),
     "q_data_card"          -> (qDataCard _))
@@ -1540,6 +1676,8 @@ object TrainPrepQueries {
     "q_cdc_incr"           -> qCdcIncrSql,
     "q_chunk_idx"          -> qChunkIdxSql,
     "q_stream_chunk_lifecycle" -> qStreamChunkLifecycleSql,
+    "q_multimodal_shards"  -> qMultimodalShardsSql,
+    "q_anneal_mixture"     -> qAnnealMixtureSql,
     "q_chunk_delete"       -> qChunkDeleteSql,
     "q_train_pipeline"     -> qTrainPipelineSql,
     "q_data_card"          -> qDataCardSql)
