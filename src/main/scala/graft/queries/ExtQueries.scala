@@ -808,6 +808,135 @@ object ExtQueries {
       |  coalesce(a.trimmed_text, '') AS trimmed_text
       |FROM (SELECT doc_id FROM delta) d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  // -------------------------------------------- q_stream_span_lifecycle
+
+  /** The standing SPAN (substring-dedup) index driven through a REAL
+    * Structured-Streaming lifecycle with a MID-STREAM TAKEDOWN — the
+    * fourth and last standing index joining the stream-proven family
+    * (dedup, ANN, chunks):
+    *
+    *  1. batch-build the window-hash index over the corpus split;
+    *  2. batch 0 = the even delta PLUS planted full copies of corpus
+    *     docs (ids +10000, which must trim to empty and hence append
+    *     NOTHING — [[graft.ext.SpanIndex.append]]'s empty-text filter
+    *     under stream), via `readStream → IngestSpans →
+    *     Trigger.AvailableNow`; survivors' trimmed windows fold in;
+    *  3. MID-STREAM, take down a third of the corpus (negative-refcount
+    *     tombstones);
+    *  4. batch 1 (checkpointed restart over a late file) = the odd
+    *     delta PLUS copies of batch-0 docs (+30000 — they must now trim
+    *     against batch 0's streamed APPEND) PLUS copies of the deleted
+    *     corpus docs (+40000 — their uniquely-owned windows must be
+    *     DEAD, so they survive exactly where no other owner remains).
+    *
+    * The oracle replays both trims closed-form (batch 1's reference set
+    * = surviving corpus windows ∪ batch-0 trimmed-text windows), so a
+    * hash-pass proves the refcount live-set arithmetic, the streamed
+    * append of re-tokenized trimmed text, the batch-scoped stamp
+    * exclusion, and the takedown all compose under checkpointed
+    * restart. */
+  def qStreamSpanLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Scratch.fresh(s, "streamspan", dir)
+    val docs = Tables(s, dir, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val idx = "graft_idx_streamspan"
+    SpanIndex.write(corpus, "text", "doc_id", idx, w = 6, buckets = 8)
+    val inDir = s"$base/in"
+    def runToCompletion(): Unit = {
+      val q = graft.streaming.IngestSpans.run(
+          s.readStream.schema(docs.schema).parquet(inDir), idx,
+          "text", "doc_id", outPath = s"$base/out",
+          checkpoint = s"$base/ckpt", updateIndex = true)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    docs.filter(col("doc_id") % 10 === 0)
+      .unionAll(corpus.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(inDir)
+    runToCompletion()
+    // mid-stream takedown, between the two checkpointed runs
+    SpanIndex.delete(s, idx, corpus.filter(col("doc_id") % 3 === 1),
+      "text", "doc_id")
+    docs.filter(col("doc_id") % 10 === 5)
+      .unionAll(docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < 30)
+        .select((col("doc_id") + 30000).as("doc_id"), col("text")))
+      .unionAll(corpus.filter(col("doc_id") % 3 === 1 && col("doc_id") < 60)
+        .select((col("doc_id") + 40000).as("doc_id"), col("text")))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runToCompletion()
+    s.read.parquet(s"$base/out")
+      .select(col("doc_id"), col("kept_tokens"), col("trimmed_text"),
+        col("batch_id").cast("int").as("batch_id"))
+  }
+
+  /** One span-trim replay block (the qSpanIncrIdxSql body) rooted on a
+    * pluggable delta relation and window-reference relation; `p`
+    * suffixes the CTE names so two trims can chain. */
+  private def spanTrimCtes(p: String, deltaRel: String,
+                           refRel: String): String =
+    s"""td$p AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+') AS toks FROM $deltaRel),
+       |pd$p AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+       |  unnest(range(1, greatest(len(toks) - 5, 1) + 1)) AS pos FROM td$p),
+       |wd$p AS (SELECT doc_id, n_tokens, pos,
+       |  array_to_string(toks[pos:pos+5], ' ') AS win FROM pd$p),
+       |o$p AS (SELECT doc_id, n_tokens, pos, win,
+       |    count(*) OVER (PARTITION BY win) AS n_occ,
+       |    row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn FROM wd$p),
+       |m$p AS (SELECT doc_id, n_tokens, pos FROM o$p
+       |    WHERE win IN (SELECT win FROM $refRel)
+       |  UNION
+       |  SELECT doc_id, n_tokens, pos FROM o$p WHERE n_occ > 1 AND rn > 1),
+       |i$p AS (SELECT *, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 6
+       |    THEN 0 ELSE 1 END AS brk FROM m$p),
+       |isl$p AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i$p),
+       |sp$p AS (SELECT doc_id, island, min(pos) AS s,
+       |    least(max(pos) + 5, any_value(n_tokens)) AS e
+       |  FROM isl$p GROUP BY doc_id, island),
+       |cov$p AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM sp$p),
+       |tok$p AS (SELECT doc_id, unnest(toks) AS tok,
+       |    unnest(range(1, len(toks) + 1)) AS pos FROM td$p),
+       |kept$p AS (SELECT k.doc_id, k.pos, k.tok FROM tok$p k
+       |  LEFT JOIN cov$p c ON k.doc_id = c.doc_id AND k.pos = c.pos
+       |  WHERE c.pos IS NULL),
+       |agg$p AS (SELECT doc_id, count(*) AS kept_tokens,
+       |    string_agg(tok, ' ' ORDER BY pos) AS trimmed_text
+       |  FROM kept$p GROUP BY doc_id),
+       |out$p AS (SELECT d.doc_id, coalesce(a.kept_tokens, 0) AS kept_tokens,
+       |    coalesce(a.trimmed_text, '') AS trimmed_text
+       |  FROM (SELECT doc_id FROM $deltaRel) d LEFT JOIN agg$p a USING (doc_id))""".stripMargin
+
+  val qStreamSpanLifecycleSql: String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+       |dA AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 10000, text FROM documents
+       |    WHERE doc_id % 5 <> 0 AND doc_id < 30),
+       |tc AS (SELECT string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+') AS toks FROM corpus),
+       |pc AS (SELECT toks, unnest(range(1, greatest(len(toks) - 5, 1) + 1)) AS pos FROM tc),
+       |ref0 AS (SELECT DISTINCT array_to_string(toks[pos:pos+5], ' ') AS win FROM pc),
+       |${spanTrimCtes("0", "dA", "ref0")},
+       |t0w AS (SELECT doc_id, string_split(trimmed_text, ' ') AS toks
+       |  FROM out0 WHERE kept_tokens > 0),
+       |p0w AS (SELECT doc_id, toks,
+       |  unnest(range(1, greatest(len(toks) - 5, 1) + 1)) AS pos FROM t0w),
+       |w0 AS (SELECT DISTINCT array_to_string(toks[pos:pos+5], ' ') AS win FROM p0w),
+       |surv AS (SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 1),
+       |ts AS (SELECT string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+') AS toks FROM surv),
+       |ps AS (SELECT toks, unnest(range(1, greatest(len(toks) - 5, 1) + 1)) AS pos FROM ts),
+       |refs AS (SELECT DISTINCT array_to_string(toks[pos:pos+5], ' ') AS win FROM ps),
+       |ref1 AS (SELECT win FROM refs UNION SELECT win FROM w0),
+       |dB AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 5
+       |  UNION ALL SELECT doc_id + 30000, text FROM documents
+       |    WHERE doc_id % 10 = 0 AND doc_id < 30
+       |  UNION ALL SELECT doc_id + 40000, text FROM documents
+       |    WHERE doc_id % 5 <> 0 AND doc_id % 3 = 1 AND doc_id < 60),
+       |${spanTrimCtes("1", "dB", "ref1")}
+       |SELECT doc_id, kept_tokens, trimmed_text, 0::INT AS batch_id FROM out0
+       |UNION ALL
+       |SELECT doc_id, kept_tokens, trimmed_text, 1::INT AS batch_id FROM out1""".stripMargin
+
   /** Novelty of the delta split against the corpus-built span index:
     * per-doc counts of corpus-known windows and the new fraction —
     * the sample-by-information-gain signal. Oracle recomputes from the
@@ -1854,6 +1983,7 @@ object ExtQueries {
     "q_dedup_stats"      -> (qDedupStats _),
     "q_dedup_delete"     -> (qDedupDelete _),
     "q_stream_dedup_lifecycle" -> (qStreamDedupLifecycle _),
+    "q_stream_span_lifecycle" -> (qStreamSpanLifecycle _),
     "q_corpus_prep"      -> (qCorpusPrep _),
     "q_cluster_exact"    -> (qClusterExact _),
     "q_approx_sketch"    -> (qApproxSketch _),
@@ -1917,6 +2047,7 @@ object ExtQueries {
     "q_dedup_stats"      -> qDedupStatsSql,
     "q_dedup_delete"     -> qDedupDeleteSql,
     "q_stream_dedup_lifecycle" -> qStreamDedupLifecycleSql,
+    "q_stream_span_lifecycle" -> qStreamSpanLifecycleSql,
     "q_corpus_prep"      -> qCorpusPrepSql,
     "q_near_dup_verified"      -> qNearDupVerifiedSql,
     "q_dedup_minhash_verified" -> qDedupMinhashVerifiedSql,
