@@ -34,12 +34,18 @@ object Sampling {
     * floor would pass the full input through anywhere between cap and
     * 2·cap. One use: scale-gating the brute-force sides of refutation
     * companions, whose cost must not grow with the corpus. */
-  def boundedSlice(df: DataFrame, idCol: String, cap: Long): DataFrame = {
+  def boundedSlice(df: DataFrame, idCol: String, cap: Long): DataFrame =
+    boundedSlice(df, idCol, cap, df.count())
+
+  /** [[boundedSlice]] with the row count already known — callers that
+    * count the frame anyway (to branch on full-coverage) pass it here
+    * instead of paying a second count job. */
+  def boundedSlice(df: DataFrame, idCol: String, cap: Long,
+                   knownCount: Long): DataFrame = {
     require(cap >= 1, "cap must be >= 1")
-    val n = df.count()
-    if (n <= cap) df
+    if (knownCount <= cap) df
     else df.filter(
-      pmod(xxhash64(col(idCol)), lit((n + cap - 1) / cap)) === 0L)
+      pmod(xxhash64(col(idCol)), lit((knownCount + cap - 1) / cap)) === 0L)
   }
 
   /** Keep ~`rate` of rows, decided by the key's hash bucket. */

@@ -844,7 +844,7 @@ object Dedup {
     * chunk), output bounded by the number of HOT buckets, not the
     * corpus), so operators can audit/size the cap without running the
     * quadratic uncapped join. */
-  def trimmedBuckets(df: DataFrame, idCol: String, bitsCol: String,
+  def trimmedBuckets(df: DataFrame, bitsCol: String,
                      maxBucket: Int = 1000): DataFrame =
     df.select(posexplode(array((0 until 4).map(b =>
         shiftright(col(bitsCol), b * 16).bitwiseAND(0xFFFFL)): _*)))

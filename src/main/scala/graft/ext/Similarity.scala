@@ -388,7 +388,13 @@ object Similarity {
     val buckets: Seq[Column] = (0 until tables).map { t =>
       (0 until bits).map { b =>
         val plane = typedLit((0 until 64).map(j => planeVal(t, b, j)))
-        val d = aggregate(zip_with(q, plane, (a, p) => a * p),
+        // zip_with null-pads the SHORTER side, so a dim ≠ 64 vector
+        // would otherwise poison the whole dot to NULL (every bucket 0
+        // — a silent cross join) while a SQL replay's NULL-skipping sum
+        // computed the true bits. coalesce makes both sides agree:
+        // dims past min(dim, 64) contribute zero everywhere.
+        val d = aggregate(
+          zip_with(q, plane, (a, p) => coalesce(a * p, lit(0L))),
           lit(0L), (acc, x) => acc + x)
         when(d >= 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)

@@ -1232,8 +1232,10 @@ object ExtQueries {
     // corpus's edges, and the cap trims different buckets), so no
     // cross-check is asserted above the cap.
     val docsFull = Tables(s, dir, "documents")
-    val sliceIsFull = docsFull.count() <= CompanionCap
-    val docs = boundedSlice(docsFull, "doc_id")
+    val nDocs = docsFull.count()
+    val sliceIsFull = nDocs <= CompanionCap
+    val docs = graft.exec.Sampling.boundedSlice(docsFull, "doc_id",
+      CompanionCap, knownCount = nDocs)
     val kept =
       (if (sliceIsFull) qDedupClusters(s, dir)
        else Dedup.dedupNear(docs, "text", "doc_id",

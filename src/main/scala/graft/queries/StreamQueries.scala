@@ -287,18 +287,30 @@ object StreamQueries {
     * (measured: 500 group seeds → 147 distinct ramp hashes, 23k spurious
     * pairs). Group size is sf-invariant (10), so output, bucket sizes
     * and the oracle's band-join cost all stay linear in the corpus. */
-  def qImageDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+  def qImageDedup(s: SparkSession, dir: String): DataFrame =
+    groupMediaPairs(Tables(s, dir, "documents"),
+      Multimodal.noiseBmpTable(_), Multimodal.imageDhash(_), "dhash")
+
+  /** The duplicate-upload wiring shared by the image and audio dedup
+    * passes: documents in the same run of ten share ONE synthesized
+    * payload (group id = doc_id div 10), fingerprints come from the
+    * given real decode pipeline, and pairs from the generic 4×16-band
+    * hamming join ([[graft.ext.Dedup.hammingPairs]], pigeonhole-exact
+    * at hamming ≤ 3). */
+  private def groupMediaPairs(docs: DataFrame,
+                              mediaTable: DataFrame => DataFrame,
+                              fingerprint: DataFrame => DataFrame,
+                              bitsCol: String): DataFrame = {
     val groups = docs.select(expr("doc_id div 10").as("doc_id"))
       .distinct()
-    val groupMedia = Multimodal.noiseBmpTable(groups)
+    val groupMedia = mediaTable(groups)
       .withColumnRenamed("doc_id", "__grp")
     val media = docs
       .select(col("doc_id"), expr("doc_id div 10").as("__grp"))
       .join(groupMedia, "__grp")
       .select("doc_id", "media")
     graft.ext.Dedup.hammingPairs(
-      Multimodal.imageDhash(media), "doc_id", "dhash", maxHamming = 3)
+      fingerprint(media), "doc_id", bitsCol, maxHamming = 3)
   }
 
   /** The noise-table dHash: 16×16 image, so sx = x·16 div 9, sy = 2y,
@@ -375,19 +387,9 @@ object StreamQueries {
     * smooth-signal trap [[Multimodal.noiseBmpTable]] exists for. Group
     * size is sf-invariant (10), so output and bucket sizes stay linear
     * in the corpus. */
-  def qAudioDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
-    val groups = docs.select(expr("doc_id div 10").as("doc_id"))
-      .distinct()
-    val groupMedia = Multimodal.noiseWavTable(groups)
-      .withColumnRenamed("doc_id", "__grp")
-    val media = docs
-      .select(col("doc_id"), expr("doc_id div 10").as("__grp"))
-      .join(groupMedia, "__grp")
-      .select("doc_id", "media")
-    graft.ext.Dedup.hammingPairs(
-      Multimodal.audioFingerprint(media), "doc_id", "afp", maxHamming = 3)
-  }
+  def qAudioDedup(s: SparkSession, dir: String): DataFrame =
+    groupMediaPairs(Tables(s, dir, "documents"),
+      Multimodal.noiseWavTable(_), Multimodal.audioFingerprint(_), "afp")
 
   /** The noise-WAV energy fingerprint per group seed, then the same
     * group-level band join + doc expansion as [[qImageDedupSql]]. */

@@ -40,11 +40,8 @@ object TrainPrepQueries {
     * against different scale factors never clobber each other's standing
     * state, and each query owns a distinct namespace — the sequential-
     * runner assumption stays out of the query code. */
-  private def scratchBase(tag: String, dir: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"/tmp/graft_${tag}_$h"
-  }
+  private def scratchBase(tag: String, dir: String): String =
+    Scratch.base(tag, dir)
 
   // ------------------------------------------------------ q_epoch_shuffle
 
@@ -647,10 +644,7 @@ object TrainPrepQueries {
     * from-scratch build without the victims. */
   def qStreamChunkLifecycle(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val base = scratchBase("streamchunk", dir)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val base = Scratch.fresh(s, "streamchunk", dir)
     val docs = Tables(s, dir, "documents").select("doc_id", "text")
     val inDir = s"$base/in"
     def runToCompletion(baseBatch: Long): Unit = {

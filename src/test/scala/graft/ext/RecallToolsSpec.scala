@@ -24,7 +24,7 @@ class RecallToolsSpec extends AnyFunSuite {
       0x9999AAAABBBBCCCCL, 0xDDDDEEEEFFFF0123L, 0x0123456789ABCDEFL)
     val cold = coldFps.zipWithIndex.map { case (fp, i) => (100L + i, fp) }
     val df = (hot ++ cold).toDF("id", "fp")
-    val trimmed = Dedup.trimmedBuckets(df, "id", "fp", maxBucket = 10)
+    val trimmed = Dedup.trimmedBuckets(df, "fp", maxBucket = 10)
       .as[(Int, Long, Long)].collect().toSet
     // the hot fingerprint occupies all 4 (band, chunk = 0) buckets, 20 each
     assert(trimmed == Set((0, 0L, 20L), (1, 0L, 20L), (2, 0L, 20L), (3, 0L, 20L)),
