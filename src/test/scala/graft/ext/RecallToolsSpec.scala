@@ -74,6 +74,35 @@ class RecallToolsSpec extends AnyFunSuite {
     assert(b4 == replay)
   }
 
+  test("reproducible LSH handles dim != 64 without poisoning the dot to NULL") {
+    // Regression: zip_with null-pads the shorter side; without the
+    // coalesce a dim-32 vector got a NULL dot on every plane and every
+    // bucket collapsed to 0 (a silent cross join), diverging from the
+    // SQL replay's NULL-skipping sum.
+    val vecs = Seq(
+      (1L, (0 until 32).map(i => (i - 16) / 16.0f)),
+      (2L, (0 until 32).map(i => ((i * 7) % 13 - 6) / 6.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.lshBucketsReproducible(df, "embedding", "vec_id",
+      bits = 8, tables = 2).as[(Long, Int, Long)].collect().toSet
+    val m = Sharding.HashMod
+    def planeVal(t: Int, b: Int, j: Int): Long =
+      (((t.toLong * 4096 + b.toLong * 64 + j) % m) * Sharding.HashMulA + 9L) %
+        m * Sharding.HashMulB % m % 1001 - 500
+    val replay = (for { (id, v) <- vecs; t <- 0 until 2 } yield {
+      val q = v.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+      var bucket = 0L
+      for (b <- 0 until 8) {
+        val d = q.indices.map(j => q(j) * planeVal(t, b, j)).sum
+        if (d >= 0) bucket |= 1L << b
+      }
+      (id, t, bucket)
+    }).toSet
+    assert(got == replay)
+    // and the two vectors must not trivially share every bucket
+    assert(got.groupBy(_._2).exists(_._2.map(_._3).size == 2))
+  }
+
   test("noiseWavTable payloads decode to the closed-form hash samples") {
     val docs = Seq(0L, 1L, 7L, 399L, 400L).toDF("doc_id")
     val media = Multimodal.noiseWavTable(docs)
