@@ -732,6 +732,41 @@ object RelationalQueries {
     s"""SELECT l_returnflag, ${sqlSum("l_quantity")} AS qty, count(*) AS n
        |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** SALTED SKEW JOIN under the oracle gate (the q_salted_agg twin —
+    * previously JoinsSpec-only): join the fact table to a 3-row
+    * per-returnflag dimension on the flag alone — the extreme-skew
+    * shape where EVERY key is hot and a plain shuffle join puts a third
+    * of the fact on one reducer. [[graft.exec.Skew.saltedJoin]] spreads
+    * each hot key over 8 salted reducers (dim replicated 8-way); the
+    * oracle is the PLAIN join, so a hash-pass proves salting changes
+    * nothing about the result — no duplicated and no lost rows — while
+    * the skew benefit itself stays asserted in JoinsSpec. Dim
+    * attributes are exact (count / max), so no float-summation rule is
+    * needed. */
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val dim = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("flag_n"),
+      max(col("l_quantity")).as("flag_max_qty"))
+    graft.exec.Skew.saltedJoin(
+        li.select(col("l_returnflag"), col("l_linestatus")), dim,
+        Seq("l_returnflag"), salts = 8)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        max(col("flag_n")).as("flag_n"),
+        max(col("flag_max_qty")).as("flag_max_qty"))
+  }
+
+  val qSaltedJoinSql: String =
+    """WITH dim AS (SELECT l_returnflag, count(*)::BIGINT AS flag_n,
+      |    max(l_quantity) AS flag_max_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT f.l_returnflag, f.l_linestatus, count(*)::BIGINT AS n,
+      |  max(d.flag_n)::BIGINT AS flag_n,
+      |  max(d.flag_max_qty) AS flag_max_qty
+      |FROM lineitem f JOIN dim d ON f.l_returnflag = d.l_returnflag
+      |GROUP BY 1, 2""".stripMargin
+
   /** Statistical aggregates — stddev, covariance, correlation — computed
     * from exact decimal power sums rather than the built-in streaming
     * aggregates: Spark (Welford-style updates) and DuckDB accumulate in
@@ -811,6 +846,7 @@ object RelationalQueries {
     "q_multi_distinct" -> (qMultiDistinct _),
     "q_stats"      -> (qStats _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_salted_join" -> (qSaltedJoin _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_array_lib"  -> (qArrayLib _),
     "q_datetime"   -> (qDatetime _),
@@ -844,6 +880,7 @@ object RelationalQueries {
     "q_multi_distinct" -> qMultiDistinctSql,
     "q_stats"      -> qStatsSql,
     "q_salted_agg" -> qSaltedAggSql,
+    "q_salted_join" -> qSaltedJoinSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_array_lib"  -> qArrayLibSql,
     "q_datetime"   -> qDatetimeSql,
