@@ -24,13 +24,20 @@ object Bench {
     // in), and the min discards one-off box noise, which on this machine
     // can inflate a single run by 50%.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // Sub-second queries sit INSIDE best-of-2's noise under box load (three
+    // consecutive rounds committed one-run codec outliers a later round had
+    // to re-litigate), so they get extra passes: cheap in wall-clock (the
+    // queries are sub-second by definition), and the min over 4 passes is
+    // stable where the min over 2 was not.
+    val subSecPasses = math.max(passes,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SUBSEC_PASSES", "4").toInt)
     // optional comma-separated subset for fast local loops
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to passes).flatMap { _ =>
+      def onePass(): Option[Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
@@ -39,9 +46,17 @@ object Bench {
             None
         }
       }
+      var times = (1 to passes).flatMap(_ => onePass())
       if (times.size < passes) errors += name
+      else {
+        var attempts = passes
+        while (times.min < 1.0 && attempts < subSecPasses) {
+          times = times ++ onePass()
+          attempts += 1
+        }
+      }
       val sec = if (times.isEmpty) -1.0 else times.min
-      System.err.println(f"[bench] $name%-28s $sec%8.2fs  (${times.mkString(", ")})")
+      System.err.println(f"[bench] $name%-28s $sec%8.2fs  (${times.map(t => f"$t%.2f").mkString(", ")})")
       name -> sec
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -220,7 +220,19 @@ object ChunkIndex {
     * chunk of every victim CUT doc (its orphaned members merge there).
     * Caller contract: `batchId` must exceed every previous batch id (the
     * manifest read is latest-wins per key). Replay-idempotent like
-    * append: all three deltas are this batch's own partitions. */
+    * append: all three deltas are this batch's own partitions.
+    *
+    * STREAM-INTERLEAVING contract: when a takedown runs between two legs
+    * of a SAME-checkpoint stream ([[run]]), its `batchId` must also be an
+    * id no checkpoint REPLAY can renumber to — a restarted stream with
+    * `baseBatch` B stamps a replayed micro-batch k as B + k, so a
+    * takedown at B + k would have its delta partitions overwritten by
+    * the replay's content. Under `Trigger.AvailableNow` a leg's batches
+    * are committed before `awaitTermination` returns, so once a leg
+    * completes normally its ids cannot replay and `maxBatch + 1` is safe
+    * (the q_stream_chunk_lifecycle pattern); a leg that CRASHED mid-batch
+    * must be re-run to termination on the same checkpoint BEFORE any
+    * takedown claims an id, so the replay lands first. */
   def delete(spark: SparkSession, base: String, ids: DataFrame,
              idCol: String, cutMod: Long, batchId: Long): Unit = {
     heal(spark, base)

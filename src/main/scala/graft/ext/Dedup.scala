@@ -421,7 +421,7 @@ object Dedup {
     *
     * Output: (id, cluster) for every id in `ids`, cluster = min id of its
     * component (singletons map to themselves). */
-  def clusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusters(ids: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // Materialize the edge list ONCE. Exchange reuse does not span actions,
     // so without this every iteration's join (and every convergence count)
     // would re-execute the entire upstream pair-generation pipeline —
@@ -480,11 +480,17 @@ object Dedup {
       iter += 1
       System.err.println(s"[clusters] iter $iter: $changed labels changed")
     }
+    // Fail FAST on non-convergence: a not-yet-converged label frame is an
+    // upper bound on components (wrong representatives), and the only
+    // place that would catch it silently is an oracle — which does not run
+    // at production scale. A graph with propagation diameter > maxIter
+    // must abort loudly so the caller raises maxIter, never ship labels
+    // that look like clusters but aren't.
     if (changed > 0)
-      System.err.println(s"[clusters] WARNING: not converged after $maxIter " +
-        s"iterations ($changed labels still changing) — labels are an upper " +
-        "bound on components; raise maxIter for graphs with diameter > " +
-        s"$maxIter")
+      throw new IllegalStateException(
+        s"Dedup.clusters: not converged after $maxIter iterations " +
+          s"($changed labels still changing) — the pair graph has " +
+          s"propagation diameter > $maxIter; raise maxIter")
     // the returned plan references only `labels` (a checkpoint root after
     // any iteration) and `ids` — the edge blocks are no longer reachable
     if (iter >= 1) graft.exec.Partitioning.unpersistCheckpoint(edges)

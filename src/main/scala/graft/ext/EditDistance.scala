@@ -156,6 +156,18 @@ object EditDistance {
       .dropDuplicates("probe_id", "index_id")
   }
 
+  /** Diagnostic: the number of (probe, index) candidate rows the pigeonhole
+    * join emits BEFORE the bounded-levenshtein verify — the quantity that
+    * actually drives [[editDistancePairs]]'s cost, for scale-slope audits
+    * (each candidate costs one banded O(tau*n) verify). Not a query path. */
+  def candidateCount(df: DataFrame, strCol: String, idCol: String,
+                     tau: Int): Long = {
+    val base = spreadBase(df, strCol, idCol)
+    probeSegments(base, tau).join(indexSegments(base, tau), Seq("lt", "i", "seg"))
+      .where(col("id_a") =!= col("id_b"))
+      .count()
+  }
+
   /** Quadratic twin (cross join + filter) — the correctness oracle for
     * tests; never the scale path. */
   def editDistancePairsBrute(df: DataFrame, strCol: String, idCol: String,

@@ -372,7 +372,15 @@ object Similarity {
     * throughput choice. Plane (t, b, j) depends only on its own indices
     * — NOT the table count — so bucketings with more tables strictly
     * extend smaller ones and recall is monotone in `tables` by
-    * construction. Output: (id, tbl, bucket). */
+    * construction.
+    *
+    * DIMENSION CAP: the plane key stride fixes vector dimension ≤ 64 —
+    * components past index 64 have no plane value and would contribute 0
+    * to every dot (silently degraded buckets in BOTH engines, invisible
+    * to the oracle gate). A row-level guard therefore REJECTS >64-dim
+    * vectors loudly instead of bucketing them wrong; widen the stride
+    * (4096/64 in `planeVal`) if a wider corpus ever needs this path.
+    * Output: (id, tbl, bucket). */
   def lshBucketsReproducible(df: DataFrame, vecCol: String, idCol: String,
                              bits: Int = 8, tables: Int = 4,
                              seed: Long = 9L): DataFrame = {
@@ -383,8 +391,18 @@ object Similarity {
       val k = t.toLong * 4096 + b.toLong * 64 + j
       ((k % m) * Sharding.HashMulA + seed) % m * Sharding.HashMulB % m % 1001 - 500
     }
-    val q = transform(col(vecCol),
+    val q0 = transform(col(vecCol),
       x => floor(x.cast(DoubleType) * 1000000.0).cast(LongType))
+    // dim > 64 would silently zero the tail components (see scaladoc):
+    // abort the row instead. raise_error's NullType coerces to the array
+    // branch, and the guard rides the same projection as the dot, so
+    // column pruning can never drop it while buckets are computed.
+    val q = when(size(col(vecCol)) <= 64, q0)
+      .otherwise(raise_error(concat(
+        lit("lshBucketsReproducible: vector dim "),
+        size(col(vecCol)).cast(StringType),
+        lit(" exceeds the 64-dim plane stride (components past 64 would " +
+          "be silently ignored); widen the planeVal stride"))))
     val buckets: Seq[Column] = (0 until tables).map { t =>
       (0 until bits).map { b =>
         val plane = typedLit((0 until 64).map(j => planeVal(t, b, j)))

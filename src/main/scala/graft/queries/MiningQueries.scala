@@ -685,6 +685,244 @@ object MiningQueries {
        |FROM nt LEFT JOIN hits h ON h.n_tables = nt.n_tables""".stripMargin
   }
 
+  // --------------------------------------------------- q_sim_recall_pq
+
+  /** The PQ third of the recall report — recall@5 of IVF-PQ search and
+    * of PQ-with-exact-rerank at shortlist ∈ {10, 20}, against the exact
+    * brute top-5 on the same query slice (vec_id < 50). PQ is the index
+    * family whose tuning number a user most needs: codebook bits trade
+    * recall directly, and the standard remedy (Jégou et al., TPAMI 2011
+    * §V; FAISS `IndexRefineFlat`) is an exact re-rank whose `shortlist`
+    * is the dial. The three settings share ONE candidate pass (top-20
+    * under PQ scores, nprobe = 2; smaller settings are rank-prefixes of
+    * it), so recall is monotone in shortlist by construction: top-10 ⊇
+    * top-5 under the same scores, and the rerank keeps the exact-best 5
+    * of whatever shortlist it is given. Training (id-seeded Lloyd with
+    * quantized means), encoding (L2 argmin, first-min tie),
+    * reconstruction (codeword concatenation) and both scoring passes
+    * are deterministic fixed-order arithmetic, so the WHOLE measurement
+    * — codebook training included — replays in the SQL oracle: a
+    * hash-pass proves the reported recall numbers are the true ones
+    * (the same contract as [[qSimRecall]]; q_sim_pq itself carries
+    * rows-only plus its _verified companion). The ad-hoc path measured
+    * here is bit-identical to the standing PQ index by the
+    * q_sim_pq_verified contract. Output is O(settings). */
+  def qSimRecallPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 50)
+    val (cids, cents) = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+      k = 4, iters = 1)
+    val books = Similarity.pqTrainCodebooks(e, "embedding", "vec_id",
+      m = 8, k2 = 16, iters = 1)
+    val exact = Similarity.bruteForceTopK(e, q, k = 5)
+      .select(col("query_id"), col("cand_id")).localCheckpoint()
+    val nq = q.count()
+    // ONE candidate pass at the largest shortlist; every setting is a
+    // rank-prefix. Checkpointed: all three settings re-read it.
+    val cand = Similarity.pqTopKWith(e, q, cids.zip(cents), books,
+      k = 20, nprobe = 2).localCheckpoint()
+    val settings = Seq((5, false), (10, true), (20, true))
+    val picked = settings.map { case (sl, rr) =>
+      val top5 =
+        if (!rr) cand.filter(col("rank") <= 5)
+          .select(col("query_id"), col("cand_id"))
+        else Similarity.rerankExact(cand.filter(col("rank") <= sl), e, q, k = 5)
+          .select(col("query_id"), col("cand_id"))
+      top5.select(lit(sl).as("shortlist"), lit(rr).as("reranked"),
+        col("query_id"), col("cand_id"))
+    }.reduce(_ unionByName _)
+    val settingsDf = s.createDataFrame(settings).toDF("shortlist", "reranked")
+    val hits = picked.join(exact, Seq("query_id", "cand_id"))
+      .groupBy("shortlist", "reranked").agg(count(lit(1)).as("n_hits"))
+    settingsDf.join(hits, Seq("shortlist", "reranked"), "left")
+      .select(col("shortlist").cast("int").as("shortlist"),
+        col("reranked"),
+        lit(nq).as("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / (lit(nq) * lit(5.0)))
+          .as("recall"))
+  }
+
+  /** Full replay: PQ training (seeds = first 16 by id, one L2 Lloyd
+    * round with quantized means, empty codewords keep their seed),
+    * encoding under the trained books, reconstruction, IVF(nprobe=2)
+    * candidate top-20 under PQ scores, the three shortlist settings,
+    * exact rerank, intersection with the brute top-5. */
+  lazy val qSimRecallPqSql: String =
+    s"""${ivfCellsPrefix("TRUE", "TRUE")}
+       |sd AS (SELECT vec_id, v, q,
+       |    row_number() OVER (ORDER BY vec_id) - 1 AS c FROM e),
+       |seeds AS (SELECT * FROM sd WHERE c < 16),
+       |js AS (SELECT unnest(range(0, 8)) AS j),
+       |ds AS (SELECT unnest(generate_series(1, 8)) AS i),
+       |scw AS (SELECT j, c, list_slice(v, j * 8 + 1, j * 8 + 8) AS cw
+       |  FROM seeds CROSS JOIN js),
+       |esub AS (SELECT vec_id, j,
+       |    list_slice(v, j * 8 + 1, j * 8 + 8) AS sv,
+       |    list_slice(q, j * 8 + 1, j * 8 + 8) AS sq
+       |  FROM e CROSS JOIN js),
+       |a0 AS (SELECT vec_id, j, c FROM (
+       |  SELECT es.vec_id, es.j, s.c,
+       |    row_number() OVER (PARTITION BY es.vec_id, es.j
+       |      ORDER BY list_sum(list_transform(list_zip(es.sv, s.cw),
+       |        p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC, s.c ASC) AS rn
+       |  FROM esub es JOIN scw s ON s.j = es.j) WHERE rn = 1),
+       |tm AS (SELECT a0.j, a0.c, ds.i,
+       |    CAST(sum(CAST(es.sq[ds.i] AS DECIMAL(38,0))) AS DOUBLE)
+       |      / (count(*) * 1000000.0) AS m
+       |  FROM a0 JOIN esub es ON es.vec_id = a0.vec_id AND es.j = a0.j
+       |  CROSS JOIN ds GROUP BY a0.j, a0.c, ds.i),
+       |tb AS (SELECT j, c, list(m ORDER BY i) AS cw FROM tm GROUP BY j, c),
+       |book AS (SELECT s.j, s.c, coalesce(t.cw, s.cw) AS cw
+       |  FROM scw s LEFT JOIN tb t ON t.j = s.j AND t.c = s.c),
+       |codes AS (SELECT vec_id, j, c FROM (
+       |  SELECT es.vec_id, es.j, b.c,
+       |    row_number() OVER (PARTITION BY es.vec_id, es.j
+       |      ORDER BY list_sum(list_transform(list_zip(es.sv, b.cw),
+       |        p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC, b.c ASC) AS rn
+       |  FROM esub es JOIN book b ON b.j = es.j) WHERE rn = 1),
+       |recon AS (SELECT cd.vec_id, flatten(list(b.cw ORDER BY cd.j)) AS rv
+       |  FROM codes cd JOIN book b ON b.j = cd.j AND b.c = cd.c
+       |  GROUP BY cd.vec_id),
+       |qs AS (SELECT vec_id, v FROM e WHERE vec_id < 50),
+       |exact AS (SELECT query_id, cand_id FROM (
+       |  SELECT qs.vec_id AS query_id, t.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY qs.vec_id
+       |      ORDER BY ${cosSql("qs.v", "t.v")} DESC, t.vec_id ASC) AS rank
+       |  FROM qs CROSS JOIN e t WHERE t.vec_id <> qs.vec_id) WHERE rank <= 5),
+       |pr AS (SELECT vec_id AS query_id, v AS qv, cluster AS cell FROM (
+       |  SELECT e.vec_id, e.v, c1.cluster,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c1.cv")} DESC, c1.cluster DESC) AS rn
+       |  FROM e CROSS JOIN c1 WHERE e.vec_id < 50) WHERE rn <= 2),
+       |cand AS (SELECT query_id, cand_id, rank FROM (
+       |  SELECT p.query_id, t.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY ${cosSql("p.qv", "r.rv")} DESC, t.vec_id ASC) AS rank
+       |  FROM pr p JOIN cells t ON t.cell = p.cell
+       |  JOIN recon r ON r.vec_id = t.vec_id
+       |  WHERE t.vec_id <> p.query_id) WHERE rank <= 20),
+       |sl AS (SELECT unnest([10, 20]) AS shortlist),
+       |rr AS (SELECT shortlist, query_id, cand_id FROM (
+       |  SELECT sl.shortlist, c.query_id, c.cand_id,
+       |    row_number() OVER (PARTITION BY sl.shortlist, c.query_id
+       |      ORDER BY ${cosSql("eq.v", "ec.v")} DESC, c.cand_id ASC) AS rk
+       |  FROM sl JOIN cand c ON c.rank <= sl.shortlist
+       |  JOIN e eq ON eq.vec_id = c.query_id
+       |  JOIN e ec ON ec.vec_id = c.cand_id) WHERE rk <= 5),
+       |sel AS (SELECT 5 AS shortlist, false AS reranked, query_id, cand_id
+       |    FROM cand WHERE rank <= 5
+       |  UNION ALL SELECT shortlist, true, query_id, cand_id FROM rr),
+       |hits AS (SELECT shortlist, reranked, count(*)::BIGINT AS n_hits
+       |  FROM sel JOIN exact USING (query_id, cand_id)
+       |  GROUP BY shortlist, reranked),
+       |allst AS (SELECT 5 AS shortlist, false AS reranked
+       |  UNION ALL SELECT 10, true UNION ALL SELECT 20, true)
+       |SELECT a.shortlist::INT AS shortlist, a.reranked AS reranked,
+       |  (SELECT count(*) FROM qs)::BIGINT AS n_queries,
+       |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       |  coalesce(h.n_hits, 0) / ((SELECT count(*) FROM qs) * 5.0) AS recall
+       |FROM allst a LEFT JOIN hits h
+       |  ON h.shortlist = a.shortlist AND h.reranked = a.reranked""".stripMargin
+
+  // -------------------------------------------------- q_sim_recall_idx
+
+  /** Recall@5 of the STANDING ANN index in its hardest reachable state —
+    * after the full q_stream_ann_lifecycle history (batch build on
+    * vec_id < 400, a checkpointed streamed append, a mid-stream takedown
+    * of every vec_id % 7 = 3, a second same-checkpoint append, then
+    * compaction) — measured against exact brute force on the SURVIVING
+    * corpus at nprobe ∈ {1, 2, 4}. q_stream_ann_lifecycle proves the
+    * lifecycle leaves exactly the from-scratch index state, and
+    * [[qSimRecall]] reports recall for the one-shot IVF path; this
+    * entry composes the two so the number a user tunes nprobe with is
+    * measured on the index they actually operate — one that has lived
+    * through appends, deletes and compaction. k = 4 cells and
+    * nprobe = 4 probes everything, so the top row must read 1.0 — the
+    * sanity anchor, here also certifying the compacted cells hold
+    * EXACTLY the survivors. The oracle replays the lifecycle-equivalent
+    * state (train on vec_id < 400, search the corpus minus the
+    * takedown) and the whole recall measurement end-to-end. */
+  def qSimRecallIdx(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Scratch.fresh(s, "streamannrecall", dir)
+    val e = Tables(s, dir, "embeddings")
+    val idx = "q_ann_recall_life"
+    graft.ext.SimilarityIndex.write(e.filter(col("vec_id") < 400),
+      "embedding", "vec_id", idx, k = 4, iters = 1, buckets = 4)
+    val inDir = s"$base/in"
+    def runToCompletion(): Unit = {
+      val st = graft.streaming.IngestVectors.run(
+          s.readStream.schema(e.schema).parquet(inDir), idx,
+          checkpoint = s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      st.awaitTermination()
+    }
+    e.filter(col("vec_id") >= 400 && col("vec_id") < 450).coalesce(1)
+      .write.mode("overwrite").parquet(inDir)
+    runToCompletion()
+    // mid-stream takedown, between the two checkpointed runs
+    graft.ext.SimilarityIndex.delete(s, idx,
+      e.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+    e.filter(col("vec_id") >= 450).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runToCompletion()
+    graft.ext.SimilarityIndex.compact(s, idx)
+    // recall of the post-lifecycle index against brute on the survivors
+    val q = e.filter(col("vec_id") < 50)
+    val survivors = e.filter(col("vec_id") % 7 =!= 3)
+    val exact = Similarity.bruteForceTopK(survivors, q, k = 5)
+      .select(col("query_id"), col("cand_id")).localCheckpoint()
+    val nq = q.count()
+    val settings = Seq(1, 2, 4)
+    val idxAll = settings.map { np =>
+      graft.ext.SimilarityIndex.topK(s, idx, q, k = 5, nprobe = np)
+        .select(lit(np).as("nprobe"), col("query_id"), col("cand_id"))
+    }.reduce(_ unionByName _)
+    val settingsDf = s.createDataFrame(settings.map(Tuple1(_))).toDF("nprobe")
+    val hits = idxAll.join(exact, Seq("query_id", "cand_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+    settingsDf.join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe").cast("int").as("nprobe"),
+        lit(nq).as("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / (lit(nq) * lit(5.0)))
+          .as("recall"))
+  }
+
+  /** Full replay: Lloyd(k=4, 1 round) on vec_id < 400, cells over the
+    * survivors, probes at each nprobe, IVF top-5 per setting,
+    * intersected with the brute top-5 over the survivors. */
+  lazy val qSimRecallIdxSql: String =
+    s"""${ivfCellsPrefix("vec_id < 400", "e.vec_id % 7 <> 3")}
+       |q AS (SELECT vec_id, v FROM e WHERE vec_id < 50),
+       |exact AS (SELECT query_id, cand_id FROM (
+       |  SELECT q.vec_id AS query_id, t.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosSql("q.v", "t.v")} DESC, t.vec_id ASC) AS rank
+       |  FROM q CROSS JOIN e t
+       |  WHERE t.vec_id <> q.vec_id AND t.vec_id % 7 <> 3) WHERE rank <= 5),
+       |pr AS (SELECT vec_id AS query_id, v AS qv, cluster AS cell, rn FROM (
+       |  SELECT e.vec_id, e.v, c1.cluster,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c1.cv")} DESC, c1.cluster DESC) AS rn
+       |  FROM e CROSS JOIN c1 WHERE e.vec_id < 50)),
+       |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+       |ivf AS (SELECT nprobe, query_id, cand_id FROM (
+       |  SELECT np.nprobe, p.query_id, t.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY np.nprobe, p.query_id
+       |      ORDER BY ${cosSql("p.qv", "t.v")} DESC, t.vec_id ASC) AS rank
+       |  FROM np JOIN pr p ON p.rn <= np.nprobe
+       |  JOIN cells t ON t.cell = p.cell
+       |  WHERE t.vec_id <> p.query_id) WHERE rank <= 5),
+       |hits AS (SELECT nprobe, count(*)::BIGINT AS n_hits
+       |  FROM ivf JOIN exact USING (query_id, cand_id) GROUP BY nprobe)
+       |SELECT np.nprobe::INT AS nprobe,
+       |  (SELECT count(*) FROM q)::BIGINT AS n_queries,
+       |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       |  coalesce(h.n_hits, 0) / ((SELECT count(*) FROM q) * 5.0) AS recall
+       |FROM np LEFT JOIN hits h ON h.nprobe = np.nprobe""".stripMargin
+
   /** The standing ANN index with SQ8 STORAGE under the oracle gate:
     * cells store 8-bit scalar-quantized vectors (~4× less corpus I/O —
     * the codec that matters when the cells table IS the 100 TB
@@ -705,10 +943,10 @@ object MiningQueries {
   /** The standing ANN index with PRODUCT-QUANTIZED storage (IVF-PQ, the
     * FAISS billion-scale layout): each vector stores as 8 one-byte codes
     * into trained per-subspace codebooks — 8× less corpus I/O than SQ8,
-    * 32× less than float. Codebook training is data-dependent (Lloyd on
-    * subvectors), so no SQL oracle can replay it; the driver records
-    * rows-only here and [[qSimPqVerified]] carries the exactness
-    * contract. */
+    * 32× less than float. This entry records rows-only with
+    * [[qSimPqVerified]] carrying the index-equals-ad-hoc exactness
+    * contract; the full SQL replay of the deterministic codebook
+    * training lives in [[qSimRecallPq]]'s oracle. */
   def qSimPq(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     graft.ext.SimilarityIndex.write(e, "embedding", "vec_id", "q_ann_pq",
@@ -1129,6 +1367,8 @@ object MiningQueries {
     "q_stream_ann_lifecycle" -> (qStreamAnnLifecycle _),
     "q_sim_recall"      -> (qSimRecall _),
     "q_sim_recall_lsh"  -> (qSimRecallLsh _),
+    "q_sim_recall_pq"   -> (qSimRecallPq _),
+    "q_sim_recall_idx"  -> (qSimRecallIdx _),
     "q_sim_sq8_idx"     -> (qSimSq8Idx _),
     "q_sim_pq"          -> (qSimPq _),
     "q_sim_pq_verified" -> (qSimPqVerified _),
@@ -1159,6 +1399,8 @@ object MiningQueries {
     "q_stream_ann_lifecycle" -> qStreamAnnLifecycleSql,
     "q_sim_recall"      -> qSimRecallSql,
     "q_sim_recall_lsh"  -> qSimRecallLshSql,
+    "q_sim_recall_pq"   -> qSimRecallPqSql,
+    "q_sim_recall_idx"  -> qSimRecallIdxSql,
     "q_sim_sq8_idx"     -> qSimSq8IdxSql,
     "q_sim_pq_verified" -> qSimPqVerifiedSql,
     "q_sim_pq_rerank_verified" -> qSimPqRerankVerifiedSql,

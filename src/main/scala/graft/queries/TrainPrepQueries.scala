@@ -659,7 +659,11 @@ object TrainPrepQueries {
       .write.mode("overwrite").parquet(inDir)
     runToCompletion(baseBatch = 0L)
     // mid-stream takedown at batch 1: between the stream's batch 0 and
-    // the restart's batch (1 + baseBatch 1 = 2)
+    // the restart's batch (1 + baseBatch 1 = 2). Safe against replay
+    // collision because AvailableNow commits batch 0 before the first
+    // awaitTermination returns — the restart can only see the NEW file
+    // (micro-batch 1 → stamp 2), never re-stamp batch 0 as 0 + 1 = 1
+    // (ChunkIndex.delete's stream-interleaving contract).
     graft.ext.ChunkIndex.delete(s, s"$base/idx",
       docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 23 === 5)
         .select("doc_id"),
