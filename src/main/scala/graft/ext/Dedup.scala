@@ -112,6 +112,50 @@ object Dedup {
     size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
       .cast(DoubleType) / k
 
+  /** The shared banding frame of [[minhashPairs]]: one row per (doc,
+    * band) with the band's bucket hash, signature attached. The
+    * repartition is a deliberate materialization point: every consumer
+    * (bucket counting, both join sides) reuses the same shuffle via
+    * ReuseExchange, so the signature is computed once per doc. */
+  private def minhashBanded(df: DataFrame, textCol: String, idCol: String,
+                            k: Int, bands: Int, shingleN: Int,
+                            seed: Long): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    df.select(col(idCol).as("id"),
+        minhashSignature(shingles(col(textCol), shingleN), k, seed).as("sig"))
+      .repartition(col("id"))
+      .select(col("id"), col("sig"),
+        posexplode(bandHashes(col("sig"), bands, rows)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+  }
+
+  /** The (band, bhash) LSH bucket memberships behind [[minhashPairs]] —
+    * a PER-DOC property (text + seed only, corpus-independent), so two
+    * runs over different corpora agree on every shared doc's buckets.
+    * For comparability audits: a pair is generated as a candidate iff it
+    * shares a band bucket that survives the hot-bucket cap in that run.
+    * Output: (id, band, bhash). */
+  def minhashBandBuckets(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+                         seed: Long = 42L): DataFrame =
+    minhashBanded(df, textCol, idCol, k, bands, shingleN, seed)
+      .select(col("id"), col("band"), col("bhash"))
+
+  /** Observability twin of [[trimmedBuckets]] for the MINHASH family:
+    * the (band, bhash) buckets [[minhashPairs]]'s hot-bucket cap trims
+    * in THIS corpus at `maxBucket`, with occupancy. One aggregation on
+    * the same banding expression as the pair join; output bounded by
+    * the number of HOT buckets. */
+  def minhashTrimmedBuckets(df: DataFrame, textCol: String, idCol: String,
+                            k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+                            seed: Long = 42L,
+                            maxBucket: Int = 200): DataFrame =
+    minhashBanded(df, textCol, idCol, k, bands, shingleN, seed)
+      .groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+
   /** MinHash + LSH candidate pairs with estimated Jaccard ≥ `minEstimate`.
     *
     * Pipeline: signature → `bands` band hashes → explode → self-join on
@@ -124,19 +168,7 @@ object Dedup {
                    k: Int = 64, bands: Int = 16, shingleN: Int = 3,
                    minEstimate: Double = 0.5, seed: Long = 42L,
                    maxBucket: Int = 200): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
-    // The repartition is a deliberate materialization point: every branch
-    // below (bucket counting, both join sides) consumes the same shuffle
-    // via ReuseExchange, so the signature is computed once per doc instead
-    // of once per branch.
-    val sig = df.select(col(idCol).as("id"),
-        minhashSignature(shingles(col(textCol), shingleN), k, seed).as("sig"))
-      .repartition(col("id"))
-
-    val banded = sig.select(col("id"), col("sig"),
-        posexplode(bandHashes(col("sig"), bands, rows)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+    val banded = minhashBanded(df, textCol, idCol, k, bands, shingleN, seed)
 
     // Cap pathological buckets with a partition-frame window count, not a
     // groupBy + join back: the window computes the bucket size inside the

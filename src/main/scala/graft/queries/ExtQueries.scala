@@ -1212,30 +1212,43 @@ object ExtQueries {
     *    member with NO edge into its own cluster (a torn label: every
     *    legitimate non-self label arrives through an edge);
     *  - `kept_not_representative` / `representative_dropped` — the
-    *    emitted keep-set differs from the representative set.
+    *    emitted keep-set differs from the representative set;
+    *  - `production_slice_divergence` (above-cap mode only) — a
+    *    slice×slice pair emitted by exactly one of {production run,
+    *    slice run} despite sharing a band bucket untrimmed in both —
+    *    the comparable part of the full-corpus edge set, closing the
+    *    r9/r10 above-cap gap (hot-bucket-only pairs stay exonerated:
+    *    that loss is the cap's documented recall dial).
     * Full-path reachability (member → representative) is the recursive
     * closure q_cluster_exact already hash-verifies against DuckDB's
     * recursive CTE on the exact twin; this companion closes the
     * remaining classes on the LSH path. Oracle = empty set. */
-  def qDedupClustersVerified(s: SparkSession, dir: String): DataFrame = {
+  def qDedupClustersVerified(s: SparkSession, dir: String): DataFrame =
+    dedupClustersVerifiedWithCap(s, dir, CompanionCap)
+
+  /** [[qDedupClustersVerified]] with the slice cap injectable, so specs
+    * can drive the ABOVE-CAP mode (slice ⊂ corpus + the
+    * production∩slice cross-check) on a small fixture. */
+  private[graft] def dedupClustersVerifiedWithCap(
+      s: SparkSession, dir: String, cap: Long): DataFrame = {
     // Scale gate: at the correctness sf the slice is the full corpus and
     // `kept` is the PRODUCTION query's own output frame (not a
     // re-instantiation — production-only failure modes are refutable
     // exactly where the oracle gate runs); above the cap the companion
     // re-instantiates the identical pipeline on the bounded slice (the
     // contract classes below are per-cluster properties, equally
-    // refutable on any corpus the pipeline runs on). Known limit of the
-    // above-cap mode: a full-corpus-only effect — e.g. the LSH
-    // hot-bucket cap trimming an edge only at production size — cannot
-    // be refuted on the slice; slice-vs-production keep-sets are NOT
-    // directly comparable there (slice components lack the full
-    // corpus's edges, and the cap trims different buckets), so no
-    // cross-check is asserted above the cap.
+    // refutable on any corpus the pipeline runs on), PLUS the
+    // production∩slice cross-check below closes the comparable part of
+    // the production EDGE set. Residual limit of the above-cap mode:
+    // slice-vs-production KEEP-sets stay incomparable (slice components
+    // lack the full corpus's edges), and pairs whose every shared band
+    // is hot in either run are exonerated from the cross-check (the cap
+    // legitimately trims them in one run but not the other).
     val docsFull = Tables(s, dir, "documents")
     val nDocs = docsFull.count()
-    val sliceIsFull = nDocs <= CompanionCap
+    val sliceIsFull = nDocs <= cap
     val docs = graft.exec.Sampling.boundedSlice(docsFull, "doc_id",
-      CompanionCap, knownCount = nDocs)
+      cap, knownCount = nDocs)
     val kept =
       (if (sliceIsFull) qDedupClusters(s, dir)
        else Dedup.dedupNear(docs, "text", "doc_id",
@@ -1246,6 +1259,50 @@ object ExtQueries {
     // re-run the LSH+verify pipeline from the parquet scan up
     val pairs = Dedup.nearDupPairs(docs, "text", "doc_id",
       threshold = DedupClustersThreshold).localCheckpoint()
+    // Above the cap: assert PRODUCTION∩slice ≡ slice on the COMPARABLE
+    // subset. Band buckets are per-doc properties (text + seed), so a
+    // slice pair sharing a band whose bucket is untrimmed in BOTH runs
+    // is a candidate in both; estimate and verify are per-pair
+    // deterministic — any divergence on such a pair is a genuine breach
+    // (e.g. the full-corpus cap trimming an edge it should not). Pairs
+    // comparable only through hot buckets stay exonerated — that loss
+    // is the cap's documented recall dial, not a breach. The diff is
+    // computed FIRST (normally empty), so band-membership joins run on
+    // a frame of divergences, not on slice², and the trimmed-bucket
+    // frames are bounded by the number of HOT buckets.
+    val prodSliceDivergence: DataFrame =
+      if (sliceIsFull)
+        pairs.limit(0).select(col("id_a").as("id"),
+          lit("production_slice_divergence").as("problem"))
+      else {
+        val sliceIds = docs.select(col("doc_id").as("id"))
+        val prodInSlice = Dedup.nearDupPairs(docsFull, "text", "doc_id",
+            threshold = DedupClustersThreshold)
+          .join(sliceIds.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+          .join(sliceIds.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+          .select(col("id_a"), col("id_b"))
+        val slicePairs = pairs.select(col("id_a"), col("id_b"))
+        val diff = prodInSlice.unionByName(slicePairs)
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") === 1).drop("__n").localCheckpoint()
+        val bb = Dedup.minhashBandBuckets(
+          docsFull.join(sliceIds.withColumnRenamed("id", "doc_id"),
+            Seq("doc_id"), "left_semi"), "text", "doc_id")
+        val hot = Dedup.minhashTrimmedBuckets(docsFull, "text", "doc_id")
+          .select(col("band"), col("bhash"))
+          .unionByName(Dedup.minhashTrimmedBuckets(docs, "text", "doc_id")
+            .select(col("band"), col("bhash")))
+          .distinct()
+        val comparable = diff
+          .join(bb.select(col("id").as("id_a"), col("band"), col("bhash")),
+            Seq("id_a"))
+          .join(bb.select(col("id").as("id_b"), col("band"), col("bhash")),
+            Seq("id_b", "band", "bhash"))
+          .join(hot, Seq("band", "bhash"), "left_anti")
+          .select(col("id_a"), col("id_b")).distinct()
+        comparable.select(col("id_a").as("id"),
+          lit("production_slice_divergence").as("problem"))
+      }
     val edgeBreach = pairs
       .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
@@ -1277,6 +1334,7 @@ object ExtQueries {
       .select(col("id"), lit("representative_dropped").as("problem"))
     edgeBreach.unionByName(repNotMin).unionByName(tornMembers)
       .unionByName(keptNotRep).unionByName(repNotKept)
+      .unionByName(prodSliceDivergence)
   }
 
   val qDedupClustersVerifiedSql: String =

@@ -657,4 +657,25 @@ class ExtSpec extends AnyFunSuite {
       (2L, 4L, "x y z w"),
       (3L, 0L, "")))
   }
+
+  test("cluster companion ABOVE-CAP mode: slice contracts + " +
+      "production∩slice cross-check find no breach on the fixture") {
+    // cap = 100 << the 500-doc fixture forces the above-cap branch:
+    // re-instantiated slice pipeline, per-cluster contract classes, AND
+    // the comparable production∩slice edge cross-check (band untrimmed
+    // in both runs) — the r10 gap this mode closes.
+    val r = graft.queries.ExtQueries
+      .dedupClustersVerifiedWithCap(spark, dir, cap = 100L)
+    assert(r.count() == 0L, "above-cap companion must find no breach: " +
+      r.collect().take(5).mkString(", "))
+  }
+
+  test("minhashBandBuckets are per-doc: identical on a doc regardless of corpus") {
+    val docs = Tables(spark, dir, "documents")
+    val whole = Dedup.minhashBandBuckets(docs, "text", "doc_id")
+      .filter(col("id") < 50)
+    val subset = Dedup.minhashBandBuckets(
+      docs.filter(col("doc_id") < 50), "text", "doc_id")
+    assert(whole.exceptAll(subset).isEmpty && subset.exceptAll(whole).isEmpty)
+  }
 }
