@@ -117,4 +117,30 @@ class MiningSpec extends AnyFunSuite {
       .as[(String, String, Long)].collect().toSet
     assert(e == Set(("a", "b", 1L), ("b", "a", 2L)))
   }
+
+  test("q_sim_recall_pq: shortlist curve is monotone, recall in [0,1]") {
+    val r = graft.queries.MiningQueries.qSimRecallPq(spark, dir)
+      .orderBy("shortlist")
+      .select("shortlist", "recall").as[(Int, Double)].collect().toSeq
+    assert(r.map(_._1) == Seq(5, 10, 20))
+    assert(r.forall { case (_, rec) => rec >= 0.0 && rec <= 1.0 })
+    // one shared candidate pass + prefix settings + exact rerank ->
+    // monotone by construction; a violation means the prefix property or
+    // the rerank's keep-exact-best contract broke
+    assert(r.map(_._2) == r.map(_._2).sorted,
+      s"recall not monotone in shortlist: $r")
+  }
+
+  test("q_sim_recall_idx: nprobe curve monotone, nprobe=4 of k=4 is exactly 1.0") {
+    val r = graft.queries.MiningQueries.qSimRecallIdx(spark, dir)
+      .orderBy("nprobe")
+      .select("nprobe", "recall").as[(Int, Double)].collect().toSeq
+    assert(r.map(_._1) == Seq(1, 2, 4))
+    assert(r.map(_._2) == r.map(_._2).sorted,
+      s"recall not monotone in nprobe: $r")
+    // probing every cell makes IVF == brute on the surviving corpus; the
+    // anchor failing means the compacted cells do NOT hold exactly the
+    // survivors
+    assert(r.last._2 == 1.0, s"nprobe=4 anchor must be exactly 1.0: $r")
+  }
 }
