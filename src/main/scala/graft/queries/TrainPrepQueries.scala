@@ -1527,6 +1527,65 @@ object TrainPrepQueries {
       |    ORDER BY user_id))) AS mask_spans
       |FROM o GROUP BY shard, seq""".stripMargin
 
+  // ------------------------------------------------ q_pref_pairs / q_bestof_n
+
+  /** DPO preference-pair prep over the events stream: a prompt is the
+    * (user_id, event_type) group, its events are the scored candidate
+    * responses, chosen/rejected are the score extremes, and only pairs
+    * whose margin clears 200 survive (≈20% of groups at the gate sf —
+    * weak preferences make noisy DPO labels). One hash aggregate; see
+    * graft.ext.Preference for the 100 TB argument. */
+  def qPrefPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Preference.pairs(Tables.events(s, dir),
+      Seq("user_id", "event_type"), "event_id", "value", minMargin = 200.0)
+      .select(col("user_id"), col("event_type"), col("n_candidates"),
+        col("chosen_id"), col("chosen_score"),
+        col("rejected_id"), col("rejected_score"), col("margin"))
+
+  val qPrefPairsSql: String =
+    """WITH r AS (SELECT user_id, event_type, event_id, value,
+      |  row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY value DESC, event_id ASC) AS rb,
+      |  row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY value ASC, event_id ASC) AS rw,
+      |  count(*) OVER (PARTITION BY user_id, event_type) AS nc
+      | FROM events WHERE value IS NOT NULL)
+      |SELECT b.user_id, b.event_type, b.nc::BIGINT AS n_candidates,
+      |  b.event_id AS chosen_id, b.value AS chosen_score,
+      |  w.event_id AS rejected_id, w.value AS rejected_score,
+      |  b.value - w.value AS margin
+      |FROM (SELECT * FROM r WHERE rb = 1) b
+      |JOIN (SELECT * FROM r WHERE rw = 1) w USING (user_id, event_type)
+      |WHERE b.nc >= 2 AND b.value - w.value >= 200.0""".stripMargin
+
+  /** Best-of-4 rejection sampling: each user's events in event_id order
+    * bucket into consecutive batches of 4 (one sampling round each); the
+    * batch winner, the batch's exact mean score, and the winner's uplift
+    * over it are what a rejection-sampling curriculum selects and
+    * monitors on. Bounded window + one hash aggregate. */
+  def qBestofN(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Preference.bestOfN(Tables.events(s, dir),
+      Seq("user_id"), "event_id", "value", n = 4)
+      .select(col("user_id"), col("batch"), col("n_in_batch"),
+        col("best_id"), col("best_score"), col("pool_avg"), col("uplift"))
+
+  val qBestofNSql: String =
+    s"""WITH r AS (SELECT user_id, event_id, value,
+       |  ((row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1)
+       |    // 4)::BIGINT AS batch
+       | FROM events WHERE value IS NOT NULL),
+       |b AS (SELECT user_id, batch, count(*)::BIGINT AS n_in_batch,
+       |  max(value) AS best_score,
+       |  ${Oracle.sqlAvg("value")} AS pool_avg
+       | FROM r GROUP BY 1, 2),
+       |wn AS (SELECT user_id, batch, event_id AS best_id,
+       |  row_number() OVER (PARTITION BY user_id, batch
+       |    ORDER BY value DESC, event_id ASC) AS rn FROM r)
+       |SELECT b.user_id, b.batch, b.n_in_batch, wn.best_id, b.best_score,
+       |  b.pool_avg, b.best_score - b.pool_avg AS uplift
+       |FROM b JOIN wn ON b.user_id = wn.user_id AND b.batch = wn.batch
+       |  AND wn.rn = 1""".stripMargin
+
   // -------------------------------------------- q_langid_weights / confusion
 
   /** Multiclass language-ID training: every one-vs-rest head trains
@@ -1629,6 +1688,8 @@ object TrainPrepQueries {
     "q_langid_confusion"   -> (qLangidConfusion _),
     "q_sft_render"         -> (qSftRender _),
     "q_sft_pack"           -> (qSftPack _),
+    "q_pref_pairs"         -> (qPrefPairs _),
+    "q_bestof_n"           -> (qBestofN _),
     "q_cdc_chunks"         -> (qCdcChunks _),
     "q_cdc_diff"           -> (qCdcDiff _),
     "q_cdc_incr"           -> (qCdcIncr _),
@@ -1669,6 +1730,8 @@ object TrainPrepQueries {
     "q_langid_confusion"   -> qLangidConfusionSql,
     "q_sft_render"         -> qSftRenderSql,
     "q_sft_pack"           -> qSftPackSql,
+    "q_pref_pairs"         -> qPrefPairsSql,
+    "q_bestof_n"           -> qBestofNSql,
     "q_cdc_chunks"         -> qCdcChunksSql,
     "q_cdc_diff"           -> qCdcDiffSql,
     "q_cdc_incr"           -> qCdcIncrSql,

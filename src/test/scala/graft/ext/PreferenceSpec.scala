@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** The oracle replays the exact SQL; this spec pins the SEMANTICS on a
+  * hand-computed fixture: extremes + margin filter + deterministic
+  * tie-breaks for pairs, batch boundaries + exact means for best-of-n. */
+class PreferenceSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.spark
+  import spark.implicits._
+
+  // (group, id, score)
+  private def fix = Seq(
+    ("p1", 1L, 1.0), ("p1", 2L, 9.0), ("p1", 3L, 5.0),   // margin 8
+    ("p2", 4L, 4.0), ("p2", 5L, 4.5),                    // margin 0.5 — filtered at 2.0
+    ("p3", 6L, 7.0), ("p3", 7L, 7.0), ("p3", 8L, 1.0),   // tied max: chosen = id 6
+    ("p4", 9L, 3.0)                                      // singleton — never a pair
+  ).toDF("g", "id", "score")
+
+  test("pairs: extremes, margin filter, singleton exclusion") {
+    val out = Preference.pairs(fix, Seq("g"), "id", "score", minMargin = 2.0)
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"),
+          r.getAs[Double]("margin")))).toMap
+    assert(out.keySet == Set("p1", "p3"))
+    assert(out("p1") == ((2L, 1L, 8.0)))
+    assert(out("p3") == ((6L, 8L, 6.0)), "tied chosen must break to smallest id")
+  }
+
+  test("pairs: tied minimum breaks rejected to smallest id") {
+    val t = Seq(("g", 1L, 2.0), ("g", 2L, 2.0), ("g", 3L, 8.0)).toDF("g", "id", "score")
+    val r = Preference.pairs(t, Seq("g"), "id", "score", minMargin = 1.0).collect().head
+    assert(r.getAs[Long]("chosen_id") == 3L && r.getAs[Long]("rejected_id") == 1L)
+  }
+
+  test("bestOfN: batch boundaries in id order, winner and exact mean per batch") {
+    val t = Seq(
+      ("u", 1L, 1.0), ("u", 2L, 4.0), ("u", 3L, 2.0), ("u", 4L, 3.0), // batch 0
+      ("u", 5L, 10.0), ("u", 6L, 0.5)                                 // batch 1 (partial)
+    ).toDF("g", "id", "score")
+    val out = Preference.bestOfN(t, Seq("g"), "id", "score", n = 4)
+      .orderBy("batch").collect()
+    assert(out.length == 2)
+    val b0 = out(0)
+    assert(b0.getAs[Long]("batch") == 0L && b0.getAs[Long]("n_in_batch") == 4L)
+    assert(b0.getAs[Long]("best_id") == 2L && b0.getAs[Double]("best_score") == 4.0)
+    assert(b0.getAs[Double]("pool_avg") == 2.5 && b0.getAs[Double]("uplift") == 1.5)
+    val b1 = out(1)
+    assert(b1.getAs[Long]("batch") == 1L && b1.getAs[Long]("n_in_batch") == 2L)
+    assert(b1.getAs[Long]("best_id") == 5L && b1.getAs[Double]("pool_avg") == 5.25)
+  }
+
+  test("driver queries are non-empty and margin-clean at sf0.001") {
+    val p = graft.queries.TrainPrepQueries.qPrefPairs(spark, "/root/testdata/sf0.001")
+    val rows = p.collect()
+    assert(rows.length == 13) // hand-checked in DuckDB at threshold 200
+    assert(rows.forall(_.getAs[Double]("margin") >= 200.0))
+    val b = graft.queries.TrainPrepQueries.qBestofN(spark, "/root/testdata/sf0.001")
+      .agg(sum("n_in_batch"), max("n_in_batch")).collect().head
+    assert(b.getLong(0) == 1000L, "every event lands in exactly one batch")
+    assert(b.getLong(1) <= 4L)
+  }
+}
