@@ -87,4 +87,61 @@ object Preference {
         (qsum / count(lit(1))).as("pool_avg"))
       .withColumn("uplift", col("best_score") - col("pool_avg"))
   }
+
+  /** Bradley–Terry ratings from aggregated pairwise outcomes via the MM
+    * fixed-point (Hunter 2004, "MM algorithms for generalized
+    * Bradley–Terry models" — the rating scheme behind Chatbot-Arena-style
+    * LLM comparisons): from gamma = 1,
+    * `gamma_i <- W_i / Σ_j n_ij / (gamma_i + gamma_j)`, iterated a fixed
+    * `iters` times.
+    *
+    * Determinism discipline: the Σ_j is the quantized-decimal exact sum
+    * (partition-order-free); every other op — the per-edge division, the
+    * W_i/S_i update — is per-row IEEE on identical operands, so the
+    * ratings replay bit-identically in the oracle's unrolled CTE chain.
+    * A zero-win item rates 0 (its update is 0/S); S is never 0 because
+    * every edge has a winner, hence a positive-gamma endpoint.
+    *
+    * Scale shape: per iteration, two hash joins of the edge list against
+    * the K-row rating table plus one hash aggregate — edges partition by
+    * item key, K-row sides broadcast under AQE, the driver holds
+    * nothing. `comparisons` is the aggregated directed outcome table
+    * (winner, loser, n).
+    */
+  def btRatings(comparisons: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"btRatings needs iters >= 1, got $iters")
+    // The outcome table is K²-bounded (K = rated items) and feeds the
+    // edge list, the wins side and the totals side, which in turn feed
+    // every MM iteration — ONE materialization here, or the lazy plan
+    // re-runs the caller's comparison extraction once per use.
+    val comp = comparisons.localCheckpoint()
+    val sym = comp
+      .select(col("winner").as("i"), col("loser").as("j"), col("n"))
+      .unionAll(comp
+        .select(col("loser").as("i"), col("winner").as("j"), col("n")))
+      .groupBy("i", "j").agg(sum("n").as("n"))
+    val wins = sym.select(col("i").as("item")).distinct()
+      .join(comp.groupBy(col("winner").as("item"))
+        .agg(sum("n").as("w")), Seq("item"), "left")
+      .select(col("item"), coalesce(col("w"), lit(0L)).as("w"))
+    val tot = sym.groupBy(col("i").as("item"))
+      .agg(sum("n").as("n_comparisons"))
+    def qsum(c: org.apache.spark.sql.Column) =
+      sum(floor(c * lit(1e7) + lit(0.5)).cast(DecimalType(27, 0)))
+        .cast(DoubleType) / lit(1e7)
+    var g = wins.select(col("item"), lit(1.0).as("gamma"))
+    for (_ <- 1 to iters) {
+      val s = sym
+        .join(g.select(col("item").as("i"), col("gamma").as("gi")), Seq("i"))
+        .join(g.select(col("item").as("j"), col("gamma").as("gj")), Seq("j"))
+        .groupBy(col("i").as("item"))
+        .agg(qsum(col("n") / (col("gi") + col("gj"))).as("s"))
+      g = wins.join(s, Seq("item"))
+        .select(col("item"),
+          (col("w").cast(DoubleType) / col("s")).as("gamma"))
+    }
+    g.join(wins, Seq("item")).join(tot, Seq("item"))
+      .select(col("item"), col("w").as("n_wins"), col("n_comparisons"),
+        col("gamma"))
+  }
 }

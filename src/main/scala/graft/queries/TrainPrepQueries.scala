@@ -1586,6 +1586,79 @@ object TrainPrepQueries {
        |FROM b JOIN wn ON b.user_id = wn.user_id AND b.batch = wn.batch
        |  AND wn.rn = 1""".stripMargin
 
+  // ------------------------------------------------------------ q_bt_ratings
+
+  /** Bradley–Terry ratings over the preference graph: each user group's
+    * strongest preference (best vs worst event, margin ≥ 100, distinct
+    * types) is one pairwise outcome between event TYPES; three MM
+    * iterations rate the types. The oracle replays the entire fit —
+    * comparison extraction, symmetric edge list, and all three unrolled
+    * MM updates with the quantized exact sum — so the ratings themselves
+    * are hash-certified. Rank is the scale-safe two-phase row_number
+    * (`exec/Ranks.scala`), bit-identical to the oracle's window. */
+  def qBtRatings(s: SparkSession, dir: String): DataFrame = {
+    val comp = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("nc"),
+        expr("max_by(event_type, struct(value, -event_id))").as("winner"),
+        max(col("value")).as("bv"),
+        expr("min_by(event_type, struct(value, event_id))").as("loser"),
+        min(col("value")).as("wv"))
+      .filter(col("nc") >= 2 && col("bv") - col("wv") >= 100.0 &&
+        col("winner") =!= col("loser"))
+      .groupBy("winner", "loser").agg(count(lit(1)).as("n"))
+    val rated = graft.ext.Preference.btRatings(comp, iters = 3)
+      .withColumn("rating_q6", Oracle.q6(col("gamma")))
+    graft.exec.Ranks.globalRowNumber(rated,
+        Seq(col("gamma").desc, col("item").asc), out = "rank")
+      .select(col("item"), col("n_wins"), col("n_comparisons"),
+        col("rating_q6"), col("rank"))
+  }
+
+  private def btMmIter(prev: String): String =
+    s"""SELECT s.i AS item, wi.w / (CAST(sum(CAST(floor(
+       |    s.n / (gi.gamma + gj.gamma) * 10000000.0 + 0.5)
+       |    AS DECIMAL(27,0))) AS DOUBLE) / 10000000.0) AS gamma
+       |  FROM sym s JOIN $prev gi ON s.i = gi.item
+       |  JOIN $prev gj ON s.j = gj.item
+       |  JOIN wins wi ON wi.item = s.i GROUP BY s.i, wi.w""".stripMargin
+
+  val qBtRatingsSql: String =
+    s"""WITH r AS (SELECT user_id, event_type, event_id, value,
+       |  row_number() OVER (PARTITION BY user_id
+       |    ORDER BY value DESC, event_id ASC) AS rb,
+       |  row_number() OVER (PARTITION BY user_id
+       |    ORDER BY value ASC, event_id ASC) AS rw,
+       |  count(*) OVER (PARTITION BY user_id) AS nc
+       | FROM events WHERE value IS NOT NULL),
+       |comp AS (SELECT b.event_type AS winner, w.event_type AS loser,
+       |  count(*)::BIGINT AS n
+       | FROM (SELECT * FROM r WHERE rb = 1) b
+       | JOIN (SELECT * FROM r WHERE rw = 1) w USING (user_id)
+       | WHERE b.nc >= 2 AND b.value - w.value >= 100.0
+       |   AND b.event_type <> w.event_type
+       | GROUP BY 1, 2),
+       |sym AS (SELECT i, j, sum(n)::BIGINT AS n FROM (
+       |  SELECT winner AS i, loser AS j, n FROM comp
+       |  UNION ALL SELECT loser AS i, winner AS j, n FROM comp)
+       | GROUP BY 1, 2),
+       |items AS (SELECT DISTINCT i AS item FROM sym),
+       |wins AS (SELECT it.item, coalesce(sum(c.n), 0)::BIGINT AS w
+       | FROM items it LEFT JOIN comp c ON c.winner = it.item GROUP BY 1),
+       |tot AS (SELECT i AS item, sum(n)::BIGINT AS n_comparisons
+       | FROM sym GROUP BY 1),
+       |g0 AS (SELECT item, 1.0::DOUBLE AS gamma FROM items),
+       |g1 AS (${btMmIter("g0")}),
+       |g2 AS (${btMmIter("g1")}),
+       |g3 AS (${btMmIter("g2")})
+       |SELECT g3.item, wi.w AS n_wins, tot.n_comparisons,
+       |  ${Oracle.sqlQ6("g3.gamma")} AS rating_q6,
+       |  row_number() OVER (ORDER BY g3.gamma DESC, g3.item ASC)::BIGINT
+       |    AS rank
+       |FROM g3 JOIN wins wi USING (item) JOIN tot USING (item)""".stripMargin
+
   // -------------------------------------------- q_langid_weights / confusion
 
   /** Multiclass language-ID training: every one-vs-rest head trains
@@ -1690,6 +1763,7 @@ object TrainPrepQueries {
     "q_sft_pack"           -> (qSftPack _),
     "q_pref_pairs"         -> (qPrefPairs _),
     "q_bestof_n"           -> (qBestofN _),
+    "q_bt_ratings"         -> (qBtRatings _),
     "q_cdc_chunks"         -> (qCdcChunks _),
     "q_cdc_diff"           -> (qCdcDiff _),
     "q_cdc_incr"           -> (qCdcIncr _),
@@ -1732,6 +1806,7 @@ object TrainPrepQueries {
     "q_sft_pack"           -> qSftPackSql,
     "q_pref_pairs"         -> qPrefPairsSql,
     "q_bestof_n"           -> qBestofNSql,
+    "q_bt_ratings"         -> qBtRatingsSql,
     "q_cdc_chunks"         -> qCdcChunksSql,
     "q_cdc_diff"           -> qCdcDiffSql,
     "q_cdc_incr"           -> qCdcIncrSql,

@@ -53,6 +53,38 @@ class PreferenceSpec extends AnyFunSuite {
     assert(b1.getAs[Long]("best_id") == 5L && b1.getAs[Double]("pool_avg") == 5.25)
   }
 
+  test("btRatings: two-item MM fixed point reached exactly") {
+    // A beats B 3-1: W_A=3, W_B=1, n_AB=4. Iter 1: S=4/(1+1)=2 so
+    // gamma=(1.5, 0.5); that's already the fixed point (S=4/(1.5+0.5)=2).
+    val comp = Seq(("A", "B", 3L), ("B", "A", 1L)).toDF("winner", "loser", "n")
+    val out = Preference.btRatings(comp, iters = 3).collect()
+      .map(r => r.getAs[String]("item") ->
+        ((r.getAs[Long]("n_wins"), r.getAs[Long]("n_comparisons"),
+          r.getAs[Double]("gamma")))).toMap
+    assert(out("A") == ((3L, 4L, 1.5)) && out("B") == ((1L, 4L, 0.5)))
+  }
+
+  test("btRatings: zero-win items rate 0 and never divide by zero") {
+    // A beats B twice and C once; B and C never win. S_A stabilizes at
+    // 1.5 so gamma_A = 2.0; gamma_B = gamma_C = 0.
+    val comp = Seq(("A", "B", 2L), ("A", "C", 1L)).toDF("winner", "loser", "n")
+    val out = Preference.btRatings(comp, iters = 3).collect()
+      .map(r => r.getAs[String]("item") -> r.getAs[Double]("gamma")).toMap
+    assert(out("A") == 2.0 && out("B") == 0.0 && out("C") == 0.0)
+  }
+
+  test("q_bt_ratings: ranks are a permutation and wins are bounded by comparisons") {
+    val rows = graft.queries.TrainPrepQueries.qBtRatings(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ==
+      (1L to rows.length).toSeq)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_wins") <= r.getAs[Long]("n_comparisons"))
+      assert(r.getAs[Long]("rating_q6") >= 0L)
+    }
+  }
+
   test("driver queries are non-empty and margin-clean at sf0.001") {
     val p = graft.queries.TrainPrepQueries.qPrefPairs(spark, "/root/testdata/sf0.001")
     val rows = p.collect()
