@@ -1596,8 +1596,12 @@ object TrainPrepQueries {
     * MM updates with the quantized exact sum — so the ratings themselves
     * are hash-certified. Rank is the scale-safe two-phase row_number
     * (`exec/Ranks.scala`), bit-identical to the oracle's window. */
-  def qBtRatings(s: SparkSession, dir: String): DataFrame = {
-    val comp = Tables.events(s, dir)
+  /** One pairwise outcome per user group — best vs worst event (margin
+    * ≥ 100, distinct types) — aggregated to the directed outcome table
+    * (winner, loser, n). Shared by the BT rating / calibration / cycle
+    * queries. */
+  private def prefComparisons(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
       .filter(col("value").isNotNull)
       .groupBy("user_id")
       .agg(
@@ -1609,6 +1613,9 @@ object TrainPrepQueries {
       .filter(col("nc") >= 2 && col("bv") - col("wv") >= 100.0 &&
         col("winner") =!= col("loser"))
       .groupBy("winner", "loser").agg(count(lit(1)).as("n"))
+
+  def qBtRatings(s: SparkSession, dir: String): DataFrame = {
+    val comp = prefComparisons(s, dir)
     val rated = graft.ext.Preference.btRatings(comp, iters = 3)
       .withColumn("rating_q6", Oracle.q6(col("gamma")))
     graft.exec.Ranks.globalRowNumber(rated,
@@ -1625,26 +1632,30 @@ object TrainPrepQueries {
        |  JOIN $prev gj ON s.j = gj.item
        |  JOIN wins wi ON wi.item = s.i GROUP BY s.i, wi.w""".stripMargin
 
-  val qBtRatingsSql: String =
-    s"""WITH r AS (SELECT user_id, event_type, event_id, value,
-       |  row_number() OVER (PARTITION BY user_id
-       |    ORDER BY value DESC, event_id ASC) AS rb,
-       |  row_number() OVER (PARTITION BY user_id
-       |    ORDER BY value ASC, event_id ASC) AS rw,
-       |  count(*) OVER (PARTITION BY user_id) AS nc
-       | FROM events WHERE value IS NOT NULL),
-       |comp AS (SELECT b.event_type AS winner, w.event_type AS loser,
-       |  count(*)::BIGINT AS n
-       | FROM (SELECT * FROM r WHERE rb = 1) b
-       | JOIN (SELECT * FROM r WHERE rw = 1) w USING (user_id)
-       | WHERE b.nc >= 2 AND b.value - w.value >= 100.0
-       |   AND b.event_type <> w.event_type
-       | GROUP BY 1, 2),
-       |sym AS (SELECT i, j, sum(n)::BIGINT AS n FROM (
-       |  SELECT winner AS i, loser AS j, n FROM comp
-       |  UNION ALL SELECT loser AS i, winner AS j, n FROM comp)
-       | GROUP BY 1, 2),
-       |items AS (SELECT DISTINCT i AS item FROM sym),
+  /** Shared oracle CTEs: comparison extraction + symmetric edge list. */
+  private val btCompCte: String =
+    """r AS (SELECT user_id, event_type, event_id, value,
+      |  row_number() OVER (PARTITION BY user_id
+      |    ORDER BY value DESC, event_id ASC) AS rb,
+      |  row_number() OVER (PARTITION BY user_id
+      |    ORDER BY value ASC, event_id ASC) AS rw,
+      |  count(*) OVER (PARTITION BY user_id) AS nc
+      | FROM events WHERE value IS NOT NULL),
+      |comp AS (SELECT b.event_type AS winner, w.event_type AS loser,
+      |  count(*)::BIGINT AS n
+      | FROM (SELECT * FROM r WHERE rb = 1) b
+      | JOIN (SELECT * FROM r WHERE rw = 1) w USING (user_id)
+      | WHERE b.nc >= 2 AND b.value - w.value >= 100.0
+      |   AND b.event_type <> w.event_type
+      | GROUP BY 1, 2),
+      |sym AS (SELECT i, j, sum(n)::BIGINT AS n FROM (
+      |  SELECT winner AS i, loser AS j, n FROM comp
+      |  UNION ALL SELECT loser AS i, winner AS j, n FROM comp)
+      | GROUP BY 1, 2)""".stripMargin
+
+  /** Shared oracle CTEs: the unrolled three-iteration MM fit. */
+  private lazy val btFitCtes: String =
+    s"""items AS (SELECT DISTINCT i AS item FROM sym),
        |wins AS (SELECT it.item, coalesce(sum(c.n), 0)::BIGINT AS w
        | FROM items it LEFT JOIN comp c ON c.winner = it.item GROUP BY 1),
        |tot AS (SELECT i AS item, sum(n)::BIGINT AS n_comparisons
@@ -1652,12 +1663,122 @@ object TrainPrepQueries {
        |g0 AS (SELECT item, 1.0::DOUBLE AS gamma FROM items),
        |g1 AS (${btMmIter("g0")}),
        |g2 AS (${btMmIter("g1")}),
-       |g3 AS (${btMmIter("g2")})
+       |g3 AS (${btMmIter("g2")})""".stripMargin
+
+  /** Shared oracle CTEs: per unordered pair, each direction's win count. */
+  private val btPairsCte: String =
+    """up AS (SELECT DISTINCT i AS a, j AS b FROM sym WHERE i < j),
+      |pairs AS (SELECT up.a, up.b, coalesce(cf.n, 0)::BIGINT AS naw,
+      |  coalesce(cb.n, 0)::BIGINT AS nbw
+      | FROM up LEFT JOIN comp cf ON cf.winner = up.a AND cf.loser = up.b
+      | LEFT JOIN comp cb ON cb.winner = up.b AND cb.loser = up.a)""".stripMargin
+
+  val qBtRatingsSql: String =
+    s"""WITH $btCompCte,
+       |$btFitCtes
        |SELECT g3.item, wi.w AS n_wins, tot.n_comparisons,
        |  ${Oracle.sqlQ6("g3.gamma")} AS rating_q6,
        |  row_number() OVER (ORDER BY g3.gamma DESC, g3.item ASC)::BIGINT
        |    AS rank
        |FROM g3 JOIN wins wi USING (item) JOIN tot USING (item)""".stripMargin
+
+  // -------------------------------------- q_bt_calibration / q_pref_cycles
+
+  /** Calibration of the Bradley–Terry fit: per unordered item pair, the
+    * model's predicted win probability g_a/(g_a+g_b) against the
+    * empirical rate n_a/(n_a+n_b), with the absolute error — the
+    * standard check that fitted strengths actually explain the observed
+    * tournament. Every number is hash-certified: the oracle replays the
+    * full fit AND the pair bookkeeping. Shape: the K²-bounded pair table
+    * joins the K-row rating table twice — broadcast under AQE. */
+  def qBtCalibration(s: SparkSession, dir: String): DataFrame = {
+    val comp = prefComparisons(s, dir).localCheckpoint()
+    val g = graft.ext.Preference.btRatings(comp, iters = 3)
+    val sym = comp.select(col("winner").as("i"), col("loser").as("j"), col("n"))
+      .unionAll(comp.select(col("loser").as("i"), col("winner").as("j"), col("n")))
+      .groupBy("i", "j").agg(sum("n").as("n"))
+    val up = sym.filter(col("i") < col("j"))
+      .select(col("i").as("a"), col("j").as("b")).distinct()
+    val pairs = up
+      .join(comp.select(col("winner").as("a"), col("loser").as("b"),
+        col("n").as("naw0")), Seq("a", "b"), "left")
+      .join(comp.select(col("loser").as("a"), col("winner").as("b"),
+        col("n").as("nbw0")), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("naw0"), lit(0L)).as("naw"),
+        coalesce(col("nbw0"), lit(0L)).as("nbw"))
+    val pred = col("ga") / (col("ga") + col("gb"))
+    val emp = col("naw") / (col("naw") + col("nbw"))
+    pairs
+      .join(g.select(col("item").as("a"), col("gamma").as("ga")), Seq("a"))
+      .join(g.select(col("item").as("b"), col("gamma").as("gb")), Seq("b"))
+      .select(col("a").as("item_a"), col("b").as("item_b"),
+        (col("naw") + col("nbw")).as("n_total"),
+        Oracle.q6(pred).as("pred_q6"),
+        Oracle.q6(emp).as("emp_q6"),
+        Oracle.q6(abs(pred - emp)).as("abs_err_q6"))
+  }
+
+  val qBtCalibrationSql: String =
+    s"""WITH $btCompCte,
+       |$btFitCtes,
+       |$btPairsCte
+       |SELECT p.a AS item_a, p.b AS item_b,
+       |  (p.naw + p.nbw)::BIGINT AS n_total,
+       |  ${Oracle.sqlQ6("ga.gamma / (ga.gamma + gb.gamma)")} AS pred_q6,
+       |  ${Oracle.sqlQ6("p.naw / (p.naw + p.nbw)")} AS emp_q6,
+       |  ${Oracle.sqlQ6(
+            "abs(ga.gamma / (ga.gamma + gb.gamma) - p.naw / (p.naw + p.nbw))")}
+       |    AS abs_err_q6
+       |FROM pairs p JOIN g3 ga ON ga.item = p.a
+       |JOIN g3 gb ON gb.item = p.b""".stripMargin
+
+  /** Intransitive preference triangles (A beats B beats C beats A on
+    * net wins) — the standard QA signal that pairwise preference data
+    * cannot be explained by ANY single ranking. Each cycle is emitted
+    * once, rotated so item_a is the lexicographically smallest. Shape:
+    * the net-direction edge list is K²-bounded; two self-equi-joins
+    * enumerate triangles (cost K³ worst case over ITEM count, not the
+    * corpus — items are model variants, not documents). */
+  def qPrefCycles(s: SparkSession, dir: String): DataFrame = {
+    val comp = prefComparisons(s, dir).localCheckpoint()
+    val sym = comp.select(col("winner").as("i"), col("loser").as("j"), col("n"))
+      .unionAll(comp.select(col("loser").as("i"), col("winner").as("j"), col("n")))
+      .groupBy("i", "j").agg(sum("n").as("n"))
+    val up = sym.filter(col("i") < col("j"))
+      .select(col("i").as("a"), col("j").as("b")).distinct()
+    val pairs = up
+      .join(comp.select(col("winner").as("a"), col("loser").as("b"),
+        col("n").as("naw0")), Seq("a", "b"), "left")
+      .join(comp.select(col("loser").as("a"), col("winner").as("b"),
+        col("n").as("nbw0")), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("naw0"), lit(0L)).as("naw"),
+        coalesce(col("nbw0"), lit(0L)).as("nbw"))
+    val dirEdges = pairs.filter(col("naw") =!= col("nbw"))
+      .select(
+        when(col("naw") > col("nbw"), col("a")).otherwise(col("b")).as("w"),
+        when(col("naw") > col("nbw"), col("b")).otherwise(col("a")).as("l"))
+    val d1 = dirEdges.select(col("w").as("w1"), col("l").as("l1"))
+    val d2 = dirEdges.select(col("w").as("w2"), col("l").as("l2"))
+    val d3 = dirEdges.select(col("w").as("w3"), col("l").as("l3"))
+    d1.join(d2, col("l1") === col("w2"))
+      .join(d3, col("l2") === col("w3") && col("l3") === col("w1"))
+      .filter(col("w1") < col("w2") && col("w1") < col("w3"))
+      .select(col("w1").as("item_a"), col("w2").as("item_b"),
+        col("w3").as("item_c"))
+  }
+
+  val qPrefCyclesSql: String =
+    s"""WITH $btCompCte,
+       |$btPairsCte,
+       |dir AS (SELECT CASE WHEN naw > nbw THEN a ELSE b END AS w,
+       |  CASE WHEN naw > nbw THEN b ELSE a END AS l
+       | FROM pairs WHERE naw <> nbw)
+       |SELECT d1.w AS item_a, d2.w AS item_b, d3.w AS item_c
+       |FROM dir d1 JOIN dir d2 ON d1.l = d2.w
+       |JOIN dir d3 ON d2.l = d3.w AND d3.l = d1.w
+       |WHERE d1.w < d2.w AND d1.w < d3.w""".stripMargin
 
   // -------------------------------------------- q_langid_weights / confusion
 
@@ -1764,6 +1885,8 @@ object TrainPrepQueries {
     "q_pref_pairs"         -> (qPrefPairs _),
     "q_bestof_n"           -> (qBestofN _),
     "q_bt_ratings"         -> (qBtRatings _),
+    "q_bt_calibration"     -> (qBtCalibration _),
+    "q_pref_cycles"        -> (qPrefCycles _),
     "q_cdc_chunks"         -> (qCdcChunks _),
     "q_cdc_diff"           -> (qCdcDiff _),
     "q_cdc_incr"           -> (qCdcIncr _),
@@ -1807,6 +1930,8 @@ object TrainPrepQueries {
     "q_pref_pairs"         -> qPrefPairsSql,
     "q_bestof_n"           -> qBestofNSql,
     "q_bt_ratings"         -> qBtRatingsSql,
+    "q_bt_calibration"     -> qBtCalibrationSql,
+    "q_pref_cycles"        -> qPrefCyclesSql,
     "q_cdc_chunks"         -> qCdcChunksSql,
     "q_cdc_diff"           -> qCdcDiffSql,
     "q_cdc_incr"           -> qCdcIncrSql,

@@ -85,6 +85,47 @@ class PreferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bt_calibration: probabilities are complementary and errors bounded") {
+    val rows = graft.queries.TrainPrepQueries
+      .qBtCalibration(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pred = r.getAs[Long]("pred_q6")
+      val emp = r.getAs[Long]("emp_q6")
+      val err = r.getAs[Long]("abs_err_q6")
+      assert(pred >= 0L && pred <= 1000000L && emp >= 0L && emp <= 1000000L)
+      assert(err <= 1000000L && r.getAs[Long]("n_total") >= 1L)
+      assert(r.getAs[String]("item_a") < r.getAs[String]("item_b"))
+    }
+  }
+
+  test("q_pref_cycles: hand-built rock-paper-scissors is found exactly once, canonical rotation") {
+    // Directly exercise the net-direction + triangle join through the
+    // same SQL the driver query compiles to, on a tiny tournament:
+    // r>s 2-0, s>p 2-1, p>r 3-1 — one 3-cycle.
+    val comp = Seq(
+      ("rock", "scissors", 2L), ("scissors", "paper", 2L),
+      ("paper", "scissors", 1L), ("paper", "rock", 3L), ("rock", "paper", 1L)
+    ).toDF("winner", "loser", "n")
+    comp.createOrReplaceTempView("graft_pref_comp_t")
+    val out = spark.sql(
+      """WITH sym AS (SELECT i, j, sum(n) AS n FROM (
+        |  SELECT winner AS i, loser AS j, n FROM graft_pref_comp_t
+        |  UNION ALL SELECT loser, winner, n FROM graft_pref_comp_t) GROUP BY 1, 2),
+        |up AS (SELECT DISTINCT i AS a, j AS b FROM sym WHERE i < j),
+        |pairs AS (SELECT up.a, up.b, coalesce(cf.n, 0) AS naw, coalesce(cb.n, 0) AS nbw
+        | FROM up LEFT JOIN graft_pref_comp_t cf ON cf.winner = up.a AND cf.loser = up.b
+        | LEFT JOIN graft_pref_comp_t cb ON cb.winner = up.b AND cb.loser = up.a),
+        |dir AS (SELECT CASE WHEN naw > nbw THEN a ELSE b END AS w,
+        |  CASE WHEN naw > nbw THEN b ELSE a END AS l FROM pairs WHERE naw <> nbw)
+        |SELECT d1.w AS item_a, d2.w AS item_b, d3.w AS item_c
+        |FROM dir d1 JOIN dir d2 ON d1.l = d2.w
+        |JOIN dir d3 ON d2.l = d3.w AND d3.l = d1.w
+        |WHERE d1.w < d2.w AND d1.w < d3.w""".stripMargin).collect()
+    assert(out.length == 1)
+    assert(out.head.toSeq == Seq("paper", "rock", "scissors"))
+  }
+
   test("driver queries are non-empty and margin-clean at sf0.001") {
     val p = graft.queries.TrainPrepQueries.qPrefPairs(spark, "/root/testdata/sf0.001")
     val rows = p.collect()
