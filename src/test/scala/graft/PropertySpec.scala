@@ -425,4 +425,33 @@ object PropertySpec extends Properties("graft") {
           text.count(_ == '<') == orig.count(_ == '<') + 3
       }
     }
+
+  property("preference pairs match the per-group-extremes model") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.choose(0, 3), Gen.choose(0, 100)))) { rows0 =>
+      val rows = rows0.zipWithIndex.map { case ((g, v), i) =>
+        (s"g$g", i.toLong, v.toDouble) }
+      val df = rows.toDF("g", "id", "score")
+      val got = graft.ext.Preference.pairs(df, Seq("g"), "id", "score", 10.0)
+        .collect()
+        .map(r => (r.getAs[String]("g"), r.getAs[Long]("chosen_id"),
+          r.getAs[Long]("rejected_id"), r.getAs[Double]("margin"))).toSet
+      val want = rows.groupBy(_._1).collect {
+        case (g, rs) if rs.size >= 2 &&
+            rs.map(_._3).max - rs.map(_._3).min >= 10.0 =>
+          val hi = rs.map(_._3).max; val lo = rs.map(_._3).min
+          (g, rs.filter(_._3 == hi).map(_._2).min,
+            rs.filter(_._3 == lo).map(_._2).min, hi - lo)
+      }.toSet
+      got == want
+    }
+
+  property("two-item Bradley-Terry ratio converges to the win ratio") =
+    forAll(Gen.choose(1L, 20L), Gen.choose(1L, 20L)) { (wa, wb) =>
+      val comp = Seq(("A", "B", wa), ("B", "A", wb)).toDF("winner", "loser", "n")
+      val g = graft.ext.Preference.btRatings(comp, iters = 3).collect()
+        .map(r => r.getAs[String]("item") -> r.getAs[Double]("gamma")).toMap
+      val ratio = g("A") / g("B")
+      math.abs(ratio - wa.toDouble / wb) / (wa.toDouble / wb) < 1e-3 &&
+        (wa == wb || (wa > wb) == (g("A") > g("B")))
+    }
 }
