@@ -825,6 +825,132 @@ object MiningQueries {
        |FROM allst a LEFT JOIN hits h
        |  ON h.shortlist = a.shortlist AND h.reranked = a.reranked""".stripMargin
 
+  // ------------------------------------------------- q_retrieval_ndcg
+
+  /** RANKED-retrieval quality of the ANN path — MRR and NDCG@10
+    * (Järvelin & Kekäläinen, TOIS 2002) of trained-IVF search at
+    * nprobe ∈ {1, 2, 4}, against graded ground truth derived from the
+    * exact brute-force top-10 (relevance 11 − rank). Recall@k
+    * ([[qSimRecall]]) counts set overlap; these are the ORDER-sensitive
+    * numbers a retrieval/RAG user actually reports — a candidate
+    * surfaced at rank 9 instead of rank 1 keeps recall but loses NDCG.
+    *
+    * Cross-engine exactness: NO transcendental is evaluated engine-side
+    * — the log2 discount table for positions 1..10 and the ideal DCG
+    * are driver-computed constants embedded as IDENTICAL double
+    * literals in both plans (shortest-roundtrip text parses back to the
+    * same bits), per-query DCG and the final means go through the
+    * [[Oracle.dsum]] quantized integer sum, and IDCG is pre-quantized
+    * with the same floor(x·1e7+0.5) so a perfect ranking scores
+    * EXACTLY 1.0: with k = 4 cells, the nprobe = 4 row probes
+    * everything and must read mrr = ndcg = 1.0 — a built-in sanity
+    * anchor the oracle hash certifies. Output is O(settings); at
+    * 100 TB the corpus side stays one scan per setting and only the
+    * query slice (sf-invariant here) needs bounding. */
+  def qRetrievalNdcg(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 50)
+    val (cids, cents) = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+      k = 4, iters = 1)
+    // graded ground truth: exact top-10, relevance 11 - rank (10 .. 1);
+    // checkpointed — all three settings join against it.
+    val rel = Similarity.bruteForceTopK(e, q, k = 10)
+      .select(col("query_id"), col("cand_id"),
+        (lit(11) - col("rank")).as("rel"))
+      .localCheckpoint()
+    val nq = q.count()
+    val discLit = typedLit(RetrievalDisc)
+    val ivfAll = Seq(1, 2, 4).map { np =>
+      Similarity.ivfTopKWith(e, q, cids.zip(cents), k = 10, nprobe = np)
+        .select(lit(np).as("nprobe"), col("query_id"), col("rank"),
+          col("cand_id"))
+    }.reduce(_.unionByName(_))
+    val graded = ivfAll.join(rel, Seq("query_id", "cand_id"), "left")
+      .select(col("nprobe"), col("query_id"), col("rank"),
+        coalesce(col("rel"), lit(0)).as("rel"))
+    val perQ = graded.groupBy(col("nprobe"), col("query_id")).agg(
+      Oracle.dsum(element_at(discLit, col("rank")) * col("rel")).as("dcg"),
+      min(when(col("rel") > 0, col("rank"))).as("first_rel"))
+    val perNp = perQ.groupBy(col("nprobe")).agg(
+      (Oracle.dsum(when(col("first_rel").isNotNull,
+          lit(1.0) / col("first_rel")).otherwise(lit(0.0))) / lit(nq))
+        .as("mrr"),
+      (Oracle.dsum(col("dcg") / lit(RetrievalIdcg10)) / lit(nq)).as("ndcg"))
+    val settings = s.createDataFrame(Seq(1, 2, 4).map(Tuple1(_)))
+      .toDF("nprobe")
+    settings.join(perNp, Seq("nprobe"), "left")
+      .select(col("nprobe").cast("int").as("nprobe"),
+        lit(nq).as("n_queries"),
+        coalesce(col("mrr"), lit(0.0)).as("mrr"),
+        coalesce(col("ndcg"), lit(0.0)).as("ndcg"))
+  }
+
+  /** Position discounts 1/log2(pos+1) for positions 1..10 — computed
+    * ONCE on the driver; both engines consume the same double bits. */
+  val RetrievalDisc: Seq[Double] =
+    (1 to 10).map(p => 1.0 / (math.log(p + 1.0) / math.log(2.0)))
+
+  /** Ideal DCG@10 for the graded scale (rel 10..1), pre-quantized with
+    * the SAME floor(x·1e7+0.5) integer sum [[Oracle.dsum]] applies to
+    * the measured DCG, so DCG ≡ IDCG exactly on a perfect ranking. */
+  val RetrievalIdcg10: Double =
+    RetrievalDisc.zipWithIndex
+      .map { case (d, i) => math.floor((10 - i) * d * 1e7 + 0.5).toLong }
+      .sum / 1e7
+
+  /** Full replay: Lloyd cells, per-nprobe IVF top-10, graded join,
+    * quantized DCG/MRR — the reported metrics are hash-certified. */
+  lazy val qRetrievalNdcgSql: String = {
+    // DuckDB parses bare decimal literals as DECIMAL, not DOUBLE — cast
+    // every constant so the arithmetic stays in IEEE doubles end-to-end.
+    val discRows = RetrievalDisc.zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, CAST(${d.toString} AS DOUBLE))" }
+      .mkString(", ")
+    s"""${ivfCellsPrefix("TRUE", "TRUE")}
+       |qs AS (SELECT vec_id, v FROM e WHERE vec_id < 50),
+       |disc(pos, d) AS (VALUES $discRows),
+       |rel AS (SELECT query_id, cand_id, 11 - rank AS rel FROM (
+       |  SELECT qs.vec_id AS query_id, t.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY qs.vec_id
+       |      ORDER BY ${cosSql("qs.v", "t.v")} DESC, t.vec_id ASC) AS rank
+       |  FROM qs CROSS JOIN e t WHERE t.vec_id <> qs.vec_id)
+       |  WHERE rank <= 10),
+       |pr AS (SELECT vec_id AS query_id, v AS qv, cluster AS cell, rn FROM (
+       |  SELECT e.vec_id, e.v, c1.cluster,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c1.cv")} DESC, c1.cluster DESC) AS rn
+       |  FROM e CROSS JOIN c1 WHERE e.vec_id < 50)),
+       |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+       |ivf AS (SELECT nprobe, query_id, cand_id, rank FROM (
+       |  SELECT np.nprobe, p.query_id, t.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY np.nprobe, p.query_id
+       |      ORDER BY ${cosSql("p.qv", "t.v")} DESC, t.vec_id ASC) AS rank
+       |  FROM np JOIN pr p ON p.rn <= np.nprobe
+       |  JOIN cells t ON t.cell = p.cell
+       |  WHERE t.vec_id <> p.query_id) WHERE rank <= 10),
+       |graded AS (SELECT i.nprobe, i.query_id, i.rank,
+       |    coalesce(r.rel, 0) AS rel
+       |  FROM ivf i LEFT JOIN rel r
+       |    ON r.query_id = i.query_id AND r.cand_id = i.cand_id),
+       |perq AS (SELECT nprobe, query_id,
+       |    ${Oracle.sqlSum("d.d * g.rel")} AS dcg,
+       |    min(CASE WHEN g.rel > 0 THEN g.rank END) AS first_rel
+       |  FROM graded g JOIN disc d ON d.pos = g.rank
+       |  GROUP BY nprobe, query_id),
+       |pernp AS (SELECT nprobe,
+       |    ${Oracle.sqlSum("CASE WHEN first_rel IS NULL THEN CAST(0.0 AS DOUBLE) " +
+              "ELSE CAST(1.0 AS DOUBLE) / first_rel END")}
+       |      / (SELECT count(*) FROM qs) AS mrr,
+       |    ${Oracle.sqlSum(s"dcg / CAST(${RetrievalIdcg10.toString} AS DOUBLE)")}
+       |      / (SELECT count(*) FROM qs) AS ndcg
+       |  FROM perq GROUP BY nprobe)
+       |SELECT np.nprobe::INT AS nprobe,
+       |  (SELECT count(*) FROM qs)::BIGINT AS n_queries,
+       |  coalesce(p.mrr, CAST(0.0 AS DOUBLE)) AS mrr,
+       |  coalesce(p.ndcg, CAST(0.0 AS DOUBLE)) AS ndcg
+       |FROM np LEFT JOIN pernp p ON p.nprobe = np.nprobe""".stripMargin
+  }
+
   // -------------------------------------------------- q_sim_recall_idx
 
   /** Recall@5 of the STANDING ANN index in its hardest reachable state —
@@ -1368,6 +1494,7 @@ object MiningQueries {
     "q_sim_recall"      -> (qSimRecall _),
     "q_sim_recall_lsh"  -> (qSimRecallLsh _),
     "q_sim_recall_pq"   -> (qSimRecallPq _),
+    "q_retrieval_ndcg"  -> (qRetrievalNdcg _),
     "q_sim_recall_idx"  -> (qSimRecallIdx _),
     "q_sim_sq8_idx"     -> (qSimSq8Idx _),
     "q_sim_pq"          -> (qSimPq _),
@@ -1400,6 +1527,7 @@ object MiningQueries {
     "q_sim_recall"      -> qSimRecallSql,
     "q_sim_recall_lsh"  -> qSimRecallLshSql,
     "q_sim_recall_pq"   -> qSimRecallPqSql,
+    "q_retrieval_ndcg"  -> qRetrievalNdcgSql,
     "q_sim_recall_idx"  -> qSimRecallIdxSql,
     "q_sim_sq8_idx"     -> qSimSq8IdxSql,
     "q_sim_pq_verified" -> qSimPqVerifiedSql,

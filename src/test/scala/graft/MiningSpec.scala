@@ -143,4 +143,22 @@ class MiningSpec extends AnyFunSuite {
     // survivors
     assert(r.last._2 == 1.0, s"nprobe=4 anchor must be exactly 1.0: $r")
   }
+
+  test("q_retrieval_ndcg: curves monotone in nprobe, nprobe=4 exactly 1.0") {
+    val r = graft.queries.MiningQueries.qRetrievalNdcg(spark, dir)
+      .orderBy("nprobe")
+      .select("nprobe", "mrr", "ndcg").as[(Int, Double, Double)]
+      .collect().toSeq
+    assert(r.map(_._1) == Seq(1, 2, 4))
+    assert(r.forall { case (_, m, n) =>
+      m >= 0.0 && m <= 1.0 && n >= 0.0 && n <= 1.0 }, s"metrics outside [0,1]: $r")
+    // candidate sets grow with nprobe and both metrics reward earlier
+    // placement of the same relevant set, so the curves must be monotone
+    assert(r.map(_._2) == r.map(_._2).sorted, s"mrr not monotone: $r")
+    assert(r.map(_._3) == r.map(_._3).sorted, s"ndcg not monotone: $r")
+    // nprobe = 4 of k = 4 probes everything: IVF ranking == brute ranking,
+    // and the pre-quantized IDCG makes a perfect ranking EXACTLY 1.0
+    assert(r.last._2 == 1.0 && r.last._3 == 1.0,
+      s"nprobe=4 anchor must be exactly (1.0, 1.0): $r")
+  }
 }
