@@ -1,0 +1,203 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Standing pairwise-preference matrix — the persistent state behind a
+  * continuously-updated Bradley–Terry leaderboard (the Chatbot-Arena
+  * operating mode: judgments stream in forever; items — model variants —
+  * enter and leave the arena).
+  *
+  * The state is the DIRECTED OUTCOME MATRIX (winner, loser, n): counts
+  * are additive, so ingestion is embarrassingly incremental — each
+  * micro-batch lands its own pre-aggregated delta partition and the
+  * current matrix is one sum over deltas. The expensive artifact (the
+  * MM rating fit, [[Preference.btRatings]]) is recomputed FROM the
+  * matrix on demand: K items bound the fit at K², independent of how
+  * many billions of judgments ever streamed.
+  *
+  * Layout (same delta/tombstone discipline as [[ChunkIndex]], whose
+  * two-marker compaction protocol this index reuses verbatim):
+  *
+  *   base/edges/batch_id=N/  (winner, loser, n)  per-batch counts
+  *   base/tombs/batch_id=N/  (item)              withdrawn items
+  *
+  * WITHDRAWAL IS PERMANENT (delete-wins, the [[SimilarityIndex]]
+  * contract, NOT ChunkIndex's revive-on-reappend): a withdrawn item
+  * must not re-enter the leaderboard via late-arriving judgments, so
+  * masking ignores batch order — any edge touching a tombstoned item
+  * is dead no matter when it landed or lands. Re-admitting an item is
+  * an explicit operator decision (compact first, which retires the
+  * tombstone along with the masked edges, then ingest).
+  *
+  * Replay-idempotence: a micro-batch writes ONLY its own
+  * `edges/batch_id=N` partition with dynamic partition overwrite, so a
+  * checkpoint replay (restart between sink write and commit) rewrites
+  * the identical partition instead of double-counting. Withdrawals
+  * write only `tombs/` partitions — disjoint from every append — so
+  * mid-stream takedowns cannot collide with replays at all.
+  */
+object PreferenceIndex {
+
+  private val edgesSchema = StructType(Seq(
+    StructField("winner", StringType), StructField("loser", StringType),
+    StructField("n", LongType), StructField("batch_id", LongType)))
+  private val tombsSchema = StructType(Seq(
+    StructField("item", StringType), StructField("batch_id", LongType)))
+
+  private def readOr(spark: SparkSession, path: String,
+                     schema: StructType): DataFrame =
+    scala.util.Try(spark.read.schema(schema).parquet(path))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+
+  private def writeDelta(base: String, table: String, batchId: Long,
+                         df: DataFrame): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$base/$table")
+
+  /** Ingest one batch of judgments: aggregate (winner, loser) rows to
+    * counts and land them as this batch's own delta partition. */
+  def append(spark: SparkSession, base: String, batch: DataFrame,
+             winnerCol: String, loserCol: String, batchId: Long): Unit = {
+    heal(spark, base)
+    writeDelta(base, "edges", batchId,
+      batch.select(col(winnerCol).cast(StringType).as("winner"),
+          col(loserCol).cast(StringType).as("loser"))
+        .groupBy("winner", "loser").agg(count(lit(1)).as("n")))
+  }
+
+  /** Withdraw items from the arena: O(|items|) tombstone append; no edge
+    * partition is rewritten. Permanent until the next [[compact]]. */
+  def withdraw(spark: SparkSession, base: String, items: DataFrame,
+               itemCol: String, batchId: Long): Unit = {
+    heal(spark, base)
+    writeDelta(base, "tombs", batchId,
+      items.select(col(itemCol).cast(StringType).as("item")).distinct())
+  }
+
+  /** The live outcome matrix: delta counts summed, edges touching a
+    * withdrawn item masked on BOTH endpoints regardless of batch order
+    * (see the delete-wins contract above). */
+  def matrix(spark: SparkSession, base: String): DataFrame = {
+    heal(spark, base)
+    val tombs = readOr(spark, s"$base/tombs", tombsSchema)
+      .select(col("item")).distinct()
+    readOr(spark, s"$base/edges", edgesSchema)
+      .join(tombs.select(col("item").as("winner")), Seq("winner"), "left_anti")
+      .join(tombs.select(col("item").as("loser")), Seq("loser"), "left_anti")
+      .groupBy("winner", "loser").agg(sum("n").as("n"))
+  }
+
+  /** Observability: physical layout vs logical content, and whether read
+    * amplification has drifted enough to fold. One row. */
+  def stats(spark: SparkSession, base: String): DataFrame = {
+    heal(spark, base)
+    import spark.implicits._
+    val all = readOr(spark, s"$base/edges", edgesSchema)
+    val nBatches = all.select("batch_id").distinct().count()
+    val nRows = all.count()
+    val nTombs = readOr(spark, s"$base/tombs", tombsSchema)
+      .select("item").distinct().count()
+    val live = matrix(spark, base)
+    val nEdges = live.count()
+    val nItems = live.select(explode(array(col("winner"), col("loser")))
+      .as("item")).distinct().count()
+    val nJudg = live.agg(coalesce(sum("n"), lit(0L))).head.getLong(0)
+    Seq((nBatches, nRows, nTombs, nEdges, nItems, nJudg,
+      nBatches > 8 || nTombs > 0))
+      .toDF("n_delta_batches", "n_edge_rows", "n_withdrawn_items",
+        "n_live_edges", "n_live_items", "n_judgments", "needs_compact")
+  }
+
+  /** Streaming maintenance: each micro-batch appends through the batch
+    * step above (foreachBatch — the matrix must outlive the stream and
+    * serve batch readers; Structured Streaming contributes exactly-once
+    * batch boundaries and restart bookkeeping via the checkpoint).
+    * `baseBatch` offsets a later leg's ids above earlier versions; see
+    * [[ChunkIndex.run]] for the renumbering contract. */
+  def run(stream: DataFrame, base: String, winnerCol: String,
+          loserCol: String, checkpoint: String, baseBatch: Long = 0L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        append(batch.sparkSession, base, batch, winnerCol, loserCol,
+          baseBatch + batchId)
+      }
+
+  // ------------------------------------------------------------- compaction
+
+  private def fs(spark: SparkSession) = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+  private def startMarker(base: String) =
+    new org.apache.hadoop.fs.Path(s"$base/_compact_start")
+  private def commitMarker(base: String) =
+    new org.apache.hadoop.fs.Path(s"$base/_compact_commit")
+
+  private def writeMarker(spark: SparkSession,
+                          p: org.apache.hadoop.fs.Path, c: Long): Unit = {
+    val out = fs(spark).create(p, true)
+    try out.write(c.toString.getBytes("UTF-8")) finally out.close()
+  }
+  private def readMarker(spark: SparkSession,
+                         p: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs(spark).exists(p)) None
+    else {
+      val in = fs(spark).open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+
+  private def dropBatches(spark: SparkSession, base: String,
+                          pred: Long => Boolean): Unit = {
+    val f = fs(spark)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/edges")
+    if (f.exists(dir))
+      f.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("batch_id=") &&
+            pred(name.stripPrefix("batch_id=").toLong))
+          f.delete(st.getPath, true)
+      }
+  }
+
+  /** Roll an interrupted compaction forward (commit marker present) or
+    * back (only the start marker) — the [[ChunkIndex.heal]] protocol. */
+  def heal(spark: SparkSession, base: String): Unit =
+    readMarker(spark, commitMarker(base)) match {
+      case Some(c) =>
+        dropBatches(spark, base, _ < c)
+        fs(spark).delete(new org.apache.hadoop.fs.Path(s"$base/tombs"), true)
+        fs(spark).delete(startMarker(base), false)
+        fs(spark).delete(commitMarker(base), false)
+      case None => readMarker(spark, startMarker(base)) match {
+        case Some(c) =>
+          dropBatches(spark, base, _ == c)
+          fs(spark).delete(startMarker(base), false)
+        case None => ()
+      }
+    }
+
+  /** Fold every delta minus the withdrawn edges into one consolidated
+    * batch and retire the tombstones. Single writer; crash-safe via the
+    * two-marker protocol. Returns the consolidated batch id — resume
+    * streaming with `baseBatch` above it. */
+  def compact(spark: SparkSession, base: String): Long = {
+    heal(spark, base)
+    val c = readOr(spark, s"$base/edges", edgesSchema)
+      .agg(coalesce(max("batch_id"), lit(-1L))).head.getLong(0) + 1L
+    val folded = matrix(spark, base).localCheckpoint()
+    writeMarker(spark, startMarker(base), c)
+    writeDelta(base, "edges", c, folded)
+    writeMarker(spark, commitMarker(base), c)
+    heal(spark, base)
+    c
+  }
+}

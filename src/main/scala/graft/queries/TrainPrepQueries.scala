@@ -1600,7 +1600,7 @@ object TrainPrepQueries {
     * ≥ 100, distinct types) — aggregated to the directed outcome table
     * (winner, loser, n). Shared by the BT rating / calibration / cycle
     * queries. */
-  private def prefComparisons(s: SparkSession, dir: String): DataFrame =
+  private def prefOutcomes(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .filter(col("value").isNotNull)
       .groupBy("user_id")
@@ -1612,6 +1612,10 @@ object TrainPrepQueries {
         min(col("value")).as("wv"))
       .filter(col("nc") >= 2 && col("bv") - col("wv") >= 100.0 &&
         col("winner") =!= col("loser"))
+      .select("user_id", "winner", "loser")
+
+  private def prefComparisons(s: SparkSession, dir: String): DataFrame =
+    prefOutcomes(s, dir)
       .groupBy("winner", "loser").agg(count(lit(1)).as("n"))
 
   def qBtRatings(s: SparkSession, dir: String): DataFrame = {
@@ -1632,26 +1636,32 @@ object TrainPrepQueries {
        |  JOIN $prev gj ON s.j = gj.item
        |  JOIN wins wi ON wi.item = s.i GROUP BY s.i, wi.w""".stripMargin
 
-  /** Shared oracle CTEs: comparison extraction + symmetric edge list. */
-  private val btCompCte: String =
-    """r AS (SELECT user_id, event_type, event_id, value,
-      |  row_number() OVER (PARTITION BY user_id
-      |    ORDER BY value DESC, event_id ASC) AS rb,
-      |  row_number() OVER (PARTITION BY user_id
-      |    ORDER BY value ASC, event_id ASC) AS rw,
-      |  count(*) OVER (PARTITION BY user_id) AS nc
-      | FROM events WHERE value IS NOT NULL),
-      |comp AS (SELECT b.event_type AS winner, w.event_type AS loser,
-      |  count(*)::BIGINT AS n
-      | FROM (SELECT * FROM r WHERE rb = 1) b
-      | JOIN (SELECT * FROM r WHERE rw = 1) w USING (user_id)
-      | WHERE b.nc >= 2 AND b.value - w.value >= 100.0
-      |   AND b.event_type <> w.event_type
-      | GROUP BY 1, 2),
-      |sym AS (SELECT i, j, sum(n)::BIGINT AS n FROM (
-      |  SELECT winner AS i, loser AS j, n FROM comp
-      |  UNION ALL SELECT loser AS i, winner AS j, n FROM comp)
-      | GROUP BY 1, 2)""".stripMargin
+  /** Shared oracle CTEs: comparison extraction + symmetric edge list.
+    * `extraPred` masks outcomes after extraction — the item-withdrawal
+    * read path of the standing matrix (edges touching a tombstoned item
+    * die as whole (winner, loser) groups, so filtering the per-user rows
+    * before GROUP BY is identical to masking the aggregated edges). */
+  private def btCompCteWhere(extraPred: String): String =
+    s"""r AS (SELECT user_id, event_type, event_id, value,
+       |  row_number() OVER (PARTITION BY user_id
+       |    ORDER BY value DESC, event_id ASC) AS rb,
+       |  row_number() OVER (PARTITION BY user_id
+       |    ORDER BY value ASC, event_id ASC) AS rw,
+       |  count(*) OVER (PARTITION BY user_id) AS nc
+       | FROM events WHERE value IS NOT NULL),
+       |comp AS (SELECT b.event_type AS winner, w.event_type AS loser,
+       |  count(*)::BIGINT AS n
+       | FROM (SELECT * FROM r WHERE rb = 1) b
+       | JOIN (SELECT * FROM r WHERE rw = 1) w USING (user_id)
+       | WHERE b.nc >= 2 AND b.value - w.value >= 100.0
+       |   AND b.event_type <> w.event_type$extraPred
+       | GROUP BY 1, 2),
+       |sym AS (SELECT i, j, sum(n)::BIGINT AS n FROM (
+       |  SELECT winner AS i, loser AS j, n FROM comp
+       |  UNION ALL SELECT loser AS i, winner AS j, n FROM comp)
+       | GROUP BY 1, 2)""".stripMargin
+
+  private val btCompCte: String = btCompCteWhere("")
 
   /** Shared oracle CTEs: the unrolled three-iteration MM fit. */
   private lazy val btFitCtes: String =
@@ -1780,6 +1790,84 @@ object TrainPrepQueries {
        |JOIN dir d3 ON d2.l = d3.w AND d3.l = d1.w
        |WHERE d1.w < d2.w AND d1.w < d3.w""".stripMargin
 
+  // -------------------------------------------- q_stream_pref_lifecycle
+
+  /** The standing PREFERENCE MATRIX driven through a REAL
+    * Structured-Streaming lifecycle with a mid-stream item WITHDRAWAL —
+    * the Chatbot-Arena operating mode (judgments stream in forever;
+    * model variants leave the arena), and the FIFTH standing index
+    * proven under checkpointed restarts (after dedup, ANN, chunk,
+    * span):
+    *
+    *  1. land the even users' pairwise outcomes as a file, run
+    *     `readStream → [[graft.ext.PreferenceIndex.run]] →
+    *     Trigger.AvailableNow` to termination (micro-batch 0 lands its
+    *     pre-aggregated count delta);
+    *  2. MID-STREAM, withdraw the 'error' item
+    *     ([[graft.ext.PreferenceIndex.withdraw]]) — including from
+    *     judgments NOT YET INGESTED, exercising the permanent
+    *     delete-wins contract (a withdrawn variant must not re-enter
+    *     the leaderboard via late-arriving judgments);
+    *  3. land the odd users' outcomes as a late file and rerun on the
+    *     SAME checkpoint — the restart discovers only the new file; its
+    *     'error' edges arrive masked;
+    *  4. [[graft.ext.PreferenceIndex.compact]] — fold count deltas
+    *     minus withdrawn edges, retire tombstones — then fit
+    *     Bradley–Terry ratings ([[graft.ext.Preference.btRatings]], 3
+    *     MM iterations) FROM the standing matrix.
+    *
+    * The oracle replays comparison extraction over ALL users minus the
+    * withdrawn item's outcomes plus the full unrolled MM fit, so a
+    * hash-pass proves the streamed count deltas, the delete-wins
+    * masking, the compaction fold, and the downstream fit together
+    * equal a from-scratch leaderboard without the withdrawn item. At
+    * 100 TB the matrix stays K²-bounded regardless of judgment volume —
+    * ingestion cost is one pre-aggregated delta per micro-batch. */
+  def qStreamPrefLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Scratch.fresh(s, "streampref", dir)
+    val idx = s"$base/idx"
+    val outs = prefOutcomes(s, dir).localCheckpoint()
+    val inDir = s"$base/in"
+    def runToCompletion(baseBatch: Long): Unit = {
+      val q = graft.ext.PreferenceIndex.run(
+          s.readStream.schema(outs.schema).parquet(inDir), idx,
+          "winner", "loser", checkpoint = s"$base/ckpt",
+          baseBatch = baseBatch)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    outs.filter(col("user_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir)
+    runToCompletion(baseBatch = 0L)
+    // mid-stream withdrawal between the two checkpointed legs; tombstones
+    // live in their own table, so no replay can collide with this id
+    graft.ext.PreferenceIndex.withdraw(s, idx,
+      s.createDataFrame(Seq(Tuple1("error"))).toDF("item"), "item",
+      batchId = 1L)
+    outs.filter(col("user_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runToCompletion(baseBatch = 1L)
+    graft.ext.PreferenceIndex.compact(s, idx)
+    val rated = graft.ext.Preference.btRatings(
+        graft.ext.PreferenceIndex.matrix(s, idx), iters = 3)
+      .withColumn("rating_q6", Oracle.q6(col("gamma")))
+    graft.exec.Ranks.globalRowNumber(rated,
+        Seq(col("gamma").desc, col("item").asc), out = "rank")
+      .select(col("item"), col("n_wins"), col("n_comparisons"),
+        col("rating_q6"), col("rank"))
+  }
+
+  val qStreamPrefLifecycleSql: String =
+    s"""WITH ${btCompCteWhere(
+          " AND b.event_type <> 'error' AND w.event_type <> 'error'")},
+       |$btFitCtes
+       |SELECT g3.item, wi.w AS n_wins, tot.n_comparisons,
+       |  ${Oracle.sqlQ6("g3.gamma")} AS rating_q6,
+       |  row_number() OVER (ORDER BY g3.gamma DESC, g3.item ASC)::BIGINT
+       |    AS rank
+       |FROM g3 JOIN wins wi USING (item) JOIN tot USING (item)""".stripMargin
+
   // -------------------------------------------- q_langid_weights / confusion
 
   /** Multiclass language-ID training: every one-vs-rest head trains
@@ -1887,6 +1975,7 @@ object TrainPrepQueries {
     "q_bt_ratings"         -> (qBtRatings _),
     "q_bt_calibration"     -> (qBtCalibration _),
     "q_pref_cycles"        -> (qPrefCycles _),
+    "q_stream_pref_lifecycle" -> (qStreamPrefLifecycle _),
     "q_cdc_chunks"         -> (qCdcChunks _),
     "q_cdc_diff"           -> (qCdcDiff _),
     "q_cdc_incr"           -> (qCdcIncr _),
@@ -1932,6 +2021,7 @@ object TrainPrepQueries {
     "q_bt_ratings"         -> qBtRatingsSql,
     "q_bt_calibration"     -> qBtCalibrationSql,
     "q_pref_cycles"        -> qPrefCyclesSql,
+    "q_stream_pref_lifecycle" -> qStreamPrefLifecycleSql,
     "q_cdc_chunks"         -> qCdcChunksSql,
     "q_cdc_diff"           -> qCdcDiffSql,
     "q_cdc_incr"           -> qCdcIncrSql,
