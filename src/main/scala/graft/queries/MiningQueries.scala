@@ -852,20 +852,28 @@ object MiningQueries {
     val q = e.filter(col("vec_id") < 50)
     val (cids, cents) = Similarity.kmeansCentroids(e, "embedding", "vec_id",
       k = 4, iters = 1)
-    // graded ground truth: exact top-10, relevance 11 - rank (10 .. 1);
-    // checkpointed — all three settings join against it.
-    val rel = Similarity.bruteForceTopK(e, q, k = 10)
-      .select(col("query_id"), col("cand_id"),
-        (lit(11) - col("rank")).as("rel"))
-      .localCheckpoint()
-    val nq = q.count()
-    val discLit = typedLit(RetrievalDisc)
     val ivfAll = Seq(1, 2, 4).map { np =>
       Similarity.ivfTopKWith(e, q, cids.zip(cents), k = 10, nprobe = np)
         .select(lit(np).as("nprobe"), col("query_id"), col("rank"),
           col("cand_id"))
     }.reduce(_.unionByName(_))
-    val graded = ivfAll.join(rel, Seq("query_id", "cand_id"), "left")
+    ndcgReport(s, ivfAll, corpus = e, q = q)
+  }
+
+  /** Shared metric assembly: graded ground truth (exact top-10 over
+    * `corpus`, relevance 11 − rank), then per-(nprobe, query) quantized
+    * DCG + first-relevant rank, then the per-setting means. `retrieved`
+    * carries (nprobe, query_id, rank, cand_id). */
+  private def ndcgReport(s: SparkSession, retrieved: DataFrame,
+                         corpus: DataFrame, q: DataFrame): DataFrame = {
+    // checkpointed — all three settings join against it
+    val rel = Similarity.bruteForceTopK(corpus, q, k = 10)
+      .select(col("query_id"), col("cand_id"),
+        (lit(11) - col("rank")).as("rel"))
+      .localCheckpoint()
+    val nq = q.count()
+    val discLit = typedLit(RetrievalDisc)
+    val graded = retrieved.join(rel, Seq("query_id", "cand_id"), "left")
       .select(col("nprobe"), col("query_id"), col("rank"),
         coalesce(col("rel"), lit(0)).as("rel"))
     val perQ = graded.groupBy(col("nprobe"), col("query_id")).agg(
@@ -899,21 +907,27 @@ object MiningQueries {
       .sum / 1e7
 
   /** Full replay: Lloyd cells, per-nprobe IVF top-10, graded join,
-    * quantized DCG/MRR — the reported metrics are hash-certified. */
-  lazy val qRetrievalNdcgSql: String = {
+    * quantized DCG/MRR — the reported metrics are hash-certified.
+    * `trainPred`/`corpusPred` parameterize the quantizer's training
+    * corpus and the searched corpus exactly like [[ivfOracleSql]];
+    * `bruteCandPred` restricts the ground-truth candidate pool (the
+    * SURVIVING corpus for the post-lifecycle standing index). */
+  private def ndcgOracleSql(trainPred: String, corpusPred: String,
+                            bruteCandPred: String): String = {
     // DuckDB parses bare decimal literals as DECIMAL, not DOUBLE — cast
     // every constant so the arithmetic stays in IEEE doubles end-to-end.
     val discRows = RetrievalDisc.zipWithIndex
       .map { case (d, i) => s"(${i + 1}, CAST(${d.toString} AS DOUBLE))" }
       .mkString(", ")
-    s"""${ivfCellsPrefix("TRUE", "TRUE")}
+    s"""${ivfCellsPrefix(trainPred, corpusPred)}
        |qs AS (SELECT vec_id, v FROM e WHERE vec_id < 50),
        |disc(pos, d) AS (VALUES $discRows),
        |rel AS (SELECT query_id, cand_id, 11 - rank AS rel FROM (
        |  SELECT qs.vec_id AS query_id, t.vec_id AS cand_id,
        |    row_number() OVER (PARTITION BY qs.vec_id
        |      ORDER BY ${cosSql("qs.v", "t.v")} DESC, t.vec_id ASC) AS rank
-       |  FROM qs CROSS JOIN e t WHERE t.vec_id <> qs.vec_id)
+       |  FROM qs CROSS JOIN e t
+       |  WHERE t.vec_id <> qs.vec_id AND $bruteCandPred)
        |  WHERE rank <= 10),
        |pr AS (SELECT vec_id AS query_id, v AS qv, cluster AS cell, rn FROM (
        |  SELECT e.vec_id, e.v, c1.cluster,
@@ -950,6 +964,59 @@ object MiningQueries {
        |  coalesce(p.ndcg, CAST(0.0 AS DOUBLE)) AS ndcg
        |FROM np LEFT JOIN pernp p ON p.nprobe = np.nprobe""".stripMargin
   }
+
+  lazy val qRetrievalNdcgSql: String = ndcgOracleSql("TRUE", "TRUE", "TRUE")
+
+  // ---------------------------------------------- q_retrieval_ndcg_idx
+
+  /** MRR/NDCG@10 of the STANDING ANN index in its hardest reachable
+    * state — the q_sim_recall_idx composition lifted to the
+    * order-sensitive metrics: the index lives through the full
+    * q_stream_ann_lifecycle history (batch build on vec_id < 400, a
+    * checkpointed streamed append, a mid-stream takedown of every
+    * vec_id % 7 = 3, a second same-checkpoint append, compaction), then
+    * the ranked quality a RAG user would measure is computed against
+    * graded brute-force ground truth over the SURVIVING corpus. The
+    * nprobe = 4 (= k cells) row must read EXACTLY (1.0, 1.0) — here
+    * the anchor also certifies the compacted cells rank exactly the
+    * survivors. The oracle replays the lifecycle-equivalent state plus
+    * the whole metric pipeline. */
+  def qRetrievalNdcgIdx(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Scratch.fresh(s, "streamannndcg", dir)
+    val e = Tables(s, dir, "embeddings")
+    val idx = "q_ann_ndcg_life"
+    graft.ext.SimilarityIndex.write(e.filter(col("vec_id") < 400),
+      "embedding", "vec_id", idx, k = 4, iters = 1, buckets = 4)
+    val inDir = s"$base/in"
+    def runToCompletion(): Unit = {
+      val st = graft.streaming.IngestVectors.run(
+          s.readStream.schema(e.schema).parquet(inDir), idx,
+          checkpoint = s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      st.awaitTermination()
+    }
+    e.filter(col("vec_id") >= 400 && col("vec_id") < 450).coalesce(1)
+      .write.mode("overwrite").parquet(inDir)
+    runToCompletion()
+    graft.ext.SimilarityIndex.delete(s, idx,
+      e.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+    e.filter(col("vec_id") >= 450).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runToCompletion()
+    graft.ext.SimilarityIndex.compact(s, idx)
+    val q = e.filter(col("vec_id") < 50)
+    val survivors = e.filter(col("vec_id") % 7 =!= 3)
+    val idxAll = Seq(1, 2, 4).map { np =>
+      graft.ext.SimilarityIndex.topK(s, idx, q, k = 10, nprobe = np)
+        .select(lit(np).as("nprobe"), col("query_id"), col("rank"),
+          col("cand_id"))
+    }.reduce(_ unionByName _)
+    ndcgReport(s, idxAll, corpus = survivors, q = q)
+  }
+
+  lazy val qRetrievalNdcgIdxSql: String =
+    ndcgOracleSql("vec_id < 400", "e.vec_id % 7 <> 3", "t.vec_id % 7 <> 3")
 
   // -------------------------------------------------- q_sim_recall_idx
 
@@ -1495,6 +1562,7 @@ object MiningQueries {
     "q_sim_recall_lsh"  -> (qSimRecallLsh _),
     "q_sim_recall_pq"   -> (qSimRecallPq _),
     "q_retrieval_ndcg"  -> (qRetrievalNdcg _),
+    "q_retrieval_ndcg_idx" -> (qRetrievalNdcgIdx _),
     "q_sim_recall_idx"  -> (qSimRecallIdx _),
     "q_sim_sq8_idx"     -> (qSimSq8Idx _),
     "q_sim_pq"          -> (qSimPq _),
@@ -1528,6 +1596,7 @@ object MiningQueries {
     "q_sim_recall_lsh"  -> qSimRecallLshSql,
     "q_sim_recall_pq"   -> qSimRecallPqSql,
     "q_retrieval_ndcg"  -> qRetrievalNdcgSql,
+    "q_retrieval_ndcg_idx" -> qRetrievalNdcgIdxSql,
     "q_sim_recall_idx"  -> qSimRecallIdxSql,
     "q_sim_sq8_idx"     -> qSimSq8IdxSql,
     "q_sim_pq_verified" -> qSimPqVerifiedSql,

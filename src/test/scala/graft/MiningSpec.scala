@@ -161,4 +161,18 @@ class MiningSpec extends AnyFunSuite {
     assert(r.last._2 == 1.0 && r.last._3 == 1.0,
       s"nprobe=4 anchor must be exactly (1.0, 1.0): $r")
   }
+
+  test("q_retrieval_ndcg_idx: post-lifecycle standing index ranks the survivors exactly at nprobe=4") {
+    val r = graft.queries.MiningQueries.qRetrievalNdcgIdx(spark, dir)
+      .orderBy("nprobe")
+      .select("nprobe", "mrr", "ndcg").as[(Int, Double, Double)]
+      .collect().toSeq
+    assert(r.map(_._1) == Seq(1, 2, 4))
+    assert(r.map(_._2) == r.map(_._2).sorted, s"mrr not monotone: $r")
+    assert(r.map(_._3) == r.map(_._3).sorted, s"ndcg not monotone: $r")
+    // the anchor failing here means the compacted cells do NOT rank
+    // exactly the surviving corpus (append/delete/compact left residue)
+    assert(r.last._2 == 1.0 && r.last._3 == 1.0,
+      s"nprobe=4 anchor must be exactly (1.0, 1.0): $r")
+  }
 }
