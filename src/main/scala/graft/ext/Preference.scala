@@ -51,8 +51,13 @@ object Preference {
         max(col(scoreCol)).as("chosen_score"),
         expr(s"min_by($idCol, struct($scoreCol, $idCol))").as("rejected_id"),
         min(col(scoreCol)).as("rejected_score"))
+    // chosen_id =!= rejected_id: with minMargin <= 0 an all-tied group
+    // passes the margin filter and both extremes tie-break to the same
+    // smallest id — a DPO pair of an item against itself is never a
+    // valid label, so degenerate pairs are dropped unconditionally.
     g.withColumn("margin", col("chosen_score") - col("rejected_score"))
-      .filter(col("n_candidates") >= 2 && col("margin") >= lit(minMargin))
+      .filter(col("n_candidates") >= 2 && col("margin") >= lit(minMargin) &&
+        col("chosen_id") =!= col("rejected_id"))
   }
 
   /** Best-of-n rejection sampling over deterministic candidate batches:
@@ -136,9 +141,14 @@ object Preference {
         .join(g.select(col("item").as("j"), col("gamma").as("gj")), Seq("j"))
         .groupBy(col("i").as("item"))
         .agg(qsum(col("n") / (col("gi") + col("gj"))).as("s"))
+      // Pin each iterate: g feeds the next iteration twice, so an
+      // unresolved plan doubles per iteration — O(2^iters) analysis
+      // blows up the driver at the tens of iterations real BT/MM fits
+      // use. The K-row checkpoint keeps every iteration O(K) flat.
       g = wins.join(s, Seq("item"))
         .select(col("item"),
           (col("w").cast(DoubleType) / col("s")).as("gamma"))
+        .localCheckpoint()
     }
     g.join(wins, Seq("item")).join(tot, Seq("item"))
       .select(col("item"), col("w").as("n_wins"), col("n_comparisons"),

@@ -46,11 +46,17 @@ object PreferenceIndex {
   private val tombsSchema = StructType(Seq(
     StructField("item", StringType), StructField("batch_id", LongType)))
 
+  // Empty ONLY for a genuinely absent path; any other read failure must
+  // propagate. Swallowing a transient listing error here would let
+  // compact() fold against a phantom-empty matrix, write the commit
+  // marker, and retire tombstones without having masked their edges —
+  // silently resurrecting withdrawn items (a delete-wins breach).
   private def readOr(spark: SparkSession, path: String,
                      schema: StructType): DataFrame =
-    scala.util.Try(spark.read.schema(schema).parquet(path))
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    if (!fs(spark).exists(new org.apache.hadoop.fs.Path(path)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(path)
 
   private def writeDelta(base: String, table: String, batchId: Long,
                          df: DataFrame): Unit =

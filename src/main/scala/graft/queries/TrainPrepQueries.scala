@@ -1556,7 +1556,8 @@ object TrainPrepQueries {
       |  b.value - w.value AS margin
       |FROM (SELECT * FROM r WHERE rb = 1) b
       |JOIN (SELECT * FROM r WHERE rw = 1) w USING (user_id, event_type)
-      |WHERE b.nc >= 2 AND b.value - w.value >= 200.0""".stripMargin
+      |WHERE b.nc >= 2 AND b.value - w.value >= 200.0
+      |  AND b.event_id <> w.event_id""".stripMargin
 
   /** Best-of-4 rejection sampling: each user's events in event_id order
     * bucket into consecutive batches of 4 (one sampling round each); the

@@ -66,6 +66,23 @@ class PreferenceIndexSpec extends AnyFunSuite {
     assert(matrixSet(base) == Set(("a", "c", 1L), ("b", "a", 1L)))
   }
 
+  test("a corrupt edges partition fails loudly instead of reading as empty") {
+    // A read failure that is NOT a missing path must propagate: if it
+    // were swallowed as empty, compact() would fold a phantom-empty
+    // matrix, commit, and retire tombstones without masking — silently
+    // resurrecting withdrawn items.
+    val base = freshBase()
+    PreferenceIndex.append(spark, base, judgments(("a", "b")),
+      "winner", "loser", batchId = 0L)
+    val bad = java.nio.file.Paths.get(base, "edges", "batch_id=1")
+    java.nio.file.Files.createDirectories(bad)
+    java.nio.file.Files.write(bad.resolve("part-junk.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    intercept[org.apache.spark.SparkException] {
+      PreferenceIndex.matrix(spark, base).collect()
+    }
+  }
+
   test("heal rolls an uncommitted compaction back and a committed one forward") {
     val base = freshBase()
     PreferenceIndex.append(spark, base, judgments(("a", "b")),

@@ -30,6 +30,17 @@ class PreferenceSpec extends AnyFunSuite {
     assert(out("p3") == ((6L, 8L, 6.0)), "tied chosen must break to smallest id")
   }
 
+  test("pairs: an all-tied group at minMargin 0 never emits a self-pair") {
+    // Margin 0 passes >= 0 and both extremes tie-break to the smallest
+    // id — without the degenerate-pair guard this emitted (1, 1).
+    val t = Seq(("g", 1L, 5.0), ("g", 2L, 5.0), ("g", 3L, 5.0)).toDF("g", "id", "score")
+    assert(Preference.pairs(t, Seq("g"), "id", "score", minMargin = 0.0).isEmpty)
+    // A distinct-extreme group at margin 0 still passes.
+    val t2 = Seq(("g", 1L, 5.0), ("g", 2L, 7.0)).toDF("g", "id", "score")
+    val r2 = Preference.pairs(t2, Seq("g"), "id", "score", minMargin = 0.0).collect()
+    assert(r2.length == 1 && r2.head.getAs[Long]("chosen_id") == 2L)
+  }
+
   test("pairs: tied minimum breaks rejected to smallest id") {
     val t = Seq(("g", 1L, 2.0), ("g", 2L, 2.0), ("g", 3L, 8.0)).toDF("g", "id", "score")
     val r = Preference.pairs(t, Seq("g"), "id", "score", minMargin = 1.0).collect().head

@@ -45,7 +45,7 @@ def auto_note(q, growth):
     """Compose the measured-growth note for query q, if measured."""
     parts = []
     g = growth.get("queries", {}).get(q)
-    if g and g.get("rows_small") and g.get("rows_big") is not None:
+    if g and g.get("rows_small") is not None and g.get("rows_big") is not None:
         rs, rb = g["rows_small"], g["rows_big"]
         if rs > 0:
             parts.append(f"output rows {rs}->{rb} ({rb / rs:.1f}x measured)")
