@@ -154,4 +154,168 @@ object Preference {
       .select(col("item"), col("w").as("n_wins"), col("n_comparisons"),
         col("gamma"))
   }
+
+  // ------------------------------------------------------------- bootstrap CI
+
+  /** Inverse standard-normal quantiles at the 250 bucket midpoints
+    * ((i+0.5)/250, i = 0..249) — a driver-computed constant embedded as
+    * identical literals in engine and oracle (the NDCG discount-table
+    * discipline: no transcendental is ever evaluated engine-side, so
+    * cross-engine replay is bit-exact). */
+  val ZTable: Array[Double] = Array(
+    -2.8781617, -2.5121443, -2.3263479, -2.1972864, -2.0969274, -2.0140908,
+    -1.9431338, -1.8807936, -1.8250068, -1.7743819, -1.7279343, -1.6849408,
+    -1.6448536, -1.6072479, -1.5717868, -1.5381989, -1.5062617, -1.475791,
+    -1.4466321, -1.4186537, -1.3917438, -1.3658056, -1.340755, -1.3165187,
+    -1.293032, -1.2702376, -1.2480848, -1.2265281, -1.2055268, -1.1850441,
+    -1.1650469, -1.1455051, -1.1263911, -1.1076801, -1.089349, -1.0713769,
+    -1.0537443, -1.0364334, -1.0194276, -1.0027117, -0.9862713, -0.9700933,
+    -0.9541653, -0.9384757, -0.9230138, -0.9077695, -0.8927333, -0.8778963,
+    -0.8632501, -0.8487867, -0.8344987, -0.8203791, -0.8064212, -0.7926187,
+    -0.7789656, -0.7654561, -0.7520849, -0.7388468, -0.725737, -0.7127508,
+    -0.6998836, -0.6871313, -0.6744898, -0.6619551, -0.6495236, -0.6371917,
+    -0.6249559, -0.612813, -0.6007598, -0.5887932, -0.5769104, -0.5651085,
+    -0.5533847, -0.5417366, -0.5301614, -0.5186569, -0.5072207, -0.4958503,
+    -0.4845438, -0.4732988, -0.4621134, -0.4509855, -0.4399132, -0.4288945,
+    -0.4179277, -0.4070109, -0.3961424, -0.3853205, -0.3745435, -0.3638099,
+    -0.353118, -0.3424663, -0.3318533, -0.3212776, -0.3107377, -0.3002323,
+    -0.2897598, -0.279319, -0.2689086, -0.2585273, -0.2481737, -0.2378467,
+    -0.227545, -0.2172674, -0.2070126, -0.1967796, -0.1865672, -0.1763742,
+    -0.1661994, -0.1560419, -0.1459004, -0.1357739, -0.1256613, -0.1155616,
+    -0.1054736, -0.0953964, -0.0853288, -0.0752699, -0.0652185, -0.0551738,
+    -0.0451346, -0.0351, -0.0250689, -0.0150403, -0.0050133, 0.0050133,
+    0.0150403, 0.0250689, 0.0351, 0.0451346, 0.0551738, 0.0652185,
+    0.0752699, 0.0853288, 0.0953964, 0.1054736, 0.1155616, 0.1256613,
+    0.1357739, 0.1459004, 0.1560419, 0.1661994, 0.1763742, 0.1865672,
+    0.1967796, 0.2070126, 0.2172674, 0.227545, 0.2378467, 0.2481737,
+    0.2585273, 0.2689086, 0.279319, 0.2897598, 0.3002323, 0.3107377,
+    0.3212776, 0.3318533, 0.3424663, 0.353118, 0.3638099, 0.3745435,
+    0.3853205, 0.3961424, 0.4070109, 0.4179277, 0.4288945, 0.4399132,
+    0.4509855, 0.4621134, 0.4732988, 0.4845438, 0.4958503, 0.5072207,
+    0.5186569, 0.5301614, 0.5417366, 0.5533847, 0.5651085, 0.5769104,
+    0.5887932, 0.6007598, 0.612813, 0.6249559, 0.6371917, 0.6495236,
+    0.6619551, 0.6744898, 0.6871313, 0.6998836, 0.7127508, 0.725737,
+    0.7388468, 0.7520849, 0.7654561, 0.7789656, 0.7926187, 0.8064212,
+    0.8203791, 0.8344987, 0.8487867, 0.8632501, 0.8778963, 0.8927333,
+    0.9077695, 0.9230138, 0.9384757, 0.9541653, 0.9700933, 0.9862713,
+    1.0027117, 1.0194276, 1.0364334, 1.0537443, 1.0713769, 1.089349,
+    1.1076801, 1.1263911, 1.1455051, 1.1650469, 1.1850441, 1.2055268,
+    1.2265281, 1.2480848, 1.2702376, 1.293032, 1.3165187, 1.340755,
+    1.3658056, 1.3917438, 1.4186537, 1.4466321, 1.475791, 1.5062617,
+    1.5381989, 1.5717868, 1.6072479, 1.6448536, 1.6849408, 1.7279343,
+    1.7743819, 1.8250068, 1.8807936, 1.9431338, 2.0140908, 2.0969274,
+    2.1972864, 2.3263479, 2.5121443, 2.8781617)
+
+  private val HashMod = 1000000007L   // the corpus-wide rolling-hash modulus
+  private val Knuth = 2654435761L     // 2^32 * golden ratio (exec.Sampling)
+  private val ZBuckets = 250
+
+  /** Deterministic bootstrap 95% confidence intervals for Bradley-Terry
+    * ratings: B replicates resample each directed edge count as
+    * round(N(n, n)) clipped at 0 — the large-count limit of the Poisson
+    * count bootstrap (judgments are iid multinomial draws; per-edge
+    * counts are asymptotically independent Poisson(n), and Poisson(n) ~
+    * N(n, n)) — then refit the MM per replicate and take order-statistic
+    * quantiles of the replicate ratings per item.
+    *
+    * Every draw is a pure function of (winner, loser, replicate): the
+    * rolling hash of both endpoint strings mixes with the replicate id
+    * through the Knuth multiplicative step into one of 250 buckets, and
+    * the bucket indexes the literal z-quantile table. No RNG state, no
+    * partition dependence — the oracle replays the identical draws.
+    *
+    * Scale shape: the draw table is K^2 x B rows (K = rated items) and
+    * each MM iteration is two broadcast-joins + one hash aggregate over
+    * it — cost is independent of judgment VOLUME, which only ever
+    * enters through the aggregated counts. An item absent from a
+    * replicate (every edge drawn to 0) contributes gamma = 0 to its
+    * quantiles, the resampling analogue of "never observed".
+    *
+    * Returns (item, lo, hi): the loRank-th and hiRank-th smallest of the
+    * B replicate ratings, ties broken by replicate id. Callers pick the
+    * ranks (for B = 100 at 95%: 3 and 98 — the conservative symmetric
+    * order-statistic interval).
+    */
+  def btBootstrapCi(comparisons: DataFrame, iters: Int, reps: Int,
+                    loRank: Int, hiRank: Int): DataFrame = {
+    require(reps >= 2 && loRank >= 1 && hiRank <= reps && loRank < hiRank,
+      s"bad bootstrap spec: reps=$reps loRank=$loRank hiRank=$hiRank")
+    val session = comparisons.sparkSession
+    import session.implicits._
+    val comp = comparisons.localCheckpoint()
+    val items = comp.select(col("winner").as("item"))
+      .unionAll(comp.select(col("loser").as("item"))).distinct()
+    val hashed = items
+      .withColumn("h", TextAnalysis.fingerprint(col("item")))
+      .localCheckpoint()
+    val repsDf = (0L until reps.toLong).toDF("b")
+    val zt = ZTable.zipWithIndex.map { case (z, i) => (i.toLong, z) }
+      .toSeq.toDF("zb", "z")
+    // per (edge, replicate): bucket = Knuth-mixed hash of the two
+    // endpoint hashes and the replicate id; z from the literal table;
+    // resampled count = round(n + sqrt(n) * z) clipped at 0
+    val key0 = pmod(col("hw") * lit(31L) + col("hl"), lit(HashMod))
+    val bucket = pmod(
+      pmod(key0 * lit(131071L) + col("b"), lit(HashMod)) * lit(Knuth),
+      lit(ZBuckets.toLong))
+    val nD = col("n").cast(DoubleType)
+    val drawn = comp
+      .join(hashed.select(col("item").as("winner"), col("h").as("hw")), Seq("winner"))
+      .join(hashed.select(col("item").as("loser"), col("h").as("hl")), Seq("loser"))
+      .crossJoin(broadcast(repsDf))
+      .join(broadcast(zt), zt("zb") === bucket)
+      .select(col("b"), col("winner"), col("loser"),
+        greatest(lit(0L), floor(nD + sqrt(nD) * col("z") + lit(0.5))).as("n"))
+      .filter(col("n") > 0)
+    val itemsb = items.crossJoin(broadcast(repsDf))
+    val gfin = btFitGrouped(drawn, itemsb, iters)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("gamma").asc, col("b").asc)
+    gfin.withColumn("rn", row_number().over(w))
+      .groupBy("item")
+      .agg(max(when(col("rn") === loRank, col("gamma"))).as("lo"),
+        max(when(col("rn") === hiRank, col("gamma"))).as("hi"))
+  }
+
+  /** The [[btRatings]] MM fit run independently per replicate `b`:
+    * identical arithmetic (quantized exact sums, w/S updates) with the
+    * replicate id carried through every key. Input `dcomp` is the
+    * resampled directed outcome table (b, winner, loser, n); `itemsb`
+    * the full item x replicate grid. Items that lost every edge in a
+    * replicate come back with gamma = 0 (left-join coalesce) so every
+    * grid cell has exactly one rating. */
+  private def btFitGrouped(dcomp: DataFrame, itemsb: DataFrame,
+                           iters: Int): DataFrame = {
+    def qsum(c: org.apache.spark.sql.Column) =
+      sum(floor(c * lit(1e7) + lit(0.5)).cast(DecimalType(27, 0)))
+        .cast(DoubleType) / lit(1e7)
+    val symb = dcomp
+      .select(col("b"), col("winner").as("i"), col("loser").as("j"), col("n"))
+      .unionAll(dcomp
+        .select(col("b"), col("loser").as("i"), col("winner").as("j"), col("n")))
+      .groupBy("b", "i", "j").agg(sum("n").as("n"))
+      .localCheckpoint()
+    val winsb = itemsb
+      .join(dcomp.groupBy(col("b"), col("winner").as("item"))
+        .agg(sum("n").as("w0")), Seq("item", "b"), "left")
+      .select(col("item"), col("b"), coalesce(col("w0"), lit(0L)).as("w"))
+      .localCheckpoint()
+    var g = itemsb.select(col("item"), col("b"), lit(1.0).as("gamma"))
+    for (_ <- 1 to iters) {
+      val s = symb
+        .join(g.select(col("b"), col("item").as("i"), col("gamma").as("gi")),
+          Seq("b", "i"))
+        .join(g.select(col("b"), col("item").as("j"), col("gamma").as("gj")),
+          Seq("b", "j"))
+        .groupBy(col("b"), col("i").as("item"))
+        .agg(qsum(col("n") / (col("gi") + col("gj"))).as("s"))
+      g = winsb.join(s, Seq("item", "b"))
+        .select(col("item"), col("b"),
+          (col("w").cast(DoubleType) / col("s")).as("gamma"))
+        .localCheckpoint()
+    }
+    itemsb.join(g, Seq("item", "b"), "left")
+      .select(col("item"), col("b"),
+        coalesce(col("gamma"), lit(0.0)).as("gamma"))
+  }
 }

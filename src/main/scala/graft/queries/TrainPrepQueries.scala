@@ -1693,6 +1693,100 @@ object TrainPrepQueries {
        |    AS rank
        |FROM g3 JOIN wins wi USING (item) JOIN tot USING (item)""".stripMargin
 
+  // ---------------------------------------------------------------- q_bt_ci
+
+  /** Bootstrap 95% confidence intervals for the Bradley–Terry
+    * leaderboard — the number an Arena-style ranking is dishonest
+    * without: point strengths from sparse pairwise data mislead exactly
+    * when the interval is wide. 100 deterministic replicates resample
+    * each directed edge count as round(N(n, n)) clipped at 0 (the
+    * large-count limit of the Poisson count bootstrap), refit the full
+    * 3-iteration MM per replicate, and take the 3rd/98th order
+    * statistics per item. Every draw is a pure hash of (winner, loser,
+    * replicate) against a literal z-quantile table (the NDCG
+    * discount-table discipline — no engine-side transcendentals), so
+    * the oracle replays all 100 refits bit-identically.
+    *
+    * Scale shape: the replicate table is K² × 100 rows (K = rated
+    * items) — independent of judgment volume, which enters only through
+    * the aggregated counts. See [[graft.ext.Preference.btBootstrapCi]].
+    */
+  def qBtCi(s: SparkSession, dir: String): DataFrame = {
+    val comp = prefComparisons(s, dir).localCheckpoint()
+    val point = graft.ext.Preference.btRatings(comp, iters = 3)
+    val ci = graft.ext.Preference.btBootstrapCi(comp, iters = 3,
+      reps = 100, loRank = 3, hiRank = 98)
+    point.join(ci, Seq("item"))
+      .select(col("item"), col("n_wins"), col("n_comparisons"),
+        Oracle.q6(col("gamma")).as("rating_q6"),
+        Oracle.q6(col("lo")).as("lo_q6"),
+        Oracle.q6(col("hi")).as("hi_q6"),
+        Oracle.q6(col("hi") - col("lo")).as("width_q6"))
+  }
+
+  /** The z-quantile literal table, rendered from the SAME Scala constant
+    * the engine uses — identical literals on both sides by construction. */
+  private lazy val ztValuesSql: String =
+    graft.ext.Preference.ZTable.zipWithIndex
+      .map { case (z, i) => s"($i, CAST($z AS DOUBLE))" }.mkString(",\n  ")
+
+  private def btMmIterGrouped(prev: String): String =
+    s"""SELECT s.i AS item, s.b, wi.w / (CAST(sum(CAST(floor(
+       |    s.n / (gi.gamma + gj.gamma) * 10000000.0 + 0.5)
+       |    AS DECIMAL(27,0))) AS DOUBLE) / 10000000.0) AS gamma
+       |  FROM symb s JOIN $prev gi ON s.i = gi.item AND s.b = gi.b
+       |  JOIN $prev gj ON s.j = gj.item AND s.b = gj.b
+       |  JOIN winsb wi ON wi.item = s.i AND wi.b = s.b
+       |  GROUP BY s.i, s.b, wi.w""".stripMargin
+
+  val qBtCiSql: String =
+    s"""WITH $btCompCte,
+       |$btFitCtes,
+       |zt AS (SELECT * FROM (VALUES $ztValuesSql) t(zb, z)),
+       |reps AS (SELECT unnest(range(0, 100))::BIGINT AS b),
+       |sh AS (SELECT item, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(range(1, length(lower(trim(item))) + 1),
+       |      i -> ascii(lower(trim(item))[i])::BIGINT)),
+       |    (a, c) -> (a * 31 + c) % 1000000007) AS h FROM items),
+       |draws AS (SELECT r.b, c.winner, c.loser,
+       |  greatest(0, CAST(floor(CAST(c.n AS DOUBLE)
+       |    + sqrt(CAST(c.n AS DOUBLE)) * zt.z + CAST(0.5 AS DOUBLE))
+       |    AS BIGINT)) AS n
+       | FROM comp c
+       | JOIN sh hw ON hw.item = c.winner
+       | JOIN sh hl ON hl.item = c.loser
+       | CROSS JOIN reps r
+       | JOIN zt ON zt.zb = (((((hw.h * 31 + hl.h) % 1000000007) * 131071
+       |    + r.b) % 1000000007) * 2654435761) % 250),
+       |dcomp AS (SELECT * FROM draws WHERE n > 0),
+       |symb AS (SELECT b, i, j, sum(n)::BIGINT AS n FROM (
+       |  SELECT b, winner AS i, loser AS j, n FROM dcomp
+       |  UNION ALL SELECT b, loser AS i, winner AS j, n FROM dcomp)
+       | GROUP BY 1, 2, 3),
+       |itemsb AS (SELECT it.item, r.b FROM items it CROSS JOIN reps r),
+       |winsb AS (SELECT ib.item, ib.b, coalesce(sum(d.n), 0)::BIGINT AS w
+       | FROM itemsb ib LEFT JOIN dcomp d ON d.winner = ib.item AND d.b = ib.b
+       | GROUP BY 1, 2),
+       |bg0 AS (SELECT item, b, CAST(1.0 AS DOUBLE) AS gamma FROM itemsb),
+       |bg1 AS (${btMmIterGrouped("bg0")}),
+       |bg2 AS (${btMmIterGrouped("bg1")}),
+       |bg3 AS (${btMmIterGrouped("bg2")}),
+       |bfin AS (SELECT ib.item, ib.b,
+       |  coalesce(g.gamma, CAST(0.0 AS DOUBLE)) AS gamma
+       | FROM itemsb ib LEFT JOIN bg3 g ON g.item = ib.item AND g.b = ib.b),
+       |ranked AS (SELECT item, b, gamma,
+       |  row_number() OVER (PARTITION BY item ORDER BY gamma ASC, b ASC) AS rn
+       | FROM bfin),
+       |ci AS (SELECT item, max(CASE WHEN rn = 3 THEN gamma END) AS lo,
+       |  max(CASE WHEN rn = 98 THEN gamma END) AS hi FROM ranked GROUP BY 1)
+       |SELECT g3.item, wi.w AS n_wins, tot.n_comparisons,
+       |  ${Oracle.sqlQ6("g3.gamma")} AS rating_q6,
+       |  ${Oracle.sqlQ6("ci.lo")} AS lo_q6,
+       |  ${Oracle.sqlQ6("ci.hi")} AS hi_q6,
+       |  ${Oracle.sqlQ6("ci.hi - ci.lo")} AS width_q6
+       |FROM g3 JOIN wins wi USING (item) JOIN tot USING (item)
+       |JOIN ci USING (item)""".stripMargin
+
   // -------------------------------------- q_bt_calibration / q_pref_cycles
 
   /** Calibration of the Bradley–Terry fit: per unordered item pair, the
@@ -1974,6 +2068,7 @@ object TrainPrepQueries {
     "q_pref_pairs"         -> (qPrefPairs _),
     "q_bestof_n"           -> (qBestofN _),
     "q_bt_ratings"         -> (qBtRatings _),
+    "q_bt_ci"              -> (qBtCi _),
     "q_bt_calibration"     -> (qBtCalibration _),
     "q_pref_cycles"        -> (qPrefCycles _),
     "q_stream_pref_lifecycle" -> (qStreamPrefLifecycle _),
@@ -2020,6 +2115,7 @@ object TrainPrepQueries {
     "q_pref_pairs"         -> qPrefPairsSql,
     "q_bestof_n"           -> qBestofNSql,
     "q_bt_ratings"         -> qBtRatingsSql,
+    "q_bt_ci"              -> qBtCiSql,
     "q_bt_calibration"     -> qBtCalibrationSql,
     "q_pref_cycles"        -> qPrefCyclesSql,
     "q_stream_pref_lifecycle" -> qStreamPrefLifecycleSql,

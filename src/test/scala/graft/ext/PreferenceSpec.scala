@@ -84,6 +84,28 @@ class PreferenceSpec extends AnyFunSuite {
     assert(out("A") == 2.0 && out("B") == 0.0 && out("C") == 0.0)
   }
 
+  test("btBootstrapCi: deterministic, ordered bounds, zero-win items pin to zero") {
+    val comp = Seq(("A", "B", 30L), ("B", "A", 10L), ("A", "C", 5L))
+      .toDF("winner", "loser", "n")
+    val ci = Preference.btBootstrapCi(comp, iters = 3, reps = 100,
+      loRank = 3, hiRank = 98)
+    val out = ci.collect().map(r => r.getAs[String]("item") ->
+      ((r.getAs[Double]("lo"), r.getAs[Double]("hi")))).toMap
+    assert(out.keySet == Set("A", "B", "C"))
+    out.values.foreach { case (lo, hi) => assert(lo >= 0.0 && lo <= hi) }
+    // C never wins: every replicate rates it 0, so the interval is [0, 0]
+    assert(out("C") == ((0.0, 0.0)))
+    // A dominates B 3:1 — its interval should sit above B's
+    assert(out("A")._1 > out("B")._2,
+      s"A's lower bound must clear B's upper: $out")
+    // pure hash draws: a second run is bit-identical
+    val again = Preference.btBootstrapCi(comp, iters = 3, reps = 100,
+      loRank = 3, hiRank = 98).collect()
+      .map(r => r.getAs[String]("item") ->
+        ((r.getAs[Double]("lo"), r.getAs[Double]("hi")))).toMap
+    assert(again == out)
+  }
+
   test("q_bt_ratings: ranks are a permutation and wins are bounded by comparisons") {
     val rows = graft.queries.TrainPrepQueries.qBtRatings(spark, "/root/testdata/sf0.001")
       .collect()
