@@ -20,8 +20,13 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * Layout (same delta/tombstone discipline as [[ChunkIndex]], whose
   * two-marker compaction protocol this index reuses verbatim):
   *
-  *   base/edges/batch_id=N/  (winner, loser, n)  per-batch counts
+  *   base/edges/batch_id=N/  (winner, loser, n)  per-batch win counts
+  *   base/ties/batch_id=N/   (a, b, n), a < b    per-batch draw counts
   *   base/tombs/batch_id=N/  (item)              withdrawn items
+  *
+  * Draws ([[appendJudgments]]/[[runJudgments]]/[[ties]]) feed the
+  * Rao-Kupper tie-aware fit ([[Preference.rkRatings]]); win-only
+  * callers never touch the ties table and behave exactly as before.
   *
   * WITHDRAWAL IS PERMANENT (delete-wins, the [[SimilarityIndex]]
   * contract, NOT ChunkIndex's revive-on-reappend): a withdrawn item
@@ -42,6 +47,12 @@ object PreferenceIndex {
 
   private val edgesSchema = StructType(Seq(
     StructField("winner", StringType), StructField("loser", StringType),
+    StructField("n", LongType), StructField("batch_id", LongType)))
+  // draws, canonical a < b — the Rao-Kupper tie matrix (see
+  // [[Preference.rkRatings]]); lives beside edges/ with the same delta
+  // discipline, so plain win-only indexes never materialize the dir
+  private val tiesSchema = StructType(Seq(
+    StructField("a", StringType), StructField("b", StringType),
     StructField("n", LongType), StructField("batch_id", LongType)))
   private val tombsSchema = StructType(Seq(
     StructField("item", StringType), StructField("batch_id", LongType)))
@@ -76,6 +87,37 @@ object PreferenceIndex {
         .groupBy("winner", "loser").agg(count(lit(1)).as("n")))
   }
 
+  /** Ingest one batch of judgments that may contain DRAWS: rows are
+    * (itemA, itemB, outcome) with outcome 'a' | 'b' | 'tie' (anything
+    * else raises row-level — silent judgment loss is never acceptable).
+    * Decided rows land as this batch's edges delta exactly like
+    * [[append]]; draws land as a ties delta in canonical (least,
+    * greatest) orientation. Same replay-idempotence: both deltas
+    * rewrite only their own batch_id partition. */
+  def appendJudgments(spark: SparkSession, base: String, batch: DataFrame,
+                      aCol: String, bCol: String, outcomeCol: String,
+                      batchId: Long): Unit = {
+    heal(spark, base)
+    val typed = batch.select(
+      col(aCol).cast(StringType).as("ia"), col(bCol).cast(StringType).as("ib"),
+      when(col(outcomeCol).isin("a", "b", "tie"), col(outcomeCol))
+        .otherwise(raise_error(concat(
+          lit("appendJudgments: outcome must be 'a'|'b'|'tie', got "),
+          coalesce(col(outcomeCol).cast(StringType), lit("NULL")))))
+        .as("oc"))
+    writeDelta(base, "edges", batchId,
+      typed.filter(col("oc") =!= "tie")
+        .select(
+          when(col("oc") === "a", col("ia")).otherwise(col("ib")).as("winner"),
+          when(col("oc") === "a", col("ib")).otherwise(col("ia")).as("loser"))
+        .groupBy("winner", "loser").agg(count(lit(1)).as("n")))
+    writeDelta(base, "ties", batchId,
+      typed.filter(col("oc") === "tie")
+        .select(least(col("ia"), col("ib")).as("a"),
+          greatest(col("ia"), col("ib")).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n")))
+  }
+
   /** Withdraw items from the arena: O(|items|) tombstone append; no edge
     * partition is rewritten. Permanent until the next [[compact]]. */
   def withdraw(spark: SparkSession, base: String, items: DataFrame,
@@ -96,6 +138,20 @@ object PreferenceIndex {
       .join(tombs.select(col("item").as("winner")), Seq("winner"), "left_anti")
       .join(tombs.select(col("item").as("loser")), Seq("loser"), "left_anti")
       .groupBy("winner", "loser").agg(sum("n").as("n"))
+  }
+
+  /** The live tie matrix (a, b, n), a < b — delta counts summed under
+    * the SAME delete-wins masking as [[matrix]]: a draw touching a
+    * withdrawn item is dead regardless of batch order. Empty for
+    * win-only indexes. */
+  def ties(spark: SparkSession, base: String): DataFrame = {
+    heal(spark, base)
+    val tombs = readOr(spark, s"$base/tombs", tombsSchema)
+      .select(col("item")).distinct()
+    readOr(spark, s"$base/ties", tiesSchema)
+      .join(tombs.select(col("item").as("a")), Seq("a"), "left_anti")
+      .join(tombs.select(col("item").as("b")), Seq("b"), "left_anti")
+      .groupBy("a", "b").agg(sum("n").as("n"))
   }
 
   /** Observability: physical layout vs logical content, and whether read
@@ -135,6 +191,20 @@ object PreferenceIndex {
           baseBatch + batchId)
       }
 
+  /** [[run]] for judgment streams that may contain draws — each
+    * micro-batch goes through [[appendJudgments]] (edges + ties deltas
+    * under one batch id). */
+  def runJudgments(stream: DataFrame, base: String, aCol: String,
+                   bCol: String, outcomeCol: String, checkpoint: String,
+                   baseBatch: Long = 0L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendJudgments(batch.sparkSession, base, batch, aCol, bCol,
+          outcomeCol, baseBatch + batchId)
+      }
+
   // ------------------------------------------------------------- compaction
 
   private def fs(spark: SparkSession) = org.apache.hadoop.fs.FileSystem.get(
@@ -164,14 +234,16 @@ object PreferenceIndex {
   private def dropBatches(spark: SparkSession, base: String,
                           pred: Long => Boolean): Unit = {
     val f = fs(spark)
-    val dir = new org.apache.hadoop.fs.Path(s"$base/edges")
-    if (f.exists(dir))
-      f.listStatus(dir).foreach { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("batch_id=") &&
-            pred(name.stripPrefix("batch_id=").toLong))
-          f.delete(st.getPath, true)
-      }
+    Seq("edges", "ties").foreach { table =>
+      val dir = new org.apache.hadoop.fs.Path(s"$base/$table")
+      if (f.exists(dir))
+        f.listStatus(dir).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("batch_id=") &&
+              pred(name.stripPrefix("batch_id=").toLong))
+            f.delete(st.getPath, true)
+        }
+    }
   }
 
   /** Roll an interrupted compaction forward (commit marker present) or
@@ -197,11 +269,16 @@ object PreferenceIndex {
     * streaming with `baseBatch` above it. */
   def compact(spark: SparkSession, base: String): Long = {
     heal(spark, base)
-    val c = readOr(spark, s"$base/edges", edgesSchema)
-      .agg(coalesce(max("batch_id"), lit(-1L))).head.getLong(0) + 1L
+    val c = math.max(
+      readOr(spark, s"$base/edges", edgesSchema)
+        .agg(coalesce(max("batch_id"), lit(-1L))).head.getLong(0),
+      readOr(spark, s"$base/ties", tiesSchema)
+        .agg(coalesce(max("batch_id"), lit(-1L))).head.getLong(0)) + 1L
     val folded = matrix(spark, base).localCheckpoint()
+    val foldedTies = ties(spark, base).localCheckpoint()
     writeMarker(spark, startMarker(base), c)
     writeDelta(base, "edges", c, folded)
+    writeDelta(base, "ties", c, foldedTies)
     writeMarker(spark, commitMarker(base), c)
     heal(spark, base)
     c

@@ -1787,6 +1787,139 @@ object TrainPrepQueries {
        |FROM g3 JOIN wins wi USING (item) JOIN tot USING (item)
        |JOIN ci USING (item)""".stripMargin
 
+  // ------------------------------------------------------ q_bt_ratings_ties
+
+  /** Per user group: the best-vs-worst outcome with its decision flag —
+    * margin >= 200 is a decided win, a smaller margin between DISTINCT
+    * types is a DRAW (the judgment saw no meaningful difference). The
+    * tie-aware twin of [[prefOutcomes]]. */
+  private def prefOutcomesTies(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("nc"),
+        expr("max_by(event_type, struct(value, -event_id))").as("winner"),
+        max(col("value")).as("bv"),
+        expr("min_by(event_type, struct(value, event_id))").as("loser"),
+        min(col("value")).as("wv"))
+      .filter(col("nc") >= 2 && col("winner") =!= col("loser"))
+      .select(col("user_id"), col("winner"), col("loser"),
+        (col("bv") - col("wv") >= 200.0).as("decided"))
+
+  /** Tie-aware Bradley–Terry leaderboard (Rao–Kupper model): draws —
+    * user groups whose best/worst margin is under the decision
+    * threshold — are first-class observations instead of being thrown
+    * away, and the fitted tie parameter theta quantifies how much draw
+    * mass the tournament carries. Three MM iterations
+    * ([[graft.ext.Preference.rkRatings]]); the oracle replays the FULL
+    * fit — augmented edge list, both per-item sums, and the closed-form
+    * theta update with its IEEE-exact sqrt — so ratings AND theta are
+    * hash-certified. */
+  def qBtRatingsTies(s: SparkSession, dir: String): DataFrame = {
+    val o = prefOutcomesTies(s, dir).localCheckpoint()
+    val comp = o.filter(col("decided"))
+      .groupBy("winner", "loser").agg(count(lit(1)).as("n"))
+    val tie = o.filter(!col("decided"))
+      .select(least(col("winner"), col("loser")).as("a"),
+        greatest(col("winner"), col("loser")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val rated = graft.ext.Preference.rkRatings(comp, tie, iters = 3)
+      .withColumn("rating_q6", Oracle.q6(col("gamma")))
+      .withColumn("theta_q6", Oracle.q6(col("theta")))
+    graft.exec.Ranks.globalRowNumber(rated,
+        Seq(col("gamma").desc, col("item").asc), out = "rank")
+      .select(col("item"), col("n_wins"), col("n_ties"),
+        col("n_comparisons"), col("rating_q6"), col("theta_q6"), col("rank"))
+  }
+
+  private def rkQsum(v: String): String =
+    s"CAST(sum(CAST(floor(($v) * 10000000.0 + 0.5) AS DECIMAL(27,0))) " +
+      "AS DOUBLE) / 10000000.0"
+
+  /** One unrolled Rao–Kupper MM iteration: the per-item sum over both
+    * directed roles, the gamma update, then C and the closed-form theta
+    * root — every accumulation through the quantized exact sum. */
+  private def rkIterCtes(k: Int): String = {
+    val gp = s"rg${k - 1}"; val tp = s"rt${k - 1}"
+    s"""rs$k AS MATERIALIZED (SELECT item, ${rkQsum("v")} AS s FROM (
+       |  SELECT d.i AS item, d.a / (gi.gamma + th.t * gj.gamma) AS v
+       |   FROM adir d JOIN $gp gi ON d.i = gi.item
+       |   JOIN $gp gj ON d.j = gj.item CROSS JOIN $tp th
+       |  UNION ALL
+       |  SELECT d.j AS item, d.a * th.t / (gi.gamma + th.t * gj.gamma) AS v
+       |   FROM adir d JOIN $gp gi ON d.i = gi.item
+       |   JOIN $gp gj ON d.j = gj.item CROSS JOIN $tp th)
+       | GROUP BY item),
+       |rg$k AS MATERIALIZED (SELECT a.item, a.A / s.s AS gamma
+       |  FROM bigA a JOIN rs$k s USING (item)),
+       |rc$k AS MATERIALIZED (SELECT ${rkQsum("v")} AS c FROM (
+       |  SELECT (d.a * gj.gamma) / (gi.gamma + th.t * gj.gamma) AS v
+       |   FROM adir d JOIN rg$k gi ON d.i = gi.item
+       |   JOIN rg$k gj ON d.j = gj.item CROSS JOIN $tp th)),
+       |rt$k AS MATERIALIZED (SELECT CASE WHEN c.c > 0 THEN (CAST(tt.T AS DOUBLE)
+       |    + sqrt(CAST(tt.T AS DOUBLE) * CAST(tt.T AS DOUBLE) + c.c * c.c))
+       |    / c.c ELSE CAST(1.0 AS DOUBLE) END AS t
+       |  FROM rc$k c CROSS JOIN tt)""".stripMargin
+  }
+
+  /** Shared oracle CTEs: tie-aware outcome extraction + augmented edge
+    * list + the 3-iteration unrolled Rao–Kupper fit. `extraPred` masks
+    * per-user outcomes exactly like [[btCompCteWhere]]. */
+  private def rkFitCtesWhere(extraPred: String): String =
+    s"""r AS MATERIALIZED (SELECT user_id, event_type, event_id, value,
+       |  row_number() OVER (PARTITION BY user_id
+       |    ORDER BY value DESC, event_id ASC) AS rb,
+       |  row_number() OVER (PARTITION BY user_id
+       |    ORDER BY value ASC, event_id ASC) AS rw,
+       |  count(*) OVER (PARTITION BY user_id) AS nc
+       | FROM events WHERE value IS NOT NULL),
+       |o AS MATERIALIZED (SELECT b.user_id, b.event_type AS winner, w.event_type AS loser,
+       |  (b.value - w.value >= 200.0) AS decided
+       | FROM (SELECT * FROM r WHERE rb = 1) b
+       | JOIN (SELECT * FROM r WHERE rw = 1) w USING (user_id)
+       | WHERE b.nc >= 2 AND b.event_type <> w.event_type$extraPred),
+       |comp AS MATERIALIZED (SELECT winner, loser, count(*)::BIGINT AS n FROM o
+       | WHERE decided GROUP BY 1, 2),
+       |tcomp AS MATERIALIZED (SELECT least(winner, loser) AS a, greatest(winner, loser) AS b,
+       |  count(*)::BIGINT AS n FROM o WHERE NOT decided GROUP BY 1, 2),
+       |adir AS MATERIALIZED (SELECT i, j, sum(n)::BIGINT AS a FROM (
+       |  SELECT winner AS i, loser AS j, n FROM comp
+       |  UNION ALL SELECT a AS i, b AS j, n FROM tcomp
+       |  UNION ALL SELECT b AS i, a AS j, n FROM tcomp) GROUP BY 1, 2),
+       |items AS MATERIALIZED (SELECT DISTINCT item FROM (
+       |  SELECT i AS item FROM adir UNION ALL SELECT j AS item FROM adir)),
+       |bigA AS MATERIALIZED (SELECT it.item, coalesce(sum(d.a), 0)::BIGINT AS A
+       | FROM items it LEFT JOIN adir d ON d.i = it.item GROUP BY 1),
+       |tt AS (SELECT coalesce(sum(n), 0)::BIGINT AS T FROM tcomp),
+       |wins AS (SELECT winner AS item, sum(n)::BIGINT AS w FROM comp GROUP BY 1),
+       |losses AS (SELECT loser AS item, sum(n)::BIGINT AS l FROM comp GROUP BY 1),
+       |tby AS (SELECT item, sum(n)::BIGINT AS t FROM (
+       |  SELECT a AS item, n FROM tcomp UNION ALL SELECT b AS item, n FROM tcomp)
+       | GROUP BY 1),
+       |rg0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS gamma FROM items),
+       |rt0 AS (SELECT CAST(1.0 AS DOUBLE) AS t),
+       |${rkIterCtes(1)},
+       |${rkIterCtes(2)},
+       |${rkIterCtes(3)}""".stripMargin
+
+  private val rkFinalSelect: String =
+    s"""SELECT g.item, coalesce(wi.w, 0)::BIGINT AS n_wins,
+       |  coalesce(tb.t, 0)::BIGINT AS n_ties,
+       |  (coalesce(wi.w, 0) + coalesce(tb.t, 0) + coalesce(lo.l, 0))::BIGINT
+       |    AS n_comparisons,
+       |  ${Oracle.sqlQ6("g.gamma")} AS rating_q6,
+       |  ${Oracle.sqlQ6("th.t")} AS theta_q6,
+       |  row_number() OVER (ORDER BY g.gamma DESC, g.item ASC)::BIGINT AS rank
+       |FROM rg3 g CROSS JOIN rt3 th
+       |LEFT JOIN wins wi ON wi.item = g.item
+       |LEFT JOIN tby tb ON tb.item = g.item
+       |LEFT JOIN losses lo ON lo.item = g.item""".stripMargin
+
+  val qBtRatingsTiesSql: String =
+    s"""WITH ${rkFitCtesWhere("")}
+       |$rkFinalSelect""".stripMargin
+
   // -------------------------------------- q_bt_calibration / q_pref_cycles
 
   /** Calibration of the Bradley–Terry fit: per unordered item pair, the
@@ -2069,6 +2202,7 @@ object TrainPrepQueries {
     "q_bestof_n"           -> (qBestofN _),
     "q_bt_ratings"         -> (qBtRatings _),
     "q_bt_ci"              -> (qBtCi _),
+    "q_bt_ratings_ties"    -> (qBtRatingsTies _),
     "q_bt_calibration"     -> (qBtCalibration _),
     "q_pref_cycles"        -> (qPrefCycles _),
     "q_stream_pref_lifecycle" -> (qStreamPrefLifecycle _),
@@ -2116,6 +2250,7 @@ object TrainPrepQueries {
     "q_bestof_n"           -> qBestofNSql,
     "q_bt_ratings"         -> qBtRatingsSql,
     "q_bt_ci"              -> qBtCiSql,
+    "q_bt_ratings_ties"    -> qBtRatingsTiesSql,
     "q_bt_calibration"     -> qBtCalibrationSql,
     "q_pref_cycles"        -> qPrefCyclesSql,
     "q_stream_pref_lifecycle" -> qStreamPrefLifecycleSql,

@@ -66,6 +66,51 @@ class PreferenceIndexSpec extends AnyFunSuite {
     assert(matrixSet(base) == Set(("a", "c", 1L), ("b", "a", 1L)))
   }
 
+  test("judgments with draws: tie deltas fold, survive unrelated withdrawal, die with their endpoint") {
+    val base = freshBase()
+    val j1 = Seq(("a", "b", "a"), ("a", "b", "tie"), ("b", "a", "tie"),
+      ("b", "c", "b"), ("a", "c", "tie")).toDF("x", "y", "oc")
+    PreferenceIndex.appendJudgments(spark, base, j1, "x", "y", "oc", batchId = 0L)
+    // ties canonicalize to (least, greatest): (a,b) twice, (a,c) once
+    def tieSet() = PreferenceIndex.ties(spark, base)
+      .as[(String, String, Long)].collect().toSet
+    assert(tieSet() == Set(("a", "b", 2L), ("a", "c", 1L)))
+    assert(matrixSet(base) == Set(("a", "b", 1L), ("c", "b", 1L)))
+    // withdrawing d (unrelated) leaves every tie; withdrawing c kills
+    // ONLY ties touching c — delete-wins on both endpoints
+    PreferenceIndex.withdraw(spark, base, Seq("c").toDF("item"), "item",
+      batchId = 1L)
+    assert(tieSet() == Set(("a", "b", 2L)))
+    assert(matrixSet(base) == Set(("a", "b", 1L)))
+    // delete-wins: later tie judgments touching c stay dead
+    PreferenceIndex.appendJudgments(spark, base,
+      Seq(("c", "a", "tie"), ("a", "b", "tie")).toDF("x", "y", "oc"),
+      "x", "y", "oc", batchId = 2L)
+    assert(tieSet() == Set(("a", "b", 3L)))
+    // compaction folds BOTH tables and retires the tombstone
+    val folded = PreferenceIndex.compact(spark, base)
+    assert(tieSet() == Set(("a", "b", 3L)))
+    assert(matrixSet(base) == Set(("a", "b", 1L)))
+    // replayed judgment batch post-compact: idempotent per partition
+    PreferenceIndex.appendJudgments(spark, base,
+      Seq(("b", "c", "tie")).toDF("x", "y", "oc"), "x", "y", "oc",
+      batchId = folded + 1L)
+    PreferenceIndex.appendJudgments(spark, base,
+      Seq(("b", "c", "tie")).toDF("x", "y", "oc"), "x", "y", "oc",
+      batchId = folded + 1L)
+    assert(tieSet() == Set(("a", "b", 3L), ("b", "c", 1L)))
+  }
+
+  test("appendJudgments raises on an unknown outcome value") {
+    val base = freshBase()
+    val bad = Seq(("a", "b", "draw")).toDF("x", "y", "oc")
+    val e = intercept[Exception] {
+      PreferenceIndex.appendJudgments(spark, base, bad, "x", "y", "oc", 0L)
+    }
+    assert(e.getMessage.contains("outcome") ||
+      e.getCause != null && e.getCause.getMessage.contains("outcome"))
+  }
+
   test("a corrupt edges partition fails loudly instead of reading as empty") {
     // A read failure that is NOT a missing path must propagate: if it
     // were swallowed as empty, compact() would fold a phantom-empty

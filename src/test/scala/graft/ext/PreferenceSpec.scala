@@ -106,6 +106,41 @@ class PreferenceSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("rkRatings: hand-computed two-item fit with ties; theta reflects draw mass") {
+    // A beats B twice, two draws. Iter 1 from (1,1,theta=1):
+    // a_AB = 4, a_BA = 2; S_A = 4/2 + 2/2 = 3 -> gamma_A = 4/3;
+    // S_B = 2/2 + 4/2 = 3 -> gamma_B = 2/3. C = 8/3 (both terms 4/3),
+    // theta = (2 + sqrt(4 + 64/9)) / (8/3) = 2 exactly (up to the
+    // quantized C).
+    val comp = Seq(("A", "B", 2L)).toDF("winner", "loser", "n")
+    val tie = Seq(("A", "B", 2L)).toDF("a", "b", "n")
+    val out = Preference.rkRatings(comp, tie, iters = 1).collect()
+      .map(r => r.getAs[String]("item") -> r).toMap
+    assert(math.abs(out("A").getAs[Double]("gamma") - 4.0 / 3) < 1e-6)
+    assert(math.abs(out("B").getAs[Double]("gamma") - 2.0 / 3) < 1e-6)
+    assert(math.abs(out("A").getAs[Double]("theta") - 2.0) < 1e-6)
+    assert(out("A").getAs[Long]("n_wins") == 2L)
+    assert(out("A").getAs[Long]("n_ties") == 2L)
+    assert(out("A").getAs[Long]("n_comparisons") == 4L)
+    assert(out("B").getAs[Long]("n_wins") == 0L)
+    assert(out("B").getAs[Long]("n_comparisons") == 4L)
+  }
+
+  test("rkRatings: zero ties reduces to plain BT (theta = 1)") {
+    val comp = Seq(("A", "B", 3L), ("B", "A", 1L)).toDF("winner", "loser", "n")
+    val empty = Seq.empty[(String, String, Long)].toDF("a", "b", "n")
+    val rk = Preference.rkRatings(comp, empty, iters = 3).collect()
+      .map(r => r.getAs[String]("item") ->
+        ((r.getAs[Double]("gamma"), r.getAs[Double]("theta")))).toMap
+    val bt = Preference.btRatings(comp, iters = 3).collect()
+      .map(r => r.getAs[String]("item") -> r.getAs[Double]("gamma")).toMap
+    rk.foreach { case (item, (gamma, theta)) =>
+      assert(math.abs(theta - 1.0) < 1e-9, s"theta must stay ~1: $theta")
+      assert(math.abs(gamma - bt(item)) < 1e-6,
+        s"$item: rk $gamma vs bt ${bt(item)}")
+    }
+  }
+
   test("q_bt_ratings: ranks are a permutation and wins are bounded by comparisons") {
     val rows = graft.queries.TrainPrepQueries.qBtRatings(spark, "/root/testdata/sf0.001")
       .collect()
