@@ -2096,6 +2096,86 @@ object TrainPrepQueries {
        |    AS rank
        |FROM g3 JOIN wins wi USING (item) JOIN tot USING (item)""".stripMargin
 
+  // ---------------------------------------------- q_stream_pref_readmit
+
+  /** The preference index driven through the RE-ADMISSION lifecycle the
+    * layout contract documents ("compact first, which retires the
+    * tombstone, then ingest" — [[graft.ext.PreferenceIndex]]) — with
+    * DRAWS as first-class judgments end to end:
+    *
+    *  1. even users' tie-aware outcomes (decided → 'a', small-margin →
+    *     'tie') stream through [[graft.ext.PreferenceIndex.runJudgments]]
+    *     (edges + ties deltas, Trigger.AvailableNow);
+    *  2. MID-STREAM, 'error' is withdrawn — its decided AND drawn
+    *     judgments die on both endpoints, including from the not-yet-
+    *     ingested odd leg (permanent delete-wins);
+    *  3. the odd users' outcomes land late and rerun on the SAME
+    *     checkpoint — 'error' edges and ties arrive masked;
+    *  4. [[graft.ext.PreferenceIndex.compact]] folds both tables and
+    *     RETIRES the tombstone;
+    *  5. RE-ADMISSION: the odd users' 'error'-involving judgments are
+    *     re-ingested through the same checkpointed stream above the
+    *     folded batch — the item re-enters the arena with exactly that
+    *     fresh record;
+    *  6. the tie-aware Rao–Kupper fit runs FROM the standing matrix +
+    *     tie table ([[graft.ext.Preference.rkRatings]], 3 iterations).
+    *
+    * The oracle replays outcomes where either no endpoint is 'error'
+    * (all users) or an endpoint is 'error' and the user is odd (the
+    * re-admitted record), then the full unrolled RK fit — a hash-pass
+    * proves streamed tie deltas, double-endpoint masking, compaction
+    * folding of BOTH tables, tombstone retirement, and post-compaction
+    * re-entry compose to a from-scratch leaderboard over exactly the
+    * surviving judgments. */
+  def qStreamPrefReadmit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Scratch.fresh(s, "streamprefre", dir)
+    val idx = s"$base/idx"
+    val js = prefOutcomesTies(s, dir)
+      .select(col("user_id"), col("winner").as("x"), col("loser").as("y"),
+        when(col("decided"), lit("a")).otherwise(lit("tie")).as("oc"))
+      .localCheckpoint()
+    val inDir = s"$base/in"
+    def runLeg(baseBatch: Long): Unit = {
+      val q = graft.ext.PreferenceIndex.runJudgments(
+          s.readStream.schema(js.schema).parquet(inDir), idx,
+          "x", "y", "oc", checkpoint = s"$base/ckpt", baseBatch = baseBatch)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    js.filter(col("user_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir)
+    runLeg(baseBatch = 0L)
+    graft.ext.PreferenceIndex.withdraw(s, idx,
+      s.createDataFrame(Seq(Tuple1("error"))).toDF("item"), "item",
+      batchId = 1L)
+    js.filter(col("user_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runLeg(baseBatch = 1L)
+    val c = graft.ext.PreferenceIndex.compact(s, idx)
+    // tombstone retired — the withdrawn item's odd-leg judgments
+    // re-enter through the same checkpointed stream, above the fold
+    js.filter(col("user_id") % 2 =!= 0 &&
+        (col("x") === "error" || col("y") === "error"))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runLeg(baseBatch = c + 1L)
+    val rated = graft.ext.Preference.rkRatings(
+        graft.ext.PreferenceIndex.matrix(s, idx),
+        graft.ext.PreferenceIndex.ties(s, idx), iters = 3)
+      .withColumn("rating_q6", Oracle.q6(col("gamma")))
+      .withColumn("theta_q6", Oracle.q6(col("theta")))
+    graft.exec.Ranks.globalRowNumber(rated,
+        Seq(col("gamma").desc, col("item").asc), out = "rank")
+      .select(col("item"), col("n_wins"), col("n_ties"),
+        col("n_comparisons"), col("rating_q6"), col("theta_q6"), col("rank"))
+  }
+
+  val qStreamPrefReadmitSql: String =
+    s"""WITH ${rkFitCtesWhere(
+          " AND ((b.event_type <> 'error' AND w.event_type <> 'error')" +
+          " OR user_id % 2 = 1)")}
+       |$rkFinalSelect""".stripMargin
+
   // -------------------------------------------- q_langid_weights / confusion
 
   /** Multiclass language-ID training: every one-vs-rest head trains
@@ -2206,6 +2286,7 @@ object TrainPrepQueries {
     "q_bt_calibration"     -> (qBtCalibration _),
     "q_pref_cycles"        -> (qPrefCycles _),
     "q_stream_pref_lifecycle" -> (qStreamPrefLifecycle _),
+    "q_stream_pref_readmit" -> (qStreamPrefReadmit _),
     "q_cdc_chunks"         -> (qCdcChunks _),
     "q_cdc_diff"           -> (qCdcDiff _),
     "q_cdc_incr"           -> (qCdcIncr _),
@@ -2254,6 +2335,7 @@ object TrainPrepQueries {
     "q_bt_calibration"     -> qBtCalibrationSql,
     "q_pref_cycles"        -> qPrefCyclesSql,
     "q_stream_pref_lifecycle" -> qStreamPrefLifecycleSql,
+    "q_stream_pref_readmit" -> qStreamPrefReadmitSql,
     "q_cdc_chunks"         -> qCdcChunksSql,
     "q_cdc_diff"           -> qCdcDiffSql,
     "q_cdc_incr"           -> qCdcIncrSql,
