@@ -63,7 +63,19 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout capture that reaches the committed BENCH artifact is
+    // tail-truncated (r11 lost 169 of 236 per-query times), so the full
+    // record is ALSO written to a file — stable name, refreshed every
+    // run, snapshot per round as bench_full_r{N}.json.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] WARN: could not write $outPath: $e")
+    }
     spark.stop()
   }
 }
