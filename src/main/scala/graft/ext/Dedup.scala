@@ -194,23 +194,52 @@ object Dedup {
   }
 
   /** LSH candidates verified with *exact* shingle Jaccard — the scalable
-    * exact pipeline: O(n) LSH prefilter, exact check only on candidates. */
+    * exact pipeline: O(n) LSH prefilter, exact check only on candidates.
+    *
+    * The verification is FUSED into the band join: each banded row
+    * carries the doc's hash-sorted 8-byte shingles beside its signature,
+    * the estimate prunes per band match, and the exact Jaccard is
+    * evaluated IN-STAGE on survivors — so the only pair-shaped exchange
+    * in the plan carries VERIFIED pairs. The former two-phase shape
+    * (candidate distinct, then two array-attaching verify joins)
+    * shuffled candidate×signature-array volume that grows with the
+    * SQUARE of near-dup cluster sizes; on the copy-heavy 100× rehearsal
+    * fixture that shuffle alone exceeded local scratch. Fusing trades
+    * bounded extra CPU (a pair sharing b surviving bands is verified b
+    * times, b ≤ 16, on identical operands) for removing the plan's only
+    * super-linear DISK intermediate. Banded-row volume grows by the
+    * shingle payload (~|s|+k longs per row vs k), linear in the corpus. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
-    val cand = minhashPairs(df, textCol, idCol, minEstimate = threshold * 0.5,
-      shingleN = shingleN)
-    // Verify on hash-sorted 8-byte shingles (see [[prefixJaccardPairs]]):
-    // same exact Jaccard, ~2.5x narrower verify-join shuffle.
-    val sh = df.select(col(idCol).as("id"),
+    val k = 64; val bands = 16; val seed = 42L; val maxBucket = 200
+    val rows = k / bands
+    // signature from the SAME expression as minhashPairs — band buckets
+    // must stay bit-identical for the production∩slice comparability
+    // audits and the standing index's band table
+    val banded = df.select(col(idCol).as("id"),
+        minhashSignature(shingles(col(textCol), shingleN), k, seed).as("sig"),
         graft.functions.TextExpressions
           .sortedShingleHashes(col(textCol), shingleN).as("sh"))
-      .repartition(col("id")) // shared by both verify joins via ReuseExchange
-    cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .repartition(col("id"))
+      .select(col("id"), col("sig"), col("sh"),
+        posexplode(bandHashes(col("sig"), bands, rows)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "bhash")
+    val small = banded.withColumn("__cnt", count(lit(1)).over(bucketW))
+      .filter(col("__cnt") <= maxBucket && col("__cnt") >= 2).drop("__cnt")
+    val a = small.select(col("band"), col("bhash"), col("id").as("id_a"),
+      col("sig").as("sig_a"), col("sh").as("sh_a"))
+    val b = small.select(col("band"), col("bhash"), col("id").as("id_b"),
+      col("sig").as("sig_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(minhashEstimate(col("sig_a"), col("sig_b"), k) >=
+        threshold * 0.5)
       .select(col("id_a"), col("id_b"),
         graft.functions.TextExpressions
           .jaccardSortedLongs(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact blocked n-gram Jaccard pairs — the oracle-checkable exact
@@ -331,18 +360,44 @@ object Dedup {
     // corpus-independent (stable forever) and already scatters hot
     // shingles uniformly through prefixes; the positional/length filters
     // above reclaim most of df-ordering's pruning without the drift.
+    // Verification FUSED into the prefix join (same rationale as
+    // [[nearDupPairs]]): each prefix row carries its doc's full sorted
+    // shingle array, the PPJoin positional/length filters prune per
+    // match, and the exact Jaccard runs IN-STAGE on survivors — the only
+    // pair-shaped exchange carries VERIFIED pairs. The former candidate
+    // DISTINCT exchange carried every (pair × shared-prefix-element)
+    // duplicate — near-identical docs share ~their whole prefix, so that
+    // volume grows as cluster² × prefix length and was the 100×
+    // rehearsal's scratch-disk killer. Prefix-row volume grows by the
+    // attached array (~|s| longs over ~prefLen rows ≈ |s|²/2 longs per
+    // doc), linear in the corpus. A pair is re-verified once per shared
+    // surviving prefix element, on identical operands — bounded CPU for
+    // unbounded disk.
     val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
         graft.functions.TextExpressions
           .sortedShingleHashes(col(textCol), shingleN).as("sh"))
-      .repartition(col("id")) // one shingle pass shared by all four consumers
-    val cand = prefixCandidates(sh, threshold)
-    cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    val prefLen = prefLenOf(size(col("sh")), threshold)
+    val pref = sh
+      .select(col("blk"), col("id"), size(col("sh")).as("sz"), col("sh"),
+        posexplode(slice(col("sh"), lit(1), prefLen)))
+      .select(col("blk"), col("id"), col("sz"), col("sh"),
+        (col("pos") + lit(1)).as("pos"), col("col").as("p"))
+      // one (blk, p) exchange feeds both join sides via ReuseExchange —
+      // the shingle pass runs once
+      .repartition(col("blk"), col("p"))
+    val a = pref.select(col("blk"), col("p"), col("id").as("id_a"),
+      col("sz").as("__sza"), col("pos").as("__pa"), col("sh").as("sh_a"))
+    val b = pref.select(col("blk"), col("p"), col("id").as("id_b"),
+      col("sz").as("__szb"), col("pos").as("__pb"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk", "p"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(ppFilter(col("__sza"), col("__pa"), col("__szb"), col("__pb"),
+        threshold))
       .select(col("id_a"), col("id_b"),
         graft.functions.TextExpressions
           .jaccardSortedLongs(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Sub-document segment dedup (CCNet-style line/paragraph dedup): split
