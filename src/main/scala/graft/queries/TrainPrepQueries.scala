@@ -2176,6 +2176,174 @@ object TrainPrepQueries {
           " OR user_id % 2 = 1)")}
        |$rkFinalSelect""".stripMargin
 
+  // ------------------------------------------------------ q_preftrain_e2e
+
+  /** The END-TO-END POST-TRAINING PREP CAPSTONE — the preference twin of
+    * q_curation_e2e: one driver entry whose COMPOSITION the oracle
+    * certifies, stage contracts flowing end to end:
+    *
+    *  1. candidate pool: documents grouped 10-per-prompt (doc_id div
+    *     10), scored by [[TextAnalysis.qualityScore]] as the reward
+    *     proxy; doc_id % 10 == 0 is the BENCHMARK split (the
+    *     q_decontaminate split), never a candidate;
+    *  2. within-prompt response dedup — duplicate generations (same
+    *     text, same prompt) keep the smallest id;
+    *  3. decontamination gate: a candidate sharing ANY verbatim 6-token
+    *     window with the benchmark is DROPPED (a contaminated response
+    *     can't be span-trimmed and keep its reward honest);
+    *  4. DPO pair construction per prompt
+    *     ([[graft.ext.Preference.pairs]], margin ≥ 0.1);
+    *  5. BT QA gate: the pairs' own (chosen_lang, rejected_lang)
+    *     outcomes fit a 3-iteration Bradley–Terry leaderboard
+    *     ([[graft.ext.Preference.btRatings]]), and each pair is flagged
+    *     `consistent` iff its direction agrees with the fitted global
+    *     ranking (or is intra-language) — the standard contradiction
+    *     screen over preference data;
+    *  6. shard manifest: pairs shard 5-prompts-wide with counts, token
+    *     sums and an ORDER-SENSITIVE position-weighted checksum — one
+    *     wrong row in any stage moves a checksum.
+    *
+    * Scale shape: dedup is a group-bounded window; the decontamination
+    * gate is one gram semi-join; pairs are one hash aggregate; the BT
+    * fit is K²-bounded; the manifest window is shard-bounded. No
+    * corpus-wide window, no driver loop. */
+  def qPreftrainE2e(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        expr("doc_id div 10").as("prompt_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val cand0 = scored.filter(col("doc_id") % 10 =!= 0)
+    // plant duplicate generations (every 7th candidate re-emitted under a
+    // shifted id, SAME prompt) so the dedup stage provably removes them —
+    // the fixture has no natural within-prompt exact duplicates
+    val cand = cand0.unionByName(cand0.filter(col("doc_id") % 7 === 3)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    val bench = scored.filter(col("doc_id") % 10 === 0)
+    val wDup = Window.partitionBy(col("prompt_id"), col("text"))
+      .orderBy(col("doc_id"))
+    val c1 = cand.withColumn("__rn", row_number().over(wDup))
+      .filter(col("__rn") === 1).drop("__rn")
+    def wins(c: org.apache.spark.sql.Column) = {
+      val toks = TextAnalysis.tokens(c)
+      transform(sequence(lit(1), greatest(size(toks) - lit(5), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(6))))
+    }
+    val benchWins = bench.select(explode(wins(col("text"))).as("win")).distinct()
+    val contaminated = c1
+      .select(col("doc_id"), explode(wins(col("text"))).as("win"))
+      .join(benchWins, Seq("win")).select("doc_id").distinct()
+    val c2 = c1.join(contaminated, Seq("doc_id"), "left_anti").localCheckpoint()
+    val pairs = graft.ext.Preference.pairs(c2, Seq("prompt_id"), "doc_id",
+        "quality", minMargin = 0.1)
+      .join(c2.select(col("doc_id").as("chosen_id"),
+        col("lang").as("chosen_lang"), col("n_tokens").as("chosen_tokens")),
+        Seq("chosen_id"))
+      .join(c2.select(col("doc_id").as("rejected_id"),
+        col("lang").as("rejected_lang"), col("n_tokens").as("rejected_tokens")),
+        Seq("rejected_id"))
+      .localCheckpoint()
+    val comp = pairs.filter(col("chosen_lang") =!= col("rejected_lang"))
+      .groupBy(col("chosen_lang").as("winner"),
+        col("rejected_lang").as("loser"))
+      .agg(count(lit(1)).as("n"))
+    val g = graft.ext.Preference.btRatings(comp, iters = 3)
+      .select(col("item"), col("gamma"))
+    val gated = pairs
+      .join(g.select(col("item").as("chosen_lang"), col("gamma").as("__gc")),
+        Seq("chosen_lang"), "left")
+      .join(g.select(col("item").as("rejected_lang"), col("gamma").as("__gr")),
+        Seq("rejected_lang"), "left")
+      .withColumn("consistent",
+        col("chosen_lang") === col("rejected_lang") ||
+          col("__gc") >= col("__gr"))
+      .withColumn("__shard", expr("prompt_id div 5"))
+    val wPos = Window.partitionBy(col("__shard"))
+      .orderBy(col("prompt_id"), col("chosen_id"))
+    gated.withColumn("__pos", row_number().over(wPos))
+      .groupBy(col("__shard").as("shard"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("consistent"), lit(1L)).otherwise(lit(0L)))
+          .as("n_consistent"),
+        sum(col("chosen_tokens") + col("rejected_tokens")).as("n_tokens"),
+        sum(pmod(col("chosen_id") * col("__pos") + col("rejected_id"),
+          lit(Sharding.HashMod))).as("checksum"))
+  }
+
+  private val ptSwList: String =
+    TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
+
+  val qPreftrainE2eSql: String =
+    s"""WITH t0 AS (SELECT doc_id, lang, text,
+       |  string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+') AS toks
+       | FROM documents),
+       |m AS (SELECT doc_id, lang, text, toks, len(toks)::BIGINT AS n_tokens,
+       |  len(regexp_extract_all(lower(text), '[^a-z0-9 \\t\\n\\f\\r]'))::DOUBLE
+       |    / greatest(length(text), 1) AS punct_ratio,
+       |  len(list_filter(toks, x -> x IN ($ptSwList)))::DOUBLE
+       |    / greatest(len(toks), 1) AS stopword_ratio,
+       |  list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+       |    / greatest(len(toks), 1) AS mean_token_len
+       | FROM t0),
+       |sc AS (SELECT doc_id, lang, text, toks, n_tokens,
+       |  0.3 * (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+       |  + 0.2 * (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+       |  + 0.3 * (CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.0 END)
+       |  + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)) AS quality
+       | FROM m),
+       |cand0 AS (SELECT doc_id, doc_id // 10 AS prompt, lang, text, toks,
+       |  n_tokens, quality FROM sc WHERE doc_id % 10 <> 0),
+       |pool AS (SELECT * FROM cand0
+       | UNION ALL SELECT doc_id + 1000000 AS doc_id, prompt, lang, text,
+       |  toks, n_tokens, quality FROM cand0 WHERE doc_id % 7 = 3),
+       |dd AS (SELECT *, row_number() OVER (PARTITION BY prompt, text
+       |    ORDER BY doc_id) AS rdup FROM pool),
+       |c1 AS (SELECT * FROM dd WHERE rdup = 1),
+       |bw AS (SELECT DISTINCT array_to_string(toks[pos:pos+5], ' ') AS win
+       | FROM (SELECT toks, unnest(range(1, greatest(len(toks) - 5, 1) + 1)) AS pos
+       |       FROM sc WHERE doc_id % 10 = 0)),
+       |cwin AS (SELECT doc_id, array_to_string(toks[pos:pos+5], ' ') AS win
+       | FROM (SELECT doc_id, toks,
+       |        unnest(range(1, greatest(len(toks) - 5, 1) + 1)) AS pos FROM c1)),
+       |contam AS (SELECT DISTINCT doc_id FROM cwin
+       | WHERE win IN (SELECT win FROM bw)),
+       |c2 AS (SELECT * FROM c1
+       | WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |rp AS (SELECT doc_id, lang, n_tokens, quality, prompt,
+       |  row_number() OVER (PARTITION BY prompt
+       |    ORDER BY quality DESC, doc_id ASC) AS rb,
+       |  row_number() OVER (PARTITION BY prompt
+       |    ORDER BY quality ASC, doc_id ASC) AS rw,
+       |  count(*) OVER (PARTITION BY prompt) AS ncand
+       | FROM c2),
+       |prs AS (SELECT b.prompt, b.doc_id AS chosen_id, b.lang AS cl,
+       |  b.n_tokens AS ct, w.doc_id AS rejected_id, w.lang AS rl,
+       |  w.n_tokens AS rt
+       | FROM (SELECT * FROM rp WHERE rb = 1) b
+       | JOIN (SELECT * FROM rp WHERE rw = 1) w USING (prompt)
+       | WHERE b.ncand >= 2 AND b.quality - w.quality >= CAST(0.1 AS DOUBLE)
+       |   AND b.doc_id <> w.doc_id),
+       |comp AS (SELECT cl AS winner, rl AS loser, count(*)::BIGINT AS n
+       | FROM prs WHERE cl <> rl GROUP BY 1, 2),
+       |sym AS (SELECT i, j, sum(n)::BIGINT AS n FROM (
+       |  SELECT winner AS i, loser AS j, n FROM comp
+       |  UNION ALL SELECT loser AS i, winner AS j, n FROM comp)
+       | GROUP BY 1, 2),
+       |$btFitCtes,
+       |gp AS (SELECT p.*, (p.cl = p.rl OR ga.gamma >= gb.gamma) AS consistent
+       | FROM prs p LEFT JOIN g3 ga ON ga.item = p.cl
+       | LEFT JOIN g3 gb ON gb.item = p.rl),
+       |shd AS (SELECT *, prompt // 5 AS shard,
+       |  row_number() OVER (PARTITION BY prompt // 5
+       |    ORDER BY prompt, chosen_id) AS pos FROM gp)
+       |SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_pairs,
+       |  sum(CASE WHEN consistent THEN 1 ELSE 0 END)::BIGINT AS n_consistent,
+       |  sum(ct + rt)::BIGINT AS n_tokens,
+       |  sum((chosen_id * pos + rejected_id) % ${Sharding.HashMod})::BIGINT
+       |    AS checksum
+       |FROM shd GROUP BY 1""".stripMargin
+
   // -------------------------------------------- q_langid_weights / confusion
 
   /** Multiclass language-ID training: every one-vs-rest head trains
@@ -2287,6 +2455,7 @@ object TrainPrepQueries {
     "q_pref_cycles"        -> (qPrefCycles _),
     "q_stream_pref_lifecycle" -> (qStreamPrefLifecycle _),
     "q_stream_pref_readmit" -> (qStreamPrefReadmit _),
+    "q_preftrain_e2e"      -> (qPreftrainE2e _),
     "q_cdc_chunks"         -> (qCdcChunks _),
     "q_cdc_diff"           -> (qCdcDiff _),
     "q_cdc_incr"           -> (qCdcIncr _),
@@ -2336,6 +2505,7 @@ object TrainPrepQueries {
     "q_pref_cycles"        -> qPrefCyclesSql,
     "q_stream_pref_lifecycle" -> qStreamPrefLifecycleSql,
     "q_stream_pref_readmit" -> qStreamPrefReadmitSql,
+    "q_preftrain_e2e"      -> qPreftrainE2eSql,
     "q_cdc_chunks"         -> qCdcChunksSql,
     "q_cdc_diff"           -> qCdcDiffSql,
     "q_cdc_incr"           -> qCdcIncrSql,
