@@ -196,50 +196,35 @@ object Dedup {
   /** LSH candidates verified with *exact* shingle Jaccard — the scalable
     * exact pipeline: O(n) LSH prefilter, exact check only on candidates.
     *
-    * The verification is FUSED into the band join: each banded row
-    * carries the doc's hash-sorted 8-byte shingles beside its signature,
-    * the estimate prunes per band match, and the exact Jaccard is
-    * evaluated IN-STAGE on survivors — so the only pair-shaped exchange
-    * in the plan carries VERIFIED pairs. The former two-phase shape
-    * (candidate distinct, then two array-attaching verify joins)
-    * shuffled candidate×signature-array volume that grows with the
-    * SQUARE of near-dup cluster sizes; on the copy-heavy 100× rehearsal
-    * fixture that shuffle alone exceeded local scratch. Fusing trades
-    * bounded extra CPU (a pair sharing b surviving bands is verified b
-    * times, b ≤ 16, on identical operands) for removing the plan's only
-    * super-linear DISK intermediate. Banded-row volume grows by the
-    * shingle payload (~|s|+k longs per row vs k), linear in the corpus. */
+    * Deliberately the TWO-PHASE shape (candidate distinct, THEN two
+    * verify joins on hash-sorted 8-byte shingles): each pair is
+    * estimate-pruned per band match but exact-verified exactly ONCE —
+    * the verify stage is pair-minimal by construction. The fused
+    * alternative (shingle arrays riding the band join, verify in-stage —
+    * the [[prefixJaccardPairs]] shape) was MEASURED at the 100× scale
+    * rehearsal and lost: re-verifying a near-identical pair once per
+    * shared band (up to all 16 for clique-heavy corpora) made
+    * q_dedup_clusters 2.1× slower at sf10 (339 s vs 162 s) while this
+    * plan's candidate shuffle — (id, id, est) triples, 24 bytes per
+    * candidate — fits scratch comfortably. The prefix path fuses because
+    * its per-pair duplication factor is the shared-prefix LENGTH
+    * (unbounded); the band path's factor is capped at `bands`. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
-    val k = 64; val bands = 16; val seed = 42L; val maxBucket = 200
-    val rows = k / bands
-    // signature from the SAME expression as minhashPairs — band buckets
-    // must stay bit-identical for the production∩slice comparability
-    // audits and the standing index's band table
-    val banded = df.select(col(idCol).as("id"),
-        minhashSignature(shingles(col(textCol), shingleN), k, seed).as("sig"),
+    val cand = minhashPairs(df, textCol, idCol, minEstimate = threshold * 0.5,
+      shingleN = shingleN)
+    // Verify on hash-sorted 8-byte shingles (see [[prefixJaccardPairs]]):
+    // same exact Jaccard, ~2.5x narrower verify-join shuffle.
+    val sh = df.select(col(idCol).as("id"),
         graft.functions.TextExpressions
           .sortedShingleHashes(col(textCol), shingleN).as("sh"))
-      .repartition(col("id"))
-      .select(col("id"), col("sig"), col("sh"),
-        posexplode(bandHashes(col("sig"), bands, rows)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
-    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "bhash")
-    val small = banded.withColumn("__cnt", count(lit(1)).over(bucketW))
-      .filter(col("__cnt") <= maxBucket && col("__cnt") >= 2).drop("__cnt")
-    val a = small.select(col("band"), col("bhash"), col("id").as("id_a"),
-      col("sig").as("sig_a"), col("sh").as("sh_a"))
-    val b = small.select(col("band"), col("bhash"), col("id").as("id_b"),
-      col("sig").as("sig_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bhash"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(minhashEstimate(col("sig_a"), col("sig_b"), k) >=
-        threshold * 0.5)
+      .repartition(col("id")) // shared by both verify joins via ReuseExchange
+    cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         graft.functions.TextExpressions
           .jaccardSortedLongs(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact blocked n-gram Jaccard pairs — the oracle-checkable exact

@@ -194,6 +194,25 @@ class PreferenceSpec extends AnyFunSuite {
     assert(out.head.toSeq == Seq("paper", "rock", "scissors"))
   }
 
+  test("q_preftrain_e2e: gate bounded by pairs, tokens positive, run deterministic") {
+    val out = graft.queries.TrainPrepQueries
+      .qPreftrainE2e(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_consistent"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("checksum"))).sortBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { case (_, np, nc, nt, _) =>
+      assert(np >= 1L && nc >= 0L && nc <= np, "consistency gate is a subset")
+      assert(nt > 0L, "every pair carries chosen+rejected tokens")
+    }
+    val again = graft.queries.TrainPrepQueries
+      .qPreftrainE2e(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_consistent"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("checksum"))).sortBy(_._1)
+    assert(again.toSeq == out.toSeq, "order-sensitive checksums must replay")
+  }
+
   test("driver queries are non-empty and margin-clean at sf0.001") {
     val p = graft.queries.TrainPrepQueries.qPrefPairs(spark, "/root/testdata/sf0.001")
     val rows = p.collect()
