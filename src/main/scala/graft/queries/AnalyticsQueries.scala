@@ -259,11 +259,17 @@ object AnalyticsQueries {
   // ----------------------------------------------------- k-hop recursion
 
   /** Bounded BFS over the exact near-dup pair graph with Spark 4's
-    * recursive CTE (`WITH RECURSIVE` + UNION ALL + depth guard — the
-    * supported terminating form; unbounded closure needs UNION-dedup,
-    * which the DataFrame loop in [[graft.ext.Dedup.clusters]] provides):
-    * min hop distance ≤ 3 from a deterministic seed set. Cycle safety
-    * comes from the depth bound; `min(d)` collapses the path multiset. */
+    * recursive CTE: min hop distance ≤ 3 from a deterministic seed set.
+    * The recursive member SELECTs DISTINCT (node, depth) states, so
+    * every level is bounded by the node count — the bare-multiset form
+    * (no per-step dedup) is multiplicative in clique degree and blew
+    * past the 1M-row recursion guardrail on the 30× near-dup-rich
+    * rehearsal fixture (measured; any dense graph at 100 TB does the
+    * same). Spark 4.1 does not yet accept UNION (set) recursion, but
+    * per-step DISTINCT under UNION ALL gives the same level bound:
+    * each iteration joins only the PREVIOUS level (delta semantics),
+    * and deduping (id, d) never removes an id's smallest depth, so
+    * `min(d)` is unchanged. */
   def qKhop(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val pairs = graft.ext.Dedup.prefixJaccardPairs(
@@ -281,7 +287,7 @@ object AnalyticsQueries {
       """WITH RECURSIVE walk(id, d) AS (
         |  SELECT id, 0 FROM khop_seeds
         |  UNION ALL
-        |  SELECT e.v, w.d + 1 FROM walk w JOIN khop_edges e ON w.id = e.u
+        |  SELECT DISTINCT e.v, w.d + 1 FROM walk w JOIN khop_edges e ON w.id = e.u
         |  WHERE w.d < 3)
         |SELECT id, min(d) AS hops FROM walk GROUP BY id""".stripMargin)
   }
@@ -302,7 +308,7 @@ object AnalyticsQueries {
       |walk(id, d) AS (
       |  SELECT id, 0 FROM seeds
       |  UNION ALL
-      |  SELECT e.v, w.d + 1 FROM walk w JOIN edges e ON w.id = e.u WHERE w.d < 3)
+      |  SELECT DISTINCT e.v, w.d + 1 FROM walk w JOIN edges e ON w.id = e.u WHERE w.d < 3)
       |SELECT id, min(d) AS hops FROM walk GROUP BY id""".stripMargin
 
   // ----------------------------------------------------------- outliers
