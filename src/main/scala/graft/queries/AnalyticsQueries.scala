@@ -283,6 +283,11 @@ object AnalyticsQueries {
       .createOrReplaceTempView("khop_edges")
     docs.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("id"))
       .createOrReplaceTempView("khop_seeds")
+    // The 1M-row recursion guardrail protects against RUNAWAY recursion;
+    // this walk is depth-bounded (3) with per-level DISTINCT, so its true
+    // bound is 4 levels × |nodes| — raise the cumulative cap accordingly
+    // (the 100× fixture legitimately crosses 1M accumulated state rows).
+    s.sql("SET spark.sql.cteRecursionRowLimit=100000000")
     s.sql(
       """WITH RECURSIVE walk(id, d) AS (
         |  SELECT id, 0 FROM khop_seeds
