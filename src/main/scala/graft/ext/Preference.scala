@@ -421,4 +421,126 @@ object Preference {
           coalesce(col("l0"), lit(0L))).as("n_comparisons"),
         col("gamma"), lit(theta).as("theta"))
   }
+
+  /** Deterministic bootstrap CIs for the RAO-KUPPER fit: both the
+    * directed win matrix and the tie matrix are resampled with the
+    * [[btBootstrapCi]] count draw (round(N(n, n)) clipped at 0, pure
+    * hash of (endpoints, replicate) — ties use a different mix prime so
+    * win and tie draws are decorrelated), the full tie-aware MM refits
+    * per replicate with THETA CARRIED AS A PER-REPLICATE COLUMN (no
+    * driver scalar — B refits stay one plan), and order-statistic
+    * quantiles come back for every item's gamma AND for theta itself:
+    * the leaderboard's draw-mass parameter gets an interval too.
+    *
+    * Scale shape: K²×B + K×B grids end to end; per iteration two hash
+    * joins against the (item, b) rating grid, a per-(b, item) hash
+    * aggregate, and a per-b aggregate for C — independent of judgment
+    * volume. Returns (item, lo, hi, theta_lo, theta_hi).
+    */
+  def rkBootstrapCi(comparisons: DataFrame, ties: DataFrame, iters: Int,
+                    reps: Int, loRank: Int, hiRank: Int): DataFrame = {
+    require(reps >= 2 && loRank >= 1 && hiRank <= reps && loRank < hiRank,
+      s"bad bootstrap spec: reps=$reps loRank=$loRank hiRank=$hiRank")
+    val session = comparisons.sparkSession
+    import session.implicits._
+    val comp = comparisons.localCheckpoint()
+    val tie = ties.localCheckpoint()
+    val items = comp.select(col("winner").as("item"))
+      .unionAll(comp.select(col("loser").as("item")))
+      .unionAll(tie.select(col("a").as("item")))
+      .unionAll(tie.select(col("b").as("item"))).distinct()
+    val hashed = items
+      .withColumn("h", TextAnalysis.fingerprint(col("item")))
+      .localCheckpoint()
+    val repsDf = (0L until reps.toLong).toDF("b")
+    val zt = ZTable.zipWithIndex.map { case (z, i) => (i.toLong, z) }
+      .toSeq.toDF("zb", "z")
+    // count draw for one edge table (x, y, n) under the given mix prime
+    def draw(edges: DataFrame, mix: Long): DataFrame = {
+      val key0 = pmod(col("hx") * lit(31L) + col("hy"), lit(HashMod))
+      val bucket = pmod(
+        pmod(key0 * lit(mix) + col("b"), lit(HashMod)) * lit(Knuth),
+        lit(ZBuckets.toLong))
+      val nD = col("n").cast(DoubleType)
+      edges
+        .join(hashed.select(col("item").as("x"), col("h").as("hx")), Seq("x"))
+        .join(hashed.select(col("item").as("y"), col("h").as("hy")), Seq("y"))
+        .crossJoin(broadcast(repsDf))
+        .join(broadcast(zt), zt("zb") === bucket)
+        .select(col("b"), col("x"), col("y"),
+          greatest(lit(0L), floor(nD + sqrt(nD) * col("z") + lit(0.5))).as("n"))
+        .filter(col("n") > 0)
+    }
+    val dcomp = draw(comp.select(col("winner").as("x"), col("loser").as("y"),
+      col("n")), 131071L)
+    val dtie = draw(tie.select(col("a").as("x"), col("b").as("y"),
+      col("n")), 524287L)
+    def qsum(c: org.apache.spark.sql.Column) =
+      sum(floor(c * lit(1e7) + lit(0.5)).cast(DecimalType(27, 0)))
+        .cast(DoubleType) / lit(1e7)
+    val adirb = dcomp.select(col("b"), col("x").as("i"), col("y").as("j"), col("n"))
+      .unionAll(dtie.select(col("b"), col("x").as("i"), col("y").as("j"), col("n")))
+      .unionAll(dtie.select(col("b"), col("y").as("i"), col("x").as("j"), col("n")))
+      .groupBy("b", "i", "j").agg(sum("n").as("a"))
+      .localCheckpoint()
+    val itemsb = items.crossJoin(broadcast(repsDf))
+    val bigAb = itemsb
+      .join(adirb.groupBy(col("b"), col("i").as("item")).agg(sum("a").as("a0")),
+        Seq("item", "b"), "left")
+      .select(col("item"), col("b"), coalesce(col("a0"), lit(0L)).as("A"))
+      .localCheckpoint()
+    val ttb = repsDf
+      .join(dtie.groupBy("b").agg(sum("n").as("t0")), Seq("b"), "left")
+      .select(col("b"), coalesce(col("t0"), lit(0L)).as("T"))
+      .localCheckpoint()
+    var g = itemsb.select(col("item"), col("b"), lit(1.0).as("gamma"))
+    var th = repsDf.select(col("b"), lit(1.0).as("t"))
+    for (_ <- 1 to iters) {
+      val d = adirb
+        .join(g.select(col("b"), col("item").as("i"), col("gamma").as("gi")),
+          Seq("b", "i"))
+        .join(g.select(col("b"), col("item").as("j"), col("gamma").as("gj")),
+          Seq("b", "j"))
+        .join(th, Seq("b"))
+        .withColumn("dij", col("gi") + col("t") * col("gj"))
+      val s = d.select(col("b"), col("i").as("item"), (col("a") / col("dij")).as("v"))
+        .unionAll(d.select(col("b"), col("j").as("item"),
+          (col("a") * col("t") / col("dij")).as("v")))
+        .groupBy("b", "item").agg(qsum(col("v")).as("s"))
+      g = bigAb.join(s, Seq("item", "b"))
+        .select(col("item"), col("b"),
+          (col("A").cast(DoubleType) / col("s")).as("gamma"))
+        .localCheckpoint()
+      val cTab = adirb
+        .join(g.select(col("b"), col("item").as("i"), col("gamma").as("gi")),
+          Seq("b", "i"))
+        .join(g.select(col("b"), col("item").as("j"), col("gamma").as("gj")),
+          Seq("b", "j"))
+        .join(th, Seq("b"))
+        .groupBy("b")
+        .agg(qsum((col("a") * col("gj")) / (col("gi") + col("t") * col("gj")))
+          .as("c"))
+      th = repsDf.join(cTab, Seq("b"), "left").join(ttb, Seq("b"))
+        .select(col("b"),
+          when(col("c") > lit(0.0),
+            (col("T").cast(DoubleType) + sqrt(col("T").cast(DoubleType) *
+              col("T").cast(DoubleType) + col("c") * col("c"))) / col("c"))
+            .otherwise(lit(1.0)).as("t"))
+        .localCheckpoint()
+    }
+    val gfin = itemsb.join(g, Seq("item", "b"), "left")
+      .select(col("item"), col("b"), coalesce(col("gamma"), lit(0.0)).as("gamma"))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("gamma").asc, col("b").asc)
+    val ciG = gfin.withColumn("rn", row_number().over(wG))
+      .groupBy("item")
+      .agg(max(when(col("rn") === loRank, col("gamma"))).as("lo"),
+        max(when(col("rn") === hiRank, col("gamma"))).as("hi"))
+    val wT = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t").asc, col("b").asc)
+    val ciT = th.withColumn("rn", row_number().over(wT))
+      .agg(max(when(col("rn") === loRank, col("t"))).as("theta_lo"),
+        max(when(col("rn") === hiRank, col("t"))).as("theta_hi"))
+    ciG.crossJoin(broadcast(ciT))
+  }
 }

@@ -1920,6 +1920,142 @@ object TrainPrepQueries {
     s"""WITH ${rkFitCtesWhere("")}
        |$rkFinalSelect""".stripMargin
 
+  // -------------------------------------------------------- q_bt_ci_ties
+
+  /** Bootstrap 95% CIs for the TIE-AWARE leaderboard — the round's two
+    * honesty pieces composed: both the win matrix and the tie matrix
+    * resample under the deterministic count draw (different mix primes
+    * decorrelate them), the full Rao–Kupper MM refits per replicate
+    * with theta carried as a per-replicate COLUMN, and order statistics
+    * return intervals for every item's strength AND for theta — the
+    * draw-mass parameter's uncertainty is part of an honest arena
+    * report. Fully oracle-replayed ([[graft.ext.Preference.rkBootstrapCi]]). */
+  def qBtCiTies(s: SparkSession, dir: String): DataFrame = {
+    val o = prefOutcomesTies(s, dir).localCheckpoint()
+    val comp = o.filter(col("decided"))
+      .groupBy("winner", "loser").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tie = o.filter(!col("decided"))
+      .select(least(col("winner"), col("loser")).as("a"),
+        greatest(col("winner"), col("loser")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val point = graft.ext.Preference.rkRatings(comp, tie, iters = 3)
+    val ci = graft.ext.Preference.rkBootstrapCi(comp, tie, iters = 3,
+      reps = 100, loRank = 3, hiRank = 98)
+    point.join(ci, Seq("item"))
+      .select(col("item"), col("n_wins"), col("n_ties"), col("n_comparisons"),
+        Oracle.q6(col("gamma")).as("rating_q6"),
+        Oracle.q6(col("lo")).as("lo_q6"),
+        Oracle.q6(col("hi")).as("hi_q6"),
+        Oracle.q6(col("theta")).as("theta_q6"),
+        Oracle.q6(col("theta_lo")).as("theta_lo_q6"),
+        Oracle.q6(col("theta_hi")).as("theta_hi_q6"))
+  }
+
+  /** One unrolled GROUPED Rao–Kupper iteration for the bootstrap: the
+    * per-(replicate, item) sum over both roles, the gamma update, the
+    * per-replicate C, and the closed-form theta root — replicate id in
+    * every key, theta a per-replicate row. */
+  private def rkBootIterCtes(k: Int): String = {
+    val gp = s"bg${k - 1}"; val tp = s"bth${k - 1}"
+    s"""bs$k AS MATERIALIZED (SELECT b, item, ${rkQsum("v")} AS s FROM (
+       |  SELECT d.b, d.i AS item, d.a / (gi.gamma + th.t * gj.gamma) AS v
+       |   FROM badir d JOIN $gp gi ON d.i = gi.item AND d.b = gi.b
+       |   JOIN $gp gj ON d.j = gj.item AND d.b = gj.b
+       |   JOIN $tp th ON th.b = d.b
+       |  UNION ALL
+       |  SELECT d.b, d.j AS item, d.a * th.t / (gi.gamma + th.t * gj.gamma) AS v
+       |   FROM badir d JOIN $gp gi ON d.i = gi.item AND d.b = gi.b
+       |   JOIN $gp gj ON d.j = gj.item AND d.b = gj.b
+       |   JOIN $tp th ON th.b = d.b)
+       | GROUP BY b, item),
+       |bg$k AS MATERIALIZED (SELECT a.item, a.b, a.A / s.s AS gamma
+       |  FROM bA a JOIN bs$k s ON s.item = a.item AND s.b = a.b),
+       |bc$k AS MATERIALIZED (SELECT d.b, ${rkQsum("v")} AS c FROM (
+       |  SELECT d.b, (d.a * gj.gamma) / (gi.gamma + th.t * gj.gamma) AS v
+       |   FROM badir d JOIN bg$k gi ON d.i = gi.item AND d.b = gi.b
+       |   JOIN bg$k gj ON d.j = gj.item AND d.b = gj.b
+       |   JOIN $tp th ON th.b = d.b) d
+       | GROUP BY d.b),
+       |bth$k AS MATERIALIZED (SELECT r.b,
+       |  CASE WHEN c.c > 0 THEN (CAST(tt.T AS DOUBLE)
+       |    + sqrt(CAST(tt.T AS DOUBLE) * CAST(tt.T AS DOUBLE) + c.c * c.c))
+       |    / c.c ELSE CAST(1.0 AS DOUBLE) END AS t
+       |  FROM reps r LEFT JOIN bc$k c ON c.b = r.b
+       |  JOIN btt tt ON tt.b = r.b)""".stripMargin
+  }
+
+  private def bootDrawCte(name: String, src: String, xCol: String,
+                          yCol: String, mix: Long): String =
+    s"""$name AS MATERIALIZED (SELECT r.b, c.$xCol AS x, c.$yCol AS y,
+       |  greatest(0, CAST(floor(CAST(c.n AS DOUBLE)
+       |    + sqrt(CAST(c.n AS DOUBLE)) * zt.z + CAST(0.5 AS DOUBLE))
+       |    AS BIGINT)) AS n
+       | FROM $src c
+       | JOIN shx hx ON hx.item = c.$xCol
+       | JOIN shx hy ON hy.item = c.$yCol
+       | CROSS JOIN reps r
+       | JOIN zt ON zt.zb = (((((hx.h * 31 + hy.h) % 1000000007) * $mix
+       |    + r.b) % 1000000007) * 2654435761) % 250)""".stripMargin
+
+  val qBtCiTiesSql: String =
+    s"""WITH ${rkFitCtesWhere("")},
+       |zt AS (SELECT * FROM (VALUES $ztValuesSql) t(zb, z)),
+       |reps AS (SELECT unnest(range(0, 100))::BIGINT AS b),
+       |shx AS MATERIALIZED (SELECT item, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(range(1, length(lower(trim(item))) + 1),
+       |      i -> ascii(lower(trim(item))[i])::BIGINT)),
+       |    (a, c) -> (a * 31 + c) % 1000000007) AS h FROM items),
+       |${bootDrawCte("wdraw0", "comp", "winner", "loser", 131071L)},
+       |${bootDrawCte("tdraw0", "tcomp", "a", "b", 524287L)},
+       |wdraw AS (SELECT * FROM wdraw0 WHERE n > 0),
+       |tdraw AS (SELECT * FROM tdraw0 WHERE n > 0),
+       |badir AS MATERIALIZED (SELECT b, i, j, sum(n)::BIGINT AS a FROM (
+       |  SELECT b, x AS i, y AS j, n FROM wdraw
+       |  UNION ALL SELECT b, x AS i, y AS j, n FROM tdraw
+       |  UNION ALL SELECT b, y AS i, x AS j, n FROM tdraw)
+       | GROUP BY 1, 2, 3),
+       |bitems AS (SELECT it.item, r.b FROM items it CROSS JOIN reps r),
+       |bA AS MATERIALIZED (SELECT ib.item, ib.b,
+       |  coalesce(sum(d.a), 0)::BIGINT AS A
+       | FROM bitems ib LEFT JOIN badir d ON d.i = ib.item AND d.b = ib.b
+       | GROUP BY 1, 2),
+       |btt AS MATERIALIZED (SELECT r.b, coalesce(sum(t.n), 0)::BIGINT AS T
+       | FROM reps r LEFT JOIN tdraw t ON t.b = r.b GROUP BY 1),
+       |bg0 AS (SELECT item, b, CAST(1.0 AS DOUBLE) AS gamma FROM bitems),
+       |bth0 AS (SELECT b, CAST(1.0 AS DOUBLE) AS t FROM reps),
+       |${rkBootIterCtes(1)},
+       |${rkBootIterCtes(2)},
+       |${rkBootIterCtes(3)},
+       |bfin AS (SELECT ib.item, ib.b,
+       |  coalesce(g.gamma, CAST(0.0 AS DOUBLE)) AS gamma
+       | FROM bitems ib LEFT JOIN bg3 g ON g.item = ib.item AND g.b = ib.b),
+       |branked AS (SELECT item, b, gamma,
+       |  row_number() OVER (PARTITION BY item ORDER BY gamma ASC, b ASC) AS rn
+       | FROM bfin),
+       |bci AS (SELECT item, max(CASE WHEN rn = 3 THEN gamma END) AS lo,
+       |  max(CASE WHEN rn = 98 THEN gamma END) AS hi FROM branked GROUP BY 1),
+       |thr AS (SELECT t, row_number() OVER (ORDER BY t ASC, b ASC) AS rn
+       | FROM bth3),
+       |thci AS (SELECT max(CASE WHEN rn = 3 THEN t END) AS tlo,
+       |  max(CASE WHEN rn = 98 THEN t END) AS thi FROM thr)
+       |SELECT g.item, coalesce(wi.w, 0)::BIGINT AS n_wins,
+       |  coalesce(tb.t, 0)::BIGINT AS n_ties,
+       |  (coalesce(wi.w, 0) + coalesce(tb.t, 0) + coalesce(lo.l, 0))::BIGINT
+       |    AS n_comparisons,
+       |  ${Oracle.sqlQ6("g.gamma")} AS rating_q6,
+       |  ${Oracle.sqlQ6("bci.lo")} AS lo_q6,
+       |  ${Oracle.sqlQ6("bci.hi")} AS hi_q6,
+       |  ${Oracle.sqlQ6("th.t")} AS theta_q6,
+       |  ${Oracle.sqlQ6("thci.tlo")} AS theta_lo_q6,
+       |  ${Oracle.sqlQ6("thci.thi")} AS theta_hi_q6
+       |FROM rg3 g CROSS JOIN rt3 th CROSS JOIN thci
+       |JOIN bci ON bci.item = g.item
+       |LEFT JOIN wins wi ON wi.item = g.item
+       |LEFT JOIN tby tb ON tb.item = g.item
+       |LEFT JOIN losses lo ON lo.item = g.item""".stripMargin
+
   // -------------------------------------- q_bt_calibration / q_pref_cycles
 
   /** Calibration of the Bradley–Terry fit: per unordered item pair, the
@@ -2451,6 +2587,7 @@ object TrainPrepQueries {
     "q_bt_ratings"         -> (qBtRatings _),
     "q_bt_ci"              -> (qBtCi _),
     "q_bt_ratings_ties"    -> (qBtRatingsTies _),
+    "q_bt_ci_ties"         -> (qBtCiTies _),
     "q_bt_calibration"     -> (qBtCalibration _),
     "q_pref_cycles"        -> (qPrefCycles _),
     "q_stream_pref_lifecycle" -> (qStreamPrefLifecycle _),
@@ -2501,6 +2638,7 @@ object TrainPrepQueries {
     "q_bt_ratings"         -> qBtRatingsSql,
     "q_bt_ci"              -> qBtCiSql,
     "q_bt_ratings_ties"    -> qBtRatingsTiesSql,
+    "q_bt_ci_ties"         -> qBtCiTiesSql,
     "q_bt_calibration"     -> qBtCalibrationSql,
     "q_pref_cycles"        -> qPrefCyclesSql,
     "q_stream_pref_lifecycle" -> qStreamPrefLifecycleSql,

@@ -141,6 +141,25 @@ class PreferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("rkBootstrapCi: ordered bounds for gamma and theta; no-tie data pins theta interval to 1") {
+    val comp = Seq(("A", "B", 30L), ("B", "A", 10L)).toDF("winner", "loser", "n")
+    val tie = Seq(("A", "B", 8L)).toDF("a", "b", "n")
+    val out = Preference.rkBootstrapCi(comp, tie, iters = 3, reps = 100,
+      loRank = 3, hiRank = 98).collect()
+    assert(out.map(_.getAs[String]("item")).toSet == Set("A", "B"))
+    out.foreach { r =>
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi"))
+      assert(r.getAs[Double]("theta_lo") <= r.getAs[Double]("theta_hi"))
+      assert(r.getAs[Double]("theta_lo") >= 1.0, "Rao-Kupper theta >= 1")
+    }
+    // with NO ties every replicate's T is 0, so theta = 1 in all of them
+    val empty = Seq.empty[(String, String, Long)].toDF("a", "b", "n")
+    val nt = Preference.rkBootstrapCi(comp, empty, iters = 3, reps = 100,
+      loRank = 3, hiRank = 98).collect().head
+    assert(nt.getAs[Double]("theta_lo") == 1.0 &&
+      nt.getAs[Double]("theta_hi") == 1.0)
+  }
+
   test("q_bt_ratings: ranks are a permutation and wins are bounded by comparisons") {
     val rows = graft.queries.TrainPrepQueries.qBtRatings(spark, "/root/testdata/sf0.001")
       .collect()
