@@ -2056,6 +2056,95 @@ object TrainPrepQueries {
        |LEFT JOIN tby tb ON tb.item = g.item
        |LEFT JOIN losses lo ON lo.item = g.item""".stripMargin
 
+  // ----------------------------------------------------- q_rk_calibration
+
+  /** Calibration of the RAO-KUPPER fit — the tie-aware twin of
+    * q_bt_calibration: per unordered pair, the model's predicted WIN
+    * probability γ_a/(γ_a + θγ_b) and predicted TIE probability
+    * (θ²−1)γ_aγ_b / ((γ_a + θγ_b)(γ_b + θγ_a)) against the empirical
+    * rates, with absolute errors for both — a tie model that predicts
+    * the right winners but the wrong draw mass fails here. Every number
+    * hash-certified: the oracle replays the full fit and the pair
+    * bookkeeping. K²-bounded pair table, K-row fit — broadcast joins. */
+  def qRkCalibration(s: SparkSession, dir: String): DataFrame = {
+    val o = prefOutcomesTies(s, dir).localCheckpoint()
+    val comp = o.filter(col("decided"))
+      .groupBy("winner", "loser").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tie = o.filter(!col("decided"))
+      .select(least(col("winner"), col("loser")).as("a"),
+        greatest(col("winner"), col("loser")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val fit = graft.ext.Preference.rkRatings(comp, tie, iters = 3)
+      .localCheckpoint()
+    val theta = fit.agg(max(col("theta"))).head.getDouble(0)
+    val up = comp.select(least(col("winner"), col("loser")).as("a"),
+        greatest(col("winner"), col("loser")).as("b"))
+      .unionAll(tie.select(col("a"), col("b")))
+      .distinct()
+    val pcnt = up
+      .join(comp.select(col("winner").as("a"), col("loser").as("b"),
+        col("n").as("naw0")), Seq("a", "b"), "left")
+      .join(comp.select(col("loser").as("a"), col("winner").as("b"),
+        col("n").as("nbw0")), Seq("a", "b"), "left")
+      .join(tie.select(col("a"), col("b"), col("n").as("nt0")),
+        Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("naw0"), lit(0L)).as("naw"),
+        coalesce(col("nbw0"), lit(0L)).as("nbw"),
+        coalesce(col("nt0"), lit(0L)).as("nt"))
+    val th = lit(theta)
+    val ga = col("ga"); val gb = col("gb")
+    val pw = ga / (ga + th * gb)
+    val pt = (th * th - lit(1.0)) * ga * gb /
+      ((ga + th * gb) * (gb + th * ga))
+    val ntot = col("naw") + col("nbw") + col("nt")
+    val ew = col("naw") / ntot
+    val et = col("nt") / ntot
+    pcnt
+      .join(fit.select(col("item").as("a"), col("gamma").as("ga")), Seq("a"))
+      .join(fit.select(col("item").as("b"), col("gamma").as("gb")), Seq("b"))
+      .select(col("a").as("item_a"), col("b").as("item_b"),
+        ntot.as("n_total"),
+        Oracle.q6(pw).as("pred_win_q6"),
+        Oracle.q6(pt).as("pred_tie_q6"),
+        Oracle.q6(ew).as("emp_win_q6"),
+        Oracle.q6(et).as("emp_tie_q6"),
+        Oracle.q6(abs(pw - ew)).as("err_win_q6"),
+        Oracle.q6(abs(pt - et)).as("err_tie_q6"))
+  }
+
+  val qRkCalibrationSql: String =
+    s"""WITH ${rkFitCtesWhere("")},
+       |up AS (SELECT DISTINCT a, b FROM (
+       |  SELECT least(winner, loser) AS a, greatest(winner, loser) AS b
+       |  FROM comp UNION ALL SELECT a, b FROM tcomp)),
+       |pcnt AS (SELECT up.a, up.b, coalesce(cf.n, 0)::BIGINT AS naw,
+       |  coalesce(cb.n, 0)::BIGINT AS nbw, coalesce(t.n, 0)::BIGINT AS nt
+       | FROM up LEFT JOIN comp cf ON cf.winner = up.a AND cf.loser = up.b
+       | LEFT JOIN comp cb ON cb.winner = up.b AND cb.loser = up.a
+       | LEFT JOIN tcomp t ON t.a = up.a AND t.b = up.b)
+       |SELECT p.a AS item_a, p.b AS item_b,
+       |  (p.naw + p.nbw + p.nt)::BIGINT AS n_total,
+       |  ${Oracle.sqlQ6("ga.gamma / (ga.gamma + th.t * gb.gamma)")}
+       |    AS pred_win_q6,
+       |  ${Oracle.sqlQ6(
+            "(th.t * th.t - CAST(1.0 AS DOUBLE)) * ga.gamma * gb.gamma / " +
+            "((ga.gamma + th.t * gb.gamma) * (gb.gamma + th.t * ga.gamma))")}
+       |    AS pred_tie_q6,
+       |  ${Oracle.sqlQ6("p.naw / (p.naw + p.nbw + p.nt)")} AS emp_win_q6,
+       |  ${Oracle.sqlQ6("p.nt / (p.naw + p.nbw + p.nt)")} AS emp_tie_q6,
+       |  ${Oracle.sqlQ6(
+            "abs(ga.gamma / (ga.gamma + th.t * gb.gamma) - " +
+            "p.naw / (p.naw + p.nbw + p.nt))")} AS err_win_q6,
+       |  ${Oracle.sqlQ6(
+            "abs((th.t * th.t - CAST(1.0 AS DOUBLE)) * ga.gamma * gb.gamma / " +
+            "((ga.gamma + th.t * gb.gamma) * (gb.gamma + th.t * ga.gamma)) - " +
+            "p.nt / (p.naw + p.nbw + p.nt))")} AS err_tie_q6
+       |FROM pcnt p JOIN rg3 ga ON ga.item = p.a
+       |JOIN rg3 gb ON gb.item = p.b CROSS JOIN rt3 th""".stripMargin
+
   // -------------------------------------- q_bt_calibration / q_pref_cycles
 
   /** Calibration of the Bradley–Terry fit: per unordered item pair, the
@@ -2588,6 +2677,7 @@ object TrainPrepQueries {
     "q_bt_ci"              -> (qBtCi _),
     "q_bt_ratings_ties"    -> (qBtRatingsTies _),
     "q_bt_ci_ties"         -> (qBtCiTies _),
+    "q_rk_calibration"     -> (qRkCalibration _),
     "q_bt_calibration"     -> (qBtCalibration _),
     "q_pref_cycles"        -> (qPrefCycles _),
     "q_stream_pref_lifecycle" -> (qStreamPrefLifecycle _),
@@ -2639,6 +2729,7 @@ object TrainPrepQueries {
     "q_bt_ci"              -> qBtCiSql,
     "q_bt_ratings_ties"    -> qBtRatingsTiesSql,
     "q_bt_ci_ties"         -> qBtCiTiesSql,
+    "q_rk_calibration"     -> qRkCalibrationSql,
     "q_bt_calibration"     -> qBtCalibrationSql,
     "q_pref_cycles"        -> qPrefCyclesSql,
     "q_stream_pref_lifecycle" -> qStreamPrefLifecycleSql,
