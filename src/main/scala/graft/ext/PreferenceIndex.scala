@@ -160,19 +160,29 @@ object PreferenceIndex {
     heal(spark, base)
     import spark.implicits._
     val all = readOr(spark, s"$base/edges", edgesSchema)
-    val nBatches = all.select("batch_id").distinct().count()
+    val allTies = readOr(spark, s"$base/ties", tiesSchema)
+    // deltas across BOTH tables drive the compaction signal — a tie-heavy
+    // arena fragments the ties table just as fast as edges
+    val nBatches = all.select("batch_id")
+      .unionAll(allTies.select("batch_id")).distinct().count()
     val nRows = all.count()
+    val nTieRows = allTies.count()
     val nTombs = readOr(spark, s"$base/tombs", tombsSchema)
       .select("item").distinct().count()
     val live = matrix(spark, base)
     val nEdges = live.count()
-    val nItems = live.select(explode(array(col("winner"), col("loser")))
-      .as("item")).distinct().count()
-    val nJudg = live.agg(coalesce(sum("n"), lit(0L))).head.getLong(0)
-    Seq((nBatches, nRows, nTombs, nEdges, nItems, nJudg,
+    val liveTies = ties(spark, base)
+    val nLiveTies = liveTies.count()
+    val nItems = live.select(explode(array(col("winner"), col("loser"))).as("item"))
+      .unionAll(liveTies.select(explode(array(col("a"), col("b"))).as("item")))
+      .distinct().count()
+    val nJudg = live.agg(coalesce(sum("n"), lit(0L))).head.getLong(0) +
+      liveTies.agg(coalesce(sum("n"), lit(0L))).head.getLong(0)
+    Seq((nBatches, nRows, nTieRows, nTombs, nEdges, nLiveTies, nItems, nJudg,
       nBatches > 8 || nTombs > 0))
-      .toDF("n_delta_batches", "n_edge_rows", "n_withdrawn_items",
-        "n_live_edges", "n_live_items", "n_judgments", "needs_compact")
+      .toDF("n_delta_batches", "n_edge_rows", "n_tie_rows",
+        "n_withdrawn_items", "n_live_edges", "n_live_ties", "n_live_items",
+        "n_judgments", "needs_compact")
   }
 
   /** Streaming maintenance: each micro-batch appends through the batch

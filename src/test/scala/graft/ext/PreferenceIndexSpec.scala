@@ -87,6 +87,16 @@ class PreferenceIndexSpec extends AnyFunSuite {
       Seq(("c", "a", "tie"), ("a", "b", "tie")).toDF("x", "y", "oc"),
       "x", "y", "oc", batchId = 2L)
     assert(tieSet() == Set(("a", "b", 3L)))
+    // stats sees BOTH tables: batches 0 and 2 wrote ties, batch 1 only
+    // tombs; live counts reflect the masked state, judgments = wins+ties
+    val st = PreferenceIndex.stats(spark, base).collect().head
+    assert(st.getAs[Long]("n_delta_batches") == 2L)  // ties batches 0,2; batch 1 is tombs-only
+    assert(st.getAs[Long]("n_tie_rows") == 4L)       // raw deltas: (a,b,2)(a,c,1) + (a,b,1)(a,c,1)
+    assert(st.getAs[Long]("n_withdrawn_items") == 1L)
+    assert(st.getAs[Long]("n_live_ties") == 1L)      // (a,b,3) folded
+    assert(st.getAs[Long]("n_live_items") == 2L)     // a, b
+    assert(st.getAs[Long]("n_judgments") == 4L)      // 1 win + 3 draws
+    assert(st.getAs[Boolean]("needs_compact"))       // tombstone pending
     // compaction folds BOTH tables and retires the tombstone
     val folded = PreferenceIndex.compact(spark, base)
     assert(tieSet() == Set(("a", "b", 3L)))
