@@ -1863,10 +1863,12 @@ object TrainPrepQueries {
        |  FROM rc$k c CROSS JOIN tt)""".stripMargin
   }
 
-  /** Shared oracle CTEs: tie-aware outcome extraction + augmented edge
-    * list + the 3-iteration unrolled Rao–Kupper fit. `extraPred` masks
-    * per-user outcomes exactly like [[btCompCteWhere]]. */
-  private def rkFitCtesWhere(extraPred: String): String =
+  /** Shared oracle CTEs: tie-aware outcome extraction only (per-user
+    * rows, decided/draw split, win + tie count matrices) — the front
+    * half of [[rkFitCtesWhere]], also used by pair-level reports that
+    * need the matrices without the fit. `extraPred` masks per-user
+    * outcomes exactly like [[btCompCteWhere]]. */
+  private def rkCompCtesWhere(extraPred: String): String =
     s"""r AS MATERIALIZED (SELECT user_id, event_type, event_id, value,
        |  row_number() OVER (PARTITION BY user_id
        |    ORDER BY value DESC, event_id ASC) AS rb,
@@ -1882,7 +1884,13 @@ object TrainPrepQueries {
        |comp AS MATERIALIZED (SELECT winner, loser, count(*)::BIGINT AS n FROM o
        | WHERE decided GROUP BY 1, 2),
        |tcomp AS MATERIALIZED (SELECT least(winner, loser) AS a, greatest(winner, loser) AS b,
-       |  count(*)::BIGINT AS n FROM o WHERE NOT decided GROUP BY 1, 2),
+       |  count(*)::BIGINT AS n FROM o WHERE NOT decided GROUP BY 1, 2)""".stripMargin
+
+  /** Shared oracle CTEs: tie-aware outcome extraction + augmented edge
+    * list + the 3-iteration unrolled Rao–Kupper fit. `extraPred` masks
+    * per-user outcomes exactly like [[btCompCteWhere]]. */
+  private def rkFitCtesWhere(extraPred: String): String =
+    s"""${rkCompCtesWhere(extraPred)},
        |adir AS MATERIALIZED (SELECT i, j, sum(n)::BIGINT AS a FROM (
        |  SELECT winner AS i, loser AS j, n FROM comp
        |  UNION ALL SELECT a AS i, b AS j, n FROM tcomp
@@ -2144,6 +2152,182 @@ object TrainPrepQueries {
             "p.nt / (p.naw + p.nbw + p.nt))")} AS err_tie_q6
        |FROM pcnt p JOIN rg3 ga ON ga.item = p.a
        |JOIN rg3 gb ON gb.item = p.b CROSS JOIN rt3 th""".stripMargin
+
+  // ---------------------------------------------------------- q_winrate_ci
+
+  /** Pairwise win rates with Wilson 95% intervals — the model-vs-model
+    * cell of an honest arena report ([[graft.ext.Preference.pairWinRates]];
+    * Wilson 1927): per unordered pair, a's tie-inclusive win rate
+    * (w_a + t/2)/n with its interval and a decisiveness flag (the
+    * interval clears 0.5). Sparse per-pair counts are exactly where the
+    * naive normal interval lies; the Wilson score doesn't. Every number
+    * is per-row IEEE on identical literals (one exact sqrt), so the
+    * oracle replays each interval bit-identically. K²-bounded output. */
+  def qWinrateCi(s: SparkSession, dir: String): DataFrame = {
+    val o = prefOutcomesTies(s, dir).localCheckpoint()
+    val comp = o.filter(col("decided"))
+      .groupBy("winner", "loser").agg(count(lit(1)).as("n"))
+    val tie = o.filter(!col("decided"))
+      .select(least(col("winner"), col("loser")).as("a"),
+        greatest(col("winner"), col("loser")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    graft.ext.Preference.pairWinRates(comp, tie, z = 1.96)
+      .select(col("a"), col("b"), col("n_a_wins"), col("n_b_wins"),
+        col("n_ties"), col("n"),
+        Oracle.q6(col("p")).as("winrate_q6"),
+        Oracle.q6(col("lo")).as("lo_q6"),
+        Oracle.q6(col("hi")).as("hi_q6"),
+        (col("lo") > lit(0.5) || col("hi") < lit(0.5)).as("decisive"))
+  }
+
+  val qWinrateCiSql: String =
+    s"""WITH ${rkCompCtesWhere("")},
+       |fwd AS (SELECT winner AS a, loser AS b, n AS naw FROM comp
+       | WHERE winner < loser),
+       |bwd AS (SELECT loser AS a, winner AS b, n AS nbw FROM comp
+       | WHERE winner > loser),
+       |cells AS (SELECT a, b, coalesce(naw, 0)::BIGINT AS n_a_wins,
+       |  coalesce(nbw, 0)::BIGINT AS n_b_wins,
+       |  coalesce(t.n, 0)::BIGINT AS n_ties
+       | FROM fwd FULL JOIN bwd USING (a, b)
+       | FULL JOIN (SELECT a, b, n FROM tcomp) t USING (a, b)),
+       |pr AS (SELECT a, b, n_a_wins, n_b_wins, n_ties,
+       |  (n_a_wins + n_b_wins + n_ties)::BIGINT AS n,
+       |  (CAST(n_a_wins AS DOUBLE) + CAST(n_ties AS DOUBLE)
+       |    * CAST(0.5 AS DOUBLE))
+       |    / CAST(n_a_wins + n_b_wins + n_ties AS DOUBLE) AS p FROM cells),
+       |wil AS (SELECT *,
+       |  CAST(1.0 AS DOUBLE) + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+       |    / CAST(n AS DOUBLE) AS denom,
+       |  (p + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+       |    / (CAST(2.0 AS DOUBLE) * CAST(n AS DOUBLE))) AS ctr_num,
+       |  CAST(1.96 AS DOUBLE) * sqrt(p * (CAST(1.0 AS DOUBLE) - p)
+       |      / CAST(n AS DOUBLE)
+       |    + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+       |      / (CAST(4.0 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       |    AS hw_num FROM pr)
+       |SELECT a, b, n_a_wins, n_b_wins, n_ties, n,
+       |  ${Oracle.sqlQ6("p")} AS winrate_q6,
+       |  ${Oracle.sqlQ6("ctr_num / denom - hw_num / denom")} AS lo_q6,
+       |  ${Oracle.sqlQ6("ctr_num / denom + hw_num / denom")} AS hi_q6,
+       |  (ctr_num / denom - hw_num / denom > CAST(0.5 AS DOUBLE)
+       |    OR ctr_num / denom + hw_num / denom < CAST(0.5 AS DOUBLE))
+       |    AS decisive
+       |FROM wil""".stripMargin
+
+  // ------------------------------------------------------------- q_bt_drift
+
+  /** Rating DRIFT: the Bradley–Terry leaderboard fitted independently
+    * per event-time window (7-day buckets of each user group's last
+    * event) — an all-history rating hides an item that got better or
+    * worse, and rank churn between windows is the nonstationarity
+    * signal an arena operator watches. Reuses the grouped MM fit
+    * ([[graft.ext.Preference.btRatingsGrouped]] — the same machinery
+    * as the bootstrap, with window id in place of replicate id); the
+    * oracle replays every window's 3-iteration fit plus the rank-shift
+    * window functions. Windows × K² bounded; judgment volume enters
+    * only through the aggregated counts. */
+  def qBtDrift(s: SparkSession, dir: String): DataFrame = {
+    val comp = prefOutcomesWindowed(s, dir)
+      .groupBy("b", "winner", "loser").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val g = graft.ext.Preference.btRatingsGrouped(comp, iters = 3)
+    val tot = comp.select(col("b"), col("winner").as("item"), col("n"))
+      .unionAll(comp.select(col("b"), col("loser").as("item"), col("n")))
+      .groupBy("b", "item").agg(sum("n").as("n_comparisons"))
+    val wins = comp.groupBy(col("b"), col("winner").as("item"))
+      .agg(sum("n").as("w0"))
+    val wRank = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+      .orderBy(col("gamma").desc, col("item").asc)
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("b").asc)
+    g.join(tot, Seq("b", "item"))
+      .join(wins, Seq("b", "item"), "left")
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("prev_rank", lag(col("rank"), 1).over(wLag))
+      .select(col("b").as("window_id"), col("item"),
+        coalesce(col("w0"), lit(0L)).as("n_wins"), col("n_comparisons"),
+        Oracle.q6(col("gamma")).as("rating_q6"), col("rank"),
+        col("prev_rank"),
+        (col("prev_rank") - col("rank")).as("rank_delta"))
+  }
+
+  /** One judgment per (user, 7-day window): best-vs-worst outcome among
+    * the user's events INSIDE the window — the windowed twin of
+    * [[prefOutcomes]]. Windowing the events (not the user) is what
+    * makes drift observable: a user active all month contributes an
+    * independent judgment to every week it acted in. */
+  private def prefOutcomesWindowed(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("b",
+        floor(datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+          / lit(7.0)).cast("long"))
+      .groupBy("user_id", "b")
+      .agg(
+        count(lit(1)).as("nc"),
+        expr("max_by(event_type, struct(value, -event_id))").as("winner"),
+        max(col("value")).as("bv"),
+        expr("min_by(event_type, struct(value, event_id))").as("loser"),
+        min(col("value")).as("wv"))
+      .filter(col("nc") >= 2 && col("bv") - col("wv") >= 100.0 &&
+        col("winner") =!= col("loser"))
+      .select(col("winner"), col("loser"), col("b"))
+
+  val qBtDriftSql: String =
+    s"""WITH r AS (SELECT user_id, event_type, event_id, value,
+       |  CAST(floor(datediff('day', DATE '2024-01-01',
+       |    CAST(ts AS DATE)) / 7.0) AS BIGINT) AS b,
+       |  row_number() OVER (PARTITION BY user_id,
+       |    CAST(floor(datediff('day', DATE '2024-01-01',
+       |      CAST(ts AS DATE)) / 7.0) AS BIGINT)
+       |    ORDER BY value DESC, event_id ASC) AS rb,
+       |  row_number() OVER (PARTITION BY user_id,
+       |    CAST(floor(datediff('day', DATE '2024-01-01',
+       |      CAST(ts AS DATE)) / 7.0) AS BIGINT)
+       |    ORDER BY value ASC, event_id ASC) AS rw,
+       |  count(*) OVER (PARTITION BY user_id,
+       |    CAST(floor(datediff('day', DATE '2024-01-01',
+       |      CAST(ts AS DATE)) / 7.0) AS BIGINT)) AS nc
+       | FROM events WHERE value IS NOT NULL),
+       |comp AS (SELECT b.b, b.event_type AS winner, w.event_type AS loser,
+       |  count(*)::BIGINT AS n
+       | FROM (SELECT * FROM r WHERE rb = 1) b
+       | JOIN (SELECT * FROM r WHERE rw = 1) w USING (user_id, b)
+       | WHERE b.nc >= 2 AND b.value - w.value >= 100.0
+       |   AND b.event_type <> w.event_type
+       | GROUP BY 1, 2, 3),
+       |symb AS (SELECT b, i, j, sum(n)::BIGINT AS n FROM (
+       |  SELECT b, winner AS i, loser AS j, n FROM comp
+       |  UNION ALL SELECT b, loser AS i, winner AS j, n FROM comp)
+       | GROUP BY 1, 2, 3),
+       |itemsb AS (SELECT DISTINCT b, i AS item FROM symb),
+       |winsb AS (SELECT ib.item, ib.b, coalesce(sum(c.n), 0)::BIGINT AS w
+       | FROM itemsb ib LEFT JOIN comp c ON c.winner = ib.item AND c.b = ib.b
+       | GROUP BY 1, 2),
+       |totb AS (SELECT b, i AS item, sum(n)::BIGINT AS n_comparisons
+       | FROM symb GROUP BY 1, 2),
+       |bg0 AS (SELECT item, b, CAST(1.0 AS DOUBLE) AS gamma FROM itemsb),
+       |bg1 AS (${btMmIterGrouped("bg0")}),
+       |bg2 AS (${btMmIterGrouped("bg1")}),
+       |bg3 AS (${btMmIterGrouped("bg2")}),
+       |bfin AS (SELECT ib.item, ib.b,
+       |  coalesce(g.gamma, CAST(0.0 AS DOUBLE)) AS gamma
+       | FROM itemsb ib LEFT JOIN bg3 g ON g.item = ib.item AND g.b = ib.b),
+       |ranked AS (SELECT f.b, f.item, f.gamma,
+       |  row_number() OVER (PARTITION BY f.b
+       |    ORDER BY f.gamma DESC, f.item ASC)::BIGINT AS rank
+       | FROM bfin f)
+       |SELECT rk.b AS window_id, rk.item, wi.w AS n_wins,
+       |  tot.n_comparisons, ${Oracle.sqlQ6("rk.gamma")} AS rating_q6,
+       |  rk.rank,
+       |  lag(rk.rank) OVER (PARTITION BY rk.item ORDER BY rk.b ASC)
+       |    AS prev_rank,
+       |  lag(rk.rank) OVER (PARTITION BY rk.item ORDER BY rk.b ASC)
+       |    - rk.rank AS rank_delta
+       |FROM ranked rk
+       |JOIN winsb wi ON wi.item = rk.item AND wi.b = rk.b
+       |JOIN totb tot ON tot.item = rk.item AND tot.b = rk.b""".stripMargin
 
   // -------------------------------------- q_bt_calibration / q_pref_cycles
 
@@ -2678,6 +2862,8 @@ object TrainPrepQueries {
     "q_bt_ratings_ties"    -> (qBtRatingsTies _),
     "q_bt_ci_ties"         -> (qBtCiTies _),
     "q_rk_calibration"     -> (qRkCalibration _),
+    "q_winrate_ci"         -> (qWinrateCi _),
+    "q_bt_drift"           -> (qBtDrift _),
     "q_bt_calibration"     -> (qBtCalibration _),
     "q_pref_cycles"        -> (qPrefCycles _),
     "q_stream_pref_lifecycle" -> (qStreamPrefLifecycle _),
@@ -2730,6 +2916,8 @@ object TrainPrepQueries {
     "q_bt_ratings_ties"    -> qBtRatingsTiesSql,
     "q_bt_ci_ties"         -> qBtCiTiesSql,
     "q_rk_calibration"     -> qRkCalibrationSql,
+    "q_winrate_ci"         -> qWinrateCiSql,
+    "q_bt_drift"           -> qBtDriftSql,
     "q_bt_calibration"     -> qBtCalibrationSql,
     "q_pref_cycles"        -> qPrefCyclesSql,
     "q_stream_pref_lifecycle" -> qStreamPrefLifecycleSql,

@@ -160,6 +160,76 @@ class PreferenceSpec extends AnyFunSuite {
       nt.getAs[Double]("theta_hi") == 1.0)
   }
 
+  test("pairWinRates: hand-checked Wilson cell; ties count half; interval brackets p") {
+    val comp = Seq(("a", "b", 3L), ("b", "a", 1L), ("c", "d", 100L))
+      .toDF("winner", "loser", "n")
+    val ties = Seq(("a", "b", 2L)).toDF("a", "b", "n")
+    val out = Preference.pairWinRates(comp, ties, z = 1.96).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Long]("n"), r.getAs[Double]("p"),
+        r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out.map(t => (t._1, t._2, t._3)) == Seq(("a", "b", 6L), ("c", "d", 100L)))
+    val ab = out.head
+    assert(math.abs(ab._4 - 4.0 / 6.0) < 1e-12, "ties contribute half a win")
+    out.foreach { t =>
+      // Wilson stays strictly inside (0,1) and brackets interior p-hats;
+      // a boundary p-hat (100-0) sits ABOVE hi — the shrink toward 1/2
+      // is the point of the score interval at extreme observed rates
+      assert(t._5 > 0.0 && t._6 < 1.0, s"interval inside (0,1): $t")
+      if (t._4 > 0.0 && t._4 < 1.0)
+        assert(t._5 < t._4 && t._4 < t._6, s"interior p-hat bracketed: $t")
+    }
+    // 100-0 is decisive (lo far above 0.5); 3.5-of-6 is not
+    assert(out(1)._5 > 0.9)
+    assert(ab._5 < 0.5 && ab._6 > 0.5)
+  }
+
+  test("btRatingsGrouped: independent groups fit exactly like separate btRatings runs") {
+    val e0 = Seq(("a", "b", 4L), ("b", "c", 2L), ("a", "c", 1L))
+    val e1 = Seq(("b", "a", 3L), ("a", "b", 1L))
+    val grouped = (e0.map { case (w, l, n) => (0L, w, l, n) } ++
+      e1.map { case (w, l, n) => (1L, w, l, n) })
+      .toDF("b", "winner", "loser", "n")
+    val got = Preference.btRatingsGrouped(grouped, iters = 3).collect()
+      .map(r => ((r.getAs[Long]("b"), r.getAs[String]("item")),
+        r.getAs[Double]("gamma"))).toMap
+    val want0 = Preference.btRatings(e0.toDF("winner", "loser", "n"), iters = 3)
+      .collect().map(r => (r.getAs[String]("item"), r.getAs[Double]("gamma")))
+    val want1 = Preference.btRatings(e1.toDF("winner", "loser", "n"), iters = 3)
+      .collect().map(r => (r.getAs[String]("item"), r.getAs[Double]("gamma")))
+    assert(got.size == want0.length + want1.length)
+    want0.foreach { case (it, g) => assert(got((0L, it)) == g,
+      s"group 0 item $it drifted from the ungrouped fit") }
+    want1.foreach { case (it, g) => assert(got((1L, it)) == g,
+      s"group 1 item $it drifted from the ungrouped fit") }
+  }
+
+  test("q_bt_drift: per-window ranks are permutations and lag links windows") {
+    val out = graft.queries.TrainPrepQueries
+      .qBtDrift(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val byW = out.groupBy(_.getAs[Long]("window_id"))
+    assert(byW.size >= 2, "the month must split into multiple windows")
+    byW.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rows.length).toSeq, "ranks are a permutation per window")
+    }
+    // prev_rank chains each item's own window sequence: null first, then
+    // the immediately preceding observation's rank; delta is their gap
+    out.groupBy(_.getAs[String]("item")).foreach { case (it, rows) =>
+      val seq = rows.sortBy(_.getAs[Long]("window_id"))
+      assert(seq.head.isNullAt(6) && seq.head.isNullAt(7),
+        s"$it: first window has no prev_rank")
+      seq.sliding(2).filter(_.length == 2).foreach { case Array(p, c) =>
+        assert(c.getAs[Long]("prev_rank") == p.getAs[Long]("rank"),
+          s"$it: prev_rank must be the previous observation's rank")
+        assert(c.getAs[Long]("rank_delta") ==
+          p.getAs[Long]("rank") - c.getAs[Long]("rank"))
+      }
+    }
+  }
+
   test("q_bt_ratings: ranks are a permutation and wins are bounded by comparisons") {
     val rows = graft.queries.TrainPrepQueries.qBtRatings(spark, "/root/testdata/sf0.001")
       .collect()
