@@ -507,6 +507,62 @@ object MiningQueries {
   lazy val qStreamAnnLifecycleSql: String =
     ivfOracleSql("vec_id < 400", "e.vec_id % 7 <> 3")
 
+  // ----------------------------------------------- q_stream_ann_readmit
+
+  /** RE-ADMISSION through the standing ANN index — the explicit
+    * operator decision the delete-wins contract reserves (takedown is
+    * permanent until a compaction retires the tombstones; only then may
+    * a cleared item re-enter). Extends [[qStreamAnnLifecycle]]'s
+    * lifecycle with a third checkpointed leg:
+    *
+    *  6. AFTER the compaction has physically removed the taken-down
+    *     rows and retired their tombstones, the cleared subset
+    *     (vec_id % 7 = 3 AND vec_id < 420) lands as a late file and
+    *     the SAME checkpoint runs again — the restart discovers only
+    *     the new file and appends it as batch 2 under the stored
+    *     quantizer;
+    *  7. search. The oracle's corpus is everything except the
+    *     still-withdrawn ids (% 7 = 3 and >= 420) — a hash-pass proves
+    *     the re-admitted vectors re-entered with live rows while the
+    *     uncleared remainder stayed dead, i.e. re-admission is
+    *     id-precise, not an accidental tombstone unmask. */
+  def qStreamAnnReadmit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Scratch.fresh(s, "streamannre", dir)
+    val e = Tables(s, dir, "embeddings")
+    val idx = "q_ann_readmit"
+    graft.ext.SimilarityIndex.write(e.filter(col("vec_id") < 400),
+      "embedding", "vec_id", idx, k = 4, iters = 1, buckets = 4)
+    val inDir = s"$base/in"
+    def runToCompletion(): Unit = {
+      val q = graft.streaming.IngestVectors.run(
+          s.readStream.schema(e.schema).parquet(inDir), idx,
+          checkpoint = s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    e.filter(col("vec_id") >= 400 && col("vec_id") < 450).coalesce(1)
+      .write.mode("overwrite").parquet(inDir)
+    runToCompletion()
+    graft.ext.SimilarityIndex.delete(s, idx,
+      e.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+    e.filter(col("vec_id") >= 450).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runToCompletion()
+    // the compaction retires the tombstones — the precondition for
+    // re-admission; a re-append BEFORE this line would stay masked
+    graft.ext.SimilarityIndex.compact(s, idx)
+    e.filter(col("vec_id") % 7 === 3 && col("vec_id") < 420).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runToCompletion()
+    graft.ext.SimilarityIndex.topK(s, idx,
+      e.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+  }
+
+  lazy val qStreamAnnReadmitSql: String =
+    ivfOracleSql("vec_id < 400",
+      "(e.vec_id % 7 <> 3 OR e.vec_id < 420)")
+
   // ------------------------------------------------------- q_sim_recall
 
   /** ANN RECALL@K REPORTING — the number a user actually tunes `nprobe`
@@ -1558,6 +1614,7 @@ object MiningQueries {
     "q_sim_batch_rerank" -> (qSimBatchRerank _),
     "q_sim_incr_idx"    -> (qSimIncrIdx _),
     "q_stream_ann_lifecycle" -> (qStreamAnnLifecycle _),
+    "q_stream_ann_readmit" -> (qStreamAnnReadmit _),
     "q_sim_recall"      -> (qSimRecall _),
     "q_sim_recall_lsh"  -> (qSimRecallLsh _),
     "q_sim_recall_pq"   -> (qSimRecallPq _),
@@ -1592,6 +1649,7 @@ object MiningQueries {
     "q_sim_batch_rerank" -> qSimBatchRerankSql,
     "q_sim_incr_idx"    -> qSimIncrIdxSql,
     "q_stream_ann_lifecycle" -> qStreamAnnLifecycleSql,
+    "q_stream_ann_readmit" -> qStreamAnnReadmitSql,
     "q_sim_recall"      -> qSimRecallSql,
     "q_sim_recall_lsh"  -> qSimRecallLshSql,
     "q_sim_recall_pq"   -> qSimRecallPqSql,
