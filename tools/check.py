@@ -52,19 +52,28 @@ def main(outdir, sfdir):
                 print(f"FAIL {name}: no result written (query crashed in Verify?)")
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchall()
-            gcols = [d[0] for d in con.description]
-            want = con.execute(sql).fetchall()
-            wcols = [d[0] for d in con.description]
-            gc, gr = canon(got, gcols)
-            wc, wr = canon(want, wcols)
+            def both():
+                got = con.execute(
+                    f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchall()
+                gcols = [d[0] for d in con.description]
+                want = con.execute(sql).fetchall()
+                wcols = [d[0] for d in con.description]
+                return canon(got, gcols), canon(want, wcols)
+            (gc, gr), (wc, wr) = both()
+            retried = False
+            if gc == wc and gr != wr:
+                # r10/r11 both hit a single under-load false FAIL that a
+                # re-compare of the identical inputs cleared (0 differing
+                # rows). Re-execute BOTH sides once before reporting: a
+                # genuine mismatch is deterministic and fails twice.
+                (gc, gr), (wc, wr) = both()
+                retried = True
             if gc != wc:
                 print(f"FAIL {name}: columns {gc} != {wc}")
                 n_fail += 1
             elif gr != wr:
                 n_fail += 1
-                print(f"FAIL {name}: {len(gr)} vs {len(wr)} rows")
+                print(f"FAIL {name}: {len(gr)} vs {len(wr)} rows (twice)")
                 for a, b in list(zip(gr, wr))[:200]:
                     if a != b:
                         print(f"  spark: {a}\n  duck : {b}")
@@ -112,7 +121,8 @@ def main(outdir, sfdir):
                     print(f"FAIL {name}: pandas dtype family mismatch {bad}")
                 else:
                     n_pass += 1
-                    print(f"PASS {name} ({len(gr)} rows)")
+                    tag = " [pass on re-compare]" if retried else ""
+                    print(f"PASS {name} ({len(gr)} rows){tag}")
         except Exception as e:
             n_fail += 1
             print(f"ERROR {name}: {e}")
