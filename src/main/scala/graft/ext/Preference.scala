@@ -555,9 +555,6 @@ object Preference {
       col("n")), 131071L)
     val dtie = draw(tie.select(col("a").as("x"), col("b").as("y"),
       col("n")), 524287L)
-    def qsum(c: org.apache.spark.sql.Column) =
-      sum(floor(c * lit(1e7) + lit(0.5)).cast(DecimalType(27, 0)))
-        .cast(DoubleType) / lit(1e7)
     val adirb = dcomp.select(col("b"), col("x").as("i"), col("y").as("j"), col("n"))
       .unionAll(dtie.select(col("b"), col("x").as("i"), col("y").as("j"), col("n")))
       .unionAll(dtie.select(col("b"), col("y").as("i"), col("x").as("j"), col("n")))
@@ -573,8 +570,38 @@ object Preference {
       .join(dtie.groupBy("b").agg(sum("n").as("t0")), Seq("b"), "left")
       .select(col("b"), coalesce(col("t0"), lit(0L)).as("T"))
       .localCheckpoint()
+    val (gfin, th) = rkFitGrouped(adirb, itemsb, bigAb, ttb, repsDf, iters)
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("gamma").asc, col("b").asc)
+    val ciG = gfin.withColumn("rn", row_number().over(wG))
+      .groupBy("item")
+      .agg(max(when(col("rn") === loRank, col("gamma"))).as("lo"),
+        max(when(col("rn") === hiRank, col("gamma"))).as("hi"))
+    val wT = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t").asc, col("b").asc)
+    val ciT = th.withColumn("rn", row_number().over(wT))
+      .agg(max(when(col("rn") === loRank, col("t"))).as("theta_lo"),
+        max(when(col("rn") === hiRank, col("t"))).as("theta_hi"))
+    ciG.crossJoin(broadcast(ciT))
+  }
+
+  /** The Rao-Kupper MM fit run independently per group `b` — identical
+    * arithmetic to [[rkRatings]] with the group id carried through
+    * every key and theta a PER-GROUP column (no driver scalar, so any
+    * number of groups stays one plan). Inputs: the augmented directed
+    * edge list (b, i, j, a), the (item, b) universe, per-cell augmented
+    * totals (item, b, A), per-group tie totals (b, T), and the group
+    * universe (b). Returns ((item, b, gamma) with absent cells at 0,
+    * (b, t)). */
+  private def rkFitGrouped(adirb: DataFrame, itemsb: DataFrame,
+                           bigAb: DataFrame, ttb: DataFrame,
+                           groups: DataFrame, iters: Int)
+      : (DataFrame, DataFrame) = {
+    def qsum(c: org.apache.spark.sql.Column) =
+      sum(floor(c * lit(1e7) + lit(0.5)).cast(DecimalType(27, 0)))
+        .cast(DoubleType) / lit(1e7)
     var g = itemsb.select(col("item"), col("b"), lit(1.0).as("gamma"))
-    var th = repsDf.select(col("b"), lit(1.0).as("t"))
+    var th = groups.select(col("b"), lit(1.0).as("t"))
     for (_ <- 1 to iters) {
       val d = adirb
         .join(g.select(col("b"), col("item").as("i"), col("gamma").as("gi")),
@@ -600,7 +627,7 @@ object Preference {
         .groupBy("b")
         .agg(qsum((col("a") * col("gj")) / (col("gi") + col("t") * col("gj")))
           .as("c"))
-      th = repsDf.join(cTab, Seq("b"), "left").join(ttb, Seq("b"))
+      th = groups.join(cTab, Seq("b"), "left").join(ttb, Seq("b"))
         .select(col("b"),
           when(col("c") > lit(0.0),
             (col("T").cast(DoubleType) + sqrt(col("T").cast(DoubleType) *
@@ -610,17 +637,46 @@ object Preference {
     }
     val gfin = itemsb.join(g, Seq("item", "b"), "left")
       .select(col("item"), col("b"), coalesce(col("gamma"), lit(0.0)).as("gamma"))
-    val wG = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("item")).orderBy(col("gamma").asc, col("b").asc)
-    val ciG = gfin.withColumn("rn", row_number().over(wG))
-      .groupBy("item")
-      .agg(max(when(col("rn") === loRank, col("gamma"))).as("lo"),
-        max(when(col("rn") === hiRank, col("gamma"))).as("hi"))
-    val wT = org.apache.spark.sql.expressions.Window
-      .orderBy(col("t").asc, col("b").asc)
-    val ciT = th.withColumn("rn", row_number().over(wT))
-      .agg(max(when(col("rn") === loRank, col("t"))).as("theta_lo"),
-        max(when(col("rn") === hiRank, col("t"))).as("theta_hi"))
-    ciG.crossJoin(broadcast(ciT))
+    (gfin, th)
+  }
+
+  /** Per-group tie-aware leaderboards: the [[rkRatings]] fit run
+    * independently per group `b` — the tie-aware sibling of
+    * [[btRatingsGrouped]] (b = time window for drift, or any other
+    * partition of the judgment stream). Draws are first-class per
+    * group, and each group gets its own theta: draw mass itself drifts.
+    *
+    * @param comparisons directed win outcomes keyed by group (b, winner, loser, n)
+    * @param ties        unordered draw outcomes keyed by group (b, i, j, n), i < j
+    * @return (item, b, gamma, theta) — items rated only in groups they
+    *         appear in; theta constant within a group
+    */
+  def rkRatingsGrouped(comparisons: DataFrame, ties: DataFrame,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, s"rkRatingsGrouped needs iters >= 1, got $iters")
+    val comp = comparisons.localCheckpoint()
+    val tie = ties.localCheckpoint()
+    val adirb = comp
+      .select(col("b"), col("winner").as("i"), col("loser").as("j"), col("n"))
+      .unionAll(tie.select(col("b"), col("i"), col("j"), col("n")))
+      .unionAll(tie.select(col("b"), col("j").as("i"), col("i").as("j"),
+        col("n")))
+      .groupBy("b", "i", "j").agg(sum("n").as("a"))
+      .localCheckpoint()
+    val itemsb = adirb.select(col("b"), col("i").as("item"))
+      .unionAll(adirb.select(col("b"), col("j").as("item"))).distinct()
+    val groups = adirb.select("b").distinct()
+    val bigAb = itemsb
+      .join(adirb.groupBy(col("b"), col("i").as("item")).agg(sum("a").as("a0")),
+        Seq("item", "b"), "left")
+      .select(col("item"), col("b"), coalesce(col("a0"), lit(0L)).as("A"))
+      .localCheckpoint()
+    val ttb = groups
+      .join(tie.groupBy("b").agg(sum("n").as("t0")), Seq("b"), "left")
+      .select(col("b"), coalesce(col("t0"), lit(0L)).as("T"))
+      .localCheckpoint()
+    val (g, th) = rkFitGrouped(adirb, itemsb, bigAb, ttb, groups, iters)
+    g.join(th, Seq("b"))
+      .select(col("item"), col("b"), col("gamma"), col("t").as("theta"))
   }
 }

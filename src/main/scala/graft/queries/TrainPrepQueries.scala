@@ -2401,6 +2401,153 @@ object TrainPrepQueries {
        |JOIN winsb wi ON wi.item = rk.item AND wi.b = rk.b
        |JOIN totb tot ON tot.item = rk.item AND tot.b = rk.b""".stripMargin
 
+  // ------------------------------------------------------------- q_rk_drift
+
+  /** Tie-aware rating drift: the Rao–Kupper fit run independently per
+    * 7-day window ([[graft.ext.Preference.rkRatingsGrouped]]) — draws
+    * are first-class per window AND each window gets its own theta, so
+    * the DRAW MASS drifts visibly too (a judge pool getting more
+    * decisive shows up as theta falling week over week). Same rank /
+    * prev-rank / churn report as q_bt_drift; the oracle replays every
+    * window's 3-iteration fit including the per-window closed-form
+    * theta roots. Windows × K² bounded. */
+  def qRkDrift(s: SparkSession, dir: String): DataFrame = {
+    val o = prefOutcomesWindowedTies(s, dir).localCheckpoint()
+    val comp = o.filter(col("decided"))
+      .groupBy("b", "winner", "loser").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tie = o.filter(!col("decided"))
+      .select(col("b"), least(col("winner"), col("loser")).as("i"),
+        greatest(col("winner"), col("loser")).as("j"))
+      .groupBy("b", "i", "j").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val g = graft.ext.Preference.rkRatingsGrouped(comp, tie, iters = 3)
+    val wins = comp.groupBy(col("b"), col("winner").as("item"))
+      .agg(sum("n").as("w0"))
+    val tcnt = tie.select(col("b"), col("i").as("item"), col("n"))
+      .unionAll(tie.select(col("b"), col("j").as("item"), col("n")))
+      .groupBy("b", "item").agg(sum("n").as("t0"))
+    val losses = comp.groupBy(col("b"), col("loser").as("item"))
+      .agg(sum("n").as("l0"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("gamma").desc, col("item").asc)
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("b").asc)
+    g.join(wins, Seq("b", "item"), "left")
+      .join(tcnt, Seq("b", "item"), "left")
+      .join(losses, Seq("b", "item"), "left")
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("prev_rank", lag(col("rank"), 1).over(wLag))
+      .select(col("b").as("window_id"), col("item"),
+        coalesce(col("w0"), lit(0L)).as("n_wins"),
+        coalesce(col("t0"), lit(0L)).as("n_ties"),
+        (coalesce(col("w0"), lit(0L)) + coalesce(col("t0"), lit(0L)) +
+          coalesce(col("l0"), lit(0L))).as("n_comparisons"),
+        Oracle.q6(col("gamma")).as("rating_q6"),
+        Oracle.q6(col("theta")).as("theta_q6"),
+        col("rank"), col("prev_rank"),
+        (col("prev_rank") - col("rank")).as("rank_delta"))
+  }
+
+  /** One tie-aware judgment per (user, 7-day window): best-vs-worst
+    * among the user's events INSIDE the window with the decided flag at
+    * margin 200 — the windowed twin of [[prefOutcomesTies]]. */
+  private def prefOutcomesWindowedTies(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("b",
+        floor(datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+          / lit(7.0)).cast("long"))
+      .groupBy("user_id", "b")
+      .agg(
+        count(lit(1)).as("nc"),
+        expr("max_by(event_type, struct(value, -event_id))").as("winner"),
+        max(col("value")).as("bv"),
+        expr("min_by(event_type, struct(value, event_id))").as("loser"),
+        min(col("value")).as("wv"))
+      .filter(col("nc") >= 2 && col("winner") =!= col("loser"))
+      .select(col("b"), col("winner"), col("loser"),
+        (col("bv") - col("wv") >= 200.0).as("decided"))
+
+  val qRkDriftSql: String =
+    s"""WITH r AS MATERIALIZED (SELECT user_id, event_type, event_id, value,
+       |  CAST(floor(datediff('day', DATE '2024-01-01',
+       |    CAST(ts AS DATE)) / 7.0) AS BIGINT) AS b,
+       |  row_number() OVER (PARTITION BY user_id,
+       |    CAST(floor(datediff('day', DATE '2024-01-01',
+       |      CAST(ts AS DATE)) / 7.0) AS BIGINT)
+       |    ORDER BY value DESC, event_id ASC) AS rb,
+       |  row_number() OVER (PARTITION BY user_id,
+       |    CAST(floor(datediff('day', DATE '2024-01-01',
+       |      CAST(ts AS DATE)) / 7.0) AS BIGINT)
+       |    ORDER BY value ASC, event_id ASC) AS rw,
+       |  count(*) OVER (PARTITION BY user_id,
+       |    CAST(floor(datediff('day', DATE '2024-01-01',
+       |      CAST(ts AS DATE)) / 7.0) AS BIGINT)) AS nc
+       | FROM events WHERE value IS NOT NULL),
+       |o AS MATERIALIZED (SELECT b.b, b.event_type AS winner,
+       |  w.event_type AS loser, (b.value - w.value >= 200.0) AS decided
+       | FROM (SELECT * FROM r WHERE rb = 1) b
+       | JOIN (SELECT * FROM r WHERE rw = 1) w USING (user_id, b)
+       | WHERE b.nc >= 2 AND b.event_type <> w.event_type),
+       |comp AS MATERIALIZED (SELECT b, winner, loser, count(*)::BIGINT AS n
+       | FROM o WHERE decided GROUP BY 1, 2, 3),
+       |tcomp AS MATERIALIZED (SELECT b, least(winner, loser) AS i,
+       |  greatest(winner, loser) AS j, count(*)::BIGINT AS n
+       | FROM o WHERE NOT decided GROUP BY 1, 2, 3),
+       |badir AS MATERIALIZED (SELECT b, i, j, sum(n)::BIGINT AS a FROM (
+       |  SELECT b, winner AS i, loser AS j, n FROM comp
+       |  UNION ALL SELECT b, i, j, n FROM tcomp
+       |  UNION ALL SELECT b, j AS i, i AS j, n FROM tcomp)
+       | GROUP BY 1, 2, 3),
+       |reps AS (SELECT DISTINCT b FROM badir),
+       |bitems AS MATERIALIZED (SELECT DISTINCT b, item FROM (
+       |  SELECT b, i AS item FROM badir
+       |  UNION ALL SELECT b, j AS item FROM badir)),
+       |bA AS MATERIALIZED (SELECT it.item, it.b,
+       |  coalesce(sum(d.a), 0)::BIGINT AS A
+       | FROM bitems it LEFT JOIN badir d ON d.i = it.item AND d.b = it.b
+       | GROUP BY 1, 2),
+       |btt AS (SELECT r.b, coalesce(t.t0, 0)::BIGINT AS T FROM reps r
+       | LEFT JOIN (SELECT b, sum(n)::BIGINT AS t0 FROM tcomp GROUP BY 1) t
+       |   ON t.b = r.b),
+       |bg0 AS (SELECT item, b, CAST(1.0 AS DOUBLE) AS gamma FROM bitems),
+       |bth0 AS (SELECT b, CAST(1.0 AS DOUBLE) AS t FROM reps),
+       |${rkBootIterCtes(1)},
+       |${rkBootIterCtes(2)},
+       |${rkBootIterCtes(3)},
+       |bfin AS (SELECT ib.item, ib.b,
+       |  coalesce(g.gamma, CAST(0.0 AS DOUBLE)) AS gamma
+       | FROM bitems ib LEFT JOIN bg3 g ON g.item = ib.item AND g.b = ib.b),
+       |winsw AS (SELECT b, winner AS item, sum(n)::BIGINT AS w FROM comp
+       | GROUP BY 1, 2),
+       |tiesw AS (SELECT b, item, sum(n)::BIGINT AS t FROM (
+       |  SELECT b, i AS item, n FROM tcomp
+       |  UNION ALL SELECT b, j AS item, n FROM tcomp) GROUP BY 1, 2),
+       |lossw AS (SELECT b, loser AS item, sum(n)::BIGINT AS l FROM comp
+       | GROUP BY 1, 2),
+       |ranked AS (SELECT f.b, f.item, f.gamma,
+       |  row_number() OVER (PARTITION BY f.b
+       |    ORDER BY f.gamma DESC, f.item ASC)::BIGINT AS rank
+       | FROM bfin f)
+       |SELECT rk.b AS window_id, rk.item,
+       |  coalesce(wi.w, 0)::BIGINT AS n_wins,
+       |  coalesce(tb.t, 0)::BIGINT AS n_ties,
+       |  (coalesce(wi.w, 0) + coalesce(tb.t, 0) + coalesce(lo.l, 0))::BIGINT
+       |    AS n_comparisons,
+       |  ${Oracle.sqlQ6("rk.gamma")} AS rating_q6,
+       |  ${Oracle.sqlQ6("th.t")} AS theta_q6,
+       |  rk.rank,
+       |  lag(rk.rank) OVER (PARTITION BY rk.item ORDER BY rk.b ASC)
+       |    AS prev_rank,
+       |  lag(rk.rank) OVER (PARTITION BY rk.item ORDER BY rk.b ASC)
+       |    - rk.rank AS rank_delta
+       |FROM ranked rk
+       |JOIN bth3 th ON th.b = rk.b
+       |LEFT JOIN winsw wi ON wi.item = rk.item AND wi.b = rk.b
+       |LEFT JOIN tiesw tb ON tb.item = rk.item AND tb.b = rk.b
+       |LEFT JOIN lossw lo ON lo.item = rk.item AND lo.b = rk.b""".stripMargin
+
   // -------------------------------------- q_bt_calibration / q_pref_cycles
 
   /** Calibration of the Bradley–Terry fit: per unordered item pair, the
@@ -2937,6 +3084,7 @@ object TrainPrepQueries {
     "q_winrate_ci"         -> (qWinrateCi _),
     "q_judgment_plan"      -> (qJudgmentPlan _),
     "q_bt_drift"           -> (qBtDrift _),
+    "q_rk_drift"           -> (qRkDrift _),
     "q_bt_calibration"     -> (qBtCalibration _),
     "q_pref_cycles"        -> (qPrefCycles _),
     "q_stream_pref_lifecycle" -> (qStreamPrefLifecycle _),
@@ -2992,6 +3140,7 @@ object TrainPrepQueries {
     "q_winrate_ci"         -> qWinrateCiSql,
     "q_judgment_plan"      -> qJudgmentPlanSql,
     "q_bt_drift"           -> qBtDriftSql,
+    "q_rk_drift"           -> qRkDriftSql,
     "q_bt_calibration"     -> qBtCalibrationSql,
     "q_pref_cycles"        -> qPrefCyclesSql,
     "q_stream_pref_lifecycle" -> qStreamPrefLifecycleSql,

@@ -205,6 +205,32 @@ class PreferenceSpec extends AnyFunSuite {
       s"group 1 item $it drifted from the ungrouped fit") }
   }
 
+  test("rkRatingsGrouped: independent groups fit exactly like separate rkRatings runs") {
+    val e0 = Seq(("a", "b", 4L), ("b", "c", 2L))
+    val t0 = Seq(("a", "b", 3L), ("b", "c", 1L))
+    val e1 = Seq(("b", "a", 3L), ("a", "b", 1L))
+    val t1 = Seq.empty[(String, String, Long)] // no draws: theta pins to 1
+    val compG = (e0.map { case (w, l, n) => (0L, w, l, n) } ++
+      e1.map { case (w, l, n) => (1L, w, l, n) })
+      .toDF("b", "winner", "loser", "n")
+    val tieG = (t0.map { case (x, y, n) => (0L, x, y, n) } ++
+      t1.map { case (x, y, n) => (1L, x, y, n) })
+      .toDF("b", "i", "j", "n")
+    val got = Preference.rkRatingsGrouped(compG, tieG, iters = 3).collect()
+      .map(r => ((r.getAs[Long]("b"), r.getAs[String]("item")),
+        (r.getAs[Double]("gamma"), r.getAs[Double]("theta")))).toMap
+    def solo(es: Seq[(String, String, Long)], ts: Seq[(String, String, Long)]) =
+      Preference.rkRatings(es.toDF("winner", "loser", "n"),
+          ts.toDF("a", "b", "n"), iters = 3).collect()
+        .map(r => (r.getAs[String]("item"),
+          (r.getAs[Double]("gamma"), r.getAs[Double]("theta"))))
+    solo(e0, t0).foreach { case (it, gt) => assert(got((0L, it)) == gt,
+      s"group 0 item $it drifted from the ungrouped tie-aware fit") }
+    solo(e1, t1).foreach { case (it, gt) => assert(got((1L, it)) == gt,
+      s"group 1 item $it drifted from the ungrouped tie-aware fit") }
+    assert(got((1L, "a"))._2 == 1.0, "no-draw group pins theta to 1")
+  }
+
   test("q_bt_drift: per-window ranks are permutations and lag links windows") {
     val out = graft.queries.TrainPrepQueries
       .qBtDrift(spark, "/root/testdata/sf0.001").collect()
