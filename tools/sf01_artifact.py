@@ -15,8 +15,11 @@ def main():
     note = sys.argv[4] if len(sys.argv) > 4 else ""
     txt = open(log).read()
     queries = {}
-    for name, rows in re.findall(r"^PASS (\S+) \((\d+) rows\)$", txt, re.M):
+    for name, rows, retag in re.findall(
+            r"^PASS (\S+) \((\d+) rows\)( \[pass on re-compare\])?$", txt, re.M):
         queries[name] = {"status": "pass", "rows": int(rows)}
+        if retag:
+            queries[name]["note"] = "pass on re-compare"
     for m in re.finditer(r"^FAIL (\S+?):? ", txt, re.M):
         queries[m.group(1)] = {"status": "fail", "rows": None}
     n_pass = sum(1 for q in queries.values() if q["status"] == "pass")
