@@ -454,4 +454,50 @@ object PropertySpec extends Properties("graft") {
       math.abs(ratio - wa.toDouble / wb) / (wa.toDouble / wb) < 1e-3 &&
         (wa == wb || (wa > wb) == (g("A") > g("B")))
     }
+
+  property("Wilson interval: inside (0,1), brackets interior p, shrinks as counts double") =
+    forAll(Gen.choose(0L, 30L), Gen.choose(0L, 30L), Gen.choose(0L, 30L)) {
+      (naw, nbw, nt) =>
+        (naw + nbw + nt >= 1L) ==> {
+          def cell(f: Long) = {
+            val comp = Seq(("a", "b", naw * f), ("b", "a", nbw * f))
+              .filter(_._3 > 0).toDF("winner", "loser", "n")
+            val ties = Seq(("a", "b", nt * f)).filter(_._3 > 0)
+              .toDF("a", "b", "n")
+            graft.ext.Preference.pairWinRates(comp, ties, z = 1.96).collect()
+              .map(r => (r.getAs[Double]("p"), r.getAs[Double]("lo"),
+                r.getAs[Double]("hi"))).head
+          }
+          val (p1, lo1, hi1) = cell(1L)
+          val (p2, lo2, hi2) = cell(2L)
+          lo1 > 0.0 && hi1 < 1.0 && lo1 < hi1 &&
+            (p1 <= 0.0 || p1 >= 1.0 || (lo1 < p1 && p1 < hi1)) &&
+            p2 == p1 &&                      // doubling preserves the rate
+            (hi2 - lo2) < (hi1 - lo1)        // ...and strictly narrows
+        }
+    }
+
+  property("grouped Rao-Kupper with no draws equals grouped Bradley-Terry") =
+    forAll(Gen.listOfN(6, Gen.zip(Gen.choose(0L, 1L),
+      Gen.oneOf("a", "b", "c"), Gen.oneOf("a", "b", "c"),
+      Gen.choose(1L, 9L)))) { es0 =>
+      val es = es0.filter(e => e._2 != e._3)
+      (es.nonEmpty) ==> {
+        val comp = es.toDF("b", "winner", "loser", "n")
+          .groupBy("b", "winner", "loser")
+          .agg(sum("n").as("n"))
+        val noTies = Seq.empty[(Long, String, String, Long)]
+          .toDF("b", "i", "j", "n")
+        val rk = graft.ext.Preference.rkRatingsGrouped(comp, noTies, iters = 3)
+          .collect()
+          .map(r => ((r.getAs[Long]("b"), r.getAs[String]("item")),
+            (r.getAs[Double]("gamma"), r.getAs[Double]("theta")))).toMap
+        val bt = graft.ext.Preference.btRatingsGrouped(comp, iters = 3)
+          .collect()
+          .map(r => ((r.getAs[Long]("b"), r.getAs[String]("item")),
+            r.getAs[Double]("gamma"))).toMap
+        rk.keySet == bt.keySet &&
+          rk.forall { case (k, (g, th)) => th == 1.0 && g == bt(k) }
+      }
+    }
 }
