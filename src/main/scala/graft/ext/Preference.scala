@@ -585,6 +585,64 @@ object Preference {
     ciG.crossJoin(broadcast(ciT))
   }
 
+  /** Bootstrap CIs PER GROUP: [[btBootstrapCi]] run independently for
+    * every group of a (b, winner, loser, n) outcome table — the
+    * uncertainty side of a drift report (rank churn between windows is
+    * noise unless the windows' intervals separate). Replicates nest
+    * inside groups through a composite fit key b·reps + r (windows and
+    * replicates both ride the SAME grouped MM machinery), and the count
+    * draw mixes the composite id so resamples are decorrelated across
+    * windows as well as replicates.
+    *
+    * Scale shape: the grid is (items-per-group) × groups × reps rows —
+    * judgment volume enters only through the aggregated counts.
+    * Returns (item, b, lo, hi) for every (group, item) cell.
+    */
+  def btBootstrapCiGrouped(comparisons: DataFrame, iters: Int, reps: Int,
+                           loRank: Int, hiRank: Int): DataFrame = {
+    require(reps >= 2 && loRank >= 1 && hiRank <= reps && loRank < hiRank,
+      s"bad bootstrap spec: reps=$reps loRank=$loRank hiRank=$hiRank")
+    val session = comparisons.sparkSession
+    import session.implicits._
+    val comp = comparisons.localCheckpoint()
+    val itemsW = comp.select(col("b"), col("winner").as("item"))
+      .unionAll(comp.select(col("b"), col("loser").as("item"))).distinct()
+      .localCheckpoint()
+    val hashed = itemsW.select("item").distinct()
+      .withColumn("h", TextAnalysis.fingerprint(col("item")))
+      .localCheckpoint()
+    val repsDf = (0L until reps.toLong).toDF("r")
+    val zt = ZTable.zipWithIndex.map { case (z, i) => (i.toLong, z) }
+      .toSeq.toDF("zb", "z")
+    val key0 = pmod(col("hw") * lit(31L) + col("hl"), lit(HashMod))
+    val cb = col("b") * lit(reps.toLong) + col("r")
+    val bucket = pmod(
+      pmod(key0 * lit(131071L) + cb, lit(HashMod)) * lit(Knuth),
+      lit(ZBuckets.toLong))
+    val nD = col("n").cast(DoubleType)
+    val drawn = comp
+      .join(hashed.select(col("item").as("winner"), col("h").as("hw")), Seq("winner"))
+      .join(hashed.select(col("item").as("loser"), col("h").as("hl")), Seq("loser"))
+      .crossJoin(broadcast(repsDf))
+      .join(broadcast(zt), zt("zb") === bucket)
+      .select(cb.as("b"), col("winner"), col("loser"),
+        greatest(lit(0L), floor(nD + sqrt(nD) * col("z") + lit(0.5))).as("n"))
+      .filter(col("n") > 0)
+    val itemsb = itemsW.select(col("item"), col("b").as("w"))
+      .crossJoin(broadcast(repsDf))
+      .select(col("item"),
+        (col("w") * lit(reps.toLong) + col("r")).as("b"))
+    val gfin = btFitGrouped(drawn, itemsb, iters)
+      .withColumn("w", floor(col("b") / lit(reps.toDouble)).cast("long"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"), col("w"))
+      .orderBy(col("gamma").asc, col("b").asc)
+    gfin.withColumn("rn", row_number().over(ord))
+      .groupBy(col("item"), col("w").as("b"))
+      .agg(max(when(col("rn") === loRank, col("gamma"))).as("lo"),
+        max(when(col("rn") === hiRank, col("gamma"))).as("hi"))
+  }
+
   /** The Rao-Kupper MM fit run independently per group `b` — identical
     * arithmetic to [[rkRatings]] with the group id carried through
     * every key and theta a PER-GROUP column (no driver scalar, so any

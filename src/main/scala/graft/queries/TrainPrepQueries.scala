@@ -1730,14 +1730,21 @@ object TrainPrepQueries {
     graft.ext.Preference.ZTable.zipWithIndex
       .map { case (z, i) => s"($i, CAST($z AS DOUBLE))" }.mkString(",\n  ")
 
-  private def btMmIterGrouped(prev: String): String =
+  /** One unrolled grouped BT MM iteration over caller-named edge/wins
+    * CTEs — the same arithmetic serves replicate grids (symb/winsb),
+    * window grids, and composite window×replicate grids. */
+  private def btMmIterGroupedOn(prev: String, sym: String,
+                                wins: String): String =
     s"""SELECT s.i AS item, s.b, wi.w / (CAST(sum(CAST(floor(
        |    s.n / (gi.gamma + gj.gamma) * 10000000.0 + 0.5)
        |    AS DECIMAL(27,0))) AS DOUBLE) / 10000000.0) AS gamma
-       |  FROM symb s JOIN $prev gi ON s.i = gi.item AND s.b = gi.b
+       |  FROM $sym s JOIN $prev gi ON s.i = gi.item AND s.b = gi.b
        |  JOIN $prev gj ON s.j = gj.item AND s.b = gj.b
-       |  JOIN winsb wi ON wi.item = s.i AND wi.b = s.b
+       |  JOIN $wins wi ON wi.item = s.i AND wi.b = s.b
        |  GROUP BY s.i, s.b, wi.w""".stripMargin
+
+  private def btMmIterGrouped(prev: String): String =
+    btMmIterGroupedOn(prev, "symb", "winsb")
 
   val qBtCiSql: String =
     s"""WITH $btCompCte,
@@ -2346,8 +2353,11 @@ object TrainPrepQueries {
         col("winner") =!= col("loser"))
       .select(col("winner"), col("loser"), col("b"))
 
-  val qBtDriftSql: String =
-    s"""WITH r AS (SELECT user_id, event_type, event_id, value,
+  /** Shared oracle CTEs for the windowed BT fit: per-(user, week)
+    * comparison extraction, per-window edge/wins tables, the 3-iteration
+    * grouped MM, and per-window ranks — used by both drift reports. */
+  private lazy val btDriftFitCtes: String =
+    s"""r AS (SELECT user_id, event_type, event_id, value,
        |  CAST(floor(datediff('day', DATE '2024-01-01',
        |    CAST(ts AS DATE)) / 7.0) AS BIGINT) AS b,
        |  row_number() OVER (PARTITION BY user_id,
@@ -2389,7 +2399,10 @@ object TrainPrepQueries {
        |ranked AS (SELECT f.b, f.item, f.gamma,
        |  row_number() OVER (PARTITION BY f.b
        |    ORDER BY f.gamma DESC, f.item ASC)::BIGINT AS rank
-       | FROM bfin f)
+       | FROM bfin f)""".stripMargin
+
+  val qBtDriftSql: String =
+    s"""WITH $btDriftFitCtes
        |SELECT rk.b AS window_id, rk.item, wi.w AS n_wins,
        |  tot.n_comparisons, ${Oracle.sqlQ6("rk.gamma")} AS rating_q6,
        |  rk.rank,
@@ -2400,6 +2413,103 @@ object TrainPrepQueries {
        |FROM ranked rk
        |JOIN winsb wi ON wi.item = rk.item AND wi.b = rk.b
        |JOIN totb tot ON tot.item = rk.item AND tot.b = rk.b""".stripMargin
+
+  // ---------------------------------------------------------- q_bt_drift_ci
+
+  /** Drift WITH uncertainty — rank churn between windows is noise
+    * unless the intervals separate, so every (window, item) cell gets a
+    * bootstrap 95% CI fitted from that window's judgments alone
+    * ([[graft.ext.Preference.btBootstrapCiGrouped]]: replicates nest
+    * inside windows through a composite window·100+replicate fit key,
+    * riding the same grouped MM), and `sig_move` flags a rank change
+    * whose interval does NOT overlap the same item's previous-window
+    * interval — the honest version of "the leaderboard moved". The
+    * oracle replays all windows × 100 refits plus the overlap test. */
+  def qBtDriftCi(s: SparkSession, dir: String): DataFrame = {
+    val comp = prefOutcomesWindowed(s, dir)
+      .groupBy("b", "winner", "loser").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val g = graft.ext.Preference.btRatingsGrouped(comp, iters = 3)
+    val ci = graft.ext.Preference.btBootstrapCiGrouped(comp, iters = 3,
+      reps = 100, loRank = 3, hiRank = 98)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("gamma").desc, col("item").asc)
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("b").asc)
+    g.join(ci, Seq("b", "item"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("prev_rank", lag(col("rank"), 1).over(wLag))
+      .withColumn("prev_lo", lag(col("lo"), 1).over(wLag))
+      .withColumn("prev_hi", lag(col("hi"), 1).over(wLag))
+      .select(col("b").as("window_id"), col("item"),
+        Oracle.q6(col("gamma")).as("rating_q6"),
+        Oracle.q6(col("lo")).as("lo_q6"),
+        Oracle.q6(col("hi")).as("hi_q6"),
+        col("rank"), col("prev_rank"),
+        (col("prev_rank") - col("rank")).as("rank_delta"),
+        coalesce(col("lo") > col("prev_hi") || col("hi") < col("prev_lo"),
+          lit(false)).as("sig_move"))
+  }
+
+  val qBtDriftCiSql: String =
+    s"""WITH $btDriftFitCtes,
+       |zt AS (SELECT * FROM (VALUES $ztValuesSql) t(zb, z)),
+       |reps AS (SELECT unnest(range(0, 100))::BIGINT AS rb),
+       |ditems AS (SELECT DISTINCT item FROM itemsb),
+       |sh AS (SELECT item, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(range(1, length(lower(trim(item))) + 1),
+       |      i -> ascii(lower(trim(item))[i])::BIGINT)),
+       |    (a, c) -> (a * 31 + c) % 1000000007) AS h FROM ditems),
+       |cdraws AS (SELECT c.b * 100 + r.rb AS b, c.winner, c.loser,
+       |  greatest(0, CAST(floor(CAST(c.n AS DOUBLE)
+       |    + sqrt(CAST(c.n AS DOUBLE)) * zt.z + CAST(0.5 AS DOUBLE))
+       |    AS BIGINT)) AS n
+       | FROM comp c
+       | JOIN sh hw ON hw.item = c.winner
+       | JOIN sh hl ON hl.item = c.loser
+       | CROSS JOIN reps r
+       | JOIN zt ON zt.zb = (((((hw.h * 31 + hl.h) % 1000000007) * 131071
+       |    + (c.b * 100 + r.rb)) % 1000000007) * 2654435761) % 250),
+       |cdcomp AS MATERIALIZED (SELECT * FROM cdraws WHERE n > 0),
+       |csymb AS MATERIALIZED (SELECT b, i, j, sum(n)::BIGINT AS n FROM (
+       |  SELECT b, winner AS i, loser AS j, n FROM cdcomp
+       |  UNION ALL SELECT b, loser AS i, winner AS j, n FROM cdcomp)
+       | GROUP BY 1, 2, 3),
+       |citemsb AS MATERIALIZED (SELECT it.item, it.b * 100 + r.rb AS b
+       | FROM itemsb it CROSS JOIN reps r),
+       |cwinsb AS MATERIALIZED (SELECT ib.item, ib.b,
+       |  coalesce(sum(d.n), 0)::BIGINT AS w
+       | FROM citemsb ib LEFT JOIN cdcomp d
+       |   ON d.winner = ib.item AND d.b = ib.b
+       | GROUP BY 1, 2),
+       |cg0 AS (SELECT item, b, CAST(1.0 AS DOUBLE) AS gamma FROM citemsb),
+       |cg1 AS MATERIALIZED (${btMmIterGroupedOn("cg0", "csymb", "cwinsb")}),
+       |cg2 AS MATERIALIZED (${btMmIterGroupedOn("cg1", "csymb", "cwinsb")}),
+       |cg3 AS MATERIALIZED (${btMmIterGroupedOn("cg2", "csymb", "cwinsb")}),
+       |cfin AS (SELECT ib.item, ib.b,
+       |  coalesce(g.gamma, CAST(0.0 AS DOUBLE)) AS gamma
+       | FROM citemsb ib LEFT JOIN cg3 g ON g.item = ib.item AND g.b = ib.b),
+       |cw AS (SELECT item, CAST(floor(b / 100.0) AS BIGINT) AS w, b, gamma
+       | FROM cfin),
+       |cranked AS (SELECT item, w, b, gamma,
+       |  row_number() OVER (PARTITION BY item, w
+       |    ORDER BY gamma ASC, b ASC) AS rn FROM cw),
+       |ci AS (SELECT item, w AS b,
+       |  max(CASE WHEN rn = 3 THEN gamma END) AS lo,
+       |  max(CASE WHEN rn = 98 THEN gamma END) AS hi
+       | FROM cranked GROUP BY 1, 2)
+       |SELECT rk.b AS window_id, rk.item,
+       |  ${Oracle.sqlQ6("rk.gamma")} AS rating_q6,
+       |  ${Oracle.sqlQ6("ci.lo")} AS lo_q6,
+       |  ${Oracle.sqlQ6("ci.hi")} AS hi_q6,
+       |  rk.rank,
+       |  lag(rk.rank) OVER wl AS prev_rank,
+       |  lag(rk.rank) OVER wl - rk.rank AS rank_delta,
+       |  coalesce(ci.lo > lag(ci.hi) OVER wl
+       |    OR ci.hi < lag(ci.lo) OVER wl, false) AS sig_move
+       |FROM ranked rk
+       |JOIN ci ON ci.item = rk.item AND ci.b = rk.b
+       |WINDOW wl AS (PARTITION BY rk.item ORDER BY rk.b ASC)""".stripMargin
 
   // ------------------------------------------------------------- q_rk_drift
 
@@ -3084,6 +3194,7 @@ object TrainPrepQueries {
     "q_winrate_ci"         -> (qWinrateCi _),
     "q_judgment_plan"      -> (qJudgmentPlan _),
     "q_bt_drift"           -> (qBtDrift _),
+    "q_bt_drift_ci"        -> (qBtDriftCi _),
     "q_rk_drift"           -> (qRkDrift _),
     "q_bt_calibration"     -> (qBtCalibration _),
     "q_pref_cycles"        -> (qPrefCycles _),
@@ -3140,6 +3251,7 @@ object TrainPrepQueries {
     "q_winrate_ci"         -> qWinrateCiSql,
     "q_judgment_plan"      -> qJudgmentPlanSql,
     "q_bt_drift"           -> qBtDriftSql,
+    "q_bt_drift_ci"        -> qBtDriftCiSql,
     "q_rk_drift"           -> qRkDriftSql,
     "q_bt_calibration"     -> qBtCalibrationSql,
     "q_pref_cycles"        -> qPrefCyclesSql,

@@ -256,6 +256,38 @@ class PreferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bt_drift_ci: intervals bracket ratings; sig_move iff intervals separate") {
+    val out = graft.queries.TrainPrepQueries
+      .qBtDriftCi(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("lo_q6") <= r.getAs[Long]("hi_q6"))
+    }
+    // sig_move replays the overlap test against the SAME item's previous
+    // window; first observations are never significant
+    val ci = out.map(r => ((r.getAs[Long]("window_id"),
+      r.getAs[String]("item")),
+      (r.getAs[Long]("lo_q6"), r.getAs[Long]("hi_q6")))).toMap
+    out.groupBy(_.getAs[String]("item")).foreach { case (it, rows) =>
+      val seq = rows.sortBy(_.getAs[Long]("window_id"))
+      assert(!seq.head.getAs[Boolean]("sig_move"),
+        s"$it: first window cannot be a significant move")
+      // sig_move is computed on RAW doubles; the quantized view can only
+      // check implications (floor preserves strict > one way, weak >= the
+      // other), which still pins both false-positive directions
+      seq.sliding(2).filter(_.length == 2).foreach { case Array(p, c) =>
+        val (plo, phi) = ci((p.getAs[Long]("window_id"), it))
+        val (clo, chi) = ci((c.getAs[Long]("window_id"), it))
+        val sig = c.getAs[Boolean]("sig_move")
+        if (clo > phi || chi < plo)
+          assert(sig, s"$it: quantized-separated intervals must flag sig_move")
+        if (sig)
+          assert(clo >= phi || chi <= plo,
+            s"$it: sig_move requires at least quantized-boundary separation")
+      }
+    }
+  }
+
   test("q_bt_ratings: ranks are a permutation and wins are bounded by comparisons") {
     val rows = graft.queries.TrainPrepQueries.qBtRatings(spark, "/root/testdata/sf0.001")
       .collect()
