@@ -478,10 +478,18 @@ object PropertySpec extends Properties("graft") {
     }
 
   property("grouped Rao-Kupper with no draws equals grouped Bradley-Terry") =
+    // Canonical single-direction pairs only: when BOTH directions of a
+    // pair carry counts, BT quantizes ONE aggregated term per symmetric
+    // edge while RK quantizes each directed role separately — sums of
+    // floors differ by an ulp of the 1e-7 grid, so bit-exact equality is
+    // only claimed (and only needed: each query replays its OWN oracle)
+    // on one-direction data.
     forAll(Gen.listOfN(6, Gen.zip(Gen.choose(0L, 1L),
       Gen.oneOf("a", "b", "c"), Gen.oneOf("a", "b", "c"),
       Gen.choose(1L, 9L)))) { es0 =>
       val es = es0.filter(e => e._2 != e._3)
+        .map(e => (e._1, if (e._2 < e._3) e._2 else e._3,
+          if (e._2 < e._3) e._3 else e._2, e._4))
       (es.nonEmpty) ==> {
         val comp = es.toDF("b", "winner", "loser", "n")
           .groupBy("b", "winner", "loser")
