@@ -1509,6 +1509,120 @@ object ExtQueries {
       |UNION ALL
       |SELECT doc_id, 1::INT AS batch_id, keep, reason FROM v1""".stripMargin
 
+  // ------------------------------------------- q_stream_dedup_readmit
+
+  /** RE-ADMISSION through the standing dedup index — the documented
+    * "re-ingest a deleted document AFTER a compact has retired its
+    * tombstone" path ([[graft.ext.DedupIndex.delete]]) exercised end to
+    * end at the driver gate. Extends [[qStreamDedupLifecycle]] with:
+    *
+    *  5. [[graft.ext.DedupIndex.compact]] — physically removes the
+    *     taken-down documents' artifact rows and retires the
+    *     tombstones (the precondition: a re-append BEFORE this point
+    *     would stay masked, and its stale corpus rows would make the
+    *     document judge against itself);
+    *  6. a CLEARED subset of the deleted documents (even doc_id) lands
+    *     as a late file and the SAME checkpoint runs a third leg —
+    *     batch 2 judges them as ordinary new documents against the
+    *     post-compact state: (corpus − takedown) ∪ both streamed
+    *     batches' kept rows.
+    *
+    * The oracle replays all three batches in closed form, so a
+    * hash-pass proves the compact removed exactly the takedown (a
+    * cleared document that still matched its own stale rows would
+    * read 'exact' instead of its true verdict) and re-admission is
+    * id-precise. */
+  def qStreamDedupReadmit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Scratch.fresh(s, "streamdedupre", dir)
+    val docs = Tables(s, dir, "documents").select("doc_id", "lang", "text")
+    val idx = "graft_idx_streamre"
+    DedupIndex.write(docs.filter(col("doc_id") % 5 =!= 0),
+      "text", "doc_id", "lang", idx, threshold = 0.5)
+    val inDir = s"$base/in"
+    def runToCompletion(): Unit = {
+      val q = graft.streaming.IngestDedup.run(
+          s.readStream.schema(docs.schema).parquet(inDir),
+          base = idx, textCol = "text", idCol = "doc_id", blockCol = "lang",
+          threshold = 0.5, verdictPath = s"$base/verdicts",
+          checkpoint = s"$base/ckpt", updateIndex = true)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    docs.filter(col("doc_id") % 10 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir)
+    runToCompletion()
+    DedupIndex.delete(s, idx,
+      docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 3 === 1)
+        .select(col("doc_id")), "doc_id")
+    docs.filter(col("doc_id") % 10 === 5).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runToCompletion()
+    // the compaction retires the tombstones and removes the taken-down
+    // rows — only now may cleared documents re-enter
+    DedupIndex.compact(s, idx)
+    docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 3 === 1 &&
+        col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runToCompletion()
+    s.read.parquet(s"$base/verdicts")
+      .select(col("doc_id"), col("batch_id").cast("int").as("batch_id"),
+        col("keep"), col("reason"))
+  }
+
+  /** Three-batch closed-form replay: the lifecycle's two batches, then
+    * the cleared re-admissions judged against (corpus − takedown) ∪
+    * both batches' kept rows. */
+  val qStreamDedupReadmitSql: String =
+    """WITH w AS (SELECT doc_id, lang, text,
+      |  string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS w FROM documents),
+      |sh AS (SELECT doc_id, lang, text,
+      |  list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+      |    i -> array_to_string(w[i+1:i+3], ' '))) AS t FROM w),
+      |corpus0 AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+      |d0 AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+      |ex0 AS (SELECT DISTINCT d.doc_id FROM d0 d JOIN corpus0 c ON d.text = c.text),
+      |nr0 AS (SELECT DISTINCT d.doc_id FROM d0 d JOIN corpus0 c ON d.lang = c.lang
+      |  WHERE len(list_intersect(d.t, c.t))::DOUBLE
+      |      / (len(d.t) + len(c.t) - len(list_intersect(d.t, c.t))) >= 0.5),
+      |v0 AS (SELECT d.doc_id, (e.doc_id IS NULL AND n.doc_id IS NULL) AS keep,
+      |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+      |       WHEN n.doc_id IS NOT NULL THEN 'near' END AS reason
+      |  FROM d0 d LEFT JOIN ex0 e ON d.doc_id = e.doc_id
+      |            LEFT JOIN nr0 n ON d.doc_id = n.doc_id),
+      |corpus1 AS (SELECT * FROM sh WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 1
+      |  UNION ALL SELECT sh.* FROM sh JOIN v0 ON sh.doc_id = v0.doc_id
+      |  WHERE v0.keep),
+      |d1 AS (SELECT * FROM sh WHERE doc_id % 10 = 5),
+      |ex1 AS (SELECT DISTINCT d.doc_id FROM d1 d JOIN corpus1 c ON d.text = c.text),
+      |nr1 AS (SELECT DISTINCT d.doc_id FROM d1 d JOIN corpus1 c ON d.lang = c.lang
+      |  WHERE len(list_intersect(d.t, c.t))::DOUBLE
+      |      / (len(d.t) + len(c.t) - len(list_intersect(d.t, c.t))) >= 0.5),
+      |v1 AS (SELECT d.doc_id, (e.doc_id IS NULL AND n.doc_id IS NULL) AS keep,
+      |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+      |       WHEN n.doc_id IS NOT NULL THEN 'near' END AS reason
+      |  FROM d1 d LEFT JOIN ex1 e ON d.doc_id = e.doc_id
+      |            LEFT JOIN nr1 n ON d.doc_id = n.doc_id),
+      |corpus2 AS (SELECT * FROM corpus1
+      |  UNION ALL SELECT sh.* FROM sh JOIN v1 ON sh.doc_id = v1.doc_id
+      |  WHERE v1.keep),
+      |d2 AS (SELECT * FROM sh
+      |  WHERE doc_id % 5 <> 0 AND doc_id % 3 = 1 AND doc_id % 2 = 0),
+      |ex2 AS (SELECT DISTINCT d.doc_id FROM d2 d JOIN corpus2 c ON d.text = c.text),
+      |nr2 AS (SELECT DISTINCT d.doc_id FROM d2 d JOIN corpus2 c ON d.lang = c.lang
+      |  WHERE len(list_intersect(d.t, c.t))::DOUBLE
+      |      / (len(d.t) + len(c.t) - len(list_intersect(d.t, c.t))) >= 0.5),
+      |v2 AS (SELECT d.doc_id, (e.doc_id IS NULL AND n.doc_id IS NULL) AS keep,
+      |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+      |       WHEN n.doc_id IS NOT NULL THEN 'near' END AS reason
+      |  FROM d2 d LEFT JOIN ex2 e ON d.doc_id = e.doc_id
+      |            LEFT JOIN nr2 n ON d.doc_id = n.doc_id)
+      |SELECT doc_id, 0::INT AS batch_id, keep, reason FROM v0
+      |UNION ALL
+      |SELECT doc_id, 1::INT AS batch_id, keep, reason FROM v1
+      |UNION ALL
+      |SELECT doc_id, 2::INT AS batch_id, keep, reason FROM v2""".stripMargin
+
   /** The standing dedup index's OBSERVABILITY surface under the oracle
     * gate — the twin of q_ann_stats: build the index, then read back
     * per-table occupancy with [[graft.ext.DedupIndex.stats]] plus the
@@ -2043,6 +2157,7 @@ object ExtQueries {
     "q_dedup_stats"      -> (qDedupStats _),
     "q_dedup_delete"     -> (qDedupDelete _),
     "q_stream_dedup_lifecycle" -> (qStreamDedupLifecycle _),
+    "q_stream_dedup_readmit" -> (qStreamDedupReadmit _),
     "q_stream_span_lifecycle" -> (qStreamSpanLifecycle _),
     "q_corpus_prep"      -> (qCorpusPrep _),
     "q_cluster_exact"    -> (qClusterExact _),
@@ -2107,6 +2222,7 @@ object ExtQueries {
     "q_dedup_stats"      -> qDedupStatsSql,
     "q_dedup_delete"     -> qDedupDeleteSql,
     "q_stream_dedup_lifecycle" -> qStreamDedupLifecycleSql,
+    "q_stream_dedup_readmit" -> qStreamDedupReadmitSql,
     "q_stream_span_lifecycle" -> qStreamSpanLifecycleSql,
     "q_corpus_prep"      -> qCorpusPrepSql,
     "q_near_dup_verified"      -> qNearDupVerifiedSql,

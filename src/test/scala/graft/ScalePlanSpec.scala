@@ -28,8 +28,8 @@ class ScalePlanSpec extends AnyFunSuite {
   private val lifecycle = Set(
     "q_chunk_idx", "q_chunk_delete", "q_curation_incr", "q_curation_stats",
     "q_stream_lifecycle", "q_cdc_incr", "q_dataloader_resume",
-    "q_stream_dedup_lifecycle", "q_stream_ann_lifecycle",
-    "q_stream_ann_readmit",
+    "q_stream_dedup_lifecycle", "q_stream_dedup_readmit",
+    "q_stream_ann_lifecycle", "q_stream_ann_readmit",
     "q_stream_chunk_lifecycle", "q_stream_span_lifecycle")
 
   test("no driver query plans an unbounded Cartesian product") {
