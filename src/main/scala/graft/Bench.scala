@@ -72,7 +72,12 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
-      try w.println(line) finally w.close()
+      // PrintWriter swallows IO errors (println/close never throw), so a
+      // disk-full mid-write would silently truncate the record this file
+      // exists to preserve — checkError() is the only failure signal.
+      val failed = try { w.println(line); w.checkError() } finally w.close()
+      if (failed)
+        System.err.println(s"[bench] WARN: write to $outPath reported an IO error")
     } catch {
       case e: Throwable => System.err.println(s"[bench] WARN: could not write $outPath: $e")
     }

@@ -25,6 +25,48 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Preference {
 
+  /** The engine-exact quantized decimal sum — the cross-engine float
+    * contract every accumulated double in this module (and its DuckDB
+    * oracles) must share: floor(x·1e7 + 0.5) in double space, summed as
+    * exact DECIMAL(27,0), divided back. ONE definition so the constants
+    * cannot drift apart between fits (see graft.queries.Oracle.dsum —
+    * duplicated here because ext/ must not depend on the query layer). */
+  private def qsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(floor(c * lit(1e7) + lit(0.5)).cast(DecimalType(27, 0)))
+      .cast(DoubleType) / lit(1e7)
+
+  /** The deterministic bootstrap COUNT DRAW shared by every resampler:
+    * per (edge, replicate) the endpoint rolling hashes mix with the
+    * caller's draw key through the given prime and the Knuth step into
+    * one of the 250 z-quantile buckets, and the count resamples as
+    * round(N(n, n)) clipped at 0. ONE definition so the three engine
+    * call sites and their oracle renderings cannot drift apart.
+    * `edges` carries (x, y, n) plus any grouping columns; `drawKey` is
+    * the replicate id (or a composite group·reps+replicate) evaluated
+    * AFTER the reps cross join. Returns the input columns plus the
+    * reps column, with `n` replaced by the positive drawn counts. */
+  private def countDraw(edges: DataFrame, hashed: DataFrame,
+                        repsDf: DataFrame, mix: Long,
+                        drawKey: org.apache.spark.sql.Column): DataFrame = {
+    val session = edges.sparkSession
+    import session.implicits._
+    val zt = ZTable.zipWithIndex.map { case (z, i) => (i.toLong, z) }
+      .toSeq.toDF("zb", "z")
+    val key0 = pmod(col("hx") * lit(31L) + col("hy"), lit(HashMod))
+    val bucket = pmod(
+      pmod(key0 * lit(mix) + drawKey, lit(HashMod)) * lit(Knuth),
+      lit(ZBuckets.toLong))
+    val nD = col("n").cast(DoubleType)
+    edges
+      .join(hashed.select(col("item").as("x"), col("h").as("hx")), Seq("x"))
+      .join(hashed.select(col("item").as("y"), col("h").as("hy")), Seq("y"))
+      .crossJoin(broadcast(repsDf))
+      .join(broadcast(zt), col("zb") === bucket)
+      .withColumn("n_drawn",
+        greatest(lit(0L), floor(nD + sqrt(nD) * col("z") + lit(0.5))))
+      .filter(col("n_drawn") > 0)
+  }
+
   /** DPO pair construction: per candidate group (prompt), chosen = the
     * highest-scored candidate, rejected = the lowest-scored; a pair is
     * emitted only when the score margin clears `minMargin` (weak
@@ -131,9 +173,6 @@ object Preference {
       .select(col("item"), coalesce(col("w"), lit(0L)).as("w"))
     val tot = sym.groupBy(col("i").as("item"))
       .agg(sum("n").as("n_comparisons"))
-    def qsum(c: org.apache.spark.sql.Column) =
-      sum(floor(c * lit(1e7) + lit(0.5)).cast(DecimalType(27, 0)))
-        .cast(DoubleType) / lit(1e7)
     var g = wins.select(col("item"), lit(1.0).as("gamma"))
     for (_ <- 1 to iters) {
       val s = sym
@@ -329,24 +368,13 @@ object Preference {
       .withColumn("h", TextAnalysis.fingerprint(col("item")))
       .localCheckpoint()
     val repsDf = (0L until reps.toLong).toDF("b")
-    val zt = ZTable.zipWithIndex.map { case (z, i) => (i.toLong, z) }
-      .toSeq.toDF("zb", "z")
-    // per (edge, replicate): bucket = Knuth-mixed hash of the two
-    // endpoint hashes and the replicate id; z from the literal table;
-    // resampled count = round(n + sqrt(n) * z) clipped at 0
-    val key0 = pmod(col("hw") * lit(31L) + col("hl"), lit(HashMod))
-    val bucket = pmod(
-      pmod(key0 * lit(131071L) + col("b"), lit(HashMod)) * lit(Knuth),
-      lit(ZBuckets.toLong))
-    val nD = col("n").cast(DoubleType)
-    val drawn = comp
-      .join(hashed.select(col("item").as("winner"), col("h").as("hw")), Seq("winner"))
-      .join(hashed.select(col("item").as("loser"), col("h").as("hl")), Seq("loser"))
-      .crossJoin(broadcast(repsDf))
-      .join(broadcast(zt), zt("zb") === bucket)
-      .select(col("b"), col("winner"), col("loser"),
-        greatest(lit(0L), floor(nD + sqrt(nD) * col("z") + lit(0.5))).as("n"))
-      .filter(col("n") > 0)
+    // per (edge, replicate): the shared count draw keyed by the plain
+    // replicate id
+    val drawn = countDraw(
+        comp.select(col("winner").as("x"), col("loser").as("y"), col("n")),
+        hashed, repsDf, 131071L, col("b"))
+      .select(col("b"), col("x").as("winner"), col("y").as("loser"),
+        col("n_drawn").as("n"))
     val itemsb = items.crossJoin(broadcast(repsDf))
     val gfin = btFitGrouped(drawn, itemsb, iters)
     val w = org.apache.spark.sql.expressions.Window
@@ -366,9 +394,6 @@ object Preference {
     * grid cell has exactly one rating. */
   private def btFitGrouped(dcomp: DataFrame, itemsb: DataFrame,
                            iters: Int): DataFrame = {
-    def qsum(c: org.apache.spark.sql.Column) =
-      sum(floor(c * lit(1e7) + lit(0.5)).cast(DecimalType(27, 0)))
-        .cast(DoubleType) / lit(1e7)
     val symb = dcomp
       .select(col("b"), col("winner").as("i"), col("loser").as("j"), col("n"))
       .unionAll(dcomp
@@ -446,9 +471,6 @@ object Preference {
     require(iters >= 1, s"rkRatings needs iters >= 1, got $iters")
     val comp = comparisons.localCheckpoint()
     val tie = ties.localCheckpoint()
-    def qsum(c: org.apache.spark.sql.Column) =
-      sum(floor(c * lit(1e7) + lit(0.5)).cast(DecimalType(27, 0)))
-        .cast(DoubleType) / lit(1e7)
     val adir = comp.select(col("winner").as("i"), col("loser").as("j"), col("n"))
       .unionAll(tie.select(col("a").as("i"), col("b").as("j"), col("n")))
       .unionAll(tie.select(col("b").as("i"), col("a").as("j"), col("n")))
@@ -483,7 +505,9 @@ object Preference {
         .join(g.select(col("item").as("j"), col("gamma").as("gj")), Seq("j"))
         .select(((col("a") * col("gj")) /
           (col("gi") + lit(theta) * col("gj"))).as("v"))
-        .agg(qsum(col("v")).as("c")).head.getDouble(0)
+        // coalesce: an empty outcome table must degrade to the empty
+        // rating frame (theta = 1 via the c = 0 guard), not NPE here
+        .agg(coalesce(qsum(col("v")), lit(0.0)).as("c")).head.getDouble(0)
       theta = if (c > 0) (tD + math.sqrt(tD * tD + c * c)) / c else 1.0
     }
     val wins = comp.groupBy(col("winner").as("item")).agg(sum("n").as("w0"))
@@ -533,24 +557,11 @@ object Preference {
       .withColumn("h", TextAnalysis.fingerprint(col("item")))
       .localCheckpoint()
     val repsDf = (0L until reps.toLong).toDF("b")
-    val zt = ZTable.zipWithIndex.map { case (z, i) => (i.toLong, z) }
-      .toSeq.toDF("zb", "z")
-    // count draw for one edge table (x, y, n) under the given mix prime
-    def draw(edges: DataFrame, mix: Long): DataFrame = {
-      val key0 = pmod(col("hx") * lit(31L) + col("hy"), lit(HashMod))
-      val bucket = pmod(
-        pmod(key0 * lit(mix) + col("b"), lit(HashMod)) * lit(Knuth),
-        lit(ZBuckets.toLong))
-      val nD = col("n").cast(DoubleType)
-      edges
-        .join(hashed.select(col("item").as("x"), col("h").as("hx")), Seq("x"))
-        .join(hashed.select(col("item").as("y"), col("h").as("hy")), Seq("y"))
-        .crossJoin(broadcast(repsDf))
-        .join(broadcast(zt), zt("zb") === bucket)
-        .select(col("b"), col("x"), col("y"),
-          greatest(lit(0L), floor(nD + sqrt(nD) * col("z") + lit(0.5))).as("n"))
-        .filter(col("n") > 0)
-    }
+    // the shared count draw under each table's own mix prime (win and
+    // tie resamples stay decorrelated)
+    def draw(edges: DataFrame, mix: Long): DataFrame =
+      countDraw(edges, hashed, repsDf, mix, col("b"))
+        .select(col("b"), col("x"), col("y"), col("n_drawn").as("n"))
     val dcomp = draw(comp.select(col("winner").as("x"), col("loser").as("y"),
       col("n")), 131071L)
     val dtie = draw(tie.select(col("a").as("x"), col("b").as("y"),
@@ -612,22 +623,15 @@ object Preference {
       .withColumn("h", TextAnalysis.fingerprint(col("item")))
       .localCheckpoint()
     val repsDf = (0L until reps.toLong).toDF("r")
-    val zt = ZTable.zipWithIndex.map { case (z, i) => (i.toLong, z) }
-      .toSeq.toDF("zb", "z")
-    val key0 = pmod(col("hw") * lit(31L) + col("hl"), lit(HashMod))
+    // the shared count draw keyed by the COMPOSITE window*reps+replicate
+    // id, so resamples decorrelate across windows as well as replicates
     val cb = col("b") * lit(reps.toLong) + col("r")
-    val bucket = pmod(
-      pmod(key0 * lit(131071L) + cb, lit(HashMod)) * lit(Knuth),
-      lit(ZBuckets.toLong))
-    val nD = col("n").cast(DoubleType)
-    val drawn = comp
-      .join(hashed.select(col("item").as("winner"), col("h").as("hw")), Seq("winner"))
-      .join(hashed.select(col("item").as("loser"), col("h").as("hl")), Seq("loser"))
-      .crossJoin(broadcast(repsDf))
-      .join(broadcast(zt), zt("zb") === bucket)
-      .select(cb.as("b"), col("winner"), col("loser"),
-        greatest(lit(0L), floor(nD + sqrt(nD) * col("z") + lit(0.5))).as("n"))
-      .filter(col("n") > 0)
+    val drawn = countDraw(
+        comp.select(col("b"), col("winner").as("x"), col("loser").as("y"),
+          col("n")),
+        hashed, repsDf, 131071L, cb)
+      .select(cb.as("b"), col("x").as("winner"), col("y").as("loser"),
+        col("n_drawn").as("n"))
     val itemsb = itemsW.select(col("item"), col("b").as("w"))
       .crossJoin(broadcast(repsDf))
       .select(col("item"),
@@ -655,9 +659,6 @@ object Preference {
                            bigAb: DataFrame, ttb: DataFrame,
                            groups: DataFrame, iters: Int)
       : (DataFrame, DataFrame) = {
-    def qsum(c: org.apache.spark.sql.Column) =
-      sum(floor(c * lit(1e7) + lit(0.5)).cast(DecimalType(27, 0)))
-        .cast(DoubleType) / lit(1e7)
     var g = itemsb.select(col("item"), col("b"), lit(1.0).as("gamma"))
     var th = groups.select(col("b"), lit(1.0).as("t"))
     for (_ <- 1 to iters) {

@@ -105,6 +105,10 @@ object PreferenceIndex {
           lit("appendJudgments: outcome must be 'a'|'b'|'tie', got "),
           coalesce(col(outcomeCol).cast(StringType), lit("NULL")))))
         .as("oc"))
+      // localCheckpoint: both writeDelta jobs read this frame — without
+      // it every micro-batch re-scans its source (and re-runs the
+      // outcome validation) twice in the streaming hot path
+      .localCheckpoint()
     writeDelta(base, "edges", batchId,
       typed.filter(col("oc") =!= "tie")
         .select(

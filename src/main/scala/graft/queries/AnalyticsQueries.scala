@@ -287,14 +287,23 @@ object AnalyticsQueries {
     // this walk is depth-bounded (3) with per-level DISTINCT, so its true
     // bound is 4 levels × |nodes| — raise the cumulative cap accordingly
     // (the 100× fixture legitimately crosses 1M accumulated state rows).
-    s.sql("SET spark.sql.cteRecursionRowLimit=100000000")
-    s.sql(
-      """WITH RECURSIVE walk(id, d) AS (
-        |  SELECT id, 0 FROM khop_seeds
-        |  UNION ALL
-        |  SELECT DISTINCT e.v, w.d + 1 FROM walk w JOIN khop_edges e ON w.id = e.u
-        |  WHERE w.d < 3)
-        |SELECT id, min(d) AS hops FROM walk GROUP BY id""".stripMargin)
+    // The raise is SCOPED: the recursion executes eagerly inside the
+    // localCheckpoint and the prior cap is restored before returning, so
+    // later queries in the same session keep the runaway guardrail
+    // (session conf is read at execution time — restoring around a lazy
+    // frame would re-shrink the cap before the walk ever ran).
+    val priorCap = s.conf.get("spark.sql.cteRecursionRowLimit", "1000000")
+    s.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
+    try
+      s.sql(
+        """WITH RECURSIVE walk(id, d) AS (
+          |  SELECT id, 0 FROM khop_seeds
+          |  UNION ALL
+          |  SELECT DISTINCT e.v, w.d + 1 FROM walk w JOIN khop_edges e ON w.id = e.u
+          |  WHERE w.d < 3)
+          |SELECT id, min(d) AS hops FROM walk GROUP BY id""".stripMargin)
+        .localCheckpoint()
+    finally s.conf.set("spark.sql.cteRecursionRowLimit", priorCap)
   }
 
   val qKhopSql: String =

@@ -2093,7 +2093,10 @@ object TrainPrepQueries {
       .localCheckpoint()
     val fit = graft.ext.Preference.rkRatings(comp, tie, iters = 3)
       .localCheckpoint()
-    val theta = fit.agg(max(col("theta"))).head.getDouble(0)
+    // coalesce to the plain-BT limit: an empty fit must yield an empty
+    // calibration table downstream, not an NPE on the null aggregate
+    val theta = fit.agg(coalesce(max(col("theta")), lit(1.0)))
+      .head.getDouble(0)
     val up = comp.select(least(col("winner"), col("loser")).as("a"),
         greatest(col("winner"), col("loser")).as("b"))
       .unionAll(tie.select(col("a"), col("b")))

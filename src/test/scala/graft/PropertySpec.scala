@@ -470,7 +470,10 @@ object PropertySpec extends Properties("graft") {
           }
           val (p1, lo1, hi1) = cell(1L)
           val (p2, lo2, hi2) = cell(2L)
-          lo1 > 0.0 && hi1 < 1.0 && lo1 < hi1 &&
+          // bounds are attained at boundary p-hats: at p=0 the lower
+          // bound IS 0 (center equals half-width analytically), so the
+          // invariant is [0,1], strict interior only for interior p
+          lo1 >= 0.0 && hi1 <= 1.0 && lo1 < hi1 &&
             (p1 <= 0.0 || p1 >= 1.0 || (lo1 < p1 && p1 < hi1)) &&
             p2 == p1 &&                      // doubling preserves the rate
             (hi2 - lo2) < (hi1 - lo1)        // ...and strictly narrows

@@ -176,7 +176,7 @@ class PreferenceSpec extends AnyFunSuite {
       // Wilson stays strictly inside (0,1) and brackets interior p-hats;
       // a boundary p-hat (100-0) sits ABOVE hi — the shrink toward 1/2
       // is the point of the score interval at extreme observed rates
-      assert(t._5 > 0.0 && t._6 < 1.0, s"interval inside (0,1): $t")
+      assert(t._5 >= 0.0 && t._6 <= 1.0, s"interval inside [0,1]: $t")
       if (t._4 > 0.0 && t._4 < 1.0)
         assert(t._5 < t._4 && t._4 < t._6, s"interior p-hat bracketed: $t")
     }
