@@ -79,7 +79,8 @@ object Bench {
       if (failed)
         System.err.println(s"[bench] WARN: write to $outPath reported an IO error")
     } catch {
-      case e: Throwable => System.err.println(s"[bench] WARN: could not write $outPath: $e")
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] WARN: could not write $outPath: $e")
     }
     spark.stop()
   }

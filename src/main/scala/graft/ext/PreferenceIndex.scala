@@ -292,7 +292,14 @@ object PreferenceIndex {
     val foldedTies = ties(spark, base).localCheckpoint()
     writeMarker(spark, startMarker(base), c)
     writeDelta(base, "edges", c, folded)
-    writeDelta(base, "ties", c, foldedTies)
+    // A win-only index never materializes base/ties (the documented layout
+    // contract) — writing an empty folded batch here would create it on the
+    // first compaction. Only skip when the dir is ALSO absent: an index
+    // whose ties were all withdrawn still needs the folded (empty) batch so
+    // heal() can retire the old deltas it is about to drop.
+    if (foldedTies.limit(1).count() > 0 ||
+        fs(spark).exists(new org.apache.hadoop.fs.Path(s"$base/ties")))
+      writeDelta(base, "ties", c, foldedTies)
     writeMarker(spark, commitMarker(base), c)
     heal(spark, base)
     c

@@ -258,52 +258,39 @@ object AnalyticsQueries {
 
   // ----------------------------------------------------- k-hop recursion
 
-  /** Bounded BFS over the exact near-dup pair graph with Spark 4's
-    * recursive CTE: min hop distance ≤ 3 from a deterministic seed set.
-    * The recursive member SELECTs DISTINCT (node, depth) states, so
-    * every level is bounded by the node count — the bare-multiset form
-    * (no per-step dedup) is multiplicative in clique degree and blew
-    * past the 1M-row recursion guardrail on the 30× near-dup-rich
-    * rehearsal fixture (measured; any dense graph at 100 TB does the
-    * same). Spark 4.1 does not yet accept UNION (set) recursion, but
-    * per-step DISTINCT under UNION ALL gives the same level bound:
-    * each iteration joins only the PREVIOUS level (delta semantics),
-    * and deduping (id, d) never removes an id's smallest depth, so
-    * `min(d)` is unchanged. */
+  /** Bounded BFS over the exact near-dup pair graph: min hop distance
+    * ≤ 3 from a deterministic seed set. Visited-set BFS, not a
+    * recursive CTE: each level joins only the FRONTIER (nodes first
+    * reached at the previous depth) against the edge list and anti-
+    * joins the accumulated visited set, so a node is expanded exactly
+    * once at its minimum depth — the min(d)-over-all-rediscoveries
+    * aggregate of the CTE form falls out by construction, settled
+    * nodes are never re-joined against the edge list (the CTE form
+    * re-expanded every rediscovery at deeper d), and no recursion
+    * guardrail is involved at any scale. Per-level state is bounded by
+    * |nodes|; depth is fixed at 3 → three hash joins + three anti-
+    * joins, each checkpointed so the loop's lineage stays flat. */
   def qKhop(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val pairs = graft.ext.Dedup.prefixJaccardPairs(
       docs, "text", "doc_id", "lang", threshold = 0.5)
-    // Materialized once: each recursion step joins the edge view, and an
+    // Materialized once: every BFS level joins the edge frame, and an
     // unmaterialized view would re-run the whole prefix-Jaccard pipeline
-    // per step (same trap Dedup.clusters documents for its loop).
-    pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+    // per level (same trap Dedup.clusters documents for its loop).
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint()
-      .createOrReplaceTempView("khop_edges")
-    docs.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("id"))
-      .createOrReplaceTempView("khop_seeds")
-    // The 1M-row recursion guardrail protects against RUNAWAY recursion;
-    // this walk is depth-bounded (3) with per-level DISTINCT, so its true
-    // bound is 4 levels × |nodes| — raise the cumulative cap accordingly
-    // (the 100× fixture legitimately crosses 1M accumulated state rows).
-    // The raise is SCOPED: the recursion executes eagerly inside the
-    // localCheckpoint and the prior cap is restored before returning, so
-    // later queries in the same session keep the runaway guardrail
-    // (session conf is read at execution time — restoring around a lazy
-    // frame would re-shrink the cap before the walk ever ran).
-    val priorCap = s.conf.get("spark.sql.cteRecursionRowLimit", "1000000")
-    s.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
-    try
-      s.sql(
-        """WITH RECURSIVE walk(id, d) AS (
-          |  SELECT id, 0 FROM khop_seeds
-          |  UNION ALL
-          |  SELECT DISTINCT e.v, w.d + 1 FROM walk w JOIN khop_edges e ON w.id = e.u
-          |  WHERE w.d < 3)
-          |SELECT id, min(d) AS hops FROM walk GROUP BY id""".stripMargin)
+    var frontier = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("id")).localCheckpoint()
+    var visited = frontier.withColumn("hops", lit(0))
+    for (d <- 1 to 3) {
+      frontier = frontier.join(edges, frontier("id") === edges("u"))
+        .select(col("v").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
         .localCheckpoint()
-    finally s.conf.set("spark.sql.cteRecursionRowLimit", priorCap)
+      visited = visited.unionAll(frontier.withColumn("hops", lit(d)))
+    }
+    visited.select(col("id"), col("hops"))
   }
 
   val qKhopSql: String =

@@ -2471,8 +2471,9 @@ object TrainPrepQueries {
        | JOIN sh hw ON hw.item = c.winner
        | JOIN sh hl ON hl.item = c.loser
        | CROSS JOIN reps r
-       | JOIN zt ON zt.zb = (((((hw.h * 31 + hl.h) % 1000000007) * 131071
-       |    + (c.b * 100 + r.rb)) % 1000000007) * 2654435761) % 250),
+       | JOIN zt ON zt.zb = ((((((hw.h * 31 + hl.h) % 1000000007) * 131071
+       |    + (c.b * 100 + r.rb)) % 1000000007 + 1000000007) % 1000000007
+       |    * 2654435761) % 250)),
        |cdcomp AS MATERIALIZED (SELECT * FROM cdraws WHERE n > 0),
        |csymb AS MATERIALIZED (SELECT b, i, j, sum(n)::BIGINT AS n FROM (
        |  SELECT b, winner AS i, loser AS j, n FROM cdcomp

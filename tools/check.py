@@ -44,7 +44,7 @@ def main(outdir, sfdir):
     ran_path = f"{outdir}/ran_queries.json"
     attempted = (set(json.load(open(ran_path))) if os.path.exists(ran_path)
                  else set(oracles))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_retry = 0
     for name, sql in sorted(oracles.items()):
         if not os.path.isdir(f"{outdir}/{name}"):
             if name in attempted:
@@ -61,11 +61,18 @@ def main(outdir, sfdir):
                 return canon(got, gcols), canon(want, wcols)
             (gc, gr), (wc, wr) = both()
             retried = False
+            first_diff = None
             if gc == wc and gr != wr:
                 # r10/r11 both hit a single under-load false FAIL that a
                 # re-compare of the identical inputs cleared (0 differing
                 # rows). Re-execute BOTH sides once before reporting: a
-                # genuine mismatch is deterministic and fails twice.
+                # genuine mismatch is deterministic and fails twice. The
+                # engine side is static parquet, so a pass-on-retry means
+                # the ORACLE re-evaluated differently — that is a distinct
+                # non-green outcome (exit code 2) and the first-run diff is
+                # dumped so the order-sensitive oracle can be root-caused.
+                first_diff = next(((a, b) for a, b in zip(gr, wr) if a != b),
+                                  (f"{len(gr)} rows", f"{len(wr)} rows"))
                 (gc, gr), (wc, wr) = both()
                 retried = True
             if gc != wc:
@@ -119,15 +126,19 @@ def main(outdir, sfdir):
                 if bad:
                     n_fail += 1
                     print(f"FAIL {name}: pandas dtype family mismatch {bad}")
+                elif retried:
+                    n_retry += 1
+                    print(f"RETRY-PASS {name} ({len(gr)} rows) — oracle "
+                          f"nondeterministic? first-run diff:")
+                    print(f"  spark: {first_diff[0]}\n  duck : {first_diff[1]}")
                 else:
                     n_pass += 1
-                    tag = " [pass on re-compare]" if retried else ""
-                    print(f"PASS {name} ({len(gr)} rows){tag}")
+                    print(f"PASS {name} ({len(gr)} rows)")
         except Exception as e:
             n_fail += 1
             print(f"ERROR {name}: {e}")
-    print(f"\n{n_pass} pass, {n_fail} fail")
-    return 1 if n_fail else 0
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_retry} retry-pass")
+    return 1 if n_fail else (2 if n_retry else 0)
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
