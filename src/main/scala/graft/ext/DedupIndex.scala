@@ -499,7 +499,45 @@ object DedupIndex {
                        textCol: String, idCol: String, blockCol: String,
                        threshold: Double, shingleN: Int = 3,
                        candidates: String = "prefix",
-                       excludeBatchId: Long = Long.MinValue): DataFrame = {
+                       excludeBatchId: Long = Long.MinValue): DataFrame =
+    verdictsFromEdges(delta, idCol,
+      matchEdges(spark, base, delta, textCol, idCol, blockCol, threshold,
+        shingleN, candidates, excludeBatchId))
+
+  /** Derive the [[dedupIncremental]] verdict frame from a
+    * [[matchEdges]] edge frame — no index access, so a caller that
+    * needs BOTH (streaming ingestion maintaining a [[ClusterIndex]])
+    * probes the corpus tables exactly once. */
+  def verdictsFromEdges(delta: DataFrame, idCol: String,
+                        edges: DataFrame): DataFrame = {
+    val exactIds = edges.filter(col("rule") === "exact")
+      .select(col("id_b").as("id")).distinct()
+      .select(col("id"), lit(true).as("__e"))
+    val nearIds = edges.filter(col("rule") === "near")
+      .select(col("id_b").as("id")).distinct()
+      .select(col("id"), lit(true).as("__n"))
+    delta.select(col(idCol).as("id"))
+      .join(exactIds, Seq("id"), "left")
+      .join(nearIds, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        (col("__e").isNull && col("__n").isNull).as("keep"),
+        when(col("__e").isNotNull, "exact")
+          .when(col("__n").isNotNull, "near").as("reason"))
+  }
+
+  /** The VERIFIED duplicate edges between `delta` and the live index:
+    * one row per (index holder `id_a`, delta document `id_b`, rule ∈
+    * 'exact' | 'near') — the same probes as [[dedupIncremental]] with
+    * the matched partner's identity kept, feeding incremental
+    * connected components ([[ClusterIndex.fold]]). `id_a` is NULL for
+    * a legacy exact row with no stored holder id (the verdict is
+    * unaffected; cluster folding drops such edges). A pair matched by
+    * both rules appears twice with different `rule` tags. */
+  def matchEdges(spark: SparkSession, base: String, delta: DataFrame,
+                 textCol: String, idCol: String, blockCol: String,
+                 threshold: Double, shingleN: Int = 3,
+                 candidates: String = "prefix",
+                 excludeBatchId: Long = Long.MinValue): DataFrame = {
     healInterrupted(spark, base)
     // Tombstoned documents must witness no rule: every table masks by
     // holder id (the exact table stores one row per holder for exactly
@@ -523,13 +561,13 @@ object DedupIndex {
       .repartition(col("id")) // one artifact pass shared by all three rules
     // Exact rule: equi-join on the 64-bit text hash (the bucket key),
     // settled by the residual full-text comparison. The index side's
-    // holder id (used by the deletion mask inside tbl) is dropped
-    // before the join — the output id must be the DELTA's.
-    val exactIds = d.select(col("id"), col("h"), col("t").as("__dt"))
-      .join(tbl(exactTable(base)).drop("id"), Seq("h"))
+    // holder id is KEPT as the edge partner (`id_a`); the delta's id
+    // is `id_b`.
+    val exactEdges = d.select(col("id").as("id_b"), col("h"),
+        col("t").as("__dt"))
+      .join(tbl(exactTable(base)).withColumnRenamed("id", "id_a"), Seq("h"))
       .filter(col("t") === col("__dt"))
-      .select(col("id")).distinct()
-      .select(col("id"), lit(true).as("__e"))
+      .select(col("id_a"), col("id_b")).distinct()
     // Near rule: candidates from the chosen generator, verified with
     // exact Jaccard on the stored shingle arrays — both generators are
     // single-key equi-joins against their bucketed table. The prefix
@@ -560,7 +598,7 @@ object DedupIndex {
         s"candidates must be 'prefix' or 'lsh', got '$other'")
     }
     val corpusSh = tbl(shTable(base))
-    val nearIds = cand
+    val nearEdges = cand
       .join(corpusSh.select(col("id").as("id_a"), col("blk").as("__blk_a"),
         col("sh").as("__sh_a")), Seq("id_a"))
       .join(d.select(col("id").as("id_b"), col("blk").as("__blk_b"),
@@ -569,15 +607,9 @@ object DedupIndex {
       .filter(col("__blk_a") === col("__blk_b") &&
         graft.functions.TextExpressions
           .jaccardSortedLongs(col("__sh_a"), col("__sh_b")) >= threshold)
-      .select(col("id_b").as("id")).distinct()
-      .select(col("id"), lit(true).as("__n"))
-    delta.select(col(idCol).as("id"))
-      .join(exactIds, Seq("id"), "left")
-      .join(nearIds, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        (col("__e").isNull && col("__n").isNull).as("keep"),
-        when(col("__e").isNotNull, "exact")
-          .when(col("__n").isNotNull, "near").as("reason"))
+      .select(col("id_a"), col("id_b")).distinct()
+    exactEdges.withColumn("rule", lit("exact"))
+      .unionByName(nearEdges.withColumn("rule", lit("near")))
   }
 
   private def bucketsOf(spark: SparkSession, table: String): Int =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, DedupIndex, Packing, Similarity, SpanIndex, TextAnalysis}
+import graft.ext.{ClusterIndex, Dedup, DedupIndex, Packing, Similarity, SpanIndex, TextAnalysis}
 
 /** Driver-checked queries for the north-star training-data operators:
   * text analysis, dedup (exact / exact-Jaccard / MinHash / SimHash),
@@ -1623,6 +1623,110 @@ object ExtQueries {
       |UNION ALL
       |SELECT doc_id, 2::INT AS batch_id, keep, reason FROM v2""".stripMargin
 
+  // ----------------------------------------- q_stream_cluster_lifecycle
+
+  /** INCREMENTAL connected components maintained by streaming dedup
+    * ingestion ([[graft.ext.ClusterIndex]]) — cluster ids AT INGEST
+    * TIME, the architecture that replaces q_dedup_clusters' full batch
+    * recompute (100.2× cost at 100× data, r12 spot100) with a
+    * per-batch delta merge:
+    *
+    *  1. batch-build the dedup index on the standing corpus
+    *     (doc_id % 5 ≠ 0) — the cluster state starts EMPTY (a deduped
+    *     corpus is duplicate-free by invariant; untouched documents
+    *     are implicit singletons and hold no row);
+    *  2. stream the EVEN delta (doc_id % 10 = 0) through
+    *     `readStream → IngestDedup(clusterBase) → AvailableNow` —
+    *     batch 0's verified edges (exact + lossless prefix-Jaccard
+    *     near matches vs the corpus) fold into the standing cluster
+    *     table; every batch document becomes a node;
+    *  3. stream the ODD delta (doc_id % 10 = 5) on the SAME
+    *     checkpoint — batch 1 judges against corpus ∪ batch 0's kept
+    *     rows, so its edges can BRIDGE batch-0 clusters (the
+    *     touched-cluster re-assert path: members of merged clusters
+    *     get new min-id labels without any corpus rescan);
+    *  4. [[graft.ext.ClusterIndex.compact]] folds the assertion chain
+    *     to one consolidated partition — final state must be
+    *     unchanged.
+    *
+    * Output: the live membership (doc_id, cid). The oracle replays
+    * batch-by-batch edge discovery in closed form and labels each node
+    * with its component's min id via a recursive closure — a hash-pass
+    * proves the incremental fold's union-find invariant (per-batch
+    * merges of min-id clusters) lands exactly the batch-CC labels over
+    * the union of all discovered edges. */
+  def qStreamClusterLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Scratch.fresh(s, "streamcc", dir)
+    val docs = Tables(s, dir, "documents").select("doc_id", "lang", "text")
+    val idx = "graft_idx_streamcc"
+    val cc = s"$base/cc"
+    DedupIndex.write(docs.filter(col("doc_id") % 5 =!= 0),
+      "text", "doc_id", "lang", idx, threshold = 0.5)
+    val inDir = s"$base/in"
+    def runToCompletion(): Unit = {
+      val q = graft.streaming.IngestDedup.run(
+          s.readStream.schema(docs.schema).parquet(inDir),
+          base = idx, textCol = "text", idCol = "doc_id", blockCol = "lang",
+          threshold = 0.5, verdictPath = s"$base/verdicts",
+          checkpoint = s"$base/ckpt", updateIndex = true,
+          clusterBase = cc)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    docs.filter(col("doc_id") % 10 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir)
+    runToCompletion()
+    docs.filter(col("doc_id") % 10 === 5).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runToCompletion()
+    ClusterIndex.compact(s, cc)
+    ClusterIndex.current(s, cc).select(col("id").as("doc_id"), col("cid"))
+  }
+
+  /** Closed-form replay: batch 0's edges vs the corpus, batch 1's vs
+    * corpus ∪ batch-0 keeps, then min-reachable-id over the union —
+    * the recursive closure runs on the delta-incident node set only. */
+  val qStreamClusterLifecycleSql: String =
+    """WITH RECURSIVE w AS (SELECT doc_id, lang, text,
+      |  string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS w FROM documents),
+      |sh AS (SELECT doc_id, lang, text,
+      |  list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+      |    i -> array_to_string(w[i+1:i+3], ' '))) AS t FROM w),
+      |corpus0 AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+      |d0 AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+      |e0 AS (
+      |  SELECT c.doc_id AS a, d.doc_id AS b FROM d0 d
+      |    JOIN corpus0 c ON d.text = c.text
+      |  UNION
+      |  SELECT c.doc_id AS a, d.doc_id AS b FROM d0 d
+      |    JOIN corpus0 c ON d.lang = c.lang
+      |  WHERE len(list_intersect(d.t, c.t))::DOUBLE
+      |      / (len(d.t) + len(c.t) - len(list_intersect(d.t, c.t))) >= 0.5),
+      |v0keep AS (SELECT doc_id FROM d0
+      |  WHERE doc_id NOT IN (SELECT b FROM e0)),
+      |corpus1 AS (SELECT * FROM corpus0
+      |  UNION ALL SELECT sh.* FROM sh JOIN v0keep k ON sh.doc_id = k.doc_id),
+      |d1 AS (SELECT * FROM sh WHERE doc_id % 10 = 5),
+      |e1 AS (
+      |  SELECT c.doc_id AS a, d.doc_id AS b FROM d1 d
+      |    JOIN corpus1 c ON d.text = c.text
+      |  UNION
+      |  SELECT c.doc_id AS a, d.doc_id AS b FROM d1 d
+      |    JOIN corpus1 c ON d.lang = c.lang
+      |  WHERE len(list_intersect(d.t, c.t))::DOUBLE
+      |      / (len(d.t) + len(c.t) - len(list_intersect(d.t, c.t))) >= 0.5),
+      |alle AS (SELECT a, b FROM e0 UNION SELECT a, b FROM e1),
+      |nodes AS (SELECT doc_id AS id FROM d0 UNION SELECT doc_id FROM d1
+      |  UNION SELECT a FROM alle UNION SELECT b FROM alle),
+      |edges AS (SELECT a AS u, b AS v FROM alle
+      |  UNION SELECT b AS u, a AS v FROM alle),
+      |reach AS (
+      |  SELECT id AS s, id AS r FROM nodes
+      |  UNION
+      |  SELECT re.s, e.v FROM reach re JOIN edges e ON re.r = e.u)
+      |SELECT s AS doc_id, min(r) AS cid FROM reach GROUP BY s""".stripMargin
+
   /** The standing dedup index's OBSERVABILITY surface under the oracle
     * gate — the twin of q_ann_stats: build the index, then read back
     * per-table occupancy with [[graft.ext.DedupIndex.stats]] plus the
@@ -2158,6 +2262,7 @@ object ExtQueries {
     "q_dedup_delete"     -> (qDedupDelete _),
     "q_stream_dedup_lifecycle" -> (qStreamDedupLifecycle _),
     "q_stream_dedup_readmit" -> (qStreamDedupReadmit _),
+    "q_stream_cluster_lifecycle" -> (qStreamClusterLifecycle _),
     "q_stream_span_lifecycle" -> (qStreamSpanLifecycle _),
     "q_corpus_prep"      -> (qCorpusPrep _),
     "q_cluster_exact"    -> (qClusterExact _),
@@ -2223,6 +2328,7 @@ object ExtQueries {
     "q_dedup_delete"     -> qDedupDeleteSql,
     "q_stream_dedup_lifecycle" -> qStreamDedupLifecycleSql,
     "q_stream_dedup_readmit" -> qStreamDedupReadmitSql,
+    "q_stream_cluster_lifecycle" -> qStreamClusterLifecycleSql,
     "q_stream_span_lifecycle" -> qStreamSpanLifecycleSql,
     "q_corpus_prep"      -> qCorpusPrepSql,
     "q_near_dup_verified"      -> qNearDupVerifiedSql,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.Row
 
-import graft.ext.DedupIndex
+import graft.ext.{ClusterIndex, DedupIndex}
 
 /** Streaming near-duplicate ingestion against the standing bucketed dedup
   * index — the unbounded twin of [[graft.ext.DedupIndex.dedupIncremental]],
@@ -42,13 +42,14 @@ object IngestDedup {
           blockCol: String, threshold: Double, verdictPath: String,
           checkpoint: String, updateIndex: Boolean,
           shingleN: Int = 3,
-          candidates: String = "prefix"): DataStreamWriter[Row] =
+          candidates: String = "prefix",
+          clusterBase: String = ""): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, base, textCol, idCol, blockCol,
           threshold, verdictPath, updateIndex, shingleN, candidates,
-          runTag = checkpoint)
+          runTag = checkpoint, clusterBase = clusterBase)
       }
 
   /** One micro-batch step, exposed so the replay-idempotence contract is
@@ -60,7 +61,8 @@ object IngestDedup {
                    threshold: Double, verdictPath: String,
                    updateIndex: Boolean, shingleN: Int = 3,
                    candidates: String = "prefix",
-                   runTag: String = ""): Unit = {
+                   runTag: String = "",
+                   clusterBase: String = ""): Unit = {
     val spark = batch.sparkSession
     // The index stamp must be stable across restarts of this run (a
     // replayed batch must see and exclude its first attempt's rows) but
@@ -71,18 +73,31 @@ object IngestDedup {
     val stamp = graft.functions.TextHash.xxhash(
       org.apache.spark.unsafe.types.UTF8String.fromString(
         s"$runTag#$batchId"))
-    // Materialize the verdicts BEFORE any index mutation: they are
-    // consumed twice (verdict sink + kept-row filter), and the second
-    // evaluation must not see the index as it looks after the append.
-    val verdicts = DedupIndex.dedupIncremental(spark, base, batch,
+    // Materialize the EDGES before any index mutation: they are
+    // consumed up to three times (verdict derivation, cluster fold,
+    // kept-row filter), and later evaluations must not see the index
+    // as it looks after the append. The verdicts derive from the
+    // checkpointed edges without touching the index again
+    // (DedupIndex.verdictsFromEdges), so maintaining clusters costs no
+    // second probe pass.
+    val edges = DedupIndex.matchEdges(spark, base, batch,
         textCol, idCol, blockCol, threshold, shingleN, candidates,
         excludeBatchId = stamp)
       .localCheckpoint()
     try {
+      val verdicts = DedupIndex.verdictsFromEdges(batch, idCol, edges)
       verdicts.withColumn("batch_id", lit(batchId))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(verdictPath)
+      // Incremental connected components: fold this batch's verified
+      // edges (and every batch document as a node) into the standing
+      // cluster state. Uses the LOGICAL batch id (like the verdict
+      // partition), so a replay folds against the pre-batch state and
+      // rewrites its own assertions — idempotent by the same argument.
+      if (clusterBase.nonEmpty)
+        ClusterIndex.fold(spark, clusterBase,
+          edges, batch.select(col(idCol)), batchId)
       if (updateIndex)
         DedupIndex.appendKept(spark, base, batch, verdicts,
           textCol, idCol, blockCol, threshold, shingleN, batchId = stamp)
@@ -90,6 +105,6 @@ object IngestDedup {
       // free the batch's checkpoint blocks even on a failed/retried
       // batch — a long-running stream must not accumulate one dead
       // frame per attempt
-      graft.exec.Partitioning.unpersistCheckpoint(verdicts)
+      graft.exec.Partitioning.unpersistCheckpoint(edges)
   }
 }

@@ -678,4 +678,100 @@ class ExtSpec extends AnyFunSuite {
       docs.filter(col("doc_id") < 50), "text", "doc_id")
     assert(whole.exceptAll(subset).isEmpty && subset.exceptAll(whole).isEmpty)
   }
+
+  // ------------------------------------------------------- ClusterIndex
+
+  private def ccState(base: String): Map[Long, Long] =
+    graft.ext.ClusterIndex.current(spark, base)
+      .as[(Long, Long)].collect().toMap
+
+  private def ccScratch(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    s"$d/cc"
+  }
+
+  test("ClusterIndex.fold: incremental folds == batch CC over the edge " +
+       "union, incl. cross-batch merges and a new min-id node") {
+    import graft.ext.ClusterIndex
+    val base = ccScratch()
+    def edges(ps: (Long, Long)*) = ps.toDF("id_a", "id_b")
+    def ids(xs: Long*) = xs.toDF("id")
+    // batch 0: two 2-clusters and an untouched singleton 99
+    ClusterIndex.fold(spark, base, edges((10L, 20L), (40L, 50L)),
+      ids(10L, 20L, 40L, 50L, 99L), 0L)
+    assert(ccState(base) ==
+      Map(10L -> 10L, 20L -> 10L, 40L -> 40L, 50L -> 40L, 99L -> 99L))
+    // batch 1: bridge the two clusters transitively through a new node
+    // (60 touches both 20 and 50) — every member of BOTH old clusters
+    // must be re-asserted with the merged min id
+    ClusterIndex.fold(spark, base, edges((20L, 60L), (60L, 50L)),
+      ids(60L), 1L)
+    assert(ccState(base) == Map(10L -> 10L, 20L -> 10L, 40L -> 10L,
+      50L -> 10L, 60L -> 10L, 99L -> 99L))
+    // batch 2: a NEW node with a smaller id than the merged rep — the
+    // whole component relabels to it
+    ClusterIndex.fold(spark, base, edges((5L, 40L)), ids(5L), 2L)
+    val s2 = ccState(base)
+    assert(s2 == Map(5L -> 5L, 10L -> 5L, 20L -> 5L, 40L -> 5L,
+      50L -> 5L, 60L -> 5L, 99L -> 99L))
+    // equivalence: batch CC over the union of all edges folded so far
+    val allEdges = edges((10L, 20L), (40L, 50L), (20L, 60L), (60L, 50L),
+      (5L, 40L)).select(col("id_a"), col("id_b"))
+    val batchCc = Dedup.clusters(
+      s2.keys.toSeq.toDF("id"), allEdges)
+      .as[(Long, Long)].collect().toMap
+    assert(s2 == batchCc)
+  }
+
+  test("ClusterIndex: replay-idempotent fold, compaction preserves state " +
+       "and drops old partitions") {
+    import graft.ext.ClusterIndex
+    val base = ccScratch()
+    def edges(ps: (Long, Long)*) = ps.toDF("id_a", "id_b")
+    ClusterIndex.fold(spark, base, edges((1L, 2L)), Seq(1L, 2L, 3L).toDF("id"), 0L)
+    ClusterIndex.fold(spark, base, edges((2L, 3L)), Seq(3L).toDF("id"), 1L)
+    val before = ccState(base)
+    assert(before == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // replay batch 1 (restart between fold write and stream commit):
+    // the fold reads state EXCLUDING its own partition, so the rewrite
+    // is byte-identical in effect
+    ClusterIndex.fold(spark, base, edges((2L, 3L)), Seq(3L).toDF("id"), 1L)
+    assert(ccState(base) == before)
+    // NULL endpoints (legacy exact rows without holder ids) are dropped
+    ClusterIndex.fold(spark, base,
+      Seq((Option.empty[Long], Option(2L))).toDF("id_a", "id_b"),
+      spark.emptyDataFrame.select(lit(1L).as("id")).limit(0), 2L)
+    assert(ccState(base) == before)
+    val c = ClusterIndex.compact(spark, base)
+    assert(ccState(base) == before)
+    // old partitions physically gone; only the consolidated batch remains
+    val parts = new java.io.File(s"$base/members").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(parts == Set(s"batch_id=$c"))
+    // folding continues above the consolidated batch id
+    ClusterIndex.fold(spark, base, edges((3L, 4L)), Seq(4L).toDF("id"), c + 1)
+    assert(ccState(base) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("ClusterIndex.heal rolls an interrupted compaction forward/back") {
+    import graft.ext.ClusterIndex
+    val base = ccScratch()
+    def edges(ps: (Long, Long)*) = ps.toDF("id_a", "id_b")
+    ClusterIndex.fold(spark, base, edges((1L, 2L)), Seq(1L, 2L).toDF("id"), 0L)
+    ClusterIndex.fold(spark, base, edges((2L, 7L)), Seq(7L).toDF("id"), 1L)
+    val before = ccState(base)
+    // crash AFTER the start marker, before the consolidated write: heal
+    // must roll BACK (drop the phantom batch, keep the chain)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val start = new org.apache.hadoop.fs.Path(s"$base/_compact_start")
+    val out = fs.create(start, true)
+    out.write("2".getBytes("UTF-8")); out.close()
+    ClusterIndex.heal(spark, base)
+    assert(!fs.exists(start) && ccState(base) == before)
+    // a completed compact()'s own trailing heal already rolled forward;
+    // state identical either way
+    ClusterIndex.compact(spark, base)
+    assert(ccState(base) == before)
+  }
 }
