@@ -193,8 +193,17 @@ private[ext] object BucketedTables {
       require(sidecar.isEmpty,
         s"$table: sidecars cannot be appended — they pair with a snapshot")
       // appends go into the existing table's current snapshot location
-      // (Spark's job commit protocol makes the file set atomic per table)
-      writer(df, mode).format("parquet").saveAsTable(table)
+      // (Spark's job commit protocol makes the file set atomic per table).
+      // Repartition the batch ON THE BUCKET KEYS first: Spark's
+      // repartition hash IS the bucket assignment, so each task holds
+      // exactly one bucket and the append lands ONE file per non-empty
+      // bucket — an unpartitioned append writes (tasks × buckets) files
+      // per micro-batch, and that fragmentation is what every later
+      // probe's file listing, footer read, and task scheduling pays for.
+      // The batch (delta-sized by contract) is the side that shuffles.
+      writer(df.repartition(bucketsOf(spark, table), keys.map(
+          org.apache.spark.sql.functions.col): _*), mode)
+        .format("parquet").saveAsTable(table)
     } else if (spark.catalog.tableExists(table)) {
       // OVERWRITE of a live table: saveAsTable's own drop-and-recreate
       // would leave no catalog entry if the write died mid-way. Write the
@@ -565,6 +574,55 @@ private[ext] object BucketedTables {
     val prev = spark.conf.get(conf)
     try { spark.conf.set(conf, "false"); body }
     finally spark.conf.set(conf, prev)
+  }
+
+  /** Carry the parquet files of `buckets` from `table`'s LIVE snapshot
+    * dir into `destDir` unchanged (names preserved — the bucket id is
+    * encoded in the file name, and Spark's bucketed reader groups files
+    * by that suffix, tolerating several files per bucket). This
+    * carry-over is what makes PARTIAL compaction partial: an untouched
+    * file moves to the new snapshot without decode / dedup / sort /
+    * re-encode — and without moving bytes where the store allows it:
+    * on `file://` each carry is a HARD LINK (parquet files are
+    * immutable and version pruning only unlinks, so shared inodes are
+    * safe); elsewhere a filesystem copy (object stores would serve
+    * this as a server-side copy; HDFS streams it). Collision-free by
+    * construction: every Spark write stamps fresh job UUIDs into its
+    * file names. */
+  /** The live snapshot's parquet files keyed by the bucket id parsed
+    * from Spark's bucketed file naming (`..._<bucket id>.c…`) — driver
+    * metadata (one dir listing), shared by partial compaction's
+    * dirty-file reads, carry-overs, and occupancy stats. */
+  def bucketFilePaths(spark: SparkSession,
+                      table: String): Seq[(Int, Path)] = {
+    val loc = new Path(location(spark, table))
+    val fs = fsFor(spark, loc)
+    val pat = ".*_(\\d{5})(?:\\.c\\d+)?\\..*parquet$".r
+    fs.listStatus(loc).toSeq.filter(_.isFile)
+      .flatMap(st => st.getPath.getName match {
+        case pat(b) => Some((b.toInt, st.getPath))
+        case _ => None
+      })
+  }
+
+  def copyBucketFiles(spark: SparkSession, table: String,
+                      srcFiles: Seq[Path], destDir: String): Unit = {
+    val fs = fsFor(spark, new Path(location(spark, table)))
+    val conf = spark.sessionState.newHadoopConf()
+    val local = Option(fs.getUri.getScheme).forall(_ == "file")
+    srcFiles.foreach { src =>
+      val dst = new Path(new Path(destDir), src.getName)
+      val linked = local && (try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(src.toUri.getPath))
+        true
+      } catch { case _: java.io.IOException => false }) // cross-device
+      if (!linked)
+        require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+          false, conf),
+          s"$table: bucket-file carry-over failed for $src")
+    }
   }
 
   /** Delete snapshot dirs not in `keep` — every publish path prunes, so

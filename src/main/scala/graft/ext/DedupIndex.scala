@@ -367,6 +367,144 @@ object DedupIndex {
     }
    }
 
+  /** PARTIAL compaction: retire the pending tombstones and fold append
+    * pressure by REWRITING ONLY THE FILES THAT NEED IT, carrying every
+    * other file into the new snapshot by hard link / server-side copy
+    * ([[BucketedTables.copyBucketFiles]]) — the full [[compact]] is a
+    * linear corpus rewrite even when one document was deleted, and at
+    * 100 TB that rewrite IS the cost of a takedown.
+    *
+    * Which files rewrite:
+    *  - in `exact` and `sh` — deletions are LOCAL here (one row per
+    *    holder / per document), so exactly the files physically
+    *    holding a tombstoned row rewrite (discovered by an id-column +
+    *    `input_file_name` scan — no text decode); plus every file of a
+    *    bucket whose file count exceeds `rewriteFileThreshold`.
+    *  - in `pref` and `band` — one document's rows SCATTER across
+    *    buckets (each prefix shingle / band key hashes independently),
+    *    so deletion-dirty tracking would mark everything; these rewrite
+    *    on append pressure only. A deleted document's stale pref/band
+    *    rows are VERIFY-NEUTRAL: every near candidate joins the sh
+    *    table (the source of truth) by holder id before it can judge,
+    *    and the compacted sh table no longer holds the deleted id — so
+    *    stale accelerator rows cost a dead candidate row at probe time,
+    *    never a verdict. They are physically dropped whenever their
+    *    bucket rewrites for pressure, or by the next full [[compact]].
+    *
+    * The rewrite unit is the FILE: rewrite cost is bounded by (files
+    * holding deleted rows) × (file size), independent of corpus size.
+    * File-count pressure folding is OFF by default
+    * (`rewriteFileThreshold = Int.MaxValue`): a fresh parallel build
+    * legitimately writes many files per bucket (the same cry-wolf
+    * [[needsCompact]] documents), so a count-triggered rewrite right
+    * after a rebuild would silently turn the partial fold back into a
+    * full one — fold fragmentation with the full [[compact]], or set a
+    * threshold when the layout's file counts are actually append-driven.
+    *
+    * Same crash contract as [[compact]]: per-table scratch snapshot +
+    * single-catalog-op swap, exact table LAST (the epoch anchor — a
+    * compaction dying mid-way leaves every tombstone active and every
+    * unfolded table still masked), writer lease held throughout.
+    * Verdict-equivalence with the full fold (same probes, same masked
+    * state) is asserted in ExtSpec. */
+  def compactPartial(spark: SparkSession, base: String,
+                     rewriteFileThreshold: Int = Int.MaxValue): Unit =
+   BucketedTables.withWriterLease(spark, exactTable(base), "compaction") {
+    healInterrupted(spark, base)
+    val tombIds = BucketedTables.activeTombIds(spark, tombsTable(base),
+      BucketedTables.snapshotEpoch(spark, exactTable(base)))
+    // the FILES physically holding a tombstoned row — file precision,
+    // not bucket precision: deletions are request-driven and sparse, so
+    // the rewrite unit must be as small as the store's layout allows.
+    // Discovery is one id-column + file-name scan (parquet prunes every
+    // other column — in particular the exact table's text is never
+    // decoded), broadcast-joined against the tiny tombstone set.
+    def tombDirtyFiles(table: String): Set[String] =
+      tombIds match {
+        case Some(t) if spark.table(table).columns.contains("id") =>
+          val t0 = System.nanoTime()
+          // input_file_name is single-source: stamp it on the scan
+          // BEFORE the (broadcast) semi-join
+          val out = spark.table(table)
+            .select(col("id"), input_file_name().as("f"))
+            .join(broadcast(t), Seq("id"), "left_semi")
+            .select(col("f")).distinct()
+            .collect()
+            .map(r => new org.apache.hadoop.fs.Path(r.getString(0))
+              .toUri.getPath)
+            .toSet
+          System.err.println(f"[compactPartial] $table: dirty-file scan " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2fs (${out.size} files)")
+          out
+        case _ => Set.empty
+      }
+    val tables = Seq(
+      shTable(base)    -> Seq("id"),
+      prefTable(base)  -> Seq("bk"),
+      bandTable(base)  -> Seq("bk"),
+      exactTable(base) -> Seq("h", "t"))
+    BucketedTables.withForcedBucketedScan(spark) {
+      tables.foreach { case (table, keys) =>
+        val n = bucketsOf(spark, table)
+        val files = BucketedTables.bucketFilePaths(spark, table)
+        val counts = files.groupBy(_._1).view.mapValues(_.size).toMap
+        val pressure = counts.filter(_._2 > rewriteFileThreshold).keySet
+        val deletionLocal =
+          table == shTable(base) || table == exactTable(base)
+        val dirty =
+          if (deletionLocal) tombDirtyFiles(table) else Set.empty[String]
+        val rewriteFiles = files.collect {
+          case (b, p) if pressure(b) || dirty(p.toUri.getPath) => p }
+        val carried = files.map(_._2).filterNot(rewriteFiles.toSet)
+        val subset =
+          if (carried.isEmpty)
+            // nothing worth carrying: the full fold's shuffle-free
+            // partition-per-bucket dedup
+            BucketedTables.maskByTombs(compactionFrame(spark, table), tombIds)
+          else if (rewriteFiles.isEmpty)
+            spark.table(table).limit(0) // carry everything
+          else
+            // READ ONLY THE FILES THAT NEED REWRITING — clean files are
+            // never decoded (the full-table scan was the last linear
+            // cost in the fold). The raw file read loses the bucketed
+            // partitioning, so the (deletion-bounded) subset pays one
+            // whole-row distinct (folds replay duplicates WITHIN the
+            // subset; cross-file duplicates against carried files keep
+            // waiting for a full compact — they are verdict-neutral)
+            // and one repartition on the bucket keys: Spark's
+            // repartition hash IS the bucket assignment, so each write
+            // task holds exactly one bucket and writes one file.
+            BucketedTables.maskByTombs(
+              spark.read.schema(spark.table(table).schema)
+                .parquet(rewriteFiles.map(_.toString): _*), tombIds)
+              .distinct()
+              .repartition(n, keys.map(col): _*)
+        val t0 = System.nanoTime()
+        val snap = writeSnapshot(spark, table, keys, subset)
+        val t1 = System.nanoTime()
+        if (carried.nonEmpty)
+          BucketedTables.copyBucketFiles(spark, table, carried, snap)
+        val t2 = System.nanoTime()
+        BucketedTables.renewLease(spark, exactTable(base))
+        swapLocation(spark, table, snap)
+        System.err.println(f"[compactPartial] $table: rewrite=" +
+          f"${rewriteFiles.size} carry=${carried.size} files; " +
+          f"write=${(t1 - t0) / 1e9}%.2fs carry=${(t2 - t1) / 1e9}%.2fs " +
+          f"swap=${(System.nanoTime() - t2) / 1e9}%.2fs")
+      }
+      val t3 = System.nanoTime()
+      BucketedTables.truncateBucketed(spark, tombsTable(base), Seq("id"))
+      // append pressure is folded (or deliberately carried): re-base the
+      // sidecar so needsCompact stops firing on mass already handled
+      val folded = spark.read.parquet(
+        BucketedTables.location(spark, exactTable(base)).toString).count()
+      BucketedTables.addSidecar(spark, exactTable(base), AppendedSidecar,
+        s"0 $folded".getBytes("UTF-8"))
+      System.err.println(f"[compactPartial] tomb GC + sidecar " +
+        f"${(System.nanoTime() - t3) / 1e9}%.2fs")
+    }
+   }
+
   /** Fold an append's doc count into the [[AppendedSidecar]]. Missing
     * sidecar (legacy index) stays missing — folding into an unknown
     * base would record a lie; the next [[compact]] establishes it. */
@@ -561,11 +699,18 @@ object DedupIndex {
       .repartition(col("id")) // one artifact pass shared by all three rules
     // Exact rule: equi-join on the 64-bit text hash (the bucket key),
     // settled by the residual full-text comparison. The index side's
-    // holder id is KEPT as the edge partner (`id_a`); the delta's id
-    // is `id_b`.
+    // holder id is KEPT as the edge partner (`id_a`) — NULL on a legacy
+    // exact table that predates holder-id storage (the verdict needs
+    // only `id_b`; cluster folding drops NULL-partner edges).
+    val exactIdx = {
+      val raw = tbl(exactTable(base))
+      if (raw.columns.contains("id")) raw.withColumnRenamed("id", "id_a")
+      else raw.withColumn("id_a", lit(null)
+        .cast(spark.table(shTable(base)).schema("id").dataType))
+    }
     val exactEdges = d.select(col("id").as("id_b"), col("h"),
         col("t").as("__dt"))
-      .join(tbl(exactTable(base)).withColumnRenamed("id", "id_a"), Seq("h"))
+      .join(exactIdx, Seq("h"))
       .filter(col("t") === col("__dt"))
       .select(col("id_a"), col("id_b")).distinct()
     // Near rule: candidates from the chosen generator, verified with

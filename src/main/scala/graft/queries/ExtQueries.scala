@@ -1516,22 +1516,31 @@ object ExtQueries {
     * tombstone" path ([[graft.ext.DedupIndex.delete]]) exercised end to
     * end at the driver gate. Extends [[qStreamDedupLifecycle]] with:
     *
-    *  5. [[graft.ext.DedupIndex.compact]] — physically removes the
-    *     taken-down documents' artifact rows and retires the
-    *     tombstones (the precondition: a re-append BEFORE this point
-    *     would stay masked, and its stale corpus rows would make the
-    *     document judge against itself);
+    *  5. [[graft.ext.DedupIndex.compactPartial]] — physically removes
+    *     the taken-down documents' exact/sh rows (rewriting ONLY their
+    *     buckets; clean buckets and the whole pref/band accelerator
+    *     tables carry over by hard link) and retires the tombstones
+    *     (the precondition: a re-append BEFORE this point would stay
+    *     masked, and its stale corpus rows would make the document
+    *     judge against itself);
     *  6. a CLEARED subset of the deleted documents (even doc_id) lands
     *     as a late file and the SAME checkpoint runs a third leg —
     *     batch 2 judges them as ordinary new documents against the
     *     post-compact state: (corpus − takedown) ∪ both streamed
     *     batches' kept rows.
     *
+    * The takedown is FIXED-COUNT (the 40 smallest corpus ids with
+    * doc_id % 3 = 1) — takedowns are request-driven, they do not grow
+    * with the corpus, and a percentage-based delete would mark every
+    * bucket dirty and quietly turn the partial fold back into a full
+    * rewrite.
+    *
     * The oracle replays all three batches in closed form, so a
-    * hash-pass proves the compact removed exactly the takedown (a
-    * cleared document that still matched its own stale rows would
-    * read 'exact' instead of its true verdict) and re-admission is
-    * id-precise. */
+    * hash-pass proves the partial compact removed exactly the takedown
+    * (a cleared document that still matched its own stale rows would
+    * read 'exact' instead of its true verdict — including via a stale
+    * pref/band row, which must die at the rewritten sh verify join)
+    * and re-admission is id-precise. */
   def qStreamDedupReadmit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val base = Scratch.fresh(s, "streamdedupre", dir)
@@ -1539,6 +1548,9 @@ object ExtQueries {
     val idx = "graft_idx_streamre"
     DedupIndex.write(docs.filter(col("doc_id") % 5 =!= 0),
       "text", "doc_id", "lang", idx, threshold = 0.5)
+    val takedown = docs
+      .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 3 === 1)
+      .orderBy("doc_id").limit(40).localCheckpoint()
     val inDir = s"$base/in"
     def runToCompletion(): Unit = {
       val q = graft.streaming.IngestDedup.run(
@@ -1552,17 +1564,19 @@ object ExtQueries {
     docs.filter(col("doc_id") % 10 === 0).coalesce(1)
       .write.mode("overwrite").parquet(inDir)
     runToCompletion()
-    DedupIndex.delete(s, idx,
-      docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 3 === 1)
-        .select(col("doc_id")), "doc_id")
+    DedupIndex.delete(s, idx, takedown.select(col("doc_id")), "doc_id")
     docs.filter(col("doc_id") % 10 === 5).coalesce(1)
       .write.mode("append").parquet(inDir)
     runToCompletion()
     // the compaction retires the tombstones and removes the taken-down
-    // rows — only now may cleared documents re-enter
-    DedupIndex.compact(s, idx)
-    docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 3 === 1 &&
-        col("doc_id") % 2 === 0).coalesce(1)
+    // rows — only now may cleared documents re-enter. PARTIAL: only the
+    // tombstone-dirty exact/sh buckets rewrite; every clean bucket and
+    // the whole pref/band accelerator tables carry over by hard link,
+    // their stale rows dying at the rewritten sh verify join. A
+    // hash-pass here therefore proves partial compaction's
+    // verdict-equivalence at the driver gate, not just in ExtSpec.
+    DedupIndex.compactPartial(s, idx)
+    takedown.filter(col("doc_id") % 2 === 0).coalesce(1)
       .write.mode("append").parquet(inDir)
     runToCompletion()
     s.read.parquet(s"$base/verdicts")
@@ -1570,15 +1584,18 @@ object ExtQueries {
         col("keep"), col("reason"))
   }
 
-  /** Three-batch closed-form replay: the lifecycle's two batches, then
-    * the cleared re-admissions judged against (corpus − takedown) ∪
-    * both batches' kept rows. */
+  /** Three-batch closed-form replay: the lifecycle's two batches (the
+    * takedown is the fixed-count sparse set), then the cleared
+    * re-admissions judged against (corpus − takedown) ∪ both batches'
+    * kept rows. */
   val qStreamDedupReadmitSql: String =
     """WITH w AS (SELECT doc_id, lang, text,
       |  string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS w FROM documents),
       |sh AS (SELECT doc_id, lang, text,
       |  list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
       |    i -> array_to_string(w[i+1:i+3], ' '))) AS t FROM w),
+      |td AS (SELECT doc_id FROM sh
+      |  WHERE doc_id % 5 <> 0 AND doc_id % 3 = 1 ORDER BY doc_id LIMIT 40),
       |corpus0 AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
       |d0 AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
       |ex0 AS (SELECT DISTINCT d.doc_id FROM d0 d JOIN corpus0 c ON d.text = c.text),
@@ -1590,7 +1607,8 @@ object ExtQueries {
       |       WHEN n.doc_id IS NOT NULL THEN 'near' END AS reason
       |  FROM d0 d LEFT JOIN ex0 e ON d.doc_id = e.doc_id
       |            LEFT JOIN nr0 n ON d.doc_id = n.doc_id),
-      |corpus1 AS (SELECT * FROM sh WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 1
+      |corpus1 AS (SELECT * FROM sh WHERE doc_id % 5 <> 0
+      |    AND doc_id NOT IN (SELECT doc_id FROM td)
       |  UNION ALL SELECT sh.* FROM sh JOIN v0 ON sh.doc_id = v0.doc_id
       |  WHERE v0.keep),
       |d1 AS (SELECT * FROM sh WHERE doc_id % 10 = 5),
@@ -1606,8 +1624,8 @@ object ExtQueries {
       |corpus2 AS (SELECT * FROM corpus1
       |  UNION ALL SELECT sh.* FROM sh JOIN v1 ON sh.doc_id = v1.doc_id
       |  WHERE v1.keep),
-      |d2 AS (SELECT * FROM sh
-      |  WHERE doc_id % 5 <> 0 AND doc_id % 3 = 1 AND doc_id % 2 = 0),
+      |d2 AS (SELECT sh.* FROM sh JOIN td ON sh.doc_id = td.doc_id
+      |  WHERE sh.doc_id % 2 = 0),
       |ex2 AS (SELECT DISTINCT d.doc_id FROM d2 d JOIN corpus2 c ON d.text = c.text),
       |nr2 AS (SELECT DISTINCT d.doc_id FROM d2 d JOIN corpus2 c ON d.lang = c.lang
       |  WHERE len(list_intersect(d.t, c.t))::DOUBLE

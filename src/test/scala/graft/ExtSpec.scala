@@ -753,6 +753,63 @@ class ExtSpec extends AnyFunSuite {
     assert(ccState(base) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("DedupIndex.compactPartial == compact for every probe: verdicts " +
+       "equal, tombstoned ids physically gone from exact/sh, files carried") {
+    import graft.ext.DedupIndex
+    val docs = Tables(spark, dir, "documents").select("doc_id", "lang", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    def build(base: String): Unit = {
+      DedupIndex.write(corpus, "text", "doc_id", "lang", base,
+        threshold = 0.5, buckets = 8)
+      // two appends = append pressure + replay-duplicate shape
+      DedupIndex.appendKept(spark, base, delta,
+        delta.select(col("doc_id"), lit(true).as("keep"),
+          lit(null).cast("string").as("reason")),
+        "text", "doc_id", "lang", threshold = 0.5, batchId = 7L)
+      // SPARSE takedown (3 ids) — the case partial compaction exists for
+      DedupIndex.delete(spark, base,
+        corpus.select("doc_id").orderBy("doc_id").limit(3), "doc_id")
+    }
+    build("t_pcomp_a"); build("t_pcomp_b")
+    DedupIndex.compact(spark, "t_pcomp_a")
+    DedupIndex.compactPartial(spark, "t_pcomp_b")
+    // identical verdicts for a fresh probe batch against either fold
+    val probe = docs.filter(col("doc_id") % 7 === 0)
+    def verdicts(base: String) =
+      DedupIndex.dedupIncremental(spark, base, probe,
+        "text", "doc_id", "lang", threshold = 0.5)
+        .as[(Long, Boolean, Option[String])].collect().toSet
+    assert(verdicts("t_pcomp_a") == verdicts("t_pcomp_b"))
+    // the three tombstoned ids are physically gone from exact AND sh
+    val gone = corpus.select("doc_id").orderBy("doc_id").limit(3)
+      .as[Long].collect().toSet
+    Seq(DedupIndex.exactTable("t_pcomp_b"), DedupIndex.shTable("t_pcomp_b"))
+      .foreach { t =>
+        assert(spark.table(t).filter(col("id").isin(gone.toSeq: _*))
+          .count() == 0L, s"$t still holds tombstoned rows")
+      }
+    assert(DedupIndex.pendingTombstones(spark, "t_pcomp_b") == 0L)
+    // partiality is real: the pref table's new snapshot carries files
+    // (several per bucket from the appends), not a one-file-per-bucket
+    // full fold like the compact() twin
+    def filesOf(table: String): Int = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(loc).count(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet"))
+    }
+    assert(filesOf(DedupIndex.prefTable("t_pcomp_b")) >
+      filesOf(DedupIndex.prefTable("t_pcomp_a")),
+      "partial compact should carry pref bucket files, not fold them")
+    // a second partial compact with no tombstones is carry-only and
+    // leaves probes identical
+    DedupIndex.compactPartial(spark, "t_pcomp_b")
+    assert(verdicts("t_pcomp_a") == verdicts("t_pcomp_b"))
+  }
+
   test("ClusterIndex.heal rolls an interrupted compaction forward/back") {
     import graft.ext.ClusterIndex
     val base = ccScratch()
