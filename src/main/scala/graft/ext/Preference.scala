@@ -647,6 +647,93 @@ object Preference {
         max(when(col("rn") === hiRank, col("gamma"))).as("hi"))
   }
 
+  /** Bootstrap CIs for the RAO-KUPPER fit PER GROUP — the tie-aware
+    * sibling of [[btBootstrapCiGrouped]] and the uncertainty side of
+    * q_rk_drift: windows and replicates both ride the grouped RK MM
+    * through the composite fit key b·reps + r; win and tie counts
+    * resample under their own mix primes (decorrelated, and the
+    * composite id decorrelates windows too); theta refits per
+    * replicate, so the DRAW-MASS parameter gets a per-window interval
+    * as well. For the group with id 0 the composite key equals the
+    * plain replicate id, so this reproduces [[rkBootstrapCi]]'s draws
+    * bit-exactly (asserted in StatsSpec).
+    *
+    * Scale shape: (items-per-group × groups × reps) + (groups × reps)
+    * grids; judgment volume enters only through aggregated counts.
+    * Returns (item, b, lo, hi, theta_lo, theta_hi). */
+  def rkBootstrapCiGrouped(comparisons: DataFrame, ties: DataFrame,
+                           iters: Int, reps: Int, loRank: Int,
+                           hiRank: Int): DataFrame = {
+    require(reps >= 2 && loRank >= 1 && hiRank <= reps && loRank < hiRank,
+      s"bad bootstrap spec: reps=$reps loRank=$loRank hiRank=$hiRank")
+    val session = comparisons.sparkSession
+    import session.implicits._
+    val comp = comparisons.localCheckpoint()
+    val tie = ties.localCheckpoint()
+    val itemsW = comp.select(col("b"), col("winner").as("item"))
+      .unionAll(comp.select(col("b"), col("loser").as("item")))
+      .unionAll(tie.select(col("b"), col("i").as("item")))
+      .unionAll(tie.select(col("b"), col("j").as("item")))
+      .distinct().localCheckpoint()
+    val hashed = itemsW.select("item").distinct()
+      .withColumn("h", TextAnalysis.fingerprint(col("item")))
+      .localCheckpoint()
+    val repsDf = (0L until reps.toLong).toDF("r")
+    val cb = col("b") * lit(reps.toLong) + col("r")
+    val dcomp = countDraw(
+        comp.select(col("b"), col("winner").as("x"), col("loser").as("y"),
+          col("n")), hashed, repsDf, 131071L, cb)
+      .select(cb.as("b"), col("x").as("i"), col("y").as("j"),
+        col("n_drawn").as("n"))
+    val dtie = countDraw(
+        tie.select(col("b"), col("i").as("x"), col("j").as("y"), col("n")),
+        hashed, repsDf, 524287L, cb)
+      .select(cb.as("b"), col("x"), col("y"), col("n_drawn").as("n"))
+    val adirb = dcomp
+      .unionAll(dtie.select(col("b"), col("x").as("i"), col("y").as("j"),
+        col("n")))
+      .unionAll(dtie.select(col("b"), col("y").as("i"), col("x").as("j"),
+        col("n")))
+      .groupBy("b", "i", "j").agg(sum("n").as("a"))
+      .localCheckpoint()
+    val itemsb = itemsW.select(col("item"), col("b").as("w"))
+      .crossJoin(broadcast(repsDf))
+      .select(col("item"),
+        (col("w") * lit(reps.toLong) + col("r")).as("b"))
+      .localCheckpoint()
+    val groups = itemsW.select(col("b").as("w")).distinct()
+      .crossJoin(broadcast(repsDf))
+      .select((col("w") * lit(reps.toLong) + col("r")).as("b"))
+    val bigAb = itemsb
+      .join(adirb.groupBy(col("b"), col("i").as("item")).agg(sum("a").as("a0")),
+        Seq("item", "b"), "left")
+      .select(col("item"), col("b"), coalesce(col("a0"), lit(0L)).as("A"))
+      .localCheckpoint()
+    val ttb = groups
+      .join(dtie.groupBy("b").agg(sum("n").as("t0")), Seq("b"), "left")
+      .select(col("b"), coalesce(col("t0"), lit(0L)).as("T"))
+      .localCheckpoint()
+    val (gfin, th) = rkFitGrouped(adirb, itemsb, bigAb, ttb, groups, iters)
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"), col("w"))
+      .orderBy(col("gamma").asc, col("b").asc)
+    val ciG = gfin
+      .withColumn("w", floor(col("b") / lit(reps.toDouble)).cast("long"))
+      .withColumn("rn", row_number().over(wG))
+      .groupBy(col("item"), col("w").as("b"))
+      .agg(max(when(col("rn") === loRank, col("gamma"))).as("lo"),
+        max(when(col("rn") === hiRank, col("gamma"))).as("hi"))
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col("t").asc, col("b").asc)
+    val ciT = th
+      .withColumn("w", floor(col("b") / lit(reps.toDouble)).cast("long"))
+      .withColumn("rn", row_number().over(wT))
+      .groupBy(col("w").as("b"))
+      .agg(max(when(col("rn") === loRank, col("t"))).as("theta_lo"),
+        max(when(col("rn") === hiRank, col("t"))).as("theta_hi"))
+    ciG.join(ciT, Seq("b"))
+  }
+
   /** The Rao-Kupper MM fit run independently per group `b` — identical
     * arithmetic to [[rkRatings]] with the group id carried through
     * every key and theta a PER-GROUP column (no driver scalar, so any

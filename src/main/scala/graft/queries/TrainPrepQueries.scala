@@ -1972,33 +1972,43 @@ object TrainPrepQueries {
     * per-(replicate, item) sum over both roles, the gamma update, the
     * per-replicate C, and the closed-form theta root — replicate id in
     * every key, theta a per-replicate row. */
-  private def rkBootIterCtes(k: Int): String = {
-    val gp = s"bg${k - 1}"; val tp = s"bth${k - 1}"
-    s"""bs$k AS MATERIALIZED (SELECT b, item, ${rkQsum("v")} AS s FROM (
+  private def rkBootIterCtes(k: Int): String =
+    rkIterCtesOn(k, "b", "badir", "bA", "btt", "reps")
+
+  /** One grouped Rao-Kupper MM iteration as CTEs, parameterized on the
+    * CTE name prefix and the source tables, so one query can run TWO
+    * independent grouped fits (q_rk_drift_ci: the per-window point fit
+    * AND the windows×replicates bootstrap fit) without name
+    * collisions. Emits `<p>s<k> / <p>g<k> / <p>c<k> / <p>th<k>` from
+    * `<p>g<k-1> / <p>th<k-1>`. */
+  private def rkIterCtesOn(k: Int, p: String, adir: String, bigA: String,
+                           tt: String, groups: String): String = {
+    val gp = s"${p}g${k - 1}"; val tp = s"${p}th${k - 1}"
+    s"""${p}s$k AS MATERIALIZED (SELECT b, item, ${rkQsum("v")} AS s FROM (
        |  SELECT d.b, d.i AS item, d.a / (gi.gamma + th.t * gj.gamma) AS v
-       |   FROM badir d JOIN $gp gi ON d.i = gi.item AND d.b = gi.b
+       |   FROM $adir d JOIN $gp gi ON d.i = gi.item AND d.b = gi.b
        |   JOIN $gp gj ON d.j = gj.item AND d.b = gj.b
        |   JOIN $tp th ON th.b = d.b
        |  UNION ALL
        |  SELECT d.b, d.j AS item, d.a * th.t / (gi.gamma + th.t * gj.gamma) AS v
-       |   FROM badir d JOIN $gp gi ON d.i = gi.item AND d.b = gi.b
+       |   FROM $adir d JOIN $gp gi ON d.i = gi.item AND d.b = gi.b
        |   JOIN $gp gj ON d.j = gj.item AND d.b = gj.b
        |   JOIN $tp th ON th.b = d.b)
        | GROUP BY b, item),
-       |bg$k AS MATERIALIZED (SELECT a.item, a.b, a.A / s.s AS gamma
-       |  FROM bA a JOIN bs$k s ON s.item = a.item AND s.b = a.b),
-       |bc$k AS MATERIALIZED (SELECT d.b, ${rkQsum("v")} AS c FROM (
+       |${p}g$k AS MATERIALIZED (SELECT a.item, a.b, a.A / s.s AS gamma
+       |  FROM $bigA a JOIN ${p}s$k s ON s.item = a.item AND s.b = a.b),
+       |${p}c$k AS MATERIALIZED (SELECT d.b, ${rkQsum("v")} AS c FROM (
        |  SELECT d.b, (d.a * gj.gamma) / (gi.gamma + th.t * gj.gamma) AS v
-       |   FROM badir d JOIN bg$k gi ON d.i = gi.item AND d.b = gi.b
-       |   JOIN bg$k gj ON d.j = gj.item AND d.b = gj.b
+       |   FROM $adir d JOIN ${p}g$k gi ON d.i = gi.item AND d.b = gi.b
+       |   JOIN ${p}g$k gj ON d.j = gj.item AND d.b = gj.b
        |   JOIN $tp th ON th.b = d.b) d
        | GROUP BY d.b),
-       |bth$k AS MATERIALIZED (SELECT r.b,
+       |${p}th$k AS MATERIALIZED (SELECT r.b,
        |  CASE WHEN c.c > 0 THEN (CAST(tt.T AS DOUBLE)
        |    + sqrt(CAST(tt.T AS DOUBLE) * CAST(tt.T AS DOUBLE) + c.c * c.c))
        |    / c.c ELSE CAST(1.0 AS DOUBLE) END AS t
-       |  FROM reps r LEFT JOIN bc$k c ON c.b = r.b
-       |  JOIN btt tt ON tt.b = r.b)""".stripMargin
+       |  FROM $groups r LEFT JOIN ${p}c$k c ON c.b = r.b
+       |  JOIN $tt tt ON tt.b = r.b)""".stripMargin
   }
 
   private def bootDrawCte(name: String, src: String, xCol: String,
@@ -2583,33 +2593,40 @@ object TrainPrepQueries {
       .select(col("b"), col("winner"), col("loser"),
         (col("bv") - col("wv") >= 200.0).as("decided"))
 
-  val qRkDriftSql: String =
-    s"""WITH r AS MATERIALIZED (SELECT user_id, event_type, event_id, value,
-       |  CAST(floor(datediff('day', DATE '2024-01-01',
-       |    CAST(ts AS DATE)) / 7.0) AS BIGINT) AS b,
-       |  row_number() OVER (PARTITION BY user_id,
-       |    CAST(floor(datediff('day', DATE '2024-01-01',
-       |      CAST(ts AS DATE)) / 7.0) AS BIGINT)
-       |    ORDER BY value DESC, event_id ASC) AS rb,
-       |  row_number() OVER (PARTITION BY user_id,
-       |    CAST(floor(datediff('day', DATE '2024-01-01',
-       |      CAST(ts AS DATE)) / 7.0) AS BIGINT)
-       |    ORDER BY value ASC, event_id ASC) AS rw,
-       |  count(*) OVER (PARTITION BY user_id,
-       |    CAST(floor(datediff('day', DATE '2024-01-01',
-       |      CAST(ts AS DATE)) / 7.0) AS BIGINT)) AS nc
-       | FROM events WHERE value IS NOT NULL),
-       |o AS MATERIALIZED (SELECT b.b, b.event_type AS winner,
-       |  w.event_type AS loser, (b.value - w.value >= 200.0) AS decided
-       | FROM (SELECT * FROM r WHERE rb = 1) b
-       | JOIN (SELECT * FROM r WHERE rw = 1) w USING (user_id, b)
-       | WHERE b.nc >= 2 AND b.event_type <> w.event_type),
-       |comp AS MATERIALIZED (SELECT b, winner, loser, count(*)::BIGINT AS n
-       | FROM o WHERE decided GROUP BY 1, 2, 3),
-       |tcomp AS MATERIALIZED (SELECT b, least(winner, loser) AS i,
-       |  greatest(winner, loser) AS j, count(*)::BIGINT AS n
-       | FROM o WHERE NOT decided GROUP BY 1, 2, 3),
-       |badir AS MATERIALIZED (SELECT b, i, j, sum(n)::BIGINT AS a FROM (
+  /** The windowed tie-aware outcome CTEs (r/o/comp/tcomp) shared by
+    * q_rk_drift and q_rk_drift_ci, so their replays cannot drift. */
+  private val rkWindowedBaseCtes: String =
+    """r AS MATERIALIZED (SELECT user_id, event_type, event_id, value,
+      |  CAST(floor(datediff('day', DATE '2024-01-01',
+      |    CAST(ts AS DATE)) / 7.0) AS BIGINT) AS b,
+      |  row_number() OVER (PARTITION BY user_id,
+      |    CAST(floor(datediff('day', DATE '2024-01-01',
+      |      CAST(ts AS DATE)) / 7.0) AS BIGINT)
+      |    ORDER BY value DESC, event_id ASC) AS rb,
+      |  row_number() OVER (PARTITION BY user_id,
+      |    CAST(floor(datediff('day', DATE '2024-01-01',
+      |      CAST(ts AS DATE)) / 7.0) AS BIGINT)
+      |    ORDER BY value ASC, event_id ASC) AS rw,
+      |  count(*) OVER (PARTITION BY user_id,
+      |    CAST(floor(datediff('day', DATE '2024-01-01',
+      |      CAST(ts AS DATE)) / 7.0) AS BIGINT)) AS nc
+      | FROM events WHERE value IS NOT NULL),
+      |o AS MATERIALIZED (SELECT b.b, b.event_type AS winner,
+      |  w.event_type AS loser, (b.value - w.value >= 200.0) AS decided
+      | FROM (SELECT * FROM r WHERE rb = 1) b
+      | JOIN (SELECT * FROM r WHERE rw = 1) w USING (user_id, b)
+      | WHERE b.nc >= 2 AND b.event_type <> w.event_type),
+      |comp AS MATERIALIZED (SELECT b, winner, loser, count(*)::BIGINT AS n
+      | FROM o WHERE decided GROUP BY 1, 2, 3),
+      |tcomp AS MATERIALIZED (SELECT b, least(winner, loser) AS i,
+      |  greatest(winner, loser) AS j, count(*)::BIGINT AS n
+      | FROM o WHERE NOT decided GROUP BY 1, 2, 3)""".stripMargin
+
+  /** The per-window (point-fit) Rao–Kupper CTEs shared by q_rk_drift
+    * and q_rk_drift_ci: augmented edges, grids, three MM iterations
+    * (bg3/bth3), and the per-window ranking. */
+  private val rkWindowedFitCtes: String =
+    s"""badir AS MATERIALIZED (SELECT b, i, j, sum(n)::BIGINT AS a FROM (
        |  SELECT b, winner AS i, loser AS j, n FROM comp
        |  UNION ALL SELECT b, i, j, n FROM tcomp
        |  UNION ALL SELECT b, j AS i, i AS j, n FROM tcomp)
@@ -2633,17 +2650,21 @@ object TrainPrepQueries {
        |bfin AS (SELECT ib.item, ib.b,
        |  coalesce(g.gamma, CAST(0.0 AS DOUBLE)) AS gamma
        | FROM bitems ib LEFT JOIN bg3 g ON g.item = ib.item AND g.b = ib.b),
+       |ranked AS (SELECT f.b, f.item, f.gamma,
+       |  row_number() OVER (PARTITION BY f.b
+       |    ORDER BY f.gamma DESC, f.item ASC)::BIGINT AS rank
+       | FROM bfin f)""".stripMargin
+
+  val qRkDriftSql: String =
+    s"""WITH $rkWindowedBaseCtes,
+       |$rkWindowedFitCtes,
        |winsw AS (SELECT b, winner AS item, sum(n)::BIGINT AS w FROM comp
        | GROUP BY 1, 2),
        |tiesw AS (SELECT b, item, sum(n)::BIGINT AS t FROM (
        |  SELECT b, i AS item, n FROM tcomp
        |  UNION ALL SELECT b, j AS item, n FROM tcomp) GROUP BY 1, 2),
        |lossw AS (SELECT b, loser AS item, sum(n)::BIGINT AS l FROM comp
-       | GROUP BY 1, 2),
-       |ranked AS (SELECT f.b, f.item, f.gamma,
-       |  row_number() OVER (PARTITION BY f.b
-       |    ORDER BY f.gamma DESC, f.item ASC)::BIGINT AS rank
-       | FROM bfin f)
+       | GROUP BY 1, 2)
        |SELECT rk.b AS window_id, rk.item,
        |  coalesce(wi.w, 0)::BIGINT AS n_wins,
        |  coalesce(tb.t, 0)::BIGINT AS n_ties,
@@ -2661,6 +2682,156 @@ object TrainPrepQueries {
        |LEFT JOIN winsw wi ON wi.item = rk.item AND wi.b = rk.b
        |LEFT JOIN tiesw tb ON tb.item = rk.item AND tb.b = rk.b
        |LEFT JOIN lossw lo ON lo.item = rk.item AND lo.b = rk.b""".stripMargin
+
+  // ----------------------------------------------------- q_rk_drift_ci
+
+  /** Tie-aware drift WITH uncertainty — the q_bt_drift_ci treatment
+    * composed with the Rao–Kupper grouped fit
+    * ([[graft.ext.Preference.rkBootstrapCiGrouped]]): every (window,
+    * item) cell gets a bootstrap 95% interval from that window's
+    * judgments (wins AND draws resampled under their own mix primes,
+    * replicates nested in windows through the composite window·100 +
+    * replicate key), theta gets a per-window interval too (the
+    * draw-mass parameter is exactly where small windows mislead), and
+    * `sig_move` flags a rank change only when the item's interval
+    * clears its previous-window interval. The oracle replays all
+    * windows × 100 tie-aware refits — including every per-replicate
+    * closed-form theta root — plus the overlap test. */
+  def qRkDriftCi(s: SparkSession, dir: String): DataFrame = {
+    val o = prefOutcomesWindowedTies(s, dir).localCheckpoint()
+    val comp = o.filter(col("decided"))
+      .groupBy("b", "winner", "loser").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tie = o.filter(!col("decided"))
+      .select(col("b"), least(col("winner"), col("loser")).as("i"),
+        greatest(col("winner"), col("loser")).as("j"))
+      .groupBy("b", "i", "j").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val g = graft.ext.Preference.rkRatingsGrouped(comp, tie, iters = 3)
+    val ci = graft.ext.Preference.rkBootstrapCiGrouped(comp, tie,
+      iters = 3, reps = 100, loRank = 3, hiRank = 98)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("gamma").desc, col("item").asc)
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("b").asc)
+    g.join(ci, Seq("b", "item"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("prev_rank", lag(col("rank"), 1).over(wLag))
+      .withColumn("prev_lo", lag(col("lo"), 1).over(wLag))
+      .withColumn("prev_hi", lag(col("hi"), 1).over(wLag))
+      .select(col("b").as("window_id"), col("item"),
+        Oracle.q6(col("gamma")).as("rating_q6"),
+        Oracle.q6(col("lo")).as("lo_q6"),
+        Oracle.q6(col("hi")).as("hi_q6"),
+        Oracle.q6(col("theta")).as("theta_q6"),
+        Oracle.q6(col("theta_lo")).as("theta_lo_q6"),
+        Oracle.q6(col("theta_hi")).as("theta_hi_q6"),
+        col("rank"), col("prev_rank"),
+        (col("prev_rank") - col("rank")).as("rank_delta"),
+        coalesce(col("lo") > col("prev_hi") || col("hi") < col("prev_lo"),
+          lit(false)).as("sig_move"))
+  }
+
+  /** Replays the point fit (the shared windowed RK CTEs) AND the full
+    * windows × replicates tie-aware bootstrap: composite-key draws
+    * (non-negative modulus — window ids go negative for pre-2024
+    * events), the second grouped RK fit under the `c` CTE prefix, and
+    * per-window order-statistic intervals for gamma and theta. */
+  val qRkDriftCiSql: String =
+    s"""WITH $rkWindowedBaseCtes,
+       |$rkWindowedFitCtes,
+       |zt AS (SELECT * FROM (VALUES $ztValuesSql) t(zb, z)),
+       |brep AS (SELECT unnest(range(0, 100))::BIGINT AS rb),
+       |ditems AS (SELECT DISTINCT item FROM bitems),
+       |shx AS (SELECT item, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(range(1, length(lower(trim(item))) + 1),
+       |      i -> ascii(lower(trim(item))[i])::BIGINT)),
+       |    (a, c) -> (a * 31 + c) % 1000000007) AS h FROM ditems),
+       |cdraw0 AS MATERIALIZED (SELECT c.b * 100 + r.rb AS b,
+       |  c.winner AS i, c.loser AS j,
+       |  greatest(0, CAST(floor(CAST(c.n AS DOUBLE)
+       |    + sqrt(CAST(c.n AS DOUBLE)) * zt.z + CAST(0.5 AS DOUBLE))
+       |    AS BIGINT)) AS n
+       | FROM comp c
+       | JOIN shx hw ON hw.item = c.winner
+       | JOIN shx hl ON hl.item = c.loser
+       | CROSS JOIN brep r
+       | JOIN zt ON zt.zb = ((((((hw.h * 31 + hl.h) % 1000000007) * 131071
+       |    + (c.b * 100 + r.rb)) % 1000000007 + 1000000007) % 1000000007
+       |    * 2654435761) % 250)),
+       |ctdraw0 AS MATERIALIZED (SELECT c.b * 100 + r.rb AS b,
+       |  c.i, c.j,
+       |  greatest(0, CAST(floor(CAST(c.n AS DOUBLE)
+       |    + sqrt(CAST(c.n AS DOUBLE)) * zt.z + CAST(0.5 AS DOUBLE))
+       |    AS BIGINT)) AS n
+       | FROM tcomp c
+       | JOIN shx hi ON hi.item = c.i
+       | JOIN shx hj ON hj.item = c.j
+       | CROSS JOIN brep r
+       | JOIN zt ON zt.zb = ((((((hi.h * 31 + hj.h) % 1000000007) * 524287
+       |    + (c.b * 100 + r.rb)) % 1000000007 + 1000000007) % 1000000007
+       |    * 2654435761) % 250)),
+       |cdraw AS (SELECT * FROM cdraw0 WHERE n > 0),
+       |ctdraw AS (SELECT * FROM ctdraw0 WHERE n > 0),
+       |cbadir AS MATERIALIZED (SELECT b, i, j, sum(n)::BIGINT AS a FROM (
+       |  SELECT b, i, j, n FROM cdraw
+       |  UNION ALL SELECT b, i, j, n FROM ctdraw
+       |  UNION ALL SELECT b, j AS i, i AS j, n FROM ctdraw)
+       | GROUP BY 1, 2, 3),
+       |cgroups AS (SELECT w.b * 100 + r.rb AS b
+       | FROM reps w CROSS JOIN brep r),
+       |citems AS MATERIALIZED (SELECT it.item, it.b * 100 + r.rb AS b
+       | FROM bitems it CROSS JOIN brep r),
+       |cbA AS MATERIALIZED (SELECT it.item, it.b,
+       |  coalesce(sum(d.a), 0)::BIGINT AS A
+       | FROM citems it LEFT JOIN cbadir d ON d.i = it.item AND d.b = it.b
+       | GROUP BY 1, 2),
+       |cbtt AS (SELECT g.b, coalesce(t.t0, 0)::BIGINT AS T FROM cgroups g
+       | LEFT JOIN (SELECT b, sum(n)::BIGINT AS t0 FROM ctdraw GROUP BY 1) t
+       |   ON t.b = g.b),
+       |cg0 AS (SELECT item, b, CAST(1.0 AS DOUBLE) AS gamma FROM citems),
+       |cth0 AS (SELECT b, CAST(1.0 AS DOUBLE) AS t FROM cgroups),
+       |${rkIterCtesOn(1, "c", "cbadir", "cbA", "cbtt", "cgroups")},
+       |${rkIterCtesOn(2, "c", "cbadir", "cbA", "cbtt", "cgroups")},
+       |${rkIterCtesOn(3, "c", "cbadir", "cbA", "cbtt", "cgroups")},
+       |cfin AS (SELECT ib.item, ib.b,
+       |  coalesce(g.gamma, CAST(0.0 AS DOUBLE)) AS gamma
+       | FROM citems ib LEFT JOIN cg3 g ON g.item = ib.item AND g.b = ib.b),
+       |cw AS (SELECT item, CAST(floor(b / 100.0) AS BIGINT) AS w, b, gamma
+       | FROM cfin),
+       |cranked AS (SELECT item, w, b, gamma,
+       |  row_number() OVER (PARTITION BY item, w
+       |    ORDER BY gamma ASC, b ASC) AS rn FROM cw),
+       |ci AS (SELECT item, w AS b,
+       |  max(CASE WHEN rn = 3 THEN gamma END) AS lo,
+       |  max(CASE WHEN rn = 98 THEN gamma END) AS hi
+       | FROM cranked GROUP BY 1, 2),
+       |cthw AS (SELECT CAST(floor(b / 100.0) AS BIGINT) AS w, b, t
+       | FROM cth3),
+       |cthr AS (SELECT w, b, t,
+       |  row_number() OVER (PARTITION BY w ORDER BY t ASC, b ASC) AS rn
+       | FROM cthw),
+       |thci AS (SELECT w AS b,
+       |  max(CASE WHEN rn = 3 THEN t END) AS theta_lo,
+       |  max(CASE WHEN rn = 98 THEN t END) AS theta_hi
+       | FROM cthr GROUP BY 1)
+       |SELECT rk.b AS window_id, rk.item,
+       |  ${Oracle.sqlQ6("rk.gamma")} AS rating_q6,
+       |  ${Oracle.sqlQ6("ci.lo")} AS lo_q6,
+       |  ${Oracle.sqlQ6("ci.hi")} AS hi_q6,
+       |  ${Oracle.sqlQ6("th.t")} AS theta_q6,
+       |  ${Oracle.sqlQ6("tc.theta_lo")} AS theta_lo_q6,
+       |  ${Oracle.sqlQ6("tc.theta_hi")} AS theta_hi_q6,
+       |  rk.rank,
+       |  lag(rk.rank) OVER wl AS prev_rank,
+       |  lag(rk.rank) OVER wl - rk.rank AS rank_delta,
+       |  coalesce(ci.lo > lag(ci.hi) OVER wl
+       |    OR ci.hi < lag(ci.lo) OVER wl, false) AS sig_move
+       |FROM ranked rk
+       |JOIN bth3 th ON th.b = rk.b
+       |JOIN ci ON ci.item = rk.item AND ci.b = rk.b
+       |JOIN thci tc ON tc.b = rk.b
+       |WINDOW wl AS (PARTITION BY rk.item ORDER BY rk.b ASC)""".stripMargin
 
   // -------------------------------------- q_bt_calibration / q_pref_cycles
 
@@ -3200,6 +3371,7 @@ object TrainPrepQueries {
     "q_bt_drift"           -> (qBtDrift _),
     "q_bt_drift_ci"        -> (qBtDriftCi _),
     "q_rk_drift"           -> (qRkDrift _),
+    "q_rk_drift_ci"        -> (qRkDriftCi _),
     "q_bt_calibration"     -> (qBtCalibration _),
     "q_pref_cycles"        -> (qPrefCycles _),
     "q_stream_pref_lifecycle" -> (qStreamPrefLifecycle _),
@@ -3257,6 +3429,7 @@ object TrainPrepQueries {
     "q_bt_drift"           -> qBtDriftSql,
     "q_bt_drift_ci"        -> qBtDriftCiSql,
     "q_rk_drift"           -> qRkDriftSql,
+    "q_rk_drift_ci"        -> qRkDriftCiSql,
     "q_bt_calibration"     -> qBtCalibrationSql,
     "q_pref_cycles"        -> qPrefCyclesSql,
     "q_stream_pref_lifecycle" -> qStreamPrefLifecycleSql,

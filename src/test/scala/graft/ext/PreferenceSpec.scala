@@ -160,6 +160,73 @@ class PreferenceSpec extends AnyFunSuite {
       nt.getAs[Double]("theta_hi") == 1.0)
   }
 
+  test("rkBootstrapCiGrouped: window 0 reproduces ungrouped rkBootstrapCi " +
+       "bit-exactly; bounds ordered and theta >= 1 in every window") {
+    val comp0 = Seq(("A", "B", 30L), ("B", "A", 10L), ("B", "C", 5L))
+      .toDF("winner", "loser", "n")
+    val tie0 = Seq(("A", "B", 8L)).toDF("a", "b", "n")
+    val solo = Preference.rkBootstrapCi(comp0, tie0, iters = 3, reps = 100,
+        loRank = 3, hiRank = 98).collect()
+      .map(r => (r.getAs[String]("item"),
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"),
+         r.getAs[Double]("theta_lo"), r.getAs[Double]("theta_hi")))).toMap
+    // window 0 = exactly the solo data (composite key 0*reps+r = r, so
+    // every count draw hashes identically); window 7 = different data
+    val comp = comp0.withColumn("b", lit(0L)).unionByName(
+      Seq(("C", "A", 4L)).toDF("winner", "loser", "n")
+        .withColumn("b", lit(7L)))
+    val tie = tie0.select(col("a").as("i"), col("b").as("j"), col("n"))
+      .withColumn("b", lit(0L)).unionByName(
+        Seq(("A", "C", 2L)).toDF("i", "j", "n").withColumn("b", lit(7L)))
+    val g = Preference.rkBootstrapCiGrouped(comp, tie, iters = 3,
+      reps = 100, loRank = 3, hiRank = 98).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi"))
+      assert(r.getAs[Double]("theta_lo") <= r.getAs[Double]("theta_hi"))
+      assert(r.getAs[Double]("theta_lo") >= 1.0)
+    }
+    val w0 = g.filter(_.getAs[Long]("b") == 0L)
+    assert(w0.map(_.getAs[String]("item")).toSet == solo.keySet)
+    w0.foreach { r =>
+      val s = solo(r.getAs[String]("item"))
+      assert((r.getAs[Double]("lo"), r.getAs[Double]("hi"),
+        r.getAs[Double]("theta_lo"), r.getAs[Double]("theta_hi")) == s,
+        s"window-0 grouped CI must equal the solo fit bit-exactly")
+    }
+  }
+
+  test("q_rk_drift_ci: intervals ordered, theta'd, sig_move iff the item's " +
+       "intervals separate across consecutive windows") {
+    val out = graft.queries.TrainPrepQueries
+      .qRkDriftCi(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("lo_q6") <= r.getAs[Long]("hi_q6"))
+      assert(r.getAs[Long]("theta_lo_q6") <= r.getAs[Long]("theta_hi_q6"))
+      assert(r.getAs[Long]("theta_lo_q6") >= 1000000L,
+        "quantized Rao-Kupper theta >= 1")
+    }
+    val ci = out.map(r => ((r.getAs[Long]("window_id"),
+      r.getAs[String]("item")),
+      (r.getAs[Long]("lo_q6"), r.getAs[Long]("hi_q6")))).toMap
+    out.groupBy(_.getAs[String]("item")).foreach { case (it, rows) =>
+      val seq = rows.sortBy(_.getAs[Long]("window_id"))
+      assert(!seq.head.getAs[Boolean]("sig_move"),
+        s"$it: first window cannot be a significant move")
+      seq.sliding(2).filter(_.length == 2).foreach { case Array(p, c) =>
+        val (plo, phi) = ci((p.getAs[Long]("window_id"), it))
+        val (clo, chi) = ci((c.getAs[Long]("window_id"), it))
+        val sig = c.getAs[Boolean]("sig_move")
+        if (clo > phi || chi < plo)
+          assert(sig, s"$it: quantized-separated intervals must flag sig_move")
+        if (sig)
+          assert(clo >= phi || chi <= plo,
+            s"$it: sig_move requires at least quantized-boundary separation")
+      }
+    }
+  }
+
   test("pairWinRates: hand-checked Wilson cell; ties count half; interval brackets p") {
     val comp = Seq(("a", "b", 3L), ("b", "a", 1L), ("c", "d", 100L))
       .toDF("winner", "loser", "n")
