@@ -193,6 +193,72 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** MinHash-LSH parameter auto-tuning: evaluate the banding S-curve
+    * P(candidate | similarity s) = 1 − (1 − s^r)^b over the full
+    * (bands, rows) grid and score each setting's expected error at the
+    * given operating `threshold` — the closed-form answer to "which
+    * (b, r) should my near-dup pass run at", instead of the fixed
+    * 16×4 default.
+    *
+    * Per grid cell and calibration point s ∈ {0.05 … 0.95}: the
+    * S-curve value via LEFT-ASSOCIATED multiplication chains
+    * (`aggregate` over `array_repeat` — s^r and (1−s^r)^b as repeated
+    * IEEE multiplies, never `pow`, so an oracle replays every bit with
+    * the same fold); each point's contribution quantized to 1e-6 and
+    * summed as integers (exact, order-free):
+    *
+    *  - `fp_q6`  = Σ_{s <  t} q6(P(s))   — sub-threshold mass the bands
+    *    would pass to the (wasted) verify stage;
+    *  - `fn_q6`  = Σ_{s >= t} q6(1−P(s)) — above-threshold mass the
+    *    bands would MISS (the recall loss, unrecoverable);
+    *  - `feasible` — both means within the caller's budgets;
+    *  - `score_qi` = fp_q6·nAbove + fn_q6·nBelow (the count-weighted
+    *    sum ≡ mean fp + mean fn on a common denominator — integer);
+    *  - `chosen` — true on exactly one row: feasible first, then
+    *    min score, ties to the cheapest signature (k = b·r, then b).
+    *
+    * The grid is a few hundred rows — this is a planning query; its
+    * cost is independent of any corpus. */
+  def lshTune(spark: org.apache.spark.sql.SparkSession, threshold: Double,
+              fpBudget: Double, fnBudget: Double, maxBands: Int = 32,
+              maxRows: Int = 8, maxK: Int = 128): DataFrame = {
+    val grid = spark.range(1, maxBands + 1L)
+      .select(col("id").cast("int").as("bands"))
+      .crossJoin(spark.range(1, maxRows + 1L)
+        .select(col("id").cast("int").as("rpb")))
+      .filter(col("bands") * col("rpb") <= maxK)
+    val pts = spark.range(1, 20)
+      .select((col("id").cast("double") / lit(20.0)).as("s"))
+    val nBelow = (1 until 20).count(_ / 20.0 < threshold).toLong
+    val nAbove = 19L - nBelow
+    val sr = aggregate(array_repeat(col("s"), col("rpb")),
+      lit(1.0), (a, x) => a * x)
+    val p = lit(1.0) - aggregate(array_repeat(lit(1.0) - sr, col("bands")),
+      lit(1.0), (a, x) => a * x)
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+    val scored = grid.crossJoin(pts)
+      .withColumn("p", p)
+      .groupBy("bands", "rpb")
+      .agg(
+        sum(when(col("s") < lit(threshold), q6(col("p")))
+          .otherwise(lit(0L))).as("fp_q6"),
+        sum(when(col("s") >= lit(threshold), q6(lit(1.0) - col("p")))
+          .otherwise(lit(0L))).as("fn_q6"))
+      .withColumn("k", (col("bands") * col("rpb")).cast("int"))
+      .withColumn("feasible",
+        col("fp_q6") <= lit(math.floor(fpBudget * 1e6 + 0.5).toLong * nBelow) &&
+        col("fn_q6") <= lit(math.floor(fnBudget * 1e6 + 0.5).toLong * nAbove))
+      .withColumn("score_qi",
+        col("fp_q6") * lit(nAbove) + col("fn_q6") * lit(nBelow))
+    val ord = org.apache.spark.sql.expressions.Window.orderBy(
+      col("feasible").desc, col("score_qi").asc, col("k").asc,
+      col("bands").asc)
+    scored.withColumn("chosen", row_number().over(ord) === 1)
+      .select(col("bands"), col("rpb"), col("k"), col("fp_q6"),
+        col("fn_q6"), col("feasible"), col("score_qi"), col("chosen"))
+  }
+
   /** LSH candidates verified with *exact* shingle Jaccard — the scalable
     * exact pipeline: O(n) LSH prefilter, exact check only on candidates.
     *

@@ -1598,7 +1598,55 @@ object MiningQueries {
       |  least(greatest(price, p05), p95) AS wprice
       |FROM b""".stripMargin
 
+  // ------------------------------------------------------- q_lsh_tuning
+
+  /** MinHash-LSH parameter planning ([[graft.ext.Dedup.lshTune]]): the
+    * full (bands, rows-per-band) grid scored by the banding S-curve at
+    * the dedup operating threshold 0.5, with integer-quantized expected
+    * FP/FN mass, budget feasibility, and the single chosen setting
+    * (feasible first, then min count-weighted error, ties to the
+    * cheapest signature). Fully oracle-checkable: the S-curve is
+    * left-associated IEEE multiplication chains — no pow —
+    * so DuckDB replays every probability bit-for-bit; the scores are
+    * exact integer sums. MiningSpec holds the `chosen` marker to the
+    * argmin contract ON THE OUTPUT ITSELF. */
+  def qLshTuning(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.lshTune(s, threshold = 0.5,
+      fpBudget = 0.25, fnBudget = 0.05)
+
+  val qLshTuningSql: String =
+    """WITH grid AS (SELECT CAST(b.b AS INT) AS bands, CAST(r.r AS INT) AS rpb
+      |  FROM (SELECT unnest(range(1, 33)) AS b) b,
+      |       (SELECT unnest(range(1, 9)) AS r) r
+      |  WHERE b.b * r.r <= 128),
+      |pts AS (SELECT CAST(i AS DOUBLE) / CAST(20.0 AS DOUBLE) AS s
+      |  FROM (SELECT unnest(range(1, 20)) AS i)),
+      |cell AS (SELECT g.bands, g.rpb, p.s,
+      |  CAST(1.0 AS DOUBLE) - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+      |    list_transform(range(0, g.bands), x -> CAST(1.0 AS DOUBLE) -
+      |      list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+      |        list_transform(range(0, g.rpb), y -> p.s)), (a, v) -> a * v))),
+      |    (a, v) -> a * v) AS p
+      | FROM grid g CROSS JOIN pts p),
+      |scored AS (SELECT bands, rpb,
+      |  sum(CASE WHEN s < CAST(0.5 AS DOUBLE) THEN CAST(floor(p
+      |    * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+      |    ELSE 0 END)::BIGINT AS fp_q6,
+      |  sum(CASE WHEN s >= CAST(0.5 AS DOUBLE) THEN CAST(floor(
+      |    (CAST(1.0 AS DOUBLE) - p) * CAST(1000000.0 AS DOUBLE)
+      |    + CAST(0.5 AS DOUBLE)) AS BIGINT) ELSE 0 END)::BIGINT AS fn_q6
+      | FROM cell GROUP BY 1, 2)
+      |SELECT bands, rpb, CAST(bands * rpb AS INT) AS k, fp_q6, fn_q6,
+      |  (fp_q6 <= 2250000 AND fn_q6 <= 500000) AS feasible,
+      |  (fp_q6 * 10 + fn_q6 * 9)::BIGINT AS score_qi,
+      |  row_number() OVER (
+      |    ORDER BY (fp_q6 <= 2250000 AND fn_q6 <= 500000) DESC,
+      |      fp_q6 * 10 + fn_q6 * 9 ASC, bands * rpb ASC, bands ASC) = 1
+      |    AS chosen
+      |FROM scored""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lsh_tuning"      -> (qLshTuning _),
     "q_editdist_join"   -> (qEditdistJoin _),
     "q_editdist_lookup" -> (qEditdistLookup _),
     "q_bloom_semi"      -> (qBloomSemi _),
@@ -1634,6 +1682,7 @@ object MiningQueries {
     "q_winsorize"       -> (qWinsorize _))
 
   val oracle: Map[String, String] = Map(
+    "q_lsh_tuning"      -> qLshTuningSql,
     "q_editdist_join"   -> qEditdistJoinSql,
     "q_editdist_lookup" -> qEditdistLookupSql,
     "q_bloom_semi"      -> qBloomSemiSql,

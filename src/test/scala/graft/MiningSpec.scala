@@ -175,4 +175,49 @@ class MiningSpec extends AnyFunSuite {
     assert(r.last._2 == 1.0 && r.last._3 == 1.0,
       s"nprobe=4 anchor must be exactly (1.0, 1.0): $r")
   }
+
+  test("q_lsh_tuning: chosen row is the argmin under the ordering contract; " +
+       "S-curve monotone in bands; tuned banding's measured recall beats " +
+       "the default's") {
+    val out = graft.queries.MiningQueries.qLshTuning(spark, dir).collect()
+      .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rpb"),
+        r.getAs[Int]("k"), r.getAs[Long]("fp_q6"), r.getAs[Long]("fn_q6"),
+        r.getAs[Boolean]("feasible"), r.getAs[Long]("score_qi"),
+        r.getAs[Boolean]("chosen")))
+    assert(out.count(_._8) == 1, "exactly one chosen row")
+    // argmin contract recomputed from the OUTPUT: feasible first, then
+    // min score, ties to smallest k then bands
+    val best = out.minBy(t => (!t._6, t._7, t._3, t._1))
+    assert(out.find(_._8).get == best, "chosen must be the ordering's min")
+    // the S-curve theorems: at fixed rows-per-band, more bands can only
+    // catch more (fn non-increasing, fp non-decreasing)
+    out.groupBy(_._2).foreach { case (_, cells) =>
+      val byBands = cells.sortBy(_._1)
+      byBands.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(b._5 <= a._5, s"fn must not grow with bands: $a -> $b")
+        assert(b._4 >= a._4, s"fp must not shrink with bands: $a -> $b")
+      }
+    }
+    // re-measure: candidate recall of the TUNED banding vs the 16x4
+    // default against the exact unblocked Jaccard >= 0.5 pair set
+    val (cb, cr) = { val c = out.find(_._8).get; (c._1, c._2) }
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).withColumn("blk", lit("x"))
+    val exact = graft.ext.Dedup.prefixJaccardPairs(
+        docs, "text", "doc_id", "blk", threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs")
+    def recall(k: Int, bands: Int): Double = {
+      val cand = graft.ext.Dedup.minhashPairs(docs, "text", "doc_id",
+          k = k, bands = bands, minEstimate = 0.0)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count(cand).toDouble / exact.size
+    }
+    val tuned = recall(cb * cr, cb)
+    val dflt = recall(64, 16)
+    assert(tuned >= dflt,
+      s"tuned ($cb x $cr) recall $tuned must not trail default (16x4) $dflt")
+  }
 }
