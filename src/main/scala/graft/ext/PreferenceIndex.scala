@@ -122,6 +122,89 @@ object PreferenceIndex {
         .groupBy("a", "b").agg(count(lit(1)).as("n")))
   }
 
+  /** Ingest one batch of PRE-AGGREGATED win counts (winner, loser, n) —
+    * the feed for callers that already hold a per-window outcome table
+    * (the drift probes append one batch per time window, so batch id
+    * doubles as window id). Same replay-idempotence as [[append]]. */
+  def appendCounts(spark: SparkSession, base: String, counts: DataFrame,
+                   batchId: Long): Unit = {
+    heal(spark, base)
+    writeDelta(base, "edges", batchId,
+      counts.select(col("winner").cast(StringType).as("winner"),
+          col("loser").cast(StringType).as("loser"),
+          col("n").cast(LongType).as("n"))
+        .groupBy("winner", "loser").agg(sum("n").as("n")))
+  }
+
+  /** The live outcome matrix RESOLVED PER BATCH — (batch_id, winner,
+    * loser, n) under the same delete-wins masking as [[matrix]]. This
+    * is the standing-index feed for the windowed drift fits: ingestion
+    * batches are time-ordered, so when each window appends as its own
+    * batch the leaderboard's nonstationarity reads straight off the
+    * index with no batch recompute over the judgment log. */
+  def matrixByBatch(spark: SparkSession, base: String): DataFrame = {
+    heal(spark, base)
+    val tombs = readOr(spark, s"$base/tombs", tombsSchema)
+      .select(col("item")).distinct()
+    readOr(spark, s"$base/edges", edgesSchema)
+      .join(tombs.select(col("item").as("winner")), Seq("winner"), "left_anti")
+      .join(tombs.select(col("item").as("loser")), Seq("loser"), "left_anti")
+      .groupBy("batch_id", "winner", "loser").agg(sum("n").as("n"))
+  }
+
+  /** Retire the pending tombstones while PRESERVING per-batch history —
+    * the drift-probe sibling of [[compact]] (which folds everything
+    * into one consolidated batch and so destroys the batch ≡ window
+    * correspondence). Every edges/ties partition is rewritten with the
+    * withdrawn items' rows removed (one dynamic-partition-overwrite job
+    * per table), batches left with NO surviving rows are dropped, and
+    * the tombstone table is deleted LAST. Crash-safe without markers:
+    * the masking rewrite is idempotent, and a crash anywhere before the
+    * tombstone delete leaves the tombstones active — reads stay masked,
+    * re-running completes the retirement. Re-admission follows the
+    * [[withdraw]] contract: only after this returns may the item's
+    * judgments re-enter (as a fresh batch). */
+  def compactBatched(spark: SparkSession, base: String): Unit = {
+    heal(spark, base)
+    val tombs = readOr(spark, s"$base/tombs", tombsSchema)
+      .select(col("item")).distinct().localCheckpoint()
+    try {
+      def retire(table: String, schema: StructType,
+                 maskCols: Seq[String]): Unit = {
+        val all = readOr(spark, s"$base/$table", schema)
+        if (all.isEmpty) return
+        val masked = maskCols.foldLeft(all) { (df, c) =>
+          df.join(broadcast(tombs.select(col("item").as(c))), Seq(c),
+            "left_anti")
+        }.localCheckpoint()
+        try {
+          val before = all.select("batch_id").distinct()
+            .collect().map(_.getLong(0)).toSet
+          val after = masked.select("batch_id").distinct()
+            .collect().map(_.getLong(0)).toSet
+          masked.write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(s"$base/$table")
+          // a batch whose every row was withdrawn writes no partition —
+          // drop its stale dir, or clearing the tombstones would
+          // resurrect it
+          val dead = before -- after
+          if (dead.nonEmpty) {
+            val f = fs(spark)
+            dead.foreach { b =>
+              f.delete(new org.apache.hadoop.fs.Path(
+                s"$base/$table/batch_id=$b"), true)
+            }
+          }
+        } finally graft.exec.Partitioning.unpersistCheckpoint(masked)
+      }
+      retire("edges", edgesSchema, Seq("winner", "loser"))
+      retire("ties", tiesSchema, Seq("a", "b"))
+      fs(spark).delete(new org.apache.hadoop.fs.Path(s"$base/tombs"), true)
+      ()
+    } finally graft.exec.Partitioning.unpersistCheckpoint(tombs)
+  }
+
   /** Withdraw items from the arena: O(|items|) tombstone append; no edge
     * partition is rewritten. Permanent until the next [[compact]]. */
   def withdraw(spark: SparkSession, base: String, items: DataFrame,

@@ -2366,33 +2366,39 @@ object TrainPrepQueries {
         col("winner") =!= col("loser"))
       .select(col("winner"), col("loser"), col("b"))
 
-  /** Shared oracle CTEs for the windowed BT fit: per-(user, week)
-    * comparison extraction, per-window edge/wins tables, the 3-iteration
-    * grouped MM, and per-window ranks — used by both drift reports. */
-  private lazy val btDriftFitCtes: String =
-    s"""r AS (SELECT user_id, event_type, event_id, value,
-       |  CAST(floor(datediff('day', DATE '2024-01-01',
-       |    CAST(ts AS DATE)) / 7.0) AS BIGINT) AS b,
-       |  row_number() OVER (PARTITION BY user_id,
-       |    CAST(floor(datediff('day', DATE '2024-01-01',
-       |      CAST(ts AS DATE)) / 7.0) AS BIGINT)
-       |    ORDER BY value DESC, event_id ASC) AS rb,
-       |  row_number() OVER (PARTITION BY user_id,
-       |    CAST(floor(datediff('day', DATE '2024-01-01',
-       |      CAST(ts AS DATE)) / 7.0) AS BIGINT)
-       |    ORDER BY value ASC, event_id ASC) AS rw,
-       |  count(*) OVER (PARTITION BY user_id,
-       |    CAST(floor(datediff('day', DATE '2024-01-01',
-       |      CAST(ts AS DATE)) / 7.0) AS BIGINT)) AS nc
-       | FROM events WHERE value IS NOT NULL),
-       |comp AS (SELECT b.b, b.event_type AS winner, w.event_type AS loser,
-       |  count(*)::BIGINT AS n
-       | FROM (SELECT * FROM r WHERE rb = 1) b
-       | JOIN (SELECT * FROM r WHERE rw = 1) w USING (user_id, b)
-       | WHERE b.nc >= 2 AND b.value - w.value >= 100.0
-       |   AND b.event_type <> w.event_type
-       | GROUP BY 1, 2, 3),
-       |symb AS (SELECT b, i, j, sum(n)::BIGINT AS n FROM (
+  /** The per-(user, week) windowed comparison extraction alone —
+    * `r` + `comp` — so q_bt_drift_idx can interpose its index lifecycle
+    * (withdrawal mask + re-admission batch) between the extraction and
+    * the shared fit CTEs. */
+  private lazy val btDriftCompCte: String =
+    """r AS (SELECT user_id, event_type, event_id, value,
+      |  CAST(floor(datediff('day', DATE '2024-01-01',
+      |    CAST(ts AS DATE)) / 7.0) AS BIGINT) AS b,
+      |  row_number() OVER (PARTITION BY user_id,
+      |    CAST(floor(datediff('day', DATE '2024-01-01',
+      |      CAST(ts AS DATE)) / 7.0) AS BIGINT)
+      |    ORDER BY value DESC, event_id ASC) AS rb,
+      |  row_number() OVER (PARTITION BY user_id,
+      |    CAST(floor(datediff('day', DATE '2024-01-01',
+      |      CAST(ts AS DATE)) / 7.0) AS BIGINT)
+      |    ORDER BY value ASC, event_id ASC) AS rw,
+      |  count(*) OVER (PARTITION BY user_id,
+      |    CAST(floor(datediff('day', DATE '2024-01-01',
+      |      CAST(ts AS DATE)) / 7.0) AS BIGINT)) AS nc
+      | FROM events WHERE value IS NOT NULL),
+      |comp0 AS (SELECT b.b, b.event_type AS winner, w.event_type AS loser,
+      |  count(*)::BIGINT AS n
+      | FROM (SELECT * FROM r WHERE rb = 1) b
+      | JOIN (SELECT * FROM r WHERE rw = 1) w USING (user_id, b)
+      | WHERE b.nc >= 2 AND b.value - w.value >= 100.0
+      |   AND b.event_type <> w.event_type
+      | GROUP BY 1, 2, 3)""".stripMargin
+
+  /** The grouped-fit half (symb → ranked) over whatever `comp` the
+    * caller defined — shared by q_bt_drift, q_bt_drift_ci, and
+    * q_bt_drift_idx so the three replays cannot drift apart. */
+  private lazy val btDriftFitOnCompCtes: String =
+    s"""symb AS (SELECT b, i, j, sum(n)::BIGINT AS n FROM (
        |  SELECT b, winner AS i, loser AS j, n FROM comp
        |  UNION ALL SELECT b, loser AS i, winner AS j, n FROM comp)
        | GROUP BY 1, 2, 3),
@@ -2414,8 +2420,108 @@ object TrainPrepQueries {
        |    ORDER BY f.gamma DESC, f.item ASC)::BIGINT AS rank
        | FROM bfin f)""".stripMargin
 
+  /** The original shared block: extraction + `comp` = `comp0` verbatim
+    * + the fit — what q_bt_drift and q_bt_drift_ci replay. */
+  private lazy val btDriftFitCtes: String =
+    s"""$btDriftCompCte,
+       |comp AS (SELECT * FROM comp0),
+       |$btDriftFitOnCompCtes""".stripMargin
+
   val qBtDriftSql: String =
     s"""WITH $btDriftFitCtes
+       |SELECT rk.b AS window_id, rk.item, wi.w AS n_wins,
+       |  tot.n_comparisons, ${Oracle.sqlQ6("rk.gamma")} AS rating_q6,
+       |  rk.rank,
+       |  lag(rk.rank) OVER (PARTITION BY rk.item ORDER BY rk.b ASC)
+       |    AS prev_rank,
+       |  lag(rk.rank) OVER (PARTITION BY rk.item ORDER BY rk.b ASC)
+       |    - rk.rank AS rank_delta
+       |FROM ranked rk
+       |JOIN winsb wi ON wi.item = rk.item AND wi.b = rk.b
+       |JOIN totb tot ON tot.item = rk.item AND tot.b = rk.b""".stripMargin
+
+  // --------------------------------------------------------- q_bt_drift_idx
+
+  /** Leaderboard drift AS A STANDING-INDEX PROBE — the windowed BT fit
+    * reads [[graft.ext.PreferenceIndex.matrixByBatch]] instead of
+    * recomputing from the judgment log, after a full index lifecycle:
+    *
+    *  1. each event-time window's outcome counts append as their OWN
+    *     batch ([[graft.ext.PreferenceIndex.appendCounts]] — batch id
+    *     ≡ window id, the time axis the index already has);
+    *  2. the lexicographically-smallest item is WITHDRAWN mid-stream —
+    *     delete-wins masks its edges in every window;
+    *  3. [[graft.ext.PreferenceIndex.compactBatched]] retires the
+    *     tombstone while PRESERVING per-batch history (the plain
+    *     compact would fold the windows away);
+    *  4. the item RE-ENTERS: its last-window judgments append as a
+    *     fresh late batch — the arena re-admission story.
+    *
+    * Output is the q_bt_drift report over the index state: the
+    * withdrawn item vanishes from every original window and reappears
+    * (alone with its partners) in the late batch. The oracle replays
+    * extraction → masking → re-admission → every window's grouped MM
+    * fit in closed form. */
+  def qBtDriftIdx(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${Scratch.fresh(s, "btdriftidx", dir)}/pref"
+    val comp = prefOutcomesWindowed(s, dir)
+      .groupBy("b", "winner", "loser").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val windows = comp.select("b").distinct().as[Long].collect().sorted
+    windows.foreach { w =>
+      graft.ext.PreferenceIndex.appendCounts(s, base,
+        comp.filter(col("b") === w), batchId = w)
+    }
+    val m = comp
+      .agg(least(min(col("winner")), min(col("loser")))).head.getString(0)
+    graft.ext.PreferenceIndex.withdraw(s, base, Seq(m).toDF("item"),
+      "item", batchId = windows.max + 1)
+    graft.ext.PreferenceIndex.compactBatched(s, base)
+    graft.ext.PreferenceIndex.appendCounts(s, base,
+      comp.filter(col("b") === windows.max &&
+        (col("winner") === m || col("loser") === m)),
+      batchId = windows.max + 1)
+    val mb = graft.ext.PreferenceIndex.matrixByBatch(s, base)
+      .withColumnRenamed("batch_id", "b").localCheckpoint()
+    val g = graft.ext.Preference.btRatingsGrouped(mb, iters = 3)
+    val tot = mb.select(col("b"), col("winner").as("item"), col("n"))
+      .unionAll(mb.select(col("b"), col("loser").as("item"), col("n")))
+      .groupBy("b", "item").agg(sum("n").as("n_comparisons"))
+    val wins = mb.groupBy(col("b"), col("winner").as("item"))
+      .agg(sum("n").as("w0"))
+    val wRank = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+      .orderBy(col("gamma").desc, col("item").asc)
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("b").asc)
+    g.join(tot, Seq("b", "item"))
+      .join(wins, Seq("b", "item"), "left")
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("prev_rank", lag(col("rank"), 1).over(wLag))
+      .select(col("b").as("window_id"), col("item"),
+        coalesce(col("w0"), lit(0L)).as("n_wins"), col("n_comparisons"),
+        Oracle.q6(col("gamma")).as("rating_q6"), col("rank"),
+        col("prev_rank"),
+        (col("prev_rank") - col("rank")).as("rank_delta"))
+  }
+
+  /** Replays the lifecycle in closed form: the withdrawn item (min
+    * item) masked out of every window, its last-window judgments
+    * re-entering as window max+1, then the shared grouped fit. */
+  val qBtDriftIdxSql: String =
+    s"""WITH $btDriftCompCte,
+       |m AS (SELECT least(min(winner), min(loser)) AS item FROM comp0),
+       |comp AS (
+       |  SELECT b, winner, loser, n FROM comp0
+       |  WHERE winner <> (SELECT item FROM m)
+       |    AND loser <> (SELECT item FROM m)
+       |  UNION ALL
+       |  SELECT (SELECT max(b) FROM comp0) + 1 AS b, winner, loser, n
+       |  FROM comp0
+       |  WHERE b = (SELECT max(b) FROM comp0)
+       |    AND (winner = (SELECT item FROM m)
+       |      OR loser = (SELECT item FROM m))),
+       |$btDriftFitOnCompCtes
        |SELECT rk.b AS window_id, rk.item, wi.w AS n_wins,
        |  tot.n_comparisons, ${Oracle.sqlQ6("rk.gamma")} AS rating_q6,
        |  rk.rank,
@@ -3372,6 +3478,7 @@ object TrainPrepQueries {
     "q_bt_drift_ci"        -> (qBtDriftCi _),
     "q_rk_drift"           -> (qRkDrift _),
     "q_rk_drift_ci"        -> (qRkDriftCi _),
+    "q_bt_drift_idx"       -> (qBtDriftIdx _),
     "q_bt_calibration"     -> (qBtCalibration _),
     "q_pref_cycles"        -> (qPrefCycles _),
     "q_stream_pref_lifecycle" -> (qStreamPrefLifecycle _),
@@ -3430,6 +3537,7 @@ object TrainPrepQueries {
     "q_bt_drift_ci"        -> qBtDriftCiSql,
     "q_rk_drift"           -> qRkDriftSql,
     "q_rk_drift_ci"        -> qRkDriftCiSql,
+    "q_bt_drift_idx"       -> qBtDriftIdxSql,
     "q_bt_calibration"     -> qBtCalibrationSql,
     "q_pref_cycles"        -> qPrefCyclesSql,
     "q_stream_pref_lifecycle" -> qStreamPrefLifecycleSql,

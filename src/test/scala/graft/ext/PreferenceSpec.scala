@@ -227,6 +227,37 @@ class PreferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("PreferenceIndex.compactBatched: retires tombstones keeping batch " +
+       "history; fully-withdrawn batches drop; re-admission lands fresh") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pref").toString +
+      "/idx"
+    def counts(rows: (String, String, Long)*) =
+      rows.toDF("winner", "loser", "n")
+    PreferenceIndex.appendCounts(spark, base,
+      counts(("A", "B", 3L), ("B", "C", 2L)), batchId = 0L)
+    PreferenceIndex.appendCounts(spark, base,
+      counts(("C", "A", 1L)), batchId = 1L)       // all rows touch C
+    PreferenceIndex.withdraw(spark, base, Seq("C").toDF("item"), "item", 2L)
+    def mb() = PreferenceIndex.matrixByBatch(spark, base)
+      .as[(Long, String, String, Long)].collect().toSet
+    // masked view before retirement: every C edge dead, batch 1 empty
+    assert(mb() == Set((0L, "A", "B", 3L)))
+    PreferenceIndex.compactBatched(spark, base)
+    // physical state now equals the masked view; batch 1's dir is gone
+    assert(mb() == Set((0L, "A", "B", 3L)))
+    assert(!new java.io.File(s"$base/edges/batch_id=1").exists(),
+      "fully-withdrawn batch must be dropped, not resurrected")
+    assert(!new java.io.File(s"$base/tombs").exists, "tombstones retired")
+    // re-admission: C re-enters as a fresh late batch and is LIVE
+    PreferenceIndex.appendCounts(spark, base,
+      counts(("C", "A", 5L)), batchId = 3L)
+    assert(mb() == Set((0L, "A", "B", 3L), (3L, "C", "A", 5L)))
+    // the one-shot matrix agrees with the per-batch view folded
+    val m = PreferenceIndex.matrix(spark, base)
+      .as[(String, String, Long)].collect().toSet
+    assert(m == Set(("A", "B", 3L), ("C", "A", 5L)))
+  }
+
   test("pairWinRates: hand-checked Wilson cell; ties count half; interval brackets p") {
     val comp = Seq(("a", "b", 3L), ("b", "a", 1L), ("c", "d", 100L))
       .toDF("winner", "loser", "n")
