@@ -54,6 +54,17 @@ object Bench {
           times = times ++ onePass()
           attempts += 1
         }
+        // Load-spike guard for the >= 1 s tier: when the passes disagree
+        // by more than 25% the box was loaded during one of them, and a
+        // min over diverging passes has committed one-off spikes three
+        // rounds running (r12: q_winsorize 3.61 s in the artifact vs
+        // 2.25 s in the same round's scale rehearsal). One extra pass,
+        // bought only under OBSERVED divergence, settles it.
+        if (times.min >= 1.0 && times.max > 1.25 * times.min) {
+          System.err.println(f"[bench] $name: passes diverge >25%% " +
+            f"(${times.min}%.2f..${times.max}%.2f) — adding a pass")
+          times = times ++ onePass()
+        }
       }
       val sec = if (times.isEmpty) -1.0 else times.min
       System.err.println(f"[bench] $name%-28s $sec%8.2fs  (${times.map(t => f"$t%.2f").mkString(", ")})")
