@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
 
 /** Standing duplicate-cluster state — INCREMENTAL connected components
   * maintained by streaming ingestion, so cluster ids exist AT INGEST
@@ -26,13 +26,37 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Layout ([[PreferenceIndex]]'s delta discipline and two-marker
   * compaction protocol, reused verbatim):
   *
-  *   base/members/batch_id=N/  (id, cid)  membership assertions
+  *   base/members/batch_id=N/  (id, cid)   membership assertions
+  *   base/edges/batch_id=N/    (a, b, alive)  verified edges (a < b)
   *
   * The LATEST batch's assertion wins per id: a fold re-asserts exactly
   * the ids whose cluster id changed (members of touched clusters) plus
   * the batch's new nodes, so a fold's write is delta-sized. Reads
   * resolve latest-wins with one max_by aggregate; [[compact]] folds
   * the chain back to a single consolidated partition.
+  *
+  * EDGES ARE STATE, not just fold input: [[withdraw]] (a takedown) must
+  * SPLIT a cluster whose bridge document leaves, and min-id labels must
+  * move when the min-id member leaves — both require re-running CC over
+  * the touched components' SURVIVING edges, so every fold persists its
+  * verified edge delta (canonical a < b orientation, duplicate-edge-set
+  * sized — never corpus sized). Edges resolve latest-wins per (a, b) on
+  * an `alive` flag: a fold asserts alive=true, a withdrawal retracts
+  * every edge incident to a withdrawn node with alive=false — so a later
+  * RE-ADMISSION of the same id cannot resurrect relations discovered
+  * against the document's pre-takedown content (the re-ingest discovers
+  * fresh edges against the live corpus instead). Membership retractions
+  * use the [[RetractedCid]] sentinel rather than NULL because Spark's
+  * `max_by` skips NULL values — a NULL retraction would lose
+  * latest-wins to the very assertion it retracts.
+  *
+  * Batch-id discipline: streaming folds stamp
+  * `micro-batch id × [[StreamBatchStride]]` ([[streamFoldId]]), leaving
+  * a gap of 2^20 ids between consecutive epochs for MANUAL operations
+  * (withdrawals, compactions) to claim via [[nextBatchId]] — latest-wins
+  * stays totally ordered across interleaved stream folds and takedowns,
+  * and a replayed micro-batch still maps to the same id (the transform
+  * is a pure function of the epoch).
   *
   * Replay-idempotence: [[fold]] reads the state EXCLUDING its own
   * batch id (the [[DedupIndex.dedupIncremental]] excludeBatchId
@@ -57,6 +81,37 @@ object ClusterIndex {
     StructField("id", LongType), StructField("cid", LongType),
     StructField("batch_id", LongType)))
 
+  private val edgesSchema = StructType(Seq(
+    StructField("a", LongType), StructField("b", LongType),
+    StructField("alive", BooleanType), StructField("batch_id", LongType)))
+
+  /** Membership-retraction sentinel (see the header: `max_by` skips
+    * NULLs, so a NULL cid could not win latest-wins). Doc ids are
+    * non-negative by fixture and corpus contract; the sentinel never
+    * collides. */
+  val RetractedCid: Long = -1L
+
+  /** Stream folds stamp `epoch × stride`, leaving 2^20 manual batch ids
+    * between consecutive micro-batches (see header). */
+  val StreamBatchStride: Long = 1L << 20
+
+  def streamFoldId(microBatchId: Long): Long =
+    microBatchId * StreamBatchStride
+
+  /** The next free MANUAL batch id: one above everything written so far
+    * (members and edges always advance together, but a withdrawal of
+    * only-untracked ids legitimately writes nothing — take the max over
+    * both chains). Strictly between the last stream fold and the next
+    * one as long as fewer than 2^20 manual ops land in the gap. */
+  def nextBatchId(spark: SparkSession, base: String): Long = {
+    heal(spark, base)
+    val m = readOr(spark, s"$base/members", membersSchema)
+      .agg(coalesce(max("batch_id"), lit(-1L))).head.getLong(0)
+    val e = readOr(spark, s"$base/edges", edgesSchema)
+      .agg(coalesce(max("batch_id"), lit(-1L))).head.getLong(0)
+    math.max(m, e) + 1L
+  }
+
   // Empty ONLY for a genuinely absent path; any other read failure must
   // propagate (the PreferenceIndex.readOr contract — folding against a
   // phantom-empty state would silently orphan every prior assertion).
@@ -73,15 +128,38 @@ object ClusterIndex {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(s"$base/members")
 
-  /** The live membership (id, cid): latest assertion per id.
-    * `excludeBatchId` makes a replayed fold see exactly the pre-fold
-    * state (its own first-attempt partition is invisible). */
+  private def writeEdges(base: String, batchId: Long, df: DataFrame): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$base/edges")
+
+  /** The live membership (id, cid): latest assertion per id, withdrawn
+    * ids ([[RetractedCid]]) filtered out AFTER latest-wins — a
+    * retraction must beat the assertions it retracts, and a later
+    * re-admission must beat the retraction. `excludeBatchId` makes a
+    * replayed fold see exactly the pre-fold state (its own
+    * first-attempt partition is invisible). */
   def current(spark: SparkSession, base: String,
               excludeBatchId: Long = Long.MinValue): DataFrame = {
     heal(spark, base)
     readOr(spark, s"$base/members", membersSchema)
       .filter(col("batch_id") =!= lit(excludeBatchId))
       .groupBy("id").agg(max_by(col("cid"), col("batch_id")).as("cid"))
+      .filter(col("cid") =!= lit(RetractedCid))
+  }
+
+  /** The live edge set (a, b), canonical a < b: latest `alive` verdict
+    * per edge, retracted edges dropped. The groupBy keys ARE the edge
+    * identity, so the latest-wins aggregate shuffles the (duplicate-
+    * edge-set-sized, 17-byte-row) edge chain once — never the corpus. */
+  def liveEdges(spark: SparkSession, base: String,
+                excludeBatchId: Long = Long.MinValue): DataFrame = {
+    heal(spark, base)
+    readOr(spark, s"$base/edges", edgesSchema)
+      .filter(col("batch_id") =!= lit(excludeBatchId))
+      .groupBy("a", "b").agg(max_by(col("alive"), col("batch_id")).as("alive"))
+      .filter(col("alive")).select(col("a"), col("b"))
   }
 
   /** Fold one batch's verified duplicate edges into the standing
@@ -106,6 +184,13 @@ object ClusterIndex {
           col("id_b").cast(LongType).as("id_b"))
         .filter(col("id_a").isNotNull && col("id_b").isNotNull)
         .distinct()
+      // persist the batch's edge delta (canonical orientation) — the
+      // state a later withdrawal's component re-labeling runs over
+      writeEdges(base, batchId,
+        e.filter(col("id_a") =!= col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("a"),
+            greatest(col("id_a"), col("id_b")).as("b"))
+          .distinct().withColumn("alive", lit(true)))
       val nodes = ids.select(col(ids.columns.head).cast(LongType).as("id"))
         .unionAll(e.select(col("id_a").as("id")))
         .unionAll(e.select(col("id_b").as("id")))
@@ -141,6 +226,79 @@ object ClusterIndex {
           .select(col("id"), coalesce(col("__new"), col("cid")).as("cid"))
         writeDelta(base, batchId, changedOld.unionByName(newAsserts))
       } finally graft.exec.Partitioning.unpersistCheckpoint(all0)
+    } finally graft.exec.Partitioning.unpersistCheckpoint(cur)
+  }
+
+  /** WITHDRAW documents from the standing cluster state — the takedown
+    * half of incremental connected components, and the genuinely hard
+    * one: deleting a node can SPLIT its cluster (the node was the
+    * bridge) and must MOVE the label whenever the min-id member leaves,
+    * neither of which local bookkeeping can decide. The re-labeling is
+    * therefore a CC re-run — but over the TOUCHED COMPONENTS' surviving
+    * members and edges only, never the corpus:
+    *
+    *  1. touched clusters = the withdrawn ids' current cids; members =
+    *     their rows (edges never cross components — the union-find
+    *     invariant — so this closed set bounds all re-labeling work);
+    *  2. every live edge incident to a withdrawn id retracts
+    *     (alive=false — a later re-admission of the id must judge
+    *     against the LIVE corpus, not resurrect pre-takedown
+    *     relations);
+    *  3. [[Dedup.clusters]] re-labels the survivors over their
+    *     surviving edges (splits and min-id moves fall out of the CC);
+    *  4. the delta asserts every survivor's (possibly unchanged) label
+    *     and a [[RetractedCid]] row per withdrawn-and-tracked id.
+    *
+    * Ids the index never tracked are implicit singletons and withdraw
+    * to nothing (no assertion needed — they hold no row). Cost is
+    * bounded by |touched components| + one latest-wins pass over each
+    * chain; replay-idempotent like [[fold]] (state reads exclude
+    * `batchId`, the delta write is a dynamic partition overwrite).
+    * Claim `batchId` with [[nextBatchId]] — between stream epochs it
+    * lands in the [[StreamBatchStride]] gap. Pair with
+    * [[DedupIndex.delete]] on the corpus index: this call updates
+    * cluster STATE, the tombstone updates what future folds judge
+    * against. */
+  def withdraw(spark: SparkSession, base: String, ids: DataFrame,
+               batchId: Long): Unit = {
+    heal(spark, base)
+    val cur = current(spark, base, excludeBatchId = batchId)
+      .localCheckpoint()
+    try {
+      val w = ids.select(col(ids.columns.head).cast(LongType).as("id"))
+        .filter(col("id").isNotNull).distinct()
+        .join(cur, Seq("id"), "left_semi")
+        .localCheckpoint() // takedowns are request-driven: delta-sized
+      try {
+        val touched = cur.join(broadcast(w), Seq("id"), "left_semi")
+          .select(col("cid")).distinct()
+        val members = cur.join(broadcast(touched), Seq("cid"), "left_semi")
+        val survivors = members.join(broadcast(w), Seq("id"), "left_anti")
+          .select(col("id"))
+        val e = liveEdges(spark, base, excludeBatchId = batchId)
+          .localCheckpoint() // two consumers: retraction + CC restrict
+        try {
+          val retract = e.join(broadcast(w.select(col("id").as("a"))),
+              Seq("a"), "left_semi")
+            .unionByName(e.join(broadcast(w.select(col("id").as("b"))),
+              Seq("b"), "left_semi"))
+            .distinct() // both-endpoints-withdrawn edges arrive twice
+          // surviving edges of the touched components: both endpoints
+          // survive (edges never cross components, so restricting to
+          // survivor endpoints IS the touched-component restriction)
+          val ccEdges = e
+            .join(survivors.select(col("id").as("a")), Seq("a"), "left_semi")
+            .join(survivors.select(col("id").as("b")), Seq("b"), "left_semi")
+          val relabel = Dedup.clusters(survivors,
+            ccEdges.select(col("a").as("id_a"), col("b").as("id_b")))
+          writeDelta(base, batchId,
+            relabel.select(col("id"), col("cluster").as("cid"))
+              .unionByName(
+                w.select(col("id"), lit(RetractedCid).as("cid"))))
+          writeEdges(base, batchId,
+            retract.withColumn("alive", lit(false)))
+        } finally graft.exec.Partitioning.unpersistCheckpoint(e)
+      } finally graft.exec.Partitioning.unpersistCheckpoint(w)
     } finally graft.exec.Partitioning.unpersistCheckpoint(cur)
   }
 
@@ -180,14 +338,16 @@ object ClusterIndex {
   private def dropBatches(spark: SparkSession, base: String,
                           pred: Long => Boolean): Unit = {
     val f = fs(spark)
-    val dir = new org.apache.hadoop.fs.Path(s"$base/members")
-    if (f.exists(dir))
-      f.listStatus(dir).foreach { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("batch_id=") &&
-            pred(name.stripPrefix("batch_id=").toLong))
-          f.delete(st.getPath, true)
-      }
+    Seq("members", "edges").foreach { sub =>
+      val dir = new org.apache.hadoop.fs.Path(s"$base/$sub")
+      if (f.exists(dir))
+        f.listStatus(dir).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("batch_id=") &&
+              pred(name.stripPrefix("batch_id=").toLong))
+            f.delete(st.getPath, true)
+        }
+    }
   }
 
   /** Roll an interrupted compaction forward (commit marker present) or
@@ -206,21 +366,28 @@ object ClusterIndex {
       }
     }
 
-  /** Fold the assertion chain to one consolidated batch (latest-wins
-    * resolved once, then a single partition). Crash-safe via the
-    * two-marker protocol; returns the consolidated batch id — resume
-    * folding with batch ids above it. */
+  /** Fold both assertion chains to one consolidated batch (latest-wins
+    * resolved once, then a single partition each): live memberships
+    * only — [[RetractedCid]] rows retire physically here — and live
+    * edges only (retracted edges drop with them). Crash-safe via the
+    * two-marker protocol (the commit marker rolls BOTH dirs forward,
+    * the start marker rolls both back); returns the consolidated batch
+    * id — resume folding with batch ids above it. */
   def compact(spark: SparkSession, base: String): Long = {
-    heal(spark, base)
-    val c = readOr(spark, s"$base/members", membersSchema)
-      .agg(coalesce(max("batch_id"), lit(-1L))).head.getLong(0) + 1L
+    val c = nextBatchId(spark, base) // heals on entry
     val folded = current(spark, base).localCheckpoint()
+    val foldedEdges = liveEdges(spark, base)
+      .withColumn("alive", lit(true)).localCheckpoint()
     try {
       writeMarker(spark, startMarker(base), c)
       writeDelta(base, c, folded)
+      writeEdges(base, c, foldedEdges)
       writeMarker(spark, commitMarker(base), c)
       heal(spark, base)
-    } finally graft.exec.Partitioning.unpersistCheckpoint(folded)
+    } finally {
+      graft.exec.Partitioning.unpersistCheckpoint(folded)
+      graft.exec.Partitioning.unpersistCheckpoint(foldedEdges)
+    }
     c
   }
 }

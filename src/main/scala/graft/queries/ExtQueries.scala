@@ -1745,6 +1745,155 @@ object ExtQueries {
       |  SELECT re.s, e.v FROM reach re JOIN edges e ON re.r = e.u)
       |SELECT s AS doc_id, min(r) AS cid FROM reach GROUP BY s""".stripMargin
 
+  // ------------------------------------------- q_stream_cluster_readmit
+
+  /** WITHDRAWAL + RE-ADMISSION through the standing cluster index — the
+    * takedown half of incremental connected components, which is the
+    * genuinely hard half: deleting a node can SPLIT its cluster (the
+    * node was the bridge) and must MOVE min-id labels (the min member
+    * left), and a later re-admission must NOT resurrect relations
+    * discovered against the document's pre-takedown content. Extends
+    * [[qStreamClusterLifecycle]] with:
+    *
+    *  4. a FIXED-COUNT takedown (the 40 smallest tracked node ids —
+    *     request-driven, does not grow with the corpus) withdrawn from
+    *     BOTH standing structures: [[graft.ext.DedupIndex.delete]]
+    *     masks the corpus rows, [[graft.ext.ClusterIndex.withdraw]]
+    *     retracts memberships and incident edges and re-labels ONLY the
+    *     touched components' survivors ([[graft.ext.Dedup.clusters]]
+    *     over the surviving edges — splits and min-id moves fall out);
+    *  5. [[graft.ext.DedupIndex.compactPartial]] retires the tombstones
+    *     (file-granular: only tombstone-dirty buckets rewrite) — the
+    *     re-ingestion precondition;
+    *  6. the EVEN half of the takedown re-enters as a third streamed
+    *     batch on the SAME checkpoint — judged as ordinary new
+    *     documents against the post-compact corpus, their fresh edges
+    *     folding into the standing cluster state (possibly re-bridging
+    *     the clusters their withdrawal split);
+    *  7. [[graft.ext.ClusterIndex.compact]] consolidates both chains —
+    *     retraction sentinels and dead edges retire physically; final
+    *     state must be unchanged.
+    *
+    * Output: the live membership (doc_id, cid). The oracle replays all
+    * of it in closed form — batch edges, the takedown's edge
+    * subtraction, re-admission edges against the post-compact corpus,
+    * then min-reachable-id over (surviving ∪ re-admission) edges — so a
+    * hash-pass proves withdrawal splits/relabels exactly, retraction
+    * beats assertion, re-admission beats retraction, and no
+    * pre-takedown edge survives into the re-admitted world. */
+  def qStreamClusterReadmit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Scratch.fresh(s, "streamccre", dir)
+    val docs = Tables(s, dir, "documents").select("doc_id", "lang", "text")
+    val idx = "graft_idx_streamccre"
+    val cc = s"$base/cc"
+    DedupIndex.write(docs.filter(col("doc_id") % 5 =!= 0),
+      "text", "doc_id", "lang", idx, threshold = 0.5)
+    val inDir = s"$base/in"
+    def runToCompletion(): Unit = {
+      val q = graft.streaming.IngestDedup.run(
+          s.readStream.schema(docs.schema).parquet(inDir),
+          base = idx, textCol = "text", idCol = "doc_id", blockCol = "lang",
+          threshold = 0.5, verdictPath = s"$base/verdicts",
+          checkpoint = s"$base/ckpt", updateIndex = true,
+          clusterBase = cc)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    docs.filter(col("doc_id") % 10 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir)
+    runToCompletion()
+    docs.filter(col("doc_id") % 10 === 5).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runToCompletion()
+    // fixed-count takedown: the 40 smallest TRACKED node ids (tracked =
+    // duplicate-involved — where withdrawal actually splits/relabels)
+    val takedown = ClusterIndex.current(s, cc)
+      .select(col("id").as("doc_id")).orderBy("doc_id").limit(40)
+      .localCheckpoint()
+    DedupIndex.delete(s, idx, takedown, "doc_id")
+    ClusterIndex.withdraw(s, cc, takedown,
+      ClusterIndex.nextBatchId(s, cc))
+    // retire the tombstones (partial: only dirty buckets rewrite) —
+    // only now may the cleared half re-enter
+    DedupIndex.compactPartial(s, idx)
+    docs.join(takedown.filter(col("doc_id") % 2 === 0),
+        Seq("doc_id"), "left_semi")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runToCompletion()
+    ClusterIndex.compact(s, cc)
+    ClusterIndex.current(s, cc).select(col("id").as("doc_id"), col("cid"))
+  }
+
+  /** Closed-form replay: the lifecycle's two batch edge sets, the
+    * 40-smallest-tracked-node takedown subtracted from nodes AND edges,
+    * re-admission edges judged against (corpus ∪ both batches' keeps) −
+    * takedown, then min-reachable-id over surviving ∪ re-admission
+    * edges on the live node set. */
+  val qStreamClusterReadmitSql: String =
+    """WITH RECURSIVE w AS (SELECT doc_id, lang, text,
+      |  string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS w FROM documents),
+      |sh AS (SELECT doc_id, lang, text,
+      |  list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+      |    i -> array_to_string(w[i+1:i+3], ' '))) AS t FROM w),
+      |corpus0 AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+      |d0 AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+      |e0 AS (
+      |  SELECT c.doc_id AS a, d.doc_id AS b FROM d0 d
+      |    JOIN corpus0 c ON d.text = c.text
+      |  UNION
+      |  SELECT c.doc_id AS a, d.doc_id AS b FROM d0 d
+      |    JOIN corpus0 c ON d.lang = c.lang
+      |  WHERE len(list_intersect(d.t, c.t))::DOUBLE
+      |      / (len(d.t) + len(c.t) - len(list_intersect(d.t, c.t))) >= 0.5),
+      |v0keep AS (SELECT doc_id FROM d0
+      |  WHERE doc_id NOT IN (SELECT b FROM e0)),
+      |corpus1 AS (SELECT * FROM corpus0
+      |  UNION ALL SELECT sh.* FROM sh JOIN v0keep k ON sh.doc_id = k.doc_id),
+      |d1 AS (SELECT * FROM sh WHERE doc_id % 10 = 5),
+      |e1 AS (
+      |  SELECT c.doc_id AS a, d.doc_id AS b FROM d1 d
+      |    JOIN corpus1 c ON d.text = c.text
+      |  UNION
+      |  SELECT c.doc_id AS a, d.doc_id AS b FROM d1 d
+      |    JOIN corpus1 c ON d.lang = c.lang
+      |  WHERE len(list_intersect(d.t, c.t))::DOUBLE
+      |      / (len(d.t) + len(c.t) - len(list_intersect(d.t, c.t))) >= 0.5),
+      |v1keep AS (SELECT doc_id FROM d1
+      |  WHERE doc_id NOT IN (SELECT b FROM e1)),
+      |olde AS (SELECT a, b FROM e0 UNION SELECT a, b FROM e1),
+      |nodes01 AS (SELECT doc_id AS id FROM d0 UNION SELECT doc_id FROM d1
+      |  UNION SELECT a FROM olde UNION SELECT b FROM olde),
+      |td AS (SELECT id FROM nodes01 ORDER BY id LIMIT 40),
+      |corpus2 AS (SELECT * FROM (
+      |    SELECT * FROM corpus1
+      |    UNION ALL SELECT sh.* FROM sh JOIN v1keep k ON sh.doc_id = k.doc_id)
+      |  WHERE doc_id NOT IN (SELECT id FROM td)),
+      |d2 AS (SELECT sh.* FROM sh JOIN td ON sh.doc_id = td.id
+      |  WHERE sh.doc_id % 2 = 0),
+      |e2 AS (
+      |  SELECT c.doc_id AS a, d.doc_id AS b FROM d2 d
+      |    JOIN corpus2 c ON d.text = c.text
+      |  UNION
+      |  SELECT c.doc_id AS a, d.doc_id AS b FROM d2 d
+      |    JOIN corpus2 c ON d.lang = c.lang
+      |  WHERE len(list_intersect(d.t, c.t))::DOUBLE
+      |      / (len(d.t) + len(c.t) - len(list_intersect(d.t, c.t))) >= 0.5),
+      |surv AS (SELECT a, b FROM olde
+      |  WHERE a NOT IN (SELECT id FROM td) AND b NOT IN (SELECT id FROM td)),
+      |alle AS (SELECT a, b FROM surv UNION SELECT a, b FROM e2),
+      |nodes AS (
+      |  SELECT id FROM nodes01 WHERE id NOT IN (SELECT id FROM td)
+      |  UNION SELECT doc_id FROM d2
+      |  UNION SELECT a FROM alle UNION SELECT b FROM alle),
+      |edges AS (SELECT a AS u, b AS v FROM alle
+      |  UNION SELECT b AS u, a AS v FROM alle),
+      |reach AS (
+      |  SELECT id AS s, id AS r FROM nodes
+      |  UNION
+      |  SELECT re.s, e.v FROM reach re JOIN edges e ON re.r = e.u)
+      |SELECT s AS doc_id, min(r) AS cid FROM reach GROUP BY s""".stripMargin
+
   /** The standing dedup index's OBSERVABILITY surface under the oracle
     * gate — the twin of q_ann_stats: build the index, then read back
     * per-table occupancy with [[graft.ext.DedupIndex.stats]] plus the
@@ -2281,6 +2430,7 @@ object ExtQueries {
     "q_stream_dedup_lifecycle" -> (qStreamDedupLifecycle _),
     "q_stream_dedup_readmit" -> (qStreamDedupReadmit _),
     "q_stream_cluster_lifecycle" -> (qStreamClusterLifecycle _),
+    "q_stream_cluster_readmit" -> (qStreamClusterReadmit _),
     "q_stream_span_lifecycle" -> (qStreamSpanLifecycle _),
     "q_corpus_prep"      -> (qCorpusPrep _),
     "q_cluster_exact"    -> (qClusterExact _),
@@ -2347,6 +2497,7 @@ object ExtQueries {
     "q_stream_dedup_lifecycle" -> qStreamDedupLifecycleSql,
     "q_stream_dedup_readmit" -> qStreamDedupReadmitSql,
     "q_stream_cluster_lifecycle" -> qStreamClusterLifecycleSql,
+    "q_stream_cluster_readmit" -> qStreamClusterReadmitSql,
     "q_stream_span_lifecycle" -> qStreamSpanLifecycleSql,
     "q_corpus_prep"      -> qCorpusPrepSql,
     "q_near_dup_verified"      -> qNearDupVerifiedSql,

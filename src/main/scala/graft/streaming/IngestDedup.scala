@@ -92,12 +92,16 @@ object IngestDedup {
         .partitionBy("batch_id").parquet(verdictPath)
       // Incremental connected components: fold this batch's verified
       // edges (and every batch document as a node) into the standing
-      // cluster state. Uses the LOGICAL batch id (like the verdict
-      // partition), so a replay folds against the pre-batch state and
-      // rewrites its own assertions — idempotent by the same argument.
+      // cluster state. Stamped with the STRIDED logical batch id
+      // (ClusterIndex.streamFoldId — a pure function of the epoch, so a
+      // replay folds against the pre-batch state and rewrites its own
+      // assertions, idempotent by the same argument as the verdict
+      // partition) leaving id room for manual withdrawals/compactions
+      // between epochs.
       if (clusterBase.nonEmpty)
         ClusterIndex.fold(spark, clusterBase,
-          edges, batch.select(col(idCol)), batchId)
+          edges, batch.select(col(idCol)),
+          ClusterIndex.streamFoldId(batchId))
       if (updateIndex)
         DedupIndex.appendKept(spark, base, batch, verdicts,
           textCol, idCol, blockCol, threshold, shingleN, batchId = stamp)

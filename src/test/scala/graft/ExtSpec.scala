@@ -753,6 +753,72 @@ class ExtSpec extends AnyFunSuite {
     assert(ccState(base) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("ClusterIndex.withdraw: splits on bridge removal, moves min-id " +
+       "labels, equals batch CC over surviving nodes and edges") {
+    import graft.ext.ClusterIndex
+    val base = ccScratch()
+    def edges(ps: (Long, Long)*) = ps.toDF("id_a", "id_b")
+    def ids(xs: Long*) = xs.toDF("id")
+    // one chain 1-2-3 (2 is the bridge) and one triangle 10-11-12
+    ClusterIndex.fold(spark, base,
+      edges((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L)),
+      ids(1L, 2L, 3L, 10L, 11L, 12L), 0L)
+    assert(ccState(base) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // withdraw the chain's BRIDGE (2) and the triangle's MIN (10):
+    // the chain splits into singletons, the triangle re-labels to 11
+    // (still connected through 11-12), nothing else is touched
+    ClusterIndex.withdraw(spark, base, ids(2L, 10L),
+      ClusterIndex.nextBatchId(spark, base))
+    val after = ccState(base)
+    assert(after == Map(1L -> 1L, 3L -> 3L, 11L -> 11L, 12L -> 11L))
+    // equivalence: batch CC over surviving nodes and surviving edges
+    val surv = Dedup.clusters(ids(1L, 3L, 11L, 12L),
+      edges((11L, 12L))).as[(Long, Long)].collect().toMap
+    assert(after == surv)
+    // withdrawing an id the index never tracked is a no-op
+    ClusterIndex.withdraw(spark, base, ids(777L),
+      ClusterIndex.nextBatchId(spark, base))
+    assert(ccState(base) == after)
+  }
+
+  test("ClusterIndex.withdraw: re-admission does not resurrect retracted " +
+       "edges; replay-idempotent; compaction retires sentinels physically") {
+    import graft.ext.ClusterIndex
+    val base = ccScratch()
+    def edges(ps: (Long, Long)*) = ps.toDF("id_a", "id_b")
+    def ids(xs: Long*) = xs.toDF("id")
+    ClusterIndex.fold(spark, base, edges((1L, 2L), (2L, 3L)),
+      ids(1L, 2L, 3L), 0L)
+    val wb = ClusterIndex.nextBatchId(spark, base)
+    ClusterIndex.withdraw(spark, base, ids(2L), wb)
+    val split = ccState(base)
+    assert(split == Map(1L -> 1L, 3L -> 3L))
+    // replay the withdrawal (same batch id): state unchanged
+    ClusterIndex.withdraw(spark, base, ids(2L), wb)
+    assert(ccState(base) == split)
+    // re-admit 2 with NO new edges: a singleton — its OLD edges to 1
+    // and 3 must NOT come back (they were discovered against the
+    // pre-takedown content)
+    ClusterIndex.fold(spark, base, edges(), ids(2L), wb + 1)
+    assert(ccState(base) == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // a FRESH edge discovered at re-ingest merges normally
+    ClusterIndex.fold(spark, base, edges((2L, 3L)), ids(), wb + 2)
+    assert(ccState(base) == Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
+    // compaction preserves state and physically retires retraction
+    // sentinels and dead edges: one consolidated partition per chain,
+    // no RetractedCid rows, only the one live edge
+    val c = ClusterIndex.compact(spark, base)
+    assert(ccState(base) == Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
+    val members = spark.read.parquet(s"$base/members")
+    assert(members.filter(col("cid") === ClusterIndex.RetractedCid).count() == 0)
+    assert(members.select("batch_id").distinct().as[Long].collect().toSet ==
+      Set(c))
+    val liveE = spark.read.parquet(s"$base/edges")
+    assert(liveE.select("a", "b").as[(Long, Long)].collect().toSet ==
+      Set((2L, 3L)))
+  }
+
   test("DedupIndex.compactPartial == compact for every probe: verdicts " +
        "equal, tombstoned ids physically gone from exact/sh, files carried") {
     import graft.ext.DedupIndex
