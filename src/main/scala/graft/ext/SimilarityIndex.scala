@@ -349,6 +349,128 @@ object SimilarityIndex {
     }
    }
 
+  /** PARTIAL compaction of the standing ANN index: retire the pending
+    * tombstones and fold append pressure by REWRITING ONLY THE FILES
+    * THAT NEED IT, carrying every other file into the new snapshot by
+    * hard link / server-side copy — [[compact]] is a linear corpus
+    * rewrite even when one vector was deleted, and at 100 TB that
+    * rewrite IS the cost of a takedown
+    * ([[DedupIndex.compactPartial]]'s contract, applied to the cells
+    * table).
+    *
+    * Deletions are LOCAL here — each id holds exactly one (cell, id, …)
+    * row — so the rewrite set is exactly the files physically holding a
+    * tombstoned row (discovered by an id-column + `input_file_name`
+    * scan; vectors/codes are never decoded for discovery), plus every
+    * file of a bucket whose file count exceeds `rewriteFileThreshold`
+    * (OFF by default — the same fresh-parallel-build cry-wolf note as
+    * the dedup twin). Sidecars (quantizer, PQ codebooks, drift
+    * baseline) ride the new snapshot dir BEFORE the single-catalog-op
+    * swap, exactly like [[compact]], so probes racing the commit see a
+    * complete snapshot on either side.
+    *
+    * The running-occupancy sidecar is FOLDED, not re-scanned: partial
+    * compaction's promise is cost bounded by the rewrite set, and a
+    * full per-cell recount would break it — occupancy' = occupancy −
+    * (rewritten files' per-cell counts before) + (rewritten subset's
+    * counts after), both deletion-bounded. A missing sidecar (legacy
+    * index) stays missing ([[needsRetrain]] self-heals with one
+    * establishing scan). Verdict-equivalence with the full fold is
+    * asserted in MiningSpec and at the driver gate
+    * (q_stream_ann_readmit). */
+  def compactPartial(spark: SparkSession, base: String,
+                     rewriteFileThreshold: Int = Int.MaxValue): Unit =
+   BucketedTables.withWriterLease(spark, cellsTable(base), "compaction") {
+    BucketedTables.heal(spark, Seq(cellsTable(base), tombsTable(base)))
+    val table = cellsTable(base)
+    // epoch FIRST, then tombstones, then scans (activeTombIds contract)
+    val epoch = BucketedTables.snapshotEpoch(spark, table)
+    val tombIds =
+      BucketedTables.activeTombIds(spark, tombsTable(base), epoch)
+    val carriedSidecars =
+      Seq(QuantizerSidecar, CellStatsSidecar, PqSidecar).collect {
+        case sc if BucketedTables.sidecarExists(spark, table, sc) =>
+          sc -> BucketedTables.readSidecar(spark, table, sc)
+      }
+    // the PRE-swap occupancy, read now: the new snapshot does not carry
+    // this sidecar (it is re-derived, by fold below or by scan), so
+    // after the swap it would read as missing
+    val occBefore: Option[Map[Long, Long]] =
+      if (BucketedTables.sidecarExists(spark, table, OccupancySidecar))
+        Some(decodeCellStats(BucketedTables.readSidecar(
+          spark, table, OccupancySidecar)).toMap)
+      else None
+    val dirty: Set[String] = tombIds match {
+      case Some(t) =>
+        spark.table(table)
+          .select(col("id"), input_file_name().as("f"))
+          .join(broadcast(t), Seq("id"), "left_semi")
+          .select(col("f")).distinct().collect()
+          .map(r => new org.apache.hadoop.fs.Path(r.getString(0))
+            .toUri.getPath).toSet
+      case None => Set.empty
+    }
+    val n = BucketedTables.bucketsOf(spark, table)
+    val files = BucketedTables.bucketFilePaths(spark, table)
+    val counts = files.groupBy(_._1).view.mapValues(_.size).toMap
+    val pressure = counts.filter(_._2 > rewriteFileThreshold).keySet
+    val rewriteFiles = files.collect {
+      case (b, p) if pressure(b) || dirty(p.toUri.getPath) => p }
+    val carried = files.map(_._2).filterNot(rewriteFiles.toSet)
+    def perCell(df: DataFrame): Map[Long, Long] =
+      df.groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    BucketedTables.withForcedBucketedScan(spark) {
+      val (subset, occDelta: Option[(Map[Long, Long], Map[Long, Long])]) =
+        if (carried.isEmpty)
+          // nothing worth carrying: the full fold's shuffle-free
+          // partition-per-bucket dedup; occupancy re-bases from the
+          // snapshot below (the full compact's behavior)
+          (BucketedTables.maskByTombs(
+            BucketedTables.compactionFrame(spark, table), tombIds), None)
+        else if (rewriteFiles.isEmpty)
+          (spark.table(table).limit(0), // carry everything, remove nothing
+            Some((Map.empty[Long, Long], Map.empty[Long, Long])))
+        else {
+          // read ONLY the rewrite set (clean files never decode); the
+          // subset pays one whole-row distinct (replay duplicates
+          // WITHIN it fold; cross-file ones wait for a full compact —
+          // probe-neutral, topK dedups its probed slice) and one
+          // repartition onto the bucket keys
+          val raw = spark.read.schema(spark.table(table).schema)
+            .parquet(rewriteFiles.map(_.toString): _*)
+          val out = BucketedTables.maskByTombs(raw, tombIds)
+            .distinct().repartition(n, col("cell"))
+          (out, Some((perCell(raw), perCell(out))))
+        }
+      val snap = BucketedTables.writeSnapshot(spark, table, Seq("cell"),
+        subset, sidecar = carriedSidecars)
+      if (carried.nonEmpty)
+        BucketedTables.copyBucketFiles(spark, table, carried, snap)
+      BucketedTables.renewLease(spark, table)
+      BucketedTables.swapLocation(spark, table, snap)
+      BucketedTables.truncateBucketed(spark, tombsTable(base), Seq("id"))
+      occDelta match {
+        case None =>
+          // full-path occupancy re-base, exactly like compact()
+          BucketedTables.addSidecar(spark, table, OccupancySidecar,
+            encodeCellStats(
+              spark.read.parquet(snap)
+                .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
+                .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)))
+        case Some((pre, post)) if occBefore.isDefined =>
+          val cur = occBefore.get
+          val folded = (cur.keySet ++ pre.keySet ++ post.keySet).toSeq.sorted
+            .map(c => (c, cur.getOrElse(c, 0L) - pre.getOrElse(c, 0L) +
+              post.getOrElse(c, 0L)))
+            .filter(_._2 != 0L)
+          BucketedTables.addSidecar(spark, table, OccupancySidecar,
+            encodeCellStats(folded))
+        case _ => () // legacy index without the sidecar: stays missing
+      }
+    }
+   }
+
   /** Fold a batch of NEW vectors into the index — continuous ingestion.
     * Assignment uses the STORED quantizer (the sidecar), so appended
     * rows live in the same cell space as the original build and probes

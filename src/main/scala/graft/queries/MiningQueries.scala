@@ -515,8 +515,11 @@ object MiningQueries {
     * a cleared item re-enter). Extends [[qStreamAnnLifecycle]]'s
     * lifecycle with a third checkpointed leg:
     *
-    *  6. AFTER the compaction has physically removed the taken-down
-    *     rows and retired their tombstones, the cleared subset
+    *  6. AFTER the compaction ([[graft.ext.SimilarityIndex
+    *     .compactPartial]] — file-granular: only the files physically
+    *     holding tombstoned rows rewrite, clean files carry by hard
+    *     link) has physically removed the taken-down rows and retired
+    *     their tombstones, the cleared subset
     *     (vec_id % 7 = 3 AND vec_id < 420) lands as a late file and
     *     the SAME checkpoint runs again — the restart discovers only
     *     the new file and appends it as batch 2 under the stored
@@ -550,8 +553,12 @@ object MiningQueries {
       .write.mode("append").parquet(inDir)
     runToCompletion()
     // the compaction retires the tombstones — the precondition for
-    // re-admission; a re-append BEFORE this line would stay masked
-    graft.ext.SimilarityIndex.compact(s, idx)
+    // re-admission; a re-append BEFORE this line would stay masked.
+    // PARTIAL: only the files physically holding tombstoned rows
+    // rewrite; clean files carry over by hard link — a hash-pass here
+    // proves the partial fold's verdict-equivalence at the driver gate
+    // (the q_stream_dedup_readmit discipline, applied to the ANN twin).
+    graft.ext.SimilarityIndex.compactPartial(s, idx)
     e.filter(col("vec_id") % 7 === 3 && col("vec_id") < 420).coalesce(1)
       .write.mode("append").parquet(inDir)
     runToCompletion()

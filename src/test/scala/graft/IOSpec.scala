@@ -588,6 +588,40 @@ class IOSpec extends AnyFunSuite {
     spark.sql("DROP TABLE t_ann_del_tombs")
   }
 
+  test("ANN index compactPartial == compact: identical probes, tombstoned " +
+       "ids physically gone, clean files carried by hard link") {
+    import graft.ext.SimilarityIndex
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    def build(base: String): Unit = {
+      SimilarityIndex.write(e.filter(col("vec_id") < 400),
+        "embedding", "vec_id", base, k = 4, iters = 1, buckets = 4)
+      SimilarityIndex.append(spark, base, e.filter(col("vec_id") >= 400))
+      // SPARSE takedown (3 ids) — the case partial compaction exists for
+      SimilarityIndex.delete(spark, base,
+        e.select(col("vec_id")).orderBy("vec_id").limit(3))
+    }
+    build("t_pann_a"); build("t_pann_b")
+    val filesBefore = spark.table("t_pann_b_cells").inputFiles.toSet
+    SimilarityIndex.compact(spark, "t_pann_a")
+    SimilarityIndex.compactPartial(spark, "t_pann_b")
+    val q = e.filter(col("vec_id") < 10)
+    def rows(base: String) =
+      SimilarityIndex.topK(spark, base, q, k = 5, nprobe = 2)
+        .collect().map(_.toSeq).toSet
+    assert(rows("t_pann_a") == rows("t_pann_b"))
+    // the takedown is physically gone from the partial fold too
+    assert(spark.table("t_pann_b_cells").filter(col("id") < 3).count() == 0)
+    assert(spark.table("t_pann_b_tombs").count() == 0)
+    // carried files kept their NAMES (moved dirs): the partial fold
+    // rewrote only the deletion-dirty files
+    val namesBefore = filesBefore.map(_.split("/").last)
+    val after = spark.table("t_pann_b_cells").inputFiles.toSet
+    val carried = after.map(_.split("/").last).intersect(namesBefore)
+    assert(carried.nonEmpty, "partial compaction carried no files")
+    assert(after.map(_.split("/").last) != namesBefore,
+      "partial compaction rewrote no files")
+  }
+
   test("dedup index deletion: tombstones mask verdicts at once; compact " +
        "folds them physically; a rebuild clears pending tombstones") {
     import org.apache.spark.sql.execution.SparkPlan

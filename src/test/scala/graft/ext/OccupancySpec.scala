@@ -119,6 +119,30 @@ class OccupancySpec extends AnyFunSuite {
     } finally dropIndex()
   }
 
+  test("compactPartial FOLDS the occupancy (no corpus scan) and the " +
+       "folded sidecar equals the physical per-cell counts") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    SimilarityIndex.write(e.filter(col("vec_id") < 400),
+      "embedding", "vec_id", base, k = 4, iters = 1, buckets = 4)
+    try {
+      SimilarityIndex.append(spark, base, e.filter(col("vec_id") >= 400))
+      SimilarityIndex.delete(spark, base,
+        e.select(col("vec_id")).orderBy("vec_id").limit(3))
+      SimilarityIndex.compactPartial(spark, base)
+      // folded occupancy == the counts a scan of the new snapshot finds
+      val physical = spark.read.parquet(
+          BucketedTables.location(spark, cells).toString)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+      assert(parseStats("_occupancy").sortBy(_._1) == physical)
+      // quantizer + baseline sidecars carried through the swap
+      assert(parseStats("_cellstats").nonEmpty)
+      assert(BucketedTables.sidecarExists(spark, cells, "_quantizer"))
+      // and the drift decision still equals the scanning decision
+      assert(SimilarityIndex.needsRetrain(spark, base) == scanDecision())
+    } finally dropIndex()
+  }
+
   test("a missing occupancy sidecar alone (append-crash window) " +
        "self-heals with ONE establishing scan") {
     val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
