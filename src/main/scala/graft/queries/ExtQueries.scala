@@ -1894,6 +1894,70 @@ object ExtQueries {
       |  SELECT re.s, e.v FROM reach re JOIN edges e ON re.r = e.u)
       |SELECT s AS doc_id, min(r) AS cid FROM reach GROUP BY s""".stripMargin
 
+  // ------------------------------------------------------ q_cluster_stats
+
+  /** The standing CLUSTER index's observability surface under the
+    * oracle gate — the [[qDedupStats]]/q_ann_stats twin for the newest
+    * standing structure, exercising the BATCH-API half of its
+    * lifecycle (the streaming half is q_stream_cluster_lifecycle/
+    * readmit): the production pair generator's edges fold in two
+    * incremental batches (edges only — tracked state stays sized by
+    * duplicate-involved documents, exactly the at-scale contract), a
+    * takedown withdraws the MIN tracked id (the hardest label: every
+    * cluster it anchors must re-label, and its component may split),
+    * and [[graft.ext.ClusterIndex.stats]] reads back per-cluster
+    * membership. The oracle recomputes the exact-Jaccard pair graph,
+    * subtracts the min node, and groups the recursive min-reachable
+    * closure — a hash-pass proves the batched folds + withdrawal leave
+    * exactly the from-scratch component sizes. */
+  def qClusterStats(s: SparkSession, dir: String): DataFrame = {
+    val base = Scratch.fresh(s, "ccstats", dir)
+    val cc = s"$base/cc"
+    val docs = Tables(s, dir, "documents")
+    val pairs = Dedup.prefixJaccardPairs(docs, "text", "doc_id", "lang",
+        threshold = 0.5)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    try {
+      val none = docs.select(col("doc_id").as("id")).limit(0)
+      ClusterIndex.fold(s, cc, pairs.filter(col("id_a") % 2 === 0), none, 0L)
+      ClusterIndex.fold(s, cc, pairs.filter(col("id_a") % 2 =!= 0), none,
+        ClusterIndex.streamFoldId(1L))
+      ClusterIndex.withdraw(s, cc,
+        ClusterIndex.current(s, cc).agg(min(col("id")).as("doc_id")),
+        ClusterIndex.nextBatchId(s, cc))
+      ClusterIndex.stats(s, cc)
+    } finally graft.exec.Partitioning.unpersistCheckpoint(pairs)
+  }
+
+  /** Closed-form replay: the exact-Jaccard pair graph over lang blocks,
+    * minus the min tracked node and its incident edges, then component
+    * sizes via the recursive closure. */
+  val qClusterStatsSql: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, lang,
+      |  string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS toks
+      |  FROM documents),
+      |sh AS (SELECT doc_id, lang,
+      |  list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+      |    i -> array_to_string(toks[i+1:i+3], ' '))) AS t3 FROM t),
+      |pairs AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.t3, b.t3))::DOUBLE
+      |      / (len(a.t3) + len(b.t3) - len(list_intersect(a.t3, b.t3))) >= 0.5),
+      |allnodes AS (SELECT u AS id FROM pairs UNION SELECT v FROM pairs),
+      |td AS (SELECT min(id) AS id FROM allnodes),
+      |nodes AS (SELECT id FROM allnodes WHERE id NOT IN (SELECT id FROM td)),
+      |surv AS (SELECT u, v FROM pairs
+      |  WHERE u NOT IN (SELECT id FROM td) AND v NOT IN (SELECT id FROM td)),
+      |edges AS (SELECT u, v FROM surv UNION SELECT v AS u, u AS v FROM surv),
+      |reach AS (
+      |  SELECT id AS s, id AS r FROM nodes
+      |  UNION
+      |  SELECT re.s, e.v FROM reach re JOIN edges e ON re.r = e.u),
+      |cl AS (SELECT s AS id, min(r) AS cid FROM reach GROUP BY s)
+      |SELECT cid, count(*)::BIGINT AS n_members, min(id) AS min_id
+      |FROM cl GROUP BY cid""".stripMargin
+
   /** The standing dedup index's OBSERVABILITY surface under the oracle
     * gate — the twin of q_ann_stats: build the index, then read back
     * per-table occupancy with [[graft.ext.DedupIndex.stats]] plus the
@@ -2431,6 +2495,7 @@ object ExtQueries {
     "q_stream_dedup_readmit" -> (qStreamDedupReadmit _),
     "q_stream_cluster_lifecycle" -> (qStreamClusterLifecycle _),
     "q_stream_cluster_readmit" -> (qStreamClusterReadmit _),
+    "q_cluster_stats"    -> (qClusterStats _),
     "q_stream_span_lifecycle" -> (qStreamSpanLifecycle _),
     "q_corpus_prep"      -> (qCorpusPrep _),
     "q_cluster_exact"    -> (qClusterExact _),
@@ -2498,6 +2563,7 @@ object ExtQueries {
     "q_stream_dedup_readmit" -> qStreamDedupReadmitSql,
     "q_stream_cluster_lifecycle" -> qStreamClusterLifecycleSql,
     "q_stream_cluster_readmit" -> qStreamClusterReadmitSql,
+    "q_cluster_stats"    -> qClusterStatsSql,
     "q_stream_span_lifecycle" -> qStreamSpanLifecycleSql,
     "q_corpus_prep"      -> qCorpusPrepSql,
     "q_near_dup_verified"      -> qNearDupVerifiedSql,
