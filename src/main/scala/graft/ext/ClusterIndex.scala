@@ -262,6 +262,14 @@ object ClusterIndex {
   def withdraw(spark: SparkSession, base: String, ids: DataFrame,
                batchId: Long): Unit = {
     heal(spark, base)
+    // A pre-edge-persistence index has memberships but no edge state —
+    // relabeling against a phantom-empty edge set would silently split
+    // every touched cluster into singletons. Refuse loudly instead.
+    require(!fs(spark).exists(new org.apache.hadoop.fs.Path(s"$base/members"))
+        || fs(spark).exists(new org.apache.hadoop.fs.Path(s"$base/edges")),
+      s"$base: cluster index predates edge persistence — withdraw would " +
+        "re-label against an empty edge set and split every touched " +
+        "cluster; rebuild the index (re-fold its batches) first")
     val cur = current(spark, base, excludeBatchId = batchId)
       .localCheckpoint()
     try {

@@ -155,15 +155,20 @@ object PreferenceIndex {
   /** Retire the pending tombstones while PRESERVING per-batch history —
     * the drift-probe sibling of [[compact]] (which folds everything
     * into one consolidated batch and so destroys the batch ≡ window
-    * correspondence). Every edges/ties partition is rewritten with the
-    * withdrawn items' rows removed (one dynamic-partition-overwrite job
-    * per table), batches left with NO surviving rows are dropped, and
-    * the tombstone table is deleted LAST. Crash-safe without markers:
-    * the masking rewrite is idempotent, and a crash anywhere before the
-    * tombstone delete leaves the tombstones active — reads stay masked,
-    * re-running completes the retirement. Re-admission follows the
-    * [[withdraw]] contract: only after this returns may the item's
-    * judgments re-enter (as a fresh batch). */
+    * correspondence). PARTIAL, the deletion-bounded discipline of
+    * [[DedupIndex.compactPartial]]: only the delta partitions that
+    * physically HOLD a withdrawn item's rows rewrite (one semi-join
+    * discovery scan, then a dynamic-partition-overwrite of exactly
+    * those batch ids); clean partitions — the vast majority under a
+    * request-driven takedown, since an item's judgments cluster in the
+    * windows it was live — are never rewritten. Batches left with NO
+    * surviving rows are dropped, and the tombstone table is deleted
+    * LAST. Crash-safe without markers: the masking rewrite is
+    * idempotent, and a crash anywhere before the tombstone delete
+    * leaves the tombstones active — reads stay masked, re-running
+    * completes the retirement. Re-admission follows the [[withdraw]]
+    * contract: only after this returns may the item's judgments
+    * re-enter (as a fresh batch). */
   def compactBatched(spark: SparkSession, base: String): Unit = {
     heal(spark, base)
     val tombs = readOr(spark, s"$base/tombs", tombsSchema)
@@ -173,13 +178,20 @@ object PreferenceIndex {
                  maskCols: Seq[String]): Unit = {
         val all = readOr(spark, s"$base/$table", schema)
         if (all.isEmpty) return
-        val masked = maskCols.foldLeft(all) { (df, c) =>
+        // the REWRITE SET: batches holding at least one withdrawn row
+        // (a columnar discovery read — never a rewrite of clean ones)
+        val dirty = maskCols.map(c =>
+            all.join(broadcast(tombs.select(col("item").as(c))), Seq(c),
+              "left_semi"))
+          .reduce(_.unionAll(_))
+          .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+        if (dirty.isEmpty) return
+        val masked = maskCols.foldLeft(
+            all.filter(col("batch_id").isin(dirty.toSeq: _*))) { (df, c) =>
           df.join(broadcast(tombs.select(col("item").as(c))), Seq(c),
             "left_anti")
         }.localCheckpoint()
         try {
-          val before = all.select("batch_id").distinct()
-            .collect().map(_.getLong(0)).toSet
           val after = masked.select("batch_id").distinct()
             .collect().map(_.getLong(0)).toSet
           masked.write.mode(SaveMode.Overwrite)
@@ -188,7 +200,7 @@ object PreferenceIndex {
           // a batch whose every row was withdrawn writes no partition —
           // drop its stale dir, or clearing the tombstones would
           // resurrect it
-          val dead = before -- after
+          val dead = dirty -- after
           if (dead.nonEmpty) {
             val f = fs(spark)
             dead.foreach { b =>

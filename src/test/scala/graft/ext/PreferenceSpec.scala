@@ -258,6 +258,31 @@ class PreferenceSpec extends AnyFunSuite {
     assert(m == Set(("A", "B", 3L), ("C", "A", 5L)))
   }
 
+  test("compactBatched is PARTIAL: clean delta partitions are never " +
+       "rewritten, only tombstone-dirty ones") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pref").toString +
+      "/idx"
+    def counts(rows: (String, String, Long)*) =
+      rows.toDF("winner", "loser", "n")
+    PreferenceIndex.appendCounts(spark, base,
+      counts(("A", "B", 3L)), batchId = 0L)           // clean under the takedown
+    PreferenceIndex.appendCounts(spark, base,
+      counts(("C", "A", 1L), ("A", "B", 7L)), batchId = 1L) // dirty, survivors
+    PreferenceIndex.withdraw(spark, base, Seq("C").toDF("item"), "item", 2L)
+    def files(b: Long) = new java.io.File(s"$base/edges/batch_id=$b")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    val clean = files(0L)
+    val dirty = files(1L)
+    PreferenceIndex.compactBatched(spark, base)
+    assert(files(0L) == clean,
+      "a partition holding no withdrawn rows must carry over untouched")
+    assert(files(1L) != dirty, "the dirty partition must rewrite")
+    assert(PreferenceIndex.matrixByBatch(spark, base)
+      .as[(Long, String, String, Long)].collect().toSet ==
+      Set((0L, "A", "B", 3L), (1L, "A", "B", 7L)))
+  }
+
   test("pairWinRates: hand-checked Wilson cell; ties count half; interval brackets p") {
     val comp = Seq(("a", "b", 3L), ("b", "a", 1L), ("c", "d", 100L))
       .toDF("winner", "loser", "n")
