@@ -278,6 +278,9 @@ object ClusterIndex {
         .join(cur, Seq("id"), "left_semi")
         .localCheckpoint() // takedowns are request-driven: delta-sized
       try {
+        // every requested id is an implicit singleton: nothing to
+        // retract or re-label — skip the edge-chain scan entirely
+        if (w.isEmpty) return
         val touched = cur.join(broadcast(w), Seq("id"), "left_semi")
           .select(col("cid")).distinct()
         val members = cur.join(broadcast(touched), Seq("cid"), "left_semi")
