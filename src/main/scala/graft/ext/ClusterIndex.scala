@@ -173,9 +173,17 @@ object ClusterIndex {
     * membership re-assert joins the (two-long-column) state against
     * the relabel map and writes only touched rows. The one full pass
     * over the membership table is the latest-wins read — columnar ids,
-    * no text, no shingles — which is the part [[compact]] keeps flat. */
+    * no text, no shingles — which is the part [[compact]] keeps flat.
+    *
+    * `trackEdges` persists the batch's verified edge delta — the state
+    * [[withdraw]] re-labels over (~20% of lifecycle cost at 100×,
+    * measured). An index folded WITHOUT it cannot serve withdrawals
+    * ([[withdraw]] refuses loudly) — pick per index, at its first
+    * fold, and keep it constant: labels are identical either way, only
+    * takedown-capability differs. */
   def fold(spark: SparkSession, base: String, edges: DataFrame,
-           ids: DataFrame, batchId: Long): Unit = {
+           ids: DataFrame, batchId: Long,
+           trackEdges: Boolean = true): Unit = {
     heal(spark, base)
     val cur = current(spark, base, excludeBatchId = batchId)
       .localCheckpoint()
@@ -186,11 +194,12 @@ object ClusterIndex {
         .distinct()
       // persist the batch's edge delta (canonical orientation) — the
       // state a later withdrawal's component re-labeling runs over
-      writeEdges(base, batchId,
-        e.filter(col("id_a") =!= col("id_b"))
-          .select(least(col("id_a"), col("id_b")).as("a"),
-            greatest(col("id_a"), col("id_b")).as("b"))
-          .distinct().withColumn("alive", lit(true)))
+      if (trackEdges)
+        writeEdges(base, batchId,
+          e.filter(col("id_a") =!= col("id_b"))
+            .select(least(col("id_a"), col("id_b")).as("a"),
+              greatest(col("id_a"), col("id_b")).as("b"))
+            .distinct().withColumn("alive", lit(true)))
       val nodes = ids.select(col(ids.columns.head).cast(LongType).as("id"))
         .unionAll(e.select(col("id_a").as("id")))
         .unionAll(e.select(col("id_b").as("id")))

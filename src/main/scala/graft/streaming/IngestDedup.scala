@@ -43,13 +43,15 @@ object IngestDedup {
           checkpoint: String, updateIndex: Boolean,
           shingleN: Int = 3,
           candidates: String = "prefix",
-          clusterBase: String = ""): DataStreamWriter[Row] =
+          clusterBase: String = "",
+          clusterTrackEdges: Boolean = true): DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, base, textCol, idCol, blockCol,
           threshold, verdictPath, updateIndex, shingleN, candidates,
-          runTag = checkpoint, clusterBase = clusterBase)
+          runTag = checkpoint, clusterBase = clusterBase,
+          clusterTrackEdges = clusterTrackEdges)
       }
 
   /** One micro-batch step, exposed so the replay-idempotence contract is
@@ -62,7 +64,8 @@ object IngestDedup {
                    updateIndex: Boolean, shingleN: Int = 3,
                    candidates: String = "prefix",
                    runTag: String = "",
-                   clusterBase: String = ""): Unit = {
+                   clusterBase: String = "",
+                   clusterTrackEdges: Boolean = true): Unit = {
     val spark = batch.sparkSession
     // The index stamp must be stable across restarts of this run (a
     // replayed batch must see and exclude its first attempt's rows) but
@@ -101,7 +104,8 @@ object IngestDedup {
       if (clusterBase.nonEmpty)
         ClusterIndex.fold(spark, clusterBase,
           edges, batch.select(col(idCol)),
-          ClusterIndex.streamFoldId(batchId))
+          ClusterIndex.streamFoldId(batchId),
+          trackEdges = clusterTrackEdges)
       if (updateIndex)
         DedupIndex.appendKept(spark, base, batch, verdicts,
           textCol, idCol, blockCol, threshold, shingleN, batchId = stamp)

@@ -819,6 +819,24 @@ class ExtSpec extends AnyFunSuite {
       Set((2L, 3L)))
   }
 
+  test("ClusterIndex.fold(trackEdges = false): identical labels, no edge " +
+       "state, withdraw refuses loudly") {
+    import graft.ext.ClusterIndex
+    val base = ccScratch()
+    def edges(ps: (Long, Long)*) = ps.toDF("id_a", "id_b")
+    def ids(xs: Long*) = xs.toDF("id")
+    ClusterIndex.fold(spark, base, edges((1L, 2L), (2L, 3L)),
+      ids(1L, 2L, 3L), 0L, trackEdges = false)
+    assert(ccState(base) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(!new java.io.File(s"$base/edges").exists(),
+      "trackEdges = false must not materialize edge state")
+    val err = intercept[IllegalArgumentException](
+      ClusterIndex.withdraw(spark, base, ids(2L),
+        ClusterIndex.nextBatchId(spark, base)))
+    assert(err.getMessage.contains("edge"),
+      s"withdraw on an edge-less index must refuse loudly: ${err.getMessage}")
+  }
+
   test("DedupIndex.compactPartial == compact for every probe: verdicts " +
        "equal, tombstoned ids physically gone from exact/sh, files carried") {
     import graft.ext.DedupIndex
