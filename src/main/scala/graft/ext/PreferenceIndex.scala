@@ -152,6 +152,20 @@ object PreferenceIndex {
       .groupBy("batch_id", "winner", "loser").agg(sum("n").as("n"))
   }
 
+  /** The live TIE matrix resolved per batch — (batch_id, a, b, n) under
+    * the same delete-wins masking as [[ties]]: the standing-index feed
+    * for tie-aware windowed drift fits (batch id ≡ window id, exactly
+    * like [[matrixByBatch]]). Empty for win-only indexes. */
+  def tiesByBatch(spark: SparkSession, base: String): DataFrame = {
+    heal(spark, base)
+    val tombs = readOr(spark, s"$base/tombs", tombsSchema)
+      .select(col("item")).distinct()
+    readOr(spark, s"$base/ties", tiesSchema)
+      .join(tombs.select(col("item").as("a")), Seq("a"), "left_anti")
+      .join(tombs.select(col("item").as("b")), Seq("b"), "left_anti")
+      .groupBy("batch_id", "a", "b").agg(sum("n").as("n"))
+  }
+
   /** Retire the pending tombstones while PRESERVING per-batch history —
     * the drift-probe sibling of [[compact]] (which folds everything
     * into one consolidated batch and so destroys the batch ≡ window

@@ -2651,6 +2651,14 @@ object TrainPrepQueries {
         greatest(col("winner"), col("loser")).as("j"))
       .groupBy("b", "i", "j").agg(count(lit(1)).as("n"))
       .localCheckpoint()
+    rkDriftReport(comp, tie)
+  }
+
+  /** The per-window Rao–Kupper drift report over (b, winner, loser, n)
+    * wins and (b, i, j, n) draws — shared by the batch q_rk_drift and
+    * the standing-index q_rk_drift_idx so the two surfaces cannot
+    * diverge. */
+  private def rkDriftReport(comp: DataFrame, tie: DataFrame): DataFrame = {
     val g = graft.ext.Preference.rkRatingsGrouped(comp, tie, iters = 3)
     val wins = comp.groupBy(col("b"), col("winner").as("item"))
       .agg(sum("n").as("w0"))
@@ -2679,6 +2687,117 @@ object TrainPrepQueries {
         (col("prev_rank") - col("rank")).as("rank_delta"))
   }
 
+  // --------------------------------------------------------- q_rk_drift_idx
+
+  /** Tie-aware leaderboard drift AS A STANDING-INDEX PROBE — the
+    * [[qBtDriftIdx]] lifecycle with DRAWS as first-class state,
+    * completing the {BT, RK} × {batch recompute, standing index}
+    * matrix:
+    *
+    *  1. each window's judgments (wins AND draws) append as their own
+    *     batch ([[graft.ext.PreferenceIndex.appendJudgments]] — one
+    *     batch id stamps the window's edges delta and ties delta
+    *     together);
+    *  2. the lexicographically-smallest item is WITHDRAWN — delete-wins
+    *     masks its wins and its draws in every window;
+    *  3. [[graft.ext.PreferenceIndex.compactBatched]] retires the
+    *     tombstone PARTIALLY (only delta partitions holding the item's
+    *     rows rewrite) while preserving per-batch history;
+    *  4. the item re-enters: its last-window judgments (including
+    *     draws) append as a fresh late batch.
+    *
+    * Output is the q_rk_drift report read off
+    * [[graft.ext.PreferenceIndex.matrixByBatch]] +
+    * [[graft.ext.PreferenceIndex.tiesByBatch]]: the withdrawn item
+    * vanishes from every original window — and its departure moves the
+    * per-window THETA too, since its draws leave the tie mass — then
+    * reappears in the late window. The oracle replays extraction →
+    * masking of wins AND draws → re-admission → every window's
+    * tie-aware fit with closed-form theta roots. */
+  def qRkDriftIdx(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s"${Scratch.fresh(s, "rkdriftidx", dir)}/pref"
+    val o = prefOutcomesWindowedTies(s, dir).localCheckpoint()
+    val judg = o.select(col("b"), col("winner").as("ia"),
+      col("loser").as("ib"),
+      when(col("decided"), lit("a")).otherwise(lit("tie")).as("oc"))
+    val windows = o.select("b").distinct().as[Long].collect().sorted
+    windows.foreach { w =>
+      graft.ext.PreferenceIndex.appendJudgments(s, base,
+        judg.filter(col("b") === w), "ia", "ib", "oc", batchId = w)
+    }
+    val m = o
+      .agg(least(min(col("winner")), min(col("loser")))).head.getString(0)
+    graft.ext.PreferenceIndex.withdraw(s, base, Seq(m).toDF("item"),
+      "item", batchId = windows.max + 1)
+    graft.ext.PreferenceIndex.compactBatched(s, base)
+    graft.ext.PreferenceIndex.appendJudgments(s, base,
+      judg.filter(col("b") === windows.max &&
+        (col("ia") === m || col("ib") === m)),
+      "ia", "ib", "oc", batchId = windows.max + 1)
+    val comp = graft.ext.PreferenceIndex.matrixByBatch(s, base)
+      .withColumnRenamed("batch_id", "b").localCheckpoint()
+    val tie = graft.ext.PreferenceIndex.tiesByBatch(s, base)
+      .select(col("batch_id"), col("a").as("i"), col("b").as("j"), col("n"))
+      .withColumnRenamed("batch_id", "b").localCheckpoint()
+    rkDriftReport(comp, tie)
+  }
+
+  /** Replays the lifecycle in closed form: the min item masked out of
+    * every window's wins AND draws, its last-window judgments
+    * re-entering as window max+1, then the shared per-window tie-aware
+    * fit. */
+  lazy val qRkDriftIdxSql: String =
+    s"""WITH $rkWindowedOCtes,
+       |comp0 AS MATERIALIZED (SELECT b, winner, loser, count(*)::BIGINT AS n
+       | FROM o WHERE decided GROUP BY 1, 2, 3),
+       |tcomp0 AS MATERIALIZED (SELECT b, least(winner, loser) AS i,
+       |  greatest(winner, loser) AS j, count(*)::BIGINT AS n
+       | FROM o WHERE NOT decided GROUP BY 1, 2, 3),
+       |m AS (SELECT least(min(winner), min(loser)) AS item FROM o),
+       |maxb AS (SELECT max(b) AS b FROM o),
+       |comp AS MATERIALIZED (
+       |  SELECT b, winner, loser, n FROM comp0
+       |  WHERE winner <> (SELECT item FROM m)
+       |    AND loser <> (SELECT item FROM m)
+       |  UNION ALL
+       |  SELECT (SELECT b FROM maxb) + 1 AS b, winner, loser, n FROM comp0
+       |  WHERE b = (SELECT b FROM maxb)
+       |    AND (winner = (SELECT item FROM m)
+       |      OR loser = (SELECT item FROM m))),
+       |tcomp AS MATERIALIZED (
+       |  SELECT b, i, j, n FROM tcomp0
+       |  WHERE i <> (SELECT item FROM m) AND j <> (SELECT item FROM m)
+       |  UNION ALL
+       |  SELECT (SELECT b FROM maxb) + 1 AS b, i, j, n FROM tcomp0
+       |  WHERE b = (SELECT b FROM maxb)
+       |    AND (i = (SELECT item FROM m) OR j = (SELECT item FROM m))),
+       |$rkWindowedFitCtes,
+       |winsw AS (SELECT b, winner AS item, sum(n)::BIGINT AS w FROM comp
+       | GROUP BY 1, 2),
+       |tiesw AS (SELECT b, item, sum(n)::BIGINT AS t FROM (
+       |  SELECT b, i AS item, n FROM tcomp
+       |  UNION ALL SELECT b, j AS item, n FROM tcomp) GROUP BY 1, 2),
+       |lossw AS (SELECT b, loser AS item, sum(n)::BIGINT AS l FROM comp
+       | GROUP BY 1, 2)
+       |SELECT rk.b AS window_id, rk.item,
+       |  coalesce(wi.w, 0)::BIGINT AS n_wins,
+       |  coalesce(tb.t, 0)::BIGINT AS n_ties,
+       |  (coalesce(wi.w, 0) + coalesce(tb.t, 0) + coalesce(lo.l, 0))::BIGINT
+       |    AS n_comparisons,
+       |  ${Oracle.sqlQ6("rk.gamma")} AS rating_q6,
+       |  ${Oracle.sqlQ6("th.t")} AS theta_q6,
+       |  rk.rank,
+       |  lag(rk.rank) OVER (PARTITION BY rk.item ORDER BY rk.b ASC)
+       |    AS prev_rank,
+       |  lag(rk.rank) OVER (PARTITION BY rk.item ORDER BY rk.b ASC)
+       |    - rk.rank AS rank_delta
+       |FROM ranked rk
+       |JOIN bth3 th ON th.b = rk.b
+       |LEFT JOIN winsw wi ON wi.item = rk.item AND wi.b = rk.b
+       |LEFT JOIN tiesw tb ON tb.item = rk.item AND tb.b = rk.b
+       |LEFT JOIN lossw lo ON lo.item = rk.item AND lo.b = rk.b""".stripMargin
+
   /** One tie-aware judgment per (user, 7-day window): best-vs-worst
     * among the user's events INSIDE the window with the decided flag at
     * margin 200 — the windowed twin of [[prefOutcomesTies]]. */
@@ -2699,9 +2818,10 @@ object TrainPrepQueries {
       .select(col("b"), col("winner"), col("loser"),
         (col("bv") - col("wv") >= 200.0).as("decided"))
 
-  /** The windowed tie-aware outcome CTEs (r/o/comp/tcomp) shared by
-    * q_rk_drift and q_rk_drift_ci, so their replays cannot drift. */
-  private val rkWindowedBaseCtes: String =
+  /** The windowed tie-aware judgment extraction (r/o) shared by
+    * q_rk_drift, q_rk_drift_ci AND the index-lifecycle twin
+    * q_rk_drift_idx (whose comp/tcomp add masking + re-admission). */
+  private val rkWindowedOCtes: String =
     """r AS MATERIALIZED (SELECT user_id, event_type, event_id, value,
       |  CAST(floor(datediff('day', DATE '2024-01-01',
       |    CAST(ts AS DATE)) / 7.0) AS BIGINT) AS b,
@@ -2721,12 +2841,17 @@ object TrainPrepQueries {
       |  w.event_type AS loser, (b.value - w.value >= 200.0) AS decided
       | FROM (SELECT * FROM r WHERE rb = 1) b
       | JOIN (SELECT * FROM r WHERE rw = 1) w USING (user_id, b)
-      | WHERE b.nc >= 2 AND b.event_type <> w.event_type),
-      |comp AS MATERIALIZED (SELECT b, winner, loser, count(*)::BIGINT AS n
-      | FROM o WHERE decided GROUP BY 1, 2, 3),
-      |tcomp AS MATERIALIZED (SELECT b, least(winner, loser) AS i,
-      |  greatest(winner, loser) AS j, count(*)::BIGINT AS n
-      | FROM o WHERE NOT decided GROUP BY 1, 2, 3)""".stripMargin
+      | WHERE b.nc >= 2 AND b.event_type <> w.event_type)""".stripMargin
+
+  /** The windowed tie-aware outcome CTEs (r/o/comp/tcomp) shared by
+    * q_rk_drift and q_rk_drift_ci, so their replays cannot drift. */
+  private val rkWindowedBaseCtes: String =
+    s"""$rkWindowedOCtes,
+       |comp AS MATERIALIZED (SELECT b, winner, loser, count(*)::BIGINT AS n
+       | FROM o WHERE decided GROUP BY 1, 2, 3),
+       |tcomp AS MATERIALIZED (SELECT b, least(winner, loser) AS i,
+       |  greatest(winner, loser) AS j, count(*)::BIGINT AS n
+       | FROM o WHERE NOT decided GROUP BY 1, 2, 3)""".stripMargin
 
   /** The per-window (point-fit) Rao–Kupper CTEs shared by q_rk_drift
     * and q_rk_drift_ci: augmented edges, grids, three MM iterations
@@ -3477,6 +3602,7 @@ object TrainPrepQueries {
     "q_bt_drift"           -> (qBtDrift _),
     "q_bt_drift_ci"        -> (qBtDriftCi _),
     "q_rk_drift"           -> (qRkDrift _),
+    "q_rk_drift_idx"       -> (qRkDriftIdx _),
     "q_rk_drift_ci"        -> (qRkDriftCi _),
     "q_bt_drift_idx"       -> (qBtDriftIdx _),
     "q_bt_calibration"     -> (qBtCalibration _),
@@ -3536,6 +3662,7 @@ object TrainPrepQueries {
     "q_bt_drift"           -> qBtDriftSql,
     "q_bt_drift_ci"        -> qBtDriftCiSql,
     "q_rk_drift"           -> qRkDriftSql,
+    "q_rk_drift_idx"       -> qRkDriftIdxSql,
     "q_rk_drift_ci"        -> qRkDriftCiSql,
     "q_bt_drift_idx"       -> qBtDriftIdxSql,
     "q_bt_calibration"     -> qBtCalibrationSql,
