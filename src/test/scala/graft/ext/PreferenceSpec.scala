@@ -283,6 +283,32 @@ class PreferenceSpec extends AnyFunSuite {
       Set((0L, "A", "B", 3L), (1L, "A", "B", 7L)))
   }
 
+  test("tiesByBatch: per-window tie state equals the batch aggregation, " +
+       "delete-wins masks draws in every window") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pref").toString +
+      "/idx"
+    val judg = Seq(
+      (0L, "A", "B", "a"), (0L, "A", "C", "tie"), (0L, "B", "C", "tie"),
+      (1L, "C", "A", "tie"), (1L, "B", "A", "b")).toDF("b", "ia", "ib", "oc")
+    Seq(0L, 1L).foreach { w =>
+      PreferenceIndex.appendJudgments(spark, base,
+        judg.filter(col("b") === w), "ia", "ib", "oc", batchId = w)
+    }
+    def tb() = PreferenceIndex.tiesByBatch(spark, base)
+      .as[(Long, String, String, Long)].collect().toSet
+    // the index state equals aggregating the judgment log directly
+    assert(tb() == Set((0L, "A", "C", 1L), (0L, "B", "C", 1L),
+      (1L, "A", "C", 1L)))
+    // withdrawal masks the item's draws in EVERY window, batch order
+    // notwithstanding (delete-wins)
+    PreferenceIndex.withdraw(spark, base, Seq("C").toDF("item"), "item", 2L)
+    assert(tb() == Set.empty)
+    // and the wins view agrees: only the A-beats-B edges survive
+    assert(PreferenceIndex.matrixByBatch(spark, base)
+      .as[(Long, String, String, Long)].collect().toSet ==
+      Set((0L, "A", "B", 1L), (1L, "A", "B", 1L)))
+  }
+
   test("pairWinRates: hand-checked Wilson cell; ties count half; interval brackets p") {
     val comp = Seq(("a", "b", 3L), ("b", "a", 1L), ("c", "d", 100L))
       .toDF("winner", "loser", "n")
