@@ -311,12 +311,22 @@ object ClusterIndex {
             .join(survivors.select(col("id").as("b")), Seq("b"), "left_semi")
           val relabel = Dedup.clusters(survivors,
             ccEdges.select(col("a").as("id_a"), col("b").as("id_b")))
+          // EDGE RETRACTIONS FIRST: a crash between the two writes
+          // followed by a re-run under a FRESH batch id (the documented
+          // id-claim procedure) still finds the withdrawn ids in
+          // `current` (the membership delta is the second write), so the
+          // re-run recomputes and completes — whereas membership-first
+          // would leave the re-run seeing `w` empty and no-op, with
+          // stale alive=true edges incident to retracted nodes that a
+          // LATER withdraw of the same component would count as
+          // surviving connectivity. (Same-batch-id replays were always
+          // safe either way: excludeBatchId hides the first attempt.)
+          writeEdges(base, batchId,
+            retract.withColumn("alive", lit(false)))
           writeDelta(base, batchId,
             relabel.select(col("id"), col("cluster").as("cid"))
               .unionByName(
                 w.select(col("id"), lit(RetractedCid).as("cid"))))
-          writeEdges(base, batchId,
-            retract.withColumn("alive", lit(false)))
         } finally graft.exec.Partitioning.unpersistCheckpoint(e)
       } finally graft.exec.Partitioning.unpersistCheckpoint(w)
     } finally graft.exec.Partitioning.unpersistCheckpoint(cur)
@@ -395,18 +405,31 @@ object ClusterIndex {
     * id — resume folding with batch ids above it. */
   def compact(spark: SparkSession, base: String): Long = {
     val c = nextBatchId(spark, base) // heals on entry
+    // A trackEdges=false index holds NO edges dir — and compacting must
+    // keep it that way: an (empty) consolidated edges write would
+    // create `$base/edges` with _SUCCESS, [[withdraw]]'s
+    // directory-existence guard would then pass, and a withdrawal
+    // would silently re-label against the phantom-empty edge set
+    // (splitting every touched cluster into singletons) instead of
+    // refusing loudly. Edge state exists after compact IFF it existed
+    // before.
+    val edgesTracked =
+      fs(spark).exists(new org.apache.hadoop.fs.Path(s"$base/edges"))
     val folded = current(spark, base).localCheckpoint()
-    val foldedEdges = liveEdges(spark, base)
-      .withColumn("alive", lit(true)).localCheckpoint()
+    val foldedEdges =
+      if (edgesTracked)
+        Some(liveEdges(spark, base)
+          .withColumn("alive", lit(true)).localCheckpoint())
+      else None
     try {
       writeMarker(spark, startMarker(base), c)
       writeDelta(base, c, folded)
-      writeEdges(base, c, foldedEdges)
+      foldedEdges.foreach(writeEdges(base, c, _))
       writeMarker(spark, commitMarker(base), c)
       heal(spark, base)
     } finally {
       graft.exec.Partitioning.unpersistCheckpoint(folded)
-      graft.exec.Partitioning.unpersistCheckpoint(foldedEdges)
+      foldedEdges.foreach(graft.exec.Partitioning.unpersistCheckpoint)
     }
     c
   }

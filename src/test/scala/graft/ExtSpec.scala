@@ -819,6 +819,33 @@ class ExtSpec extends AnyFunSuite {
       Set((2L, 3L)))
   }
 
+  test("ClusterIndex.withdraw: a crash between the edge-retraction and " +
+       "membership writes recovers under a FRESH batch id") {
+    import graft.ext.ClusterIndex
+    val base = ccScratch()
+    def edges(ps: (Long, Long)*) = ps.toDF("id_a", "id_b")
+    def ids(xs: Long*) = xs.toDF("id")
+    ClusterIndex.fold(spark, base, edges((1L, 2L), (2L, 3L)),
+      ids(1L, 2L, 3L), 0L)
+    // Simulate a withdraw(2) that died after its FIRST write — the edge
+    // retractions (the write-order contract) — and before the
+    // membership delta:
+    val crashBid = ClusterIndex.nextBatchId(spark, base)
+    Seq((1L, 2L, false), (2L, 3L, false)).toDF("a", "b", "alive")
+      .withColumn("batch_id", lit(crashBid))
+      .write.mode("append").partitionBy("batch_id").parquet(s"$base/edges")
+    // the documented recovery: re-issue under a FRESH batch id. The
+    // withdrawn id is still in `current` (the membership delta never
+    // landed), so the re-run proceeds and completes the takedown —
+    // membership-first ordering would see it already gone and no-op,
+    // stranding stale alive=true edges.
+    ClusterIndex.withdraw(spark, base, ids(2L),
+      ClusterIndex.nextBatchId(spark, base))
+    assert(ccState(base) == Map(1L -> 1L, 3L -> 3L))
+    assert(ClusterIndex.liveEdges(spark, base).count() == 0,
+      "no live edge may remain incident to the withdrawn node")
+  }
+
   test("ClusterIndex.fold(trackEdges = false): identical labels, no edge " +
        "state, withdraw refuses loudly") {
     import graft.ext.ClusterIndex
@@ -835,6 +862,20 @@ class ExtSpec extends AnyFunSuite {
         ClusterIndex.nextBatchId(spark, base)))
     assert(err.getMessage.contains("edge"),
       s"withdraw on an edge-less index must refuse loudly: ${err.getMessage}")
+    // compaction must PRESERVE edge-lessness: an unconditional (empty)
+    // consolidated edges write would create $base/edges and let the
+    // directory-existence guard pass — withdraw would then silently
+    // split every touched cluster against the phantom-empty edge set
+    ClusterIndex.compact(spark, base)
+    assert(ccState(base) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(!new java.io.File(s"$base/edges").exists(),
+      "compact on a trackEdges = false index must not materialize edges")
+    val errAfter = intercept[IllegalArgumentException](
+      ClusterIndex.withdraw(spark, base, ids(2L),
+        ClusterIndex.nextBatchId(spark, base)))
+    assert(errAfter.getMessage.contains("edge"),
+      "withdraw must still refuse loudly AFTER a compaction: " +
+        errAfter.getMessage)
   }
 
   test("DedupIndex.compactPartial == compact for every probe: verdicts " +
