@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions.{broadcast, col, lit}
   *    [[heal]], which every index API calls on entry;
   *  - every publish prunes version dirs outside its keep-set, so
   *    repeated rebuilds cannot leak one full snapshot per call. */
-private[ext] object BucketedTables {
+private[graft] object BucketedTables {
 
   /** External-table location root as a Hadoop filesystem URI: taken from
     * `spark.graft.index.root` (set it to an `hdfs://`/`s3a://` prefix to
@@ -146,10 +146,15 @@ private[ext] object BucketedTables {
         tombs, Seq("id"), bucketsOf(spark, tombs), SaveMode.Overwrite)
 
   /** Truncate a bucketed table via a crash-safe overwrite — the
-    * tombstone GC both indexes run after a compaction's swaps. */
+    * tombstone GC both indexes run after a compaction's swaps. An
+    * already-empty table skips the rewrite: the one-row existence probe
+    * costs far less than the overwrite's write job + two catalog ops +
+    * prune, and empty-tombstone compactions are the steady state of a
+    * takedown-light index. */
   def truncateBucketed(spark: SparkSession, table: String,
                        keys: Seq[String]): Unit =
-    if (spark.catalog.tableExists(table))
+    if (spark.catalog.tableExists(table) &&
+        !spark.table(table).limit(1).isEmpty)
       writeBucketed(spark.table(table).limit(0), table, keys,
         bucketsOf(spark, table), SaveMode.Overwrite)
 
@@ -555,8 +560,17 @@ private[ext] object BucketedTables {
     * global dedup — no exchange anywhere in the plan (asserted in
     * IOSpec), in contrast to a `distinct()` that would full-shuffle the
     * corpus artifact set. */
-  def compactionFrame(spark: SparkSession, table: String): DataFrame = {
-    val df = spark.table(table)
+  def compactionFrame(spark: SparkSession, table: String): DataFrame =
+    adjacentDedup(spark.table(table))
+
+  /** Whole-row dedup WITHOUT an exchange: per-partition sort + adjacent
+    * filter. A global dedup whenever identical rows already co-locate —
+    * a forced bucketed scan (identical rows co-bucket), or a frame just
+    * repartitioned on a column subset (identical rows share every
+    * column, so any column-hash co-locates them). The alternative,
+    * `distinct()`, would shuffle the frame a second time on ALL
+    * columns. */
+  def adjacentDedup(df: DataFrame): DataFrame = {
     val cols = df.columns.map(org.apache.spark.sql.functions.col).toSeq
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.Encoders.row(df.schema)
@@ -575,6 +589,75 @@ private[ext] object BucketedTables {
     try { spark.conf.set(conf, "false"); body }
     finally spark.conf.set(conf, prev)
   }
+
+  /** Run `body` with parquet writers rolling to a new file every `rows`
+    * rows (Spark's own `maxRecordsPerFile`, restored after). Bucketed
+    * writes keep the bucket id in every rolled file's name
+    * (`..._NNNNN.c0/.c1/...`), so bucket pruning and the bucketed reader
+    * are unaffected — what changes is the REWRITE UNIT of partial
+    * compaction: a corpus-sized snapshot stops being one file per
+    * bucket (where one tombstone dirties 1/buckets of the corpus) and
+    * becomes row-capped files (one tombstone dirties ≤ `rows` rows).
+    * `rows <= 0` leaves the session setting untouched. */
+  def withMaxRecordsPerFile[A](spark: SparkSession, rows: Long)(body: => A): A =
+    if (rows <= 0) body
+    else {
+      val conf = "spark.sql.files.maxRecordsPerFile"
+      val prev = spark.conf.get(conf, "0")
+      try { spark.conf.set(conf, rows.toString); body }
+      finally spark.conf.set(conf, prev)
+    }
+
+  /** The full-vs-partial compaction dispatch policy, pure so tests can
+    * pin the crossover. Partial compaction's data term is
+    * deletion-bounded but it pays fixed jobs a full fold does not (the
+    * dirty-file discovery scan, per-file carry links) — measured on
+    * identical twins (compactbench/anncompactbench artifacts), the full
+    * fold wins below a corpus-size crossover and whenever most files
+    * are dirty anyway:
+    *
+    *  - `totalFiles < minFiles` → "full": the corpus is small enough
+    *    that rewriting it costs less than partial's fixed jobs
+    *    (file count is the right proxy — files are row-capped, so
+    *    count tracks corpus size at the granularity that matters);
+    *  - `dirtyFiles > maxDirtyShare · totalFiles` → "full": the rewrite
+    *    set IS the corpus, so partial would pay its overhead on top of
+    *    the same data term;
+    *  - otherwise → "partial".
+    */
+  def compactionChoice(totalFiles: Int, dirtyFiles: Int,
+                       minFiles: Int, maxDirtyShare: Double): String =
+    if (totalFiles < minFiles) "full"
+    else if (dirtyFiles > maxDirtyShare * totalFiles) "full"
+    else "partial"
+
+  /** The live files of `table` physically holding a tombstoned row —
+    * partial compaction's rewrite set, shared by both standing indexes.
+    * Discovery reads the id column + `input_file_name` only (parquet
+    * prunes everything else — vectors/text never decode). The tombstone
+    * set is delta-sized by contract, so it collects to an `IN`-literal
+    * list, which parquet's row-group min/max stats then prune against —
+    * on a mostly-clean corpus the scan reads footers, not rows; a
+    * degenerate tombstone set (> `inListMax`) falls back to the
+    * broadcast semi-join. */
+  def dirtyFiles(spark: SparkSession, table: String,
+                 tombIds: Option[DataFrame],
+                 inListMax: Int = 10000): Set[String] =
+    tombIds match {
+      case Some(t) if spark.table(table).columns.contains("id") =>
+        import org.apache.spark.sql.functions.input_file_name
+        val scan = spark.table(table)
+          .select(col("id"), input_file_name().as("f"))
+        val ids = t.limit(inListMax + 1).collect().map(_.get(0))
+        val matched =
+          if (ids.isEmpty) return Set.empty
+          else if (ids.length <= inListMax)
+            scan.filter(col("id").isin(ids.toIndexedSeq: _*))
+          else scan.join(broadcast(t), Seq("id"), "left_semi")
+        matched.select(col("f")).distinct().collect()
+          .map(r => new Path(r.getString(0)).toUri.getPath).toSet
+      case _ => Set.empty
+    }
 
   /** Carry the parquet files of `buckets` from `table`'s LIVE snapshot
     * dir into `destDir` unchanged (names preserved — the bucket id is

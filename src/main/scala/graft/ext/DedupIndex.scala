@@ -332,6 +332,12 @@ object DedupIndex {
   def compact(spark: SparkSession, base: String): Unit =
    BucketedTables.withWriterLease(spark, exactTable(base), "compaction") {
     healInterrupted(spark, base)
+    compactImpl(spark, base)
+   }
+
+  /** [[compact]] body, unleased and pre-healed — [[compactAuto]] calls
+    * it while already holding the writer lease (not reentrant). */
+  private def compactImpl(spark: SparkSession, base: String): Unit = {
     // epoch + tombstones read BEFORE any scan resolves (read-order
     // contract in BucketedTables.activeTombIds)
     val tombIds = BucketedTables.activeTombIds(spark, tombsTable(base),
@@ -365,7 +371,7 @@ object DedupIndex {
       BucketedTables.addSidecar(spark, exactTable(base), AppendedSidecar,
         s"0 $folded".getBytes("UTF-8"))
     }
-   }
+  }
 
   /** PARTIAL compaction: retire the pending tombstones and fold append
     * pressure by REWRITING ONLY THE FILES THAT NEED IT, carrying every
@@ -411,33 +417,34 @@ object DedupIndex {
                      rewriteFileThreshold: Int = Int.MaxValue): Unit =
    BucketedTables.withWriterLease(spark, exactTable(base), "compaction") {
     healInterrupted(spark, base)
+    compactPartialImpl(spark, base, rewriteFileThreshold,
+      precomputedExactDirty = None)
+   }
+
+  /** [[compactPartial]] body, unleased and pre-healed;
+    * `precomputedExactDirty` lets [[compactAuto]] hand over the exact
+    * table's dirty-file scan its dispatch decision already paid for
+    * (the sh table still discovers its own). */
+  private def compactPartialImpl(
+      spark: SparkSession, base: String, rewriteFileThreshold: Int,
+      precomputedExactDirty: Option[Set[String]]): Unit = {
     val tombIds = BucketedTables.activeTombIds(spark, tombsTable(base),
       BucketedTables.snapshotEpoch(spark, exactTable(base)))
     // the FILES physically holding a tombstoned row — file precision,
     // not bucket precision: deletions are request-driven and sparse, so
     // the rewrite unit must be as small as the store's layout allows.
-    // Discovery is one id-column + file-name scan (parquet prunes every
-    // other column — in particular the exact table's text is never
-    // decoded), broadcast-joined against the tiny tombstone set.
-    def tombDirtyFiles(table: String): Set[String] =
-      tombIds match {
-        case Some(t) if spark.table(table).columns.contains("id") =>
-          val t0 = System.nanoTime()
-          // input_file_name is single-source: stamp it on the scan
-          // BEFORE the (broadcast) semi-join
-          val out = spark.table(table)
-            .select(col("id"), input_file_name().as("f"))
-            .join(broadcast(t), Seq("id"), "left_semi")
-            .select(col("f")).distinct()
-            .collect()
-            .map(r => new org.apache.hadoop.fs.Path(r.getString(0))
-              .toUri.getPath)
-            .toSet
-          System.err.println(f"[compactPartial] $table: dirty-file scan " +
-            f"${(System.nanoTime() - t0) / 1e9}%.2fs (${out.size} files)")
-          out
-        case _ => Set.empty
-      }
+    // Discovery ([[BucketedTables.dirtyFiles]]) is one id-column +
+    // file-name scan (parquet prunes every other column — in particular
+    // the exact table's text is never decoded) against the tiny
+    // tombstone set as an IN-literal list, so parquet row-group stats
+    // prune clean files to footer reads.
+    def tombDirtyFiles(table: String): Set[String] = {
+      val t0 = System.nanoTime()
+      val out = BucketedTables.dirtyFiles(spark, table, tombIds)
+      System.err.println(f"[compactPartial] $table: dirty-file scan " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs (${out.size} files)")
+      out
+    }
     val tables = Seq(
       shTable(base)    -> Seq("id"),
       prefTable(base)  -> Seq("bk"),
@@ -452,7 +459,10 @@ object DedupIndex {
         val deletionLocal =
           table == shTable(base) || table == exactTable(base)
         val dirty =
-          if (deletionLocal) tombDirtyFiles(table) else Set.empty[String]
+          if (!deletionLocal) Set.empty[String]
+          else if (table == exactTable(base) && precomputedExactDirty.isDefined)
+            precomputedExactDirty.get
+          else tombDirtyFiles(table)
         val rewriteFiles = files.collect {
           case (b, p) if pressure(b) || dirty(p.toUri.getPath) => p }
         val carried = files.map(_._2).filterNot(rewriteFiles.toSet)
@@ -467,18 +477,21 @@ object DedupIndex {
             // READ ONLY THE FILES THAT NEED REWRITING — clean files are
             // never decoded (the full-table scan was the last linear
             // cost in the fold). The raw file read loses the bucketed
-            // partitioning, so the (deletion-bounded) subset pays one
-            // whole-row distinct (folds replay duplicates WITHIN the
-            // subset; cross-file duplicates against carried files keep
-            // waiting for a full compact — they are verdict-neutral)
-            // and one repartition on the bucket keys: Spark's
-            // repartition hash IS the bucket assignment, so each write
-            // task holds exactly one bucket and writes one file.
-            BucketedTables.maskByTombs(
-              spark.read.schema(spark.table(table).schema)
-                .parquet(rewriteFiles.map(_.toString): _*), tombIds)
-              .distinct()
-              .repartition(n, keys.map(col): _*)
+            // partitioning, so the (deletion-bounded) subset pays ONE
+            // repartition on the bucket keys (Spark's repartition hash
+            // IS the bucket assignment, so each write task holds
+            // exactly one bucket) and a shuffle-free adjacent dedup
+            // (identical rows share their bucket keys, so the
+            // repartition already co-located them) — folding replay
+            // duplicates WITHIN the subset; cross-file duplicates
+            // against carried files keep waiting for a full compact
+            // (verdict-neutral).
+            BucketedTables.adjacentDedup(
+              BucketedTables.maskByTombs(
+                spark.read.schema(spark.table(table).schema)
+                  .parquet(rewriteFiles.map(_.toString): _*), tombIds)
+                .repartition(math.min(n, rewriteFiles.size),
+                  keys.map(col): _*))
         val t0 = System.nanoTime()
         val snap = writeSnapshot(spark, table, keys, subset)
         val t1 = System.nanoTime()
@@ -503,6 +516,38 @@ object DedupIndex {
       System.err.println(f"[compactPartial] tomb GC + sidecar " +
         f"${(System.nanoTime() - t3) / 1e9}%.2fs")
     }
+  }
+
+  /** Fold the standing index choosing full vs partial compaction
+    * AUTOMATICALLY ([[BucketedTables.compactionChoice]], the
+    * [[SimilarityIndex.compactAuto]] twin): partial when the anchor
+    * (exact) table has enough files to amortize partial's fixed jobs
+    * AND the deletion-dirty share leaves most of them clean; full
+    * otherwise. The anchor's dirty-file scan is handed to the partial
+    * fold, never paid twice. Returns the strategy that ran. Threshold
+    * defaults come from the committed crossover experiments
+    * (compactbench: partial ≈ full at 4k docs / ~50 steady-state exact
+    * files, wins 1.4–2× above). */
+  def compactAuto(spark: SparkSession, base: String,
+                  minFiles: Int = 48, maxDirtyShare: Double = 0.5,
+                  rewriteFileThreshold: Int = Int.MaxValue): String =
+   BucketedTables.withWriterLease(spark, exactTable(base), "compaction") {
+    healInterrupted(spark, base)
+    val totalFiles =
+      BucketedTables.bucketFilePaths(spark, exactTable(base)).size
+    // cheap gate first: below the crossover, decide without paying the
+    // dirty-file discovery scan the partial path would need
+    val dirty: Option[Set[String]] =
+      if (totalFiles < minFiles) None
+      else Some(BucketedTables.dirtyFiles(spark, exactTable(base),
+        BucketedTables.activeTombIds(spark, tombsTable(base),
+          BucketedTables.snapshotEpoch(spark, exactTable(base)))))
+    val choice = BucketedTables.compactionChoice(totalFiles,
+      dirty.map(_.size).getOrElse(0), minFiles, maxDirtyShare)
+    if (choice == "partial")
+      compactPartialImpl(spark, base, rewriteFileThreshold, dirty)
+    else compactImpl(spark, base)
+    choice
    }
 
   /** Fold an append's doc count into the [[AppendedSidecar]]. Missing

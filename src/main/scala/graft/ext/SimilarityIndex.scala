@@ -56,6 +56,24 @@ object SimilarityIndex {
 
   private val QuantizerSidecar = "_quantizer"
 
+  /** Row cap per parquet file in the cells table's corpus-sized writes
+    * (build + compaction snapshots; appends are delta-sized already).
+    * This is what makes the ANN rewrite unit DELETION-BOUNDED: with one
+    * file per bucket, a single tombstone dirties 1/buckets of the
+    * corpus (at k=16 cells, 12 tombstones rewrote 12/16 of it —
+    * anncompactbench r13's negative result); with row-capped files a
+    * tombstone dirties at most `rowsPerFile` rows, so partial
+    * compaction's data term is |tombstones| × rowsPerFile regardless of
+    * corpus size. Default 2048 rows (~600 KB at dim-64 float) suits the
+    * test scale; production tunes it to its target file size (e.g.
+    * ~500k rows per 128 MB at dim 64 — the locality argument only needs
+    * file ≪ bucket). Bucket pruning and the bucketed reader are
+    * unaffected: rolled files keep the bucket id in their names. */
+  val RowsPerFileConfKey = "spark.graft.index.ann.rowsPerFile"
+
+  private def rowsPerFile(spark: SparkSession): Long =
+    spark.conf.getOption(RowsPerFileConfKey).map(_.toLong).getOrElse(2048L)
+
   /** PQ codebooks (codec = "pq" only): the fine quantizer rides in the
     * snapshot dir beside the coarse one, carried by [[compact]] like the
     * quantizer — a snapshot is always complete (cells + every sidecar
@@ -172,14 +190,16 @@ object SimilarityIndex {
       if (codec == "pq")
         Similarity.pqTrainCodebooks(corpus, vecCol, idCol, pqM, pqK, iters)
       else Nil
-    BucketedTables.writeBucketed(
-      encodeCells(
-        Similarity.assignCells(corpus, vecCol, idCol, cids.zip(cents)),
-        codec, books),
-      cellsTable(base), Seq("cell"), buckets, SaveMode.Overwrite,
-      sidecar = Seq(QuantizerSidecar -> encodeQuantizer(cids.zip(cents))) ++
-        (if (codec == "pq") Seq(PqSidecar -> encodePqCodebooks(books))
-         else Nil))
+    BucketedTables.withMaxRecordsPerFile(spark, rowsPerFile(spark)) {
+      BucketedTables.writeBucketed(
+        encodeCells(
+          Similarity.assignCells(corpus, vecCol, idCol, cids.zip(cents)),
+          codec, books),
+        cellsTable(base), Seq("cell"), buckets, SaveMode.Overwrite,
+        sidecar = Seq(QuantizerSidecar -> encodeQuantizer(cids.zip(cents))) ++
+          (if (codec == "pq") Seq(PqSidecar -> encodePqCodebooks(books))
+           else Nil))
+    }
     // The commit above changed the snapshot epoch, so every pending
     // tombstone is ALREADY inert (a rebuild starts a new logical index
     // whose re-ingested ids must not be masked); dropping the table is
@@ -306,6 +326,12 @@ object SimilarityIndex {
   def compact(spark: SparkSession, base: String): Unit =
    BucketedTables.withWriterLease(spark, cellsTable(base), "compaction") {
     BucketedTables.heal(spark, Seq(cellsTable(base), tombsTable(base)))
+    compactImpl(spark, base)
+   }
+
+  /** [[compact]] body, unleased and pre-healed — [[compactAuto]] calls
+    * it while already holding the writer lease (not reentrant). */
+  private def compactImpl(spark: SparkSession, base: String): Unit = {
     // epoch read FIRST (see BucketedTables.activeTombIds' read-order
     // contract), then the tombstone set, then the corpus scan
     val epoch = BucketedTables.snapshotEpoch(spark, cellsTable(base))
@@ -322,11 +348,12 @@ object SimilarityIndex {
           sc -> BucketedTables.readSidecar(spark, cellsTable(base), sc)
       }
     BucketedTables.withForcedBucketedScan(spark) {
-      val snap =
+      val snap = BucketedTables.withMaxRecordsPerFile(spark, rowsPerFile(spark)) {
         BucketedTables.writeSnapshot(spark, cellsTable(base), Seq("cell"),
           BucketedTables.maskByTombs(
             BucketedTables.compactionFrame(spark, cellsTable(base)), tombIds),
           sidecar = carried)
+      }
       // liveness heartbeat at the phase boundary (snapshot written,
       // about to swap) — what leaseInfo's staleness check observes
       BucketedTables.renewLease(spark, cellsTable(base))
@@ -347,7 +374,7 @@ object SimilarityIndex {
             .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)))
     }
-   }
+  }
 
   /** PARTIAL compaction of the standing ANN index: retire the pending
     * tombstones and fold append pressure by REWRITING ONLY THE FILES
@@ -382,6 +409,16 @@ object SimilarityIndex {
                      rewriteFileThreshold: Int = Int.MaxValue): Unit =
    BucketedTables.withWriterLease(spark, cellsTable(base), "compaction") {
     BucketedTables.heal(spark, Seq(cellsTable(base), tombsTable(base)))
+    compactPartialImpl(spark, base, rewriteFileThreshold,
+      precomputedDirty = None)
+   }
+
+  /** [[compactPartial]] body, unleased and pre-healed;
+    * `precomputedDirty` lets [[compactAuto]] reuse the dirty-file scan
+    * its dispatch decision already paid for. */
+  private def compactPartialImpl(spark: SparkSession, base: String,
+                                 rewriteFileThreshold: Int,
+                                 precomputedDirty: Option[Set[String]]): Unit = {
     val table = cellsTable(base)
     // epoch FIRST, then tombstones, then scans (activeTombIds contract)
     val epoch = BucketedTables.snapshotEpoch(spark, table)
@@ -400,16 +437,11 @@ object SimilarityIndex {
         Some(decodeCellStats(BucketedTables.readSidecar(
           spark, table, OccupancySidecar)).toMap)
       else None
-    val dirty: Set[String] = tombIds match {
-      case Some(t) =>
-        spark.table(table)
-          .select(col("id"), input_file_name().as("f"))
-          .join(broadcast(t), Seq("id"), "left_semi")
-          .select(col("f")).distinct().collect()
-          .map(r => new org.apache.hadoop.fs.Path(r.getString(0))
-            .toUri.getPath).toSet
-      case None => Set.empty
-    }
+    val tD = System.nanoTime()
+    val dirty: Set[String] = precomputedDirty.getOrElse(
+      BucketedTables.dirtyFiles(spark, table, tombIds))
+    System.err.println(f"[compactPartial] $table: dirty-file scan " +
+      f"${(System.nanoTime() - tD) / 1e9}%.2fs (${dirty.size} files)")
     val n = BucketedTables.bucketsOf(spark, table)
     val files = BucketedTables.bucketFilePaths(spark, table)
     val counts = files.groupBy(_._1).view.mapValues(_.size).toMap
@@ -421,7 +453,7 @@ object SimilarityIndex {
       df.groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
     BucketedTables.withForcedBucketedScan(spark) {
-      val (subset, occDelta: Option[(Map[Long, Long], Map[Long, Long])]) =
+      val (subset, occPre: Option[Map[Long, Long]]) =
         if (carried.isEmpty)
           // nothing worth carrying: the full fold's shuffle-free
           // partition-per-bucket dedup; occupancy re-bases from the
@@ -430,7 +462,7 @@ object SimilarityIndex {
             BucketedTables.compactionFrame(spark, table), tombIds), None)
         else if (rewriteFiles.isEmpty)
           (spark.table(table).limit(0), // carry everything, remove nothing
-            Some((Map.empty[Long, Long], Map.empty[Long, Long])))
+            Some(Map.empty[Long, Long]))
         else {
           // read ONLY the rewrite set (clean files never decode); the
           // subset pays one whole-row distinct (replay duplicates
@@ -439,26 +471,53 @@ object SimilarityIndex {
           // repartition onto the bucket keys
           val raw = spark.read.schema(spark.table(table).schema)
             .parquet(rewriteFiles.map(_.toString): _*)
-          val out = BucketedTables.maskByTombs(raw, tombIds)
-            .distinct().repartition(n, col("cell"))
-          (out, Some((perCell(raw), perCell(out))))
+          // one exchange total: repartition onto the bucket key, then
+          // the shuffle-free adjacent dedup (identical rows share their
+          // cell, so the repartition already co-located them). Partition
+          // count sized to the REWRITE SET, not the bucket count — the
+          // bucketed writer assigns buckets per row regardless of the
+          // incoming partitioning, so a 12-file rewrite does not need 64
+          // near-empty write tasks
+          (BucketedTables.adjacentDedup(
+            BucketedTables.maskByTombs(raw, tombIds)
+              .repartition(math.min(n, rewriteFiles.size), col("cell"))),
+            Some(perCell(raw)))
         }
-      val snap = BucketedTables.writeSnapshot(spark, table, Seq("cell"),
-        subset, sidecar = carriedSidecars)
+      val t0 = System.nanoTime()
+      val snap = BucketedTables.withMaxRecordsPerFile(spark, rowsPerFile(spark)) {
+        BucketedTables.writeSnapshot(spark, table, Seq("cell"),
+          subset, sidecar = carriedSidecars)
+      }
+      // post-fold occupancy of the rewritten subset, read back from the
+      // files the write just produced (the snap dir BEFORE the carry
+      // holds exactly them) — counting the subset FRAME instead would
+      // re-execute its whole plan, repartition exchange included
+      val occPost: Option[Map[Long, Long]] = occPre.map { _ =>
+        if (rewriteFiles.isEmpty) Map.empty[Long, Long]
+        else perCell(spark.read.schema(spark.table(table).schema).parquet(snap))
+      }
+      val t1 = System.nanoTime()
       if (carried.nonEmpty)
         BucketedTables.copyBucketFiles(spark, table, carried, snap)
+      val t2 = System.nanoTime()
       BucketedTables.renewLease(spark, table)
       BucketedTables.swapLocation(spark, table, snap)
+      val t3 = System.nanoTime()
       BucketedTables.truncateBucketed(spark, tombsTable(base), Seq("id"))
-      occDelta match {
-        case None =>
+      System.err.println(f"[compactPartial] $table: rewrite=" +
+        f"${rewriteFiles.size} carry=${carried.size} files; " +
+        f"write=${(t1 - t0) / 1e9}%.2fs carry=${(t2 - t1) / 1e9}%.2fs " +
+        f"swap=${(t3 - t2) / 1e9}%.2fs " +
+        f"tombGC=${(System.nanoTime() - t3) / 1e9}%.2fs")
+      (occPre, occPost) match {
+        case (None, _) =>
           // full-path occupancy re-base, exactly like compact()
           BucketedTables.addSidecar(spark, table, OccupancySidecar,
             encodeCellStats(
               spark.read.parquet(snap)
                 .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
                 .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)))
-        case Some((pre, post)) if occBefore.isDefined =>
+        case (Some(pre), Some(post)) if occBefore.isDefined =>
           val cur = occBefore.get
           val folded = (cur.keySet ++ pre.keySet ++ post.keySet).toSeq.sorted
             .map(c => (c, cur.getOrElse(c, 0L) - pre.getOrElse(c, 0L) +
@@ -469,6 +528,43 @@ object SimilarityIndex {
         case _ => () // legacy index without the sidecar: stays missing
       }
     }
+  }
+
+  /** Fold the standing index choosing full vs partial compaction
+    * AUTOMATICALLY from the live layout — the dispatch both controlled
+    * experiments bought ([[BucketedTables.compactionChoice]]): partial
+    * when the corpus has enough row-capped files to amortize the
+    * dirty-file discovery + carry links AND the deletion-dirty share
+    * leaves most files clean; full otherwise (a user calling
+    * compactPartial on a small index pays roughly double — the
+    * anncompactbench ratio-0.52 row). The dirty-file scan the decision
+    * needs is handed to the partial fold, never paid twice. Returns the
+    * strategy that ran ("full" | "partial") for operability and tests.
+    * Thresholds default from the committed crossover experiments
+    * (anncompactbench/compactbench); both are overridable per call. */
+  def compactAuto(spark: SparkSession, base: String,
+                  minFiles: Int = 48, maxDirtyShare: Double = 0.5,
+                  rewriteFileThreshold: Int = Int.MaxValue): String =
+   BucketedTables.withWriterLease(spark, cellsTable(base), "compaction") {
+    BucketedTables.heal(spark, Seq(cellsTable(base), tombsTable(base)))
+    val table = cellsTable(base)
+    val totalFiles = BucketedTables.bucketFilePaths(spark, table).size
+    // cheap gate first: below the crossover, decide without paying the
+    // dirty-file discovery scan the partial path would need
+    val dirty: Option[Set[String]] =
+      if (totalFiles < minFiles) None
+      else {
+        val epoch = BucketedTables.snapshotEpoch(spark, table)
+        val tombIds =
+          BucketedTables.activeTombIds(spark, tombsTable(base), epoch)
+        Some(BucketedTables.dirtyFiles(spark, table, tombIds))
+      }
+    val choice = BucketedTables.compactionChoice(totalFiles,
+      dirty.map(_.size).getOrElse(0), minFiles, maxDirtyShare)
+    if (choice == "partial")
+      compactPartialImpl(spark, base, rewriteFileThreshold, dirty)
+    else compactImpl(spark, base)
+    choice
    }
 
   /** Fold a batch of NEW vectors into the index — continuous ingestion.

@@ -50,10 +50,17 @@ object AnnCompactBench {
     spark.sparkContext.setLogLevel("WARN")
     val repl = if (args.length > 4) args(4).toInt else 1
     val e0 = Tables(spark, sfDir, "embeddings")
+    // Replication stride 2e9: ABOVE ScaleUp's vec_id stride × copies
+    // (1e7 × 100 ≤ 990M at sf10), so replicated ids never collide with
+    // the scaled fixture's own. The r13 runs used 1e7 — colliding with
+    // ScaleUp's stride — so every repl copy duplicated an existing row
+    // verbatim and the first compact folded the corpus back down
+    // (~218k distinct rows behind a "6.4M vectors" label); with a
+    // disjoint stride the distinct corpus actually scales with repl.
     val e =
       if (repl <= 1) e0
       else (0 until repl).map(i => e0.withColumn("vec_id",
-          col("vec_id") + lit(i.toLong * 10000000L)))
+          col("vec_id") + lit(i.toLong * 2000000000L)))
         .reduce(_.unionByName(_))
     val corpus = e.filter(col("vec_id") % 5 =!= 0).localCheckpoint()
     val delta = e.filter(col("vec_id") % 5 === 0).localCheckpoint()
@@ -71,12 +78,20 @@ object AnnCompactBench {
       SimilarityIndex.delete(spark, base, tomb)
     }
     build("t_acbench_full"); build("t_acbench_part")
+    // what compactAuto would dispatch on this state (file count + dirty
+    // share at its defaults) — committed next to the measured winner so
+    // the artifact shows the policy tracking the crossover
+    val files = graft.ext.BucketedTables
+      .bucketFilePaths(spark, SimilarityIndex.cellsTable("t_acbench_part"))
+      .size
+    val auto = graft.ext.BucketedTables
+      .compactionChoice(files, math.min(nDeletes, files), 48, 0.5)
     val fullSec = time(SimilarityIndex.compact(spark, "t_acbench_full"))
     val partSec = time(SimilarityIndex.compactPartial(spark, "t_acbench_part"))
     println(f"""{"sf":"$sfDir","n_vecs":$nVecs,"n_deletes":$nDeletes,""" +
-      f""""buckets":$buckets,"k":$k,"repl":$repl,""" +
-      f""""full_sec":$fullSec%.3f,"partial_sec":$partSec%.3f,""" +
-      f""""ratio":${fullSec / partSec}%.2f}""")
+      f""""buckets":$buckets,"k":$k,"repl":$repl,"files":$files,""" +
+      f""""auto":"$auto","full_sec":$fullSec%.3f,""" +
+      f""""partial_sec":$partSec%.3f,"ratio":${fullSec / partSec}%.2f}""")
     spark.stop()
   }
 }

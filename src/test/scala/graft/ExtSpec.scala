@@ -935,6 +935,39 @@ class ExtSpec extends AnyFunSuite {
     assert(verdicts("t_pcomp_a") == verdicts("t_pcomp_b"))
   }
 
+  test("DedupIndex.compactAuto: full below the file-count crossover, " +
+       "partial above; takedown folded and verdicts equal either way") {
+    import graft.ext.DedupIndex
+    val docs = Tables(spark, dir, "documents").select("doc_id", "lang", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    def build(base: String): Unit = {
+      DedupIndex.write(corpus, "text", "doc_id", "lang", base,
+        threshold = 0.5, buckets = 8)
+      DedupIndex.delete(spark, base,
+        corpus.select("doc_id").orderBy("doc_id").limit(3), "doc_id")
+    }
+    build("t_dauto_a"); build("t_dauto_b")
+    val anchorFiles =
+      spark.table(DedupIndex.exactTable("t_dauto_a")).inputFiles.length
+    assert(DedupIndex.compactAuto(spark, "t_dauto_a",
+      minFiles = anchorFiles + 1) == "full")
+    assert(DedupIndex.compactAuto(spark, "t_dauto_b",
+      minFiles = 1, maxDirtyShare = 1.0) == "partial")
+    Seq("t_dauto_a", "t_dauto_b").foreach { b =>
+      assert(DedupIndex.pendingTombstones(spark, b) == 0L)
+      val gone = corpus.select("doc_id").orderBy("doc_id").limit(3)
+        .as[Long].collect().toSet
+      assert(spark.table(DedupIndex.exactTable(b))
+        .filter(col("id").isin(gone.toSeq: _*)).count() == 0L)
+    }
+    val probe = docs.filter(col("doc_id") % 7 === 0)
+    def verdicts(base: String) =
+      DedupIndex.dedupIncremental(spark, base, probe,
+        "text", "doc_id", "lang", threshold = 0.5)
+        .as[(Long, Boolean, Option[String])].collect().toSet
+    assert(verdicts("t_dauto_a") == verdicts("t_dauto_b"))
+  }
+
   test("ClusterIndex.heal rolls an interrupted compaction forward/back") {
     import graft.ext.ClusterIndex
     val base = ccScratch()

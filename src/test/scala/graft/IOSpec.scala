@@ -622,6 +622,68 @@ class IOSpec extends AnyFunSuite {
       "partial compaction rewrote no files")
   }
 
+  test("ANN cells snapshots are row-capped: a sparse takedown's rewrite " +
+       "set is bounded by the tombstones, not corpus/buckets") {
+    import graft.ext.SimilarityIndex
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    spark.conf.set(SimilarityIndex.RowsPerFileConfKey, "32")
+    try {
+      SimilarityIndex.write(e, "embedding", "vec_id", "t_rowcap",
+        k = 4, iters = 1, buckets = 4)
+      // steady-state layout: the consolidated snapshot is row-capped too
+      SimilarityIndex.compact(spark, "t_rowcap")
+      val files = spark.table("t_rowcap_cells").inputFiles
+      assert(files.length > 8,
+        s"the row cap should split buckets into many files: ${files.length}")
+      SimilarityIndex.delete(spark, "t_rowcap",
+        e.select(col("vec_id")).orderBy("vec_id").limit(2))
+      val before = spark.table("t_rowcap_cells").inputFiles
+        .map(_.split("/").last).toSet
+      SimilarityIndex.compactPartial(spark, "t_rowcap")
+      val after = spark.table("t_rowcap_cells").inputFiles
+        .map(_.split("/").last).toSet
+      val rewritten = before.diff(after).size
+      assert(rewritten <= 2,
+        s"2 tombstones must dirty at most 2 row-capped files, rewrote $rewritten")
+      assert(after.intersect(before).size >= files.length - 2,
+        "clean row-capped files must carry unchanged")
+      assert(spark.table("t_rowcap_cells").filter(col("id") < 2).count() == 0)
+    } finally spark.conf.unset(SimilarityIndex.RowsPerFileConfKey)
+  }
+
+  test("ANN compactAuto: full below the file-count crossover (no discovery " +
+       "scan paid), partial above; takedown folded either way") {
+    import graft.ext.{BucketedTables, SimilarityIndex}
+    // the pure policy: small corpus -> full; mostly-dirty -> full;
+    // big-and-mostly-clean -> partial
+    assert(BucketedTables.compactionChoice(10, 0, 48, 0.5) == "full")
+    assert(BucketedTables.compactionChoice(100, 10, 48, 0.5) == "partial")
+    assert(BucketedTables.compactionChoice(100, 80, 48, 0.5) == "full")
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    def build(base: String): Unit = {
+      SimilarityIndex.write(e, "embedding", "vec_id", base,
+        k = 4, iters = 1, buckets = 4)
+      SimilarityIndex.delete(spark, base,
+        e.select(col("vec_id")).orderBy("vec_id").limit(3))
+    }
+    build("t_auto_a"); build("t_auto_b")
+    val totalFiles = spark.table("t_auto_a_cells").inputFiles.length
+    assert(SimilarityIndex.compactAuto(spark, "t_auto_a",
+      minFiles = totalFiles + 1) == "full")
+    assert(SimilarityIndex.compactAuto(spark, "t_auto_b",
+      minFiles = 1, maxDirtyShare = 1.0) == "partial")
+    // both folds applied the takedown and retired the tombstones
+    Seq("t_auto_a", "t_auto_b").foreach { b =>
+      assert(spark.table(s"${b}_cells").filter(col("id") < 3).count() == 0)
+      assert(spark.table(s"${b}_tombs").count() == 0)
+    }
+    val q = e.filter(col("vec_id") < 10)
+    def rows(base: String) =
+      SimilarityIndex.topK(spark, base, q, k = 5, nprobe = 2)
+        .collect().map(_.toSeq).toSet
+    assert(rows("t_auto_a") == rows("t_auto_b"))
+  }
+
   test("dedup index deletion: tombstones mask verdicts at once; compact " +
        "folds them physically; a rebuild clears pending tombstones") {
     import org.apache.spark.sql.execution.SparkPlan
