@@ -74,7 +74,34 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // Divergence flags vs a REFERENCE run (SPARK_GRAFT_BENCH_REF = a
+    // prior bench_full*.json at the same sf — by convention the scale
+    // rehearsal's t_small run): every committed artifact then tells a
+    // reader which entries moved >25% against the reference WITHOUT
+    // hand-diffing SCALE blocks. Flags are advisory (≥1 s tier only —
+    // the sub-second tier lives inside scheduler noise); an empty map
+    // is the positive statement that nothing diverged.
+    val vsRef: String = sys.env.get("SPARK_GRAFT_BENCH_REF").flatMap { p =>
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8")
+        val body = txt.substring(txt.indexOf("\"queries\":{") + 11)
+        val ref = "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
+          .findAllMatchIn(body.substring(0, body.indexOf('}')))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val flags = results.toSeq.sorted.collect {
+          case (q, sec) if sec >= 1.0 && ref.get(q).exists(r => r > 0 &&
+              (sec > 1.25 * r || r > 1.25 * sec)) =>
+            f""""$q":${sec / ref(q)}%.2f"""
+        }
+        Some(flags.mkString(s""","ref":"$p","divergence_vs_ref":{""", ",", "}"))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] WARN: could not read ref $p: $e")
+          None
+      }
+    }.getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson$vsRef,"sf":"$sfDir"}"""
     println(line)
     // The stdout capture that reaches the committed BENCH artifact is
     // tail-truncated (r11 lost 169 of 236 per-query times), so the full

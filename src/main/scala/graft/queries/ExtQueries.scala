@@ -1745,6 +1745,46 @@ object ExtQueries {
       |  SELECT re.s, e.v FROM reach re JOIN edges e ON re.r = e.u)
       |SELECT s AS doc_id, min(r) AS cid FROM reach GROUP BY s""".stripMargin
 
+  // ------------------------------------------ q_stream_cluster_addonly
+
+  /** The EDGES-OFF cluster lifecycle — [[qStreamClusterLifecycle]] with
+    * `clusterTrackEdges = false`: an index that only ever ADDS documents
+    * (no takedown capability — [[graft.ext.ClusterIndex.withdraw]]
+    * refuses loudly on it, ExtSpec) skips persisting each fold's
+    * verified edge delta, the ~20%-at-100× price the r13 lifecycle
+    * measured when edge persistence landed. Labels are IDENTICAL by
+    * construction (edges are fold input either way; only their
+    * persistence differs), so this query hash-passes the SAME oracle —
+    * and its spot100 row is the measured cost of the opt-out path. */
+  def qStreamClusterAddonly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Scratch.fresh(s, "streamccao", dir)
+    val docs = Tables(s, dir, "documents").select("doc_id", "lang", "text")
+    val idx = "graft_idx_streamccao"
+    val cc = s"$base/cc"
+    DedupIndex.write(docs.filter(col("doc_id") % 5 =!= 0),
+      "text", "doc_id", "lang", idx, threshold = 0.5)
+    val inDir = s"$base/in"
+    def runToCompletion(): Unit = {
+      val q = graft.streaming.IngestDedup.run(
+          s.readStream.schema(docs.schema).parquet(inDir),
+          base = idx, textCol = "text", idCol = "doc_id", blockCol = "lang",
+          threshold = 0.5, verdictPath = s"$base/verdicts",
+          checkpoint = s"$base/ckpt", updateIndex = true,
+          clusterBase = cc, clusterTrackEdges = false)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    docs.filter(col("doc_id") % 10 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(inDir)
+    runToCompletion()
+    docs.filter(col("doc_id") % 10 === 5).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runToCompletion()
+    ClusterIndex.compact(s, cc)
+    ClusterIndex.current(s, cc).select(col("id").as("doc_id"), col("cid"))
+  }
+
   // ------------------------------------------- q_stream_cluster_readmit
 
   /** WITHDRAWAL + RE-ADMISSION through the standing cluster index — the
@@ -2494,6 +2534,7 @@ object ExtQueries {
     "q_stream_dedup_lifecycle" -> (qStreamDedupLifecycle _),
     "q_stream_dedup_readmit" -> (qStreamDedupReadmit _),
     "q_stream_cluster_lifecycle" -> (qStreamClusterLifecycle _),
+    "q_stream_cluster_addonly" -> (qStreamClusterAddonly _),
     "q_stream_cluster_readmit" -> (qStreamClusterReadmit _),
     "q_cluster_stats"    -> (qClusterStats _),
     "q_stream_span_lifecycle" -> (qStreamSpanLifecycle _),
@@ -2562,6 +2603,7 @@ object ExtQueries {
     "q_stream_dedup_lifecycle" -> qStreamDedupLifecycleSql,
     "q_stream_dedup_readmit" -> qStreamDedupReadmitSql,
     "q_stream_cluster_lifecycle" -> qStreamClusterLifecycleSql,
+    "q_stream_cluster_addonly" -> qStreamClusterLifecycleSql,
     "q_stream_cluster_readmit" -> qStreamClusterReadmitSql,
     "q_cluster_stats"    -> qClusterStatsSql,
     "q_stream_span_lifecycle" -> qStreamSpanLifecycleSql,
