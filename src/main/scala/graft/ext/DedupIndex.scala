@@ -466,13 +466,23 @@ object DedupIndex {
         val rewriteFiles = files.collect {
           case (b, p) if pressure(b) || dirty(p.toUri.getPath) => p }
         val carried = files.map(_._2).filterNot(rewriteFiles.toSet)
+        if (rewriteFiles.isEmpty && carried.nonEmpty) {
+          // UNTOUCHED table: no dirty rows, no pressure — the snapshot
+          // would be byte-identical to the live one, so writing +
+          // re-linking + swapping it is pure overhead (two tables per
+          // fold in the common sparse-takedown case: pref/band never
+          // rewrite on deletion). Skipping does not change the
+          // tombstone story — retirement is the ANCHOR table's epoch
+          // change, and an anchor with no dirty rows has no physical
+          // rows for its tombstones to mask.
+          System.err.println(s"[compactPartial] $table: untouched " +
+            s"(carry=${carried.size} files in place) — skipped")
+        } else {
         val subset =
           if (carried.isEmpty)
             // nothing worth carrying: the full fold's shuffle-free
             // partition-per-bucket dedup
             BucketedTables.maskByTombs(compactionFrame(spark, table), tombIds)
-          else if (rewriteFiles.isEmpty)
-            spark.table(table).limit(0) // carry everything
           else
             // READ ONLY THE FILES THAT NEED REWRITING — clean files are
             // never decoded (the full-table scan was the last linear
@@ -504,6 +514,7 @@ object DedupIndex {
           f"${rewriteFiles.size} carry=${carried.size} files; " +
           f"write=${(t1 - t0) / 1e9}%.2fs carry=${(t2 - t1) / 1e9}%.2fs " +
           f"swap=${(System.nanoTime() - t2) / 1e9}%.2fs")
+        }
       }
       val t3 = System.nanoTime()
       BucketedTables.truncateBucketed(spark, tombsTable(base), Seq("id"))
@@ -880,14 +891,21 @@ object DedupIndex {
     * different count would be rejected by the catalog. A legacy-schema
     * index is migrated first (appends resolve columns by name against
     * the catalog schema, so a missing column would reject the append). */
+  /** `healRefresh = false` keeps the crash-adopt half of the entry heal
+    * but skips the per-table relation-cache refresh — for callers that
+    * ALREADY refreshed this batch (streaming ingestion probes the index
+    * with [[matchEdges]], which heals with refresh, right before
+    * appending; a second refresh mid-batch forces five full file
+    * re-listings that can only re-observe the probe's own state). */
   def appendKept(spark: SparkSession, base: String, batch: DataFrame,
                  verdicts: DataFrame, textCol: String, idCol: String,
                  blockCol: String, threshold: Double,
-                 shingleN: Int = 3, batchId: Long = BulkBid): Unit =
+                 shingleN: Int = 3, batchId: Long = BulkBid,
+                 healRefresh: Boolean = true): Unit =
    // leased: rows appended while a compaction is writing its snapshots
    // would land in a dir the swaps are about to replace and vanish
    BucketedTables.withWriterLease(spark, exactTable(base), "append") {
-    healInterrupted(spark, base)
+    healInterrupted(spark, base, refresh = healRefresh)
     val exactCols = spark.table(exactTable(base)).columns
     if (!exactCols.contains("bid") || !exactCols.contains("id") ||
         !spark.table(prefTable(base)).columns.contains("pos"))

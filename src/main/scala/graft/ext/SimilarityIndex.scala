@@ -449,6 +449,16 @@ object SimilarityIndex {
     val rewriteFiles = files.collect {
       case (b, p) if pressure(b) || dirty(p.toUri.getPath) => p }
     val carried = files.map(_._2).filterNot(rewriteFiles.toSet)
+    if (rewriteFiles.isEmpty && carried.nonEmpty) {
+      // UNTOUCHED corpus: no dirty rows, no pressure — a new snapshot
+      // would be byte-identical, so skip the write/carry/swap entirely.
+      // Tombstones (ids with no physical rows, or none at all) mask
+      // nothing; clearing them is still correct GC.
+      System.err.println(s"[compactPartial] $table: untouched " +
+        s"(carry=${carried.size} files in place) — skipped")
+      BucketedTables.truncateBucketed(spark, tombsTable(base), Seq("id"))
+      return
+    }
     def perCell(df: DataFrame): Map[Long, Long] =
       df.groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -460,9 +470,6 @@ object SimilarityIndex {
           // snapshot below (the full compact's behavior)
           (BucketedTables.maskByTombs(
             BucketedTables.compactionFrame(spark, table), tombIds), None)
-        else if (rewriteFiles.isEmpty)
-          (spark.table(table).limit(0), // carry everything, remove nothing
-            Some(Map.empty[Long, Long]))
         else {
           // read ONLY the rewrite set (clean files never decode); the
           // subset pays one whole-row distinct (replay duplicates
@@ -493,9 +500,7 @@ object SimilarityIndex {
       // holds exactly them) — counting the subset FRAME instead would
       // re-execute its whole plan, repartition exchange included
       val occPost: Option[Map[Long, Long]] = occPre.map { _ =>
-        if (rewriteFiles.isEmpty) Map.empty[Long, Long]
-        else perCell(spark.read.schema(spark.table(table).schema).parquet(snap))
-      }
+        perCell(spark.read.schema(spark.table(table).schema).parquet(snap)) }
       val t1 = System.nanoTime()
       if (carried.nonEmpty)
         BucketedTables.copyBucketFiles(spark, table, carried, snap)

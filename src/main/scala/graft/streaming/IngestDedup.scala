@@ -107,8 +107,14 @@ object IngestDedup {
           ClusterIndex.streamFoldId(batchId),
           trackEdges = clusterTrackEdges)
       if (updateIndex)
+        // healRefresh = false: matchEdges healed WITH refresh at the
+        // top of this batch, and nothing external can have appended
+        // since (the writer lease excludes concurrent writers) — a
+        // second refresh would force five full file re-listings per
+        // micro-batch for state this batch itself observed
         DedupIndex.appendKept(spark, base, batch, verdicts,
-          textCol, idCol, blockCol, threshold, shingleN, batchId = stamp)
+          textCol, idCol, blockCol, threshold, shingleN, batchId = stamp,
+          healRefresh = false)
     } finally
       // free the batch's checkpoint blocks even on a failed/retried
       // batch — a long-running stream must not accumulate one dead
