@@ -1940,56 +1940,89 @@ object ExtQueries {
     * oracle gate — the [[qDedupStats]]/q_ann_stats twin for the newest
     * standing structure, exercising the BATCH-API half of its
     * lifecycle (the streaming half is q_stream_cluster_lifecycle/
-    * readmit): the production pair generator's edges fold in two
-    * incremental batches (edges only — tracked state stays sized by
-    * duplicate-involved documents, exactly the at-scale contract), a
-    * takedown withdraws the MIN tracked id (the hardest label: every
-    * cluster it anchors must re-label, and its component may split),
-    * and [[graft.ext.ClusterIndex.stats]] reads back per-cluster
-    * membership. The oracle recomputes the exact-Jaccard pair graph,
-    * subtracts the min node, and groups the recursive min-reachable
-    * closure — a hash-pass proves the batched folds + withdrawal leave
-    * exactly the from-scratch component sizes. */
+    * readmit). Edges come from the PRODUCTION ingest-time source —
+    * [[graft.ext.DedupIndex.matchEdges]], each batch judged against the
+    * standing corpus index (bucketed probes, no corpus shuffle) — NOT
+    * from a from-scratch pair recompute over the whole corpus (the r13
+    * shape, 35.8× at 100×: it regenerated the full exact pair graph
+    * just to feed the folds, a cost the production ingest path never
+    * pays). Two incremental batches fold, kept rows append (ingestion
+    * order significant, exactly like the streaming half), a takedown
+    * withdraws the MIN tracked id (the hardest label: every cluster it
+    * anchors must re-label, and its component may split), and
+    * [[graft.ext.ClusterIndex.stats]] reads back per-cluster
+    * membership. The oracle replays batch-by-batch edge discovery in
+    * closed form, subtracts the min node, and groups the recursive
+    * min-reachable closure — a hash-pass proves the production-path
+    * folds + withdrawal leave exactly the replayed component sizes. */
   def qClusterStats(s: SparkSession, dir: String): DataFrame = {
     val base = Scratch.fresh(s, "ccstats", dir)
     val cc = s"$base/cc"
-    val docs = Tables(s, dir, "documents")
-    val pairs = Dedup.prefixJaccardPairs(docs, "text", "doc_id", "lang",
-        threshold = 0.5)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
-    try {
-      val none = docs.select(col("doc_id").as("id")).limit(0)
-      ClusterIndex.fold(s, cc, pairs.filter(col("id_a") % 2 === 0), none, 0L)
-      ClusterIndex.fold(s, cc, pairs.filter(col("id_a") % 2 =!= 0), none,
-        ClusterIndex.streamFoldId(1L))
-      ClusterIndex.withdraw(s, cc,
-        ClusterIndex.current(s, cc).agg(min(col("id")).as("doc_id")),
-        ClusterIndex.nextBatchId(s, cc))
-      ClusterIndex.stats(s, cc)
-    } finally graft.exec.Partitioning.unpersistCheckpoint(pairs)
+    val docs = Tables(s, dir, "documents").select("doc_id", "lang", "text")
+    val idx = "graft_idx_ccstats"
+    DedupIndex.write(docs.filter(col("doc_id") % 5 =!= 0),
+      "text", "doc_id", "lang", idx, threshold = 0.5)
+    def ingest(batch: DataFrame, bid: Long): Unit = {
+      val edges = DedupIndex.matchEdges(s, idx, batch,
+        "text", "doc_id", "lang", threshold = 0.5).localCheckpoint()
+      try {
+        ClusterIndex.fold(s, cc, edges, batch.select(col("doc_id")),
+          ClusterIndex.streamFoldId(bid))
+        DedupIndex.appendKept(s, idx, batch,
+          DedupIndex.verdictsFromEdges(batch, "doc_id", edges),
+          "text", "doc_id", "lang", threshold = 0.5, batchId = bid)
+      } finally graft.exec.Partitioning.unpersistCheckpoint(edges)
+    }
+    ingest(docs.filter(col("doc_id") % 10 === 0), 0L)
+    ingest(docs.filter(col("doc_id") % 10 === 5), 1L)
+    ClusterIndex.withdraw(s, cc,
+      ClusterIndex.current(s, cc).agg(min(col("id")).as("doc_id")),
+      ClusterIndex.nextBatchId(s, cc))
+    ClusterIndex.stats(s, cc)
   }
 
-  /** Closed-form replay: the exact-Jaccard pair graph over lang blocks,
-    * minus the min tracked node and its incident edges, then component
-    * sizes via the recursive closure. */
+  /** Closed-form replay: the lifecycle oracle's batch-by-batch edge
+    * discovery (batch 0 vs the corpus, batch 1 vs corpus ∪ batch-0
+    * keeps), minus the min tracked node and its incident edges, then
+    * component sizes via the recursive closure. */
   val qClusterStatsSql: String =
-    """WITH RECURSIVE t AS (SELECT doc_id, lang,
-      |  string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS toks
-      |  FROM documents),
-      |sh AS (SELECT doc_id, lang,
-      |  list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
-      |    i -> array_to_string(toks[i+1:i+3], ' '))) AS t3 FROM t),
-      |pairs AS (
-      |  SELECT a.doc_id AS u, b.doc_id AS v
-      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.t3, b.t3))::DOUBLE
-      |      / (len(a.t3) + len(b.t3) - len(list_intersect(a.t3, b.t3))) >= 0.5),
-      |allnodes AS (SELECT u AS id FROM pairs UNION SELECT v FROM pairs),
+    """WITH RECURSIVE w AS (SELECT doc_id, lang, text,
+      |  string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS w FROM documents),
+      |sh AS (SELECT doc_id, lang, text,
+      |  list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+      |    i -> array_to_string(w[i+1:i+3], ' '))) AS t FROM w),
+      |corpus0 AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+      |d0 AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+      |e0 AS (
+      |  SELECT c.doc_id AS a, d.doc_id AS b FROM d0 d
+      |    JOIN corpus0 c ON d.text = c.text
+      |  UNION
+      |  SELECT c.doc_id AS a, d.doc_id AS b FROM d0 d
+      |    JOIN corpus0 c ON d.lang = c.lang
+      |  WHERE len(list_intersect(d.t, c.t))::DOUBLE
+      |      / (len(d.t) + len(c.t) - len(list_intersect(d.t, c.t))) >= 0.5),
+      |v0keep AS (SELECT doc_id FROM d0
+      |  WHERE doc_id NOT IN (SELECT b FROM e0)),
+      |corpus1 AS (SELECT * FROM corpus0
+      |  UNION ALL SELECT sh.* FROM sh JOIN v0keep k ON sh.doc_id = k.doc_id),
+      |d1 AS (SELECT * FROM sh WHERE doc_id % 10 = 5),
+      |e1 AS (
+      |  SELECT c.doc_id AS a, d.doc_id AS b FROM d1 d
+      |    JOIN corpus1 c ON d.text = c.text
+      |  UNION
+      |  SELECT c.doc_id AS a, d.doc_id AS b FROM d1 d
+      |    JOIN corpus1 c ON d.lang = c.lang
+      |  WHERE len(list_intersect(d.t, c.t))::DOUBLE
+      |      / (len(d.t) + len(c.t) - len(list_intersect(d.t, c.t))) >= 0.5),
+      |alle AS (SELECT a, b FROM e0 UNION SELECT a, b FROM e1),
+      |allnodes AS (SELECT doc_id AS id FROM d0 UNION SELECT doc_id FROM d1
+      |  UNION SELECT a FROM alle UNION SELECT b FROM alle),
       |td AS (SELECT min(id) AS id FROM allnodes),
       |nodes AS (SELECT id FROM allnodes WHERE id NOT IN (SELECT id FROM td)),
-      |surv AS (SELECT u, v FROM pairs
-      |  WHERE u NOT IN (SELECT id FROM td) AND v NOT IN (SELECT id FROM td)),
-      |edges AS (SELECT u, v FROM surv UNION SELECT v AS u, u AS v FROM surv),
+      |surv AS (SELECT a, b FROM alle
+      |  WHERE a NOT IN (SELECT id FROM td) AND b NOT IN (SELECT id FROM td)),
+      |edges AS (SELECT a AS u, b AS v FROM surv
+      |  UNION SELECT b AS u, a AS v FROM surv),
       |reach AS (
       |  SELECT id AS s, id AS r FROM nodes
       |  UNION
