@@ -444,11 +444,66 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .filter(ppFilter(col("__sza"), col("__pa"), col("__szb"), col("__pb"),
         threshold))
+      // PAIR-MINIMAL verify gate, lossless: a pair joins once per SHARED
+      // prefix element (near-identical docs share ~their whole prefix, so
+      // cliques ran the exact Jaccard — and exchanged the verified pair —
+      // ~prefix-length times over); keep only the row whose matched
+      // element is the pair's FIRST common prefix element. That row always
+      // exists (the min shared element is in both prefixes) and always
+      // passes the positional filter above when any row of the pair does
+      // (smaller positions only loosen its bound), so the surviving pair
+      // set is bit-identical — one Jaccard and one exchanged row per pair.
+      // The gate's merge scan exits at the first equality: O(1) for the
+      // near-identical pairs that dominate the row count.
+      .filter(col("p") === graft.functions.TextExpressions
+        .firstCommonPrefixLong(col("sh_a"), col("sh_b"),
+          prefLenOf(col("__sza"), threshold),
+          prefLenOf(col("__szb"), threshold)))
       .select(col("id_a"), col("id_b"),
         graft.functions.TextExpressions
           .jaccardSortedLongs(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Diagnostic for the pair-minimal verify gate in
+    * [[prefixJaccardPairs]]: (rows the exact verify would run on WITHOUT
+    * the gate, rows it runs on WITH it) — i.e. PPJoin-surviving prefix
+    * match rows before/after keeping only each pair's first-common-
+    * element row. The ratio is the measured per-pair verify (and
+    * verified-exchange) multiplicity the gate removes; recorded per
+    * scale in the growth artifact. */
+  def prefixVerifyGateStats(df: DataFrame, textCol: String, idCol: String,
+                            blockCol: String, threshold: Double,
+                            shingleN: Int = 3): (Long, Long) = {
+    val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        graft.functions.TextExpressions
+          .sortedShingleHashes(col(textCol), shingleN).as("sh"))
+    val prefLen = prefLenOf(size(col("sh")), threshold)
+    val pref = sh
+      .select(col("blk"), col("id"), size(col("sh")).as("sz"), col("sh"),
+        posexplode(slice(col("sh"), lit(1), prefLen)))
+      .select(col("blk"), col("id"), col("sz"), col("sh"),
+        (col("pos") + lit(1)).as("pos"), col("col").as("p"))
+      .repartition(col("blk"), col("p"))
+    val a = pref.select(col("blk"), col("p"), col("id").as("id_a"),
+      col("sz").as("__sza"), col("pos").as("__pa"), col("sh").as("sh_a"))
+    val b = pref.select(col("blk"), col("p"), col("id").as("id_b"),
+      col("sz").as("__szb"), col("pos").as("__pb"), col("sh").as("sh_b"))
+    // two lazy count passes, NOT a checkpoint: the pre-gate row set is
+    // exactly the explosion being measured (pairs × shared prefix), and
+    // materializing it with both shingle arrays attached is the r12
+    // scratch-disk killer this gate exists to avoid
+    val surv = a.join(b, Seq("blk", "p"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(ppFilter(col("__sza"), col("__pa"), col("__szb"), col("__pb"),
+        threshold))
+    val pre = surv.count()
+    val post = surv.filter(col("p") === graft.functions.TextExpressions
+      .firstCommonPrefixLong(col("sh_a"), col("sh_b"),
+        prefLenOf(col("__sza"), threshold),
+        prefLenOf(col("__szb"), threshold))).count()
+    (pre, post)
   }
 
   /** Sub-document segment dedup (CCNet-style line/paragraph dedup): split

@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -341,6 +341,69 @@ case class JaccardSortedLongs(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** The FIRST (smallest) element common to the leading `la` elements of
+  * sorted-ascending long array `a` and the leading `lb` of `b` — NULL when
+  * those prefixes share nothing. The PPJoin pair-minimal verify gate: a
+  * prefix self-join emits one match row per SHARED prefix element (a
+  * near-identical pair shares ~its whole prefix, so cliques multiply
+  * verify work and verified-pair exchange rows by ~prefix length);
+  * gating the verify on `p == firstCommonPrefixLong(...)` keeps exactly
+  * ONE row per pair, LOSSLESSLY — the min-position row passes the PPJoin
+  * positional filter whenever any row of the pair does (smaller
+  * positions only loosen its bound). The merge scan exits at the first
+  * equality, so for the near-identical pairs that dominate the row count
+  * it is O(1), far cheaper than the O(|a|+|b|) Jaccard it gates. */
+case class FirstCommonPrefixLong(a: Expression, b: Expression,
+                                 la: Expression, lb: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = la
+  override def fourth: Expression = lb
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // no common element ⇒ NULL
+
+  override def nullSafeEval(av: Any, bv: Any, lav: Any, lbv: Any): Any = {
+    val x = av.asInstanceOf[ArrayData]; val y = bv.asInstanceOf[ArrayData]
+    val nx = math.min(x.numElements(), lav.asInstanceOf[Int])
+    val ny = math.min(y.numElements(), lbv.asInstanceOf[Int])
+    var i = 0; var j = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) return java.lang.Long.valueOf(xv)
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    null
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, la, lb) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val found = ctx.freshName("found")
+      s"""
+         |int $nx = Math.min($x.numElements(), $la);
+         |int $ny = Math.min($y.numElements(), $lb);
+         |int $i = 0; int $j = 0; boolean $found = false;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { ${ev.value} = $xv; $found = true; break; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |if (!$found) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      e1: Expression, e2: Expression, e3: Expression, e4: Expression) =
+    copy(a = e1, b = e2, la = e3, lb = e4)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int, sort: Boolean = false): Column =
     GraftColumnBridge.column(
@@ -376,4 +439,10 @@ object TextExpressions {
   def jaccardSortedLongs(a: Column, b: Column): Column =
     GraftColumnBridge.column(JaccardSortedLongs(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def firstCommonPrefixLong(a: Column, b: Column,
+                            la: Column, lb: Column): Column =
+    GraftColumnBridge.column(FirstCommonPrefixLong(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
+      GraftColumnBridge.expression(la), GraftColumnBridge.expression(lb)))
 }

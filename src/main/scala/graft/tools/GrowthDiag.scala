@@ -72,7 +72,7 @@ object GrowthDiag {
     def rowsOf(q: String, dir: String): Long =
       SparkEntry.queries(q)(spark, dir).count()
 
-    val qEntries = queries.map { q =>
+    val qEntries = queries.filterNot(_ == "verify_gate").map { q =>
       val measured = Proxy.getOrElse(q, q)
       val rs = rowsOf(measured, small)
       val rb = rowsOf(measured, big)
@@ -91,9 +91,26 @@ object GrowthDiag {
       s""""$q":{"bytes_small":$bs,"bytes_big":$bb,"table":"$t"}"""
     })
 
+    // the pair-minimal verify gate's measured effect (Dedup.
+    // prefixJaccardPairs): PPJoin-surviving verify rows before/after
+    // keeping only each pair's first-common-prefix-element row —
+    // requested with the pseudo-query name "verify_gate"
+    val gateEntry = if (!queries.contains("verify_gate")) "" else {
+      def statsOf(dir: String): (Long, Long) =
+        graft.ext.Dedup.prefixVerifyGateStats(
+          Tables(spark, dir, "documents"), "text", "doc_id", "lang",
+          threshold = 0.5)
+      val (ps, qs) = statsOf(small)
+      val (pb, qb) = statsOf(big)
+      System.err.println(
+        s"[growth] verify_gate rows: small $ps -> $qs, big $pb -> $qb")
+      s""","verify_gate":{"pre_small":$ps,"post_small":$qs,""" +
+        s""""pre_big":$pb,"post_big":$qb}"""
+    }
+
     val json = s"""{"small":"$small","big":"$big",""" +
       s""""queries":{${qEntries.mkString(",")}},""" +
-      s""""media_bytes_by_query":{${mEntries.mkString(",")}}}"""
+      s""""media_bytes_by_query":{${mEntries.mkString(",")}}$gateEntry}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes("UTF-8"))
     println(s"[growth] wrote $out")
