@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CoreQueries, CrawlQueries, ExtQueries, MiningQueries, OpsQueries, RelationalQueries, SnapshotQueries, StreamQueries, TrainPrepQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CrawlQueries, ExtQueries, MiningQueries, OpsQueries, RelationalQueries, SnapshotQueries, StreamQueries, TakedownQueries, TrainPrepQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query implementations live under graft.queries.*; this object only
@@ -17,7 +17,7 @@ object SparkEntry {
     CoreQueries.queries ++ OpsQueries.queries ++ RelationalQueries.queries ++
       ExtQueries.queries ++ StreamQueries.queries ++ AnalyticsQueries.queries ++
       MiningQueries.queries ++ CrawlQueries.queries ++ SnapshotQueries.queries ++
-      TrainPrepQueries.queries
+      TrainPrepQueries.queries ++ TakedownQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,5 @@ object SparkEntry {
     CoreQueries.oracle ++ OpsQueries.oracle ++ RelationalQueries.oracle ++
       ExtQueries.oracle ++ StreamQueries.oracle ++ AnalyticsQueries.oracle ++
       MiningQueries.oracle ++ CrawlQueries.oracle ++ SnapshotQueries.oracle ++
-      TrainPrepQueries.oracle
+      TrainPrepQueries.oracle ++ TakedownQueries.oracle
 }

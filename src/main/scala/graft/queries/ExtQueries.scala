@@ -874,7 +874,7 @@ object ExtQueries {
   /** One span-trim replay block (the qSpanIncrIdxSql body) rooted on a
     * pluggable delta relation and window-reference relation; `p`
     * suffixes the CTE names so two trims can chain. */
-  private def spanTrimCtes(p: String, deltaRel: String,
+  private[queries] def spanTrimCtes(p: String, deltaRel: String,
                            refRel: String): String =
     s"""td$p AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+') AS toks FROM $deltaRel),
        |pd$p AS (SELECT doc_id, toks, len(toks) AS n_tokens,

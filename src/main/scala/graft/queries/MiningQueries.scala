@@ -1441,7 +1441,7 @@ object MiningQueries {
     * q_sim_batch_rerank — SQL twin of `math.max(4L, e.count() / 500L)`. */
   private val AdaptiveKSql = "greatest(4, (SELECT count(*) FROM e) // 500)"
 
-  private def ivfOracleSql(trainPred: String,
+  private[queries] def ivfOracleSql(trainPred: String,
                            corpusPred: String = "TRUE",
                            sq8: Boolean = false,
                            queryPred: String = "e.vec_id < 10",

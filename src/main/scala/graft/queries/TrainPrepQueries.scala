@@ -508,7 +508,7 @@ object TrainPrepQueries {
     Sharding.chunkManifest(Tables(s, dir, "documents"),
       "doc_id", "text", seed = 42L, cutMod = CdcCutMod)
 
-  private val cdcManifestSql: String => String = (src: String) =>
+  private[queries] val cdcManifestSql: String => String = (src: String) =>
     s"""SELECT chunk_key, count(*)::BIGINT AS n_docs,
        |  sum(n_tokens)::BIGINT AS n_tokens,
        |  sum((doc_id * 31 + fp) % ${Sharding.HashMod})::BIGINT AS checksum
