@@ -85,9 +85,16 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(p)), "UTF-8")
-        val body = txt.substring(txt.indexOf("\"queries\":{") + 11)
+        // an empty divergence map is the POSITIVE claim that nothing
+        // diverged, so a ref file that is not a bench artifact must go
+        // through the WARN/omit path, never misparse into {}
+        val start = txt.indexOf("\"queries\":{")
+        require(start >= 0, s"no \"queries\":{ marker — not a bench artifact")
+        val body = txt.substring(start + 11)
+        val end = body.indexOf('}')
+        require(end >= 0, "unterminated queries object")
         val ref = "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
-          .findAllMatchIn(body.substring(0, body.indexOf('}')))
+          .findAllMatchIn(body.substring(0, end))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         val flags = results.toSeq.sorted.collect {
           case (q, sec) if sec >= 1.0 && ref.get(q).exists(r => r > 0 &&

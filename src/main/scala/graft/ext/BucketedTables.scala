@@ -644,7 +644,18 @@ private[graft] object BucketedTables {
                  tombIds: Option[DataFrame],
                  inListMax: Int = 10000): Set[String] =
     tombIds match {
-      case Some(t) if spark.table(table).columns.contains("id") =>
+      case Some(t) if !spark.table(table).columns.contains("id") =>
+        // a table that cannot be deletion-scanned (legacy schema, no id
+        // column) must not read as CLEAN while tombstones are pending:
+        // the partial fold would skip it as untouched and then truncate
+        // the tombstones, physically un-deleting the masked rows. Fail
+        // loudly; the full compact() retires legacy-schema tombstones.
+        require(t.isEmpty,
+          s"$table: tombstones pending but the table has no id column " +
+            "(legacy schema) — partial compaction cannot locate deleted " +
+            "rows; run the full compact() instead")
+        Set.empty
+      case Some(t) =>
         import org.apache.spark.sql.functions.input_file_name
         val scan = spark.table(table)
           .select(col("id"), input_file_name().as("f"))

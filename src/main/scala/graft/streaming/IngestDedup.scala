@@ -108,10 +108,15 @@ object IngestDedup {
           trackEdges = clusterTrackEdges)
       if (updateIndex)
         // healRefresh = false: matchEdges healed WITH refresh at the
-        // top of this batch, and nothing external can have appended
-        // since (the writer lease excludes concurrent writers) — a
-        // second refresh would force five full file re-listings per
-        // micro-batch for state this batch itself observed
+        // top of this batch, so this session's relation caches reflect
+        // the state the batch probed; a second refresh would force five
+        // full file re-listings per micro-batch for state this batch
+        // itself observed. ASSUMES SINGLE WRITER PER INDEX (the
+        // deployment contract of a standing ingest stream): matchEdges
+        // runs unleased and appendKept takes the lease only at entry,
+        // so a compaction completing in ANOTHER session between the
+        // probe and the append would leave these caches stale — under
+        // that (unsupported) deployment, run with healRefresh = true
         DedupIndex.appendKept(spark, base, batch, verdicts,
           textCol, idCol, blockCol, threshold, shingleN, batchId = stamp,
           healRefresh = false)

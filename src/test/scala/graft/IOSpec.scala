@@ -684,6 +684,26 @@ class IOSpec extends AnyFunSuite {
     assert(rows("t_auto_a") == rows("t_auto_b"))
   }
 
+  test("dirtyFiles fails loudly when tombstones are pending but the table " +
+       "cannot be deletion-scanned (legacy schema without id)") {
+    import graft.ext.BucketedTables
+    val dir = Files.createTempDirectory("graft_legacy_dirty").toString
+    spark.sql("DROP TABLE IF EXISTS t_legacy_dirty")
+    Seq((1L, "x"), (2L, "y")).toDF("h", "t").write
+      .bucketBy(2, "h").sortBy("h").option("path", s"$dir/tbl")
+      .saveAsTable("t_legacy_dirty")
+    val tombs = Seq(1L).toDF("id")
+    // pending tombstones + no id column: reading the table as CLEAN would
+    // let the partial fold truncate the tombstones and un-delete the rows
+    val err = intercept[IllegalArgumentException] {
+      BucketedTables.dirtyFiles(spark, "t_legacy_dirty", Some(tombs))
+    }
+    assert(err.getMessage.contains("legacy schema"))
+    // an empty pending set is genuinely clean — no throw, no dirty files
+    assert(BucketedTables.dirtyFiles(spark, "t_legacy_dirty",
+      Some(tombs.filter(col("id") < 0))) == Set.empty[String])
+  }
+
   test("dedup index deletion: tombstones mask verdicts at once; compact " +
        "folds them physically; a rebuild clears pending tombstones") {
     import org.apache.spark.sql.execution.SparkPlan
