@@ -516,9 +516,9 @@ object MiningQueries {
     * lifecycle with a third checkpointed leg:
     *
     *  6. AFTER the compaction ([[graft.ext.SimilarityIndex
-    *     .compactPartial]] — file-granular: only the files physically
-    *     holding tombstoned rows rewrite, clean files carry by hard
-    *     link) has physically removed the taken-down rows and retired
+    *     .compactAuto]] at DEFAULT thresholds — which on this
+    *     below-crossover corpus must choose the FULL fold, asserted)
+    *     has physically removed the taken-down rows and retired
     *     their tombstones, the cleared subset
     *     (vec_id % 7 = 3 AND vec_id < 420) lands as a late file and
     *     the SAME checkpoint runs again — the restart discovers only
@@ -558,7 +558,16 @@ object MiningQueries {
     // rewrite; clean files carry over by hard link — a hash-pass here
     // proves the partial fold's verdict-equivalence at the driver gate
     // (the q_stream_dedup_readmit discipline, applied to the ANN twin).
-    graft.ext.SimilarityIndex.compactPartial(s, idx)
+    // Routed through the AUTO dispatch with DEFAULT thresholds: this
+    // fixed-count corpus (≤500 vectors, 4 buckets) sits far below the
+    // measured file-count crossover, so the policy must choose the FULL
+    // fold — and decide so WITHOUT paying the dirty-file discovery scan
+    // (the cheap gate fires first). The require makes the artifact say
+    // which branch ran; the partial branch is exercised under the same
+    // gate by q_stream_dedup_readmit (pinned) and the takedown capstone.
+    val annChoice = graft.ext.SimilarityIndex.compactAuto(s, idx)
+    require(annChoice == "full",
+      s"compactAuto must take the full branch on this small corpus, got $annChoice")
     e.filter(col("vec_id") % 7 === 3 && col("vec_id") < 420).coalesce(1)
       .write.mode("append").parquet(inDir)
     runToCompletion()
