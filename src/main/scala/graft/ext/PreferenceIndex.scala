@@ -171,11 +171,20 @@ object PreferenceIndex {
     * into one consolidated batch and so destroys the batch ≡ window
     * correspondence). PARTIAL, the deletion-bounded discipline of
     * [[DedupIndex.compactPartial]]: only the delta partitions that
-    * physically HOLD a withdrawn item's rows rewrite (one semi-join
-    * discovery scan, then a dynamic-partition-overwrite of exactly
-    * those batch ids); clean partitions — the vast majority under a
-    * request-driven takedown, since an item's judgments cluster in the
-    * windows it was live — are never rewritten. Batches left with NO
+    * physically HOLD a withdrawn item's rows rewrite (then a
+    * dynamic-partition-overwrite of exactly those batch ids); clean
+    * partitions — the vast majority under a request-driven takedown,
+    * since an item's judgments cluster in the windows it was live —
+    * are never rewritten. DISCOVERY is lifetime-bounded too, not
+    * corpus(W)-bounded (the r14 experiment's one remaining linear
+    * term): the tombstone set is delta-sized by contract, so it
+    * collects to an `IN`-literal predicate that reaches parquet
+    * row-group min/max stats — a window partition whose item range
+    * excludes every withdrawn item reads its FOOTERS, not its rows,
+    * exactly the [[BucketedTables.dirtyFiles]] discipline. Items live
+    * in bounded consecutive-window spans, so the windows that decode
+    * rows are the takedown's lifetime. A degenerate tombstone set
+    * (> `discoveryInListMax`) falls back to the broadcast semi-join. Batches left with NO
     * surviving rows are dropped, and the tombstone table is deleted
     * LAST. Crash-safe without markers: the masking rewrite is
     * idempotent, and a crash anywhere before the tombstone delete
@@ -183,21 +192,37 @@ object PreferenceIndex {
     * completes the retirement. Re-admission follows the [[withdraw]]
     * contract: only after this returns may the item's judgments
     * re-enter (as a fresh batch). */
-  def compactBatched(spark: SparkSession, base: String): Unit = {
+  def compactBatched(spark: SparkSession, base: String,
+                     discoveryInListMax: Int = 10000): Unit = {
     heal(spark, base)
     val tombs = readOr(spark, s"$base/tombs", tombsSchema)
       .select(col("item")).distinct().localCheckpoint()
     try {
+      // delta-sized by contract: collect once so the discovery scan can
+      // run as an IN-literal predicate parquet stats prune against
+      val tombItems: Array[String] =
+        tombs.limit(discoveryInListMax + 1).collect().map(_.getString(0))
+      if (tombItems.isEmpty) {
+        fs(spark).delete(new org.apache.hadoop.fs.Path(s"$base/tombs"), true)
+        return
+      }
       def retire(table: String, schema: StructType,
                  maskCols: Seq[String]): Unit = {
         val all = readOr(spark, s"$base/$table", schema)
-        if (all.isEmpty) return
-        // the REWRITE SET: batches holding at least one withdrawn row
-        // (a columnar discovery read — never a rewrite of clean ones)
-        val dirty = maskCols.map(c =>
-            all.join(broadcast(tombs.select(col("item").as(c))), Seq(c),
-              "left_semi"))
-          .reduce(_.unionAll(_))
+        // the REWRITE SET: batches holding at least one withdrawn row.
+        // IN-literal discovery reads footers on clean partitions (the
+        // predicate reaches row-group min/max stats); the broadcast
+        // semi-join fallback pays a full columnar read but tolerates a
+        // degenerate (corpus-sized) tombstone set
+        val dirtyScan =
+          if (tombItems.length <= discoveryInListMax)
+            all.filter(maskCols.map(c =>
+              col(c).isin(tombItems.toIndexedSeq: _*)).reduce(_ || _))
+          else maskCols.map(c =>
+              all.join(broadcast(tombs.select(col("item").as(c))), Seq(c),
+                "left_semi"))
+            .reduce(_.unionAll(_))
+        val dirty = dirtyScan
           .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
         if (dirty.isEmpty) return
         val masked = maskCols.foldLeft(

@@ -283,6 +283,38 @@ class PreferenceSpec extends AnyFunSuite {
       Set((0L, "A", "B", 3L), (1L, "A", "B", 7L)))
   }
 
+  test("compactBatched discovery: the broadcast fallback (tombstones above " +
+       "the IN-list cap) retires identically to the IN-literal path") {
+    def build(): String = {
+      val base = java.nio.file.Files.createTempDirectory("graft_pref")
+        .toString + "/idx"
+      def counts(rows: (String, String, Long)*) =
+        rows.toDF("winner", "loser", "n")
+      PreferenceIndex.appendCounts(spark, base,
+        counts(("A", "B", 3L)), batchId = 0L)
+      PreferenceIndex.appendCounts(spark, base,
+        counts(("C", "A", 1L), ("A", "B", 7L), ("D", "B", 2L)), batchId = 1L)
+      PreferenceIndex.appendCounts(spark, base,
+        counts(("D", "C", 4L)), batchId = 2L)
+      PreferenceIndex.withdraw(spark, base,
+        Seq("C", "D").toDF("item"), "item", 3L)
+      base
+    }
+    val bIn = build(); val bBc = build()
+    PreferenceIndex.compactBatched(spark, bIn)                // IN-literal
+    PreferenceIndex.compactBatched(spark, bBc,
+      discoveryInListMax = 1)                                 // 2 tombs > 1
+    def state(b: String) = PreferenceIndex.matrixByBatch(spark, b)
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(state(bIn) == state(bBc))
+    assert(state(bIn) == Set((0L, "A", "B", 3L), (1L, "A", "B", 7L)))
+    Seq(bIn, bBc).foreach { b =>
+      assert(!new java.io.File(s"$b/tombs").exists, "tombstones retired")
+      assert(!new java.io.File(s"$b/edges/batch_id=2").exists(),
+        "fully-withdrawn batch dropped on both discovery paths")
+    }
+  }
+
   test("tiesByBatch: per-window tie state equals the batch aggregation, " +
        "delete-wins masks draws in every window") {
     val base = java.nio.file.Files.createTempDirectory("graft_pref").toString +
