@@ -125,23 +125,25 @@ object ChunkIndex {
     val standingCuts = readCuts(spark, base, excludeBatch = batchId)
       .select("doc_id", "h").localCheckpoint()
 
-    // POST assignment: standing cuts and batch cuts both start chunks.
-    // PRE assignment: only standing cuts do — it names the chunk a new
-    // cut doc SPLITS (whose remaining members must be recounted).
-    def assign(batchCutsCount: Boolean): DataFrame = Sharding.assignChunkKeysBy(
-      standingCuts.select(col("doc_id").as("id"), lit(0L).as("n_tokens"),
-          col("h"), lit(1L).as("is_cut"))
-        .unionByName(stats.select(col("doc_id").as("id"), col("n_tokens"),
-          col("h"),
-          (if (batchCutsCount) (col("h") % cutMod === 0L).cast("long")
-           else lit(0L)).as("is_cut"))))
+    // POST assignment (key_a): standing cuts and batch cuts both start
+    // chunks. PRE assignment (key_b): only standing cuts do — it names
+    // the chunk a new cut doc SPLITS (whose remaining members must be
+    // recounted). One fused exchange computes both (the flags share the
+    // (h, id) order), halving the leg's fixed shuffle/checkpoint jobs.
     val batchIds = stats.select(col("doc_id").as("id"))
-    val post = assign(batchCutsCount = true).join(batchIds, "id")
-      .select(col("id"), col("chunk_key").as("post_key")).localCheckpoint()
-    val pre = assign(batchCutsCount = false).join(batchIds, "id")
-      .select(col("id"), col("chunk_key").as("pre_key"))
-    val dirty = post.select(col("post_key").as("chunk_key"))
-      .union(pre.select(col("pre_key").as("chunk_key")))
+    val both = Sharding.assignChunkKeysBy2(
+        standingCuts.select(col("doc_id").as("id"), lit(0L).as("n_tokens"),
+            col("h"), lit(1L).as("is_cut_a"), lit(1L).as("is_cut_b"))
+          .unionByName(stats.select(col("doc_id").as("id"), col("n_tokens"),
+            col("h"), (col("h") % cutMod === 0L).cast("long").as("is_cut_a"),
+            lit(0L).as("is_cut_b"))))
+      .join(batchIds, "id")
+      .select(col("id"), col("key_a").as("post_key"),
+        col("key_b").as("pre_key"))
+      .localCheckpoint()
+    val post = both.select(col("id"), col("post_key"))
+    val dirty = both.select(col("post_key").as("chunk_key"))
+      .union(both.select(col("pre_key").as("chunk_key")))
       .distinct().localCheckpoint()
 
     // Dirty-chunk h-ranges from the POST cut set: [cut, next cut).

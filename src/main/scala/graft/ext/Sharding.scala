@@ -166,6 +166,61 @@ object Sharding {
       }).toDF("id", "h", "n_tokens", "chunk_key")
   }
 
+  /** TWO cut assignments in ONE exchange: [[assignChunkKeysBy]] run for
+    * two independent `is_cut` flags over the same frame. The standing
+    * chunk index's append needs both the POST-batch assignment (batch
+    * cut docs start chunks) and the PRE-batch one (only standing cuts
+    * count) of every row, and running them as two calls paid the range
+    * shuffle, the checkpoint pin, and the two partition passes twice —
+    * the flags share the (h, id) order, so one pass can carry both
+    * running cut hashes. Output: (id, h, n_tokens, key_a, key_b);
+    * parity with two independent runs is property-pinned in
+    * ShardingSpec. */
+  def assignChunkKeysBy2(base0: DataFrame): DataFrame = {
+    val spark = base0.sparkSession
+    import spark.implicits._
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val ranged = base0.repartitionByRange(parts, col("h"), col("id"))
+      .sortWithinPartitions("h", "id")
+      .select(col("id"), col("n_tokens"), col("h"),
+        col("is_cut_a"), col("is_cut_b"))
+      .as[(Long, Long, Long, Long, Long)]
+      .localCheckpoint()
+    // Phase 1: each partition's LAST cut hash per flag (if any).
+    val lastCuts: Map[Int, (Long, Long)] =
+      ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var la = Long.MinValue; var lb = Long.MinValue
+        it.foreach { case (_, _, h, ca, cb) =>
+          if (ca != 0L) la = h
+          if (cb != 0L) lb = h
+        }
+        if (la == Long.MinValue && lb == Long.MinValue) Iterator.empty
+        else Iterator((pid, (la, lb)))
+      }.collect().toMap
+    // Phase 2: per-flag inherited cut = latest cut in earlier partitions.
+    val incoming: Map[Int, (Long, Long)] = {
+      var runA = -1L; var runB = -1L
+      (0 until parts).map { pid =>
+        val in = pid -> ((runA, runB))
+        lastCuts.get(pid).foreach { case (la, lb) =>
+          if (la != Long.MinValue) runA = la
+          if (lb != Long.MinValue) runB = lb
+        }
+        in
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(incoming)
+    spark.createDataset(
+      ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var (curA, curB) = bc.value(pid)
+        it.map { case (id, tok, h, ca, cb) =>
+          if (ca != 0L) curA = h
+          if (cb != 0L) curB = h
+          (id, h, tok, curA, curB)
+        }
+      }).toDF("id", "h", "n_tokens", "key_a", "key_b")
+  }
+
   /** Per-chunk manifest with an ORDER-INSENSITIVE content checksum
     * (membership + text fingerprints), the unit of incremental diffing. */
   def chunkManifest(docs: DataFrame, idCol: String, textCol: String,

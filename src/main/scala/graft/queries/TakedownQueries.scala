@@ -61,6 +61,18 @@ object TakedownQueries {
 
   private val CutMod = TrainPrepQueries.CdcCutMod
 
+  /** Wall-clock per capstone phase to stderr — the cost attribution the
+    * bench's #1 entry owes its reader (six serial withdraw/compact/
+    * readmit legs; which leg is the money?). Same convention as
+    * compactPartial's phase prints. */
+  private def phase[A](name: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    System.err.println(
+      f"[takedown] $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+    r
+  }
+
   def qTakedownE2e(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val base = Scratch.fresh(s, "takedown", dir)
@@ -96,25 +108,32 @@ object TakedownQueries {
       .localCheckpoint()
 
     // ---- 1. build all six standing structures
-    DedupIndex.write(corpus, "text", "doc_id", "lang", dedupIdx,
-      threshold = 0.5)
+    phase("build_dedup")(DedupIndex.write(corpus, "text", "doc_id", "lang",
+      dedupIdx, threshold = 0.5))
     val b0 = docs.filter(col("doc_id") % 10 === 0)
-    val edges0 = DedupIndex.matchEdges(s, dedupIdx, b0,
-      "text", "doc_id", "lang", threshold = 0.5).localCheckpoint()
-    try {
-      ClusterIndex.fold(s, cc, edges0, b0.select(col("doc_id")),
-        ClusterIndex.streamFoldId(0L))
-      DedupIndex.appendKept(s, dedupIdx, b0,
-        DedupIndex.verdictsFromEdges(b0, "doc_id", edges0),
-        "text", "doc_id", "lang", threshold = 0.5, batchId = 0L)
-    } finally graft.exec.Partitioning.unpersistCheckpoint(edges0)
-    SimilarityIndex.write(e.filter(col("vec_id") % 5 =!= 0),
-      "embedding", "vec_id", annIdx, k = 4, iters = 1, buckets = 4)
-    ChunkIndex.append(s, chunkB, corpus, "text", "doc_id",
-      seed = 42L, cutMod = CutMod, batchId = 0L)
-    SpanIndex.write(corpus, "text", "doc_id", spanIdx, w = 6, buckets = 8)
-    PreferenceIndex.appendJudgments(s, prefB, judgments,
-      "ia", "ib", "oc", batchId = 0L)
+    phase("build_cluster") {
+      val edges0 = DedupIndex.matchEdges(s, dedupIdx, b0,
+        "text", "doc_id", "lang", threshold = 0.5).localCheckpoint()
+      try {
+        ClusterIndex.fold(s, cc, edges0, b0.select(col("doc_id")),
+          ClusterIndex.streamFoldId(0L))
+        // healRefresh = false: matchEdges healed WITH refresh at the top
+        // of this leg and this query is the index's only writer (the
+        // IngestDedup discipline applied to the direct-call path)
+        DedupIndex.appendKept(s, dedupIdx, b0,
+          DedupIndex.verdictsFromEdges(b0, "doc_id", edges0),
+          "text", "doc_id", "lang", threshold = 0.5, batchId = 0L,
+          healRefresh = false)
+      } finally graft.exec.Partitioning.unpersistCheckpoint(edges0)
+    }
+    phase("build_ann")(SimilarityIndex.write(e.filter(col("vec_id") % 5 =!= 0),
+      "embedding", "vec_id", annIdx, k = 4, iters = 1, buckets = 4))
+    phase("build_chunk")(ChunkIndex.append(s, chunkB, corpus, "text", "doc_id",
+      seed = 42L, cutMod = CutMod, batchId = 0L))
+    phase("build_span")(SpanIndex.write(corpus, "text", "doc_id", spanIdx,
+      w = 6, buckets = 8))
+    phase("build_pref")(PreferenceIndex.appendJudgments(s, prefB, judgments,
+      "ia", "ib", "oc", batchId = 0L))
 
     // ---- 2. the takedown REQUEST STREAM: one foreachBatch withdraws
     // the ids from all six standing structures
@@ -125,17 +144,17 @@ object TakedownQueries {
       .foreachBatch { (req: DataFrame, _: Long) =>
         val ids = req.localCheckpoint() // request-driven: delta-sized
         try {
-          DedupIndex.delete(s, dedupIdx, ids, "doc_id")
-          ClusterIndex.withdraw(s, cc, ids,
-            ClusterIndex.nextBatchId(s, cc))
-          SimilarityIndex.delete(s, annIdx, ids, "doc_id")
-          ChunkIndex.delete(s, chunkB, ids, "doc_id",
-            cutMod = CutMod, batchId = 1L)
-          SpanIndex.delete(s, spanIdx, docs.join(ids, "doc_id"),
-            "text", "doc_id", bid = 1L)
-          PreferenceIndex.withdraw(s, prefB,
+          phase("wd_dedup")(DedupIndex.delete(s, dedupIdx, ids, "doc_id"))
+          phase("wd_cluster")(ClusterIndex.withdraw(s, cc, ids,
+            ClusterIndex.nextBatchId(s, cc)))
+          phase("wd_ann")(SimilarityIndex.delete(s, annIdx, ids, "doc_id"))
+          phase("wd_chunk")(ChunkIndex.delete(s, chunkB, ids, "doc_id",
+            cutMod = CutMod, batchId = 1L))
+          phase("wd_span")(SpanIndex.delete(s, spanIdx,
+            docs.join(ids, "doc_id"), "text", "doc_id", bid = 1L))
+          phase("wd_pref")(PreferenceIndex.withdraw(s, prefB,
             ids.select(col("doc_id").cast("string").as("item")), "item",
-            batchId = 1L)
+            batchId = 1L))
         } finally graft.exec.Partitioning.unpersistCheckpoint(ids)
       }
       .trigger(Trigger.AvailableNow()).start()
@@ -143,34 +162,38 @@ object TakedownQueries {
 
     // ---- 3. compactions retire every structure's tombstones — the
     // re-admission precondition (delete wins until here)
-    DedupIndex.compactAuto(s, dedupIdx)
-    SimilarityIndex.compactAuto(s, annIdx)
-    ClusterIndex.compact(s, cc)
-    val chunkC = ChunkIndex.compact(s, chunkB, cutMod = CutMod)
-    SpanIndex.compact(s, spanIdx)
-    PreferenceIndex.compactBatched(s, prefB)
+    phase("cp_dedup")(DedupIndex.compactAuto(s, dedupIdx))
+    phase("cp_ann")(SimilarityIndex.compactAuto(s, annIdx))
+    phase("cp_cluster")(ClusterIndex.compact(s, cc))
+    val chunkC = phase("cp_chunk")(ChunkIndex.compact(s, chunkB,
+      cutMod = CutMod))
+    phase("cp_span")(SpanIndex.compact(s, spanIdx))
+    phase("cp_pref")(PreferenceIndex.compactBatched(s, prefB))
 
     // ---- 4. the permitted (even) half re-enters as ordinary new data
     val b2 = docs.join(tdEven, "doc_id")
-    val edges2 = DedupIndex.matchEdges(s, dedupIdx, b2,
-      "text", "doc_id", "lang", threshold = 0.5).localCheckpoint()
+    val edges2 = phase("re_probe")(DedupIndex.matchEdges(s, dedupIdx, b2,
+      "text", "doc_id", "lang", threshold = 0.5).localCheckpoint())
     val verd2 = DedupIndex
       .verdictsFromEdges(b2, "doc_id", edges2).localCheckpoint()
     try {
-      ClusterIndex.fold(s, cc, edges2, b2.select(col("doc_id")),
-        ClusterIndex.streamFoldId(2L))
-      DedupIndex.appendKept(s, dedupIdx, b2, verd2,
-        "text", "doc_id", "lang", threshold = 0.5, batchId = 2L)
+      phase("re_cluster")(ClusterIndex.fold(s, cc, edges2,
+        b2.select(col("doc_id")), ClusterIndex.streamFoldId(2L)))
+      phase("re_dedup")(DedupIndex.appendKept(s, dedupIdx, b2, verd2,
+        "text", "doc_id", "lang", threshold = 0.5, batchId = 2L,
+        healRefresh = false))
     } finally graft.exec.Partitioning.unpersistCheckpoint(edges2)
-    SimilarityIndex.append(s, annIdx,
+    phase("re_ann")(SimilarityIndex.append(s, annIdx,
       e.join(tdEven, e("vec_id") === tdEven("doc_id"))
-        .select(e("vec_id"), e("embedding")))
-    ChunkIndex.append(s, chunkB, b2, "text", "doc_id",
-      seed = 42L, cutMod = CutMod, batchId = chunkC + 1L)
-    val trimmed2 = SpanIndex.trimIncremental(s, spanIdx, b2,
-      "text", "doc_id").localCheckpoint()
-    SpanIndex.append(s, spanIdx, trimmed2, "trimmed_text", "doc_id",
-      bid = 2L)
+        .select(e("vec_id"), e("embedding"))))
+    phase("re_chunk")(ChunkIndex.append(s, chunkB, b2, "text", "doc_id",
+      seed = 42L, cutMod = CutMod, batchId = chunkC + 1L))
+    val trimmed2 = phase("re_span") {
+      val t = SpanIndex.trimIncremental(s, spanIdx, b2,
+        "text", "doc_id").localCheckpoint()
+      SpanIndex.append(s, spanIdx, t, "trimmed_text", "doc_id", bid = 2L)
+      t
+    }
     val late = judgments
       .join(tdEven.select(col("doc_id").as("ia_id")), Seq("ia_id"), "left_semi")
       .unionByName(judgments.join(

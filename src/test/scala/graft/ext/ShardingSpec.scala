@@ -117,6 +117,39 @@ class ShardingSpec extends AnyFunSuite {
     }
   }
 
+  test("assignChunkKeysBy2 equals two independent single-flag runs on " +
+       "adversarial flag mixes (all-cut, no-cut, sparse, first/last rows)") {
+    import org.apache.spark.sql.DataFrame
+    def frame(rows: Seq[(Long, Long, Long, Long, Long)]): DataFrame =
+      rows.toDF("id", "n_tokens", "h", "is_cut_a", "is_cut_b")
+    def single(df: DataFrame, flag: String) =
+      Sharding.assignChunkKeysBy(df.select(col("id"), col("n_tokens"),
+          col("h"), col(flag).as("is_cut")))
+        .select("id", "chunk_key").as[(Long, Long)].collect().toMap
+    def fused(df: DataFrame) =
+      Sharding.assignChunkKeysBy2(df)
+        .select("id", "key_a", "key_b").as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    // deterministic pseudo-random mixes, including the degenerate ones
+    val cases = Seq[Seq[(Long, Long, Long, Long, Long)]](
+      (0L until 500L).map(i =>
+        (i, i % 7 + 1, i * 2654435761L % 100003L,
+          if (i % 11 == 0) 1L else 0L, if (i % 5 == 0) 1L else 0L)),
+      (0L until 100L).map(i => (i, 1L, i * 37L, 1L, 0L)),   // a all-cut
+      (0L until 100L).map(i => (i, 1L, i * 37L, 0L, 0L)),   // both cutless
+      Seq((1L, 1L, 5L, 1L, 1L), (2L, 1L, 9L, 0L, 1L)))      // tiny
+    cases.foreach { rows =>
+      val df = frame(rows)
+      val (a, b) = (single(df, "is_cut_a"), single(df, "is_cut_b"))
+      val f = fused(df)
+      assert(f.keySet == a.keySet)
+      f.foreach { case (id, (ka, kb)) =>
+        assert(ka == a(id), s"id=$id key_a: fused $ka vs single ${a(id)}")
+        assert(kb == b(id), s"id=$id key_b: fused $kb vs single ${b(id)}")
+      }
+    }
+  }
+
   test("shards hold contiguous token ranges bounded by budget + one doc") {
     val r = run(4)
     val maxDoc = r.map(_._3).max
