@@ -10,9 +10,16 @@ Usage: merge_spot.py <scale.json> <label> <factor> <small.log> <big.log>
                      [notes.json]
 Rows for queries already present under <label> are replaced (the fresh
 measurement wins); notes.json ({query: note}) attaches hand notes.
+
+Spot-block note policy (r15): every merged-block row with slope >
+SPOT_FLAG_AT must carry a note or it lands in the block's
+"unexplained" list and the exit code is non-zero — the same
+enforcement assemble_scale.py applies at assembly time.
 """
 import json
 import sys
+
+SPOT_FLAG_AT = 5.0
 
 
 def bench_line(path):
@@ -49,9 +56,23 @@ def main():
     kept = [r for r in block["slopes"] if r["query"] not in fresh]
     block["slopes"] = sorted(kept + list(fresh.values()),
                              key=lambda r: r["query"])
+    # re-check the WHOLE block (kept rows included) against the note
+    # policy, so a merge cannot launder a bare slope into the artifact
+    unexplained = [r["query"] for r in block["slopes"]
+                   if r.get("slope") and r["slope"] > SPOT_FLAG_AT
+                   and not r.get("note")]
+    for r in block["slopes"]:
+        if r["query"] in unexplained:
+            r["note"] = "UNEXPLAINED — audit required"
+    block["flag_policy"] = f"slope > {SPOT_FLAG_AT:g} must carry a note"
+    block["unexplained"] = unexplained
     with open(scale_path, "w") as f:
         json.dump(doc, f, indent=1)
     print(f"merged {len(fresh)} rows into {label} of {scale_path}")
+    if unexplained:
+        print(f"UNEXPLAINED spot rows in {label} (add notes): "
+              f"{', '.join(unexplained)}", file=sys.stderr)
+        sys.exit(2)
 
 
 if __name__ == "__main__":
