@@ -284,6 +284,27 @@ object ChunkIndex {
     writeDelta(base, batchId)(recomputeManifest(dirty, members), "manifest", None)
   }
 
+  /** Takedown-SLO watermark: manifest delta versions still standing —
+    * pure directory listing (driver metadata). 1 right after a
+    * compaction; each append/delete adds one. */
+  def manifestVersions(spark: SparkSession, base: String): Long = {
+    heal(spark, base)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/manifest")
+    val f = fs(spark)
+    if (!f.exists(dir)) 0L
+    else f.listStatus(dir).count(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch_id=")).toLong
+  }
+
+  /** Takedown-SLO watermark: tombstoned doc ids not yet physically
+    * retired by a compaction — delta-sized read ([[compact]]'s heal
+    * deletes the whole tombs chain, so this reads 0 right after). */
+  def pendingTombstones(spark: SparkSession, base: String): Long = {
+    heal(spark, base)
+    readTombs(spark, base, excludeBatch = Long.MinValue)
+      .select("__tomb_id").distinct().count()
+  }
+
   /** Streaming maintenance: each micro-batch appends through the batch
     * step above. foreachBatch, not a stateful operator — the chunk state
     * must outlive the stream and serve batch readers. Micro-batch ids

@@ -332,6 +332,29 @@ object ClusterIndex {
     } finally graft.exec.Partitioning.unpersistCheckpoint(cur)
   }
 
+  /** Takedown-SLO watermark: ids whose LATEST membership is the
+    * retraction sentinel — withdrawn, with the sentinel not yet folded
+    * away by a compaction. Cost bounded by the TRACKED membership
+    * chains (duplicate-involved nodes), never the corpus. */
+  def retractedLive(spark: SparkSession, base: String): Long = {
+    heal(spark, base)
+    readOr(spark, s"$base/members", membersSchema)
+      .groupBy("id").agg(max_by(col("cid"), col("batch_id")).as("cid"))
+      .filter(col("cid") === lit(RetractedCid)).count()
+  }
+
+  /** Live delta partitions in the members chain — pure directory
+    * listing (driver metadata, no row reads). 1 right after a
+    * compaction; each fold/withdraw adds one. */
+  def pendingBatches(spark: SparkSession, base: String): Long = {
+    heal(spark, base)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/members")
+    val f = fs(spark)
+    if (!f.exists(dir)) 0L
+    else f.listStatus(dir).count(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch_id=")).toLong
+  }
+
   /** Cluster sizes for the live state — the observability probe: one
     * row per cluster with its member count (implicit singletons hold
     * no row here, exactly as they hold no membership row). */

@@ -292,6 +292,15 @@ object PreferenceIndex {
       .groupBy("a", "b").agg(sum("n").as("n"))
   }
 
+  /** Takedown-SLO watermark: distinct withdrawn items whose tombstones
+    * a retirement ([[compact]]/[[compactBatched]]) has not yet folded
+    * away. Delta-sized read by the tombstone contract. */
+  def pendingTombstones(spark: SparkSession, base: String): Long = {
+    heal(spark, base)
+    readOr(spark, s"$base/tombs", tombsSchema)
+      .select(col("item")).distinct().count()
+  }
+
   /** Observability: physical layout vs logical content, and whether read
     * amplification has drifted enough to fold. One row. */
   def stats(spark: SparkSession, base: String): DataFrame = {

@@ -790,6 +790,17 @@ object SimilarityIndex {
     *
     * One map-side-combinable aggregation over the cells table to k rows;
     * the window passes run over those k rows on one partition. */
+  /** Takedown-SLO watermark (the [[DedupIndex.pendingTombstones]] twin):
+    * tombstones aimed at the LIVE snapshot epoch — deletions awaiting
+    * physical retirement by the next compaction. Delta-sized read. */
+  def pendingTombstones(spark: SparkSession, base: String): Long = {
+    BucketedTables.heal(spark, Seq(cellsTable(base), tombsTable(base)),
+      refresh = false)
+    BucketedTables.activeTombIds(spark, tombsTable(base),
+        BucketedTables.snapshotEpoch(spark, cellsTable(base)))
+      .map(_.count()).getOrElse(0L)
+  }
+
   def stats(spark: SparkSession, base: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     BucketedTables.heal(spark, Seq(cellsTable(base)))

@@ -216,6 +216,15 @@ object SpanIndex {
       BucketedTables.swapLocation(spark, hashTable(base), path)
     }
 
+  /** Takedown-SLO watermark: physical negative-count tombstone rows not
+    * yet folded away by a compaction. Parquet row-group cnt min/max
+    * stats prune the scan to the delete-batch files (bulk/append files
+    * hold only positive counts), so the read is deletion-bounded. */
+  def pendingTombstoneRows(spark: SparkSession, base: String): Long = {
+    BucketedTables.heal(spark, Seq(hashTable(base)), refresh = false)
+    spark.table(hashTable(base)).filter(col("cnt") < 0).count()
+  }
+
   /** Cheap compaction advisory: data files in the live snapshot vs the
     * bucket count — pure file listing, never scans rows. */
   def needsCompact(spark: SparkSession, base: String,

@@ -238,6 +238,159 @@ object TakedownQueries {
       .reduce(_.unionByName(_))
   }
 
+  // --------------------------------------------------------- q_takedown_slo
+
+  /** TAKEDOWN SLO — "how long until erasure is DURABLE?" answered as a
+    * status frame: one (structure, metric, value) row per watermark,
+    * read from each standing structure's OWN cheap observability
+    * surface (tombstone tables and delta-partition/marker state — never
+    * a corpus scan): pending tombstones (dedup/ann/chunk/pref),
+    * retraction sentinels + delta-batch count (cluster), physical
+    * negative-count rows (span, stats-pruned to the delete-batch
+    * files), and the derived `erasure_durable` flag per structure.
+    *
+    * Scenario: all six structures built on an independent slice
+    * (doc_id % 4 = 1), one 20-id request set withdrawn from all six,
+    * then THREE structures compacted (dedup via compactAuto, chunk,
+    * pref via compactBatched) and three left pending (ann, cluster,
+    * span) — so the frame must show durable = 1 exactly where the
+    * tombstones were physically retired and the live outstanding counts
+    * elsewhere. The cluster state ingests a deterministic edge relation
+    * (star components over the doc_id % 7 = 2 sub-slice — edge
+    * DISCOVERY is proven by the dedup/cluster lifecycle queries; this
+    * query proves the WATERMARKS), so every count is closed-form: the
+    * oracle predicts each watermark from the fixture alone, and a
+    * hash-pass proves the engine's durability answers are the true
+    * ones. */
+  def qTakedownSlo(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select("doc_id", "lang", "text",
+      "n_chars")
+    val e = Tables(s, dir, "embeddings")
+    val corpus = docs.filter(col("doc_id") % 4 === 1)
+    val td = corpus.filter(col("doc_id") % 3 === 1)
+      .orderBy("doc_id").limit(20).select("doc_id").localCheckpoint()
+    val base = Scratch.fresh(s, "takedownslo", dir)
+    val dedupIdx = "graft_idx_slo_dedup"
+    val annIdx = "graft_idx_slo_ann"
+    val spanIdx = "graft_idx_slo_span"
+    val cc = s"$base/cc"
+    val chunkB = s"$base/chunks"
+    val prefB = s"$base/pref"
+
+    // ---- build the six structures
+    DedupIndex.write(corpus, "text", "doc_id", "lang", dedupIdx,
+      threshold = 0.5)
+    SimilarityIndex.write(e.filter(col("vec_id") % 4 === 1),
+      "embedding", "vec_id", annIdx, k = 4, iters = 1, buckets = 4)
+    ChunkIndex.append(s, chunkB, corpus, "text", "doc_id",
+      seed = 42L, cutMod = CutMod, batchId = 0L)
+    SpanIndex.write(corpus, "text", "doc_id", spanIdx, w = 6, buckets = 8)
+    val byLang = Window.partitionBy("lang").orderBy("doc_id")
+    PreferenceIndex.appendJudgments(s, prefB,
+      corpus.select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("nb_id", lead("doc_id", 1).over(byLang))
+        .withColumn("nb_chars", lead("n_chars", 1).over(byLang))
+        .filter(col("nb_id").isNotNull)
+        .select(col("doc_id").cast("string").as("ia"),
+          col("nb_id").cast("string").as("ib"),
+          when(col("n_chars") > col("nb_chars"), "a")
+            .when(col("n_chars") < col("nb_chars"), "b")
+            .otherwise("tie").as("oc")),
+      "ia", "ib", "oc", batchId = 0L)
+    // star-shaped components (each doc edges to its (lang, id-range)
+    // group's min id): bounded propagation diameter regardless of sf —
+    // the WATERMARKS don't depend on the topology, only on which ids
+    // are tracked
+    val trk = corpus.filter(col("doc_id") % 7 === 2)
+      .select("doc_id", "lang").localCheckpoint()
+    val grouped = trk.withColumn("g", (col("doc_id") / 500).cast("long"))
+    val edges0 = grouped
+      .join(grouped.groupBy("lang", "g").agg(min("doc_id").as("m")),
+        Seq("lang", "g"))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("m").as("id_a"), col("doc_id").as("id_b"))
+    ClusterIndex.fold(s, cc, edges0, trk.select(col("doc_id")),
+      ClusterIndex.streamFoldId(0L))
+
+    // ---- one request set withdrawn from all six
+    DedupIndex.delete(s, dedupIdx, td, "doc_id")
+    SimilarityIndex.delete(s, annIdx, td, "doc_id")
+    ChunkIndex.delete(s, chunkB, td, "doc_id", cutMod = CutMod, batchId = 1L)
+    SpanIndex.delete(s, spanIdx, docs.join(td, "doc_id"),
+      "text", "doc_id", bid = 1L)
+    PreferenceIndex.withdraw(s, prefB,
+      td.select(col("doc_id").cast("string").as("item")), "item",
+      batchId = 1L)
+    ClusterIndex.withdraw(s, cc, td, ClusterIndex.nextBatchId(s, cc))
+
+    // ---- three structures retire their tombstones, three stay pending
+    DedupIndex.compactAuto(s, dedupIdx)
+    ChunkIndex.compact(s, chunkB, cutMod = CutMod)
+    PreferenceIndex.compactBatched(s, prefB)
+
+    // ---- the SLO frame: watermarks from sidecar/tombstone/marker state
+    import s.implicits._
+    def durable(n: Long): Long = if (n == 0L) 1L else 0L
+    val dedupPending = DedupIndex.pendingTombstones(s, dedupIdx)
+    val annPending = SimilarityIndex.pendingTombstones(s, annIdx)
+    val retracted = ClusterIndex.retractedLive(s, cc)
+    val chunkPending = ChunkIndex.pendingTombstones(s, chunkB)
+    val spanPending = SpanIndex.pendingTombstoneRows(s, spanIdx)
+    val prefPending = PreferenceIndex.pendingTombstones(s, prefB)
+    Seq(
+      ("dedup", "tombs_outstanding", dedupPending),
+      ("dedup", "erasure_durable", durable(dedupPending)),
+      ("ann", "tombs_outstanding", annPending),
+      ("ann", "erasure_durable", durable(annPending)),
+      ("cluster", "pending_batches", ClusterIndex.pendingBatches(s, cc)),
+      ("cluster", "retracted_live", retracted),
+      ("cluster", "erasure_durable", durable(retracted)),
+      ("chunk", "manifest_versions", ChunkIndex.manifestVersions(s, chunkB)),
+      ("chunk", "tombs_outstanding", chunkPending),
+      ("chunk", "erasure_durable", durable(chunkPending)),
+      ("span", "tombstone_rows", spanPending),
+      ("span", "erasure_durable", durable(spanPending)),
+      ("pref", "tombs_outstanding", prefPending),
+      ("pref", "erasure_durable", durable(prefPending)))
+      .toDF("structure", "metric", "value")
+  }
+
+  /** Closed-form watermark prediction from the fixture alone. */
+  val qTakedownSloSql: String =
+    """WITH td AS (SELECT doc_id FROM documents
+      |  WHERE doc_id % 4 = 1 AND doc_id % 3 = 1 ORDER BY doc_id LIMIT 20),
+      |trk AS (SELECT doc_id FROM documents
+      |  WHERE doc_id % 4 = 1 AND doc_id % 7 = 2),
+      |rl AS (SELECT count(*) AS n FROM td
+      |  WHERE doc_id IN (SELECT doc_id FROM trk)),
+      |tw AS (SELECT string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS toks
+      |  FROM documents WHERE doc_id IN (SELECT doc_id FROM td)),
+      |pw AS (SELECT toks,
+      |  unnest(range(1, greatest(len(toks) - 5, 1) + 1)) AS pos FROM tw),
+      |wn AS (SELECT count(DISTINCT array_to_string(toks[pos:pos+5], ' ')) AS n
+      |  FROM pw)
+      |SELECT 'dedup' AS structure, 'tombs_outstanding' AS metric,
+      |  CAST(0 AS BIGINT) AS value
+      |UNION ALL SELECT 'dedup', 'erasure_durable', CAST(1 AS BIGINT)
+      |UNION ALL SELECT 'ann', 'tombs_outstanding',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM td)
+      |UNION ALL SELECT 'ann', 'erasure_durable', CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'cluster', 'pending_batches',
+      |  CAST(1 + (CASE WHEN (SELECT n FROM rl) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |UNION ALL SELECT 'cluster', 'retracted_live',
+      |  (SELECT CAST(n AS BIGINT) FROM rl)
+      |UNION ALL SELECT 'cluster', 'erasure_durable',
+      |  CAST(CASE WHEN (SELECT n FROM rl) = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |UNION ALL SELECT 'chunk', 'manifest_versions', CAST(1 AS BIGINT)
+      |UNION ALL SELECT 'chunk', 'tombs_outstanding', CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'chunk', 'erasure_durable', CAST(1 AS BIGINT)
+      |UNION ALL SELECT 'span', 'tombstone_rows',
+      |  (SELECT CAST(n AS BIGINT) FROM wn)
+      |UNION ALL SELECT 'span', 'erasure_durable',
+      |  CAST(CASE WHEN (SELECT n FROM wn) = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |UNION ALL SELECT 'pref', 'tombs_outstanding', CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'pref', 'erasure_durable', CAST(1 AS BIGINT)""".stripMargin
+
   // ------------------------------------------------------------- oracle
 
   private val TdAll =
@@ -403,8 +556,10 @@ object TakedownQueries {
       .mkString("\nUNION ALL\n")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_takedown_e2e" -> (qTakedownE2e _))
+    "q_takedown_e2e" -> (qTakedownE2e _),
+    "q_takedown_slo" -> (qTakedownSlo _))
 
   val oracle: Map[String, String] = Map(
-    "q_takedown_e2e" -> qTakedownE2eSql)
+    "q_takedown_e2e" -> qTakedownE2eSql,
+    "q_takedown_slo" -> qTakedownSloSql)
 }

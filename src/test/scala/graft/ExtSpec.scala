@@ -690,6 +690,37 @@ class ExtSpec extends AnyFunSuite {
     s"$d/cc"
   }
 
+  test("takedown-SLO watermarks transition exactly at withdraw and compact: " +
+       "retractedLive/pendingBatches (cluster), pendingTombstoneRows (span)") {
+    import graft.ext.{ClusterIndex, SpanIndex}
+    val base = ccScratch()
+    ClusterIndex.fold(spark, base, Seq((10L, 20L)).toDF("id_a", "id_b"),
+      Seq(10L, 20L, 30L).toDF("id"), ClusterIndex.streamFoldId(0L))
+    assert(ClusterIndex.pendingBatches(spark, base) == 1L)
+    assert(ClusterIndex.retractedLive(spark, base) == 0L)
+    ClusterIndex.withdraw(spark, base, Seq(20L, 30L).toDF("id"),
+      ClusterIndex.nextBatchId(spark, base))
+    assert(ClusterIndex.pendingBatches(spark, base) == 2L)
+    assert(ClusterIndex.retractedLive(spark, base) == 2L,
+      "both withdrawn tracked ids must hold live retraction sentinels")
+    ClusterIndex.compact(spark, base)
+    assert(ClusterIndex.pendingBatches(spark, base) == 1L,
+      "compaction must consolidate to one delta batch")
+    assert(ClusterIndex.retractedLive(spark, base) == 0L,
+      "compaction must fold the retraction sentinels away physically")
+    // span: negative-count rows appear at delete, vanish at compact
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    SpanIndex.write(docs, "text", "doc_id", "t_slo_span", w = 6, buckets = 2)
+    assert(SpanIndex.pendingTombstoneRows(spark, "t_slo_span") == 0L)
+    SpanIndex.delete(spark, "t_slo_span", docs.filter(col("doc_id") === 1L),
+      "text", "doc_id", bid = 1L)
+    assert(SpanIndex.pendingTombstoneRows(spark, "t_slo_span") == 2L,
+      "doc 1 holds two distinct 6-token windows, each one tombstone row")
+    SpanIndex.compact(spark, "t_slo_span")
+    assert(SpanIndex.pendingTombstoneRows(spark, "t_slo_span") == 0L)
+  }
+
   test("ClusterIndex.fold: incremental folds == batch CC over the edge " +
        "union, incl. cross-batch merges and a new min-id node") {
     import graft.ext.ClusterIndex
