@@ -25,9 +25,15 @@ import graft.ext.SimilarityIndex
   * fixture's embeddings table is only ~40 MB even at 100×, and below
   * that both folds are a handful of fixed-cost Spark jobs.
   *
-  * Usage: runMain graft.tools.AnnCompactBench <sfDir> [nDeletes] [buckets] [k] [repl]
+  * Usage: runMain graft.tools.AnnCompactBench <sfDir> [nDeletes] [buckets] [k] [repl] [rowsPerFile]
+  * `rowsPerFile` overrides [[SimilarityIndex.RowsPerFileConfKey]] for
+  * the whole experiment (build + both folds) — the r15 tuning axis: a
+  * smaller cap shrinks the rewrite term (each tombstone dirties fewer
+  * rows) but multiplies file count, which grows the discovery scan's
+  * footer reads and the carry-over link count.
   * Emits one JSON line: {"sf":…,"n_vecs":…,"n_deletes":…,"buckets":…,
-  *   "k":…,"repl":…,"full_sec":…,"partial_sec":…,"ratio":…} */
+  *   "k":…,"repl":…,"rows_per_file":…,"full_sec":…,"partial_sec":…,
+  *   "ratio":…} */
 object AnnCompactBench {
 
   private def time[A](body: => A): Double = {
@@ -49,6 +55,11 @@ object AnnCompactBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val repl = if (args.length > 4) args(4).toInt else 1
+    val rowsPerFile =
+      if (args.length > 5) args(5).toLong
+      else spark.conf.getOption(SimilarityIndex.RowsPerFileConfKey)
+        .map(_.toLong).getOrElse(2048L)
+    spark.conf.set(SimilarityIndex.RowsPerFileConfKey, rowsPerFile.toString)
     val e0 = Tables(spark, sfDir, "embeddings")
     // Replication stride 2e9: ABOVE ScaleUp's vec_id stride × copies
     // (1e7 × 100 ≤ 990M at sf10), so replicated ids never collide with
@@ -89,7 +100,8 @@ object AnnCompactBench {
     val fullSec = time(SimilarityIndex.compact(spark, "t_acbench_full"))
     val partSec = time(SimilarityIndex.compactPartial(spark, "t_acbench_part"))
     println(f"""{"sf":"$sfDir","n_vecs":$nVecs,"n_deletes":$nDeletes,""" +
-      f""""buckets":$buckets,"k":$k,"repl":$repl,"files":$files,""" +
+      f""""buckets":$buckets,"k":$k,"repl":$repl,""" +
+      f""""rows_per_file":$rowsPerFile,"files":$files,""" +
       f""""auto":"$auto","full_sec":$fullSec%.3f,""" +
       f""""partial_sec":$partSec%.3f,"ratio":${fullSec / partSec}%.2f}""")
     spark.stop()
