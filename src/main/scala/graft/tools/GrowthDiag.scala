@@ -108,9 +108,33 @@ object GrowthDiag {
         s""""pre_big":$pb,"post_big":$qb}"""
     }
 
+    // q_dedup_clusters' cost drivers, measured (r14 verdict ask #6: keep
+    // "output-bound" a CHECKED claim): the LSH candidate count (pairs
+    // surviving the band-bucket join + estimate filter, the verify
+    // stage's input) and the emitted true-pair count (the CC stage's
+    // edge list) at both fixtures — pseudo-query name "cluster_pairs"
+    val clusterEntry = if (!queries.contains("cluster_pairs")) "" else {
+      val t = 0.8 // DedupClustersThreshold
+      def statsOf(dir: String): (Long, Long) = {
+        val docs = Tables(spark, dir, "documents")
+        val cands = graft.ext.Dedup.minhashPairs(docs, "text", "doc_id",
+          minEstimate = t * 0.5).count()
+        val pairs = graft.ext.Dedup.nearDupPairs(docs, "text", "doc_id",
+          threshold = t).count()
+        (cands, pairs)
+      }
+      val (cs, ps) = statsOf(small)
+      val (cb, pb) = statsOf(big)
+      System.err.println(s"[growth] cluster_pairs: candidates $cs -> $cb, " +
+        s"true pairs $ps -> $pb")
+      s""","cluster_pairs":{"candidates_small":$cs,"candidates_big":$cb,""" +
+        s""""pairs_small":$ps,"pairs_big":$pb}"""
+    }
+
     val json = s"""{"small":"$small","big":"$big",""" +
       s""""queries":{${qEntries.mkString(",")}},""" +
-      s""""media_bytes_by_query":{${mEntries.mkString(",")}}$gateEntry}"""
+      s""""media_bytes_by_query":{${mEntries.mkString(",")}}""" +
+      s"""$gateEntry$clusterEntry}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes("UTF-8"))
     println(s"[growth] wrote $out")
