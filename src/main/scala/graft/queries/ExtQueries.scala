@@ -1763,11 +1763,21 @@ object ExtQueries {
     * `clusterTrackEdges = false`: an index that only ever ADDS documents
     * (no takedown capability — [[graft.ext.ClusterIndex.withdraw]]
     * refuses loudly on it, ExtSpec) skips persisting each fold's
-    * verified edge delta, the ~20%-at-100× price the r13 lifecycle
-    * measured when edge persistence landed. Labels are IDENTICAL by
-    * construction (edges are fold input either way; only their
-    * persistence differs), so this query hash-passes the SAME oracle —
-    * and its spot100 row is the measured cost of the opt-out path. */
+    * verified edge delta. Labels are IDENTICAL by construction (edges
+    * are fold input either way; only their persistence differs), so
+    * this query hash-passes the SAME oracle.
+    *
+    * MEASURED (r15 paired adjudication, `paired_addonly_r15.json` —
+    * A,B,A,B in one session so disk drift cancels): NO wall-clock
+    * saving at 100× (ratios 1.10/1.06/0.93, median 1.06 — statistically
+    * indistinguishable from the edges-on lifecycle). The legs' cost is
+    * the shared probe/fold/append work; the skipped edge-delta write is
+    * delta-sized. The r13 "~20% at 100×" claim measured edge
+    * persistence LANDING (new code on both paths), not this opt-out,
+    * and is retired. What `trackEdges = false` actually buys is STATE,
+    * not time: no edges chain on disk (at 100 TB, the edge set of a
+    * near-dup-dense corpus is corpus-scale storage) — priced at the
+    * documented loss of withdraw capability. */
   def qStreamClusterAddonly(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val base = Scratch.fresh(s, "streamccao", dir)
