@@ -72,7 +72,8 @@ object GrowthDiag {
     def rowsOf(q: String, dir: String): Long =
       SparkEntry.queries(q)(spark, dir).count()
 
-    val qEntries = queries.filterNot(_ == "verify_gate").map { q =>
+    val pseudo = Set("verify_gate", "cluster_pairs")
+    val qEntries = queries.filterNot(pseudo).map { q =>
       val measured = Proxy.getOrElse(q, q)
       val rs = rowsOf(measured, small)
       val rb = rowsOf(measured, big)
