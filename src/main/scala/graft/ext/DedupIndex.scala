@@ -891,21 +891,49 @@ object DedupIndex {
     * different count would be rejected by the catalog. A legacy-schema
     * index is migrated first (appends resolve columns by name against
     * the catalog schema, so a missing column would reject the append). */
+  /** The index's live snapshot epoch (the exact table's snapshot-dir
+    * name), healed first so a crash adoption cannot later read as a
+    * foreign swap. Capture this BEFORE probing ([[matchEdges]]) and pass
+    * it to [[appendKept]]'s `expectEpoch` — the single-writer-per-index
+    * contract then becomes CHECKED instead of assumed: a compaction or
+    * rebuild committed by another session between probe and append
+    * changes the epoch, and the append refuses loudly instead of folding
+    * rows judged against a retired snapshot through stale caches. */
+  def snapshotEpoch(spark: SparkSession, base: String): String = {
+    healInterrupted(spark, base, refresh = false)
+    BucketedTables.snapshotEpoch(spark, exactTable(base))
+  }
+
   /** `healRefresh = false` keeps the crash-adopt half of the entry heal
     * but skips the per-table relation-cache refresh — for callers that
     * ALREADY refreshed this batch (streaming ingestion probes the index
     * with [[matchEdges]], which heals with refresh, right before
     * appending; a second refresh mid-batch forces five full file
-    * re-listings that can only re-observe the probe's own state). */
+    * re-listings that can only re-observe the probe's own state).
+    * Such callers pass the probe-time [[snapshotEpoch]] as `expectEpoch`
+    * so the skipped refresh stays sound by CHECK, not assumption: the
+    * epoch is re-read here inside the writer lease (one metadata read —
+    * no concurrent swap can be mid-flight) and a mismatch refuses the
+    * append instead of landing rows judged against a replaced
+    * snapshot. */
   def appendKept(spark: SparkSession, base: String, batch: DataFrame,
                  verdicts: DataFrame, textCol: String, idCol: String,
                  blockCol: String, threshold: Double,
                  shingleN: Int = 3, batchId: Long = BulkBid,
-                 healRefresh: Boolean = true): Unit =
+                 healRefresh: Boolean = true,
+                 expectEpoch: Option[String] = None): Unit =
    // leased: rows appended while a compaction is writing its snapshots
    // would land in a dir the swaps are about to replace and vanish
    BucketedTables.withWriterLease(spark, exactTable(base), "append") {
     healInterrupted(spark, base, refresh = healRefresh)
+    expectEpoch.foreach { probed =>
+      val live = BucketedTables.snapshotEpoch(spark, exactTable(base))
+      require(live == probed,
+        s"$base: index snapshot advanced between probe and append " +
+          s"(probed epoch $probed, live epoch $live) — another writer " +
+          "compacted or rebuilt this index mid-batch; re-probe " +
+          "(matchEdges) against the live snapshot before appending")
+    }
     val exactCols = spark.table(exactTable(base)).columns
     if (!exactCols.contains("bid") || !exactCols.contains("id") ||
         !spark.table(prefTable(base)).columns.contains("pos"))

@@ -112,18 +112,20 @@ object TakedownQueries {
       dedupIdx, threshold = 0.5))
     val b0 = docs.filter(col("doc_id") % 10 === 0)
     phase("build_cluster") {
+      val ep0 = DedupIndex.snapshotEpoch(s, dedupIdx)
       val edges0 = DedupIndex.matchEdges(s, dedupIdx, b0,
         "text", "doc_id", "lang", threshold = 0.5).localCheckpoint()
       try {
         ClusterIndex.fold(s, cc, edges0, b0.select(col("doc_id")),
           ClusterIndex.streamFoldId(0L))
         // healRefresh = false: matchEdges healed WITH refresh at the top
-        // of this leg and this query is the index's only writer (the
-        // IngestDedup discipline applied to the direct-call path)
+        // of this leg; the probe-time epoch makes the single-writer
+        // assumption CHECKED (the IngestDedup discipline applied to the
+        // direct-call path)
         DedupIndex.appendKept(s, dedupIdx, b0,
           DedupIndex.verdictsFromEdges(b0, "doc_id", edges0),
           "text", "doc_id", "lang", threshold = 0.5, batchId = 0L,
-          healRefresh = false)
+          healRefresh = false, expectEpoch = Some(ep0))
       } finally graft.exec.Partitioning.unpersistCheckpoint(edges0)
     }
     phase("build_ann")(SimilarityIndex.write(e.filter(col("vec_id") % 5 =!= 0),
@@ -172,6 +174,7 @@ object TakedownQueries {
 
     // ---- 4. the permitted (even) half re-enters as ordinary new data
     val b2 = docs.join(tdEven, "doc_id")
+    val ep2 = DedupIndex.snapshotEpoch(s, dedupIdx)
     val edges2 = phase("re_probe")(DedupIndex.matchEdges(s, dedupIdx, b2,
       "text", "doc_id", "lang", threshold = 0.5).localCheckpoint())
     val verd2 = DedupIndex
@@ -181,7 +184,7 @@ object TakedownQueries {
         b2.select(col("doc_id")), ClusterIndex.streamFoldId(2L)))
       phase("re_dedup")(DedupIndex.appendKept(s, dedupIdx, b2, verd2,
         "text", "doc_id", "lang", threshold = 0.5, batchId = 2L,
-        healRefresh = false))
+        healRefresh = false, expectEpoch = Some(ep2)))
     } finally graft.exec.Partitioning.unpersistCheckpoint(edges2)
     phase("re_ann")(SimilarityIndex.append(s, annIdx,
       e.join(tdEven, e("vec_id") === tdEven("doc_id"))

@@ -76,6 +76,12 @@ object IngestDedup {
     val stamp = graft.functions.TextHash.xxhash(
       org.apache.spark.unsafe.types.UTF8String.fromString(
         s"$runTag#$batchId"))
+    // Captured BEFORE the probe; appendKept re-verifies it inside the
+    // writer lease, so the healRefresh = false fast path below is
+    // CHECKED against foreign compactions, not assumed safe (one
+    // metadata read per batch).
+    val probeEpoch =
+      if (updateIndex) Some(DedupIndex.snapshotEpoch(spark, base)) else None
     // Materialize the EDGES before any index mutation: they are
     // consumed up to three times (verdict derivation, cluster fold,
     // kept-row filter), and later evaluations must not see the index
@@ -111,15 +117,18 @@ object IngestDedup {
         // top of this batch, so this session's relation caches reflect
         // the state the batch probed; a second refresh would force five
         // full file re-listings per micro-batch for state this batch
-        // itself observed. ASSUMES SINGLE WRITER PER INDEX (the
-        // deployment contract of a standing ingest stream): matchEdges
+        // itself observed. The single-writer-per-index deployment
+        // contract this relies on is CHECKED, not assumed: matchEdges
         // runs unleased and appendKept takes the lease only at entry,
         // so a compaction completing in ANOTHER session between the
-        // probe and the append would leave these caches stale — under
-        // that (unsupported) deployment, run with healRefresh = true
+        // probe and the append would leave these caches stale — but the
+        // probe-time epoch passed below is re-verified inside the
+        // append's lease, so that foreign swap makes the append REFUSE
+        // loudly (re-run the batch against the live snapshot) instead
+        // of folding rows judged through a retired snapshot's caches
         DedupIndex.appendKept(spark, base, batch, verdicts,
           textCol, idCol, blockCol, threshold, shingleN, batchId = stamp,
-          healRefresh = false)
+          healRefresh = false, expectEpoch = probeEpoch)
     } finally
       // free the batch's checkpoint blocks even on a failed/retried
       // batch — a long-running stream must not accumulate one dead

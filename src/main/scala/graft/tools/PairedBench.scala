@@ -46,7 +46,9 @@ object PairedBench {
       (a, b)
     }
     def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted; s(s.size / 2)
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val ratios = ts.map { case (a, b) => a / b }
     println(f"""{"sf":"$sfDir","a":"$qa","b":"$qb","rounds":$rounds,""" +

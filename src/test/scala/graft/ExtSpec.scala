@@ -1020,4 +1020,39 @@ class ExtSpec extends AnyFunSuite {
     ClusterIndex.compact(spark, base)
     assert(ccState(base) == before)
   }
+
+  test("appendKept expectEpoch: a foreign compaction between probe and " +
+       "append refuses loudly instead of appending through stale caches") {
+    import graft.ext.DedupIndex
+    val docs = Tables(spark, dir, "documents").select("doc_id", "lang", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val keepAll = delta.select(col("doc_id"), lit(true).as("keep"),
+      lit(null).cast("string").as("reason"))
+    val base = "t_epoch_idx"
+    DedupIndex.write(corpus, "text", "doc_id", "lang", base,
+      threshold = 0.5, buckets = 8)
+    // probe-time capture, then a compaction lands in between — what a
+    // SECOND Spark session maintaining the same index would do; the
+    // epoch protocol doesn't care which session swapped the snapshot
+    val probed = DedupIndex.snapshotEpoch(spark, base)
+    DedupIndex.compact(spark, base)
+    val err = intercept[IllegalArgumentException](
+      DedupIndex.appendKept(spark, base, delta, keepAll,
+        "text", "doc_id", "lang", threshold = 0.5, batchId = 3L,
+        healRefresh = false, expectEpoch = Some(probed)))
+    assert(err.getMessage.contains("advanced between probe and append"),
+      s"foreign swap must be named in the refusal: ${err.getMessage}")
+    // the refused append left no rows behind
+    assert(spark.table(DedupIndex.exactTable(base))
+      .filter(col("bid") === 3L).count() == 0L)
+    // the documented recovery — re-probe, then append with the fresh
+    // epoch — goes through; the checked path costs one metadata read
+    val fresh = DedupIndex.snapshotEpoch(spark, base)
+    DedupIndex.appendKept(spark, base, delta, keepAll,
+      "text", "doc_id", "lang", threshold = 0.5, batchId = 3L,
+      healRefresh = false, expectEpoch = Some(fresh))
+    assert(spark.table(DedupIndex.exactTable(base))
+      .filter(col("bid") === 3L).count() > 0L)
+  }
 }

@@ -17,9 +17,23 @@ SPOT_FLAG_AT must carry a note or it lands in the block's
 enforcement assemble_scale.py applies at assembly time.
 """
 import json
+import subprocess
 import sys
 
 SPOT_FLAG_AT = 5.0
+# A note written BY a prior failing run must not satisfy the policy on
+# a later merge — treat it the same as a missing note (ADVICE r15).
+PLACEHOLDER_NOTE = "UNEXPLAINED — audit required"
+
+
+def code_commit():
+    """Short commit hash of the code the fresh rows were measured on."""
+    try:
+        return subprocess.check_output(
+            ["git", "rev-parse", "--short", "HEAD"],
+            text=True).strip()
+    except Exception:
+        return None
 
 
 def bench_line(path):
@@ -44,12 +58,15 @@ def main():
             f"{label} factor {block['factor']} != {factor}")
     qs_s = bench_line(small)["queries"]
     qs_b = bench_line(big)["queries"]
+    commit = code_commit()
     fresh = {}
     for q in sorted(set(qs_s) & set(qs_b)):
         ts, tb = float(qs_s[q]), float(qs_b[q])
         if ts > 0 and tb > 0:
             row = {"query": q, "t_small": round(ts, 3),
                    "t_big": round(tb, 3), "slope": round(tb / ts, 2)}
+            if commit:
+                row["code"] = commit  # staleness is mechanically visible
             if q in notes:
                 row["note"] = notes[q]
             fresh[q] = row
@@ -57,13 +74,14 @@ def main():
     block["slopes"] = sorted(kept + list(fresh.values()),
                              key=lambda r: r["query"])
     # re-check the WHOLE block (kept rows included) against the note
-    # policy, so a merge cannot launder a bare slope into the artifact
+    # policy, so a merge cannot launder a bare slope into the artifact;
+    # the placeholder a failing run wrote counts as MISSING, not a note
     unexplained = [r["query"] for r in block["slopes"]
                    if r.get("slope") and r["slope"] > SPOT_FLAG_AT
-                   and not r.get("note")]
+                   and r.get("note") in (None, "", PLACEHOLDER_NOTE)]
     for r in block["slopes"]:
         if r["query"] in unexplained:
-            r["note"] = "UNEXPLAINED — audit required"
+            r["note"] = PLACEHOLDER_NOTE
     block["flag_policy"] = f"slope > {SPOT_FLAG_AT:g} must carry a note"
     block["unexplained"] = unexplained
     with open(scale_path, "w") as f:
