@@ -289,11 +289,31 @@ object ChunkIndex {
     * compaction; each append/delete adds one. */
   def manifestVersions(spark: SparkSession, base: String): Long = {
     heal(spark, base)
-    val dir = new org.apache.hadoop.fs.Path(s"$base/manifest")
+    chainBatchIds(spark, base, "manifest").size.toLong
+  }
+
+  private def chainBatchIds(spark: SparkSession, base: String,
+                            chain: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$base/$chain")
     val f = fs(spark)
-    if (!f.exists(dir)) 0L
-    else f.listStatus(dir).count(st =>
-      st.isDirectory && st.getPath.getName.startsWith("batch_id=")).toLong
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.collect {
+      case st if st.isDirectory &&
+          st.getPath.getName.startsWith("batch_id=") =>
+        st.getPath.getName.stripPrefix("batch_id=").toLong
+    }
+  }
+
+  /** Erasure-LAG watermark (batch units): delta batches landed since
+    * the OLDEST outstanding tombstone batch — 0 when no tombstones are
+    * outstanding or the newest batch is the delete itself. Every
+    * append/delete writes a manifest delta, so the manifest chain IS
+    * the batch clock. Two directory listings, no row reads. */
+  def tombBatchLag(spark: SparkSession, base: String): Long = {
+    heal(spark, base)
+    val tombs = chainBatchIds(spark, base, "tombs")
+    if (tombs.isEmpty) 0L
+    else chainBatchIds(spark, base, "manifest").count(_ > tombs.min).toLong
   }
 
   /** Takedown-SLO watermark: tombstoned doc ids not yet physically

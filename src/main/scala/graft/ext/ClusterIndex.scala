@@ -348,11 +348,37 @@ object ClusterIndex {
     * compaction; each fold/withdraw adds one. */
   def pendingBatches(spark: SparkSession, base: String): Long = {
     heal(spark, base)
+    memberBatchIds(spark, base).size.toLong
+  }
+
+  private def memberBatchIds(spark: SparkSession, base: String): Seq[Long] = {
     val dir = new org.apache.hadoop.fs.Path(s"$base/members")
     val f = fs(spark)
-    if (!f.exists(dir)) 0L
-    else f.listStatus(dir).count(st =>
-      st.isDirectory && st.getPath.getName.startsWith("batch_id=")).toLong
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.collect {
+      case st if st.isDirectory &&
+          st.getPath.getName.startsWith("batch_id=") =>
+        st.getPath.getName.stripPrefix("batch_id=").toLong
+    }
+  }
+
+  /** Erasure-LAG watermark (batch units): how many delta batches have
+    * landed since the OLDEST still-live retraction sentinel — the
+    * "how long has the oldest tombstone been outstanding" a production
+    * erasure SLO tracks alongside [[retractedLive]]'s "is it durable".
+    * 0 when nothing is outstanding, or when the newest batch IS the
+    * retraction. Cost: one latest-wins pass over the tracked membership
+    * chains (the [[retractedLive]] read, duplicate-involved ids only)
+    * plus a directory listing — never a corpus scan. */
+  def tombBatchLag(spark: SparkSession, base: String): Long = {
+    heal(spark, base)
+    val oldest = readOr(spark, s"$base/members", membersSchema)
+      .groupBy("id").agg(max_by(col("cid"), col("batch_id")).as("cid"),
+        max(col("batch_id")).as("b"))
+      .filter(col("cid") === lit(RetractedCid))
+      .agg(min(col("b"))).head
+    if (oldest.isNullAt(0)) 0L
+    else memberBatchIds(spark, base).count(_ > oldest.getLong(0)).toLong
   }
 
   /** Cluster sizes for the live state — the observability probe: one

@@ -301,6 +301,29 @@ object PreferenceIndex {
       .select(col("item")).distinct().count()
   }
 
+  /** Erasure-LAG watermark (batch units): judgment batches landed since
+    * the OLDEST outstanding tombstone batch — 0 when no tombstones are
+    * outstanding or nothing landed after the withdrawal. All three
+    * chains partition by batch_id, so this is pure directory listing
+    * (driver metadata, no row reads). */
+  def tombBatchLag(spark: SparkSession, base: String): Long = {
+    heal(spark, base)
+    def batchIds(chain: String): Seq[Long] = {
+      val dir = new org.apache.hadoop.fs.Path(s"$base/$chain")
+      val f = fs(spark)
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq.collect {
+        case st if st.isDirectory &&
+            st.getPath.getName.startsWith("batch_id=") =>
+          st.getPath.getName.stripPrefix("batch_id=").toLong
+      }
+    }
+    val tombs = batchIds("tombs")
+    if (tombs.isEmpty) 0L
+    else (batchIds("edges") ++ batchIds("ties")).distinct
+      .count(_ > tombs.min).toLong
+  }
+
   /** Observability: physical layout vs logical content, and whether read
     * amplification has drifted enough to fold. One row. */
   def stats(spark: SparkSession, base: String): DataFrame = {

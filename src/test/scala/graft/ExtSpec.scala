@@ -721,6 +721,65 @@ class ExtSpec extends AnyFunSuite {
     assert(SpanIndex.pendingTombstoneRows(spark, "t_slo_span") == 0L)
   }
 
+  test("tombBatchLag counts batches landed since the oldest outstanding " +
+       "tombstone and resets at compaction (cluster/chunk/pref)") {
+    import graft.ext.{ChunkIndex, ClusterIndex, PreferenceIndex}
+    // cluster: withdraw at batch 1, two later folds touching OTHER ids
+    // → the sentinel is 2 batches old; compaction resets
+    val cc = ccScratch()
+    ClusterIndex.fold(spark, cc, Seq((10L, 20L)).toDF("id_a", "id_b"),
+      Seq(10L, 20L).toDF("id"), 0L)
+    assert(ClusterIndex.tombBatchLag(spark, cc) == 0L)
+    ClusterIndex.withdraw(spark, cc, Seq(20L).toDF("id"), 1L)
+    assert(ClusterIndex.tombBatchLag(spark, cc) == 0L,
+      "the withdrawal itself is the newest batch: nothing has lagged yet")
+    ClusterIndex.fold(spark, cc, Seq((30L, 40L)).toDF("id_a", "id_b"),
+      Seq(30L, 40L).toDF("id"), 2L)
+    ClusterIndex.fold(spark, cc, Seq((50L, 60L)).toDF("id_a", "id_b"),
+      Seq(50L, 60L).toDF("id"), 3L)
+    assert(ClusterIndex.tombBatchLag(spark, cc) == 2L,
+      "two folds landed after the still-live retraction sentinel")
+    ClusterIndex.compact(spark, cc)
+    assert(ClusterIndex.tombBatchLag(spark, cc) == 0L)
+    // chunk: delete at batch 1, appends at 2 and 3 → lag 2; compact → 0
+    val ch = java.nio.file.Files.createTempDirectory("graft_lag").toString +
+      "/chunks"
+    def cdocs(ids: Long*) = ids.map(i =>
+      (i, s"alpha beta gamma delta $i words enough for one chunk each"))
+      .toDF("doc_id", "text")
+    val cutMod = graft.queries.TrainPrepQueries.CdcCutMod
+    ChunkIndex.append(spark, ch, cdocs(1L, 2L, 3L), "text", "doc_id",
+      seed = 42L, cutMod = cutMod, batchId = 0L)
+    assert(ChunkIndex.tombBatchLag(spark, ch) == 0L)
+    ChunkIndex.delete(spark, ch, Seq(2L).toDF("doc_id"), "doc_id",
+      cutMod = cutMod, batchId = 1L)
+    assert(ChunkIndex.tombBatchLag(spark, ch) == 0L)
+    ChunkIndex.append(spark, ch, cdocs(4L), "text", "doc_id",
+      seed = 42L, cutMod = cutMod, batchId = 2L)
+    ChunkIndex.append(spark, ch, cdocs(5L), "text", "doc_id",
+      seed = 42L, cutMod = cutMod, batchId = 3L)
+    assert(ChunkIndex.tombBatchLag(spark, ch) == 2L,
+      "two manifest deltas landed after the oldest outstanding tombstone")
+    ChunkIndex.compact(spark, ch, cutMod = cutMod)
+    assert(ChunkIndex.tombBatchLag(spark, ch) == 0L)
+    // pref: withdraw at batch 1, judgments at 2 and 3 → lag 2;
+    // compactBatched retires the tombstones → 0
+    val pb = java.nio.file.Files.createTempDirectory("graft_lag").toString +
+      "/pref"
+    def judge(bid: Long, a: String, b: String) =
+      PreferenceIndex.appendJudgments(spark, pb,
+        Seq((a, b, "a")).toDF("ia", "ib", "oc"), "ia", "ib", "oc", bid)
+    judge(0L, "x", "y")
+    assert(PreferenceIndex.tombBatchLag(spark, pb) == 0L)
+    PreferenceIndex.withdraw(spark, pb, Seq("y").toDF("item"), "item", 1L)
+    assert(PreferenceIndex.tombBatchLag(spark, pb) == 0L)
+    judge(2L, "p", "q"); judge(3L, "r", "s")
+    assert(PreferenceIndex.tombBatchLag(spark, pb) == 2L,
+      "two judgment batches landed after the oldest outstanding tombstone")
+    PreferenceIndex.compactBatched(spark, pb)
+    assert(PreferenceIndex.tombBatchLag(spark, pb) == 0L)
+  }
+
   test("ClusterIndex.fold: incremental folds == batch CC over the edge " +
        "union, incl. cross-batch merges and a new min-id node") {
     import graft.ext.ClusterIndex
