@@ -64,15 +64,36 @@ object SimilarityIndex {
     * anncompactbench r13's negative result); with row-capped files a
     * tombstone dirties at most `rowsPerFile` rows, so partial
     * compaction's data term is |tombstones| × rowsPerFile regardless of
-    * corpus size. Default 2048 rows (~600 KB at dim-64 float) suits the
-    * test scale; production tunes it to its target file size (e.g.
-    * ~500k rows per 128 MB at dim 64 — the locality argument only needs
-    * file ≪ bucket). Bucket pruning and the bucketed reader are
-    * unaffected: rolled files keep the bucket id in their names. */
+    * corpus size. The default is COMPUTED from the corpus row count by
+    * [[rowsPerFilePolicy]] (the conf, when set, always wins); bucket
+    * pruning and the bucketed reader are unaffected: rolled files keep
+    * the bucket id in their names. */
   val RowsPerFileConfKey = "spark.graft.index.ann.rowsPerFile"
 
-  private def rowsPerFile(spark: SparkSession): Long =
-    spark.conf.getOption(RowsPerFileConfKey).map(_.toLong).getOrElse(2048L)
+  /** The default row cap as a pure function of corpus size — the
+    * anncompactbench r15 ladder's guidance encoded as policy. Two
+    * failure directions bound it: the cap times expected tombstones per
+    * compaction is partial's REWRITE term (small cap wins), while
+    * corpus/cap is the FILE COUNT whose footer reads, carry-over links
+    * and commit metadata dominate both folds when it grows unbounded
+    * (large cap wins — the 512-cap rung put 12.5k files on a 6.4M
+    * corpus and the full fold degraded 2×). 2048 satisfies both from
+    * ~100k to ~10M rows (measured sweet spot at 6.4M: partial 9.4 s vs
+    * 14.2/16.3 at 512/8192); beyond 10M both terms grow as √corpus —
+    * cap = 2048·√(corpus/10M), next power of two — which lands on the
+    * ladder's own 100M guidance (8192) and keeps |tombstones| × cap
+    * well under corpus/10 for any takedown batch up to
+    * ~corpus/(10·cap). */
+  def rowsPerFilePolicy(corpusRows: Long): Long =
+    if (corpusRows <= 10_000_000L) 2048L
+    else {
+      val scaled = (2048.0 * math.sqrt(corpusRows / 1e7)).toLong
+      java.lang.Long.highestOneBit(math.max(scaled - 1L, 1L)) << 1
+    }
+
+  private def rowsPerFile(spark: SparkSession, corpusRows: => Long): Long =
+    spark.conf.getOption(RowsPerFileConfKey).map(_.toLong)
+      .getOrElse(rowsPerFilePolicy(corpusRows))
 
   /** PQ codebooks (codec = "pq" only): the fine quantizer rides in the
     * snapshot dir beside the coarse one, carried by [[compact]] like the
@@ -190,7 +211,11 @@ object SimilarityIndex {
       if (codec == "pq")
         Similarity.pqTrainCodebooks(corpus, vecCol, idCol, pqM, pqK, iters)
       else Nil
-    BucketedTables.withMaxRecordsPerFile(spark, rowsPerFile(spark)) {
+    // policy input: one count of the corpus frame — marginal next to
+    // the k-means passes above, and skipped entirely when the conf
+    // pins the cap (the by-name argument stays unevaluated)
+    BucketedTables.withMaxRecordsPerFile(spark,
+        rowsPerFile(spark, corpus.count())) {
       BucketedTables.writeBucketed(
         encodeCells(
           Similarity.assignCells(corpus, vecCol, idCol, cids.zip(cents)),
@@ -348,7 +373,10 @@ object SimilarityIndex {
           sc -> BucketedTables.readSidecar(spark, cellsTable(base), sc)
       }
     BucketedTables.withForcedBucketedScan(spark) {
-      val snap = BucketedTables.withMaxRecordsPerFile(spark, rowsPerFile(spark)) {
+      // policy input: a columnar count of the standing table (id column
+      // only decodes), lazily skipped when the conf pins the cap
+      val snap = BucketedTables.withMaxRecordsPerFile(spark,
+          rowsPerFile(spark, spark.table(cellsTable(base)).count())) {
         BucketedTables.writeSnapshot(spark, cellsTable(base), Seq("cell"),
           BucketedTables.maskByTombs(
             BucketedTables.compactionFrame(spark, cellsTable(base)), tombIds),
@@ -491,7 +519,8 @@ object SimilarityIndex {
             Some(perCell(raw)))
         }
       val t0 = System.nanoTime()
-      val snap = BucketedTables.withMaxRecordsPerFile(spark, rowsPerFile(spark)) {
+      val snap = BucketedTables.withMaxRecordsPerFile(spark,
+          rowsPerFile(spark, spark.table(table).count())) {
         BucketedTables.writeSnapshot(spark, table, Seq("cell"),
           subset, sidecar = carriedSidecars)
       }

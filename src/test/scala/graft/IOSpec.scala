@@ -659,6 +659,14 @@ class IOSpec extends AnyFunSuite {
     assert(BucketedTables.compactionChoice(10, 0, 48, 0.5) == "full")
     assert(BucketedTables.compactionChoice(100, 10, 48, 0.5) == "partial")
     assert(BucketedTables.compactionChoice(100, 80, 48, 0.5) == "full")
+    // the computed rowsPerFile default at the anncompactbench ladder's
+    // breakpoints: flat at the measured 2048 sweet spot through 10M,
+    // then sqrt growth landing on the ladder's own 100M guidance (8192)
+    assert(SimilarityIndex.rowsPerFilePolicy(100_000L) == 2048L)
+    assert(SimilarityIndex.rowsPerFilePolicy(1_000_000L) == 2048L)
+    assert(SimilarityIndex.rowsPerFilePolicy(10_000_000L) == 2048L)
+    assert(SimilarityIndex.rowsPerFilePolicy(100_000_000L) == 8192L)
+    assert(SimilarityIndex.rowsPerFilePolicy(1_000_000_000L) == 32768L)
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     def build(base: String): Unit = {
       SimilarityIndex.write(e, "embedding", "vec_id", base,
