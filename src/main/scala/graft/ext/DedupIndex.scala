@@ -290,7 +290,8 @@ object DedupIndex {
     // index has no legacy rows.
     require(exact.filter(col("id").isNull).limit(1).count() == 0,
       s"$base: the exact table carries legacy rows with no holder id — " +
-        "rebuild the index (write) before deleting documents")
+        "run backfillHolderIds (with the original corpus) or rebuild " +
+        "the index (write) before deleting documents")
     val epoch = BucketedTables.snapshotEpoch(spark, exactTable(base))
     BucketedTables.upgradeLegacyTombs(spark, tombsTable(base), epoch)
     BucketedTables.writeBucketed(
@@ -884,6 +885,67 @@ object DedupIndex {
       rewrite(prefTable(base), Seq("bk"), prefixRows(sh, threshold))
     }
   }
+
+  /** ONE-TIME BACKFILL retiring the legacy-exact class: recover each
+    * legacy exact row's holder ids from the ORIGINAL CORPUS and rewrite
+    * the exact table with them, after which per-document [[delete]]
+    * and partial compaction apply normally — the permanent "full fold
+    * forever" penalty for pre-holder-id indexes retires with it.
+    *
+    * Why the corpus must be supplied: the index never stored an
+    * id↔text mapping for legacy rows ([[migrate]] can only backfill
+    * NULL), but the exact table DOES store each row's full text — so
+    * joining it against the corpus's recomputed (text-hash, text, id)
+    * triples recovers every holder, one row per holding document,
+    * exactly the current write path's shape. The corpus is the data
+    * the index indexes; the operator has it by definition.
+    *
+    * A legacy text the supplied corpus does not cover would stay
+    * NULL-id — silently un-deletable — so the backfill REFUSES loudly
+    * instead (supply the corpus the index was built over). Extra
+    * corpus documents the index never held are ignored: this is a
+    * repair, not an ingest. Runs under the writer lease; the rewrite
+    * commits scratch-then-rename like every snapshot replacement and
+    * leaves probes bit-identical (probes don't read `id`). */
+  def backfillHolderIds(spark: SparkSession, base: String,
+                        corpus: DataFrame, textCol: String, idCol: String,
+                        threshold: Double): Unit =
+   BucketedTables.withWriterLease(spark, exactTable(base), "migration") {
+    migrateImpl(spark, base, threshold) // ensure the id column exists
+    // The rewrite below commits a NEW snapshot epoch, which would turn
+    // any pending tombstone inert — resurrecting rows the backfill
+    // deliberately preserves. delete() refuses on an index with
+    // legacy rows, so this state should not arise; refuse rather than
+    // trust that (run compact() to retire the tombstones first).
+    require(BucketedTables.activeTombIds(spark, tombsTable(base),
+        BucketedTables.snapshotEpoch(spark, exactTable(base)))
+      .forall(_.isEmpty),
+      s"$base: tombstones pending — the backfill's snapshot commit " +
+        "would retire them WITHOUT removing the rows (a resurrect); " +
+        "run compact() first")
+    val exact = spark.table(exactTable(base))
+    val legacy = exact.filter(col("id").isNull).localCheckpoint()
+    try if (!legacy.isEmpty) {
+      val idType = exact.schema("id").dataType
+      val fresh = corpus.select(xxhash64(col(textCol)).as("h"),
+        col(textCol).as("t"), col(idCol).cast(idType).as("id"))
+      val orphans = legacy.select("h", "t").distinct()
+        .join(fresh, Seq("h", "t"), "left_anti").count()
+      require(orphans == 0L,
+        s"$base: $orphans legacy exact texts have no holder in the " +
+          "supplied corpus — backfilling them would leave NULL-id rows " +
+          "that stay silently un-deletable; supply the corpus the index " +
+          "was built over")
+      val recovered = legacy.drop("id").join(fresh, Seq("h", "t"))
+        .select(col("h"), col("t"), col("bid"), col("id")).distinct()
+      val snap = exact.filter(col("id").isNotNull)
+        .select(col("h"), col("t"), col("bid"), col("id"))
+        .unionByName(recovered).localCheckpoint()
+      try writeBucketed(snap, exactTable(base), Seq("h", "t"),
+        bucketsOf(spark, exactTable(base)), SaveMode.Overwrite)
+      finally graft.exec.Partitioning.unpersistCheckpoint(snap)
+    } finally graft.exec.Partitioning.unpersistCheckpoint(legacy)
+   }
 
   /** Fold a judged batch's KEPT rows into the index (bucket-preserving
     * appends) — the state transition of continuous ingestion. The bucket

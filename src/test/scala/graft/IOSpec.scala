@@ -1296,6 +1296,65 @@ class IOSpec extends AnyFunSuite {
     assert(mixed == rebuilt)
   }
 
+  test("backfillHolderIds retires the legacy-exact class: delete refuses " +
+       "before, works after, and partial compaction retires the tombstones") {
+    import graft.ext.DedupIndex
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    DedupIndex.write(corpus, "text", "doc_id", "lang", "t_backfill_idx",
+      threshold = 0.5, buckets = 4)
+    // strip the exact table to the pre-holder-id era (the t_legacy_idx
+    // simulation, exact table only)
+    val legacy = spark.table("t_backfill_idx_exact").drop("bid", "id")
+    val path = DedupIndex.writeSnapshot(spark, "t_backfill_idx_exact",
+      Seq("h", "t"), legacy)
+    spark.sql("DROP TABLE t_backfill_idx_exact")
+    spark.sql(s"""CREATE TABLE t_backfill_idx_exact (${legacy.schema.toDDL})
+      USING parquet CLUSTERED BY (h, t) SORTED BY (h, t) INTO 4 BUCKETS
+      LOCATION '$path'""")
+    val victims = corpus.select("doc_id").orderBy("doc_id").limit(3)
+    // pre-migration: per-document deletion refuses loudly (no id col,
+    // then NULL ids after migrate)
+    val e1 = intercept[IllegalArgumentException](
+      DedupIndex.delete(spark, "t_backfill_idx", victims, "doc_id"))
+    assert(e1.getMessage.contains("holder id") ||
+      e1.getMessage.contains("holder-id"), e1.getMessage)
+    DedupIndex.migrate(spark, "t_backfill_idx", threshold = 0.5)
+    val e2 = intercept[IllegalArgumentException](
+      DedupIndex.delete(spark, "t_backfill_idx", victims, "doc_id"))
+    assert(e2.getMessage.contains("backfillHolderIds"), e2.getMessage)
+    // a corpus that does NOT cover the legacy texts refuses loudly —
+    // a partial backfill would leave silently un-deletable rows
+    val e3 = intercept[IllegalArgumentException](
+      DedupIndex.backfillHolderIds(spark, "t_backfill_idx",
+        corpus.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+        threshold = 0.5))
+    assert(e3.getMessage.contains("no holder in the supplied corpus"),
+      e3.getMessage)
+    // the real backfill: holder ids recovered from the original corpus,
+    // bit-identical to the never-stripped index
+    DedupIndex.backfillHolderIds(spark, "t_backfill_idx", corpus,
+      "text", "doc_id", threshold = 0.5)
+    val rebuilt = spark.table("t_backfill_idx_exact")
+      .select("h", "t", "bid", "id").as[(Long, String, Long, Long)]
+      .collect().toSet
+    DedupIndex.write(corpus, "text", "doc_id", "lang", "t_backfill_ref",
+      threshold = 0.5, buckets = 4)
+    val reference = spark.table("t_backfill_ref_exact")
+      .select("h", "t", "bid", "id").as[(Long, String, Long, Long)]
+      .collect().toSet
+    assert(rebuilt == reference,
+      "backfilled exact rows must equal a from-scratch build's")
+    // and the full deletion story now applies: delete + PARTIAL
+    // compaction physically retires exactly the victims
+    DedupIndex.delete(spark, "t_backfill_idx", victims, "doc_id")
+    DedupIndex.compactPartial(spark, "t_backfill_idx")
+    val gone = victims.as[Long].collect().toSet
+    assert(spark.table("t_backfill_idx_exact")
+      .filter(col("id").isin(gone.toSeq: _*)).count() == 0L)
+    assert(DedupIndex.pendingTombstones(spark, "t_backfill_idx") == 0L)
+  }
+
   test("dedup index stats report the PHYSICAL bucket layout exactly; " +
        "needsCompact advises on pending tombstones and append mass") {
     import graft.ext.DedupIndex
