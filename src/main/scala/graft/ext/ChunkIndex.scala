@@ -176,15 +176,17 @@ object ChunkIndex {
   /** (chunk_key, lo, hi) h-ranges of the given cut set, including the −1
     * prefix chunk. */
   private def cutRanges(spark: SparkSession, cuts: DataFrame): DataFrame = {
-    import spark.implicits._
     val rankedCuts = graft.exec.Ranks.globalRowNumber(cuts, Seq(col("h")), "rk")
     val nextCuts = rankedCuts.select(col("h").as("next_h"), (col("rk") - 1).as("rk"))
-    val prefixRange =
-      if (cuts.isEmpty) // cutless corpus: everything is the -1 chunk
-        Seq((-1L, Long.MinValue, Long.MaxValue)).toDF("chunk_key", "lo", "hi")
-      else rankedCuts.filter(col("rk") === 1)
-        .select(lit(-1L).as("chunk_key"), lit(Long.MinValue).as("lo"),
-          col("h").as("hi"))
+    // prefix chunk as a LAZY one-row aggregate: min cut h bounds it, and
+    // a cutless corpus coalesces to (-1, MIN, MAX) — same rows as the
+    // former eager isEmpty branch, minus that branch's extra Spark job
+    // on every append/delete/compact leg (the takedown capstone pays
+    // these fixed jobs on 40-doc deltas)
+    val prefixRange = cuts
+      .agg(coalesce(min(col("h")), lit(Long.MaxValue)).as("hi"))
+      .select(lit(-1L).as("chunk_key"), lit(Long.MinValue).as("lo"),
+        col("hi"))
     rankedCuts
       .join(nextCuts, Seq("rk"), "left")
       .select(col("h").as("chunk_key"), col("h").as("lo"),
