@@ -318,6 +318,22 @@ object ChunkIndex {
     else chainBatchIds(spark, base, "manifest").count(_ > tombs.min).toLong
   }
 
+  /** Wall-clock twin of [[tombBatchLag]]: ms since the oldest
+    * outstanding tombstone batch landed (delta-dir mtime), None when
+    * none outstanding. Clock-dependent, so an operator API — not part
+    * of any oracle-gated frame. */
+  def oldestTombstoneAgeMs(spark: SparkSession, base: String): Option[Long] = {
+    heal(spark, base)
+    val tombs = chainBatchIds(spark, base, "tombs")
+    if (tombs.isEmpty) None
+    else {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$base/tombs/batch_id=${tombs.min}")
+      Some(System.currentTimeMillis() -
+        fs(spark).getFileStatus(p).getModificationTime)
+    }
+  }
+
   /** Takedown-SLO watermark: tombstoned doc ids not yet physically
     * retired by a compaction — delta-sized read ([[compact]]'s heal
     * deletes the whole tombs chain, so this reads 0 right after). */

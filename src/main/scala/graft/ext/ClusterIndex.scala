@@ -372,13 +372,36 @@ object ClusterIndex {
     * plus a directory listing — never a corpus scan. */
   def tombBatchLag(spark: SparkSession, base: String): Long = {
     heal(spark, base)
+    oldestSentinelBatch(spark, base)
+      .map(o => memberBatchIds(spark, base).count(_ > o).toLong)
+      .getOrElse(0L)
+  }
+
+  /** Wall-clock twin of [[tombBatchLag]]: ms since the delta batch
+    * holding the oldest still-live retraction sentinel landed (its
+    * partition dir's mtime), None when nothing is outstanding.
+    * Clock-dependent, so an operator API — not part of any
+    * oracle-gated frame. */
+  def oldestTombstoneAgeMs(spark: SparkSession,
+                           base: String): Option[Long] = {
+    heal(spark, base)
+    oldestSentinelBatch(spark, base).map { o =>
+      val p = new org.apache.hadoop.fs.Path(s"$base/members/batch_id=$o")
+      System.currentTimeMillis() - fs(spark).getFileStatus(p)
+        .getModificationTime
+    }
+  }
+
+  /** Batch id of the oldest still-live retraction sentinel (the
+    * latest-wins pass bounded by tracked membership chains). */
+  private def oldestSentinelBatch(spark: SparkSession,
+                                  base: String): Option[Long] = {
     val oldest = readOr(spark, s"$base/members", membersSchema)
       .groupBy("id").agg(max_by(col("cid"), col("batch_id")).as("cid"),
         max(col("batch_id")).as("b"))
       .filter(col("cid") === lit(RetractedCid))
       .agg(min(col("b"))).head
-    if (oldest.isNullAt(0)) 0L
-    else memberBatchIds(spark, base).count(_ > oldest.getLong(0)).toLong
+    if (oldest.isNullAt(0)) None else Some(oldest.getLong(0))
   }
 
   /** Cluster sizes for the live state — the observability probe: one

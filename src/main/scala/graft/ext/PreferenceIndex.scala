@@ -324,6 +324,25 @@ object PreferenceIndex {
       .count(_ > tombs.min).toLong
   }
 
+  /** Wall-clock twin of [[tombBatchLag]]: milliseconds since the OLDEST
+    * outstanding tombstone batch landed (its delta dir's modification
+    * time), None when nothing is outstanding. Unverifiable by a
+    * deterministic oracle (it reads the clock), so it lives here as an
+    * operator API rather than in a gated query frame; one directory
+    * listing + one status read. */
+  def oldestTombstoneAgeMs(spark: SparkSession, base: String): Option[Long] = {
+    heal(spark, base)
+    val f = fs(spark)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/tombs")
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch_id="))
+      .sortBy(_.getPath.getName.stripPrefix("batch_id=").toLong)
+      .headOption
+      .map(st => System.currentTimeMillis() - st.getModificationTime)
+  }
+
   /** Observability: physical layout vs logical content, and whether read
     * amplification has drifted enough to fold. One row. */
   def stats(spark: SparkSession, base: String): DataFrame = {

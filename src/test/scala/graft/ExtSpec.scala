@@ -739,8 +739,13 @@ class ExtSpec extends AnyFunSuite {
       Seq(50L, 60L).toDF("id"), 3L)
     assert(ClusterIndex.tombBatchLag(spark, cc) == 2L,
       "two folds landed after the still-live retraction sentinel")
+    // wall-clock twin: defined and sane while outstanding, gone after
+    assert(ClusterIndex.oldestTombstoneAgeMs(spark, cc)
+      .exists(a => a >= 0L && a < 3600L * 1000),
+      "outstanding sentinel must report a plausible age")
     ClusterIndex.compact(spark, cc)
     assert(ClusterIndex.tombBatchLag(spark, cc) == 0L)
+    assert(ClusterIndex.oldestTombstoneAgeMs(spark, cc).isEmpty)
     // chunk: delete at batch 1, appends at 2 and 3 → lag 2; compact → 0
     val ch = java.nio.file.Files.createTempDirectory("graft_lag").toString +
       "/chunks"
@@ -760,8 +765,11 @@ class ExtSpec extends AnyFunSuite {
       seed = 42L, cutMod = cutMod, batchId = 3L)
     assert(ChunkIndex.tombBatchLag(spark, ch) == 2L,
       "two manifest deltas landed after the oldest outstanding tombstone")
+    assert(ChunkIndex.oldestTombstoneAgeMs(spark, ch)
+      .exists(a => a >= 0L && a < 3600L * 1000))
     ChunkIndex.compact(spark, ch, cutMod = cutMod)
     assert(ChunkIndex.tombBatchLag(spark, ch) == 0L)
+    assert(ChunkIndex.oldestTombstoneAgeMs(spark, ch).isEmpty)
     // pref: withdraw at batch 1, judgments at 2 and 3 → lag 2;
     // compactBatched retires the tombstones → 0
     val pb = java.nio.file.Files.createTempDirectory("graft_lag").toString +
@@ -776,8 +784,11 @@ class ExtSpec extends AnyFunSuite {
     judge(2L, "p", "q"); judge(3L, "r", "s")
     assert(PreferenceIndex.tombBatchLag(spark, pb) == 2L,
       "two judgment batches landed after the oldest outstanding tombstone")
+    assert(PreferenceIndex.oldestTombstoneAgeMs(spark, pb)
+      .exists(a => a >= 0L && a < 3600L * 1000))
     PreferenceIndex.compactBatched(spark, pb)
     assert(PreferenceIndex.tombBatchLag(spark, pb) == 0L)
+    assert(PreferenceIndex.oldestTombstoneAgeMs(spark, pb).isEmpty)
   }
 
   test("ClusterIndex.fold: incremental folds == batch CC over the edge " +
