@@ -49,24 +49,14 @@ import graft.ext.{ChunkIndex, ClusterIndex, DedupIndex, PreferenceIndex, Similar
   * Output: ONE normalized frame, (structure, k, v) strings — the
   * re-admission verdicts (dedup), the live membership (cluster), the
   * post-takedown top-k of a fixed probe set (ann), the live chunk
-  * manifest (chunk), the re-admission trims (span), the live win/tie
-  * matrices (pref), and the ERASURE-SLO WATERMARKS (slo): the
-  * per-structure durability/lag frame read TWICE from the real
-  * capstone state — after the withdrawal (tombstones outstanding
-  * everywhere) and after the compactions (durable everywhere) — so
-  * the "is erasure durable, and how long has it been pending"
-  * answers are proven against the very structures the takedown
-  * mutated, not a parallel fixture (this folds the former standalone
-  * q_takedown_slo in, r15 verdict ask #1, and retires its duplicate
-  * six-structure build). The oracle replays the ENTIRE ledger in
+  * manifest (chunk), the re-admission trims (span), and the live
+  * win/tie matrices (pref). The oracle replays the ENTIRE ledger in
   * closed form — batch edge discovery, edge subtraction, re-admission
   * edges against the post-compact corpus, manifest/window/judgment
-  * replays, watermark predictions — as a UNION ALL of seven
-  * independently-derived sections, so one hash-pass proves the whole
-  * takedown story end to end: every structure forgot exactly the
-  * withdrawn documents, kept everything else bit-for-bit, re-admitted
-  * exactly the permitted subset, and REPORTED its erasure status
-  * truthfully at both lifecycle points. */
+  * replays — as a UNION ALL of six independently-derived sections, so
+  * one hash-pass proves the whole takedown story end to end: every
+  * structure forgot exactly the withdrawn documents, kept everything
+  * else bit-for-bit, and re-admitted exactly the permitted subset. */
 object TakedownQueries {
 
   private val CutMod = TrainPrepQueries.CdcCutMod
@@ -172,14 +162,6 @@ object TakedownQueries {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
 
-    // ---- SLO snapshot #1 (erasure NOT yet durable): the watermark
-    // frame read from the REAL capstone state right after the
-    // withdrawal — every structure must report its outstanding
-    // tombstones (and zero batch lag: the withdrawal IS the newest
-    // batch everywhere)
-    val sloPending = phase("slo_pending")(sloSnapshot(s, "pending",
-      dedupIdx, annIdx, cc, chunkB, spanIdx, prefB))
-
     // ---- 3. compactions retire every structure's tombstones — the
     // re-admission precondition (delete wins until here)
     phase("cp_dedup")(DedupIndex.compactAuto(s, dedupIdx))
@@ -189,13 +171,6 @@ object TakedownQueries {
       cutMod = CutMod))
     phase("cp_span")(SpanIndex.compact(s, spanIdx))
     phase("cp_pref")(PreferenceIndex.compactBatched(s, prefB))
-
-    // ---- SLO snapshot #2 (erasure DURABLE): the same frame after the
-    // compactions, BEFORE re-admission — every structure must now
-    // report durable = 1 with zero outstanding, proving the watermarks
-    // track the actual physical retirement the compactions performed
-    val sloDurable = phase("slo_durable")(sloSnapshot(s, "durable",
-      dedupIdx, annIdx, cc, chunkB, spanIdx, prefB))
 
     // ---- 4. the permitted (even) half re-enters as ordinary new data
     val b2 = docs.join(tdEven, "doc_id")
@@ -262,61 +237,162 @@ object TakedownQueries {
     val prefTies = norm("pref",
       concat(lit("t:"), col("a"), lit("|"), col("b")),
       col("n").cast("string"))(PreferenceIndex.ties(s, prefB))
-    import s.implicits._
-    val sloOut = (sloPending ++ sloDurable)
-      .toDF("structure", "k", "value")
-      .select(col("structure"), col("k"), col("value").cast("string").as("v"))
-    Seq(dedupOut, clusterOut, annOut, chunkOut, spanOut, prefWins, prefTies,
-      sloOut).reduce(_.unionByName(_))
+    Seq(dedupOut, clusterOut, annOut, chunkOut, spanOut, prefWins, prefTies)
+      .reduce(_.unionByName(_))
   }
 
-  /** One erasure-status snapshot of all six standing structures, read
-    * from each one's cheap observability surface (tombstone tables,
-    * delta-partition listings, sidecar/marker state — never a corpus
-    * scan): outstanding tombstones, the derived `erasure_durable` flag,
-    * and — for the batch-versioned chains (cluster/chunk/pref) — the
-    * BATCH LAG: delta batches landed since the oldest outstanding
-    * tombstone, the "how long has this takedown been waiting" a
-    * production erasure SLO alerts on. Dedup/ANN tombstones are
-    * EPOCH-stamped, not batch-stamped (a pending tombstone is by
-    * definition aimed at the live snapshot), and the span store's batch
-    * clock lives in a corpus-table column — so those three report
-    * counts without a lag row rather than pay a corpus scan for one.
-    * Returned as (structure="slo", "<tag>:<structure>:<metric>", value)
-    * rows folded into the capstone's output frame, so the oracle
-    * hash-verifies the durability answers against the REAL
-    * post-withdrawal / post-compaction state. */
-  private def sloSnapshot(s: SparkSession, tag: String, dedupIdx: String,
-                          annIdx: String, cc: String, chunkB: String,
-                          spanIdx: String, prefB: String)
-      : Seq[(String, String, Long)] = {
+  // --------------------------------------------------------- q_takedown_slo
+
+  /** TAKEDOWN SLO — "how long until erasure is DURABLE?" answered as a
+    * status frame: one (structure, metric, value) row per watermark,
+    * read from each standing structure's OWN cheap observability
+    * surface (tombstone tables and delta-partition/marker state — never
+    * a corpus scan): pending tombstones (dedup/ann/chunk/pref),
+    * retraction sentinels + delta-batch count (cluster), physical
+    * negative-count rows (span, stats-pruned to the delete-batch
+    * files), and the derived `erasure_durable` flag per structure.
+    *
+    * Scenario: all six structures built on an independent slice
+    * (doc_id % 4 = 1), one 20-id request set withdrawn from all six,
+    * then THREE structures compacted (dedup via compactAuto, chunk,
+    * pref via compactBatched) and three left pending (ann, cluster,
+    * span) — so the frame must show durable = 1 exactly where the
+    * tombstones were physically retired and the live outstanding counts
+    * elsewhere. The cluster state ingests a deterministic edge relation
+    * (star components over the doc_id % 7 = 2 sub-slice — edge
+    * DISCOVERY is proven by the dedup/cluster lifecycle queries; this
+    * query proves the WATERMARKS), so every count is closed-form: the
+    * oracle predicts each watermark from the fixture alone, and a
+    * hash-pass proves the engine's durability answers are the true
+    * ones. */
+  def qTakedownSlo(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select("doc_id", "lang", "text",
+      "n_chars")
+    val e = Tables(s, dir, "embeddings")
+    val corpus = docs.filter(col("doc_id") % 4 === 1)
+    val td = corpus.filter(col("doc_id") % 3 === 1)
+      .orderBy("doc_id").limit(20).select("doc_id").localCheckpoint()
+    val base = Scratch.fresh(s, "takedownslo", dir)
+    val dedupIdx = "graft_idx_slo_dedup"
+    val annIdx = "graft_idx_slo_ann"
+    val spanIdx = "graft_idx_slo_span"
+    val cc = s"$base/cc"
+    val chunkB = s"$base/chunks"
+    val prefB = s"$base/pref"
+
+    // ---- build the six structures
+    DedupIndex.write(corpus, "text", "doc_id", "lang", dedupIdx,
+      threshold = 0.5)
+    SimilarityIndex.write(e.filter(col("vec_id") % 4 === 1),
+      "embedding", "vec_id", annIdx, k = 4, iters = 1, buckets = 4)
+    ChunkIndex.append(s, chunkB, corpus, "text", "doc_id",
+      seed = 42L, cutMod = CutMod, batchId = 0L)
+    SpanIndex.write(corpus, "text", "doc_id", spanIdx, w = 6, buckets = 8)
+    val byLang = Window.partitionBy("lang").orderBy("doc_id")
+    PreferenceIndex.appendJudgments(s, prefB,
+      corpus.select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("nb_id", lead("doc_id", 1).over(byLang))
+        .withColumn("nb_chars", lead("n_chars", 1).over(byLang))
+        .filter(col("nb_id").isNotNull)
+        .select(col("doc_id").cast("string").as("ia"),
+          col("nb_id").cast("string").as("ib"),
+          when(col("n_chars") > col("nb_chars"), "a")
+            .when(col("n_chars") < col("nb_chars"), "b")
+            .otherwise("tie").as("oc")),
+      "ia", "ib", "oc", batchId = 0L)
+    // star-shaped components (each doc edges to its (lang, id-range)
+    // group's min id): bounded propagation diameter regardless of sf —
+    // the WATERMARKS don't depend on the topology, only on which ids
+    // are tracked
+    val trk = corpus.filter(col("doc_id") % 7 === 2)
+      .select("doc_id", "lang").localCheckpoint()
+    val grouped = trk.withColumn("g", (col("doc_id") / 500).cast("long"))
+    val edges0 = grouped
+      .join(grouped.groupBy("lang", "g").agg(min("doc_id").as("m")),
+        Seq("lang", "g"))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("m").as("id_a"), col("doc_id").as("id_b"))
+    ClusterIndex.fold(s, cc, edges0, trk.select(col("doc_id")),
+      ClusterIndex.streamFoldId(0L))
+
+    // ---- one request set withdrawn from all six
+    DedupIndex.delete(s, dedupIdx, td, "doc_id")
+    SimilarityIndex.delete(s, annIdx, td, "doc_id")
+    ChunkIndex.delete(s, chunkB, td, "doc_id", cutMod = CutMod, batchId = 1L)
+    SpanIndex.delete(s, spanIdx, docs.join(td, "doc_id"),
+      "text", "doc_id", bid = 1L)
+    PreferenceIndex.withdraw(s, prefB,
+      td.select(col("doc_id").cast("string").as("item")), "item",
+      batchId = 1L)
+    ClusterIndex.withdraw(s, cc, td, ClusterIndex.nextBatchId(s, cc))
+
+    // ---- three structures retire their tombstones, three stay pending
+    DedupIndex.compactAuto(s, dedupIdx)
+    ChunkIndex.compact(s, chunkB, cutMod = CutMod)
+    PreferenceIndex.compactBatched(s, prefB)
+
+    // ---- the SLO frame: watermarks from sidecar/tombstone/marker state
+    import s.implicits._
     def durable(n: Long): Long = if (n == 0L) 1L else 0L
-    val dp = DedupIndex.pendingTombstones(s, dedupIdx)
-    val ap = SimilarityIndex.pendingTombstones(s, annIdx)
-    val rl = ClusterIndex.retractedLive(s, cc)
-    val cp = ChunkIndex.pendingTombstones(s, chunkB)
-    val sp = SpanIndex.pendingTombstoneRows(s, spanIdx)
-    val pp = PreferenceIndex.pendingTombstones(s, prefB)
+    val dedupPending = DedupIndex.pendingTombstones(s, dedupIdx)
+    val annPending = SimilarityIndex.pendingTombstones(s, annIdx)
+    val retracted = ClusterIndex.retractedLive(s, cc)
+    val chunkPending = ChunkIndex.pendingTombstones(s, chunkB)
+    val spanPending = SpanIndex.pendingTombstoneRows(s, spanIdx)
+    val prefPending = PreferenceIndex.pendingTombstones(s, prefB)
     Seq(
-      (s"$tag:dedup:tombs_outstanding", dp),
-      (s"$tag:dedup:erasure_durable", durable(dp)),
-      (s"$tag:ann:tombs_outstanding", ap),
-      (s"$tag:ann:erasure_durable", durable(ap)),
-      (s"$tag:cluster:retracted_live", rl),
-      (s"$tag:cluster:pending_batches", ClusterIndex.pendingBatches(s, cc)),
-      (s"$tag:cluster:batch_lag", ClusterIndex.tombBatchLag(s, cc)),
-      (s"$tag:cluster:erasure_durable", durable(rl)),
-      (s"$tag:chunk:tombs_outstanding", cp),
-      (s"$tag:chunk:manifest_versions", ChunkIndex.manifestVersions(s, chunkB)),
-      (s"$tag:chunk:batch_lag", ChunkIndex.tombBatchLag(s, chunkB)),
-      (s"$tag:chunk:erasure_durable", durable(cp)),
-      (s"$tag:span:tombstone_rows", sp),
-      (s"$tag:span:erasure_durable", durable(sp)),
-      (s"$tag:pref:tombs_outstanding", pp),
-      (s"$tag:pref:batch_lag", PreferenceIndex.tombBatchLag(s, prefB)),
-      (s"$tag:pref:erasure_durable", durable(pp)))
-      .map { case (k, v) => ("slo", k, v) }
+      ("dedup", "tombs_outstanding", dedupPending),
+      ("dedup", "erasure_durable", durable(dedupPending)),
+      ("ann", "tombs_outstanding", annPending),
+      ("ann", "erasure_durable", durable(annPending)),
+      ("cluster", "pending_batches", ClusterIndex.pendingBatches(s, cc)),
+      ("cluster", "retracted_live", retracted),
+      ("cluster", "erasure_durable", durable(retracted)),
+      ("chunk", "manifest_versions", ChunkIndex.manifestVersions(s, chunkB)),
+      ("chunk", "tombs_outstanding", chunkPending),
+      ("chunk", "erasure_durable", durable(chunkPending)),
+      ("span", "tombstone_rows", spanPending),
+      ("span", "erasure_durable", durable(spanPending)),
+      ("pref", "tombs_outstanding", prefPending),
+      ("pref", "erasure_durable", durable(prefPending)))
+      .toDF("structure", "metric", "value")
   }
+
+  /** Closed-form watermark prediction from the fixture alone. */
+  val qTakedownSloSql: String =
+    """WITH td AS (SELECT doc_id FROM documents
+      |  WHERE doc_id % 4 = 1 AND doc_id % 3 = 1 ORDER BY doc_id LIMIT 20),
+      |trk AS (SELECT doc_id FROM documents
+      |  WHERE doc_id % 4 = 1 AND doc_id % 7 = 2),
+      |rl AS (SELECT count(*) AS n FROM td
+      |  WHERE doc_id IN (SELECT doc_id FROM trk)),
+      |tw AS (SELECT string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS toks
+      |  FROM documents WHERE doc_id IN (SELECT doc_id FROM td)),
+      |pw AS (SELECT toks,
+      |  unnest(range(1, greatest(len(toks) - 5, 1) + 1)) AS pos FROM tw),
+      |wn AS (SELECT count(DISTINCT array_to_string(toks[pos:pos+5], ' ')) AS n
+      |  FROM pw)
+      |SELECT 'dedup' AS structure, 'tombs_outstanding' AS metric,
+      |  CAST(0 AS BIGINT) AS value
+      |UNION ALL SELECT 'dedup', 'erasure_durable', CAST(1 AS BIGINT)
+      |UNION ALL SELECT 'ann', 'tombs_outstanding',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM td)
+      |UNION ALL SELECT 'ann', 'erasure_durable', CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'cluster', 'pending_batches',
+      |  CAST(1 + (CASE WHEN (SELECT n FROM rl) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |UNION ALL SELECT 'cluster', 'retracted_live',
+      |  (SELECT CAST(n AS BIGINT) FROM rl)
+      |UNION ALL SELECT 'cluster', 'erasure_durable',
+      |  CAST(CASE WHEN (SELECT n FROM rl) = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |UNION ALL SELECT 'chunk', 'manifest_versions', CAST(1 AS BIGINT)
+      |UNION ALL SELECT 'chunk', 'tombs_outstanding', CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'chunk', 'erasure_durable', CAST(1 AS BIGINT)
+      |UNION ALL SELECT 'span', 'tombstone_rows',
+      |  (SELECT CAST(n AS BIGINT) FROM wn)
+      |UNION ALL SELECT 'span', 'erasure_durable',
+      |  CAST(CASE WHEN (SELECT n FROM wn) = 0 THEN 1 ELSE 0 END AS BIGINT)
+      |UNION ALL SELECT 'pref', 'tombs_outstanding', CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'pref', 'erasure_durable', CAST(1 AS BIGINT)""".stripMargin
 
   // ------------------------------------------------------------- oracle
 
@@ -476,97 +552,17 @@ object TakedownQueries {
        |SELECT 'pref', concat('t:', ta, '|', tb),
        |  CAST(count(*) AS VARCHAR) FROM tiesj GROUP BY ta, tb)""".stripMargin
 
-  /** Closed-form prediction of BOTH watermark snapshots from the
-    * fixture alone — the former standalone q_takedown_slo's oracle,
-    * re-derived for the REAL capstone state (r15 verdict ask #1: the
-    * SLO frame now proves durability against the structures the
-    * takedown actually mutated, not a parallel build). Pending
-    * snapshot: every per-request count is |td| (the three
-    * tombstone-table deletes write the request set verbatim), the
-    * cluster sentinels are |td ∩ tracked nodes| (batch-0 docs ∪ their
-    * matched corpus partners — the e0 edge relation), and the span
-    * negatives are the pooled distinct 6-token windows of the
-    * withdrawn docs. Batch lags are 0 on both sides: the withdrawal is
-    * the NEWEST batch everywhere at snapshot #1 (nothing has landed
-    * since the oldest tombstone), and nothing is outstanding at
-    * snapshot #2 — the discriminating lag arithmetic (appends landing
-    * AFTER a withdrawal) is pinned in ExtSpec, where the interleaving
-    * can be driven directly. Durable snapshot: all zeros/ones plus the
-    * post-compaction invariants (one members delta batch, one manifest
-    * version). */
-  private val SloSection =
-    s"""(WITH $SharedDedupCtes,
-       |nodes0 AS (SELECT doc_id AS id FROM d0
-       |  UNION SELECT a FROM e0 UNION SELECT b FROM e0),
-       |rl AS (SELECT count(*) AS n FROM $TdAll __r
-       |  WHERE doc_id IN (SELECT id FROM nodes0)),
-       |nreq AS (SELECT count(*) AS n FROM $TdAll __n),
-       |twd AS (SELECT string_split_regex(lower(trim(text)), '[ \\t\\n\\f\\r]+') AS toks
-       |  FROM documents WHERE doc_id IN (SELECT doc_id FROM $TdAll __t2)),
-       |pwd AS (SELECT toks,
-       |  unnest(range(1, greatest(len(toks) - 5, 1) + 1)) AS pos FROM twd),
-       |wnd AS (SELECT count(DISTINCT array_to_string(toks[pos:pos+5], ' ')) AS n
-       |  FROM pwd)
-       |SELECT 'slo' AS structure, k, v FROM (
-       |  SELECT 'pending:dedup:tombs_outstanding' AS k,
-       |    CAST((SELECT n FROM nreq) AS VARCHAR) AS v
-       |  UNION ALL SELECT 'pending:dedup:erasure_durable',
-       |    CASE WHEN (SELECT n FROM nreq) = 0 THEN '1' ELSE '0' END
-       |  UNION ALL SELECT 'pending:ann:tombs_outstanding',
-       |    CAST((SELECT n FROM nreq) AS VARCHAR)
-       |  UNION ALL SELECT 'pending:ann:erasure_durable',
-       |    CASE WHEN (SELECT n FROM nreq) = 0 THEN '1' ELSE '0' END
-       |  UNION ALL SELECT 'pending:cluster:retracted_live',
-       |    CAST((SELECT n FROM rl) AS VARCHAR)
-       |  UNION ALL SELECT 'pending:cluster:pending_batches',
-       |    CAST(1 + (CASE WHEN (SELECT n FROM rl) > 0 THEN 1 ELSE 0 END)
-       |      AS VARCHAR)
-       |  UNION ALL SELECT 'pending:cluster:batch_lag', '0'
-       |  UNION ALL SELECT 'pending:cluster:erasure_durable',
-       |    CASE WHEN (SELECT n FROM rl) = 0 THEN '1' ELSE '0' END
-       |  UNION ALL SELECT 'pending:chunk:tombs_outstanding',
-       |    CAST((SELECT n FROM nreq) AS VARCHAR)
-       |  UNION ALL SELECT 'pending:chunk:manifest_versions', '2'
-       |  UNION ALL SELECT 'pending:chunk:batch_lag', '0'
-       |  UNION ALL SELECT 'pending:chunk:erasure_durable',
-       |    CASE WHEN (SELECT n FROM nreq) = 0 THEN '1' ELSE '0' END
-       |  UNION ALL SELECT 'pending:span:tombstone_rows',
-       |    CAST((SELECT n FROM wnd) AS VARCHAR)
-       |  UNION ALL SELECT 'pending:span:erasure_durable',
-       |    CASE WHEN (SELECT n FROM wnd) = 0 THEN '1' ELSE '0' END
-       |  UNION ALL SELECT 'pending:pref:tombs_outstanding',
-       |    CAST((SELECT n FROM nreq) AS VARCHAR)
-       |  UNION ALL SELECT 'pending:pref:batch_lag', '0'
-       |  UNION ALL SELECT 'pending:pref:erasure_durable',
-       |    CASE WHEN (SELECT n FROM nreq) = 0 THEN '1' ELSE '0' END
-       |  UNION ALL SELECT 'durable:dedup:tombs_outstanding', '0'
-       |  UNION ALL SELECT 'durable:dedup:erasure_durable', '1'
-       |  UNION ALL SELECT 'durable:ann:tombs_outstanding', '0'
-       |  UNION ALL SELECT 'durable:ann:erasure_durable', '1'
-       |  UNION ALL SELECT 'durable:cluster:retracted_live', '0'
-       |  UNION ALL SELECT 'durable:cluster:pending_batches', '1'
-       |  UNION ALL SELECT 'durable:cluster:batch_lag', '0'
-       |  UNION ALL SELECT 'durable:cluster:erasure_durable', '1'
-       |  UNION ALL SELECT 'durable:chunk:tombs_outstanding', '0'
-       |  UNION ALL SELECT 'durable:chunk:manifest_versions', '1'
-       |  UNION ALL SELECT 'durable:chunk:batch_lag', '0'
-       |  UNION ALL SELECT 'durable:chunk:erasure_durable', '1'
-       |  UNION ALL SELECT 'durable:span:tombstone_rows', '0'
-       |  UNION ALL SELECT 'durable:span:erasure_durable', '1'
-       |  UNION ALL SELECT 'durable:pref:tombs_outstanding', '0'
-       |  UNION ALL SELECT 'durable:pref:batch_lag', '0'
-       |  UNION ALL SELECT 'durable:pref:erasure_durable', '1'
-       |) __slorows)""".stripMargin
-
   def qTakedownE2eSql: String =
     Seq(DedupSection, ClusterSection, annSection, chunkSection,
-      spanSection, PrefSection, SloSection)
+      spanSection, PrefSection)
       .map(sec => s"SELECT structure, k, v FROM $sec __s")
       .mkString("\nUNION ALL\n")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_takedown_e2e" -> (qTakedownE2e _))
+    "q_takedown_e2e" -> (qTakedownE2e _),
+    "q_takedown_slo" -> (qTakedownSlo _))
 
   val oracle: Map[String, String] = Map(
-    "q_takedown_e2e" -> qTakedownE2eSql)
+    "q_takedown_e2e" -> qTakedownE2eSql,
+    "q_takedown_slo" -> qTakedownSloSql)
 }
