@@ -184,11 +184,20 @@ private[graft] object BucketedTables {
     * error, never a silent mismatch. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     buckets: Int, mode: SaveMode,
-                    sidecar: Seq[(String, Array[Byte])] = Nil): Unit = {
+                    sidecar: Seq[(String, Array[Byte])] = Nil,
+                    maxRecordsPerFile: Long = 0L): Unit = {
     val spark = df.sparkSession
-    def writer(d: DataFrame, m: SaveMode) = d.write.mode(m)
-      .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
+    def writer(d: DataFrame, m: SaveMode) = {
+      val w = d.write.mode(m)
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+      // per-write option, NOT the session conf: a session-conf toggle
+      // would leak into sibling writes when independent index lifecycles
+      // run as concurrent driver jobs (graft.exec.Concurrent)
+      if (maxRecordsPerFile > 0L)
+        w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      else w
+    }
     def writeSidecar(dir: String): Unit = writeSidecarFiles(spark, dir, sidecar)
     if (mode == SaveMode.Append && spark.catalog.tableExists(table)) {
       // Appending WITH a sidecar has no atomic ordering: new rows would
@@ -527,12 +536,18 @@ private[graft] object BucketedTables {
     * untouched. */
   def writeSnapshot(spark: SparkSession, table: String, keys: Seq[String],
                     df: DataFrame,
-                    sidecar: Seq[(String, Array[Byte])] = Nil): String = {
+                    sidecar: Seq[(String, Array[Byte])] = Nil,
+                    maxRecordsPerFile: Long = 0L): String = {
     val scratch = s"${table}__snap"
     val path = nextVersionPath(spark, table)
-    df.write.mode(SaveMode.Overwrite)
+    val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(bucketsOf(spark, table), keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
+    // per-write option, not the session conf (concurrency: see
+    // writeBucketed)
+    (if (maxRecordsPerFile > 0L)
+       w.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+     else w)
       .option("path", path).format("parquet").saveAsTable(scratch)
     writeSidecarFiles(spark, path, sidecar)
     spark.sql(s"DROP TABLE IF EXISTS $scratch")
@@ -583,30 +598,38 @@ private[graft] object BucketedTables {
   /** Run `body` with bucketed scans forced to one partition per bucket —
     * the shape that makes [[compactionFrame]]'s per-partition dedup
     * global (duplicates co-bucket across files). */
+  // depth + saved previous value per session — withForcedBucketedScan
+  // bodies now run as concurrent driver jobs (independent structures'
+  // compactions, graft.exec.Concurrent), and a plain set/restore pair
+  // would let the first leg to FINISH restore the conf out from under a
+  // sibling still folding (whose per-bucket shuffle-free dedup depends
+  // on the forced bucketed scan). Every user forces the same value, so
+  // a reference count composes them: set on first entry, restore on
+  // last exit.
+  private val forcedBucketedDepth =
+    new java.util.HashMap[SparkSession, (Int, String)]()
+
   def withForcedBucketedScan[A](spark: SparkSession)(body: => A): A = {
     val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.get(conf)
-    try { spark.conf.set(conf, "false"); body }
-    finally spark.conf.set(conf, prev)
-  }
-
-  /** Run `body` with parquet writers rolling to a new file every `rows`
-    * rows (Spark's own `maxRecordsPerFile`, restored after). Bucketed
-    * writes keep the bucket id in every rolled file's name
-    * (`..._NNNNN.c0/.c1/...`), so bucket pruning and the bucketed reader
-    * are unaffected — what changes is the REWRITE UNIT of partial
-    * compaction: a corpus-sized snapshot stops being one file per
-    * bucket (where one tombstone dirties 1/buckets of the corpus) and
-    * becomes row-capped files (one tombstone dirties ≤ `rows` rows).
-    * `rows <= 0` leaves the session setting untouched. */
-  def withMaxRecordsPerFile[A](spark: SparkSession, rows: Long)(body: => A): A =
-    if (rows <= 0) body
-    else {
-      val conf = "spark.sql.files.maxRecordsPerFile"
-      val prev = spark.conf.get(conf, "0")
-      try { spark.conf.set(conf, rows.toString); body }
-      finally spark.conf.set(conf, prev)
+    forcedBucketedDepth.synchronized {
+      forcedBucketedDepth.get(spark) match {
+        case null =>
+          val prev = spark.conf.get(conf)
+          spark.conf.set(conf, "false")
+          forcedBucketedDepth.put(spark, (1, prev))
+        case (d, prev) => forcedBucketedDepth.put(spark, (d + 1, prev))
+      }
     }
+    try body
+    finally forcedBucketedDepth.synchronized {
+      forcedBucketedDepth.get(spark) match {
+        case (1, prev) =>
+          spark.conf.set(conf, prev)
+          forcedBucketedDepth.remove(spark)
+        case (d, prev) => forcedBucketedDepth.put(spark, (d - 1, prev))
+      }
+    }
+  }
 
   /** The full-vs-partial compaction dispatch policy, pure so tests can
     * pin the crossover. Partial compaction's data term is

@@ -213,18 +213,17 @@ object SimilarityIndex {
       else Nil
     // policy input: one count of the corpus frame — marginal next to
     // the k-means passes above, and skipped entirely when the conf
-    // pins the cap (the by-name argument stays unevaluated)
-    BucketedTables.withMaxRecordsPerFile(spark,
-        rowsPerFile(spark, corpus.count())) {
-      BucketedTables.writeBucketed(
-        encodeCells(
-          Similarity.assignCells(corpus, vecCol, idCol, cids.zip(cents)),
-          codec, books),
-        cellsTable(base), Seq("cell"), buckets, SaveMode.Overwrite,
-        sidecar = Seq(QuantizerSidecar -> encodeQuantizer(cids.zip(cents))) ++
-          (if (codec == "pq") Seq(PqSidecar -> encodePqCodebooks(books))
-           else Nil))
-    }
+    // pins the cap (the by-name argument stays unevaluated). The cap
+    // rides the WRITE as a per-write option, never the session conf.
+    BucketedTables.writeBucketed(
+      encodeCells(
+        Similarity.assignCells(corpus, vecCol, idCol, cids.zip(cents)),
+        codec, books),
+      cellsTable(base), Seq("cell"), buckets, SaveMode.Overwrite,
+      sidecar = Seq(QuantizerSidecar -> encodeQuantizer(cids.zip(cents))) ++
+        (if (codec == "pq") Seq(PqSidecar -> encodePqCodebooks(books))
+         else Nil),
+      maxRecordsPerFile = rowsPerFile(spark, corpus.count()))
     // The commit above changed the snapshot epoch, so every pending
     // tombstone is ALREADY inert (a rebuild starts a new logical index
     // whose re-ingested ids must not be masked); dropping the table is
@@ -375,13 +374,13 @@ object SimilarityIndex {
     BucketedTables.withForcedBucketedScan(spark) {
       // policy input: a columnar count of the standing table (id column
       // only decodes), lazily skipped when the conf pins the cap
-      val snap = BucketedTables.withMaxRecordsPerFile(spark,
-          rowsPerFile(spark, spark.table(cellsTable(base)).count())) {
-        BucketedTables.writeSnapshot(spark, cellsTable(base), Seq("cell"),
-          BucketedTables.maskByTombs(
-            BucketedTables.compactionFrame(spark, cellsTable(base)), tombIds),
-          sidecar = carried)
-      }
+      val snap = BucketedTables.writeSnapshot(spark, cellsTable(base),
+        Seq("cell"),
+        BucketedTables.maskByTombs(
+          BucketedTables.compactionFrame(spark, cellsTable(base)), tombIds),
+        sidecar = carried,
+        maxRecordsPerFile =
+          rowsPerFile(spark, spark.table(cellsTable(base)).count()))
       // liveness heartbeat at the phase boundary (snapshot written,
       // about to swap) — what leaseInfo's staleness check observes
       BucketedTables.renewLease(spark, cellsTable(base))
@@ -519,11 +518,10 @@ object SimilarityIndex {
             Some(perCell(raw)))
         }
       val t0 = System.nanoTime()
-      val snap = BucketedTables.withMaxRecordsPerFile(spark,
-          rowsPerFile(spark, spark.table(table).count())) {
-        BucketedTables.writeSnapshot(spark, table, Seq("cell"),
-          subset, sidecar = carriedSidecars)
-      }
+      val snap = BucketedTables.writeSnapshot(spark, table, Seq("cell"),
+        subset, sidecar = carriedSidecars,
+        maxRecordsPerFile =
+          rowsPerFile(spark, spark.table(table).count()))
       // post-fold occupancy of the rewritten subset, read back from the
       // files the write just produced (the snap dir BEFORE the carry
       // holds exactly them) — counting the subset FRAME instead would

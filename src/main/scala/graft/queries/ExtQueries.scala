@@ -1873,9 +1873,12 @@ object ExtQueries {
     val takedown = ClusterIndex.current(s, cc)
       .select(col("id").as("doc_id")).orderBy("doc_id").limit(40)
       .localCheckpoint()
-    DedupIndex.delete(s, idx, takedown, "doc_id")
-    ClusterIndex.withdraw(s, cc, takedown,
-      ClusterIndex.nextBatchId(s, cc))
+    // the corpus-index tombstone append and the cluster-state withdrawal
+    // touch distinct structures — overlapped (§2.6)
+    graft.exec.Concurrent.run(
+      () => DedupIndex.delete(s, idx, takedown, "doc_id"),
+      () => ClusterIndex.withdraw(s, cc, takedown,
+        ClusterIndex.nextBatchId(s, cc)))
     // retire the tombstones (partial: only dirty buckets rewrite) —
     // only now may the cleared half re-enter
     DedupIndex.compactPartial(s, idx)
@@ -1987,13 +1990,16 @@ object ExtQueries {
     def ingest(batch: DataFrame, bid: Long): Unit = {
       val edges = DedupIndex.matchEdges(s, idx, batch,
         "text", "doc_id", "lang", threshold = 0.5).localCheckpoint()
-      try {
-        ClusterIndex.fold(s, cc, edges, batch.select(col("doc_id")),
-          ClusterIndex.streamFoldId(bid))
-        DedupIndex.appendKept(s, idx, batch,
-          DedupIndex.verdictsFromEdges(batch, "doc_id", edges),
-          "text", "doc_id", "lang", threshold = 0.5, batchId = bid)
-      } finally graft.exec.Partitioning.unpersistCheckpoint(edges)
+      try
+        // fold (cluster state) and append (dedup tables) are independent
+        // consumers of the checkpointed edges — overlapped (§2.6)
+        graft.exec.Concurrent.run(
+          () => ClusterIndex.fold(s, cc, edges, batch.select(col("doc_id")),
+            ClusterIndex.streamFoldId(bid)),
+          () => DedupIndex.appendKept(s, idx, batch,
+            DedupIndex.verdictsFromEdges(batch, "doc_id", edges),
+            "text", "doc_id", "lang", threshold = 0.5, batchId = bid))
+      finally graft.exec.Partitioning.unpersistCheckpoint(edges)
     }
     ingest(docs.filter(col("doc_id") % 10 === 0), 0L)
     ingest(docs.filter(col("doc_id") % 10 === 5), 1L)

@@ -107,35 +107,45 @@ object TakedownQueries {
           .otherwise("tie").as("oc"))
       .localCheckpoint()
 
-    // ---- 1. build all six standing structures
-    phase("build_dedup")(DedupIndex.write(corpus, "text", "doc_id", "lang",
-      dedupIdx, threshold = 0.5))
+    // ---- 1. build all six standing structures — DISTINCT structures, so
+    // the legs are independent and run as concurrent driver-submitted
+    // jobs (guide §2.6: overlap independent jobs; each leg's stage tail
+    // back-fills with its siblings' tasks instead of idling the
+    // executors). Only the cluster build depends on another structure
+    // (matchEdges probes the dedup index), so it chains behind the dedup
+    // build inside ONE leg; per-leg wall-clock phases now overlap.
     val b0 = docs.filter(col("doc_id") % 10 === 0)
-    phase("build_cluster") {
-      val ep0 = DedupIndex.snapshotEpoch(s, dedupIdx)
-      val edges0 = DedupIndex.matchEdges(s, dedupIdx, b0,
-        "text", "doc_id", "lang", threshold = 0.5).localCheckpoint()
-      try {
-        ClusterIndex.fold(s, cc, edges0, b0.select(col("doc_id")),
-          ClusterIndex.streamFoldId(0L))
-        // healRefresh = false: matchEdges healed WITH refresh at the top
-        // of this leg; the probe-time epoch makes the single-writer
-        // assumption CHECKED (the IngestDedup discipline applied to the
-        // direct-call path)
-        DedupIndex.appendKept(s, dedupIdx, b0,
-          DedupIndex.verdictsFromEdges(b0, "doc_id", edges0),
-          "text", "doc_id", "lang", threshold = 0.5, batchId = 0L,
-          healRefresh = false, expectEpoch = Some(ep0))
-      } finally graft.exec.Partitioning.unpersistCheckpoint(edges0)
-    }
-    phase("build_ann")(SimilarityIndex.write(e.filter(col("vec_id") % 5 =!= 0),
-      "embedding", "vec_id", annIdx, k = 4, iters = 1, buckets = 4))
-    phase("build_chunk")(ChunkIndex.append(s, chunkB, corpus, "text", "doc_id",
-      seed = 42L, cutMod = CutMod, batchId = 0L))
-    phase("build_span")(SpanIndex.write(corpus, "text", "doc_id", spanIdx,
-      w = 6, buckets = 8))
-    phase("build_pref")(PreferenceIndex.appendJudgments(s, prefB, judgments,
-      "ia", "ib", "oc", batchId = 0L))
+    graft.exec.Concurrent.run(
+      () => {
+        phase("build_dedup")(DedupIndex.write(corpus, "text", "doc_id",
+          "lang", dedupIdx, threshold = 0.5))
+        phase("build_cluster") {
+          val ep0 = DedupIndex.snapshotEpoch(s, dedupIdx)
+          val edges0 = DedupIndex.matchEdges(s, dedupIdx, b0,
+            "text", "doc_id", "lang", threshold = 0.5).localCheckpoint()
+          try {
+            ClusterIndex.fold(s, cc, edges0, b0.select(col("doc_id")),
+              ClusterIndex.streamFoldId(0L))
+            // healRefresh = false: matchEdges healed WITH refresh at the
+            // top of this leg; the probe-time epoch makes the
+            // single-writer assumption CHECKED (the IngestDedup
+            // discipline applied to the direct-call path)
+            DedupIndex.appendKept(s, dedupIdx, b0,
+              DedupIndex.verdictsFromEdges(b0, "doc_id", edges0),
+              "text", "doc_id", "lang", threshold = 0.5, batchId = 0L,
+              healRefresh = false, expectEpoch = Some(ep0))
+          } finally graft.exec.Partitioning.unpersistCheckpoint(edges0)
+        }
+      },
+      () => phase("build_ann")(SimilarityIndex.write(
+        e.filter(col("vec_id") % 5 =!= 0),
+        "embedding", "vec_id", annIdx, k = 4, iters = 1, buckets = 4)),
+      () => phase("build_chunk")(ChunkIndex.append(s, chunkB, corpus,
+        "text", "doc_id", seed = 42L, cutMod = CutMod, batchId = 0L)),
+      () => phase("build_span")(SpanIndex.write(corpus, "text", "doc_id",
+        spanIdx, w = 6, buckets = 8)),
+      () => phase("build_pref")(PreferenceIndex.appendJudgments(s, prefB,
+        judgments, "ia", "ib", "oc", batchId = 0L)))
 
     // ---- 2. the takedown REQUEST STREAM: one foreachBatch withdraws
     // the ids from all six standing structures
@@ -146,67 +156,93 @@ object TakedownQueries {
       .foreachBatch { (req: DataFrame, _: Long) =>
         val ids = req.localCheckpoint() // request-driven: delta-sized
         try {
-          phase("wd_dedup")(DedupIndex.delete(s, dedupIdx, ids, "doc_id"))
-          phase("wd_cluster")(ClusterIndex.withdraw(s, cc, ids,
-            ClusterIndex.nextBatchId(s, cc)))
-          phase("wd_ann")(SimilarityIndex.delete(s, annIdx, ids, "doc_id"))
-          phase("wd_chunk")(ChunkIndex.delete(s, chunkB, ids, "doc_id",
-            cutMod = CutMod, batchId = 1L))
-          phase("wd_span")(SpanIndex.delete(s, spanIdx,
-            docs.join(ids, "doc_id"), "text", "doc_id", bid = 1L))
-          phase("wd_pref")(PreferenceIndex.withdraw(s, prefB,
-            ids.select(col("doc_id").cast("string").as("item")), "item",
-            batchId = 1L))
+          // six independent withdrawals (one per structure), all reading
+          // the same checkpointed request set — overlapped (§2.6)
+          graft.exec.Concurrent.run(
+            () => phase("wd_dedup")(
+              DedupIndex.delete(s, dedupIdx, ids, "doc_id")),
+            () => phase("wd_cluster")(ClusterIndex.withdraw(s, cc, ids,
+              ClusterIndex.nextBatchId(s, cc))),
+            () => phase("wd_ann")(
+              SimilarityIndex.delete(s, annIdx, ids, "doc_id")),
+            () => phase("wd_chunk")(ChunkIndex.delete(s, chunkB, ids,
+              "doc_id", cutMod = CutMod, batchId = 1L)),
+            () => phase("wd_span")(SpanIndex.delete(s, spanIdx,
+              docs.join(ids, "doc_id"), "text", "doc_id", bid = 1L)),
+            () => phase("wd_pref")(PreferenceIndex.withdraw(s, prefB,
+              ids.select(col("doc_id").cast("string").as("item")), "item",
+              batchId = 1L)))
         } finally graft.exec.Partitioning.unpersistCheckpoint(ids)
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
 
     // ---- 3. compactions retire every structure's tombstones — the
-    // re-admission precondition (delete wins until here)
-    phase("cp_dedup")(DedupIndex.compactAuto(s, dedupIdx))
-    phase("cp_ann")(SimilarityIndex.compactAuto(s, annIdx))
-    phase("cp_cluster")(ClusterIndex.compact(s, cc))
-    val chunkC = phase("cp_chunk")(ChunkIndex.compact(s, chunkB,
-      cutMod = CutMod))
-    phase("cp_span")(SpanIndex.compact(s, spanIdx))
-    phase("cp_pref")(PreferenceIndex.compactBatched(s, prefB))
+    // re-admission precondition (delete wins until here); six
+    // independent structures, overlapped (§2.6)
+    val chunkCs = graft.exec.Concurrent.all[Long](Seq(
+      () => { phase("cp_dedup")(DedupIndex.compactAuto(s, dedupIdx)); 0L },
+      () => { phase("cp_ann")(SimilarityIndex.compactAuto(s, annIdx)); 0L },
+      () => { phase("cp_cluster")(ClusterIndex.compact(s, cc)); 0L },
+      () => phase("cp_chunk")(ChunkIndex.compact(s, chunkB,
+        cutMod = CutMod)),
+      () => { phase("cp_span")(SpanIndex.compact(s, spanIdx)); 0L },
+      () => { phase("cp_pref")(PreferenceIndex.compactBatched(s, prefB)); 0L }))
+    val chunkC = chunkCs(3)
 
-    // ---- 4. the permitted (even) half re-enters as ordinary new data
+    // ---- 4. the permitted (even) half re-enters as ordinary new data.
+    // Five independent re-admission legs (dedup+cluster share the probe's
+    // edge delta, so they nest inside one leg behind it), overlapped.
     val b2 = docs.join(tdEven, "doc_id")
-    val ep2 = DedupIndex.snapshotEpoch(s, dedupIdx)
-    val edges2 = phase("re_probe")(DedupIndex.matchEdges(s, dedupIdx, b2,
-      "text", "doc_id", "lang", threshold = 0.5).localCheckpoint())
-    val verd2 = DedupIndex
-      .verdictsFromEdges(b2, "doc_id", edges2).localCheckpoint()
-    try {
-      phase("re_cluster")(ClusterIndex.fold(s, cc, edges2,
-        b2.select(col("doc_id")), ClusterIndex.streamFoldId(2L)))
-      phase("re_dedup")(DedupIndex.appendKept(s, dedupIdx, b2, verd2,
-        "text", "doc_id", "lang", threshold = 0.5, batchId = 2L,
-        healRefresh = false, expectEpoch = Some(ep2)))
-    } finally graft.exec.Partitioning.unpersistCheckpoint(edges2)
-    phase("re_ann")(SimilarityIndex.append(s, annIdx,
-      e.join(tdEven, e("vec_id") === tdEven("doc_id"))
-        .select(e("vec_id"), e("embedding"))))
-    phase("re_chunk")(ChunkIndex.append(s, chunkB, b2, "text", "doc_id",
-      seed = 42L, cutMod = CutMod, batchId = chunkC + 1L))
-    val trimmed2 = phase("re_span") {
-      val t = SpanIndex.trimIncremental(s, spanIdx, b2,
-        "text", "doc_id").localCheckpoint()
-      SpanIndex.append(s, spanIdx, t, "trimmed_text", "doc_id", bid = 2L)
-      t
-    }
-    val late = judgments
-      .join(tdEven.select(col("doc_id").as("ia_id")), Seq("ia_id"), "left_semi")
-      .unionByName(judgments.join(
-        tdEven.select(col("doc_id").as("ib_id")), Seq("ib_id"), "left_semi")
-        .select(judgments.columns.map(col).toSeq: _*))
-      .dropDuplicates("ia_id", "ib_id")
-      .join(tdOdd.select(col("doc_id").as("ia_id")), Seq("ia_id"), "left_anti")
-      .join(tdOdd.select(col("doc_id").as("ib_id")), Seq("ib_id"), "left_anti")
-    PreferenceIndex.appendJudgments(s, prefB, late,
-      "ia", "ib", "oc", batchId = 2L)
+    @volatile var trimmed2: DataFrame = null
+    @volatile var verd2: DataFrame = null
+    graft.exec.Concurrent.run(
+      () => {
+        val ep2 = DedupIndex.snapshotEpoch(s, dedupIdx)
+        val edges2 = phase("re_probe")(DedupIndex.matchEdges(s, dedupIdx,
+          b2, "text", "doc_id", "lang", threshold = 0.5).localCheckpoint())
+        verd2 = DedupIndex
+          .verdictsFromEdges(b2, "doc_id", edges2).localCheckpoint()
+        try
+          // the fold (cluster state) and the append (dedup tables) write
+          // to distinct structures from the shared edge checkpoint
+          graft.exec.Concurrent.run(
+            () => phase("re_cluster")(ClusterIndex.fold(s, cc, edges2,
+              b2.select(col("doc_id")), ClusterIndex.streamFoldId(2L))),
+            () => phase("re_dedup")(DedupIndex.appendKept(s, dedupIdx, b2,
+              verd2, "text", "doc_id", "lang", threshold = 0.5,
+              batchId = 2L, healRefresh = false, expectEpoch = Some(ep2))))
+        finally graft.exec.Partitioning.unpersistCheckpoint(edges2)
+      },
+      () => phase("re_ann")(SimilarityIndex.append(s, annIdx,
+        e.join(tdEven, e("vec_id") === tdEven("doc_id"))
+          .select(e("vec_id"), e("embedding")))),
+      () => phase("re_chunk")(ChunkIndex.append(s, chunkB, b2, "text",
+        "doc_id", seed = 42L, cutMod = CutMod, batchId = chunkC + 1L)),
+      () => {
+        trimmed2 = phase("re_span") {
+          val t = SpanIndex.trimIncremental(s, spanIdx, b2,
+            "text", "doc_id").localCheckpoint()
+          SpanIndex.append(s, spanIdx, t, "trimmed_text", "doc_id", bid = 2L)
+          t
+        }
+      },
+      () => {
+        val late = judgments
+          .join(tdEven.select(col("doc_id").as("ia_id")), Seq("ia_id"),
+            "left_semi")
+          .unionByName(judgments.join(
+            tdEven.select(col("doc_id").as("ib_id")), Seq("ib_id"),
+            "left_semi")
+            .select(judgments.columns.map(col).toSeq: _*))
+          .dropDuplicates("ia_id", "ib_id")
+          .join(tdOdd.select(col("doc_id").as("ia_id")), Seq("ia_id"),
+            "left_anti")
+          .join(tdOdd.select(col("doc_id").as("ib_id")), Seq("ib_id"),
+            "left_anti")
+        phase("re_pref")(PreferenceIndex.appendJudgments(s, prefB, late,
+          "ia", "ib", "oc", batchId = 2L))
+      })
 
     // ---- 5. one normalized observable per structure
     def norm(structure: String, k: org.apache.spark.sql.Column,
@@ -280,26 +316,11 @@ object TakedownQueries {
     val chunkB = s"$base/chunks"
     val prefB = s"$base/pref"
 
-    // ---- build the six structures
-    DedupIndex.write(corpus, "text", "doc_id", "lang", dedupIdx,
-      threshold = 0.5)
-    SimilarityIndex.write(e.filter(col("vec_id") % 4 === 1),
-      "embedding", "vec_id", annIdx, k = 4, iters = 1, buckets = 4)
-    ChunkIndex.append(s, chunkB, corpus, "text", "doc_id",
-      seed = 42L, cutMod = CutMod, batchId = 0L)
-    SpanIndex.write(corpus, "text", "doc_id", spanIdx, w = 6, buckets = 8)
+    // ---- build the six structures — distinct structures, overlapped
+    // (§2.6; unlike the e2e capstone, even the cluster leg is
+    // independent here — its edges are the synthetic star relation, not
+    // a dedup-index probe)
     val byLang = Window.partitionBy("lang").orderBy("doc_id")
-    PreferenceIndex.appendJudgments(s, prefB,
-      corpus.select(col("doc_id"), col("lang"), col("n_chars"))
-        .withColumn("nb_id", lead("doc_id", 1).over(byLang))
-        .withColumn("nb_chars", lead("n_chars", 1).over(byLang))
-        .filter(col("nb_id").isNotNull)
-        .select(col("doc_id").cast("string").as("ia"),
-          col("nb_id").cast("string").as("ib"),
-          when(col("n_chars") > col("nb_chars"), "a")
-            .when(col("n_chars") < col("nb_chars"), "b")
-            .otherwise("tie").as("oc")),
-      "ia", "ib", "oc", batchId = 0L)
     // star-shaped components (each doc edges to its (lang, id-range)
     // group's min id): bounded propagation diameter regardless of sf —
     // the WATERMARKS don't depend on the topology, only on which ids
@@ -312,34 +333,62 @@ object TakedownQueries {
         Seq("lang", "g"))
       .filter(col("doc_id") =!= col("m"))
       .select(col("m").as("id_a"), col("doc_id").as("id_b"))
-    ClusterIndex.fold(s, cc, edges0, trk.select(col("doc_id")),
-      ClusterIndex.streamFoldId(0L))
+    graft.exec.Concurrent.run(
+      () => DedupIndex.write(corpus, "text", "doc_id", "lang", dedupIdx,
+        threshold = 0.5),
+      () => SimilarityIndex.write(e.filter(col("vec_id") % 4 === 1),
+        "embedding", "vec_id", annIdx, k = 4, iters = 1, buckets = 4),
+      () => ChunkIndex.append(s, chunkB, corpus, "text", "doc_id",
+        seed = 42L, cutMod = CutMod, batchId = 0L),
+      () => SpanIndex.write(corpus, "text", "doc_id", spanIdx,
+        w = 6, buckets = 8),
+      () => PreferenceIndex.appendJudgments(s, prefB,
+        corpus.select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("nb_id", lead("doc_id", 1).over(byLang))
+          .withColumn("nb_chars", lead("n_chars", 1).over(byLang))
+          .filter(col("nb_id").isNotNull)
+          .select(col("doc_id").cast("string").as("ia"),
+            col("nb_id").cast("string").as("ib"),
+            when(col("n_chars") > col("nb_chars"), "a")
+              .when(col("n_chars") < col("nb_chars"), "b")
+              .otherwise("tie").as("oc")),
+        "ia", "ib", "oc", batchId = 0L),
+      () => ClusterIndex.fold(s, cc, edges0, trk.select(col("doc_id")),
+        ClusterIndex.streamFoldId(0L)))
 
-    // ---- one request set withdrawn from all six
-    DedupIndex.delete(s, dedupIdx, td, "doc_id")
-    SimilarityIndex.delete(s, annIdx, td, "doc_id")
-    ChunkIndex.delete(s, chunkB, td, "doc_id", cutMod = CutMod, batchId = 1L)
-    SpanIndex.delete(s, spanIdx, docs.join(td, "doc_id"),
-      "text", "doc_id", bid = 1L)
-    PreferenceIndex.withdraw(s, prefB,
-      td.select(col("doc_id").cast("string").as("item")), "item",
-      batchId = 1L)
-    ClusterIndex.withdraw(s, cc, td, ClusterIndex.nextBatchId(s, cc))
+    // ---- one request set withdrawn from all six — overlapped
+    graft.exec.Concurrent.run(
+      () => DedupIndex.delete(s, dedupIdx, td, "doc_id"),
+      () => SimilarityIndex.delete(s, annIdx, td, "doc_id"),
+      () => ChunkIndex.delete(s, chunkB, td, "doc_id", cutMod = CutMod,
+        batchId = 1L),
+      () => SpanIndex.delete(s, spanIdx, docs.join(td, "doc_id"),
+        "text", "doc_id", bid = 1L),
+      () => PreferenceIndex.withdraw(s, prefB,
+        td.select(col("doc_id").cast("string").as("item")), "item",
+        batchId = 1L),
+      () => ClusterIndex.withdraw(s, cc, td,
+        ClusterIndex.nextBatchId(s, cc)))
 
     // ---- three structures retire their tombstones, three stay pending
-    DedupIndex.compactAuto(s, dedupIdx)
-    ChunkIndex.compact(s, chunkB, cutMod = CutMod)
-    PreferenceIndex.compactBatched(s, prefB)
+    graft.exec.Concurrent.run(
+      () => { DedupIndex.compactAuto(s, dedupIdx); () },
+      () => { ChunkIndex.compact(s, chunkB, cutMod = CutMod); () },
+      () => PreferenceIndex.compactBatched(s, prefB))
 
     // ---- the SLO frame: watermarks from sidecar/tombstone/marker state
+    // (six independent delta-sized reads, overlapped)
     import s.implicits._
     def durable(n: Long): Long = if (n == 0L) 1L else 0L
-    val dedupPending = DedupIndex.pendingTombstones(s, dedupIdx)
-    val annPending = SimilarityIndex.pendingTombstones(s, annIdx)
-    val retracted = ClusterIndex.retractedLive(s, cc)
-    val chunkPending = ChunkIndex.pendingTombstones(s, chunkB)
-    val spanPending = SpanIndex.pendingTombstoneRows(s, spanIdx)
-    val prefPending = PreferenceIndex.pendingTombstones(s, prefB)
+    val pendings = graft.exec.Concurrent.all[Long](Seq(
+      () => DedupIndex.pendingTombstones(s, dedupIdx),
+      () => SimilarityIndex.pendingTombstones(s, annIdx),
+      () => ClusterIndex.retractedLive(s, cc),
+      () => ChunkIndex.pendingTombstones(s, chunkB),
+      () => SpanIndex.pendingTombstoneRows(s, spanIdx),
+      () => PreferenceIndex.pendingTombstones(s, prefB)))
+    val Seq(dedupPending, annPending, retracted, chunkPending,
+      spanPending, prefPending) = pendings
     Seq(
       ("dedup", "tombs_outstanding", dedupPending),
       ("dedup", "erasure_durable", durable(dedupPending)),

@@ -95,10 +95,22 @@ object IngestDedup {
       .localCheckpoint()
     try {
       val verdicts = DedupIndex.verdictsFromEdges(batch, idCol, edges)
-      verdicts.withColumn("batch_id", lit(batchId))
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id").parquet(verdictPath)
+      // The batch's three consumers — verdict sink, cluster fold, index
+      // append — all derive from the CHECKPOINTED edges and write to
+      // DISTINCT state (the verdict path, the cluster base, the index
+      // tables), so they run as concurrent driver-submitted jobs
+      // (guide §2.6): the fold's tiny rep-graph stages back-fill the
+      // append's bucketed-write tail instead of waiting behind it.
+      // Replay safety is per-leg and order-free — each leg was already
+      // individually idempotent (dynamic partition overwrite / strided
+      // fold id / stamped append), so a crash after ANY subset of legs
+      // replays to the same state serial execution reached.
+      val legs = Seq.newBuilder[() => Unit]
+      legs += (() =>
+        verdicts.withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(verdictPath))
       // Incremental connected components: fold this batch's verified
       // edges (and every batch document as a node) into the standing
       // cluster state. Stamped with the STRIDED logical batch id
@@ -108,10 +120,11 @@ object IngestDedup {
       // partition) leaving id room for manual withdrawals/compactions
       // between epochs.
       if (clusterBase.nonEmpty)
-        ClusterIndex.fold(spark, clusterBase,
-          edges, batch.select(col(idCol)),
-          ClusterIndex.streamFoldId(batchId),
-          trackEdges = clusterTrackEdges)
+        legs += (() =>
+          ClusterIndex.fold(spark, clusterBase,
+            edges, batch.select(col(idCol)),
+            ClusterIndex.streamFoldId(batchId),
+            trackEdges = clusterTrackEdges))
       if (updateIndex)
         // healRefresh = false: matchEdges healed WITH refresh at the
         // top of this batch, so this session's relation caches reflect
@@ -126,9 +139,11 @@ object IngestDedup {
         // append's lease, so that foreign swap makes the append REFUSE
         // loudly (re-run the batch against the live snapshot) instead
         // of folding rows judged through a retired snapshot's caches
-        DedupIndex.appendKept(spark, base, batch, verdicts,
-          textCol, idCol, blockCol, threshold, shingleN, batchId = stamp,
-          healRefresh = false, expectEpoch = probeEpoch)
+        legs += (() =>
+          DedupIndex.appendKept(spark, base, batch, verdicts,
+            textCol, idCol, blockCol, threshold, shingleN, batchId = stamp,
+            healRefresh = false, expectEpoch = probeEpoch))
+      graft.exec.Concurrent.all(legs.result())
     } finally
       // free the batch's checkpoint blocks even on a failed/retried
       // batch — a long-running stream must not accumulate one dead

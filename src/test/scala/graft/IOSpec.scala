@@ -1443,6 +1443,35 @@ class IOSpec extends AnyFunSuite {
     }
   }
 
+  test("withForcedBucketedScan composes under concurrent and nested use") {
+    // compactions of INDEPENDENT structures run as concurrent driver jobs
+    // (graft.exec.Concurrent); the forced-bucketed-scan window must hold
+    // for every body until the LAST one exits — a plain set/restore pair
+    // would let the first leg to finish restore the conf out from under a
+    // sibling whose shuffle-free per-bucket fold depends on it.
+    val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val before = spark.conf.get(confKey)
+    val sawForced = new java.util.concurrent.atomic.AtomicInteger(0)
+    graft.exec.Concurrent.run(
+      () => ext.BucketedTables.withForcedBucketedScan(spark) {
+        Thread.sleep(40)
+        if (spark.conf.get(confKey) == "false") sawForced.incrementAndGet(): Unit
+      },
+      () => ext.BucketedTables.withForcedBucketedScan(spark) {
+        Thread.sleep(150) // outlives the sibling's exit
+        if (spark.conf.get(confKey) == "false") sawForced.incrementAndGet(): Unit
+      })
+    assert(sawForced.get() == 2,
+      "every concurrent body must observe the forced scan for its whole run")
+    assert(spark.conf.get(confKey) == before, "last exit restores the conf")
+    ext.BucketedTables.withForcedBucketedScan(spark) {
+      ext.BucketedTables.withForcedBucketedScan(spark) { () }
+      assert(spark.conf.get(confKey) == "false",
+        "a nested exit must not restore early")
+    }
+    assert(spark.conf.get(confKey) == before)
+  }
+
   test("streaming upsert sink maintains a keyed dimension across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
