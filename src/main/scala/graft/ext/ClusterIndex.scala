@@ -487,12 +487,16 @@ object ClusterIndex {
     // before.
     val edgesTracked =
       fs(spark).exists(new org.apache.hadoop.fs.Path(s"$base/edges"))
-    val folded = current(spark, base).localCheckpoint()
-    val foldedEdges =
-      if (edgesTracked)
-        Some(liveEdges(spark, base)
-          .withColumn("alive", lit(true)).localCheckpoint())
-      else None
+    // the membership and edge latest-wins folds are independent reads of
+    // the two chains — materialized concurrently (§2.6)
+    val Seq(Some(folded), foldedEdges) =
+      graft.exec.Concurrent.all[Option[org.apache.spark.sql.DataFrame]](Seq(
+        () => Some(current(spark, base).localCheckpoint()),
+        () =>
+          if (edgesTracked)
+            Some(liveEdges(spark, base)
+              .withColumn("alive", lit(true)).localCheckpoint())
+          else None))
     try {
       writeMarker(spark, startMarker(base), c)
       writeDelta(base, c, folded)

@@ -353,13 +353,22 @@ object DedupIndex {
       bandTable(base)  -> Seq("bk"),
       exactTable(base) -> Seq("h", "t"))
     BucketedTables.withForcedBucketedScan(spark) {
-      tables.foreach { case (table, keys) =>
-        val snap = writeSnapshot(spark, table, keys,
-          BucketedTables.maskByTombs(
-            compactionFrame(spark, table), tombIds))
-        // liveness heartbeat at the phase boundary (snapshot written,
-        // about to swap) — what leaseInfo's staleness check observes
-        BucketedTables.renewLease(spark, exactTable(base))
+      // the four snapshot writes are scratch-dir work on independent
+      // tables — overlapped (§2.6); every snapshot reads the PRE-swap
+      // state it would have read serially (no snapshot depends on a
+      // sibling table). The SWAPS stay serial and ordered below: all
+      // commits happen after all writes, exact last — the same crash
+      // states as before, minus the interleaved partial ones.
+      val snaps = graft.exec.Concurrent.all[String](
+        tables.map { case (table, keys) => () =>
+          writeSnapshot(spark, table, keys,
+            BucketedTables.maskByTombs(
+              compactionFrame(spark, table), tombIds))
+        })
+      // liveness heartbeat at the phase boundary (snapshots written,
+      // about to swap) — what leaseInfo's staleness check observes
+      BucketedTables.renewLease(spark, exactTable(base))
+      tables.zip(snaps).foreach { case ((table, _), snap) =>
         swapLocation(spark, table, snap)
       }
       // the tombstones folded above are inert now (the anchor swap
@@ -452,7 +461,14 @@ object DedupIndex {
       bandTable(base)  -> Seq("bk"),
       exactTable(base) -> Seq("h", "t"))
     BucketedTables.withForcedBucketedScan(spark) {
-      tables.foreach { case (table, keys) =>
+      // Per-table discovery + snapshot write + carry-over run as
+      // concurrent legs (§2.6) — independent tables doing scratch-dir
+      // work; every leg reads the PRE-swap state it would have read
+      // serially. The SWAPS stay serial and ordered below (all commits
+      // after all writes, exact last), so the crash contract is the
+      // same as before minus the interleaved partial states.
+      val prepped: Seq[Option[String]] = graft.exec.Concurrent.all(
+        tables.map { case (table, keys) => () =>
         val n = bucketsOf(spark, table)
         val files = BucketedTables.bucketFilePaths(spark, table)
         val counts = files.groupBy(_._1).view.mapValues(_.size).toMap
@@ -478,6 +494,7 @@ object DedupIndex {
           // rows for its tombstones to mask.
           System.err.println(s"[compactPartial] $table: untouched " +
             s"(carry=${carried.size} files in place) — skipped")
+          None
         } else {
         val subset =
           if (carried.isEmpty)
@@ -490,7 +507,7 @@ object DedupIndex {
             // cost in the fold). The raw file read loses the bucketed
             // partitioning, so the (deletion-bounded) subset pays ONE
             // repartition on the bucket keys (Spark's repartition hash
-            // IS the bucket assignment, so each write task holds
+            // IS the bucket assignment, so each task holds
             // exactly one bucket) and a shuffle-free adjacent dedup
             // (identical rows share their bucket keys, so the
             // repartition already co-located them) — folding replay
@@ -508,14 +525,19 @@ object DedupIndex {
         val t1 = System.nanoTime()
         if (carried.nonEmpty)
           BucketedTables.copyBucketFiles(spark, table, carried, snap)
-        val t2 = System.nanoTime()
-        BucketedTables.renewLease(spark, exactTable(base))
-        swapLocation(spark, table, snap)
         System.err.println(f"[compactPartial] $table: rewrite=" +
           f"${rewriteFiles.size} carry=${carried.size} files; " +
-          f"write=${(t1 - t0) / 1e9}%.2fs carry=${(t2 - t1) / 1e9}%.2fs " +
-          f"swap=${(System.nanoTime() - t2) / 1e9}%.2fs")
+          f"write=${(t1 - t0) / 1e9}%.2fs " +
+          f"carry=${(System.nanoTime() - t1) / 1e9}%.2fs")
+        Some(snap)
         }
+      })
+      // liveness heartbeat, then the ordered commits (exact LAST — the
+      // epoch anchor retires the tombstones atomically with its swap)
+      BucketedTables.renewLease(spark, exactTable(base))
+      tables.zip(prepped).foreach {
+        case ((table, _), Some(snap)) => swapLocation(spark, table, snap)
+        case _ => ()
       }
       val t3 = System.nanoTime()
       BucketedTables.truncateBucketed(spark, tombsTable(base), Seq("id"))
