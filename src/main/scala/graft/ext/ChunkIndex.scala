@@ -114,16 +114,18 @@ object ChunkIndex {
              textCol: String, idCol: String, seed: Long, cutMod: Long,
              batchId: Long): Unit = {
     heal(spark, base)
-    val stats = batch.select(
-        col(idCol).cast(LongType).as("doc_id"),
-        TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("n_tokens"),
-        TextAnalysis.fingerprint(col(textCol)).as("fp"))
-      .withColumn("h", Sharding.shuffleKey(col("doc_id"), seed))
-      .select("doc_id", "h", "n_tokens", "fp")
-      .localCheckpoint()
-
-    val standingCuts = readCuts(spark, base, excludeBatch = batchId)
-      .select("doc_id", "h").localCheckpoint()
+    // batch stats and the standing-cut read are independent inputs —
+    // materialized concurrently (§2.6)
+    val Seq(stats, standingCuts) = graft.exec.Concurrent.all(Seq(
+      () => batch.select(
+          col(idCol).cast(LongType).as("doc_id"),
+          TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("n_tokens"),
+          TextAnalysis.fingerprint(col(textCol)).as("fp"))
+        .withColumn("h", Sharding.shuffleKey(col("doc_id"), seed))
+        .select("doc_id", "h", "n_tokens", "fp")
+        .localCheckpoint(),
+      () => readCuts(spark, base, excludeBatch = batchId)
+        .select("doc_id", "h").localCheckpoint()))
 
     // POST assignment (key_a): standing cuts and batch cuts both start
     // chunks. PRE assignment (key_b): only standing cuts do — it names
@@ -166,11 +168,16 @@ object ChunkIndex {
     val recomputed = recomputeManifest(dirty,
       standingMembers.unionByName(batchMembers))
 
-    writeDelta(base, batchId)(stats, "docs", Some("h"))
-    writeDelta(base, batchId)(
-      stats.filter(col("h") % cutMod === 0L).select("doc_id", "h"),
-      "cuts", Some("h"))
-    writeDelta(base, batchId)(recomputed, "manifest", None)
+    // the three delta writes are independent sinks whose inputs all
+    // exclude this batch id (every standing read above passed
+    // excludeBatch = batchId), so no write can observe a sibling's
+    // output — overlapped (§2.6), cutting the leg's serial job chain
+    graft.exec.Concurrent.run(
+      () => writeDelta(base, batchId)(stats, "docs", Some("h")),
+      () => writeDelta(base, batchId)(
+        stats.filter(col("h") % cutMod === 0L).select("doc_id", "h"),
+        "cuts", Some("h")),
+      () => writeDelta(base, batchId)(recomputed, "manifest", None))
   }
 
   /** (chunk_key, lo, hi) h-ranges of the given cut set, including the −1
@@ -240,12 +247,16 @@ object ChunkIndex {
   def delete(spark: SparkSession, base: String, ids: DataFrame,
              idCol: String, cutMod: Long, batchId: Long): Unit = {
     heal(spark, base)
-    val victims = readDocs(spark, base, excludeBatch = batchId)
-      .join(ids.select(col(idCol).cast(LongType).as("doc_id")), Seq("doc_id"))
-      .select("doc_id", "h", "n_tokens", "fp")
-      .localCheckpoint()
-    val preCuts = readCuts(spark, base, excludeBatch = batchId)
-      .select("doc_id", "h").localCheckpoint()
+    // victim lookup (docs chain) and the standing-cut read (cuts chain)
+    // are independent inputs — materialized concurrently (§2.6)
+    val Seq(victims, preCuts) = graft.exec.Concurrent.all(Seq(
+      () => readDocs(spark, base, excludeBatch = batchId)
+        .join(ids.select(col(idCol).cast(LongType).as("doc_id")),
+          Seq("doc_id"))
+        .select("doc_id", "h", "n_tokens", "fp")
+        .localCheckpoint(),
+      () => readCuts(spark, base, excludeBatch = batchId)
+        .select("doc_id", "h").localCheckpoint()))
 
     // chunk of each non-cut victim under PRE cuts
     val nonCutKeys = Sharding.assignChunkKeysBy(
@@ -282,8 +293,11 @@ object ChunkIndex {
       .join(broadcast(dirtyRanges), col("h") >= col("lo") && col("h") < col("hi"))
       .select(col("doc_id"), col("chunk_key"), col("n_tokens"), col("fp"))
 
-    writeDelta(base, batchId)(victims.select("doc_id"), "tombs", None)
-    writeDelta(base, batchId)(recomputeManifest(dirty, members), "manifest", None)
+    // independent sinks, inputs exclude this batch (append's contract)
+    graft.exec.Concurrent.run(
+      () => writeDelta(base, batchId)(victims.select("doc_id"), "tombs", None),
+      () => writeDelta(base, batchId)(
+        recomputeManifest(dirty, members), "manifest", None))
   }
 
   /** Takedown-SLO watermark: manifest delta versions still standing —
@@ -456,14 +470,21 @@ object ChunkIndex {
     heal(spark, base)
     val c = readOr(spark, s"$base/docs", docsSchema)
       .agg(coalesce(max("batch_id"), lit(-1L))).head.getLong(0) + 1L
-    val docs = readDocs(spark, base).select("doc_id", "h", "n_tokens", "fp")
-      .localCheckpoint()
-    val cuts = readCuts(spark, base).select("doc_id", "h").localCheckpoint()
-    val manifest = readManifest(spark, base).localCheckpoint()
+    // three independent latest-wins folds of the three chains,
+    // materialized concurrently (§2.6)
+    val Seq(docs, cuts, manifest) = graft.exec.Concurrent.all(Seq(
+      () => readDocs(spark, base).select("doc_id", "h", "n_tokens", "fp")
+        .localCheckpoint(),
+      () => readCuts(spark, base).select("doc_id", "h").localCheckpoint(),
+      () => readManifest(spark, base).localCheckpoint()))
     writeMarker(spark, startMarker(base), c)
-    writeDelta(base, c)(docs, "docs", Some("h"))
-    writeDelta(base, c)(cuts, "cuts", Some("h"))
-    writeDelta(base, c)(manifest, "manifest", None)
+    // the consolidated writes land under the start marker (heal rolls
+    // batch c back if any is incomplete) and read only the checkpointed
+    // folds — independent sinks, overlapped
+    graft.exec.Concurrent.run(
+      () => writeDelta(base, c)(docs, "docs", Some("h")),
+      () => writeDelta(base, c)(cuts, "cuts", Some("h")),
+      () => writeDelta(base, c)(manifest, "manifest", None))
     writeMarker(spark, commitMarker(base), c)
     heal(spark, base) // rolls forward: drops old partitions + tombs
     c

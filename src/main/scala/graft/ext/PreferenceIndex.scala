@@ -109,17 +109,19 @@ object PreferenceIndex {
       // it every micro-batch re-scans its source (and re-runs the
       // outcome validation) twice in the streaming hot path
       .localCheckpoint()
-    writeDelta(base, "edges", batchId,
-      typed.filter(col("oc") =!= "tie")
-        .select(
-          when(col("oc") === "a", col("ia")).otherwise(col("ib")).as("winner"),
-          when(col("oc") === "a", col("ib")).otherwise(col("ia")).as("loser"))
-        .groupBy("winner", "loser").agg(count(lit(1)).as("n")))
-    writeDelta(base, "ties", batchId,
-      typed.filter(col("oc") === "tie")
-        .select(least(col("ia"), col("ib")).as("a"),
-          greatest(col("ia"), col("ib")).as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n")))
+    // independent sinks over the checkpointed frame — overlapped (§2.6)
+    graft.exec.Concurrent.run(
+      () => writeDelta(base, "edges", batchId,
+        typed.filter(col("oc") =!= "tie")
+          .select(
+            when(col("oc") === "a", col("ia")).otherwise(col("ib")).as("winner"),
+            when(col("oc") === "a", col("ib")).otherwise(col("ia")).as("loser"))
+          .groupBy("winner", "loser").agg(count(lit(1)).as("n"))),
+      () => writeDelta(base, "ties", batchId,
+        typed.filter(col("oc") === "tie")
+          .select(least(col("ia"), col("ib")).as("a"),
+            greatest(col("ia"), col("ib")).as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n"))))
   }
 
   /** Ingest one batch of PRE-AGGREGATED win counts (winner, loser, n) —
@@ -249,8 +251,12 @@ object PreferenceIndex {
           }
         } finally graft.exec.Partitioning.unpersistCheckpoint(masked)
       }
-      retire("edges", edgesSchema, Seq("winner", "loser"))
-      retire("ties", tiesSchema, Seq("a", "b"))
+      // independent tables, tombstones deleted only after BOTH retire —
+      // overlapped (§2.6); the crash contract is unchanged (tombstones
+      // stay active until the final delete, rewrites are idempotent)
+      graft.exec.Concurrent.run(
+        () => retire("edges", edgesSchema, Seq("winner", "loser")),
+        () => retire("ties", tiesSchema, Seq("a", "b")))
       fs(spark).delete(new org.apache.hadoop.fs.Path(s"$base/tombs"), true)
       ()
     } finally graft.exec.Partitioning.unpersistCheckpoint(tombs)

@@ -936,13 +936,22 @@ object MiningQueries {
     * `corpus`, relevance 11 − rank), then per-(nprobe, query) quantized
     * DCG + first-relevant rank, then the per-setting means. `retrieved`
     * carries (nprobe, query_id, rank, cand_id). */
-  private def ndcgReport(s: SparkSession, retrieved: DataFrame,
-                         corpus: DataFrame, q: DataFrame): DataFrame = {
-    // checkpointed — all three settings join against it
-    val rel = Similarity.bruteForceTopK(corpus, q, k = 10)
+  /** Graded brute-force ground truth for [[ndcgReport]], checkpointed —
+    * all three settings join against it. Exposed separately so callers
+    * whose retrieval side is a standing-index lifecycle can compute it
+    * CONCURRENTLY with that lifecycle (it reads only the base
+    * embeddings, never the index). */
+  private def ndcgGroundTruth(corpus: DataFrame, q: DataFrame): DataFrame =
+    Similarity.bruteForceTopK(corpus, q, k = 10)
       .select(col("query_id"), col("cand_id"),
         (lit(11) - col("rank")).as("rel"))
       .localCheckpoint()
+
+  private def ndcgReport(s: SparkSession, retrieved: DataFrame,
+                         corpus: DataFrame, q: DataFrame,
+                         precomputedRel: Option[DataFrame] = None)
+      : DataFrame = {
+    val rel = precomputedRel.getOrElse(ndcgGroundTruth(corpus, q))
     val nq = q.count()
     val discLit = typedLit(RetrievalDisc)
     val graded = retrieved.join(rel, Seq("query_id", "cand_id"), "left")
@@ -1068,23 +1077,31 @@ object MiningQueries {
         .trigger(Trigger.AvailableNow()).start()
       st.awaitTermination()
     }
-    e.filter(col("vec_id") >= 400 && col("vec_id") < 450).coalesce(1)
-      .write.mode("overwrite").parquet(inDir)
-    runToCompletion()
-    graft.ext.SimilarityIndex.delete(s, idx,
-      e.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
-    e.filter(col("vec_id") >= 450).coalesce(1)
-      .write.mode("append").parquet(inDir)
-    runToCompletion()
-    graft.ext.SimilarityIndex.compact(s, idx)
+    // ground truth reads only the base embeddings — overlapped with the
+    // index lifecycle (§2.6), exactly like [[qSimRecallIdx]]
     val q = e.filter(col("vec_id") < 50)
     val survivors = e.filter(col("vec_id") % 7 =!= 3)
+    @volatile var rel: DataFrame = null
+    graft.exec.Concurrent.run(
+      () => {
+        e.filter(col("vec_id") >= 400 && col("vec_id") < 450).coalesce(1)
+          .write.mode("overwrite").parquet(inDir)
+        runToCompletion()
+        graft.ext.SimilarityIndex.delete(s, idx,
+          e.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+        e.filter(col("vec_id") >= 450).coalesce(1)
+          .write.mode("append").parquet(inDir)
+        runToCompletion()
+        graft.ext.SimilarityIndex.compact(s, idx)
+      },
+      () => { rel = ndcgGroundTruth(survivors, q) })
     val idxAll = Seq(1, 2, 4).map { np =>
       graft.ext.SimilarityIndex.topK(s, idx, q, k = 10, nprobe = np)
         .select(lit(np).as("nprobe"), col("query_id"), col("rank"),
           col("cand_id"))
     }.reduce(_ unionByName _)
-    ndcgReport(s, idxAll, corpus = survivors, q = q)
+    ndcgReport(s, idxAll, corpus = survivors, q = q,
+      precomputedRel = Some(rel))
   }
 
   lazy val qRetrievalNdcgIdxSql: String =
@@ -1123,22 +1140,31 @@ object MiningQueries {
         .trigger(Trigger.AvailableNow()).start()
       st.awaitTermination()
     }
-    e.filter(col("vec_id") >= 400 && col("vec_id") < 450).coalesce(1)
-      .write.mode("overwrite").parquet(inDir)
-    runToCompletion()
-    // mid-stream takedown, between the two checkpointed runs
-    graft.ext.SimilarityIndex.delete(s, idx,
-      e.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
-    e.filter(col("vec_id") >= 450).coalesce(1)
-      .write.mode("append").parquet(inDir)
-    runToCompletion()
-    graft.ext.SimilarityIndex.compact(s, idx)
-    // recall of the post-lifecycle index against brute on the survivors
+    // The brute-force ground truth reads only the base embeddings, never
+    // the index, so it overlaps the WHOLE index lifecycle (build already
+    // ran above; streams, takedown, compaction in the sibling leg) —
+    // §2.6. Recall of the post-lifecycle index is measured after both
+    // legs complete.
     val q = e.filter(col("vec_id") < 50)
     val survivors = e.filter(col("vec_id") % 7 =!= 3)
-    val exact = Similarity.bruteForceTopK(survivors, q, k = 5)
-      .select(col("query_id"), col("cand_id")).localCheckpoint()
-    val nq = q.count()
+    @volatile var exact: DataFrame = null
+    @volatile var nq: Long = 0L
+    graft.exec.Concurrent.run(
+      () => {
+        e.filter(col("vec_id") >= 400 && col("vec_id") < 450).coalesce(1)
+          .write.mode("overwrite").parquet(inDir)
+        runToCompletion()
+        // mid-stream takedown, between the two checkpointed runs
+        graft.ext.SimilarityIndex.delete(s, idx,
+          e.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+        e.filter(col("vec_id") >= 450).coalesce(1)
+          .write.mode("append").parquet(inDir)
+        runToCompletion()
+        graft.ext.SimilarityIndex.compact(s, idx)
+      },
+      () => { exact = Similarity.bruteForceTopK(survivors, q, k = 5)
+        .select(col("query_id"), col("cand_id")).localCheckpoint() },
+      () => { nq = q.count() })
     val settings = Seq(1, 2, 4)
     val idxAll = settings.map { np =>
       graft.ext.SimilarityIndex.topK(s, idx, q, k = 5, nprobe = np)
@@ -1230,11 +1256,20 @@ object MiningQueries {
     * Oracle = empty set. */
   def qSimPqVerified(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-    val fromIndex = qSimPq(s, dir)
-    val (cids, cents) = Similarity.kmeansCentroids(e, "embedding", "vec_id",
-      k = 4, iters = 1)
-    val books = Similarity.pqTrainCodebooks(e, "embedding", "vec_id",
-      m = 8, k2 = 16, iters = 1)
+    // the standing-index build (one leg) and the companion's INDEPENDENT
+    // ad-hoc re-derivation of the same deterministic training (the other)
+    // share no state — overlapped (§2.6); the comparison below runs on
+    // both results after the group completes
+    @volatile var fromIndex: DataFrame = null
+    @volatile var trained: (Seq[Long], Seq[Seq[Double]]) = null
+    @volatile var books: Seq[Seq[Seq[Double]]] = null
+    graft.exec.Concurrent.run(
+      () => { fromIndex = qSimPq(s, dir) },
+      () => { trained = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+        k = 4, iters = 1) },
+      () => { books = Similarity.pqTrainCodebooks(e, "embedding", "vec_id",
+        m = 8, k2 = 16, iters = 1) })
+    val (cids, cents) = trained
     val adhoc = Similarity.pqTopKWith(e, e.filter(col("vec_id") < 10),
       cids.zip(cents), books, k = 5, nprobe = 2)
     def keyed(df: DataFrame, simName: String) =
@@ -1277,11 +1312,18 @@ object MiningQueries {
     * Oracle = empty set. */
   def qSimPqRerankVerified(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-    val fromIndex = qSimPqRerank(s, dir)
-    val (cids, cents) = Similarity.kmeansCentroids(e, "embedding", "vec_id",
-      k = 4, iters = 1)
-    val books = Similarity.pqTrainCodebooks(e, "embedding", "vec_id",
-      m = 8, k2 = 16, iters = 1)
+    // index build+rerank vs the independent ad-hoc training — overlapped
+    // (§2.6), same structure as [[qSimPqVerified]]
+    @volatile var fromIndex: DataFrame = null
+    @volatile var trained: (Seq[Long], Seq[Seq[Double]]) = null
+    @volatile var books: Seq[Seq[Seq[Double]]] = null
+    graft.exec.Concurrent.run(
+      () => { fromIndex = qSimPqRerank(s, dir) },
+      () => { trained = Similarity.kmeansCentroids(e, "embedding", "vec_id",
+        k = 4, iters = 1) },
+      () => { books = Similarity.pqTrainCodebooks(e, "embedding", "vec_id",
+        m = 8, k2 = 16, iters = 1) })
+    val (cids, cents) = trained
     val queries = e.filter(col("vec_id") < 10)
     val shortlist = Similarity.pqTopKWith(e, queries, cids.zip(cents), books,
       k = 15, nprobe = 2).select(col("query_id"), col("cand_id"))
