@@ -394,17 +394,23 @@ object Preference {
     * grid cell has exactly one rating. */
   private def btFitGrouped(dcomp: DataFrame, itemsb: DataFrame,
                            iters: Int): DataFrame = {
-    val symb = dcomp
-      .select(col("b"), col("winner").as("i"), col("loser").as("j"), col("n"))
-      .unionAll(dcomp
-        .select(col("b"), col("loser").as("i"), col("winner").as("j"), col("n")))
-      .groupBy("b", "i", "j").agg(sum("n").as("n"))
-      .localCheckpoint()
-    val winsb = itemsb
-      .join(dcomp.groupBy(col("b"), col("winner").as("item"))
-        .agg(sum("n").as("w0")), Seq("item", "b"), "left")
-      .select(col("item"), col("b"), coalesce(col("w0"), lit(0L)).as("w"))
-      .localCheckpoint()
+    // the symmetrized edge grid and the per-cell win totals are
+    // independent derivations of the outcome table — materialized
+    // concurrently (§2.6)
+    val Seq(symb, winsb) = graft.exec.Concurrent.all(Seq(
+      () => dcomp
+        .select(col("b"), col("winner").as("i"), col("loser").as("j"),
+          col("n"))
+        .unionAll(dcomp
+          .select(col("b"), col("loser").as("i"), col("winner").as("j"),
+            col("n")))
+        .groupBy("b", "i", "j").agg(sum("n").as("n"))
+        .localCheckpoint(),
+      () => itemsb
+        .join(dcomp.groupBy(col("b"), col("winner").as("item"))
+          .agg(sum("n").as("w0")), Seq("item", "b"), "left")
+        .select(col("item"), col("b"), coalesce(col("w0"), lit(0L)).as("w"))
+        .localCheckpoint()))
     var g = itemsb.select(col("item"), col("b"), lit(1.0).as("gamma"))
     for (_ <- 1 to iters) {
       val s = symb
@@ -469,8 +475,10 @@ object Preference {
   def rkRatings(comparisons: DataFrame, ties: DataFrame,
                 iters: Int): DataFrame = {
     require(iters >= 1, s"rkRatings needs iters >= 1, got $iters")
-    val comp = comparisons.localCheckpoint()
-    val tie = ties.localCheckpoint()
+    // independent inputs, materialized concurrently (§2.6)
+    val Seq(comp, tie) = graft.exec.Concurrent.all(Seq(
+      () => comparisons.localCheckpoint(),
+      () => ties.localCheckpoint()))
     val adir = comp.select(col("winner").as("i"), col("loser").as("j"), col("n"))
       .unionAll(tie.select(col("a").as("i"), col("b").as("j"), col("n")))
       .unionAll(tie.select(col("b").as("i"), col("a").as("j"), col("n")))
@@ -547,8 +555,10 @@ object Preference {
       s"bad bootstrap spec: reps=$reps loRank=$loRank hiRank=$hiRank")
     val session = comparisons.sparkSession
     import session.implicits._
-    val comp = comparisons.localCheckpoint()
-    val tie = ties.localCheckpoint()
+    // independent inputs, materialized concurrently (§2.6)
+    val Seq(comp, tie) = graft.exec.Concurrent.all(Seq(
+      () => comparisons.localCheckpoint(),
+      () => ties.localCheckpoint()))
     val items = comp.select(col("winner").as("item"))
       .unionAll(comp.select(col("loser").as("item")))
       .unionAll(tie.select(col("a").as("item")))
@@ -572,15 +582,19 @@ object Preference {
       .groupBy("b", "i", "j").agg(sum("n").as("a"))
       .localCheckpoint()
     val itemsb = items.crossJoin(broadcast(repsDf))
-    val bigAb = itemsb
-      .join(adirb.groupBy(col("b"), col("i").as("item")).agg(sum("a").as("a0")),
-        Seq("item", "b"), "left")
-      .select(col("item"), col("b"), coalesce(col("a0"), lit(0L)).as("A"))
-      .localCheckpoint()
-    val ttb = repsDf
-      .join(dtie.groupBy("b").agg(sum("n").as("t0")), Seq("b"), "left")
-      .select(col("b"), coalesce(col("t0"), lit(0L)).as("T"))
-      .localCheckpoint()
+    // per-cell augmented totals (over the checkpointed adirb) and
+    // per-replicate tie totals (over the tie draw) are independent —
+    // materialized concurrently (§2.6)
+    val Seq(bigAb, ttb) = graft.exec.Concurrent.all(Seq(
+      () => itemsb
+        .join(adirb.groupBy(col("b"), col("i").as("item"))
+          .agg(sum("a").as("a0")), Seq("item", "b"), "left")
+        .select(col("item"), col("b"), coalesce(col("a0"), lit(0L)).as("A"))
+        .localCheckpoint(),
+      () => repsDf
+        .join(dtie.groupBy("b").agg(sum("n").as("t0")), Seq("b"), "left")
+        .select(col("b"), coalesce(col("t0"), lit(0L)).as("T"))
+        .localCheckpoint()))
     val (gfin, th) = rkFitGrouped(adirb, itemsb, bigAb, ttb, repsDf, iters)
     val wG = org.apache.spark.sql.expressions.Window
       .partitionBy(col("item")).orderBy(col("gamma").asc, col("b").asc)
